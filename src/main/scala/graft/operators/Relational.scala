@@ -1,0 +1,369 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational inventory: scans, filters/projections, the join family,
+  * aggregations (combiner analogues), sorts/top-k/set-ops, scalar functions.
+  *
+  * Mirrors SURVEY.md §2.1–2.4, §2.7, §2.8. The reference has no relational
+  * operators — users inline filter/project in `bsp()` loops (e.g.
+  * `examples/src/main/java/org/apache/hama/examples/SSSP.java:91-120` parses
+  * and filters by string-splitting); its only join machinery is the sorted
+  * merge equi-join framework (`core/src/main/java/org/apache/hama/bsp/join/
+  * CompositeInputFormat.java:43-52`) and its only aggregation machinery is
+  * `Combiner` (`core/src/main/java/org/apache/hama/bsp/Combiner.java:22-31`)
+  * plus graph `Aggregator`s. Everything here is declarative DataFrame code so
+  * Catalyst gets pushdown/pruning/join-selection and AQE for free — that is
+  * the 100 TB posture (no driver-side loops, broadcast for dims, partial agg).
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val ts1997 = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
+
+  override val defs: Seq[Q] = Seq(
+
+    // ---- §2.1 scans / sources -------------------------------------------
+    Q("q_scan_project",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_scan_count",
+      (s, d) => t(s, d, "orders").agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM orders")),
+
+    // TextOutputFormat analogue: K\tV lines
+    // (core/src/main/java/org/apache/hama/bsp/TextOutputFormat.java:33)
+    Q("q_scan_kv_lines",
+      (s, d) => t(s, d, "orders")
+        .select(concat(col("o_orderkey").cast("string"), lit("\t"), col("o_orderstatus")).as("line"))
+        .orderBy("line"),
+      Some("""SELECT o_orderkey::VARCHAR || chr(9) || o_orderstatus AS line FROM orders
+              ORDER BY line""")),
+
+    // ---- §2.2 filters / projections / hash routing ----------------------
+    Q("q_filter_pred",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < ts1997 &&
+          col("l_discount").between(0.05, 0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.05 AND 0.07
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // HashPartitioner routing semantics (core/.../bsp/HashPartitioner.java:96-102):
+    // identical key → identical bucket ⇒ GROUP BY equivalence class.
+    Q("q_part_groupby",
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- §2.4 aggregations ----------------------------------------------
+    // Combiner + master-side final aggregation ≅ Catalyst partial+final hash agg
+    // (core/.../bsp/Combiner.java:22-31, message bundling OutgoingPOJOMessageBundle.java:59).
+    Q("q_agg_q1",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_quantity), 6) AS avg_qty,
+              COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_distinct",
+      (s, d) => t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio")),
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+              COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders""")),
+
+    // Global aggregator analogues: Min/Max/Sum/Average
+    // (graph/.../MinAggregator.java:22, MaxAggregator.java:22, SumAggregator.java:25-38,
+    //  AverageAggregator.java:25-31)
+    Q("q_agg_global",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("cnt")),
+      Some("""SELECT ROUND(MIN(l_extendedprice), 2) AS min_price,
+              ROUND(MAX(l_extendedprice), 2) AS max_price,
+              ROUND(AVG(l_extendedprice), 4) AS avg_price,
+              ROUND(SUM(l_extendedprice), 2) AS sum_price,
+              COUNT(*) AS cnt FROM lineitem""")),
+
+    // MinIntCombiner / MinTextCombiner analogues
+    // (examples/.../SSSP.java:74-88, examples/.../MindistSearch.java:106-117)
+    Q("q_agg_combiner_min",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy((col("l_orderkey") % 100).as("grp"))
+        .agg(min(col("l_partkey")).as("min_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          min(col("l_returnflag")).as("min_flag"))
+        .orderBy("grp"),
+      Some("""SELECT l_orderkey % 100 AS grp, MIN(l_partkey) AS min_part,
+              MIN(l_suppkey) AS min_supp, MIN(l_returnflag) AS min_flag
+              FROM lineitem GROUP BY l_orderkey % 100 ORDER BY grp""")),
+
+    // AbsDiffAggregator / AverageAggregator analogues
+    // (graph/.../AbsDiffAggregator.java:27-51, AverageAggregator.java:25-31)
+    Q("q_agg_absdiff",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(sum(abs(col("l_extendedprice") * (lit(1) - col("l_discount")) - col("l_extendedprice"))), 2).as("total_absdiff"),
+        round(avg(abs(col("l_extendedprice") * (lit(1) - col("l_discount")) - col("l_extendedprice"))), 6).as("avg_absdiff")),
+      Some("""SELECT
+              ROUND(SUM(ABS(l_extendedprice * (1 - l_discount) - l_extendedprice)), 2) AS total_absdiff,
+              ROUND(AVG(ABS(l_extendedprice * (1 - l_discount) - l_extendedprice)), 6) AS avg_absdiff
+              FROM lineitem""")),
+
+    // Engine extensions beyond the reference: rollup / cube
+    Q("q_agg_rollup",
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some("""SELECT r_name, n_name, COUNT(*) AS cnt
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    Q("q_agg_cube",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              ROUND(SUM(o_totalprice), 2) AS total
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    // inner(tbl(a), tbl(b)) — sorted-merge equi-join
+    // (core/.../bsp/join/InnerJoinRecordReader.java:40-48); Catalyst picks
+    // broadcast vs SMJ from stats; customer is the broadcast side at scale.
+    Q("q_join_inner",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // outer(tbl(a), tbl(b)) — emit when any source has the key
+    // (core/.../bsp/join/OuterJoinRecordReader.java:40-43)
+    Q("q_join_outer",
+      (s, d) => {
+        val a = t(s, d, "orders").filter(col("o_custkey") % 2 === 0)
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("a_cnt"))
+        val b = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("b_bal"))
+        a.join(b, Seq("k"), "full_outer")
+          .select(col("k"), col("a_cnt"), col("b_bal"))
+          .orderBy("k")
+      },
+      Some("""WITH a AS (SELECT o_custkey AS k, COUNT(*) AS a_cnt FROM orders
+                         WHERE o_custkey % 2 = 0 GROUP BY o_custkey),
+                   b AS (SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS b_bal FROM customer
+                         WHERE c_custkey % 3 = 0)
+              SELECT COALESCE(a.k, b.k) AS k, a_cnt, b_bal
+              FROM a FULL OUTER JOIN b ON a.k = b.k ORDER BY k""")),
+
+    // override(tbl(base), tbl(pref)) — value from the RIGHTMOST source holding
+    // the key (core/.../bsp/join/OverrideRecordReader.java)
+    Q("q_join_override",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("base_v"))
+        val pref = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+          .groupBy(col("o_custkey").as("k")).agg(max(col("o_orderpriority")).as("pref_v"))
+        base.join(pref, Seq("k"), "full_outer")
+          .select(col("k"), coalesce(col("pref_v"), col("base_v")).as("v"))
+          .orderBy("k")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_mktsegment AS base_v FROM customer),
+                   pref AS (SELECT o_custkey AS k, MAX(o_orderpriority) AS pref_v FROM orders
+                            WHERE o_orderkey % 5 = 0 GROUP BY o_custkey)
+              SELECT COALESCE(base.k, pref.k) AS k, COALESCE(pref_v, base_v) AS v
+              FROM base FULL OUTER JOIN pref ON base.k = pref.k ORDER BY k""")),
+
+    // k-way composite join (core/.../bsp/join/CompositeRecordReader.java:281-310):
+    // lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per nation.
+    Q("q_join_3way",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              COUNT(*) AS cnt
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // Spark-side extensions the reference lacks (SURVEY §2.3 "not present"):
+    Q("q_join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    Q("q_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F' AND o_totalprice > 250000)
+              ORDER BY c_custkey""")),
+
+    // theta/range join extension: broadcast nested loop on an inequality
+    Q("q_join_range",
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "part")), col("p_retailprice") < col("s_acctbal") / 4, "inner")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cheaper"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, COUNT(*) AS n_cheaper
+              FROM supplier JOIN part ON p_retailprice < s_acctbal / 4
+              GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
+    // ---- §2.7 sorts / top-k / set ops ------------------------------------
+    Q("q_sort_topk",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(10),
+      Some("""SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey, c_name
+              ORDER BY revenue DESC, c_custkey LIMIT 10""")),
+
+    // top-N per group = semi-clustering's bounded candidate list shape
+    // (ml/.../semiclustering/SemiClusteringVertex.java:68-93)
+    Q("q_topk_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        t(s, d, "part")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+          .orderBy("p_brand", "rn")
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey) AS rn
+                FROM part) t
+              WHERE rn <= 3 ORDER BY p_brand, rn""")),
+
+    Q("q_set_ops",
+      (s, d) => {
+        val a = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey").as("k"))
+        val b = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey").as("k"))
+        a.intersect(b).select(lit("intersect").as("op"), col("k"))
+          .unionAll(a.except(b).select(lit("except").as("op"), col("k")))
+          .orderBy("op", "k")
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+                   b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+              SELECT * FROM (
+                SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+                UNION ALL
+                SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)) t
+              ORDER BY op, k""")),
+
+    // ---- §2.8 scalar functions -------------------------------------------
+    Q("q_fn_string",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("pfx"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 5)) AS pfx,
+              string_split(p_type, ' ')[1] AS type_head,
+              LENGTH(p_name)::BIGINT AS name_len,
+              regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_fn_date",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+              CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(month(o_orderdate) AS BIGINT) AS mo,
+              date_trunc('month', o_orderdate) AS mstart,
+              CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("q_fn_math",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        ceil(col("l_quantity")).as("ceil_qty"),
+        floor(col("l_tax") * 100).as("floor_tax"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+              ROUND(POWER(l_discount + 1, 2), 6) AS pow_disc,
+              ROUND(LN(l_extendedprice), 6) AS ln_price,
+              CAST(CEIL(l_quantity) AS BIGINT) AS ceil_qty,
+              CAST(FLOOR(l_tax * 100) AS BIGINT) AS floor_tax
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // JSON extraction — PageRank's JSON vertex reader capability
+    // (examples/.../PageRank.java:111-140 uses org.json.simple)
+    Q("q_fn_json",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id"""))
+  )
+}
