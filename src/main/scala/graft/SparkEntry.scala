@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.Graph)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.defs)
 

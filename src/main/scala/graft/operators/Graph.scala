@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.plans.Iterate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vertex-centric graph operators (SURVEY.md §2.5) over a deterministic
+  * graph derived from `orders` so every fixpoint has a DuckDB oracle:
+  * src = o_orderkey % N, dst = o_custkey % N, w = o_orderkey % 7 + 1.
+  *
+  * Each algorithm is the Spark re-expression of a reference example:
+  * messages = shuffle on dst, combiner = partial aggregation, superstep =
+  * one driver-loop iteration (`graph/src/main/java/org/apache/hama/graph/
+  * GraphJobRunner.java:157-351`). Iteration counts are FIXED so results are
+  * deterministic and the oracle unrolls the same number of rounds as nested
+  * CTEs (aggregates are not allowed in recursive CTE terms).
+  *
+  * Scale posture: each superstep is `join → groupBy` on the edge Dataset —
+  * pure shuffle-parallel, no driver materialization beyond O(1) aggregates;
+  * edges are cached once and reused; lineage truncated via localCheckpoint.
+  */
+object Graph extends QueryModule {
+
+  private val N = 200 // node-id modulus of the derived graph
+
+  /** deduped directed weighted edges; identical SQL: GROUP BY src,dst MIN(w) */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .select((col("o_orderkey") % N).as("src"), (col("o_custkey") % N).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+
+  private val edgesSql =
+    s"""e AS (SELECT o_orderkey % $N AS src, o_custkey % $N AS dst,
+       MIN(o_orderkey % 7 + 1) AS w FROM orders GROUP BY src, dst)"""
+
+  /** undirected view: src↔dst both directions, deduped */
+  private def undirected(e: DataFrame): DataFrame =
+    e.select("src", "dst")
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  private val undirectedSql =
+    """eu AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e) t)"""
+
+  private def nodes(e: DataFrame): DataFrame =
+    e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
+
+  private val nodesSql =
+    """nodes AS (SELECT DISTINCT v FROM
+       (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) t)"""
+
+  // ---- oracle SQL generators (unrolled supersteps) -----------------------
+
+  private def pagerankSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""r${i + 1} AS (SELECT nodes.v,
+         0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(m.msum, 0) AS rank
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS v, SUM(r$i.rank / deg.outdeg) AS msum
+           FROM r$i JOIN e ON e.src = r$i.v JOIN deg ON deg.src = e.src
+           GROUP BY e.dst) m ON m.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       r0 AS (SELECT v, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes),
+       $steps
+       SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
+  }
+
+  private def ssspSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""d${i + 1} AS (SELECT v, MIN(dist) AS dist FROM (
+         SELECT v, dist FROM d$i
+         UNION ALL
+         SELECT e.dst AS v, d$i.dist + e.w AS dist
+         FROM d$i JOIN e ON e.src = d$i.v) t GROUP BY v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+       $steps
+       SELECT v, dist FROM d$rounds ORDER BY v"""
+  }
+
+  private def ccSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""c${i + 1} AS (SELECT v, MIN(lbl) AS lbl FROM (
+         SELECT v, lbl FROM c$i
+         UNION ALL
+         SELECT eu.dst AS v, c$i.lbl AS lbl
+         FROM c$i JOIN eu ON eu.src = c$i.v) t GROUP BY v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $undirectedSql,
+       $nodesSql,
+       c0 AS (SELECT v, v AS lbl FROM nodes),
+       $steps
+       SELECT v, lbl FROM c$rounds ORDER BY v"""
+  }
+
+  private def kcoreSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""k${i + 1} AS (
+         SELECT t.v, LEAST(MAX(own.est), MAX(LEAST(t.nb_est, t.rn))) AS est FROM (
+           SELECT eu.src AS v, k$i.est AS nb_est,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY eu.src
+                       ORDER BY k$i.est DESC, eu.dst) AS BIGINT) AS rn
+           FROM eu JOIN k$i ON k$i.v = eu.dst) t
+         JOIN k$i own ON own.v = t.v
+         GROUP BY t.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $undirectedSql,
+       k0 AS (SELECT src AS v, COUNT(*) AS est FROM eu GROUP BY src),
+       $steps
+       SELECT v, est FROM k$iters ORDER BY v"""
+  }
+
+  // ---- Spark implementations --------------------------------------------
+
+  /** PageRank, fixed 10 supersteps, damping 0.85
+    * (`examples/src/main/java/org/apache/hama/examples/PageRank.java:46-87`;
+    * N broadcast like `GraphJobRunner.countGlobalVertexCount:598-624`). */
+  private def pagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
+    val e = edges(s, d).select("src", "dst").cache()
+    val vs = nodes(e).cache()
+    val n = vs.count().toDouble // O(1) to driver, re-broadcast in closures
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val init = vs.select(col("v"), lit(1.0 / n).as("rank"))
+    val out = Iterate(init, iters, checkpointEvery = 5) { (r, _) =>
+      val msgs = e.join(r, e("src") === r("v"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("msum"))
+      vs.join(msgs, vs("v") === msgs("dst"), "left")
+        .select(vs("v"), (lit(0.15 / n) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+    }
+    out.select(col("v"), round(col("rank"), 9).as("rank")).orderBy("v")
+  }
+
+  /** SSSP from vertex 0, fixed rounds of min-plus relaxation with the
+    * MinIntCombiner as partial min aggregation
+    * (`examples/src/main/java/org/apache/hama/examples/SSSP.java:41-88`). */
+  private def sssp(s: SparkSession, d: String, rounds: Int = 6): DataFrame = {
+    val e = edges(s, d).cache()
+    val init = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
+    val out = Iterate(init, rounds, checkpointEvery = 5) { (dist, _) =>
+      val relax = dist.as("dd").join(e.as("ee"), col("dd.v") === col("ee.src"))
+        .select(col("ee.dst").as("v"), (col("dd.dist") + col("ee.w")).as("dist"))
+      dist.unionAll(relax).groupBy("v").agg(min("dist").as("dist"))
+    }
+    out.orderBy("v")
+  }
+
+  /** Connected components via min-label propagation (MindistSearch,
+    * `examples/src/main/java/org/apache/hama/examples/MindistSearch.java:47-117`,
+    * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
+  private def cc(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    val e = edges(s, d)
+    val eu = undirected(e).cache()
+    val vs = nodes(e).cache()
+    val init = vs.select(col("v"), col("v").as("lbl"))
+    val out = Iterate(init, rounds, checkpointEvery = 5) { (c, _) =>
+      val msgs = c.as("cc").join(eu.as("ee"), col("cc.v") === col("ee.src"))
+        .select(col("ee.dst").as("v"), col("cc.lbl").as("lbl"))
+      c.unionAll(msgs).groupBy("v").agg(min("lbl").as("lbl"))
+    }
+    out.orderBy("v")
+  }
+
+  /** K-core estimate, fixed supersteps: each vertex lowers its estimate to
+    * the largest k with ≥ k neighbors whose estimate ≥ k, never above its
+    * previous value (`ml/src/main/java/org/apache/hama/ml/kcore/
+    * KCoreVertex.java:137-226`). */
+  private def kcore(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val eu = undirected(edges(s, d)).cache()
+    val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
+    val out = Iterate(init, iters, checkpointEvery = 5) { (k, _) =>
+      val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
+      val nb = eu.join(k, eu("dst") === k("v"))
+        .select(eu("src").as("vv"), k("est").as("nb_est"), eu("dst"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("vv"))
+        .agg(max(least(col("nb_est"), col("rn"))).as("cand"))
+      k.join(nb, k("v") === nb("vv"))
+        .select(k("v"), least(k("est"), col("cand")).as("est"))
+    }
+    out.orderBy("v")
+  }
+
+  override val defs: Seq[Q] = Seq(
+
+    // InlinkCount degenerates to one GROUP BY
+    // (`examples/src/main/java/org/apache/hama/examples/InlinkCount.java:36-51`)
+    Q("q_graph_inlink",
+      (s, d) => edges(s, d).groupBy(col("dst").as("v")).agg(count(lit(1)).as("inlinks"))
+        .orderBy("v"),
+      Some(s"""WITH $edgesSql
+               SELECT dst AS v, COUNT(*) AS inlinks FROM e GROUP BY dst ORDER BY v""")),
+
+    Q("q_graph_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql(10))),
+
+    Q("q_graph_sssp", (s, d) => sssp(s, d), Some(ssspSql(6))),
+
+    Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(8))),
+
+    Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
+
+    // DynamicGraph: every vertex messages its value to a fresh "sum" vertex
+    // and removes itself; result = Σ values + INPUT_VERTICES counter
+    // (`examples/src/main/java/org/apache/hama/examples/DynamicGraph.java:71-119`).
+    Q("q_graph_dynamic_sum",
+      (s, d) => {
+        val e = edges(s, d)
+        nodes(e).agg((sum(col("v")) + count(lit(1))).as("total"))
+      },
+      Some(s"""WITH $edgesSql, $nodesSql
+               SELECT SUM(v) + COUNT(*) AS total FROM nodes"""))
+  )
+}

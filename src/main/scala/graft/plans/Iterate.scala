@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Driver-side superstep loop: the Spark shape of Hama's BSP barrier
+  * (`core/src/main/java/org/apache/hama/bsp/BSPPeerImpl.java:390-452` —
+  * each `peer.sync()` becomes one Spark job boundary). Periodic
+  * `localCheckpoint` truncates the growing iterative lineage — the one
+  * physical obligation Hama never had with its mutable in-memory vertices
+  * (SURVEY.md §4): without it, plan depth grows linearly with supersteps
+  * and analysis/codegen time dominates at high iteration counts.
+  */
+object Iterate {
+  def apply(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
+      step: (DataFrame, Int) => DataFrame): DataFrame = {
+    var cur = init
+    var i = 0
+    while (i < maxIter) {
+      cur = step(cur, i)
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter)
+        cur = cur.localCheckpoint()
+    }
+    cur
+  }
+
+  /** Loop with a halt condition evaluated between supersteps (the Spark
+    * analogue of Hama's global `updated` flag + aggregator-driven halt,
+    * `graph/src/main/java/org/apache/hama/graph/GraphJobRunner.java:163-181`).
+    * `step` returns (next, changedCount); halts when changedCount == 0.
+    * Returns (final, itersRun).
+    */
+  def untilFixpoint(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
+      step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
+    var cur = init
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val (next, changed) = step(cur, i)
+      cur = next
+      i += 1
+      if (changed == 0) done = true
+      else if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        cur = cur.localCheckpoint()
+    }
+    (cur, i)
+  }
+}
