@@ -10,7 +10,8 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.Graph)
+    operators.Graph,
+    operators.ML)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.defs)
 

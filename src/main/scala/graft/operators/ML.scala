@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ML / numeric operators (SURVEY.md §2.6), re-expressed as declarative
+  * aggregation pipelines. All iterative trainers use the reference's
+  * master-coordination shape: partial aggregates flow to the driver (O(k)
+  * scalars — the analogue of CenterMessage / gradient messages to the
+  * master peer), the driver updates the model, and the next superstep
+  * broadcasts it back via literals. Data never leaves the executors.
+  *
+  * Determinism: fixed initial models, fixed iteration counts, model values
+  * re-rounded each step on BOTH sides so double noise cannot flip an
+  * argmin assignment.
+  */
+object ML extends QueryModule {
+
+  // ---- K-means (Lloyd), 3 assignment rounds, 3 fixed centers -------------
+  // ml/src/main/java/org/apache/hama/ml/kmeans/KMeansBSP.java:130-305
+  // (assignCenters / updateCenters with Euclidean distance,
+  //  ml/.../distance/EuclidianDistance.java:22-45)
+  private val centers0 = Seq((0L, 920.0, 20.0), (1L, 950.0, 50.0), (2L, 980.0, 80.0))
+  private val kmeansIters = 3 // assignments; centers update after each but the last
+
+  private def kmeansPts(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part").select(
+      col("p_partkey").as("id"),
+      col("p_retailprice").as("x"),
+      (col("p_size").cast("double") * 2.0).as("y"))
+
+  private def kmeansAssign(pts: DataFrame, cen: Seq[(Long, Double, Double)]): DataFrame = {
+    val cenDf = pts.sparkSession.createDataFrame(cen).toDF("c", "cx", "cy")
+    val dist = (col("x") - col("cx")) * (col("x") - col("cx")) +
+      (col("y") - col("cy")) * (col("y") - col("cy"))
+    val w = Window.partitionBy(col("id")).orderBy(dist, col("c"))
+    pts.crossJoin(broadcast(cenDf))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("x"), col("y"), col("c"))
+  }
+
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    val pts = kmeansPts(s, d).cache()
+    var cen = centers0
+    var assign = kmeansAssign(pts, cen)
+    for (_ <- 1 until kmeansIters) {
+      // O(k) collect to driver = CenterMessage to master, re-broadcast next step
+      cen = assign.groupBy("c")
+        .agg(round(avg("x"), 6).as("cx"), round(avg("y"), 6).as("cy"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assign = kmeansAssign(pts, cen)
+    }
+    assign.groupBy("c")
+      .agg(count(lit(1)).as("cnt"), round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"))
+      .orderBy("c")
+  }
+
+  private val kmeansSql: String = {
+    val cenVals = centers0.map { case (c, x, y) => s"($c, $x, $y)" }.mkString(", ")
+    val assigns = (0 until kmeansIters).map { i =>
+      s"""a$i AS (SELECT p.id, p.x, p.y, c.c FROM pts p CROSS JOIN cen$i c
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY p.id
+           ORDER BY (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy), c.c) = 1)"""
+    }
+    val updates = (1 until kmeansIters).map { i =>
+      s"""cen$i AS (SELECT c, ROUND(AVG(x), 6) AS cx, ROUND(AVG(y), 6) AS cy
+         FROM a${i - 1} GROUP BY c)"""
+    }
+    val ctes = assigns.init.zip(updates).flatMap { case (a, u) => Seq(a, u) } :+ assigns.last
+    s"""WITH pts AS (SELECT p_partkey AS id, p_retailprice AS x,
+         CAST(p_size AS DOUBLE) * 2.0 AS y FROM part),
+       cen0(c, cx, cy) AS (VALUES $cenVals),
+       ${ctes.mkString(",\n")}
+       SELECT c, COUNT(*) AS cnt, ROUND(AVG(x), 4) AS cx, ROUND(AVG(y), 4) AS cy
+       FROM a${kmeansIters - 1} GROUP BY c ORDER BY c"""
+  }
+
+  // ---- Gradient-descent regression, 3 fixed iterations -------------------
+  // ml/src/main/java/org/apache/hama/ml/regression/GradientDescentBSP.java:82-257
+  // (per-peer partial cost & derivatives summed after sync; master updates θ)
+  private def gdData(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").select(
+      (col("l_quantity") / 50.0).as("x"),
+      (col("l_extendedprice") / 100000.0).as("y"))
+
+  /** Round half-up like SQL ROUND (DuckDB/Spark round away from zero on ties),
+    * NOT Math.rint's half-even — driver-side model values must re-round
+    * exactly like the oracle's per-iteration ROUND(…, 9). */
+  private def r9(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def linreg(s: SparkSession, d: String): DataFrame = {
+    val data = gdData(s, d).cache()
+    val m = data.count().toDouble
+    var (th0, th1) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val err = lit(th0) + lit(th1) * col("x") - col("y")
+      val r = data.agg(sum(err).as("g0"), sum(err * col("x")).as("g1")).collect()(0)
+      th0 = r9(th0 - 0.5 * r.getDouble(0) / m)
+      th1 = r9(th1 - 0.5 * r.getDouble(1) / m)
+    }
+    val err = lit(th0) + lit(th1) * col("x") - col("y")
+    data.agg(round(sum(err * err) / (2 * m), 6).as("cost"))
+      .select(round(lit(th0), 6).as("th0"), round(lit(th1), 6).as("th1"), col("cost"))
+  }
+
+  private val linregSql: String = {
+    val steps = (0 until 3).map { i =>
+      s"""t${i + 1} AS (SELECT
+         ROUND(th0 - 0.5 * SUM(th0 + th1 * x - y) / COUNT(*), 9) AS th0,
+         ROUND(th1 - 0.5 * SUM((th0 + th1 * x - y) * x) / COUNT(*), 9) AS th1
+         FROM d CROSS JOIN t$i GROUP BY th0, th1)"""
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y
+         FROM lineitem),
+       t0 AS (SELECT 0.0 AS th0, 0.0 AS th1),
+       $steps
+       SELECT ROUND(th0, 6) AS th0, ROUND(th1, 6) AS th1,
+              ROUND(SUM((th0 + th1 * x - y) * (th0 + th1 * x - y)) / (2 * COUNT(*)), 6) AS cost
+       FROM d CROSS JOIN t3 GROUP BY th0, th1"""
+  }
+
+  // Logistic regression: sigmoid hypothesis + same GD loop
+  // (ml/.../regression/LogisticRegressionModel.java:28-96)
+  private def logregData(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").select(
+      (col("l_quantity") / 50.0 - 0.5).as("x"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+
+  private def logreg(s: SparkSession, d: String): DataFrame = {
+    val data = logregData(s, d).cache()
+    val m = data.count().toDouble
+    var (th0, th1) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val h = lit(1.0) / (lit(1.0) + exp(-(lit(th0) + lit(th1) * col("x"))))
+      val r = data.agg(sum(h - col("y")).as("g0"), sum((h - col("y")) * col("x")).as("g1")).collect()(0)
+      th0 = r9(th0 - 1.0 * r.getDouble(0) / m)
+      th1 = r9(th1 - 1.0 * r.getDouble(1) / m)
+    }
+    s.range(1).select(round(lit(th0), 6).as("th0"), round(lit(th1), 6).as("th1"))
+  }
+
+  private val logregSql: String = {
+    val steps = (0 until 3).map { i =>
+      s"""t${i + 1} AS (SELECT
+         ROUND(th0 - 1.0 * SUM(1.0 / (1.0 + EXP(-(th0 + th1 * x))) - y) / COUNT(*), 9) AS th0,
+         ROUND(th1 - 1.0 * SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x))) - y) * x) / COUNT(*), 9) AS th1
+         FROM d CROSS JOIN t$i GROUP BY th0, th1)"""
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT l_quantity / 50.0 - 0.5 AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+       t0 AS (SELECT 0.0 AS th0, 0.0 AS th1),
+       $steps
+       SELECT ROUND(th0, 6) AS th0, ROUND(th1, 6) AS th1 FROM t3"""
+  }
+
+  override val defs: Seq[Q] = Seq(
+
+    Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
+
+    Q("q_ml_linreg", (s, d) => linreg(s, d), Some(linregSql)),
+
+    Q("q_ml_logreg", (s, d) => logreg(s, d), Some(logregSql)),
+
+    // SpMV u = M·v: sparse rows × vector as exploded (i,j,v) equi-join + agg
+    // (examples/src/main/java/org/apache/hama/examples/SpMV.java:91-137)
+    Q("q_ml_spmv",
+      (s, d) => {
+        val m = Tables(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 300).as("i"), (col("l_partkey") % 50).as("j"))
+          .agg(sum("l_quantity").as("mv"))
+        val v = Tables(s, d, "part")
+          .groupBy((col("p_partkey") % 50).as("j"))
+          .agg(round(sum("p_retailprice"), 6).as("vv"))
+        m.join(broadcast(v), "j")
+          .groupBy("i").agg(round(sum(col("mv") * col("vv")), 4).as("u"))
+          .orderBy("i")
+      },
+      Some("""WITH m AS (SELECT l_orderkey % 300 AS i, l_partkey % 50 AS j,
+                SUM(l_quantity) AS mv FROM lineitem GROUP BY i, j),
+              v AS (SELECT p_partkey % 50 AS j, ROUND(SUM(p_retailprice), 6) AS vv
+                FROM part GROUP BY j)
+              SELECT m.i, ROUND(SUM(m.mv * v.vv), 4) AS u
+              FROM m JOIN v ON m.j = v.j GROUP BY m.i ORDER BY i""")),
+
+    // Distributed matrix × matrix on exploded (i,k,v)/(k,j,v) Datasets
+    // (commons/.../math/DenseDoubleMatrix.java:30 multiply())
+    Q("q_ml_matmul",
+      (s, d) => {
+        val a = Tables(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 20).as("i"), (col("l_suppkey") % 10).as("k"))
+          .agg(sum("l_quantity").as("av"))
+        val b = Tables(s, d, "part")
+          .groupBy((col("p_partkey") % 10).as("k"), (col("p_size") % 5).as("j"))
+          .agg(round(sum("p_retailprice"), 6).as("bv"))
+        a.join(broadcast(b), "k")
+          .groupBy("i", "j").agg(round(sum(col("av") * col("bv")), 2).as("cv"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH a AS (SELECT l_orderkey % 20 AS i, l_suppkey % 10 AS k,
+                SUM(l_quantity) AS av FROM lineitem GROUP BY i, k),
+              b AS (SELECT p_partkey % 10 AS k, p_size % 5 AS j,
+                ROUND(SUM(p_retailprice), 6) AS bv FROM part GROUP BY k, j)
+              SELECT a.i, b.j, ROUND(SUM(a.av * b.bv), 2) AS cv
+              FROM a JOIN b ON a.k = b.k GROUP BY a.i, b.j ORDER BY i, j""")),
+
+    // Euclidean + cosine distance between consecutive embedding vectors
+    // (ml/.../distance/EuclidianDistance.java:22-45, CosineDistance.java:22-56)
+    Q("q_ml_distance",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+          .select(col("vec_id"), col("pos"), col("ev").cast("double").as("ev"))
+        e.as("a").join(e.as("b"),
+            col("b.vec_id") === col("a.vec_id") + 1 && col("a.pos") === col("b.pos"))
+          .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .agg(
+            round(sqrt(sum(pow(col("a.ev") - col("b.ev"), 2))), 4).as("euclid"),
+            round(lit(1.0) - sum(col("a.ev") * col("b.ev")) /
+              (sqrt(sum(col("a.ev") * col("a.ev"))) * sqrt(sum(col("b.ev") * col("b.ev")))), 6)
+              .as("cos_dist"))
+          .orderBy("a_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+                generate_subscripts(embedding, 1) AS pos FROM embeddings)
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ROUND(SQRT(SUM((a.ev - b.ev) * (a.ev - b.ev))), 4) AS euclid,
+                ROUND(1.0 - SUM(a.ev * b.ev) /
+                  (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS cos_dist
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 AND a.pos = b.pos
+              GROUP BY a.vec_id, b.vec_id ORDER BY a_id""")),
+
+    // Vector algebra surface over array<double> columns
+    // (commons/.../math/DoubleVector.java:35-324: sum/min/max/dot/abs/sqrt)
+    Q("q_ml_vector",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val dbl = transform(col("embedding"), x => x.cast("double"))
+        emb.select(
+          col("vec_id"),
+          round(aggregate(dbl, lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
+          round(array_min(dbl), 4).as("vmin"),
+          round(array_max(dbl), 4).as("vmax"),
+          round(sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x)), 4).as("norm"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev
+                FROM embeddings)
+              SELECT vec_id, ROUND(SUM(ev), 4) AS vsum, ROUND(MIN(ev), 4) AS vmin,
+                ROUND(MAX(ev), 4) AS vmax, ROUND(SQRT(SUM(ev * ev)), 4) AS norm
+              FROM e GROUP BY vec_id ORDER BY vec_id"""))
+  )
+}
