@@ -11,7 +11,12 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.Graph,
-    operators.ML)
+    operators.ML,
+    operators.Dedup,
+    operators.Similarity,
+    operators.TextAnalysis,
+    operators.Multimodal,
+    operators.StreamingOps)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.defs)
 

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time windowing over the `events` table, run in batch mode so each
+  * operator has an exact DuckDB oracle; `graft.streaming.Streams` applies
+  * the same transforms under `readStream` with watermarks (SURVEY.md §2.9 —
+  * the reference has no stream processing; these are the engine extensions).
+  *
+  * `window`/`session_window` are the same expressions in batch and
+  * streaming, so batch-verified semantics carry over to the streaming path.
+  */
+object StreamingOps extends QueryModule {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  override val defs: Seq[Q] = Seq(
+
+    // tumbling 1-hour windows
+    Q("q_stream_tumble",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+        .orderBy("wstart", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+              COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
+
+    // sliding windows: 1 hour long, every 30 minutes (each event in 2 windows)
+    Q("q_stream_slide",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("wstart"), col("cnt"), col("total"))
+        .orderBy("wstart"),
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS wstart,
+              COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+              GROUP BY wstart ORDER BY wstart""")),
+
+    // session windows: 30-minute inactivity gap per user
+    Q("q_stream_session",
+      (s, d) => ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              y AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+              SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS total
+              FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // streaming dedup (dropDuplicates state) as deterministic keep-first
+    Q("q_stream_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+        val wo = w.orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id").as("first_id"), col("cnt"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id AS first_id, cnt FROM (
+                SELECT user_id, event_type, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+                FROM events) t
+              WHERE rn = 1 ORDER BY user_id, event_type"""))
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text analysis for training-data curation: token statistics, heuristic
+  * language ID, quality scoring, and content fingerprinting. All
+  * map/aggregate-parallel with no cross-document state — each stays one
+  * scan + one hash aggregate at any scale.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  private val toksSql =
+    """toks AS (SELECT doc_id, tok FROM (
+         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         FROM documents) t WHERE length(tok) > 0)"""
+
+  /** tiny stopword lexicons per language (n-gram heuristic stand-in) */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "est", "fr" -> "un")
+
+  private val lexiconSql = lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  override val defs: Seq[Q] = Seq(
+
+    // token counting (whitespace/punct tokenizer)
+    Q("q_text_tokens",
+      (s, d) => toks(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_uniq"),
+          round(avg(length(col("tok")).cast("double")), 4).as("avg_len"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksSql
+               SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_uniq,
+                 ROUND(AVG(CAST(length(tok) AS DOUBLE)), 4) AS avg_len
+               FROM toks GROUP BY doc_id ORDER BY doc_id""")),
+
+    // language ID: stopword-hit argmax per document
+    Q("q_text_langid",
+      (s, d) => {
+        val lex = s.createDataFrame(lexicon).toDF("lang", "w")
+        val hits = toks(s, d).join(broadcast(lex), col("tok") === col("w"))
+          .groupBy("doc_id", "lang").agg(count(lit(1)).as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("lang"))
+        val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("score"))
+        Tables(s, d, "documents").select(col("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lang"), lit("unknown")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               lex(lang, w) AS (VALUES $lexiconSql),
+               hits AS (SELECT doc_id, lang, COUNT(*) AS score
+                 FROM toks JOIN lex ON tok = w GROUP BY doc_id, lang),
+               best AS (SELECT doc_id, lang, score FROM hits
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang) = 1)
+               SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS pred_lang,
+                 COALESCE(b.score, 0) AS score
+               FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+               ORDER BY d.doc_id""")),
+
+    // quality scoring: character-class ratios
+    Q("q_text_quality",
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 / length(col("text")), 6).as("alpha_ratio"),
+        round(length(regexp_replace(col("text"), "[^ ]", "")) * 1.0 / length(col("text")), 6).as("space_ratio"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")) * 1.0 / length(col("text")), 6).as("digit_ratio"),
+        round((length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 -
+          lit(0.5) * length(regexp_replace(col("text"), "[^0-9]", ""))) / length(col("text")), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              ROUND(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+              ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text), 6) AS space_ratio,
+              ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 6) AS digit_ratio,
+              ROUND((length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 -
+                0.5 * length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 6) AS quality
+              FROM documents ORDER BY doc_id""")),
+
+    // document fingerprint: md5 of normalized content + duplicate-cluster size
+    Q("q_text_fingerprint",
+      (s, d) => {
+        val fp = Tables(s, d, "documents").select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+        val w = Window.partitionBy(col("fp"))
+        fp.withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, fp, cluster_size FROM (
+                SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+                       COUNT(*) OVER (PARTITION BY
+                         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS cluster_size
+                FROM documents) t ORDER BY doc_id"""))
+  )
+}
