@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import scala.reflect.runtime.universe.TypeTag
+
+/** Typed Pregel engine on Datasets — the Spark re-expression of Hama's
+  * vertex-centric runtime (`graph/src/main/java/org/apache/hama/graph/
+  * GraphJobRunner.java:157-351`), with its exact control semantics:
+  *
+  *  - superstep 0 runs `compute` on EVERY vertex with an empty inbox
+  *    (`doInitialSuperstep:318-351`);
+  *  - afterwards a vertex computes when it received messages OR has not
+  *    voted to halt (`doSuperstep:291-298`);
+  *  - a halted vertex is reactivated by an incoming message
+  *    (`Vertex.java:188-210`);
+  *  - the job halts globally when no messages are in flight and every
+  *    vertex is halted, or at `maxIter` (`GraphJob.setMaxIteration`,
+  *    `GraphJobRunner:163-181`);
+  *  - an optional commutative combiner merges messages per destination
+  *    before delivery (`Combiner.java:22-31`, applied per-destination in
+  *    `GraphJobRunner:733-760`);
+  *  - an optional global aggregator runs after each superstep; its
+  *    finalized value is visible to every vertex in the NEXT superstep and
+  *    can trigger a master halt (`Aggregator.java:31-41`,
+  *    `AggregationRunner.java:58-236`);
+  *  - vertex additions/removals requested during `compute` are buffered
+  *    and applied at superstep end (`Vertex.java:102-130`,
+  *    `GraphJobRunner:574-597,696-702`).
+  *
+  * Execution mapping: messaging = one shuffle keyed by destination id per
+  * superstep; combiner = typed reduce (map-side partial); barrier = the
+  * Spark job boundary; every superstep's state is `localCheckpoint`ed,
+  * which both truncates the iterative lineage and materializes the single
+  * pass that produces new state AND outgoing messages. The driver holds
+  * only O(1) control data (counts + the aggregated value). Messages
+  * addressed to ids that don't exist are dropped unless that id is added
+  * via `ComputeResult.add`.
+  */
+object Pregel {
+
+  /** Result of one vertex compute call. */
+  final case class ComputeResult[V, M](
+      value: V,
+      voteToHalt: Boolean = false,
+      messages: Seq[(Long, M)] = Nil,
+      remove: Boolean = false,
+      add: Seq[(Long, V)] = Nil)
+
+  /** Per-superstep global aggregation (master side): fold over vertex
+    * values on executors via `observe`, finalized value re-broadcast to the
+    * next superstep; `haltOn` is the master halt of AggregationRunner. */
+  final case class GlobalAggregator[V, A](
+      observe: Dataset[(Long, V, Boolean)] => A,
+      haltOn: A => Boolean = (_: A) => false)
+
+  def run[V: TypeTag, M: TypeTag, A](
+      spark: SparkSession,
+      vertices: Dataset[(Long, V)],
+      maxIter: Int,
+      combiner: Option[(M, M) => M] = None,
+      aggregator: Option[GlobalAggregator[V, A]] = None)(
+      compute: (Long, V, Seq[M], Int, Option[A]) => ComputeResult[V, M]): Dataset[(Long, V)] = {
+
+    implicit val vertEnc: ExpressionEncoder[(Long, V, Boolean)] =
+      ExpressionEncoder[(Long, V, Boolean)]()
+    implicit val msgEnc: ExpressionEncoder[(Long, M)] = ExpressionEncoder[(Long, M)]()
+    implicit val inboxEnc: ExpressionEncoder[(Long, Seq[M])] = ExpressionEncoder[(Long, Seq[M])]()
+    implicit val stepEnc: ExpressionEncoder[((Long, V, Boolean), Seq[(Long, M)], Seq[(Long, V)], Boolean)] =
+      ExpressionEncoder[((Long, V, Boolean), Seq[(Long, M)], Seq[(Long, V)], Boolean)]()
+    implicit val outEnc: ExpressionEncoder[(Long, V)] = ExpressionEncoder[(Long, V)]()
+    implicit val statsEnc: ExpressionEncoder[(Long, Long, Long, Long)] =
+      ExpressionEncoder[(Long, Long, Long, Long)]()
+    implicit val keyEnc: ExpressionEncoder[Long] = ExpressionEncoder[Long]()
+
+    var verts: Dataset[(Long, V, Boolean)] =
+      vertices.map { case (id, v) => (id, v, false) }.localCheckpoint()
+    var msgs: Dataset[(Long, M)] = spark.emptyDataset[(Long, M)]
+    var aggValue: Option[A] = None
+    var superstep = 0
+    var done = false
+
+    while (!done && superstep < maxIter) {
+      // deliver: group by destination; combiner = typed partial reduce
+      val inbox: Dataset[(Long, Seq[M])] = combiner match {
+        case Some(c) => msgs.groupByKey(_._1)
+          .reduceGroups((a, b) => (a._1, c(a._2, b._2)))
+          .map { case (id, m) => (id, Seq(m._2)) }
+        case None => msgs.groupByKey(_._1)
+          .mapGroups { (id, it) => (id, it.map(_._2).toSeq) }
+      }
+
+      val step = superstep
+      val aggIn = aggValue
+      val fn = compute
+      val stepped = verts
+        .joinWith(inbox, verts("_1") === inbox("_1"), "left_outer")
+        .map { case ((id, value, halted), in) =>
+          val delivered: Seq[M] = if (in == null) Nil else in._2
+          if (delivered.nonEmpty || !halted || step == 0) {
+            val r = fn(id, value, delivered, step, aggIn)
+            ((id, r.value, r.voteToHalt), r.messages, r.add, r.remove)
+          } else ((id, value, halted), Seq.empty[(Long, M)], Seq.empty[(Long, V)], false)
+        }
+        .localCheckpoint() // one materialized pass feeds state, msgs and stats
+
+      msgs = stepped.flatMap(_._2)
+
+      // O(1) control data to the driver: msgs sent, active, added, removed
+      val stats = stepped
+        .map(s => (s._2.size.toLong, if (s._1._3) 0L else 1L,
+          s._3.size.toLong, if (s._4) 1L else 0L))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+
+      val kept = stepped.filter(!_._4).map(_._1)
+      verts = if (stats._3 == 0 && stats._4 == 0) kept
+      else {
+        // buffered topology mutations applied at superstep end; an added id
+        // that already exists keeps the existing vertex (first add wins)
+        val newOnes = stepped.flatMap(_._3)
+          .groupByKey(_._1).reduceGroups((a, _) => a).map(m => (m._2._1, m._2._2, false))
+          .toDF("id", "value", "halted")
+          .join(kept.toDF("id", "value", "halted").select("id"), Seq("id"), "left_anti")
+          .as[(Long, V, Boolean)]
+        kept.union(newOnes).localCheckpoint()
+      }
+
+      aggValue = aggregator.map(_.observe(verts))
+      val aggHalt = (aggregator, aggValue) match {
+        case (Some(a), Some(v)) => a.haltOn(v)
+        case _ => false
+      }
+      done = (stats._1 == 0 && stats._2 == 0 && stats._3 == 0) || aggHalt
+      superstep += 1
+    }
+    verts.map { case (id, v, _) => (id, v) }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference has no
+  * stream processing — its "streaming" is a language-binding protocol — so
+  * these are engine extensions. The transforms are the SAME expressions as
+  * the batch-verified `operators.StreamingOps` queries; only the source and
+  * the watermark differ, so batch oracle results carry over.
+  */
+object Streams {
+
+  /** events schema as stored (ts = int64 nanos; see graft.Tables). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream of events from a directory of parquet files. Watermarks require
+    * TIMESTAMP (with local tz), so unlike the batch path `ts` stays LTZ —
+    * with the session fixed to UTC the wall-clock values are identical. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsFileSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Tumbling 1-hour counts with a 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+
+  /** 30-minute-gap session aggregation per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total"))
+
+  /** Streaming exact dedup on (user_id, event_type) within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates(Seq("user_id", "event_type"))
+}

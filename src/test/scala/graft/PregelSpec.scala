@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.Pregel
+import graft.plans.Pregel.{ComputeResult, GlobalAggregator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vertex value for SSSP: current distance + adjacency (Hama's Vertex owns
+  * its edge list, `graph/.../VertexInterface.java:38-135`). */
+case class SsspV(dist: Long, adj: Seq[(Long, Long)])
+case class SumV(value: Long)
+
+class PregelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val INF = Long.MaxValue / 4
+
+  test("SSSP: vote-to-halt + reactivation + min combiner reach exact distances") {
+    // 5-vertex weighted digraph, source 0; hand-checked distances
+    val verts = Seq(
+      0L -> SsspV(0, Seq((1L, 2L), (2L, 5L))),
+      1L -> SsspV(INF, Seq((2L, 1L), (4L, 10L))),
+      2L -> SsspV(INF, Seq((3L, 2L))),
+      3L -> SsspV(INF, Seq((4L, 1L))),
+      4L -> SsspV(INF, Seq((0L, 1L)))).toDS()
+
+    val res = Pregel.run[SsspV, Long, Unit](spark, verts, maxIter = 30,
+      combiner = Some((a, b) => math.min(a, b)))(
+      (id, v, msgs, step, _) =>
+        if (step == 0) {
+          if (id == 0L) ComputeResult(v, voteToHalt = true,
+            messages = v.adj.map { case (d, w) => (d, w) })
+          else ComputeResult(v, voteToHalt = true)
+        } else {
+          val m = msgs.min // combiner guarantees one message, min is safe anyway
+          if (m < v.dist) ComputeResult(v.copy(dist = m), voteToHalt = true,
+            messages = v.adj.map { case (d, w) => (d, m + w) })
+          else ComputeResult(v, voteToHalt = true)
+        })
+
+    val dists = res.collect().map { case (id, v) => id -> v.dist }.toMap
+    assert(dists === Map(0L -> 0L, 1L -> 2L, 2L -> 3L, 3L -> 5L, 4L -> 6L))
+  }
+
+  test("dynamic topology: vertices remove themselves into a fresh sum vertex") {
+    // DynamicGraph semantics (examples/.../DynamicGraph.java:71-119)
+    val verts = Seq(1L -> SumV(1), 2L -> SumV(2), 3L -> SumV(3), 4L -> SumV(4)).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 10)(
+      (id, v, msgs, step, _) =>
+        if (step == 0 && id != 100L)
+          ComputeResult(v, remove = true, messages = Seq((100L, v.value)),
+            add = Seq((100L, SumV(0))))
+        else if (msgs.nonEmpty)
+          ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true)
+        else ComputeResult(v, voteToHalt = true))
+
+    val out = res.collect().toMap
+    assert(out === Map(100L -> SumV(10)))
+  }
+
+  test("global aggregator value is visible next superstep and can halt") {
+    // every vertex doubles its value; aggregator = max value, halts at >= 8
+    val verts = Seq(1L -> SumV(1), 2L -> SumV(2)).toDS()
+    val res = Pregel.run[SumV, Long, Long](spark, verts, maxIter = 100,
+      aggregator = Some(GlobalAggregator[SumV, Long](
+        observe = ds => ds.map(_._2.value).reduce(math.max),
+        haltOn = _ >= 8)))(
+      (id, v, _, step, agg) => {
+        if (step > 0) assert(agg.isDefined, "aggregated value must be visible")
+        ComputeResult(SumV(v.value * 2), messages = Seq((id, 1L)))
+      })
+    val out = res.collect().toMap
+    // halts the superstep after max*2 >= 8: values 1,2 -> 2,4 -> 4,8 (halt)
+    assert(out === Map(1L -> SumV(4), 2L -> SumV(8)))
+  }
+
+  test("messages to unknown vertex ids are dropped") {
+    val verts = Seq(1L -> SumV(5)).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 5)(
+      (_, v, msgs, step, _) =>
+        if (step == 0) ComputeResult(v, messages = Seq((999L, 1L)), voteToHalt = true)
+        else ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true))
+    assert(res.collect().toMap === Map(1L -> SumV(5)))
+  }
+}

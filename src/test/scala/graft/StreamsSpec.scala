@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.Streams
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** stage the events parquet into a directory a stream can watch */
+  private def stagedDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(s"${TestSpark.sf0}/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming tumbling counts equal the batch-verified result") {
+    val q = Streams.tumblingCounts(Streams.events(spark, stagedDir()))
+      .writeStream.format("memory").queryName("tumble_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumble_out")
+      .withColumn("wstart", org.apache.spark.sql.functions.col("wstart").cast("timestamp_ntz"))
+      .orderBy("wstart", "event_type").collect()
+    val batch = SparkEntry.queries("q_stream_tumble")(spark, TestSpark.sf0).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    val q = Streams.dedup(Streams.events(spark, stagedDir()))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dedup_out")
+    val expected = Tables(spark, TestSpark.sf0, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.count() === expected)
+  }
+
+  test("streaming sessions produce the same session count as batch session_window") {
+    val q = Streams.sessions(Streams.events(spark, stagedDir()))
+      .writeStream.format("memory").queryName("session_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("session_out").count()
+    val batch = SparkEntry.queries("q_stream_session")(spark, TestSpark.sf0).count()
+    assert(streamed === batch)
+  }
+}
