@@ -127,18 +127,23 @@ object Graph extends QueryModule {
     * (`examples/src/main/java/org/apache/hama/examples/PageRank.java:46-87`;
     * N broadcast like `GraphJobRunner.countGlobalVertexCount:598-624`). */
   private def pagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
-    val e = edges(s, d).select("src", "dst").cache()
+    val e = edges(s, d).select("src", "dst")
     val vs = nodes(e).cache()
     val n = vs.count().toDouble // O(1) to driver, re-broadcast in closures
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    // pre-join out-degrees once; zero-contribution rows for every node fold
+    // the "no inbound messages" case into the same aggregate, so each
+    // superstep is ONE join + ONE shuffle agg and references the loop state
+    // exactly once (linear plan growth)
+    val e2 = e.join(deg, "src").cache()
+    val zeros = vs.select(col("v"), lit(0.0).as("m")).cache()
     val init = vs.select(col("v"), lit(1.0 / n).as("rank"))
-    val out = Iterate(init, iters, checkpointEvery = 5) { (r, _) =>
-      val msgs = e.join(r, e("src") === r("v"))
-        .join(deg, "src")
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("msum"))
-      vs.join(msgs, vs("v") === msgs("dst"), "left")
-        .select(vs("v"), (lit(0.15 / n) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+    val out = Iterate(init, iters, checkpointEvery = 4) { (r, _) =>
+      val contrib = e2.as("ee").join(r.as("rr"), col("ee.src") === col("rr.v"))
+        .select(col("ee.dst").as("v"), (col("rr.rank") / col("ee.outdeg")).as("m"))
+      contrib.unionAll(zeros)
+        .groupBy("v")
+        .agg((lit(0.15 / n) + lit(0.85) * sum("m")).as("rank"))
     }
     out.select(col("v"), round(col("rank"), 9).as("rank")).orderBy("v")
   }
@@ -147,12 +152,18 @@ object Graph extends QueryModule {
     * MinIntCombiner as partial min aggregation
     * (`examples/src/main/java/org/apache/hama/examples/SSSP.java:41-88`). */
   private def sssp(s: SparkSession, d: String, rounds: Int = 6): DataFrame = {
-    val e = edges(s, d).cache()
+    val e = edges(s, d)
+    // fold the identity term min(dist, …) into the edge set as zero-weight
+    // self-loops: the loop state is then referenced ONCE per round, keeping
+    // plan growth linear (a union of state with its own join doubles the
+    // plan every round — exponential analysis time by round 8)
+    val ePlus = e.unionAll(nodes(e).select(col("v").as("src"), col("v").as("dst"),
+      lit(0L).as("w"))).cache()
     val init = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
-    val out = Iterate(init, rounds, checkpointEvery = 5) { (dist, _) =>
-      val relax = dist.as("dd").join(e.as("ee"), col("dd.v") === col("ee.src"))
-        .select(col("ee.dst").as("v"), (col("dd.dist") + col("ee.w")).as("dist"))
-      dist.unionAll(relax).groupBy("v").agg(min("dist").as("dist"))
+    val out = Iterate(init, rounds, checkpointEvery = 3) { (dist, _) =>
+      dist.as("dd").join(ePlus.as("ee"), col("dd.v") === col("ee.src"))
+        .groupBy(col("ee.dst").as("v"))
+        .agg(min(col("dd.dist") + col("ee.w")).as("dist"))
     }
     out.orderBy("v")
   }
@@ -162,13 +173,15 @@ object Graph extends QueryModule {
     * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
   private def cc(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
     val e = edges(s, d)
-    val eu = undirected(e).cache()
     val vs = nodes(e).cache()
+    // self-loops fold "keep own label" into the message join (see sssp note)
+    val euPlus = undirected(e)
+      .unionAll(vs.select(col("v").as("src"), col("v").as("dst"))).cache()
     val init = vs.select(col("v"), col("v").as("lbl"))
-    val out = Iterate(init, rounds, checkpointEvery = 5) { (c, _) =>
-      val msgs = c.as("cc").join(eu.as("ee"), col("cc.v") === col("ee.src"))
-        .select(col("ee.dst").as("v"), col("cc.lbl").as("lbl"))
-      c.unionAll(msgs).groupBy("v").agg(min("lbl").as("lbl"))
+    val out = Iterate(init, rounds, checkpointEvery = 3) { (c, _) =>
+      c.as("cc").join(euPlus.as("ee"), col("cc.v") === col("ee.src"))
+        .groupBy(col("ee.dst").as("v"))
+        .agg(min(col("cc.lbl")).as("lbl"))
     }
     out.orderBy("v")
   }
@@ -180,7 +193,7 @@ object Graph extends QueryModule {
   private def kcore(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
     val eu = undirected(edges(s, d)).cache()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
-    val out = Iterate(init, iters, checkpointEvery = 5) { (k, _) =>
+    val out = Iterate(init, iters, checkpointEvery = 2) { (k, _) =>
       val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
       val nb = eu.join(k, eu("dst") === k("v"))
         .select(eu("src").as("vv"), k("est").as("nb_est"), eu("dst"))

@@ -162,11 +162,12 @@ object Relational extends QueryModule {
 
     // ---- §2.3 joins ------------------------------------------------------
     // inner(tbl(a), tbl(b)) — sorted-merge equi-join
-    // (core/.../bsp/join/InnerJoinRecordReader.java:40-48); Catalyst picks
-    // broadcast vs SMJ from stats; customer is the broadcast side at scale.
+    // (core/.../bsp/join/InnerJoinRecordReader.java:40-48). No broadcast
+    // hint: customer scales with SF, so Catalyst/AQE must pick broadcast vs
+    // SMJ from stats — the choice that stays correct at 100 TB.
     Q("q_join_inner",
       (s, d) => t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"), "inner")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
         .select(col("o_orderkey"), col("c_name"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
@@ -211,10 +212,12 @@ object Relational extends QueryModule {
 
     // k-way composite join (core/.../bsp/join/CompositeRecordReader.java:281-310):
     // lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per nation.
+    // only nation is broadcast-hinted: it is bounded (25 rows) at any SF;
+    // lineitem⋈orders⋈customer strategy is left to stats + AQE
     Q("q_join_3way",
       (s, d) => t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -249,10 +252,12 @@ object Relational extends QueryModule {
                                 AND o_orderstatus = 'F' AND o_totalprice > 250000)
               ORDER BY c_custkey""")),
 
-    // theta/range join extension: broadcast nested loop on an inequality
+    // theta/range join extension: nested loop broadcasting the SMALLER side
+    // (supplier ≈ part/20 in TPC-H); at extreme scale this becomes a banded
+    // band-join (bucket both sides by price range, equi-join the bands)
     Q("q_join_range",
-      (s, d) => t(s, d, "supplier")
-        .join(broadcast(t(s, d, "part")), col("p_retailprice") < col("s_acctbal") / 4, "inner")
+      (s, d) => t(s, d, "part")
+        .join(broadcast(t(s, d, "supplier")), col("p_retailprice") < col("s_acctbal") / 4, "inner")
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_cheaper"))
         .orderBy("s_suppkey"),
