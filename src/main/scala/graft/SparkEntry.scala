@@ -10,7 +10,9 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.Sources,
     operators.Graph,
+    operators.GraphAdvanced,
     operators.ML,
     operators.Dedup,
     operators.Similarity,

@@ -158,9 +158,55 @@ object ML extends QueryModule {
        SELECT ROUND(th0, 6) AS th0, ROUND(th1, 6) AS th1 FROM t3"""
   }
 
+  // ---- Collaborative filtering (OnlineCF capability) ---------------------
+  // ml/src/main/java/org/apache/hama/ml/recommendation/cf/OnlineCF.java:59-220
+  // trains user/item factor vectors by incremental message rounds; the same
+  // capability re-expressed distributed-first is alternating least squares:
+  // each half-step is one join + one shuffle agg (closed-form rank-1 update
+  // u_i = Σ r·v / Σ v², v_j = Σ r·u / Σ u²), fully data-parallel — no factor
+  // ever touches the driver. Fixed 2 iterations + per-step rounding makes it
+  // [exact] against an unrolled SQL oracle (the reference checks MAE
+  // thresholds, `ml/src/test/.../recommendation/TestOnlineCF.java:37-120`).
+  private val cfU = 30 // user-id modulus
+  private val cfI = 20 // item-id modulus
+
+  private def cf(s: SparkSession, d: String): DataFrame = {
+    val r = Tables(s, d, "orders")
+      .groupBy((col("o_custkey") % cfU).as("u"), (col("o_orderkey") % cfI).as("i"))
+      .agg(avg(col("o_orderkey") % 5 + 1).as("rt"))
+      .cache()
+    val v0 = r.select("i").distinct().withColumn("vf", lit(1.0))
+    def uStep(v: DataFrame): DataFrame = r.join(v, "i").groupBy("u")
+      .agg(round(sum(col("rt") * col("vf")) / sum(col("vf") * col("vf")), 9).as("uf"))
+    def vStep(u: DataFrame): DataFrame = r.join(u, "u").groupBy("i")
+      .agg(round(sum(col("rt") * col("uf")) / sum(col("uf") * col("uf")), 9).as("vf"))
+    val u1 = uStep(v0); val v1 = vStep(u1)
+    val u2 = uStep(v1); val v2 = vStep(u2)
+    r.join(u2, "u").join(v2, "i")
+      .agg(round(avg(abs(col("rt") - col("uf") * col("vf"))), 6).as("mae"),
+        count(lit(1)).as("n"))
+  }
+
+  private val cfSql: String =
+    s"""WITH r AS (SELECT o_custkey % $cfU AS u, o_orderkey % $cfI AS i,
+         AVG(o_orderkey % 5 + 1) AS rt FROM orders GROUP BY u, i),
+       v0 AS (SELECT DISTINCT i, 1.0 AS vf FROM r),
+       u1 AS (SELECT r.u, ROUND(SUM(r.rt * v0.vf) / SUM(v0.vf * v0.vf), 9) AS uf
+              FROM r JOIN v0 ON r.i = v0.i GROUP BY r.u),
+       v1 AS (SELECT r.i, ROUND(SUM(r.rt * u1.uf) / SUM(u1.uf * u1.uf), 9) AS vf
+              FROM r JOIN u1 ON r.u = u1.u GROUP BY r.i),
+       u2 AS (SELECT r.u, ROUND(SUM(r.rt * v1.vf) / SUM(v1.vf * v1.vf), 9) AS uf
+              FROM r JOIN v1 ON r.i = v1.i GROUP BY r.u),
+       v2 AS (SELECT r.i, ROUND(SUM(r.rt * u2.uf) / SUM(u2.uf * u2.uf), 9) AS vf
+              FROM r JOIN u2 ON r.u = u2.u GROUP BY r.i)
+       SELECT ROUND(AVG(ABS(r.rt - u2.uf * v2.vf)), 6) AS mae, COUNT(*) AS n
+       FROM r JOIN u2 ON r.u = u2.u JOIN v2 ON r.i = v2.i"""
+
   override val defs: Seq[Q] = Seq(
 
     Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
+
+    Q("q_ml_cf", (s, d) => cf(s, d), Some(cfSql)),
 
     Q("q_ml_linreg", (s, d) => linreg(s, d), Some(linregSql)),
 

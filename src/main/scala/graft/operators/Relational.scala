@@ -138,6 +138,16 @@ object Relational extends QueryModule {
               ROUND(AVG(ABS(l_extendedprice * (1 - l_discount) - l_extendedprice)), 6) AS avg_absdiff
               FROM lineitem""")),
 
+    // HLL sketch distinct — engine extension (SURVEY.md §2.4 "free in
+    // Spark"); [stat]: Spark's HLL++ and DuckDB's HLL differ by
+    // implementation, so no SQL-hash oracle — RelationalExtraSpec bounds the
+    // relative error against the exact count instead.
+    Q("q_agg_approx",
+      (s, d) => t(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        approx_count_distinct(col("o_totalprice")).as("approx_price")),
+      None),
+
     // Engine extensions beyond the reference: rollup / cube
     Q("q_agg_rollup",
       (s, d) => t(s, d, "nation")
@@ -369,6 +379,42 @@ object Relational extends QueryModule {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // Array family: build per-group arrays (collect_list = the typed message
+    // inbox shape), then sort/filter/reduce them with higher-order functions.
+    // Oracle states the same semantics as plain aggregates.
+    Q("q_fn_array",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(collect_list("l_linenumber").as("lns"))
+        .select(col("l_orderkey"),
+          size(col("lns")).cast("long").as("n_lines"),
+          element_at(array_sort(col("lns")), 1).as("first_ln"),
+          element_at(array_sort(col("lns")), -1).as("last_ln"),
+          size(filter(col("lns"), x => x > 3)).cast("long").as("n_gt3"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, COUNT(*) AS n_lines,
+              MIN(l_linenumber) AS first_ln, MAX(l_linenumber) AS last_ln,
+              COUNT(*) FILTER (WHERE l_linenumber > 3) AS n_gt3
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // Map family (MapWritable analogue, SURVEY.md §1.2): construct a map
+    // column, then read it back via key lookup / cardinality — outputs are
+    // scalar so the oracle is plain column SQL.
+    Q("q_fn_map",
+      (s, d) => {
+        val m = map_from_arrays(
+          array(lit("status"), lit("prio")),
+          array(col("o_orderstatus"), col("o_orderpriority")))
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          element_at(m, "status").as("status_v"),
+          element_at(m, "prio").as("prio_v"),
+          size(map_keys(m)).cast("long").as("nkeys"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status_v,
+              o_orderpriority AS prio_v, CAST(2 AS BIGINT) AS nkeys
+              FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink round-trips (SURVEY.md §2.1) and the pipes analogue
+  * (SURVEY.md §2.10): the reference's IO surface is InputFormat/OutputFormat
+  * pairs; here each round-trip materializes through a real file boundary and
+  * reads back, so the declared query checks BOTH directions. The pipes
+  * surface (`core/src/main/java/org/apache/hama/pipes/PipesBSP.java:32-120`,
+  * framed stdin/stdout protocol to a child process) maps to `RDD.pipe`:
+  * one child process per partition, lines out/lines in — the same process
+  * model without the custom framing.
+  */
+object Sources extends QueryModule {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/out"
+
+  override val defs: Seq[Q] = Seq(
+
+    // SequenceFileOutputFormat→SequenceFileInputFormat round-trip analogue
+    // (core/.../bsp/SequenceFileOutputFormat.java:27, SequenceFileInputFormat
+    // .java:28): write a projected table as parquet, read it back, aggregate.
+    Q("q_sink_roundtrip",
+      (s, d) => {
+        val out = tmp("graft-sink")
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+              FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // VectorDoubleFileInputFormat analogue (ml/.../regression/
+    // VectorDoubleFileInputFormat.java: text line → (vector, label)):
+    // write "label,f1,f2" text lines, read back as text, parse into
+    // (array<double> features, double label), aggregate per label.
+    Q("q_scan_vector",
+      (s, d) => {
+        val out = tmp("graft-vec")
+        Tables(s, d, "part")
+          .select(concat_ws(",", col("p_size") % 5, col("p_retailprice"),
+            col("p_partkey") % 100).as("value"))
+          .write.mode("overwrite").text(out)
+        val parsed = s.read.text(out)
+          .select(split(col("value"), ",").as("raw"))
+          .select(element_at(col("raw"), 1).cast("double").as("label"),
+            slice(transform(col("raw"), x => x.cast("double")), 2, 2).as("features"))
+        parsed.groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(element_at(col("features"), 1)), 2).as("f1_sum"),
+            round(sum(element_at(col("features"), 2)), 2).as("f2_sum"))
+          .orderBy("label")
+      },
+      Some("""SELECT p_size % 5 AS label, COUNT(*) AS n,
+                ROUND(SUM(p_retailprice), 2) AS f1_sum,
+                ROUND(SUM(p_partkey % 100), 2) AS f2_sum
+              FROM part GROUP BY label ORDER BY label""")),
+
+    // Hama Pipes analogue: stream rows through an external process
+    // (`core/.../pipes/protocol/MessageType.java:25-32` opcodes collapse to
+    // lines on stdin/stdout). Lowercased segments go out, `tr` upcases them
+    // back, proving the child-process boundary round-trips.
+    Q("q_udf_pipe",
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables(s, d, "customer")
+          .select(lower(col("c_mktsegment")).as("seg")).as[String]
+        val piped = lines.rdd.pipe("tr a-z A-Z")
+        s.createDataset(piped).toDF("seg")
+          .groupBy("seg").agg(count(lit(1)).as("n"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+              GROUP BY seg ORDER BY seg"""))
+  )
+}

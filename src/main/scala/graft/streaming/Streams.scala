@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.9): the reference has no
@@ -47,4 +48,25 @@ object Streams {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Per-user running state (event count + value sum) via
+    * flatMapGroupsWithState — the stateful analogue of a per-key BSP peer:
+    * state lives with the key across micro-batches exactly as a Hama peer
+    * holds its partition's state across supersteps
+    * (`core/src/main/java/org/apache/hama/bsp/BSPPeer.java:34-205`); each
+    * micro-batch is the superstep, the changelog rows are the messages. */
+  def runningTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          Iterator((user, n, math.round(total * 100.0) / 100.0))
+      }
+  }
 }

@@ -39,6 +39,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.count() === expected)
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch per-user totals") {
+    val q = Streams.runningTotals(Streams.events(spark, stagedDir()))
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    // append mode emits one changelog row per user per micro-batch; the LAST
+    // row per user is the final state
+    val last = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct("n", "total")).as("s"))
+      .selectExpr("user_id", "s.n AS n", "s.total AS total")
+    val batch = Tables(spark, TestSpark.sf0, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total"))
+    assert(last.except(batch).isEmpty && batch.except(last).isEmpty)
+  }
+
   test("streaming sessions produce the same session count as batch session_window") {
     val q = Streams.sessions(Streams.events(spark, stagedDir()))
       .writeStream.format("memory").queryName("session_out").outputMode("complete").start()
