@@ -1,48 +1,45 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.VecOps.{cosine, vecDot}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the embedding column (`Array[Float]`).
   *
-  * Baseline: brute-force cosine top-k — broadcast the small query set, scan
-  * candidates once, dot products via codegen'd higher-order functions, rank
-  * with a per-query window. At 100 TB the same plan holds: queries are tiny
-  * (broadcast), the candidate scan is embarrassingly parallel, and the
-  * top-k window shuffles only (query × k) rows after partial aggregation.
+  * All three operators are ARRAY-NATIVE: vectors stay packed per row and dot
+  * products run through the codegen'd `graft.functions.VecDot` loop. The
+  * alternative (explode to (vec_id, pos, ev) rows and equi-join on pos)
+  * multiplies the shuffled row count by the embedding dimension — 64× here,
+  * fatal at 100 TB. Here:
   *
-  * Scale path: LSH bucketing by random-hyperplane signs — deterministic
-  * integer hyperplanes so the bucket assignment is reproducible in SQL.
-  * Bucket join turns ANN into an equi-join on (bucket) instead of a cross
-  * product.
+  *  - brute-force top-k: broadcast the tiny query set, one scan over
+  *    candidates, per-query top-k window — candidate side never shuffles
+  *    more than (queries × k) rows after partial ranking;
+  *  - LSH buckets: 8 native dots per row against deterministic integer
+  *    hyperplanes, zero shuffle until the final order;
+  *  - near-dup: label works as the IVF-style blocking key → equi-join on
+  *    label instead of a cross product, pairwise cosine inside each block.
   */
 object Similarity extends QueryModule {
 
   private val topK = 10
   private val numPlanes = 8
 
-  /** exploded (vec_id, pos [0-based], ev double) */
-  private def exploded(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "ev")))
-      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("ev").cast("double").as("ev"))
-
   override val defs: Seq[Q] = Seq(
 
     // brute-force cosine top-k: queries = vec_id < 5, candidates = the rest
     Q("q_sim_topk",
       (s, d) => {
-        val e = exploded(s, d)
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("pos"), col("ev").as("qv"))
-        val c = e.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("cand_id"), col("pos"), col("ev").as("cv"))
-        val sims = c.join(broadcast(q), "pos")
-          .groupBy("q_id", "cand_id")
-          .agg(round(sum(col("qv") * col("cv")) /
-            (sqrt(sum(col("qv") * col("qv"))) * sqrt(sum(col("cv") * col("cv")))), 6).as("sim"))
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
+        val sims = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb")), 6).as("sim"))
         val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
         sims.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= topK)
@@ -63,19 +60,17 @@ object Similarity extends QueryModule {
                WHERE rank <= $topK ORDER BY q_id, rank""")),
 
     // LSH bucketing: sign bits against deterministic integer hyperplanes
-    // h_j[pos] = ((pos*31 + j*17) % 13) - 6
+    // h_j[pos] = ((pos*31 + j*17) % 13) - 6, one native dot per plane
     Q("q_sim_lsh_bucket",
       (s, d) => {
-        val e = exploded(s, d)
-          .select(col("vec_id"), col("pos"), col("ev"),
-            explode(sequence(lit(0), lit(numPlanes - 1))).as("j"))
-          .withColumn("w", (col("pos") * 31 + col("j") * 17) % 13 - 6)
-        e.groupBy("vec_id", "j")
-          .agg(sum(col("ev") * col("w")).as("dot"))
-          .groupBy("vec_id")
-          .agg(array_join(transform(array_sort(collect_list(struct(col("j"),
-            when(round(col("dot"), 6) >= 0, "1").otherwise("0").as("bit")))),
-            x => x.getField("bit")), "").as("bucket"))
+        val emb = Tables(s, d, "embeddings")
+        val dim = size(col("embedding"))
+        val bits = (0 until numPlanes).map { j =>
+          val plane = transform(sequence(lit(0), dim - 1),
+            p => (p * 31 + j * 17) % 13 - 6)
+          when(round(vecDot(col("embedding"), plane), 6) >= 0, "1").otherwise("0")
+        }
+        emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
           .orderBy("vec_id")
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
@@ -88,19 +83,17 @@ object Similarity extends QueryModule {
                FROM dots GROUP BY vec_id ORDER BY vec_id""")),
 
     // embedding-cosine near-dup: pairs above threshold within same label
-    // (label as a cheap blocking key — the IVF-style scale path)
+    // (label as the cheap IVF-style blocking key → equi-join, not cross)
     Q("q_sim_neardup",
       (s, d) => {
-        val e = exploded(s, d)
-        val lbl = Tables(s, d, "embeddings").select(col("vec_id"), col("label"))
-        val el = e.join(lbl, "vec_id")
-        val sims = el.as("a").join(el.as("b"),
-            col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .agg(round(sum(col("a.ev") * col("b.ev")) /
-            (sqrt(sum(col("a.ev") * col("a.ev"))) * sqrt(sum(col("b.ev") * col("b.ev")))), 6).as("sim"))
-        sims.filter(col("sim") > 0.2).orderBy("id_a", "id_b")
+        val el = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        el.as("a").join(el.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+          .filter(col("sim") > 0.2)
+          .orderBy("id_a", "id_b")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
