@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
-    operators.StreamingOps)
+    operators.StreamingOps,
+    operators.Generators)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.defs)
 

@@ -254,6 +254,33 @@ object ML extends QueryModule {
               SELECT a.i, b.j, ROUND(SUM(a.av * b.bv), 2) AS cv
               FROM a JOIN b ON a.k = b.k GROUP BY a.i, b.j ORDER BY i, j""")),
 
+    // Matrix algebra surface beyond multiply (commons/.../math/DoubleMatrix
+    // .java:36-229: transpose, elementwise add, per-column max/min/sum):
+    // B = A + Aᵀ on exploded (i,j,v) cells, then per-column stats of B.
+    Q("q_ml_mat_colstats",
+      (s, d) => {
+        val a = Tables(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 20).as("i"), (col("l_linenumber") % 5).as("j"))
+          .agg(sum("l_quantity").as("v"))
+        val t = a.select(col("j").as("i"), col("i").as("j"), col("v"))
+        val b = a.select(col("i"), col("j"), col("v"))
+          .unionAll(t)
+          .groupBy("i", "j").agg(sum("v").as("v")) // A + Aᵀ (missing cells = 0)
+        b.groupBy("j").agg(
+          round(min("v"), 2).as("col_min"),
+          round(max("v"), 2).as("col_max"),
+          round(sum("v"), 2).as("col_sum"))
+          .orderBy("j")
+      },
+      Some("""WITH a AS (SELECT l_orderkey % 20 AS i, l_linenumber % 5 AS j,
+                SUM(l_quantity) AS v FROM lineitem GROUP BY i, j),
+              b AS (SELECT i, j, SUM(v) AS v FROM (
+                SELECT i, j, v FROM a UNION ALL SELECT j AS i, i AS j, v FROM a) t
+                GROUP BY i, j)
+              SELECT j, ROUND(MIN(v), 2) AS col_min, ROUND(MAX(v), 2) AS col_max,
+                ROUND(SUM(v), 2) AS col_sum
+              FROM b GROUP BY j ORDER BY j""")),
+
     // Euclidean + cosine distance between consecutive embedding vectors
     // (ml/.../distance/EuclidianDistance.java:22-45, CosineDistance.java:22-56)
     Q("q_ml_distance",
