@@ -7,13 +7,22 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated filter (args or env) for focused timing runs
+    val only = (args ++ sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(',')))
+      .filter(_.nonEmpty).toSet
     val spark = GraftSession.get()
     // warm the JVM/session so per-query times measure the engine, not startup
     Tables(spark, sfDir, "lineitem").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: each reference job ran in its own JVM; drop
+      // caches so query N's leftover blocks can't tax query N+1
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

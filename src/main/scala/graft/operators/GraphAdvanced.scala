@@ -4,6 +4,7 @@ import graft.{Q, QueryModule, Tables}
 import graft.plans.Pregel
 import graft.plans.Pregel.ComputeResult
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bipartite-matching vertex state: which side of the bipartition, the id
@@ -101,8 +102,15 @@ object GraphAdvanced extends QueryModule {
   private val FB = 0.0 // boundary factor — the reference hardcodes fB = 0.0
   // (`SemiClusteringVertex.semiClusterScoreCalcuation`: `double fB = 0.0`)
 
+  private val SC_DEGCAP = 8 // max degree kept — bounds message size at any SF
+
   /** sparse derived graph (1-in-13 orders) so clusters can outscore the
-    * reference's singleton seed score of 1.0 */
+    * reference's singleton seed score of 1.0. Degree is capped: per vertex
+    * keep its SC_DEGCAP best edges by (w, dst), an edge survives only if
+    * BOTH endpoints keep it — the graph stays symmetric and message volume
+    * stays O(N · cap · Vmax) no matter how dense the source data gets
+    * (density grows with SF; unbounded degree made cluster messages carry
+    * ~80-entry adjacency lists at sf0.1 — quadratic message bytes). */
   private def scEdges(s: SparkSession, d: String): DataFrame = {
     val e = Tables(s, d, "orders")
       .filter(col("o_orderkey") % 13 === 0)
@@ -110,14 +118,19 @@ object GraphAdvanced extends QueryModule {
         (col("o_orderkey") % 7 + 1).as("w"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("w").as("w"))
-    // undirected: keep the lower-id direction's weight on both directions
-    e.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"), col("w"))
+    // undirected: lower-id direction's weight wins, mirrored both ways
+    val sym = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy("a", "b").agg(min("w").as("w"))
-      .select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(e.select(greatest(col("src"), col("dst")).as("x"), least(col("src"), col("dst")).as("y"), col("w"))
-        .groupBy("x", "y").agg(min("w").as("w"))
-        .select(col("x").as("src"), col("y").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(min("w").as("w"))
+    val both = sym.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(sym.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val wRank = Window.partitionBy(col("src")).orderBy(asc("w"), asc("dst"))
+    val kept = both.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= SC_DEGCAP).drop("rn")
+    // symmetric closure: survive only if kept from both endpoints
+    kept.as("k").join(kept.select(col("dst").as("src"), col("src").as("dst")).as("m"),
+        Seq("src", "dst"), "left_semi")
+      .select(col("src"), col("dst"), col("w"))
   }
 
   /** Reference scoring (`SemiClusteringVertex.semiClusterScoreCalcuation`):

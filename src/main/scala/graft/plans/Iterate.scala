@@ -11,15 +11,30 @@ import org.apache.spark.sql.DataFrame
   * and analysis/codegen time dominates at high iteration counts.
   */
 object Iterate {
+
+  /** Free the block-store copy behind a localCheckpoint once a LATER
+    * checkpoint has been eagerly materialized from it — otherwise every
+    * superstep's blocks pile up for the whole job (Hama frees a superstep's
+    * queues at the barrier; this is the same hygiene). */
+  def release(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def apply(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     var cur = init
+    var prevCkpt: DataFrame = null
     var i = 0
     while (i < maxIter) {
       cur = step(cur, i)
       i += 1
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter)
-        cur = cur.localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter) {
+        cur = cur.localCheckpoint() // eager: materialized before old blocks go
+        if (prevCkpt != null) release(prevCkpt)
+        prevCkpt = cur
+      }
     }
     cur
   }

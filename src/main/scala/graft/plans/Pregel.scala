@@ -79,6 +79,9 @@ object Pregel {
     var aggValue: Option[A] = None
     var superstep = 0
     var done = false
+    // checkpoints superseded this superstep; freed once the next superstep's
+    // checkpoints are materialized (the barrier releases the old queues)
+    var retired: List[Dataset[_]] = Nil
 
     while (!done && superstep < maxIter) {
       // deliver: group by destination; combiner = typed partial reduce
@@ -112,6 +115,7 @@ object Pregel {
           s._3.size.toLong, if (s._4) 1L else 0L))
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
 
+      val prevVerts = verts
       val kept = stepped.filter(!_._4).map(_._1)
       verts = if (stats._3 == 0 && stats._4 == 0) kept
       else {
@@ -124,6 +128,11 @@ object Pregel {
           .as[(Long, V, Boolean)]
         kept.union(newOnes).localCheckpoint()
       }
+      // stepped (this superstep) feeds msgs/verts of the NEXT superstep, so
+      // retire it one superstep later; the previous superstep's checkpoints
+      // are no longer reachable once this superstep's are materialized
+      retired.foreach(graft.plans.Iterate.release)
+      retired = List(stepped, prevVerts)
 
       aggValue = aggregator.map(_.observe(verts))
       val aggHalt = (aggregator, aggValue) match {
