@@ -54,12 +54,28 @@ object Pregel {
       observe: Dataset[(Long, V, Boolean)] => A,
       haltOn: A => Boolean = (_: A) => false)
 
+  /** Counter/timing parity with the reference's `PeerCounter` enum and
+    * per-superstep INFO logs (`core/src/main/java/org/apache/hama/bsp/
+    * BSPPeerImpl.java:65-67` TOTAL_MESSAGES_SENT / SUPERSTEP_SUM,
+    * `graph/.../GraphJobRunner.java:139-155,277-312` superstep ms). */
+  final case class SuperstepStats(
+      superstep: Int,
+      messagesSent: Long,
+      activeVertices: Long,
+      added: Long,
+      removed: Long,
+      seconds: Double)
+
+  type SuperstepHook = SuperstepStats => Unit
+  val noHook: SuperstepHook = _ => ()
+
   def run[V: TypeTag, M: TypeTag, A](
       spark: SparkSession,
       vertices: Dataset[(Long, V)],
       maxIter: Int,
       combiner: Option[(M, M) => M] = None,
-      aggregator: Option[GlobalAggregator[V, A]] = None)(
+      aggregator: Option[GlobalAggregator[V, A]] = None,
+      onSuperstep: SuperstepHook = noHook)(
       compute: (Long, V, Seq[M], Int, Option[A]) => ComputeResult[V, M]): Dataset[(Long, V)] = {
 
     implicit val vertEnc: ExpressionEncoder[(Long, V, Boolean)] =
@@ -84,6 +100,7 @@ object Pregel {
     var retired: List[Dataset[_]] = Nil
 
     while (!done && superstep < maxIter) {
+      val tStep = System.nanoTime()
       // deliver: group by destination; combiner = typed partial reduce
       val inbox: Dataset[(Long, Seq[M])] = combiner match {
         case Some(c) => msgs.groupByKey(_._1)
@@ -140,6 +157,8 @@ object Pregel {
         case _ => false
       }
       done = (stats._1 == 0 && stats._2 == 0 && stats._3 == 0) || aggHalt
+      onSuperstep(SuperstepStats(superstep, stats._1, stats._2, stats._3, stats._4,
+        (System.nanoTime() - tStep) / 1e9))
       superstep += 1
     }
     verts.map { case (id, v, _) => (id, v) }
