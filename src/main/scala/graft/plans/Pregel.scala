@@ -113,24 +113,33 @@ object Pregel {
       val step = superstep
       val aggIn = aggValue
       val fn = compute
+      // O(1) control data via accumulators filled during the (eager)
+      // checkpoint materialization — no separate stats job per superstep.
+      // A hypothetical block-loss recompute could only inflate the counts,
+      // which can delay the msgs==0 && active==0 halt but never fake it.
+      val accMsgs = spark.sparkContext.longAccumulator("pregel.messagesSent")
+      val accActive = spark.sparkContext.longAccumulator("pregel.active")
+      val accAdded = spark.sparkContext.longAccumulator("pregel.added")
+      val accRemoved = spark.sparkContext.longAccumulator("pregel.removed")
       val stepped = verts
         .joinWith(inbox, verts("_1") === inbox("_1"), "left_outer")
         .map { case ((id, value, halted), in) =>
           val delivered: Seq[M] = if (in == null) Nil else in._2
-          if (delivered.nonEmpty || !halted || step == 0) {
+          val out = if (delivered.nonEmpty || !halted || step == 0) {
             val r = fn(id, value, delivered, step, aggIn)
             ((id, r.value, r.voteToHalt), r.messages, r.add, r.remove)
           } else ((id, value, halted), Seq.empty[(Long, M)], Seq.empty[(Long, V)], false)
+          accMsgs.add(out._2.size.toLong)
+          if (!out._1._3) accActive.add(1L)
+          accAdded.add(out._3.size.toLong)
+          if (out._4) accRemoved.add(1L)
+          out
         }
         .localCheckpoint() // one materialized pass feeds state, msgs and stats
 
       msgs = stepped.flatMap(_._2)
-
-      // O(1) control data to the driver: msgs sent, active, added, removed
-      val stats = stepped
-        .map(s => (s._2.size.toLong, if (s._1._3) 0L else 1L,
-          s._3.size.toLong, if (s._4) 1L else 0L))
-        .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      val stats = (accMsgs.value.toLong, accActive.value.toLong,
+        accAdded.value.toLong, accRemoved.value.toLong)
 
       val prevVerts = verts
       val kept = stepped.filter(!_._4).map(_._1)
