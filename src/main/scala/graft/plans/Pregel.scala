@@ -75,7 +75,8 @@ object Pregel {
       maxIter: Int,
       combiner: Option[(M, M) => M] = None,
       aggregator: Option[GlobalAggregator[V, A]] = None,
-      onSuperstep: SuperstepHook = noHook)(
+      onSuperstep: SuperstepHook = noHook,
+      inboxOrdering: Option[Ordering[M]] = None)(
       compute: (Long, V, Seq[M], Int, Option[A]) => ComputeResult[V, M]): Dataset[(Long, V)] = {
 
     implicit val vertEnc: ExpressionEncoder[(Long, V, Boolean)] =
@@ -106,8 +107,16 @@ object Pregel {
         case Some(c) => msgs.groupByKey(_._1)
           .reduceGroups((a, b) => (a._1, c(a._2, b._2)))
           .map { case (id, m) => (id, Seq(m._2)) }
-        case None => msgs.groupByKey(_._1)
-          .mapGroups { (id, it) => (id, it.map(_._2).toSeq) }
+        case None =>
+          // optional sorted delivery — Hama's SortedMemoryQueue behaviour
+          // (`core/.../bsp/message/queue/SortedMemoryQueue.java:32-39`,
+          // selected via `BSPJob.setMessageQueueBehaviour`); default is the
+          // unordered contract
+          val ord = inboxOrdering
+          msgs.groupByKey(_._1).mapGroups { (id, it) =>
+            val delivered = it.map(_._2).toSeq
+            (id, ord.fold(delivered)(delivered.sorted(_)))
+          }
       }
 
       val step = superstep

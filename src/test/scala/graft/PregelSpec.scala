@@ -74,6 +74,22 @@ class PregelSpec extends AnyFunSuite {
     assert(out === Map(1L -> SumV(4), 2L -> SumV(8)))
   }
 
+  test("sorted inbox delivery (SortedMemoryQueue behaviour)") {
+    // vertex 0 receives 5 messages sent from differently-keyed senders;
+    // with inboxOrdering they must arrive ascending
+    val verts = (0L to 5L).map(i => (i, SumV(i))).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 3,
+      inboxOrdering = Some(Ordering.Long))(
+      (id, v, msgs, step, _) =>
+        if (step == 0 && id > 0) ComputeResult(v, voteToHalt = true,
+          messages = Seq((0L, (7 * id) % 5)))
+        else if (msgs.nonEmpty) {
+          assert(msgs == msgs.sorted, s"inbox must be sorted, got $msgs")
+          ComputeResult(SumV(msgs.sum), voteToHalt = true)
+        } else ComputeResult(v, voteToHalt = true))
+    assert(res.collect().toMap.apply(0L) === SumV((1L to 5L).map(i => (7 * i) % 5).sum))
+  }
+
   test("messages to unknown vertex ids are dropped") {
     val verts = Seq(1L -> SumV(5)).toDS()
     val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 5)(
