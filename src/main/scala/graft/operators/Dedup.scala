@@ -155,6 +155,8 @@ object Dedup extends QueryModule {
             col("b.doc_id") === col("a.doc_id") + 1 && col("a.gram") === col("b.gram"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
+        // no broadcast hint on n: it scales with the corpus — AQE picks
+        // broadcast at small SF and shuffle join at scale
         inter
           .join(n.as("na"), col("doc_a") === col("na.doc_id"))
           .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
