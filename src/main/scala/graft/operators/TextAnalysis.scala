@@ -92,6 +92,35 @@ object TextAnalysis extends QueryModule {
                 0.5 * length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 6) AS quality
               FROM documents ORDER BY doc_id""")),
 
+    // TF-IDF (SURVEY.md §7 step 8): tf × ln(N/df), top-3 terms per doc.
+    // All shuffle-parallel; the N-docs scalar rides a broadcast cross join.
+    Q("q_text_tfidf",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
+        val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(col("nd") / col("df")), 6).as("tfidf"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("tok"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("tok"), col("tfidf"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH $toksSql,
+               tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+               dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+               nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+               scored AS (SELECT doc_id, tok, ROUND(tf * LN(nd.nd / df), 6) AS tfidf
+                 FROM tf JOIN dfreq USING (tok) CROSS JOIN nd)
+               SELECT doc_id, rn, tok, tfidf FROM (
+                 SELECT doc_id, tok, tfidf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, tok) AS BIGINT) AS rn
+                 FROM scored) t
+               WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
     // document fingerprint: md5 of normalized content + duplicate-cluster size
     Q("q_text_fingerprint",
       (s, d) => {
