@@ -262,15 +262,33 @@ object Relational extends QueryModule {
                                 AND o_orderstatus = 'F' AND o_totalprice > 250000)
               ORDER BY c_custkey""")),
 
-    // theta/range join extension: nested loop broadcasting the SMALLER side
-    // (supplier ≈ part/20 in TPC-H); at extreme scale this becomes a banded
-    // band-join (bucket both sides by price range, equi-join the bands)
+    // theta/range join extension, in the BANDED form that survives scale:
+    // a naive `p_retailprice < s_acctbal/4` is a nested loop over
+    // parts × suppliers. Instead (1) histogram parts into price bands —
+    // O(bands) rows, broadcastable at ANY data size; suppliers nested-loop
+    // only against that tiny histogram for fully-covered bands; (2) the
+    // supplier's own boundary band resolves with an EQUI-join on band plus
+    // a residual row filter. No row-level nested loop anywhere; the big
+    // side is touched by one scan + one shuffle on the band key.
     Q("q_join_range",
-      (s, d) => t(s, d, "part")
-        .join(broadcast(t(s, d, "supplier")), col("p_retailprice") < col("s_acctbal") / 4, "inner")
-        .groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("n_cheaper"))
-        .orderBy("s_suppkey"),
+      (s, d) => {
+        val bandW = 100.0
+        val parts = t(s, d, "part")
+          .select(col("p_retailprice"), floor(col("p_retailprice") / bandW).as("band"))
+        val hist = parts.groupBy("band").agg(count(lit(1)).as("cnt"))
+        val supp = t(s, d, "supplier")
+          .select(col("s_suppkey"), (col("s_acctbal") / 4).as("thr"))
+          .withColumn("sband", floor(col("thr") / bandW))
+        val full = supp.join(broadcast(hist), col("band") < col("sband"))
+          .groupBy("s_suppkey").agg(sum("cnt").as("c"))
+        val boundary = supp.join(parts, col("band") === col("sband") &&
+            col("p_retailprice") < col("thr"))
+          .groupBy("s_suppkey").agg(count(lit(1)).as("c"))
+        full.unionByName(boundary)
+          .groupBy("s_suppkey").agg(sum("c").as("n_cheaper"))
+          .filter(col("n_cheaper") > 0) // inner-join semantics: no zero rows
+          .orderBy("s_suppkey")
+      },
       Some("""SELECT s_suppkey, COUNT(*) AS n_cheaper
               FROM supplier JOIN part ON p_retailprice < s_acctbal / 4
               GROUP BY s_suppkey ORDER BY s_suppkey""")),
