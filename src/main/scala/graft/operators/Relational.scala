@@ -138,6 +138,44 @@ object Relational extends QueryModule {
               ROUND(AVG(ABS(l_extendedprice * (1 - l_discount) - l_extendedprice)), 6) AS avg_absdiff
               FROM lineitem""")),
 
+    // Exact percentiles (engine extension): Spark `percentile` and DuckDB
+    // `quantile_cont` both linear-interpolate, so values hash-match.
+    Q("q_agg_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Analytic windows (engine extension): lag/lead/running aggregate per
+    // customer's order history — per-key ordered state, the relational
+    // cousin of a stateful per-key peer.
+    Q("q_window_analytics",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              lag(o_orderkey, 1) OVER w AS prev_order,
+              lead(o_orderkey, 1) OVER w AS next_order,
+              ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
     // HLL sketch distinct — engine extension (SURVEY.md §2.4 "free in
     // Spark"); [stat]: Spark's HLL++ and DuckDB's HLL differ by
     // implementation, so no SQL-hash oracle — RelationalExtraSpec bounds the
