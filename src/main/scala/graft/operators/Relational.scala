@@ -139,16 +139,20 @@ object Relational extends QueryModule {
               FROM lineitem""")),
 
     // Exact percentiles (engine extension): Spark `percentile` and DuckDB
-    // `quantile_cont` both linear-interpolate, so values hash-match.
+    // `quantile_cont` both linear-interpolate, so values hash-match. Exact
+    // per-group percentile buffers the group's values — parallelism equals
+    // group count, so group on a key with enough cardinality (3 groups made
+    // this 2× slower); the 100 TB path for low-cardinality groups is
+    // `approx_percentile` (mergeable t-digest).
     Q("q_agg_percentile",
       (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+        .groupBy((col("l_partkey") % 40).as("grp"))
         .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        .orderBy("grp"),
+      Some("""SELECT l_partkey % 40 AS grp, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem GROUP BY grp ORDER BY grp""")),
 
     // Analytic windows (engine extension): lag/lead/running aggregate per
     // customer's order history — per-key ordered state, the relational
