@@ -224,15 +224,32 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
-    // DynamicGraph: every vertex messages its value to a fresh "sum" vertex
-    // and removes itself; result = Σ values + INPUT_VERTICES counter
+    // DynamicGraph: every vertex messages (value + 1) to a freshly ADDED
+    // "sum" vertex (id −1) and removes itself; the sum vertex totals its
+    // inbox next superstep. Exercises the engine's buffered add/remove +
+    // message-to-new-vertex path, not a degenerate GROUP BY
     // (`examples/src/main/java/org/apache/hama/examples/DynamicGraph.java:71-119`).
+    // The +1 per message is the INPUT_VERTICES counter folded into the sum.
     Q("q_graph_dynamic_sum",
       (s, d) => {
+        import s.implicits._
         val e = edges(s, d)
-        nodes(e).agg((sum(col("v")) + count(lit(1))).as("total"))
+        val vs = nodes(e).select(col("v"), col("v")).as[(Long, Long)]
+        val out = graft.plans.Pregel.run[Long, Long, Unit](
+          s, vs, maxIter = 3, combiner = Some(_ + _)) { (id, value, msgs, step, _) =>
+          if (step == 0 && id >= 0)
+            graft.plans.Pregel.ComputeResult(value, voteToHalt = true,
+              messages = Seq((-1L, value + 1)), remove = true,
+              add = Seq((-1L, 0L)))
+          else if (msgs.nonEmpty)
+            graft.plans.Pregel.ComputeResult(msgs.sum, voteToHalt = true)
+          else graft.plans.Pregel.ComputeResult(value, voteToHalt = true)
+        }
+        out.toDF("id", "total").select(col("total"))
       },
+      // CAST: DuckDB SUM(BIGINT) is HUGEINT, fetched as float64 by the
+      // driver — cast back so both sides hash as int64
       Some(s"""WITH $edgesSql, $nodesSql
-               SELECT SUM(v) + COUNT(*) AS total FROM nodes"""))
+               SELECT CAST(SUM(v) + COUNT(*) AS BIGINT) AS total FROM nodes"""))
   )
 }

@@ -49,6 +49,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+    # driver hashes raw values incl. type: int64 20100 != float64 20100.0.
+    # DuckDB HUGEINT (SUM of BIGINT) fetches as float64 — flag kind mismatches.
+    kind_bad = [c for c in got.columns
+                if got[c].dtype.kind != want[c].dtype.kind]
+    if kind_bad:
+        print(f"FAIL {name}: dtype-kind mismatch {[(c, str(got[c].dtype), str(want[c].dtype)) for c in kind_bad]}"); fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
     bad = None
