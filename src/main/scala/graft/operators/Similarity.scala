@@ -19,13 +19,35 @@ import org.apache.spark.sql.expressions.Window
   *    more than (queries × k) rows after partial ranking;
   *  - LSH buckets: 8 native dots per row against deterministic integer
   *    hyperplanes, zero shuffle until the final order;
-  *  - near-dup: label works as the IVF-style blocking key → equi-join on
-  *    label instead of a cross product, pairwise cosine inside each block.
+  *  - near-dup: blocked on (label, LSH bucket) → equi-join with bounded
+  *    block size, pairwise cosine inside each block.
   */
 object Similarity extends QueryModule {
 
   private val topK = 10
   private val numPlanes = 8
+
+  /** Sign-bit LSH bucket string against deterministic integer hyperplanes
+    * h_j[pos] = ((pos*31 + j*17) % 13) - 6 — one codegen'd dot per plane. */
+  private def lshBucket(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dim = size(embCol)
+    val bits = (0 until numPlanes).map { j =>
+      val plane = transform(sequence(lit(0), dim - 1),
+        p => (p * 31 + j * 17) % 13 - 6)
+      when(round(vecDot(embCol, plane), 6) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** DuckDB CTEs computing the same bucket per vec_id (expects a prior
+    * `e(vec_id, pos, ev)` unnested CTE). */
+  private val lshBucketSql =
+    s"""lshdots AS (SELECT vec_id, j, SUM(ev * ((pos * 31 + j * 17) % 13 - 6)) AS dot
+         FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS j) js
+         GROUP BY vec_id, j),
+       buckets AS (SELECT vec_id,
+         string_agg(CASE WHEN ROUND(dot, 6) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+         FROM lshdots GROUP BY vec_id)"""
 
   override val defs: Seq[Q] = Seq(
 
@@ -64,13 +86,7 @@ object Similarity extends QueryModule {
     Q("q_sim_lsh_bucket",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val dim = size(col("embedding"))
-        val bits = (0 until numPlanes).map { j =>
-          val plane = transform(sequence(lit(0), dim - 1),
-            p => (p * 31 + j * 17) % 13 - 6)
-          when(round(vecDot(col("embedding"), plane), 6) >= 0, "1").otherwise("0")
-        }
-        emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
+        emb.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
           .orderBy("vec_id")
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
@@ -137,27 +153,35 @@ object Similarity extends QueryModule {
                 FROM sims) t
               WHERE rank <= 5 ORDER BY q_id, rank""")),
 
-    // embedding-cosine near-dup: pairs above threshold within same label
-    // (label as the cheap IVF-style blocking key → equi-join, not cross)
+    // embedding-cosine near-dup: pairs above threshold blocked on
+    // (label, LSH bucket). Label alone leaves block size unbounded — one
+    // hot label at 100× data is a quadratic stage and a skew bomb; the
+    // 8-bit hyperplane bucket as a second key caps every block (true
+    // near-dups share sign bits with high probability), so pair count
+    // grows linearly with corpus size at fixed block width.
     Q("q_sim_neardup",
       (s, d) => {
         val el = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), col("label"))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lshBucket(col("embedding")).as("bucket"))
         el.as("a").join(el.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+            col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
             round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
           .filter(col("sim") > 0.2)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
-              el AS (SELECT e.vec_id, e.pos, e.ev, emb.label
-                FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id),
+              $lshBucketSql,
+              el AS (SELECT e.vec_id, e.pos, e.ev, emb.label, b.bucket
+                FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
+                       JOIN buckets b ON b.vec_id = e.vec_id),
               sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 ROUND(SUM(a.ev * b.ev) / (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS sim
-                FROM el a JOIN el b ON a.label = b.label AND a.pos = b.pos
-                  AND a.vec_id < b.vec_id
+                FROM el a JOIN el b ON a.label = b.label AND a.bucket = b.bucket
+                  AND a.pos = b.pos AND a.vec_id < b.vec_id
                 GROUP BY a.vec_id, b.vec_id)
               SELECT id_a, id_b, sim FROM sims WHERE sim > 0.2 ORDER BY id_a, id_b"""))
   )
