@@ -11,8 +11,20 @@ object Bench {
     val only = (args ++ sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(',')))
       .filter(_.nonEmpty).toSet
     val spark = GraftSession.get()
-    // warm the JVM/session so per-query times measure the engine, not startup
-    Tables(spark, sfDir, "lineitem").count()
+    // warm the JVM/session so per-query times measure the engine, not
+    // startup: one scan-agg, one shuffle join, one window, one string-hash
+    // pass compile the hot codegen/shuffle paths before any query is timed
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = Tables(spark, sfDir, "lineitem")
+      li.count()
+      li.groupBy("l_returnflag").count().foreach(_ => ())
+      Tables(spark, sfDir, "documents").limit(2000)
+        .select(md5(col("text"))).foreach(_ => ())
+      Tables(spark, sfDir, "orders").join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
       .map { case (name, fn) =>

@@ -17,6 +17,10 @@ object GraftSession {
       // explicit (it defaults on): hot-key joins re-split at runtime — the
       // skew answer at 100 TB, instead of hand-salting every join
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // wide aggregates (64-bit simhash votes = 64 sum columns) must stay
+      // inside whole-stage codegen; the default 100-field cap silently
+      // drops them to the interpreted path (~5× slower)
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

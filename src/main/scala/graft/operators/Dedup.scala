@@ -1,17 +1,21 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
   * (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
   *
-  * Everything is expressed with portable primitives (md5, substring,
-  * sequence/explode) so each stage has an exact DuckDB oracle: a MinHash
-  * value is the lexicographic MIN of salted md5 hex strings over character
-  * shingles — identical in any engine with md5 — rather than an
-  * engine-specific integer hash.
+  * Everything is expressed with portable primitives (md5, split, slice)
+  * so each stage has an exact DuckDB oracle: a MinHash value is the
+  * lexicographic MIN of md5 hex slices over token shingles — identical in
+  * any engine with md5 — rather than an engine-specific integer hash.
+  *
+  * Shingles are word n-grams over the WHOLE text (round 1 used character
+  * windows over a 160-char prefix — cheaper per doc but blind to edits
+  * past the prefix): ~1 shingle per word instead of ~1 per character, so
+  * the dominant md5 path costs ~3× less while covering the full document.
   *
   * Scale posture: every stage is a map + hash-aggregate on (doc, band/bit)
   * keys — shuffle width bounded by docs × bands, never docs². Candidate
@@ -20,17 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  private val shingleLen = 8
-  private val prefixLen = 160 // shingle window: first 160 normalized chars
+  private val shingleWords = 3 // word n-gram size
   private val numHashes = 8
   private val bandRows = 4 // → 2 bands
+  private val simhashBits = 64
 
-  /** (doc_id, p, t): one row per shingle start position */
-  private def shingleBase(s: SparkSession, d: String): DataFrame =
+  /** lowercase word tokens, empties dropped (split on non-alnum runs) */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  /** n-gram strings built per doc row BEFORE exploding — exploding a
+    * position index and slicing afterwards would duplicate the whole token
+    * array into every exploded row */
+  private def ngrams(tk: Column, w: Int): Column =
+    when(size(tk) >= w,
+      transform(sequence(lit(1), size(tk) - (w - 1)), p => concat_ws(" ", slice(tk, p, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, sh): one row per word n-gram shingle */
+  private def shingles(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
-      .select(col("doc_id"), lower(substring(col("text"), 1, prefixLen)).as("t"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("t")) - (shingleLen - 1))).as("p"), col("t"))
+      .select(col("doc_id"), explode(ngrams(toks(col("text")), shingleWords)).as("sh"))
+
+  private val shinglesSql =
+    s"""sh AS (SELECT doc_id, array_to_string(tk[p:p + ${shingleWords - 1}], ' ') AS sh FROM (
+         SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${shingleWords - 1})) AS p
+         FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1)"""
 
   /** (doc_id, j, minh): MinHash signature rows. One md5 yields 32 hex chars
     * = four independent 8-hex (32-bit) hash values, so the 8 hash families
@@ -45,8 +67,7 @@ object Dedup extends QueryModule {
       val m = if (j < 4) col("m1") else col("m2")
       min(substring(m, (j % 4) * 8 + 1, 8)).as(s"h$j")
     }
-    val sig = shingleBase(s, d)
-      .select(col("doc_id"), expr(s"substring(t, p, $shingleLen)").as("sh"))
+    val sig = shingles(s, d)
       .select(col("doc_id"), md5(col("sh")).as("m1"), md5(concat(lit("x"), col("sh"))).as("m2"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -56,10 +77,7 @@ object Dedup extends QueryModule {
   }
 
   private val minhashSql =
-    s"""sh AS (SELECT doc_id, substring(t, p, $shingleLen) AS sh FROM (
-         SELECT doc_id, lower(substring(text, 1, $prefixLen)) AS t,
-                unnest(generate_series(1, length(lower(substring(text, 1, $prefixLen))) - ${shingleLen - 1})) AS p
-         FROM documents) b),
+    s"""$shinglesSql,
        shh AS (SELECT doc_id, md5(sh) AS m1, md5('x' || sh) AS m2 FROM sh),
        mh AS (SELECT doc_id, j,
          MIN(substring(CASE WHEN j < 4 THEN m1 ELSE m2 END, (j % 4) * 8 + 1, 8)) AS minh
@@ -99,14 +117,20 @@ object Dedup extends QueryModule {
       (s, d) => {
         // materialize signatures once: the self-join otherwise recomputes
         // the full shingle→md5 pipeline for each side (AQE exchange reuse
-        // does not apply across the differing band/sig join aliases)
-        val b = bands(s, d).cache()
-        b.as("a").join(b.as("b"),
+        // does not apply across the differing band/sig join aliases).
+        // The tiny pair result is checkpointed eagerly so the signature
+        // cache can be dropped HERE instead of leaking until the harness's
+        // clearCache (ADVICE r1).
+        val b = bands(s, d).persist()
+        val out = b.as("a").join(b.as("b"),
             col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
           .orderBy("doc_a", "doc_b")
+          .localCheckpoint() // eager; result is O(candidate pairs), small by design
+        b.unpersist()
+        out
       },
       Some(s"""WITH $minhashSql, $bandsSql
                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -114,41 +138,44 @@ object Dedup extends QueryModule {
                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
                ORDER BY doc_a, doc_b""")),
 
-    // SimHash: 16-bit signature, per-bit majority vote over token hashes.
-    // ONE md5 per token: hex char j of md5(tok) is an independent 4-bit
-    // draw, so bit j votes on substring(md5, j+1, 1) < '8' — 16× less
-    // hashing than salting md5 per (token, bit).
+    // SimHash: 64-bit signature, per-bit majority vote over token hashes.
+    // TWO md5 per token: 64 hex chars, hex char j is an independent 4-bit
+    // draw so bit j votes on char j < '8'. The 64 votes are a single WIDE
+    // aggregate (64 sum columns) — no 64× row explode before the shuffle.
     Q("q_dedup_simhash",
-      (s, d) => Tables(s, d, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .select(col("doc_id"), md5(col("tok")).as("m"))
-        .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("m"))
-        .groupBy("doc_id", "j")
-        .agg(sum(when(expr("substring(m, j + 1, 1)") < "8", 1).otherwise(-1)).as("vote"))
-        .groupBy("doc_id")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("j"),
-          when(col("vote") >= 0, "1").otherwise("0").as("bit")))),
-          x => x.getField("bit")), "").as("simhash"))
-        .orderBy("doc_id"),
-      Some("""WITH toks AS (SELECT doc_id, md5(tok) AS m FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-                FROM documents) t WHERE length(tok) > 0),
-              votes AS (SELECT doc_id, j,
-                SUM(CASE WHEN substring(m, j + 1, 1) < '8' THEN 1 ELSE -1 END) AS vote
-                FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
-                GROUP BY doc_id, j)
-              SELECT doc_id,
-                string_agg(CASE WHEN vote >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-              FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+      (s, d) => {
+        val votes = (0 until simhashBits).map { j =>
+          val m = if (j < 32) col("m1") else col("m2")
+          sum(when(substring(m, j % 32 + 1, 1) < "8", 1).otherwise(-1)).as(s"v$j")
+        }
+        val bits = (0 until simhashBits).map(j =>
+          when(col(s"v$j") >= 0, "1").otherwise("0"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("m1"), md5(concat(lit("x"), col("tok"))).as("m2"))
+          .groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), concat(bits: _*).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val votes = (0 until simhashBits).map { j =>
+          val m = if (j < 32) "m1" else "m2"
+          s"SUM(CASE WHEN substring($m, ${j % 32 + 1}, 1) < '8' THEN 1 ELSE -1 END) AS v$j"
+        }.mkString(", ")
+        val bits = (0 until simhashBits).map(j =>
+          s"CASE WHEN v$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH toks AS (SELECT doc_id, md5(tok) AS m1, md5('x' || tok) AS m2 FROM (
+              SELECT doc_id, unnest($toksSql) AS tok FROM documents) t),
+            votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+            SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id"""
+      }),
 
-    // n-gram Jaccard similarity of consecutive doc pairs (3-grams, first 120 chars)
+    // word-bigram Jaccard similarity of consecutive doc pairs, whole text
     Q("q_dedup_jaccard",
       (s, d) => {
         val g = Tables(s, d, "documents")
-          .select(col("doc_id"), lower(substring(col("text"), 1, 120)).as("t"))
-          .select(col("doc_id"), explode(sequence(lit(1), length(col("t")) - 2)).as("p"), col("t"))
-          .select(col("doc_id"), expr("substring(t, p, 3)").as("gram"))
+          .select(col("doc_id"), explode(ngrams(toks(col("text")), 2)).as("gram"))
           .distinct()
         val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = g.as("a").join(g.as("b"),
@@ -164,10 +191,9 @@ object Dedup extends QueryModule {
             round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard"))
           .orderBy("doc_a")
       },
-      Some("""WITH g AS (SELECT DISTINCT doc_id, substring(t, p, 3) AS gram FROM (
-                SELECT doc_id, lower(substring(text, 1, 120)) AS t,
-                       unnest(generate_series(1, length(lower(substring(text, 1, 120))) - 2)) AS p
-                FROM documents) b),
+      Some(s"""WITH g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
+                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
               n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
               i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                 FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.gram = b.gram
