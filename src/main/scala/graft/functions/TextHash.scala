@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass document-signature expressions for the dedup pipeline.
+  *
+  * The declarative formulation (explode shingles → md5 per shingle → wide
+  * min/sum aggregate) is semantically right but pays per-shingle expression
+  * overhead and — worse — its janino-generated hash loop starts cold on
+  * every fresh JVM: the first run of a generated class executes interpreted
+  * until C2 tiers up, a measured ~30× penalty on the md5 path. These
+  * expressions do the whole signature in one compiled pass per document
+  * (plain jar code: JIT state is shared across every query that touches
+  * it), reuse one MessageDigest per thread instead of allocating per call,
+  * and emit NO intermediate rows — the MinHash stage becomes a pure
+  * projection, shuffle-free until the LSH bucket join. At cluster scale
+  * this is the ideal shape: an embarrassingly parallel map over documents.
+  *
+  * Values are bit-exact with the portable SQL formulation (and hence the
+  * DuckDB oracle): a MinHash family value is the lexicographically-minimal
+  * 8-hex-char slice of md5(shingle) / md5('x'||shingle); a SimHash bit is
+  * the per-document majority vote of hex-nibble draws of md5(token) /
+  * md5('x'||token). Reference semantics: apache/hama has no dedup surface;
+  * this follows the standard MinHash/SimHash constructions (Broder 1997,
+  * Charikar 2002) as SURVEY.md's LLM-pipeline extension.
+  */
+object TextHashUtil {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** digest of s and of "x"+s in one thread-local MessageDigest */
+  private def digest2(md: MessageDigest, s: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    md.reset()
+    val m1 = md.digest(s)
+    md.reset()
+    md.update('x'.toByte)
+    val m2 = md.digest(s)
+    (m1, m2)
+  }
+
+  /** big-endian unsigned 32-bit slice k (0..3) of a 16-byte digest — equals
+    * hex chars [8k, 8k+8) of the md5 hex string, compared as unsigned ints
+    * (lexicographic order on lowercase hex == unsigned numeric order) */
+  private def slice32(m: Array[Byte], k: Int): Long = {
+    val o = k * 4
+    ((m(o) & 0xffL) << 24) | ((m(o + 1) & 0xffL) << 16) |
+      ((m(o + 2) & 0xffL) << 8) | (m(o + 3) & 0xffL)
+  }
+
+  private def toHex8(v: Long): UTF8String = {
+    val cs = new Array[Char](8)
+    var i = 0
+    while (i < 8) { cs(i) = hexChars(((v >>> ((7 - i) * 4)) & 0xf).toInt); i += 1 }
+    UTF8String.fromString(new String(cs))
+  }
+
+  /** 8-value MinHash signature over word w-grams of the token array; null
+    * when the document has fewer than w tokens (no shingles — same docs
+    * the explode-formulation drops). */
+  def minhash(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return null
+    val md = md5Local.get()
+    val mins = Array.fill(8)(0xffffffffL + 1) // > any unsigned 32-bit value
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p <= n - w) {
+      sb.setLength(0)
+      var q = 0
+      while (q < w) {
+        if (q > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(p + q).toString)
+        q += 1
+      }
+      val (m1, m2) = digest2(md, sb.toString.getBytes(UTF_8))
+      var j = 0
+      while (j < 8) {
+        val v = slice32(if (j < 4) m1 else m2, j % 4)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins.map(toHex8))
+  }
+
+  /** distinct space-joined w-grams in first-occurrence order; empty array
+    * when the document has fewer than w tokens */
+  def distinctNGrams(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((n - w + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p <= n - w) {
+      sb.setLength(0)
+      var q = 0
+      while (q < w) {
+        if (q > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(p + q).toString)
+        q += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  /** 64-bit SimHash bit string ('1'/'0' per majority vote) over the token
+    * array; null when the document has no tokens. */
+  def simhash(tokens: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val md = md5Local.get()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val (m1, m2) = digest2(md, tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val m = if (j < 32) m1 else m2
+        val k = j % 32
+        val nib = (m(k / 2) >> (if (k % 2 == 0) 4 else 0)) & 0xf
+        votes(j) += (if (nib < 8) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    val cs = new Array[Char](64)
+    var j = 0
+    while (j < 64) { cs(j) = if (votes(j) >= 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(cs))
+  }
+}
+
+/** distinct word n-grams: array<string> tokens → array<string> of the
+  * doc's DISTINCT space-joined w-grams (first-occurrence order). Folding
+  * the per-document dedup into the expression means the n-gram relation
+  * needs no aggregate at all — explode directly yields distinct
+  * (doc, gram) pairs. */
+case class DistinctNGrams(child: Expression, nGramWidth: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"distinct_ngrams needs array<string>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.distinctNGrams(input.asInstanceOf[ArrayData], nGramWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.distinctNGrams($a, $nGramWidth)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctNGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "distinct_ngrams"
+}
+
+/** min-hash signature: array<string> tokens → array<string> of 8 hex mins */
+case class MinHashSig(child: Expression, nGramWidth: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.minhash(input.asInstanceOf[ArrayData], nGramWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextHashUtil.minhash($a, $nGramWidth);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** sim-hash signature: array<string> tokens → 64-char '1'/'0' bit string */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig needs array<string>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextHashUtil.simhash($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig"
+}
+
+object TextHash {
+  def minhashSig(tokens: Column, nGramWidth: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(tokens), nGramWidth))
+
+  def simhashSig(tokens: Column): Column =
+    bridge.column(SimHashSig(bridge.expression(tokens)))
+
+  def distinctNGrams(tokens: Column, nGramWidth: Int): Column =
+    bridge.column(DistinctNGrams(bridge.expression(tokens), nGramWidth))
+}

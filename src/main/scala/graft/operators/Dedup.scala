@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,6 +30,27 @@ object Dedup extends QueryModule {
   private val bandRows = 4 // → 2 bands
   private val simhashBits = 64
 
+  /** documents pre-partitioned by doc_id. The shingle→md5 stage expands
+    * each input byte into ~100× of CPU work, so parallelism must come from
+    * the partition count, not input splits: text corpora routinely arrive
+    * as a few large (often unsplittably-compressed) files, and here the
+    * sf tables are single-row-group parquet — a bare scan runs the whole
+    * hash pipeline in ONE task. Hash-partitioning on doc_id up front
+    * spreads that CPU across every core AND satisfies the downstream
+    * per-doc aggregates' clustering, so this exchange *replaces* the one
+    * the signature groupBy would otherwise run — it moves before the
+    * expansion instead of after partial aggregation.
+    *
+    * The partition count is explicit: AQE's coalescePartitions sizes
+    * post-shuffle partitions by shuffle BYTES, and raw text is tiny next
+    * to the ~100× per-row CPU behind it — left to AQE the exchange
+    * collapses back to one task. An explicit count is exactly the knob a
+    * cluster job would set (cores × executors) for a CPU-bound stage. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables(s, d, "documents").repartition(n, col("doc_id"))
+  }
+
   /** lowercase word tokens, empties dropped (split on non-alnum runs) */
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
@@ -36,44 +58,32 @@ object Dedup extends QueryModule {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
 
-  /** n-gram strings built per doc row BEFORE exploding — exploding a
-    * position index and slicing afterwards would duplicate the whole token
-    * array into every exploded row */
-  private def ngrams(tk: Column, w: Int): Column =
-    when(size(tk) >= w,
-      transform(sequence(lit(1), size(tk) - (w - 1)), p => concat_ws(" ", slice(tk, p, lit(w)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** (doc_id, sh): one row per word n-gram shingle */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), explode(ngrams(toks(col("text")), shingleWords)).as("sh"))
-
   private val shinglesSql =
     s"""sh AS (SELECT doc_id, array_to_string(tk[p:p + ${shingleWords - 1}], ' ') AS sh FROM (
          SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${shingleWords - 1})) AS p
          FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1)"""
 
-  /** (doc_id, j, minh): MinHash signature rows. One md5 yields 32 hex chars
-    * = four independent 8-hex (32-bit) hash values, so the 8 hash families
-    * need only TWO md5 calls per shingle (md5(sh), md5('x'||sh)) instead of
-    * 8 salted ones — 4× less hashing on the dominant path, same oracle
-    * portability. */
-  private def minhashes(s: SparkSession, d: String): DataFrame = {
-    // all 8 family-mins as ONE wide aggregate over the shingle rows — no 8×
-    // row explode before the shuffle; the per-doc signature is unpivoted
-    // afterwards from docs×1 wide rows (tiny)
-    val mins = (0 until numHashes).map { j =>
-      val m = if (j < 4) col("m1") else col("m2")
-      min(substring(m, (j % 4) * 8 + 1, 8)).as(s"h$j")
+  /** (doc_id, band, band_sig): LSH band signatures.
+    *
+    * Engine path: the native one-pass [[graft.functions.MinHashSig]]
+    * expression (one md5 yields four independent 32-bit family values, so
+    * 8 families cost TWO digests per shingle), then band signatures as a
+    * md5 over each 4-value slice — a pure PROJECTION per document: no
+    * shingle explode, no per-shingle expression rows, no aggregate, no
+    * shuffle. The oracle states the identical computation longhand in SQL
+    * (explode shingles → md5 → per-family MIN → band md5). */
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    val numBands = numHashes / bandRows
+    val sig = TextHash.minhashSig(toks(col("text")), shingleWords)
+    val bandStructs = (0 until numBands).map { b =>
+      val slice = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", slice: _*)).as("band_sig"))
     }
-    val sig = shingles(s, d)
-      .select(col("doc_id"), md5(col("sh")).as("m1"), md5(concat(lit("x"), col("sh"))).as("m2"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-    val pairs = (0 until numHashes).map(j => struct(lit(j).as("j"), col(s"h$j").as("minh")))
-    sig.select(col("doc_id"), explode(array(pairs: _*)).as("jm"))
-      .select(col("doc_id"), col("jm.j").cast("long").as("j"), col("jm.minh").as("minh"))
+    docs(s, d)
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull) // docs with fewer than `shingleWords` tokens have no shingles
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
   }
 
   private val minhashSql =
@@ -83,13 +93,6 @@ object Dedup extends QueryModule {
          MIN(substring(CASE WHEN j < 4 THEN m1 ELSE m2 END, (j % 4) * 8 + 1, 8)) AS minh
          FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${numHashes - 1})) AS j) js
          GROUP BY doc_id, j)"""
-
-  /** (doc_id, band, band_sig): LSH band signatures */
-  private def bands(s: SparkSession, d: String): DataFrame =
-    minhashes(s, d)
-      .groupBy(col("doc_id"), (col("j") / bandRows).cast("long").as("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("j"), col("minh")))),
-        x => x.getField("minh")), ",")).as("band_sig"))
 
   private val bandsSql =
     s"""bands AS (SELECT doc_id, j // $bandRows AS band,
@@ -138,26 +141,15 @@ object Dedup extends QueryModule {
                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
                ORDER BY doc_a, doc_b""")),
 
-    // SimHash: 64-bit signature, per-bit majority vote over token hashes.
-    // TWO md5 per token: 64 hex chars, hex char j is an independent 4-bit
-    // draw so bit j votes on char j < '8'. The 64 votes are a single WIDE
-    // aggregate (64 sum columns) — no 64× row explode before the shuffle.
+    // SimHash: 64-bit signature, per-bit majority vote over token hashes
+    // (TWO md5 per token: 64 hex-nibble draws, bit j votes on nibble < 8).
+    // Engine path is the native one-pass SimHashSig expression — a pure
+    // projection per document, no token explode and no 64-column aggregate.
     Q("q_dedup_simhash",
-      (s, d) => {
-        val votes = (0 until simhashBits).map { j =>
-          val m = if (j < 32) col("m1") else col("m2")
-          sum(when(substring(m, j % 32 + 1, 1) < "8", 1).otherwise(-1)).as(s"v$j")
-        }
-        val bits = (0 until simhashBits).map(j =>
-          when(col(s"v$j") >= 0, "1").otherwise("0"))
-        Tables(s, d, "documents")
-          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-          .select(col("doc_id"), md5(col("tok")).as("m1"), md5(concat(lit("x"), col("tok"))).as("m2"))
-          .groupBy("doc_id")
-          .agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"), concat(bits: _*).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextHash.simhashSig(toks(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull) // docs with zero tokens have no votes
+        .orderBy("doc_id"),
       Some {
         val votes = (0 until simhashBits).map { j =>
           val m = if (j < 32) "m1" else "m2"
@@ -174,22 +166,35 @@ object Dedup extends QueryModule {
     // word-bigram Jaccard similarity of consecutive doc pairs, whole text
     Q("q_dedup_jaccard",
       (s, d) => {
-        val g = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(ngrams(toks(col("text")), 2)).as("gram"))
-          .distinct()
-        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = g.as("a").join(g.as("b"),
+        // Per-doc gram dedup happens INSIDE the native DistinctNGrams
+        // expression, so exploding directly yields distinct (doc, gram)
+        // pairs — no aggregate. The relation is referenced three times
+        // (both self-join sides + per-doc counts): materialize it once,
+        // eagerly, instead of re-running the gram pipeline per reference.
+        val g = docs(s, d)
+          .select(col("doc_id"),
+            explode(TextHash.distinctNGrams(toks(col("text")), 2)).as("gram"))
+          .localCheckpoint()
+        // shuffle_hash hint: both sides are the corpus-scale gram relation.
+        // The static estimate under the explode is just the parquet scan
+        // (tiny), so left to itself the planner broadcasts — builds a hash
+        // map of the whole corpus — which cannot survive 100 TB.
+        val inter = g.as("a").join(g.as("b").hint("shuffle_hash"),
             col("b.doc_id") === col("a.doc_id") + 1 && col("a.gram") === col("b.gram"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
+        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // no broadcast hint on n: it scales with the corpus — AQE picks
         // broadcast at small SF and shuffle join at scale
-        inter
+        val out = inter
           .join(n.as("na"), col("doc_a") === col("na.doc_id"))
           .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard"))
           .orderBy("doc_a")
+          .localCheckpoint() // eager; O(doc pairs), small
+        graft.plans.Iterate.release(g) // free the gram blocks now, not at harness clearCache
+        out
       },
       Some(s"""WITH g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
                 SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
