@@ -88,12 +88,15 @@ object Graph extends QueryModule {
   }
 
   private def ccSql(rounds: Int): String = {
+    // each round = min-label propagate over edges, then pointer-jump
+    // lbl ← lbl[lbl] (labels are vertex ids, so the label table maps them)
     val steps = (0 until rounds).map { i =>
-      s"""c${i + 1} AS (SELECT v, MIN(lbl) AS lbl FROM (
+      s"""p${i + 1} AS (SELECT v, MIN(lbl) AS lbl FROM (
          SELECT v, lbl FROM c$i
          UNION ALL
          SELECT eu.dst AS v, c$i.lbl AS lbl
-         FROM c$i JOIN eu ON eu.src = c$i.v) t GROUP BY v)"""
+         FROM c$i JOIN eu ON eu.src = c$i.v) t GROUP BY v),
+         c${i + 1} AS (SELECT c.v, p.lbl FROM p${i + 1} c JOIN p${i + 1} p ON p.v = c.lbl)"""
     }.mkString(",\n")
     s"""WITH $edgesSql,
        $undirectedSql,
@@ -171,19 +174,40 @@ object Graph extends QueryModule {
   /** Connected components via min-label propagation (MindistSearch,
     * `examples/src/main/java/org/apache/hama/examples/MindistSearch.java:47-117`,
     * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
-  private def cc(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+  private def cc(s: SparkSession, d: String, rounds: Int = 4): DataFrame = {
     val e = edges(s, d)
     val vs = nodes(e).cache()
     // self-loops fold "keep own label" into the message join (see sssp note)
     val euPlus = undirected(e)
       .unionAll(vs.select(col("v").as("src"), col("v").as("dst"))).cache()
     val init = vs.select(col("v"), col("v").as("lbl"))
-    val out = Iterate(init, rounds, checkpointEvery = 3) { (c, _) =>
-      c.as("cc").join(euPlus.as("ee"), col("cc.v") === col("ee.src"))
+    // each round: min-label propagate over edges, then POINTER-JUMP
+    // lbl ← lbl[lbl] (labels are vertex ids, so the label table itself is
+    // the mapping). Label distance roughly doubles per round — O(log d)
+    // rounds instead of O(d), the only diameter-robust formulation at
+    // 100 TB graph scale where a fixed small round count quietly stops
+    // converging. 4 jump rounds cover what ≥8 plain rounds did.
+    // The jump self-join references the propagated labels TWICE, so the
+    // round state is eagerly checkpointed first — otherwise each reference
+    // re-derives the whole propagate lineage and the plan doubles per
+    // round. One materialization of the (tiny relative to edges) label
+    // table per round is the price of halving the round count; superseded
+    // blocks are freed at the next barrier as usual.
+    var cur = init
+    var prevCkpt: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val p = cur.as("cc").join(euPlus.as("ee"), col("cc.v") === col("ee.src"))
         .groupBy(col("ee.dst").as("v"))
         .agg(min(col("cc.lbl")).as("lbl"))
+        .localCheckpoint() // eager: materialized before the double reference
+      cur = p.as("c").join(p.as("p"), col("c.lbl") === col("p.v"))
+        .select(col("c.v"), col("p.lbl").as("lbl"))
+      if (prevCkpt != null) Iterate.release(prevCkpt)
+      prevCkpt = p
+      i += 1
     }
-    out.orderBy("v")
+    cur.orderBy("v")
   }
 
   /** K-core estimate, fixed supersteps: each vertex lowers its estimate to
@@ -220,7 +244,7 @@ object Graph extends QueryModule {
 
     Q("q_graph_sssp", (s, d) => sssp(s, d), Some(ssspSql(6))),
 
-    Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(8))),
+    Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(4))),
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
