@@ -160,53 +160,165 @@ object ML extends QueryModule {
 
   // ---- Collaborative filtering (OnlineCF capability) ---------------------
   // ml/src/main/java/org/apache/hama/ml/recommendation/cf/OnlineCF.java:59-220
-  // trains user/item factor vectors by incremental message rounds; the same
-  // capability re-expressed distributed-first is alternating least squares:
-  // each half-step is one join + one shuffle agg (closed-form rank-1 update
-  // u_i = Σ r·v / Σ v², v_j = Σ r·u / Σ u²), fully data-parallel — no factor
-  // ever touches the driver. Fixed 2 iterations + per-step rounding makes it
-  // [exact] against an unrolled SQL oracle (the reference checks MAE
-  // thresholds, `ml/src/test/.../recommendation/TestOnlineCF.java:37-120`).
+  // trains RANK-K user/item factor vectors (CONF_MATRIX_RANK; incremental
+  // per-rating updates synced by message rounds, OnlineTrainBSP.java:106-330).
+  // The same capability re-expressed distributed-first is rank-k alternating
+  // least squares: each half-step solves per-entity ridge normal equations
+  // from ONE join + ONE shuffle agg — fully data-parallel, no factor ever
+  // touches the driver. Declared at k=2 where the k×k solve has a closed
+  // form both Spark and the SQL oracle state identically (general k swaps
+  // in a per-row Gaussian-elimination expression; the join/agg dataflow —
+  // the part that matters at scale — is unchanged). Fixed 2 sweeps +
+  // per-step rounding makes it [exact] against the unrolled oracle, and MAE
+  // is scored on a HELD-OUT (u+i)%5=0 test split, mirroring the train/test
+  // protocol of `ml/src/test/.../recommendation/TestOnlineCF.java:37-120`.
   private val cfU = 30 // user-id modulus
   private val cfI = 20 // item-id modulus
+  private val cfLambda = 0.1 // ridge term keeping the 2x2 solve non-singular
 
-  private def cf(s: SparkSession, d: String): DataFrame = {
-    val r = Tables(s, d, "orders")
+  /** (u, i, rt, is_test): derived ratings with the held-out split flag */
+  private def cfRatings(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
       .groupBy((col("o_custkey") % cfU).as("u"), (col("o_orderkey") % cfI).as("i"))
       .agg(avg(col("o_orderkey") % 5 + 1).as("rt"))
-      .cache()
-    val v0 = r.select("i").distinct().withColumn("vf", lit(1.0))
-    def uStep(v: DataFrame): DataFrame = r.join(v, "i").groupBy("u")
-      .agg(round(sum(col("rt") * col("vf")) / sum(col("vf") * col("vf")), 9).as("uf"))
-    def vStep(u: DataFrame): DataFrame = r.join(u, "u").groupBy("i")
-      .agg(round(sum(col("rt") * col("uf")) / sum(col("uf") * col("uf")), 9).as("vf"))
+      .withColumn("is_test", (col("u") + col("i")) % 5 === 0)
+
+  /** rank-2 factor tables (u2, v2) after two unrolled ALS sweeps */
+  private def cfFactors(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val r = cfRatings(s, d).cache()
+    val train = r.filter(!col("is_test"))
+    // deterministic symmetry-breaking init (the reference seeds randomly;
+    // an oracle needs both engines to agree on the start point)
+    val v0 = train.select("i").distinct()
+      .select(col("i"), lit(1.0).as("f1"), (lit(0.1) + (col("i") % 7) / 10.0).as("f2"))
+    // one ALS half-step: per-entity 2x2 ridge normal equations, closed form
+    def solve(grouped: DataFrame, key: String): DataFrame = grouped
+      .groupBy(key)
+      .agg(
+        (sum(col("f1") * col("f1")) + cfLambda).as("a11"),
+        sum(col("f1") * col("f2")).as("a12"),
+        (sum(col("f2") * col("f2")) + cfLambda).as("a22"),
+        sum(col("rt") * col("f1")).as("b1"),
+        sum(col("rt") * col("f2")).as("b2"))
+      .select(col(key),
+        round((col("a22") * col("b1") - col("a12") * col("b2")) /
+          (col("a11") * col("a22") - col("a12") * col("a12")), 9).as("f1"),
+        round((col("a11") * col("b2") - col("a12") * col("b1")) /
+          (col("a11") * col("a22") - col("a12") * col("a12")), 9).as("f2"))
+    def uStep(v: DataFrame): DataFrame = solve(train.join(v, "i"), "u")
+    def vStep(u: DataFrame): DataFrame = solve(train.join(u, "u"), "i")
     val u1 = uStep(v0); val v1 = vStep(u1)
     val u2 = uStep(v1); val v2 = vStep(u2)
-    r.join(u2, "u").join(v2, "i")
-      .agg(round(avg(abs(col("rt") - col("uf") * col("vf"))), 6).as("mae"),
-        count(lit(1)).as("n"))
+    (r, u2, v2)
+  }
+
+  private def cf(s: SparkSession, d: String): DataFrame = {
+    val (r, u2, v2) = cfFactors(s, d)
+    r.filter(col("is_test"))
+      .join(u2.withColumnRenamed("f1", "uf1").withColumnRenamed("f2", "uf2"), "u")
+      .join(v2.withColumnRenamed("f1", "vf1").withColumnRenamed("f2", "vf2"), "i")
+      .agg(round(avg(abs(col("rt") - (col("uf1") * col("vf1") + col("uf2") * col("vf2")))), 6)
+        .as("mae"), count(lit(1)).as("n"))
+  }
+
+  /** top-3 unrated (in train) items per user by estimated preference —
+    * the `estimatePreference` / `getMostPreferredItems` surface
+    * (ml/.../recommendation/cf/OnlineCF.java:392-447). Full user×item
+    * scoring is bounded by the item catalog (broadcast side); at corpus
+    * scale the top-N would route through the ANN path in Similarity. */
+  private def cfRecommend(s: SparkSession, d: String): DataFrame = {
+    val (r, u2, v2) = cfFactors(s, d)
+    val train = r.filter(!col("is_test"))
+    val scored = u2.withColumnRenamed("f1", "uf1").withColumnRenamed("f2", "uf2")
+      .crossJoin(broadcast(v2.withColumnRenamed("f1", "vf1").withColumnRenamed("f2", "vf2")))
+      .join(train.select("u", "i"), Seq("u", "i"), "left_anti")
+      .select(col("u"), col("i"),
+        round(col("uf1") * col("vf1") + col("uf2") * col("vf2"), 6).as("score"))
+    scored
+      .withColumn("rec_rank",
+        row_number().over(Window.partitionBy("u").orderBy(desc("score"), asc("i"))).cast("long"))
+      .filter(col("rec_rank") <= 3)
+      .orderBy("u", "rec_rank")
+  }
+
+  /** item-item co-rating cosine similarity — the ItemSimilarity surface
+    * (ml/.../recommendation/ItemSimilarity.java); pairs are generated per
+    * co-rating USER (never catalog×catalog), so the join is bounded by
+    * Σ_u (#items rated by u)² — the standard co-occurrence shape. */
+  private def cfItemSim(s: SparkSession, d: String): DataFrame = {
+    val r = cfRatings(s, d).cache()
+    val nrm = r.groupBy("i").agg(sqrt(sum(col("rt") * col("rt"))).as("nrm"))
+    r.as("a").join(r.as("b"), col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i_a"), col("b.i").as("i_b"))
+      .agg(sum(col("a.rt") * col("b.rt")).as("dot"))
+      .join(nrm.as("na"), col("i_a") === col("na.i"))
+      .join(nrm.as("nb"), col("i_b") === col("nb.i"))
+      .select(col("i_a"), col("i_b"),
+        round(col("dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cos_sim"))
+      .orderBy("i_a", "i_b")
+  }
+
+  private val cfRatingsSql =
+    s"""r AS (SELECT o_custkey % $cfU AS u, o_orderkey % $cfI AS i,
+         AVG(o_orderkey % 5 + 1) AS rt,
+         ((o_custkey % $cfU) + (o_orderkey % $cfI)) % 5 = 0 AS is_test
+         FROM orders GROUP BY 1, 2)"""
+
+  private val cfFactorsSql: String = {
+    def solve(key: String, other: String, src: String) =
+      s"""(SELECT $key,
+            ROUND((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 9) AS f1,
+            ROUND((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 9) AS f2 FROM (
+           SELECT t.$key,
+             SUM(f.f1 * f.f1) + $cfLambda AS a11, SUM(f.f1 * f.f2) AS a12,
+             SUM(f.f2 * f.f2) + $cfLambda AS a22,
+             SUM(t.rt * f.f1) AS b1, SUM(t.rt * f.f2) AS b2
+           FROM train t JOIN $src f ON t.$other = f.$other GROUP BY t.$key) s)"""
+    s"""$cfRatingsSql,
+       train AS (SELECT u, i, rt FROM r WHERE NOT is_test),
+       v0 AS (SELECT DISTINCT i, 1.0 AS f1, 0.1 + (i % 7) / 10.0 AS f2 FROM train),
+       u1 AS ${solve("u", "i", "v0")},
+       v1 AS ${solve("i", "u", "u1")},
+       u2 AS ${solve("u", "i", "v1")},
+       v2 AS ${solve("i", "u", "u2")}"""
   }
 
   private val cfSql: String =
-    s"""WITH r AS (SELECT o_custkey % $cfU AS u, o_orderkey % $cfI AS i,
-         AVG(o_orderkey % 5 + 1) AS rt FROM orders GROUP BY u, i),
-       v0 AS (SELECT DISTINCT i, 1.0 AS vf FROM r),
-       u1 AS (SELECT r.u, ROUND(SUM(r.rt * v0.vf) / SUM(v0.vf * v0.vf), 9) AS uf
-              FROM r JOIN v0 ON r.i = v0.i GROUP BY r.u),
-       v1 AS (SELECT r.i, ROUND(SUM(r.rt * u1.uf) / SUM(u1.uf * u1.uf), 9) AS vf
-              FROM r JOIN u1 ON r.u = u1.u GROUP BY r.i),
-       u2 AS (SELECT r.u, ROUND(SUM(r.rt * v1.vf) / SUM(v1.vf * v1.vf), 9) AS uf
-              FROM r JOIN v1 ON r.i = v1.i GROUP BY r.u),
-       v2 AS (SELECT r.i, ROUND(SUM(r.rt * u2.uf) / SUM(u2.uf * u2.uf), 9) AS vf
-              FROM r JOIN u2 ON r.u = u2.u GROUP BY r.i)
-       SELECT ROUND(AVG(ABS(r.rt - u2.uf * v2.vf)), 6) AS mae, COUNT(*) AS n
-       FROM r JOIN u2 ON r.u = u2.u JOIN v2 ON r.i = v2.i"""
+    s"""WITH $cfFactorsSql
+       SELECT ROUND(AVG(ABS(r.rt - (u2.f1 * v2.f1 + u2.f2 * v2.f2))), 6) AS mae,
+              COUNT(*) AS n
+       FROM r JOIN u2 ON r.u = u2.u JOIN v2 ON r.i = v2.i WHERE r.is_test"""
+
+  private val cfRecommendSql: String =
+    s"""WITH $cfFactorsSql,
+       scored AS (SELECT u2.u, v2.i,
+           ROUND(u2.f1 * v2.f1 + u2.f2 * v2.f2, 6) AS score
+         FROM u2 CROSS JOIN v2
+         WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.u = u2.u AND t.i = v2.i)),
+       ranked AS (SELECT u, i, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, i) AS BIGINT) AS rec_rank
+         FROM scored)
+       SELECT u, i, score, rec_rank FROM ranked WHERE rec_rank <= 3
+       ORDER BY u, rec_rank"""
+
+  private val cfItemSimSql: String =
+    s"""WITH $cfRatingsSql,
+       nrm AS (SELECT i, SQRT(SUM(rt * rt)) AS nrm FROM r GROUP BY i),
+       dots AS (SELECT a.i AS i_a, b.i AS i_b, SUM(a.rt * b.rt) AS dot
+         FROM r a JOIN r b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2)
+       SELECT i_a, i_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+       FROM dots JOIN nrm na ON i_a = na.i JOIN nrm nb ON i_b = nb.i
+       ORDER BY i_a, i_b"""
 
   override val defs: Seq[Q] = Seq(
 
     Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
 
     Q("q_ml_cf", (s, d) => cf(s, d), Some(cfSql)),
+
+    Q("q_ml_cf_recommend", (s, d) => cfRecommend(s, d), Some(cfRecommendSql)),
+
+    Q("q_ml_cf_item_sim", (s, d) => cfItemSim(s, d), Some(cfItemSimSql)),
 
     Q("q_ml_linreg", (s, d) => linreg(s, d), Some(linregSql)),
 
