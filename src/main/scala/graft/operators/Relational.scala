@@ -283,6 +283,44 @@ object Relational extends QueryModule {
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name ORDER BY n_name""")),
 
+    // the composite-join expression LANGUAGE end-to-end: the reference's
+    // defining join feature is the string grammar parsed at job-conf time
+    // with user ops registered under bsp.join.define.<ident>
+    // (core/.../bsp/join/CompositeInputFormat.java:43-91, Parser.java:62-496).
+    // Here: parse → JoinSpec ADT → Catalyst joins, with `concat2` resolved
+    // from session conf via Class.forName — the user-extension hook proven
+    // in a declared query, not just specs. Leaf convention: a table's first
+    // two columns are its (key, value) pair (the SequenceFile K/V analogue).
+    Q("q_join_dsl",
+      (s, d) => {
+        s.conf.set("graft.join.define.concat2", classOf[ConcatValsOp].getName)
+        val resolve: (String, String) => JoinSpec.Tbl = {
+          case ("parquet", name) =>
+            val df = t(s, d, name)
+            val Array(k, v) = df.columns.take(2)
+            JoinSpec.Tbl(df.select(col(k).cast("long").as("k"), col(v).as("v")), "k", "v")
+          case (cls, p) =>
+            throw new IllegalArgumentException(s"unresolvable tbl($cls, $p)")
+        }
+        val expr = JoinSpec.parse(
+          """inner(tbl(parquet,"customer"),
+                   concat2(tbl(parquet,"supplier"),
+                           override(tbl(parquet,"nation"),tbl(parquet,"region"))))""",
+          resolve, JoinSpec.definesFromConf(s))
+        JoinSpec.compose(expr).orderBy("key")
+      },
+      Some("""WITH ovr AS (
+                SELECT COALESCE(n.n_nationkey, r.r_regionkey) AS key,
+                       COALESCE(r.r_name, n.n_name) AS v0
+                FROM nation n FULL OUTER JOIN region r ON n.n_nationkey = r.r_regionkey),
+              cc AS (
+                SELECT COALESCE(s.s_suppkey, o.key) AS key,
+                       concat_ws('|', s.s_name, o.v0) AS v0
+                FROM supplier s FULL OUTER JOIN ovr o ON s.s_suppkey = o.key)
+              SELECT CAST(c.c_custkey AS BIGINT) AS key, c.c_name AS v0, cc.v0 AS v1
+              FROM customer c JOIN cc ON c.c_custkey = cc.key
+              ORDER BY key""")),
+
     // Spark-side extensions the reference lacks (SURVEY §2.3 "not present"):
     Q("q_join_semi",
       (s, d) => t(s, d, "customer")
