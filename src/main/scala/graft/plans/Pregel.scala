@@ -39,13 +39,26 @@ import scala.reflect.runtime.universe.TypeTag
   */
 object Pregel {
 
-  /** Result of one vertex compute call. */
+  /** Result of one vertex compute call.
+    *
+    * `unconsumed` is the PERSISTENT_QUEUE analogue
+    * (`core/.../bsp/message/AbstractMessageManager.java:145-161`,
+    * `MessageQueue.PERSISTENT_QUEUE`): messages the vertex leaves in its
+    * inbox are redelivered to it next superstep, merged with newly arriving
+    * ones. Carried messages count as in-flight, so the global halt cannot
+    * fire while any inbox is non-empty — a message survives an idle
+    * superstep exactly as in the reference's TestPersistQueue. They travel
+    * the same dst-keyed exchange as ordinary messages (key = own id, so
+    * they stay in their shuffle partition); under a combiner they merge
+    * with fresh arrivals at delivery, which a commutative-associative
+    * combiner must tolerate anyway. */
   final case class ComputeResult[V, M](
       value: V,
       voteToHalt: Boolean = false,
       messages: Seq[(Long, M)] = Nil,
       remove: Boolean = false,
-      add: Seq[(Long, V)] = Nil)
+      add: Seq[(Long, V)] = Nil,
+      unconsumed: Seq[M] = Nil)
 
   /** Per-superstep global aggregation (master side): fold over vertex
     * values on executors via `observe`, finalized value re-broadcast to the
@@ -136,7 +149,9 @@ object Pregel {
           val delivered: Seq[M] = if (in == null) Nil else in._2
           val out = if (delivered.nonEmpty || !halted || step == 0) {
             val r = fn(id, value, delivered, step, aggIn)
-            ((id, r.value, r.voteToHalt), r.messages, r.add, r.remove)
+            // unconsumed inbox → self-addressed redelivery next superstep
+            ((id, r.value, r.voteToHalt),
+              r.messages ++ r.unconsumed.map(m => (id, m)), r.add, r.remove)
           } else ((id, value, halted), Seq.empty[(Long, M)], Seq.empty[(Long, V)], false)
           accMsgs.add(out._2.size.toLong)
           if (!out._1._3) accActive.add(1L)

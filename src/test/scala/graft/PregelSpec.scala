@@ -98,4 +98,42 @@ class PregelSpec extends AnyFunSuite {
         else ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true))
     assert(res.collect().toMap === Map(1L -> SumV(5)))
   }
+
+  test("persistent inbox: unconsumed messages survive idle supersteps (TestPersistQueue)") {
+    // mirrors core/src/test/.../TestPersistQueue.java: the receiver only
+    // drains its inbox on some supersteps; carried messages must neither be
+    // lost nor allow the job to halt while any inbox is non-empty
+    val verts = Seq(0L -> SumV(0), 1L -> SumV(0)).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 10)(
+      (id, v, msgs, step, _) =>
+        if (id == 1L) {
+          // sender: one message at superstep 0, then halted forever
+          if (step == 0) ComputeResult(v, voteToHalt = true, messages = Seq((0L, 5L)))
+          else ComputeResult(v, voteToHalt = true)
+        } else {
+          // receiver: refuses to consume before superstep 3 — the message
+          // must ride the persistent queue across two idle supersteps
+          if (step < 3) ComputeResult(v, voteToHalt = true, unconsumed = msgs)
+          else ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true)
+        })
+    assert(res.collect().toMap === Map(0L -> SumV(5), 1L -> SumV(0)))
+  }
+
+  test("persistent inbox: carried messages merge with newly arriving ones") {
+    // sender emits 1 per superstep for 4 supersteps; receiver consumes only
+    // on even supersteps, carrying odd-superstep arrivals — total must be
+    // exactly the number sent (nothing lost, nothing duplicated)
+    val verts = Seq(0L -> SumV(0), 1L -> SumV(0)).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 10)(
+      (id, v, msgs, step, _) =>
+        if (id == 1L) {
+          // stays active while sending (a halted vertex does not compute)
+          if (step < 4) ComputeResult(v, messages = Seq((0L, 1L)))
+          else ComputeResult(v, voteToHalt = true)
+        } else {
+          if (step % 2 == 1) ComputeResult(v, voteToHalt = true, unconsumed = msgs)
+          else ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true)
+        })
+    assert(res.collect().toMap === Map(0L -> SumV(4), 1L -> SumV(0)))
+  }
 }
