@@ -1,80 +1,203 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns: image/audio/video handled as opaque `binary` payloads
-  * with typed metadata extracted by batched per-partition workers — the
-  * Spark-side plumbing (schema, batch shape, partition parallelism) is real;
-  * the actual codec call is stubbed behind [[FakeCodec]] because no media
-  * libraries ship in this environment.
+/** Multimodal columns: image/audio payloads as opaque `binary` columns with
+  * typed metadata extracted by batched per-partition decode workers.
   *
-  * At scale this is the `mapInPandas`/Arrow-batch pattern: payloads stay on
-  * executors, workers see fixed-size batches, output is a typed struct
-  * column that downstream relational operators can filter/aggregate on.
+  * The decode stage is REAL: fixtures are genuine BMP (BITMAPINFOHEADER)
+  * and WAV (RIFF/fmt/data) files built per document, and the decoder
+  * parses the little-endian headers back — builder and parser must agree
+  * on byte layout for the oracle (which recomputes the same metadata from
+  * the generation formulas in pure SQL arithmetic) to match. A production
+  * build swaps the parser for a full codec (libjpeg/ffmpeg bindings);
+  * everything around it — batching, schema, partition parallelism — is the
+  * shape that carries over, the `mapInPandas`/Arrow-batch pattern with
+  * payloads staying on executors.
   */
 object Multimodal extends QueryModule {
 
-  /** Typed metadata row produced by the decode stage. */
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, magic: String,
-      width: Long, height: Long, n_chunks: Long)
+  /** Typed metadata row produced by the image decode stage. */
+  final case class ImageMeta(doc_id: Long, n_bytes: Long, magic: String,
+      width: Long, height: Long, bpp: Long, n_chunks: Long)
 
-  /** Deterministic stand-in for a real image/audio decoder.
-    *
-    * A production build would replace `decode` with the real codec
-    * (e.g. libjpeg / ffmpeg bindings) — everything around it (batching,
-    * schema, partitioning) stays unchanged. Dimensions are derived
-    * deterministically from payload size so tests and the SQL oracle can
-    * validate the plumbing end-to-end.
-    */
-  object FakeCodec {
-    val chunkBytes = 64
+  /** Typed metadata row produced by the audio decode stage. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, magic: String,
+      channels: Long, sample_rate: Long, bits: Long, n_samples: Long,
+      duration_ms: Long)
 
-    def decode(payload: Array[Byte]): (Long, Long, Long) = {
-      // real impl: ??? (codec unavailable in this container)
-      val n = payload.length.toLong
-      (n % 640, (n * 7) % 480, (n + chunkBytes - 1) / chunkBytes)
+  val chunkBytes = 64
+
+  /** Deterministic media fixtures: real file bytes, dimensions derived
+    * from the doc id (so the SQL oracle can restate them arithmetically). */
+  object MediaFixture {
+    def bmpWidth(id: Long): Int = (1 + id % 64).toInt
+    def bmpHeight(id: Long): Int = (1 + (id * 7) % 48).toInt
+
+    /** 24-bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER + rows
+      * padded to 4 bytes, deterministic pixel filler. */
+    def bmp(id: Long): Array[Byte] = {
+      val w = bmpWidth(id); val h = bmpHeight(id)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val imageSize = rowSize * h
+      val fileSize = 54 + imageSize
+      val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.putInt(fileSize).putShort(0).putShort(0).putInt(54) // size, res, px offset
+      b.putInt(40).putInt(w).putInt(h) // DIB size, width, height
+      b.putShort(1).putShort(24) // planes, bpp
+      b.putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var i = 0
+      while (i < imageSize) { b.put(((id + i) & 0xff).toByte); i += 1 }
+      b.array()
     }
 
-    def magic(payload: Array[Byte]): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(payload).take(4).map("%02x".format(_)).mkString
+    def wavChannels(id: Long): Int = (1 + id % 2).toInt
+    def wavRate(id: Long): Int = (8000 * (1 + id % 3)).toInt
+    def wavSamples(id: Long): Int = (100 + id % 400).toInt
+
+    /** 16-bit PCM WAV: RIFF header + fmt + data chunks, deterministic
+      * sample filler. */
+    def wav(id: Long): Array[Byte] = {
+      val ch = wavChannels(id); val rate = wavRate(id); val n = wavSamples(id)
+      val dataBytes = n * ch * 2
+      val b = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(1).putShort(ch.toShort) // PCM, channels
+      b.putInt(rate).putInt(rate * ch * 2) // sample rate, byte rate
+      b.putShort((ch * 2).toShort).putShort(16) // block align, bits
+      b.put("data".getBytes).putInt(dataBytes)
+      var i = 0
+      while (i < dataBytes) { b.put(((id * 3 + i) & 0xff).toByte); i += 1 }
+      b.array()
     }
   }
 
-  /** The batched per-partition decode stage (mapInPandas analogue): binary
-    * payloads → typed metadata, processed in fixed-size batches. */
-  def decodeMeta(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+  /** Header parsers — real byte-level decode; throws on malformed input.
+    * The decode verifies bytes → metadata: any disagreement between the
+    * builder's and parser's idea of the layout breaks the oracle match. */
+  object MediaCodec {
+    def decodeBmp(bytes: Array[Byte]): (String, Long, Long, Long) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new String(Array(b.get(), b.get()))
+      require(magic == "BM", s"not a BMP: $magic")
+      b.getInt; b.getInt; b.getInt // file size, reserved, pixel offset
+      require(b.getInt == 40, "unsupported DIB header")
+      val w = b.getInt.toLong
+      val h = b.getInt.toLong
+      b.getShort // planes
+      val bpp = b.getShort.toLong
+      (magic, w, h, bpp)
+    }
+
+    def decodeWav(bytes: Array[Byte]): (String, Long, Long, Long, Long) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val riff = new String(Array(b.get(), b.get(), b.get(), b.get()))
+      require(riff == "RIFF", s"not RIFF: $riff")
+      b.getInt // riff size
+      require(new String(Array(b.get(), b.get(), b.get(), b.get())) == "WAVE", "not WAVE")
+      require(new String(Array(b.get(), b.get(), b.get(), b.get())) == "fmt ", "missing fmt")
+      require(b.getInt == 16, "unsupported fmt size")
+      require(b.getShort == 1, "not PCM")
+      val ch = b.getShort.toLong
+      val rate = b.getInt.toLong
+      b.getInt; b.getShort // byte rate, block align
+      val bits = b.getShort.toLong
+      require(new String(Array(b.get(), b.get(), b.get(), b.get())) == "data", "missing data")
+      val dataBytes = b.getInt.toLong
+      (riff, ch, rate, bits, dataBytes)
+    }
+  }
+
+  /** Batched per-partition image decode (mapInPandas analogue): binary
+    * payloads → typed metadata, workers see fixed-size batches. */
+  def decodeImages(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[ImageMeta] = {
     import s.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one "worker call" per batch — the real codec would be invoked here
+          // one "worker call" per batch — a full codec slots in here
           batch.iterator.map { case (id, bytes) =>
-            val (w, h, chunks) = FakeCodec.decode(bytes)
-            MediaMeta(id, bytes.length.toLong, FakeCodec.magic(bytes), w, h, chunks)
+            val (magic, w, h, bpp) = MediaCodec.decodeBmp(bytes)
+            ImageMeta(id, bytes.length.toLong, magic, w, h, bpp,
+              (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
           }
         }
       }
   }
 
-  /** documents.text treated as an opaque binary payload */
-  def payloads(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+  /** Batched per-partition audio decode. */
+  def decodeAudio(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[AudioMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (magic, ch, rate, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+            val nSamples = dataBytes / (ch * bits / 8)
+            AudioMeta(id, bytes.length.toLong, magic, ch, rate, bits, nSamples,
+              nSamples * 1000 / rate)
+          }
+        }
+      }
+  }
+
+  /** binary image payloads: one real BMP per document */
+  def imagePayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixture.bmp(id))).toDF("doc_id", "payload")
+  }
+
+  /** binary audio payloads: one real WAV per document */
+  def audioPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixture.wav(id))).toDF("doc_id", "payload")
+  }
 
   override val defs: Seq[Q] = Seq(
+    // image metadata parsed from real BMP bytes; the oracle restates the
+    // fixture's generation formulas (width = 1 + id % 64, rows padded to
+    // 4 bytes, 54-byte header) — builder and parser must agree on the
+    // actual byte layout for the hashes to match
     Q("q_mm_meta",
-      (s, d) => decodeMeta(s, payloads(s, d)).toDF()
+      (s, d) => decodeImages(s, imagePayloads(s, d)).toDF()
         .select(col("doc_id"), col("n_bytes"), col("magic"), col("width"),
-          col("height"), col("n_chunks"))
+          col("height"), col("bpp"), col("n_chunks"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-               substring(md5(text), 1, 8) AS magic,
-               CAST(strlen(text) % 640 AS BIGINT) AS width,
-               CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
-               CAST((strlen(text) + ${FakeCodec.chunkBytes} - 1) // ${FakeCodec.chunkBytes} AS BIGINT) AS n_chunks
-               FROM documents ORDER BY doc_id"""))
+      Some(s"""WITH dims AS (SELECT doc_id,
+                 1 + doc_id % 64 AS width, 1 + (doc_id * 7) % 48 AS height
+                 FROM documents),
+               sz AS (SELECT doc_id, width, height,
+                 54 + ((3 * width + 3) // 4) * 4 * height AS n_bytes FROM dims)
+               SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, 'BM' AS magic,
+                 CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+                 CAST(24 AS BIGINT) AS bpp,
+                 CAST((n_bytes + $chunkBytes - 1) // $chunkBytes AS BIGINT) AS n_chunks
+               FROM sz ORDER BY doc_id""")),
+
+    // audio metadata parsed from real WAV (RIFF/fmt/data) bytes
+    Q("q_mm_audio_meta",
+      (s, d) => decodeAudio(s, audioPayloads(s, d)).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("magic"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_samples"), col("duration_ms"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+                1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate,
+                100 + doc_id % 400 AS n FROM documents)
+              SELECT doc_id, CAST(44 + n * ch * 2 AS BIGINT) AS n_bytes,
+                'RIFF' AS magic, CAST(ch AS BIGINT) AS channels,
+                CAST(rate AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(n * 1000 // rate AS BIGINT) AS duration_ms
+              FROM p ORDER BY doc_id"""))
   )
 }

@@ -1,27 +1,66 @@
 package graft
 
 import graft.operators.Multimodal
-import org.apache.spark.sql.functions._
+import graft.operators.Multimodal.{MediaCodec, MediaFixture}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  test("batched mapPartitions decode matches the declarative metadata path") {
-    val viaWorkers = Multimodal.decodeMeta(spark, Multimodal.payloads(spark, TestSpark.sf0),
+  test("BMP round-trip: the parser recovers exactly what the builder encoded") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
+      val bytes = MediaFixture.bmp(id)
+      val (magic, w, h, bpp) = MediaCodec.decodeBmp(bytes)
+      assert(magic === "BM")
+      assert(w === MediaFixture.bmpWidth(id))
+      assert(h === MediaFixture.bmpHeight(id))
+      assert(bpp === 24L)
+      // declared file size in the header matches the actual byte count
+      val declared = java.nio.ByteBuffer.wrap(bytes, 2, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert(declared === bytes.length)
+    }
+  }
+
+  test("WAV round-trip: RIFF/fmt/data headers parse back") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 500L)) {
+      val bytes = MediaFixture.wav(id)
+      val (magic, ch, rate, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+      assert(magic === "RIFF")
+      assert(ch === MediaFixture.wavChannels(id))
+      assert(rate === MediaFixture.wavRate(id))
+      assert(bits === 16L)
+      assert(dataBytes === bytes.length - 44L)
+    }
+  }
+
+  test("malformed payloads are rejected, not misparsed") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp("JFIFnotabmp padding padding padding padding padding".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav(MediaFixture.bmp(1L)) // a BMP is not a WAV
+    }
+  }
+
+  test("batched mapPartitions decode parses real bytes across batch splits") {
+    val meta = Multimodal.decodeImages(spark, Multimodal.imagePayloads(spark, TestSpark.sf0),
         batchSize = 7) // odd batch size to exercise the grouping
-      .toDF().orderBy("doc_id").collect()
-
-    val viaSql = Tables(spark, TestSpark.sf0, "documents").select(
-      col("doc_id"),
-      octet_length(col("text")).cast("long").as("n_bytes"),
-      substring(md5(col("text")), 1, 8).as("magic"),
-      (octet_length(col("text")).cast("long") % 640).as("width"),
-      (octet_length(col("text")).cast("long") * 7 % 480).as("height"),
-      ((octet_length(col("text")).cast("long") + 63) / 64).cast("long").as("n_chunks"))
-      .orderBy("doc_id").collect()
-
-    assert(viaWorkers.length === 500)
-    assert(viaWorkers.toSeq === viaSql.toSeq)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta.size === 500)
+    for (id <- Seq(0L, 17L, 499L)) {
+      assert(meta(id).width === MediaFixture.bmpWidth(id).toLong)
+      assert(meta(id).height === MediaFixture.bmpHeight(id).toLong)
+      assert(meta(id).bpp === 24L)
+    }
+    val audio = Multimodal.decodeAudio(spark, Multimodal.audioPayloads(spark, TestSpark.sf0),
+        batchSize = 7).collect().map(m => m.doc_id -> m).toMap
+    assert(audio.size === 500)
+    for (id <- Seq(0L, 17L, 499L)) {
+      assert(audio(id).sample_rate === MediaFixture.wavRate(id).toLong)
+      assert(audio(id).n_samples === MediaFixture.wavSamples(id).toLong)
+      assert(audio(id).duration_ms ===
+        MediaFixture.wavSamples(id).toLong * 1000 / MediaFixture.wavRate(id))
+    }
   }
 }
