@@ -155,7 +155,9 @@ object GraphAdvanced extends QueryModule {
   private def scKey(c: Seq[(Long, Seq[(Long, Long)])]): String =
     c.map(_._1).mkString(",")
 
-  def semiClustering(s: SparkSession, d: String, supersteps: Int = 4): DataFrame = {
+  /** the typed Pregel run (shared by the detail view and the declared
+    * invariant query) */
+  def semiClusterRaw(s: SparkSession, d: String, supersteps: Int = 4): Dataset[(Long, ScV)] = {
     import s.implicits._
     val e = scEdges(s, d)
     val verts: Dataset[(Long, ScV)] = e
@@ -163,7 +165,7 @@ object GraphAdvanced extends QueryModule {
       .as[(Long, Seq[(Long, Long)])]
       .map { case (id, adj) => (id, ScV(adj.sortBy(_._1), Nil)) }
 
-    val res = Pregel.run[ScV, Seq[(Long, Seq[(Long, Long)])], Unit](
+    Pregel.run[ScV, Seq[(Long, Seq[(Long, Long)])], Unit](
       s, verts, maxIter = supersteps)(
       (id, v, msgs, step, _) => {
         val self = (id, v.adj)
@@ -179,8 +181,11 @@ object GraphAdvanced extends QueryModule {
           messages = v.adj.flatMap { case (dst, _) => outbox.map(c => (dst, c)) },
           voteToHalt = step >= supersteps - 1)
       })
+  }
 
-    res.map { case (id, v) =>
+  def semiClustering(s: SparkSession, d: String, supersteps: Int = 4): DataFrame = {
+    import s.implicits._
+    semiClusterRaw(s, d, supersteps).map { case (id, v) =>
       val best = v.clusters.headOption
       (id, best.map(_.size).getOrElse(0),
         BigDecimal(best.map(scScore).getOrElse(0.0))
@@ -190,9 +195,64 @@ object GraphAdvanced extends QueryModule {
   }
 
   override val defs: Seq[Q] = Seq(
-    // [stat] seeded; structural validity asserted in GraphAdvancedSpec,
-    // driver records rows-only (no SQL oracle exists for randomized greedy)
-    Q("q_graph_bipartite", (s, d) => bipartiteMatching(s, d), None),
-    Q("q_graph_semicluster", (s, d) => semiClustering(s, d), None)
+    // The randomized-greedy matching itself has no SQL oracle, but its
+    // CORRECTNESS INVARIANTS do: the declared query emits a one-row summary
+    // whose validity booleans the engine computes from the actual matching
+    // (every pair is a real edge, no endpoint matched twice, non-empty) and
+    // whose oracle is the trivially-true row — the driver now hash-checks
+    // the invariants instead of recording no_oracle. Full per-pair output
+    // stays spec-verified in GraphAdvancedSpec.
+    Q("q_graph_bipartite",
+      (s, d) => {
+        val m = bipartiteMatching(s, d)
+        val e = bmEdges(s, d)
+        val badPairs = m.join(e, Seq("l", "r"), "left_anti")
+          .agg(count(lit(1)).as("bad"))
+        val summary = m.agg(count(lit(1)).as("n"),
+          countDistinct(col("l")).as("nl"), countDistinct(col("r")).as("nr"))
+        summary.crossJoin(badPairs).select(
+          (col("bad") === 0).as("edges_valid"),
+          (col("nl") === col("n")).as("ls_distinct"),
+          (col("nr") === col("n")).as("rs_distinct"),
+          (col("n") > 0).as("nonempty"))
+      },
+      Some("""SELECT true AS edges_valid, true AS ls_distinct,
+              true AS rs_distinct, true AS nonempty""")),
+
+    // Same pattern for semi-clustering: vertex count is recomputed exactly
+    // by the oracle from the capped-degree edge derivation; the structural
+    // invariants (every cluster contains its vertex, sizes within Vmax,
+    // scores non-negative under fB=0) come from the real cluster output.
+    Q("q_graph_semicluster",
+      (s, d) => {
+        import s.implicits._
+        val sc = semiClusterRaw(s, d)
+        sc.map { case (id, v) =>
+          val best = v.clusters.headOption
+          (1L,
+            best.exists(_.exists(_._1 == id)),
+            best.map(_.size).getOrElse(1) <= VMAX && best.map(_.size).getOrElse(1) >= 1,
+            best.map(scScore).getOrElse(1.0) >= 0.0)
+        }.toDF("one", "contains_self", "size_ok", "score_nonneg")
+          .agg(sum(col("one")).as("n_vertices"),
+            min(col("contains_self")).as("all_contain_self"),
+            min(col("size_ok")).as("sizes_ok"),
+            min(col("score_nonneg")).as("scores_nonneg"))
+      },
+      Some(s"""WITH e0 AS (SELECT o_orderkey % $SC_N AS src, o_custkey % $SC_N AS dst,
+                 o_orderkey % 7 + 1 AS w FROM orders WHERE o_orderkey % 13 = 0),
+               e1 AS (SELECT src, dst, MIN(w) AS w FROM e0 WHERE src <> dst GROUP BY src, dst),
+               sym AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(w) AS w
+                 FROM e1 GROUP BY 1, 2),
+               bth AS (SELECT a AS src, b AS dst, w FROM sym
+                 UNION ALL SELECT b AS src, a AS dst, w FROM sym),
+               kept AS (SELECT src, dst FROM (SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY w, dst) AS rn FROM bth) t
+                 WHERE rn <= $SC_DEGCAP),
+               fin AS (SELECT k.src FROM kept k WHERE EXISTS (
+                 SELECT 1 FROM kept m WHERE m.src = k.dst AND m.dst = k.src))
+               SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_vertices,
+                 true AS all_contain_self, true AS sizes_ok, true AS scores_nonneg
+               FROM fin"""))
   )
 }

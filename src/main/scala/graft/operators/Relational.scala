@@ -184,11 +184,23 @@ object Relational extends QueryModule {
     // Spark"); [stat]: Spark's HLL++ and DuckDB's HLL differ by
     // implementation, so no SQL-hash oracle — RelationalExtraSpec bounds the
     // relative error against the exact count instead.
+    // HLL++ sketches aren't reproducible in DuckDB, but their accuracy
+    // contract is: emit the EXACT distinct counts (oracle recomputes them)
+    // plus booleans asserting the sketch landed within 3× the default rsd
+    // (0.05 is one σ of relative error, so ±15% = 3σ) — the driver
+    // hash-checks both instead of recording no_oracle
     Q("q_agg_approx",
       (s, d) => t(s, d, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_cust"),
-        approx_count_distinct(col("o_totalprice")).as("approx_price")),
-      None),
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        countDistinct(col("o_totalprice")).as("exact_price"),
+        approx_count_distinct(col("o_custkey")).as("ac"),
+        approx_count_distinct(col("o_totalprice")).as("ap"))
+        .select(col("exact_cust"), col("exact_price"),
+          (abs(col("ac") - col("exact_cust")) <= col("exact_cust") * 0.15).as("cust_within_rsd"),
+          (abs(col("ap") - col("exact_price")) <= col("exact_price") * 0.15).as("price_within_rsd")),
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+              CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS exact_price,
+              true AS cust_within_rsd, true AS price_within_rsd FROM orders""")),
 
     // Engine extensions beyond the reference: rollup / cube
     Q("q_agg_rollup",
