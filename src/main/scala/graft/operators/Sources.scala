@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Source/sink round-trips (SURVEY.md §2.1) and the pipes analogue
   * (SURVEY.md §2.10): the reference's IO surface is InputFormat/OutputFormat
@@ -16,8 +16,24 @@ import java.nio.file.Files
   */
 object Sources extends QueryModule {
 
+  /** Fixed per-JVM scratch root, written with overwrite mode: repeated
+    * Bench/Verify invocations reuse the same directories instead of leaking
+    * a projected table copy per run, and the whole root is removed on JVM
+    * exit (ADVICE r1). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString + "/out"
+    Paths.get(scratchRoot.toString, prefix, "out").toString
 
   override val defs: Seq[Q] = Seq(
 

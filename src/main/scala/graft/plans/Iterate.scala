@@ -15,9 +15,15 @@ object Iterate {
   /** Free the block-store copy behind a localCheckpoint once a LATER
     * checkpoint has been eagerly materialized from it — otherwise every
     * superstep's blocks pile up for the whole job (Hama frees a superstep's
-    * queues at the barrier; this is the same hygiene). */
+    * queues at the barrier; this is the same hygiene).
+    *
+    * Deliberately releases ONLY a dataset whose plan root is itself the
+    * checkpoint (i.e. the exact value `localCheckpoint()` returned) and
+    * no-ops otherwise: scanning the whole plan for LogicalRDDs would also
+    * destroy checkpoints a caller merely DERIVED from — truncated lineage
+    * means those blocks are the only copy (ADVICE r1). */
   def release(ds: org.apache.spark.sql.Dataset[_]): Unit =
-    ds.queryExecution.analyzed.foreach {
+    ds.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }

@@ -70,7 +70,16 @@ object Pregel {
   /** Counter/timing parity with the reference's `PeerCounter` enum and
     * per-superstep INFO logs (`core/src/main/java/org/apache/hama/bsp/
     * BSPPeerImpl.java:65-67` TOTAL_MESSAGES_SENT / SUPERSTEP_SUM,
-    * `graph/.../GraphJobRunner.java:139-155,277-312` superstep ms). */
+    * `graph/.../GraphJobRunner.java:139-155,277-312` superstep ms).
+    *
+    * Delivery semantics: AT-LEAST-ONCE. The counts come from accumulators
+    * updated inside the checkpoint-materializing transformation, so task
+    * retries or speculative attempts can inflate them (never deflate);
+    * exact-once would cost a second job per superstep. The halt direction
+    * is safe — inflation can only delay the all-zero halt, never fake it —
+    * and consumers should treat the values as lower-bounded telemetry, not
+    * exact ledger entries (Hama's own counters behave the same way under
+    * task retry). */
   final case class SuperstepStats(
       superstep: Int,
       messagesSent: Long,

@@ -34,9 +34,12 @@ class BspSpec extends AnyFunSuite {
     assert(out(0L).total === (1 to nPeers).map(_ * 10).sum)
     assert(out.values.count(_.total > 0) === 1, "only the master accumulated")
 
-    // counter parity: superstep 0 sent one message per peer, then quiesced
-    assert(stats.head.messagesSent === nPeers)
-    assert(stats.last.messagesSent === 0)
+    // counter parity: superstep 0 sent one message per peer, then quiesced.
+    // Counters are at-least-once (accumulators updated in a transformation;
+    // see SuperstepStats), so assert the lower bound, not exact equality —
+    // a task retry/speculative attempt may inflate them on a real cluster
+    assert(stats.head.messagesSent >= nPeers)
+    assert(stats.last.messagesSent === 0) // zero can't be inflated: quiesced
     assert(stats.forall(_.seconds > 0))
   }
 
