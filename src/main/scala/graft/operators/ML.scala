@@ -258,6 +258,30 @@ object ML extends QueryModule {
       .orderBy("i_a", "i_b")
   }
 
+  /** user-user co-rating cosine similarity + top-3 most-similar users —
+    * the UserSimilarity surface (ml/.../recommendation/UserSimilarity.java:31
+    * `calculateUserSimilarity`, :39 `getMostSimilarUsers`). Pairs are
+    * generated per co-rated ITEM (never user×user), so the join is bounded
+    * by Σ_i (#users rating i)²; the symmetric expansion + window gives each
+    * user their ranked peer list without a second shuffle over raw ratings. */
+  private def cfUserSim(s: SparkSession, d: String): DataFrame = {
+    val r = cfRatings(s, d).cache()
+    val nrm = r.groupBy("u").agg(sqrt(sum(col("rt") * col("rt"))).as("nrm"))
+    val sims = r.as("a").join(r.as("b"), col("a.i") === col("b.i") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("u_a"), col("b.u").as("u_b"))
+      .agg(sum(col("a.rt") * col("b.rt")).as("dot"))
+      .join(nrm.as("na"), col("u_a") === col("na.u"))
+      .join(nrm.as("nb"), col("u_b") === col("nb.u"))
+      .select(col("u_a"), col("u_b"),
+        round(col("dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cos_sim"))
+    sims.select(col("u_a").as("u"), col("u_b").as("peer"), col("cos_sim"))
+      .union(sims.select(col("u_b").as("u"), col("u_a").as("peer"), col("cos_sim")))
+      .withColumn("sim_rank",
+        row_number().over(Window.partitionBy("u").orderBy(desc("cos_sim"), asc("peer"))).cast("long"))
+      .filter(col("sim_rank") <= 3)
+      .orderBy("u", "sim_rank")
+  }
+
   private val cfRatingsSql =
     s"""r AS (SELECT o_custkey % $cfU AS u, o_orderkey % $cfI AS i,
          AVG(o_orderkey % 5 + 1) AS rt,
@@ -310,6 +334,21 @@ object ML extends QueryModule {
        FROM dots JOIN nrm na ON i_a = na.i JOIN nrm nb ON i_b = nb.i
        ORDER BY i_a, i_b"""
 
+  private val cfUserSimSql: String =
+    s"""WITH $cfRatingsSql,
+       nrm AS (SELECT u, SQRT(SUM(rt * rt)) AS nrm FROM r GROUP BY u),
+       sims AS (SELECT d.u_a, d.u_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         FROM (SELECT a.u AS u_a, b.u AS u_b, SUM(a.rt * b.rt) AS dot
+               FROM r a JOIN r b ON a.i = b.i AND a.u < b.u GROUP BY 1, 2) d
+         JOIN nrm na ON d.u_a = na.u JOIN nrm nb ON d.u_b = nb.u),
+       sym AS (SELECT u_a AS u, u_b AS peer, cos_sim FROM sims
+               UNION ALL SELECT u_b, u_a, cos_sim FROM sims),
+       ranked AS (SELECT u, peer, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, peer) AS BIGINT) AS sim_rank
+         FROM sym)
+       SELECT u, peer, cos_sim, sim_rank FROM ranked WHERE sim_rank <= 3
+       ORDER BY u, sim_rank"""
+
   override val defs: Seq[Q] = Seq(
 
     Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
@@ -319,6 +358,8 @@ object ML extends QueryModule {
     Q("q_ml_cf_recommend", (s, d) => cfRecommend(s, d), Some(cfRecommendSql)),
 
     Q("q_ml_cf_item_sim", (s, d) => cfItemSim(s, d), Some(cfItemSimSql)),
+
+    Q("q_ml_cf_user_sim", (s, d) => cfUserSim(s, d), Some(cfUserSimSql)),
 
     Q("q_ml_linreg", (s, d) => linreg(s, d), Some(linregSql)),
 

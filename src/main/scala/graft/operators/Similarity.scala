@@ -153,6 +153,66 @@ object Similarity extends QueryModule {
                 FROM sims) t
               WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // IVF multi-probe: the recall knob the single-probe variant lacks.
+    // Candidates still index into exactly ONE cell (the inverted-file
+    // invariant — list sizes stay disjoint and bounded); each QUERY probes
+    // its nProbe=2 nearest cells, trading a 2× candidate scan for the
+    // recall lost at cell boundaries. Each (query, candidate) pair arises
+    // at most once since probed cells are distinct and a candidate lives
+    // in one cell, so no dedup stage is needed.
+    Q("q_sim_ivf_probe",
+      (s, d) => {
+        val nProbe = 2
+        val emb = Tables(s, d, "embeddings")
+        val cen = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+        def assign(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(desc("cdot"), asc("c_id"))
+          v.crossJoin(broadcast(cen))
+            .withColumn("cdot", round(vecDot(col(embCol), col("cemb")), 6))
+            .withColumn("crn", row_number().over(w))
+            .filter(col("crn") <= n)
+            .select(col(idCol), col(embCol), col("c_id").as("cell"))
+        }
+        val q = assign(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb", nProbe)
+        val c = assign(emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2", 1)
+        val sims = c.join(broadcast(q), "cell")
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb2")), 6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+              cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
+              dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
+                FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
+              qcells AS (SELECT vec_id, c_id AS cell FROM dots WHERE vec_id < 5
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) <= 2),
+              ccells AS (SELECT vec_id, c_id AS cell FROM dots WHERE vec_id >= 5
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) = 1),
+              q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, qcells.cell
+                FROM e JOIN qcells USING (vec_id)),
+              c AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, ccells.cell
+                FROM e JOIN ccells USING (vec_id)),
+              sims AS (SELECT q.q_id, c.cand_id,
+                ROUND(SUM(q.qv * c.cv) / (SQRT(SUM(q.qv * q.qv)) * SQRT(SUM(c.cv * c.cv))), 6) AS sim
+                FROM c JOIN q ON q.cell = c.cell AND q.pos = c.pos
+                GROUP BY q.q_id, c.cand_id)
+              SELECT q_id, rank, cand_id, sim FROM (
+                SELECT q_id, cand_id, sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                FROM sims) t
+              WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // embedding-cosine near-dup: pairs above threshold blocked on
     // (label, LSH bucket). Label alone leaves block size unbounded — one
     // hot label at 100× data is a quadratic stage and a skew bomb; the

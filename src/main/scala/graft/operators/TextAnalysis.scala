@@ -12,8 +12,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis extends QueryModule {
 
+  /** documents scan pre-partitioned to an explicit CPU-oriented count —
+    * same rationale as Dedup's docs(): AQE sizes post-shuffle partitions
+    * by BYTES, and raw text is tiny next to the regex/tokenize/md5 CPU
+    * behind it, so a single-row-group parquet input otherwise runs the
+    * whole map stage as one task. The doc_id clustering is reused by the
+    * downstream per-doc groupBy/window, so the exchange replaces the one
+    * those would run rather than adding a net shuffle. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables(s, d, "documents").repartition(n, col("doc_id"))
+  }
+
   private def toks(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    docs(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
       .filter(length(col("tok")) > 0)
 
@@ -75,7 +87,7 @@ object TextAnalysis extends QueryModule {
 
     // quality scoring: character-class ratios
     Q("q_text_quality",
-      (s, d) => Tables(s, d, "documents").select(
+      (s, d) => docs(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         round(length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 / length(col("text")), 6).as("alpha_ratio"),
@@ -124,7 +136,7 @@ object TextAnalysis extends QueryModule {
     // document fingerprint: md5 of normalized content + duplicate-cluster size
     Q("q_text_fingerprint",
       (s, d) => {
-        val fp = Tables(s, d, "documents").select(col("doc_id"),
+        val fp = docs(s, d).select(col("doc_id"),
           md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
         val w = Window.partitionBy(col("fp"))
         fp.withColumn("cluster_size", count(lit(1)).over(w))
