@@ -58,16 +58,43 @@ object Generators extends QueryModule {
         .as("pi_est"), count(lit(1)).as("n"))
 
   override val defs: Seq[Q] = Seq(
-    // [stat]: hash-seeded; structural invariants asserted in GeneratorsSpec,
-    // no SQL oracle (DuckDB lacks Spark's xxhash64)
+    // [stat]: hash-seeded — the generated SET is not reproducible in DuckDB
+    // (no xxhash64), so each declared query emits a driver-hashable
+    // INVARIANT row (same pattern as q_agg_approx / bipartite): booleans
+    // the generator contract guarantees, stated trivially by the oracle.
+    // GeneratorsSpec still checks the full structure on the raw output.
     Q("q_gen_graph",
-      (s, _) => graphGen(s).groupBy("src")
-        .agg(count(lit(1)).as("outdeg"), min("dst").as("min_dst"), max("dst").as("max_dst"))
-        .orderBy("src"),
-      None),
+      (s, _) => {
+        val g = graphGen(s)
+        val deg = g.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        g.agg(
+            (count(lit(1)) > 0).as("nonempty"),
+            (min(col("dst")) >= 0 && max(col("dst")) < 1000).as("dst_in_range"),
+            (sum(when(col("src") === col("dst"), 1).otherwise(0)) === 0).as("no_self_loops"))
+          .crossJoin(deg.agg((max("outdeg") <= 5).as("outdeg_bounded")))
+      },
+      Some("""SELECT true AS nonempty, true AS dst_in_range,
+              true AS no_self_loops, true AS outdeg_bounded""")),
     Q("q_gen_symmatrix",
-      (s, _) => symMatrixGen(s).orderBy("i", "j"),
-      None),
-    Q("q_pi_estimate", (s, _) => piEstimate(s), None)
+      (s, _) => {
+        val m = symMatrixGen(s)
+        val mirrored = m.as("a").join(m.as("b"),
+            col("a.i") === col("b.j") && col("a.j") === col("b.i") &&
+              col("a.v") === col("b.v"))
+          .agg(count(lit(1)).as("matched"))
+        m.agg(count(lit(1)).as("n"),
+            (min("v") >= 0.0 && max("v") < 10.0).as("v_in_range"),
+            (min("i") >= 0 && max("i") < 200 &&
+              min("j") >= 0 && max("j") < 200).as("idx_in_range"))
+          .crossJoin(mirrored)
+          .select((col("n") > 0).as("nonempty"), col("v_in_range"),
+            col("idx_in_range"), (col("matched") === col("n")).as("symmetric"))
+      },
+      Some("""SELECT true AS nonempty, true AS v_in_range,
+              true AS idx_in_range, true AS symmetric""")),
+    Q("q_pi_estimate",
+      (s, _) => piEstimate(s).select(col("n"),
+        (abs(col("pi_est") - lit(math.Pi)) < 0.02).as("within_tol")),
+      Some("SELECT CAST(400000 AS BIGINT) AS n, true AS within_tol"))
   )
 }

@@ -154,6 +154,29 @@ object Relational extends QueryModule {
               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
               FROM lineitem GROUP BY grp ORDER BY grp""")),
 
+    // The SCALE path for percentiles: approx_percentile's mergeable
+    // Greenwald-Khanna sketch holds O(accuracy) per group instead of the
+    // exact aggregate's full value buffer. Sketch internals aren't
+    // reproducible in DuckDB, so the declared row carries the exact p50
+    // (oracle recomputes it) plus a boolean pinning the sketch output
+    // inside the exact [p35, p65] band — accuracy=1000 bounds rank error
+    // to n/1000 rows, far inside that band at any group size.
+    Q("q_agg_percentile_approx",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy((col("l_partkey") % 40).as("grp"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.35)").as("lo"),
+          expr("percentile(l_extendedprice, 0.65)").as("hi"))
+        .select(col("grp"), col("p50_exact"),
+          (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("p50_within_band"))
+        .orderBy("grp"),
+      Some("""SELECT l_partkey % 40 AS grp,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+              true AS p50_within_band
+              FROM lineitem GROUP BY grp ORDER BY grp""")),
+
     // Analytic windows (engine extension): lag/lead/running aggregate per
     // customer's order history — per-key ordered state, the relational
     // cousin of a stateful per-key peer.
