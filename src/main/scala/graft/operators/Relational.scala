@@ -159,18 +159,16 @@ object Relational extends QueryModule {
     // exact aggregate's full value buffer. Sketch internals aren't
     // reproducible in DuckDB, so the declared row carries the exact p50
     // (oracle recomputes it) plus a boolean pinning the sketch output
-    // inside the exact [p35, p65] band — accuracy=1000 bounds rank error
-    // to n/1000 rows, far inside that band at any group size.
+    // within 2% of it — accuracy=1000 bounds rank error to n/1000 rows,
+    // which on this smooth value distribution is far inside 2%.
     Q("q_agg_percentile_approx",
       (s, d) => t(s, d, "lineitem")
         .groupBy((col("l_partkey") % 40).as("grp"))
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-          expr("percentile(l_extendedprice, 0.35)").as("lo"),
-          expr("percentile(l_extendedprice, 0.65)").as("hi"))
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
         .select(col("grp"), col("p50_exact"),
-          (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("p50_within_band"))
+          (abs(col("ap50") - col("p50_exact")) <= col("p50_exact") * 0.02).as("p50_within_band"))
         .orderBy("grp"),
       Some("""SELECT l_partkey % 40 AS grp,
               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
