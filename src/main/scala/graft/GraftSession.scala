@@ -7,10 +7,26 @@ import org.apache.spark.sql.SparkSession
   * settings hold — AQE coalesces/skew-splits shuffle partitions at runtime.
   */
 object GraftSession {
+
+  /** saveAsTable target (bucketed tables): per-JVM scratch, removed on
+    * exit — the default would drop a spark-warehouse dir into the cwd. */
+  private lazy val warehouseDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -54,9 +54,14 @@ object ML extends QueryModule {
         .sortBy(_._1).toSeq
       assign = kmeansAssign(pts, cen)
     }
-    assign.groupBy("c")
+    // eager O(k)-row checkpoint so the SF-scaled point cache is dropped
+    // here, not leaked until the harness clearCache (ADVICE r1 hygiene)
+    val out = assign.groupBy("c")
       .agg(count(lit(1)).as("cnt"), round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"))
       .orderBy("c")
+      .localCheckpoint()
+    pts.unpersist()
+    out
   }
 
   private val kmeansSql: String = {
@@ -104,8 +109,11 @@ object ML extends QueryModule {
       th1 = r9(th1 - 0.5 * r.getDouble(1) / m)
     }
     val err = lit(th0) + lit(th1) * col("x") - col("y")
-    data.agg(round(sum(err * err) / (2 * m), 6).as("cost"))
+    val out = data.agg(round(sum(err * err) / (2 * m), 6).as("cost"))
       .select(round(lit(th0), 6).as("th0"), round(lit(th1), 6).as("th1"), col("cost"))
+      .localCheckpoint() // eager 1-row result; frees the SF-scaled cache now
+    data.unpersist()
+    out
   }
 
   private val linregSql: String = {
@@ -141,6 +149,7 @@ object ML extends QueryModule {
       th0 = r9(th0 - 1.0 * r.getDouble(0) / m)
       th1 = r9(th1 - 1.0 * r.getDouble(1) / m)
     }
+    data.unpersist() // result below is literal-only; cache is done
     s.range(1).select(round(lit(th0), 6).as("th0"), round(lit(th1), 6).as("th1"))
   }
 
@@ -214,11 +223,14 @@ object ML extends QueryModule {
 
   private def cf(s: SparkSession, d: String): DataFrame = {
     val (r, u2, v2) = cfFactors(s, d)
-    r.filter(col("is_test"))
+    val out = r.filter(col("is_test"))
       .join(u2.withColumnRenamed("f1", "uf1").withColumnRenamed("f2", "uf2"), "u")
       .join(v2.withColumnRenamed("f1", "vf1").withColumnRenamed("f2", "vf2"), "i")
       .agg(round(avg(abs(col("rt") - (col("uf1") * col("vf1") + col("uf2") * col("vf2")))), 6)
         .as("mae"), count(lit(1)).as("n"))
+      .localCheckpoint() // eager 1-row result; drop the ratings cache now
+    r.unpersist()
+    out
   }
 
   /** top-3 unrated (in train) items per user by estimated preference —
@@ -234,11 +246,14 @@ object ML extends QueryModule {
       .join(train.select("u", "i"), Seq("u", "i"), "left_anti")
       .select(col("u"), col("i"),
         round(col("uf1") * col("vf1") + col("uf2") * col("vf2"), 6).as("score"))
-    scored
+    val out = scored
       .withColumn("rec_rank",
         row_number().over(Window.partitionBy("u").orderBy(desc("score"), asc("i"))).cast("long"))
       .filter(col("rec_rank") <= 3)
       .orderBy("u", "rec_rank")
+      .localCheckpoint() // eager O(users×3) result; drop the ratings cache
+    r.unpersist()
+    out
   }
 
   /** item-item co-rating cosine similarity — the ItemSimilarity surface
@@ -248,7 +263,7 @@ object ML extends QueryModule {
   private def cfItemSim(s: SparkSession, d: String): DataFrame = {
     val r = cfRatings(s, d).cache()
     val nrm = r.groupBy("i").agg(sqrt(sum(col("rt") * col("rt"))).as("nrm"))
-    r.as("a").join(r.as("b"), col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+    val out = r.as("a").join(r.as("b"), col("a.u") === col("b.u") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("i_a"), col("b.i").as("i_b"))
       .agg(sum(col("a.rt") * col("b.rt")).as("dot"))
       .join(nrm.as("na"), col("i_a") === col("na.i"))
@@ -256,6 +271,9 @@ object ML extends QueryModule {
       .select(col("i_a"), col("i_b"),
         round(col("dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cos_sim"))
       .orderBy("i_a", "i_b")
+      .localCheckpoint() // eager O(item-pairs) result; drop the ratings cache
+    r.unpersist()
+    out
   }
 
   /** user-user co-rating cosine similarity + top-3 most-similar users —
@@ -274,12 +292,15 @@ object ML extends QueryModule {
       .join(nrm.as("nb"), col("u_b") === col("nb.u"))
       .select(col("u_a"), col("u_b"),
         round(col("dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cos_sim"))
-    sims.select(col("u_a").as("u"), col("u_b").as("peer"), col("cos_sim"))
+    val out = sims.select(col("u_a").as("u"), col("u_b").as("peer"), col("cos_sim"))
       .union(sims.select(col("u_b").as("u"), col("u_a").as("peer"), col("cos_sim")))
       .withColumn("sim_rank",
         row_number().over(Window.partitionBy("u").orderBy(desc("cos_sim"), asc("peer"))).cast("long"))
       .filter(col("sim_rank") <= 3)
       .orderBy("u", "sim_rank")
+      .localCheckpoint() // eager O(users×3) result; drop the ratings cache
+    r.unpersist()
+    out
   }
 
   private val cfRatingsSql =

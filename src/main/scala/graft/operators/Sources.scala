@@ -80,6 +80,35 @@ object Sources extends QueryModule {
                 ROUND(SUM(p_partkey % 100), 2) AS f2_sum
               FROM part GROUP BY label ORDER BY label""")),
 
+    // Bucketed co-located join: the storage-level answer to repeated
+    // large-large joins at 100 TB. Both sides are written bucketBy+sortBy
+    // on the join key (PartitioningRunner's pre-partitioned-output idea,
+    // core/.../bsp/PartitioningRunner.java, carried into table layout);
+    // reading them back, the equi-join needs NO exchange on either side —
+    // bucket files align one-to-one and the sort order feeds SortMergeJoin
+    // directly. SourcesSpec asserts the joined plan is exchange-free with
+    // broadcast disabled; the fact table never shuffles at any scale.
+    Q("q_join_bucketed",
+      (s, d) => {
+        val nb = 8
+        Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_b")
+        Tables(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_b")
+        s.table("graft_orders_b")
+          .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tot
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // Hama Pipes analogue: stream rows through an external process
     // (`core/.../pipes/protocol/MessageType.java:25-32` opcodes collapse to
     // lines on stdin/stdout). Lowercased segments go out, `tr` upcases them

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guarantee for the bucketed co-located join: with broadcast
+  * off (forcing sort-merge), the join of two tables bucketed+sorted on the
+  * join key must read bucket files aligned one-to-one — no shuffle exchange
+  * below the join. This is the property that keeps the fact-table side
+  * shuffle-free at any scale; the aggregate above the join may shuffle.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("q_join_bucketed sort-merge-joins without a shuffle below the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0)
+      df.collect() // force AQE to finalize the executed plan
+      // AQE wraps stages, so assert on the finalized plan text: the join
+      // must be sort-merge over Bucketed scans with NO exchange on either
+      // join key (the aggregate above may still hash-shuffle on nationkey)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin in:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+        s"both sides must read bucketed files:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_join_bucketed matches the unbucketed join") {
+    val bucketed = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0).collect()
+    val plain = Tables(spark, TestSpark.sf0, "orders")
+      .join(Tables(spark, TestSpark.sf0, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+      .orderBy("c_nationkey")
+      .collect()
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+}
