@@ -63,6 +63,34 @@ object StreamingOps extends QueryModule {
                 ROUND(SUM(value), 2) AS total
               FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // stream-stream interval join (click → purchase attribution within
+    // 1 hour), batch-expressed for the exact oracle; `Streams.intervalJoin`
+    // is the same join under readStream with watermarks on both sides
+    // bounding the buffered state [spec: StreamsSpec parity]
+    Q("q_stream_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"), col("value").as("amount"))
+        clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("click_ts") &&
+              col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            round(col("amount"), 2).as("amount"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+              ROUND(p.value, 2) AS amount
+              FROM events c JOIN events p
+                ON c.user_id = p.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL '1 hour'
+              WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              ORDER BY c.user_id, click_id, purchase_id""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {

@@ -49,6 +49,28 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Stream-stream interval join: clicks matched to same-user purchases in
+    * [click_ts, click_ts + 1 h]. Watermarks on BOTH sides plus the time
+    * bounds in the condition let the engine evict buffered rows that can
+    * never match again — state stays bounded by (watermark + interval)
+    * regardless of stream length, which is what makes this shape safe on
+    * an unbounded 100 TB/day feed. Same join as batch `q_stream_join`. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+  }
+
   /** Per-user running state (event count + value sum) via
     * flatMapGroupsWithState — the stateful analogue of a per-key BSP peer:
     * state lives with the key across micro-batches exactly as a Hama peer

@@ -61,6 +61,18 @@ class StreamsSpec extends AnyFunSuite {
     assert(last.except(batch).isEmpty && batch.except(last).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = Streams.intervalJoin(Streams.events(spark, stagedDir()))
+      .writeStream.format("memory").queryName("join_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("join_out")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    val batch = SparkEntry.queries("q_stream_join")(spark, TestSpark.sf0).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sessions produce the same session count as batch session_window") {
     val q = Streams.sessions(Streams.events(spark, stagedDir()))
       .writeStream.format("memory").queryName("session_out").outputMode("complete").start()
