@@ -114,6 +114,51 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Typed row produced by the image transform stage. */
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
+      n_bytes: Long, px_sum: Long)
+
+  /** Image TRANSFORM (not just metadata): nearest-neighbor 2× downsample.
+    * Decodes the BMP pixel grid (bottom-up rows, 4-byte row padding),
+    * keeps pixel (2x, 2y), re-encodes a valid BMP, and returns the new
+    * bytes plus a checksum over the kept pixel bytes (padding excluded) —
+    * the checksum is what lets the SQL oracle verify the pixel selection
+    * arithmetic, not just the output header. */
+  object MediaTransform {
+    def downsampleBmp(bytes: Array[Byte]): (Array[Byte], Long) = {
+      val (_, w0, h0, _) = MediaCodec.decodeBmp(bytes)
+      val w = w0.toInt; val h = h0.toInt
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      val rowSize2 = ((3 * w2 + 3) / 4) * 4
+      val imageSize2 = rowSize2 * h2
+      val out = ByteBuffer.allocate(54 + imageSize2).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+      out.putInt(54 + imageSize2).putShort(0).putShort(0).putInt(54)
+      out.putInt(40).putInt(w2).putInt(h2)
+      out.putShort(1).putShort(24)
+      out.putInt(0).putInt(imageSize2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val arr = out.array()
+      var pxSum = 0L
+      var y2 = 0
+      while (y2 < h2) {
+        var x2 = 0
+        while (x2 < w2) {
+          var c = 0
+          while (c < 3) {
+            val v = bytes(54 + 2 * y2 * rowSize + 6 * x2 + c) & 0xff
+            arr(54 + y2 * rowSize2 + 3 * x2 + c) = v.toByte
+            pxSum += v
+            c += 1
+          }
+          x2 += 1
+        }
+        y2 += 1
+      }
+      (arr, pxSum)
+    }
+  }
+
   /** Batched per-partition image decode (mapInPandas analogue): binary
     * payloads → typed metadata, workers see fixed-size batches. */
   def decodeImages(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[ImageMeta] = {
@@ -127,6 +172,26 @@ object Multimodal extends QueryModule {
             val (magic, w, h, bpp) = MediaCodec.decodeBmp(bytes)
             ImageMeta(id, bytes.length.toLong, magic, w, h, bpp,
               (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
+          }
+        }
+      }
+  }
+
+  /** Batched per-partition image transform: decode → downsample →
+    * re-encode → RE-DECODE. The emitted width/height come from parsing the
+    * re-encoded bytes, so the row proves the transform output is itself a
+    * valid decodable image (a full resize codec slots into the same batch
+    * loop). */
+  def transformImages(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[ResizedMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (resized, pxSum) = MediaTransform.downsampleBmp(bytes)
+            val (_, w2, h2, _) = MediaCodec.decodeBmp(resized)
+            ResizedMeta(id, w2, h2, resized.length.toLong, pxSum)
           }
         }
       }
@@ -183,6 +248,34 @@ object Multimodal extends QueryModule {
                  CAST(24 AS BIGINT) AS bpp,
                  CAST((n_bytes + $chunkBytes - 1) // $chunkBytes AS BIGINT) AS n_chunks
                FROM sz ORDER BY doc_id""")),
+
+    // image transform: 2× nearest-neighbor downsample, re-encoded and
+    // re-decoded; the oracle recomputes output dims, re-encoded size, AND
+    // the kept-pixel checksum from the fixture's deterministic filler
+    // pixel(i) = (id + i) % 256 over the bottom-up padded row layout
+    Q("q_mm_resize",
+      (s, d) => transformImages(s, imagePayloads(s, d)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          col("px_sum"))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+                1 + (doc_id * 7) % 48 AS h FROM documents),
+              d2 AS (SELECT doc_id, ((3 * w + 3) // 4) * 4 AS row_size,
+                (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM dims),
+              ys AS (SELECT doc_id, w2, h2, row_size,
+                unnest(generate_series(0, h2 - 1)) AS y2 FROM d2),
+              xs AS (SELECT doc_id, w2, h2, row_size, y2,
+                unnest(generate_series(0, w2 - 1)) AS x2 FROM ys),
+              px AS (SELECT doc_id, w2, h2,
+                  (doc_id + 2 * y2 * row_size + 6 * x2) % 256
+                + (doc_id + 2 * y2 * row_size + 6 * x2 + 1) % 256
+                + (doc_id + 2 * y2 * row_size + 6 * x2 + 2) % 256 AS s
+                FROM xs)
+              SELECT doc_id, CAST(w2 AS BIGINT) AS width,
+                CAST(h2 AS BIGINT) AS height,
+                CAST(54 + ((3 * w2 + 3) // 4) * 4 * h2 AS BIGINT) AS n_bytes,
+                CAST(SUM(s) AS BIGINT) AS px_sum
+              FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""")),
 
     // audio metadata parsed from real WAV (RIFF/fmt/data) bytes
     Q("q_mm_audio_meta",

@@ -63,4 +63,25 @@ class MultimodalSpec extends AnyFunSuite {
         MediaFixture.wavSamples(id).toLong * 1000 / MediaFixture.wavRate(id))
     }
   }
+
+  test("downsample picks pixel (2x,2y), re-encodes a decodable BMP, and sums kept bytes") {
+    for (id <- Seq(0L, 1L, 63L, 127L, 9999L)) {
+      val src = MediaFixture.bmp(id)
+      val (resized, pxSum) = Multimodal.MediaTransform.downsampleBmp(src)
+      val (magic, w2, h2, bpp) = MediaCodec.decodeBmp(resized)
+      assert(magic === "BM" && bpp === 24L)
+      val w = MediaFixture.bmpWidth(id); val h = MediaFixture.bmpHeight(id)
+      assert(w2 === (w + 1) / 2 && h2 === (h + 1) / 2)
+      // brute-force recompute of the kept-pixel checksum from the source
+      val rowSize = ((3 * w + 3) / 4) * 4
+      var expected = 0L
+      for (y2 <- 0 until (h + 1) / 2; x2 <- 0 until (w + 1) / 2; c <- 0 until 3)
+        expected += src(54 + 2 * y2 * rowSize + 6 * x2 + c) & 0xff
+      assert(pxSum === expected)
+      // resized payload declares its own size correctly
+      val declared = java.nio.ByteBuffer.wrap(resized, 2, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert(declared === resized.length)
+    }
+  }
 }
