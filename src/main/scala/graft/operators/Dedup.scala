@@ -141,6 +141,59 @@ object Dedup extends QueryModule {
                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
                ORDER BY doc_a, doc_b""")),
 
+    // Dedup CLUSTERS: the pipeline step a curation job actually acts on.
+    // Candidate pairs (shared band signature) become edges; 3 unrolled
+    // min-label propagation rounds assign every document its cluster's
+    // minimum doc_id as canonical representative; keep = (doc == canon).
+    // Band-clusters are near-cliques (diameter ≤ 2 in practice) so 3
+    // rounds converge, and the oracle unrolls the SAME 3 rounds — at
+    // unbounded diameters this is q_graph_cc's pointer-jumping shape.
+    // Scale: edges are the sparse LSH pair set, labels are (doc, long)
+    // rows; each round is one equi-join + one min-agg, both doc-keyed.
+    Q("q_dedup_clusters",
+      (s, d) => {
+        val b = bands(s, d).persist()
+        val pairs = b.as("a").join(b.as("b"),
+            col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint() // eager, O(pairs); also frees the band cache below
+        b.unpersist()
+        val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
+          .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
+        var lab = Tables(s, d, "documents")
+          .select(col("doc_id").as("v"), col("doc_id").as("lab"))
+        for (_ <- 1 to 3) {
+          val fromNeighbors = edges.join(lab.withColumnRenamed("v", "nv"),
+              col("n") === col("nv"))
+            .select(col("v"), col("lab"))
+          lab = lab.select(col("v"), col("lab")).unionByName(fromNeighbors)
+            .groupBy("v").agg(min("lab").as("lab"))
+        }
+        lab.select(col("v").as("doc_id"), col("lab").as("canon_id"),
+            (col("v") === col("lab")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT v, MIN(lab) AS lab FROM (
+               SELECT v, lab FROM l${i - 1}
+               UNION ALL SELECT e.v, l.lab FROM edges e JOIN l${i - 1} l ON e.n = l.v) u
+             GROUP BY v)"""
+        }.mkString(",\n")
+        s"""WITH $minhashSql, $bandsSql,
+           pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+           l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+           $rounds
+           SELECT v AS doc_id, lab AS canon_id, v = lab AS keep
+           FROM l3 ORDER BY doc_id"""
+      }),
+
     // SimHash: 64-bit signature, per-bit majority vote over token hashes
     // (TWO md5 per token: 64 hex-nibble draws, bit j votes on nibble < 8).
     // Engine path is the native one-pass SimHashSig expression — a pure

@@ -133,6 +133,30 @@ object TextAnalysis extends QueryModule {
                  FROM scored) t
                WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
+    // deterministic stratified sampling (training-data mixture control):
+    // per-stratum keep rates decided by a PORTABLE hash draw — the first
+    // two md5 hex chars of the doc id compared against a per-stratum
+    // threshold. Hash-based sampling is reproducible across engines,
+    // partitionings and reruns (rand(seed) fixes only per-partition
+    // streams), which is what makes a 100 TB sample auditable: any engine
+    // can re-derive exactly which rows were kept. Strata here: source
+    // index % 3 → 25% / 50% / 75% target rates.
+    Q("q_text_sample",
+      (s, d) => {
+        val draw = substring(md5(col("doc_id").cast("string")), 1, 2)
+        val thr = when(substring(col("source"), 4, 10).cast("int") % 3 === 0, lit("40"))
+          .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, lit("80"))
+          .otherwise(lit("c0"))
+        docs(s, d)
+          .select(col("doc_id"), col("source"), (draw < thr).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                CASE CAST(substr(source, 4) AS INT) % 3
+                  WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
+              FROM documents ORDER BY doc_id""")),
+
     // document fingerprint: md5 of normalized content + duplicate-cluster size
     Q("q_text_fingerprint",
       (s, d) => {
