@@ -8,10 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** saveAsTable target (bucketed tables): per-JVM scratch, removed on
-    * exit — the default would drop a spark-warehouse dir into the cwd. */
-  private lazy val warehouseDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-warehouse")
+  /** Temp directory removed recursively on JVM exit — the one scratch-dir
+    * helper, shared by the warehouse below and Sources' sink round-trips. */
+  def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
@@ -19,8 +19,13 @@ object GraftSession {
       }
       rm(p.toFile)
     }))
-    p.toString
+    p
   }
+
+  /** saveAsTable target (bucketed tables): per-JVM scratch, removed on
+    * exit — the default would drop a spark-warehouse dir into the cwd. */
+  private lazy val warehouseDir: String =
+    tempDirCleanedOnExit("graft-warehouse").toString
 
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
     SparkSession.builder()

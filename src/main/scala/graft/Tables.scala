@@ -14,6 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** A table scan pre-partitioned by `key` to one partition per shuffle
+    * slot — the knob for CPU-BOUND map stages (regex/tokenize/md5/decode):
+    * AQE sizes post-shuffle partitions by BYTES, and raw input is tiny
+    * next to ~100× per-row CPU behind it, so a single-row-group parquet
+    * file otherwise runs the whole stage as one task. The key clustering
+    * is reused by downstream per-key aggregates/windows, so the exchange
+    * replaces the one they would run rather than adding a net shuffle. */
+  def cpuPartitioned(spark: SparkSession, sfDir: String, name: String, key: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    apply(spark, sfDir, name).repartition(n, org.apache.spark.sql.functions.col(key))
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long

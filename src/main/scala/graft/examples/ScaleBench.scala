@@ -59,7 +59,10 @@ object ScaleBench {
     euPlus.count()
     val tCc = System.nanoTime()
     val ccInit = vs.select(col("v"), col("v").as("lbl"))
-    val (ccOut, ccRounds) = Iterate.untilFixpoint(ccInit, maxIter = 30, checkpointEvery = 1) {
+    // checkpoint/release handled IN the step: each round materializes its
+    // output and frees the intermediate + the previous round's blocks, so
+    // block-store usage stays O(1) in rounds instead of O(rounds)
+    val (ccOut, ccRounds) = Iterate.untilFixpoint(ccInit, maxIter = 30, checkpointEvery = 0) {
       (c, _) =>
         val p = c.as("cc").join(euPlus.as("ee"), col("cc.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v"))
@@ -67,8 +70,11 @@ object ScaleBench {
           .localCheckpoint() // jump references it twice
         val next = p.as("c").join(p.as("p"), col("c.lbl") === col("p.v"))
           .select(col("c.v"), col("p.lbl").as("lbl"))
+          .localCheckpoint() // eager; round output materialized before frees
         val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
           .filter(col("n.lbl") =!= col("o.lbl")).count()
+        Iterate.release(p)
+        Iterate.release(c) // no-op on round 0 (init isn't a checkpoint root)
         (next, changed)
     }
     val nComponents = ccOut.select(countDistinct(col("lbl"))).collect()(0).getLong(0)
@@ -88,7 +94,7 @@ object ScaleBench {
     ewPlus.count()
     val tSp = System.nanoTime()
     val spInit = vs.select(col("v"), when(col("v") === 0, 0L).otherwise(INF).as("dist"))
-    val (spOut, spRounds) = Iterate.untilFixpoint(spInit, maxIter = 50, checkpointEvery = 1) {
+    val (spOut, spRounds) = Iterate.untilFixpoint(spInit, maxIter = 50, checkpointEvery = 0) {
       (dist, _) =>
         val next = dist.as("dd").join(ewPlus.as("ee"), col("dd.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v"))
@@ -96,6 +102,7 @@ object ScaleBench {
           .localCheckpoint() // changed-count references it alongside dist
         val changed = next.as("n").join(dist.as("o"), col("n.v") === col("o.v"))
           .filter(col("n.dist") < col("o.dist")).count()
+        Iterate.release(dist) // previous round's blocks; no-op on round 0
         (next, changed)
     }
     val reached = spOut.filter(col("dist") < INF).count()

@@ -30,26 +30,13 @@ object Dedup extends QueryModule {
   private val bandRows = 4 // → 2 bands
   private val simhashBits = 64
 
-  /** documents pre-partitioned by doc_id. The shingle→md5 stage expands
-    * each input byte into ~100× of CPU work, so parallelism must come from
-    * the partition count, not input splits: text corpora routinely arrive
-    * as a few large (often unsplittably-compressed) files, and here the
-    * sf tables are single-row-group parquet — a bare scan runs the whole
-    * hash pipeline in ONE task. Hash-partitioning on doc_id up front
-    * spreads that CPU across every core AND satisfies the downstream
-    * per-doc aggregates' clustering, so this exchange *replaces* the one
-    * the signature groupBy would otherwise run — it moves before the
-    * expansion instead of after partial aggregation.
-    *
-    * The partition count is explicit: AQE's coalescePartitions sizes
-    * post-shuffle partitions by shuffle BYTES, and raw text is tiny next
-    * to the ~100× per-row CPU behind it — left to AQE the exchange
-    * collapses back to one task. An explicit count is exactly the knob a
-    * cluster job would set (cores × executors) for a CPU-bound stage. */
-  private def docs(s: SparkSession, d: String): DataFrame = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables(s, d, "documents").repartition(n, col("doc_id"))
-  }
+  /** documents pre-partitioned by doc_id for the CPU-bound shingle→md5
+    * stage — see [[graft.Tables.cpuPartitioned]] for why the explicit
+    * exchange is needed (single-row-group input would otherwise run the
+    * whole hash pipeline as one task) and why it is not a net extra
+    * shuffle (the doc_id clustering feeds the per-doc aggregates). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.cpuPartitioned(s, d, "documents", "doc_id")
 
   /** lowercase word tokens, empties dropped (split on non-alnum runs) */
   private def toks(textCol: Column): Column =
@@ -99,6 +86,31 @@ object Dedup extends QueryModule {
          md5(string_agg(minh, ',' ORDER BY j)) AS band_sig
          FROM mh GROUP BY doc_id, j // $bandRows)"""
 
+  /** (doc_a, doc_b) candidate near-dup pairs = docs sharing any band
+    * signature — the one definition both the pairs query and the clusters
+    * query lower to. Signatures are materialized once (the self-join would
+    * otherwise recompute the full shingle→md5 pipeline per side: AQE
+    * exchange reuse does not apply across differing join aliases), the
+    * O(pairs)-sized result is checkpointed eagerly, and the signature
+    * cache is dropped HERE instead of leaking until the harness's
+    * clearCache (ADVICE r1). */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d).persist()
+    val out = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    b.unpersist()
+    out
+  }
+
+  private val pairsSql =
+    """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+
   override val defs: Seq[Q] = Seq(
 
     // exact dedup: content-hash groupBy per source
@@ -117,29 +129,9 @@ object Dedup extends QueryModule {
 
     // candidate near-dup pairs = docs sharing any band signature
     Q("q_dedup_minhash_pairs",
-      (s, d) => {
-        // materialize signatures once: the self-join otherwise recomputes
-        // the full shingle→md5 pipeline for each side (AQE exchange reuse
-        // does not apply across the differing band/sig join aliases).
-        // The tiny pair result is checkpointed eagerly so the signature
-        // cache can be dropped HERE instead of leaking until the harness's
-        // clearCache (ADVICE r1).
-        val b = bands(s, d).persist()
-        val out = b.as("a").join(b.as("b"),
-            col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-          .localCheckpoint() // eager; result is O(candidate pairs), small by design
-        b.unpersist()
-        out
-      },
-      Some(s"""WITH $minhashSql, $bandsSql
-               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-               ORDER BY doc_a, doc_b""")),
+      (s, d) => candidatePairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $minhashSql, $bandsSql, $pairsSql
+               SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
     // Dedup CLUSTERS: the pipeline step a curation job actually acts on.
     // Candidate pairs (shared band signature) become edges; 3 unrolled
@@ -152,14 +144,7 @@ object Dedup extends QueryModule {
     // rows; each round is one equi-join + one min-agg, both doc-keyed.
     Q("q_dedup_clusters",
       (s, d) => {
-        val b = bands(s, d).persist()
-        val pairs = b.as("a").join(b.as("b"),
-            col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .localCheckpoint() // eager, O(pairs); also frees the band cache below
-        b.unpersist()
+        val pairs = candidatePairs(s, d)
         val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
           .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
         var lab = Tables(s, d, "documents")
@@ -182,10 +167,7 @@ object Dedup extends QueryModule {
                UNION ALL SELECT e.v, l.lab FROM edges e JOIN l${i - 1} l ON e.n = l.v) u
              GROUP BY v)"""
         }.mkString(",\n")
-        s"""WITH $minhashSql, $bandsSql,
-           pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        s"""WITH $minhashSql, $bandsSql, $pairsSql,
            edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
                      UNION ALL SELECT doc_b, doc_a FROM pairs),
            l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),

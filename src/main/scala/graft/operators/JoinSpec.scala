@@ -55,7 +55,10 @@ object JoinSpec {
     case Outer(children) => merge(children, "full_outer")
     case Override(children) =>
       val joined = merge(children, "full_outer")
-      val vals = joined.columns.filter(_.startsWith("v")).sorted.reverse.map(col)
+      // numeric sort on the v<i> suffix — lexicographic would put v10
+      // between v1 and v2 and break rightmost-wins past 10 children
+      val vals = joined.columns.filter(_.startsWith("v"))
+        .sortBy(_.drop(1).toInt).reverse.map(col)
       joined.select(col("key"), coalesce(vals.toIndexedSeq: _*).as("v0"))
     case UserOp(_, op, children) => op(children.map(compose))
   }
@@ -175,7 +178,8 @@ object JoinSpec {
 class ConcatValsOp extends JoinSpec.CompositeOp {
   override def apply(children: Seq[DataFrame]): DataFrame = {
     val joined = JoinSpec.mergeComposed(children, "full_outer")
-    val vals = joined.columns.filter(_.startsWith("v")).sorted.map(col)
+    val vals = joined.columns.filter(_.startsWith("v"))
+      .sortBy(_.drop(1).toInt).map(col) // numeric: v10 sorts after v9
     joined.select(col("key"), concat_ws("|", vals.toIndexedSeq: _*).as("v0"))
   }
 }

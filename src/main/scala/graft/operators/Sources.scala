@@ -20,17 +20,8 @@ object Sources extends QueryModule {
     * Bench/Verify invocations reuse the same directories instead of leaking
     * a projected table copy per run, and the whole root is removed on JVM
     * exit (ADVICE r1). */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = Files.createTempDirectory("graft-scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
-    p
-  }
+  private lazy val scratchRoot: java.nio.file.Path =
+    graft.GraftSession.tempDirCleanedOnExit("graft-scratch")
 
   private def tmp(prefix: String): String =
     Paths.get(scratchRoot.toString, prefix, "out").toString

@@ -12,17 +12,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis extends QueryModule {
 
-  /** documents scan pre-partitioned to an explicit CPU-oriented count —
-    * same rationale as Dedup's docs(): AQE sizes post-shuffle partitions
-    * by BYTES, and raw text is tiny next to the regex/tokenize/md5 CPU
-    * behind it, so a single-row-group parquet input otherwise runs the
-    * whole map stage as one task. The doc_id clustering is reused by the
-    * downstream per-doc groupBy/window, so the exchange replaces the one
-    * those would run rather than adding a net shuffle. */
-  private def docs(s: SparkSession, d: String): DataFrame = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    Tables(s, d, "documents").repartition(n, col("doc_id"))
-  }
+  /** documents pre-partitioned by doc_id for the CPU-bound regex/tokenize
+    * stages — see [[graft.Tables.cpuPartitioned]]. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.cpuPartitioned(s, d, "documents", "doc_id")
 
   private def toks(s: SparkSession, d: String): DataFrame =
     docs(s, d)

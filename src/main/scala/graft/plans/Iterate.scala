@@ -54,6 +54,7 @@ object Iterate {
   def untilFixpoint(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
       step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
     var cur = init
+    var prevCkpt: DataFrame = null
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -61,8 +62,11 @@ object Iterate {
       cur = next
       i += 1
       if (changed == 0) done = true
-      else if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        cur = cur.localCheckpoint()
+      else if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        cur = cur.localCheckpoint() // eager: materialized before old blocks go
+        if (prevCkpt != null) release(prevCkpt) // same hygiene as apply()
+        prevCkpt = cur
+      }
     }
     (cur, i)
   }

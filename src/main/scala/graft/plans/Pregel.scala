@@ -179,9 +179,19 @@ object Pregel {
       verts = if (stats._3 == 0 && stats._4 == 0) kept
       else {
         // buffered topology mutations applied at superstep end; an added id
-        // that already exists keeps the existing vertex (first add wins)
-        val newOnes = stepped.flatMap(_._3)
-          .groupByKey(_._1).reduceGroups((a, _) => a).map(m => (m._2._1, m._2._2, false))
+        // that already exists keeps the existing vertex. Competing adds of
+        // the SAME new id in one superstep resolve deterministically — the
+        // lowest adder id wins (then list position within that adder) —
+        // rather than by partition/task arrival order, so job output never
+        // depends on scheduling.
+        implicit val addEnc: ExpressionEncoder[(Long, Long, Int, V)] =
+          ExpressionEncoder[(Long, Long, Int, V)]()
+        val newOnes = stepped
+          .flatMap(t => t._3.zipWithIndex.map { case ((nid, v), i) => (nid, t._1._1, i, v) })
+          .groupByKey(_._1)
+          .reduceGroups((a, b) =>
+            if (a._2 < b._2 || (a._2 == b._2 && a._3 <= b._3)) a else b)
+          .map(m => (m._2._1, m._2._4, false))
           .toDF("id", "value", "halted")
           .join(kept.toDF("id", "value", "halted").select("id"), Seq("id"), "left_anti")
           .as[(Long, V, Boolean)]

@@ -36,6 +36,14 @@ class JoinSpecSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a1"), (2L, "b2"), (3L, "b3"), (4L, "b4")))
   }
 
+  test("override with 11+ children: rightmost still wins (numeric v-column order)") {
+    // v10 sorts lexicographically between v1 and v2 — a string sort would
+    // make child 9 beat the rightmost child 10
+    val kids = (0 until 11).map(i => Tbl(Seq((1L, s"v$i")).toDF("k", "x"), "k", "x"))
+    val out = JoinSpec.compose(Override(kids)).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "v10")))
+  }
+
   test("nested composite: inner(outer(a, b), tbl(c))") {
     val out = JoinSpec.compose(Inner(Seq(Outer(Seq(Tbl(a, "k", "av"), Tbl(b, "k", "bv"))), Tbl(c, "k", "cv"))))
       .orderBy("key").collect()
