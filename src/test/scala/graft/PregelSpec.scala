@@ -58,6 +58,20 @@ class PregelSpec extends AnyFunSuite {
     assert(out === Map(100L -> SumV(10)))
   }
 
+  test("competing adds of one id resolve deterministically: lowest adder wins") {
+    val verts = Seq(5L -> SumV(5), 9L -> SumV(9), 2L -> SumV(2)).toDS()
+    val res = Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 2)(
+      (id, v, _, step, _) =>
+        if (step == 0)
+          // every vertex tries to create vertex 100 seeded with its own value
+          ComputeResult(v, voteToHalt = true, add = Seq((100L, SumV(v.value))))
+        else ComputeResult(v, voteToHalt = true))
+    val out = res.collect().toMap
+    // adder 2 has the lowest id, so its seed value wins regardless of
+    // partitioning or task order
+    assert(out(100L) === SumV(2))
+  }
+
   test("global aggregator value is visible next superstep and can halt") {
     // every vertex doubles its value; aggregator = max value, halts at >= 8
     val verts = Seq(1L -> SumV(1), 2L -> SumV(2)).toDS()
