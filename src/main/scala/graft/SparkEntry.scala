@@ -15,6 +15,7 @@ object SparkEntry {
     operators.GraphAdvanced,
     operators.ML,
     operators.Dedup,
+    operators.Curation,
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,

@@ -111,6 +111,43 @@ object Dedup extends QueryModule {
          FROM bands a JOIN bands b
          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
 
+  /** (doc_id, canon_id, keep) — pairs as edges, `clusterRounds` unrolled
+    * min-label propagation rounds, cluster minimum as canonical id.
+    * Shared by q_dedup_clusters and the Curation pipeline. */
+  private val clusterRounds = 3
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
+      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
+    var lab = Tables(s, d, "documents")
+      .select(col("doc_id").as("v"), col("doc_id").as("lab"))
+    for (_ <- 1 to clusterRounds) {
+      val fromNeighbors = edges.join(lab.withColumnRenamed("v", "nv"),
+          col("n") === col("nv"))
+        .select(col("v"), col("lab"))
+      lab = lab.select(col("v"), col("lab")).unionByName(fromNeighbors)
+        .groupBy("v").agg(min("lab").as("lab"))
+    }
+    lab.select(col("v").as("doc_id"), col("lab").as("canon_id"),
+      (col("v") === col("lab")).as("keep"))
+  }
+
+  /** CTE chain ending in l{clusterRounds}(v, lab) — the oracle half of
+    * [[clusterLabels]]. */
+  private[operators] val clustersSqlCtes: String = {
+    val rounds = (1 to clusterRounds).map { i =>
+      s"""l$i AS (SELECT v, MIN(lab) AS lab FROM (
+           SELECT v, lab FROM l${i - 1}
+           UNION ALL SELECT e.v, l.lab FROM edges e JOIN l${i - 1} l ON e.n = l.v) u
+         GROUP BY v)"""
+    }.mkString(",\n")
+    s"""$minhashSql, $bandsSql, $pairsSql,
+       edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+       $rounds"""
+  }
+
   override val defs: Seq[Q] = Seq(
 
     // exact dedup: content-hash groupBy per source
@@ -143,38 +180,10 @@ object Dedup extends QueryModule {
     // Scale: edges are the sparse LSH pair set, labels are (doc, long)
     // rows; each round is one equi-join + one min-agg, both doc-keyed.
     Q("q_dedup_clusters",
-      (s, d) => {
-        val pairs = candidatePairs(s, d)
-        val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
-          .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
-        var lab = Tables(s, d, "documents")
-          .select(col("doc_id").as("v"), col("doc_id").as("lab"))
-        for (_ <- 1 to 3) {
-          val fromNeighbors = edges.join(lab.withColumnRenamed("v", "nv"),
-              col("n") === col("nv"))
-            .select(col("v"), col("lab"))
-          lab = lab.select(col("v"), col("lab")).unionByName(fromNeighbors)
-            .groupBy("v").agg(min("lab").as("lab"))
-        }
-        lab.select(col("v").as("doc_id"), col("lab").as("canon_id"),
-            (col("v") === col("lab")).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val rounds = (1 to 3).map { i =>
-          s"""l$i AS (SELECT v, MIN(lab) AS lab FROM (
-               SELECT v, lab FROM l${i - 1}
-               UNION ALL SELECT e.v, l.lab FROM edges e JOIN l${i - 1} l ON e.n = l.v) u
-             GROUP BY v)"""
-        }.mkString(",\n")
-        s"""WITH $minhashSql, $bandsSql, $pairsSql,
-           edges AS (SELECT doc_a AS v, doc_b AS n FROM pairs
-                     UNION ALL SELECT doc_b, doc_a FROM pairs),
-           l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
-           $rounds
+      (s, d) => clusterLabels(s, d).orderBy("doc_id"),
+      Some(s"""WITH $clustersSqlCtes
            SELECT v AS doc_id, lab AS canon_id, v = lab AS keep
-           FROM l3 ORDER BY doc_id"""
-      }),
+           FROM l3 ORDER BY doc_id""")),
 
     // SimHash: 64-bit signature, per-bit majority vote over token hashes
     // (TWO md5 per token: 64 hex-nibble draws, bit j votes on nibble < 8).
