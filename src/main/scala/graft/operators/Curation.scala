@@ -27,17 +27,16 @@ object Curation extends QueryModule {
       (s, d) => {
         val labels = Dedup.clusterLabels(s, d)
           .select(col("doc_id"), col("keep").as("kept_dedup"))
-        val staged = Tables(s, d, "documents")
+        // cpuPartitioned: the regex/tokenize scoring below is the CPU-bound
+        // shape the explicit pre-partition exists for (see Tables); the
+        // doc_id clustering also co-locates the labels join
+        val staged = Tables.cpuPartitioned(s, d, "documents", "doc_id")
           .join(labels, "doc_id")
-          .withColumn("q",
-            (length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0
-              - lit(0.5) * length(regexp_replace(col("text"), "[^0-9]", "")))
-              / length(col("text")))
+          .withColumn("q", TextExprs.qualityScore(col("text")))
           .withColumn("kept_quality", col("kept_dedup") && col("q") >= qualityMin)
           .withColumn("kept_sample", col("kept_quality") &&
-            substring(md5(col("doc_id").cast("string")), 1, 2) < lit(sampleHex))
-          .withColumn("n_tokens",
-            size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)))
+            TextExprs.hashDraw(col("doc_id")) < lit(sampleHex))
+          .withColumn("n_tokens", size(TextExprs.toks(col("text"))))
         staged.groupBy("source").agg(
             count(lit(1)).as("n_docs"),
             sum(col("kept_dedup").cast("long")).as("n_dedup"),
@@ -50,12 +49,9 @@ object Curation extends QueryModule {
       Some(s"""WITH ${Dedup.clustersSqlCtes},
             labels AS (SELECT v AS doc_id, v = lab AS kept_dedup FROM l3),
             staged AS (SELECT d.source, l.kept_dedup,
-                (length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0
-                  - 0.5 * length(regexp_replace(d.text, '[^0-9]', '', 'g')))
-                  / length(d.text) AS q,
-                substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS draw,
-                len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
-                  t -> length(t) > 0)) AS n_tokens
+                ${TextExprs.qualityScoreSql("d.text")} AS q,
+                ${TextExprs.hashDrawSql("d.doc_id")} AS draw,
+                len(${TextExprs.toksSql("d.text")}) AS n_tokens
               FROM documents d JOIN labels l USING (doc_id)),
             flags AS (SELECT source, kept_dedup,
                 kept_dedup AND q >= $qualityMin AS kept_quality,

@@ -38,12 +38,10 @@ object Dedup extends QueryModule {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.cpuPartitioned(s, d, "documents", "doc_id")
 
-  /** lowercase word tokens, empties dropped (split on non-alnum runs) */
-  private def toks(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+"), t => length(t) > 0)
+  /** lowercase word tokens, empties dropped — shared via [[TextExprs]] */
+  private def toks(textCol: Column): Column = TextExprs.toks(textCol)
 
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+  private val toksSql = TextExprs.toksSql("text")
 
   private val shinglesSql =
     s"""sh AS (SELECT doc_id, array_to_string(tk[p:p + ${shingleWords - 1}], ' ') AS sh FROM (

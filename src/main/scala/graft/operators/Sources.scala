@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 /** Source/sink round-trips (SURVEY.md §2.1) and the pipes analogue
   * (SURVEY.md §2.10): the reference's IO surface is InputFormat/OutputFormat

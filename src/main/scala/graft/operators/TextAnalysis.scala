@@ -19,13 +19,11 @@ object TextAnalysis extends QueryModule {
 
   private def toks(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), explode(TextExprs.toks(col("text"))).as("tok"))
 
   private val toksSql =
-    """toks AS (SELECT doc_id, tok FROM (
-         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-         FROM documents) t WHERE length(tok) > 0)"""
+    s"""toks AS (SELECT doc_id, unnest(${TextExprs.toksSql("text")}) AS tok
+         FROM documents)"""
 
   /** tiny stopword lexicons per language (n-gram heuristic stand-in) */
   private val lexicon: Seq[(String, String)] = Seq(
@@ -78,23 +76,26 @@ object TextAnalysis extends QueryModule {
                FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
                ORDER BY d.doc_id""")),
 
-    // quality scoring: character-class ratios
+    // quality scoring: character-class ratios. Denominators are
+    // greatest(len, 1) — Spark 4's default ANSI mode would otherwise
+    // throw DIVIDE_BY_ZERO on an empty document (see TextExprs).
     Q("q_text_quality",
-      (s, d) => docs(s, d).select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        round(length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 / length(col("text")), 6).as("alpha_ratio"),
-        round(length(regexp_replace(col("text"), "[^ ]", "")) * 1.0 / length(col("text")), 6).as("space_ratio"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")) * 1.0 / length(col("text")), 6).as("digit_ratio"),
-        round((length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 -
-          lit(0.5) * length(regexp_replace(col("text"), "[^0-9]", ""))) / length(col("text")), 6).as("quality"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-              ROUND(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
-              ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text), 6) AS space_ratio,
-              ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 6) AS digit_ratio,
-              ROUND((length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 -
-                0.5 * length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 6) AS quality
+      (s, d) => {
+        val den = greatest(length(col("text")), lit(1))
+        docs(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0 / den, 6).as("alpha_ratio"),
+          round(length(regexp_replace(col("text"), "[^ ]", "")) * 1.0 / den, 6).as("space_ratio"),
+          round(length(regexp_replace(col("text"), "[^0-9]", "")) * 1.0 / den, 6).as("digit_ratio"),
+          round(TextExprs.qualityScore(col("text")), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              ROUND(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+              ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS space_ratio,
+              ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+              ROUND(${TextExprs.qualityScoreSql("text")}, 6) AS quality
               FROM documents ORDER BY doc_id""")),
 
     // TF-IDF (SURVEY.md §7 step 8): tf × ln(N/df), top-3 terms per doc.
@@ -136,7 +137,7 @@ object TextAnalysis extends QueryModule {
     // index % 3 → 25% / 50% / 75% target rates.
     Q("q_text_sample",
       (s, d) => {
-        val draw = substring(md5(col("doc_id").cast("string")), 1, 2)
+        val draw = TextExprs.hashDraw(col("doc_id"))
         val thr = when(substring(col("source"), 4, 10).cast("int") % 3 === 0, lit("40"))
           .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, lit("80"))
           .otherwise(lit("c0"))
@@ -144,8 +145,8 @@ object TextAnalysis extends QueryModule {
           .select(col("doc_id"), col("source"), (draw < thr).as("kept"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, source,
-              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      Some(s"""SELECT doc_id, source,
+              ${TextExprs.hashDrawSql("doc_id")} <
                 CASE CAST(substr(source, 4) AS INT) % 3
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),

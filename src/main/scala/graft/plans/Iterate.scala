@@ -62,7 +62,7 @@ object Iterate {
       cur = next
       i += 1
       if (changed == 0) done = true
-      else if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+      else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter) {
         cur = cur.localCheckpoint() // eager: materialized before old blocks go
         if (prevCkpt != null) release(prevCkpt) // same hygiene as apply()
         prevCkpt = cur

@@ -111,6 +111,9 @@ object Pregel {
     implicit val statsEnc: ExpressionEncoder[(Long, Long, Long, Long)] =
       ExpressionEncoder[(Long, Long, Long, Long)]()
     implicit val keyEnc: ExpressionEncoder[Long] = ExpressionEncoder[Long]()
+    // (newId, adderId, listIdx, value) rows for deterministic add resolution
+    implicit val addEnc: ExpressionEncoder[(Long, Long, Int, V)] =
+      ExpressionEncoder[(Long, Long, Int, V)]()
 
     var verts: Dataset[(Long, V, Boolean)] =
       vertices.map { case (id, v) => (id, v, false) }.localCheckpoint()
@@ -184,8 +187,6 @@ object Pregel {
         // lowest adder id wins (then list position within that adder) —
         // rather than by partition/task arrival order, so job output never
         // depends on scheduling.
-        implicit val addEnc: ExpressionEncoder[(Long, Long, Int, V)] =
-          ExpressionEncoder[(Long, Long, Int, V)]()
         val newOnes = stepped
           .flatMap(t => t._3.zipWithIndex.map { case ((nid, v), i) => (nid, t._1._1, i, v) })
           .groupByKey(_._1)
