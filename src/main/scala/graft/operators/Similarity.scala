@@ -153,6 +153,82 @@ object Similarity extends QueryModule {
                 FROM sims) t
               WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // IVF with a TRAINED coarse quantizer: one Lloyd refinement of the 4
+    // seed centroids over the full corpus — assign every vector to its
+    // nearest seed by dot, recompute per-cell position means (rounded so
+    // the oracle's doubles agree exactly), then run the standard
+    // inverted-file search against the trained centroids. Training is two
+    // broadcast-assign scans + one (cell, pos)-keyed aggregate: fully
+    // data-parallel, no driver loop, and the same shape at any corpus
+    // size. This is the quantizer-quality knob alongside q_sim_ivf_probe's
+    // recall knob.
+    Q("q_sim_ivf_trained",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val seeds0 = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+        def assignTo(cen: DataFrame, v: DataFrame, idCol: String, embCol: String): DataFrame = {
+          val w = Window.partitionBy(col(idCol)).orderBy(desc("cdot"), asc("c_id"))
+          v.crossJoin(broadcast(cen))
+            .withColumn("cdot", round(vecDot(col(embCol), col("cemb")), 6))
+            .withColumn("crn", row_number().over(w))
+            .filter(col("crn") === 1)
+            .select(col(idCol), col(embCol), col("c_id").as("cell"))
+        }
+        val a1 = assignTo(seeds0, emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        val trained = a1.select(col("cell"), posexplode(col("embedding")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(avg(col("col")), 6).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cemb"))
+          .select(col("cell").as("c_id"), col("cemb"))
+        val q = assignTo(trained, emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
+        val c = assignTo(trained, emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2")
+        val sims = c.join(broadcast(q), "cell")
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb2")), 6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+              seeds AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
+              d1 AS (SELECT e.vec_id, s.c_id, ROUND(SUM(e.ev * s.cv), 6) AS cdot
+                FROM e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c_id),
+              cells1 AS (SELECT vec_id, c_id AS cell FROM d1
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) = 1),
+              cent AS (SELECT c.cell AS c_id, e.pos, ROUND(AVG(e.ev), 6) AS cv
+                FROM e JOIN cells1 c USING (vec_id) GROUP BY c.cell, e.pos),
+              d2 AS (SELECT e.vec_id, cent.c_id, ROUND(SUM(e.ev * cent.cv), 6) AS cdot
+                FROM e JOIN cent USING (pos) GROUP BY e.vec_id, cent.c_id),
+              qcells AS (SELECT vec_id, c_id AS cell FROM d2 WHERE vec_id < 5
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) = 1),
+              ccells AS (SELECT vec_id, c_id AS cell FROM d2 WHERE vec_id >= 5
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) = 1),
+              q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, qcells.cell
+                FROM e JOIN qcells USING (vec_id)),
+              c AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, ccells.cell
+                FROM e JOIN ccells USING (vec_id)),
+              sims AS (SELECT q.q_id, c.cand_id,
+                ROUND(SUM(q.qv * c.cv) / (SQRT(SUM(q.qv * q.qv)) * SQRT(SUM(c.cv * c.cv))), 6) AS sim
+                FROM c JOIN q ON q.cell = c.cell AND q.pos = c.pos
+                GROUP BY q.q_id, c.cand_id)
+              SELECT q_id, rank, cand_id, sim FROM (
+                SELECT q_id, cand_id, sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                FROM sims) t
+              WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // IVF multi-probe: the recall knob the single-probe variant lacks.
     // Candidates still index into exactly ONE cell (the inverted-file
     // invariant — list sizes stay disjoint and bounded); each QUERY probes
