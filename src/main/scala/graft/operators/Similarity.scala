@@ -49,6 +49,21 @@ object Similarity extends QueryModule {
          string_agg(CASE WHEN ROUND(dot, 6) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
          FROM lshdots GROUP BY vec_id)"""
 
+  /** Nearest-cell assignment (argmax dot over broadcast centroids) as ONE
+    * hash aggregate: `max_by` keyed on (cdot, -c_id) replaces a
+    * row_number window — the window shuffles AND SORTS centroids×corpus
+    * rows, while the aggregate partial-combines map-side down to one row
+    * per vector before any exchange. Ties break to the lowest c_id,
+    * exactly like the window's (desc cdot, asc c_id) order. */
+  private def nearestCell(cen: DataFrame, v: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    v.crossJoin(broadcast(cen))
+      .withColumn("cdot", round(vecDot(col(embCol), col("cemb")), 6))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol), // constant within each id group
+        max_by(col("c_id"), struct(col("cdot"), -col("c_id"))).as("cell"))
+      .select(col(idCol), col(embCol), col("cell"))
+
   override val defs: Seq[Q] = Seq(
 
     // brute-force cosine top-k: queries = vec_id < 5, candidates = the rest
@@ -109,18 +124,9 @@ object Similarity extends QueryModule {
         val emb = Tables(s, d, "embeddings")
         val cen = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
-        def assign(v: DataFrame, idCol: String, embCol: String): DataFrame = {
-          val w = Window.partitionBy(col(idCol))
-            .orderBy(desc("cdot"), asc("c_id"))
-          v.crossJoin(broadcast(cen))
-            .withColumn("cdot", round(vecDot(col(embCol), col("cemb")), 6))
-            .withColumn("crn", row_number().over(w))
-            .filter(col("crn") === 1)
-            .select(col(idCol), col(embCol), col("c_id").as("cell"))
-        }
-        val q = assign(emb.filter(col("vec_id") < 5)
+        val q = nearestCell(cen, emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
-        val c = assign(emb.filter(col("vec_id") >= 5)
+        val c = nearestCell(cen, emb.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2")
         val sims = c.join(broadcast(q), "cell")
           .select(col("q_id"), col("cand_id"),
@@ -167,15 +173,7 @@ object Similarity extends QueryModule {
         val emb = Tables(s, d, "embeddings")
         val seeds0 = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
-        def assignTo(cen: DataFrame, v: DataFrame, idCol: String, embCol: String): DataFrame = {
-          val w = Window.partitionBy(col(idCol)).orderBy(desc("cdot"), asc("c_id"))
-          v.crossJoin(broadcast(cen))
-            .withColumn("cdot", round(vecDot(col(embCol), col("cemb")), 6))
-            .withColumn("crn", row_number().over(w))
-            .filter(col("crn") === 1)
-            .select(col(idCol), col(embCol), col("c_id").as("cell"))
-        }
-        val a1 = assignTo(seeds0, emb.select(col("vec_id"), col("embedding")),
+        val a1 = nearestCell(seeds0, emb.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding")
         val trained = a1.select(col("cell"), posexplode(col("embedding")))
           .groupBy(col("cell"), col("pos"))
@@ -184,9 +182,9 @@ object Similarity extends QueryModule {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("cemb"))
           .select(col("cell").as("c_id"), col("cemb"))
-        val q = assignTo(trained, emb.filter(col("vec_id") < 5)
+        val q = nearestCell(trained, emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
-        val c = assignTo(trained, emb.filter(col("vec_id") >= 5)
+        val c = nearestCell(trained, emb.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2")
         val sims = c.join(broadcast(q), "cell")
           .select(col("q_id"), col("cand_id"),
@@ -242,7 +240,9 @@ object Similarity extends QueryModule {
         val emb = Tables(s, d, "embeddings")
         val cen = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
-        def assign(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+        // query side keeps a window (top-nProbe cells, not an argmax);
+        // the query set is tiny, so the sort is over queries×4 rows only
+        def probe(v: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
           val w = Window.partitionBy(col(idCol))
             .orderBy(desc("cdot"), asc("c_id"))
           v.crossJoin(broadcast(cen))
@@ -251,10 +251,10 @@ object Similarity extends QueryModule {
             .filter(col("crn") <= n)
             .select(col(idCol), col(embCol), col("c_id").as("cell"))
         }
-        val q = assign(emb.filter(col("vec_id") < 5)
+        val q = probe(emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb", nProbe)
-        val c = assign(emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2", 1)
+        val c = nearestCell(cen, emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2")
         val sims = c.join(broadcast(q), "cell")
           .select(col("q_id"), col("cand_id"),
             round(cosine(col("qemb"), col("cemb2")), 6).as("sim"))
