@@ -175,9 +175,13 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
         val a1 = nearestCell(seeds0, emb.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding")
+        // centroid means round at 4 decimals (not the usual 6): this value
+        // feeds ANOTHER rounded-compare layer (the second assignment pass),
+        // and the coarser grid keeps the engines' ~1-ulp summation-order
+        // differences far from any rounding boundary
         val trained = a1.select(col("cell"), posexplode(col("embedding")))
           .groupBy(col("cell"), col("pos"))
-          .agg(round(avg(col("col")), 6).as("m"))
+          .agg(round(avg(col("col")), 4).as("m"))
           .groupBy("cell")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("cemb"))
@@ -203,7 +207,7 @@ object Similarity extends QueryModule {
               cells1 AS (SELECT vec_id, c_id AS cell FROM d1
                 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                   ORDER BY cdot DESC, c_id) = 1),
-              cent AS (SELECT c.cell AS c_id, e.pos, ROUND(AVG(e.ev), 6) AS cv
+              cent AS (SELECT c.cell AS c_id, e.pos, ROUND(AVG(e.ev), 4) AS cv
                 FROM e JOIN cells1 c USING (vec_id) GROUP BY c.cell, e.pos),
               d2 AS (SELECT e.vec_id, cent.c_id, ROUND(SUM(e.ev * cent.cv), 6) AS cdot
                 FROM e JOIN cent USING (pos) GROUP BY e.vec_id, cent.c_id),
