@@ -56,6 +56,42 @@ object Multimodal extends QueryModule {
       b.array()
     }
 
+    def aviFrames(id: Long): Int = (2 + id % 7).toInt
+    def aviWidth(id: Long): Int = (8 + id % 8).toInt
+    def aviHeight(id: Long): Int = (6 + (id * 3) % 6).toInt
+    def aviMicrosPerFrame(id: Long): Int = (40000 + (id % 4) * 20000).toInt
+
+    /** Minimal uncompressed AVI: RIFF('AVI ') with a LIST('hdrl') holding
+      * the 56-byte 'avih' main header and a LIST('movi') of raw '00db'
+      * frame chunks (bottom-up rows padded to 4 bytes, like BMP). Frame
+      * byte i of frame f is (id*5 + f*11 + i) & 0xff — the deterministic
+      * filler the oracle restates. */
+    def avi(id: Long): Array[Byte] = {
+      val nF = aviFrames(id); val w = aviWidth(id); val h = aviHeight(id)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val frameBytes = rowSize * h // multiple of 4 → chunks stay even
+      val hdrlList = 4 + 8 + 56
+      val moviList = 4 + nF * (8 + frameBytes)
+      val riffSize = 4 + (8 + hdrlList) + (8 + moviList)
+      val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(riffSize).put("AVI ".getBytes)
+      b.put("LIST".getBytes).putInt(hdrlList).put("hdrl".getBytes)
+      b.put("avih".getBytes).putInt(56)
+      b.putInt(aviMicrosPerFrame(id)).putInt(0).putInt(0).putInt(0) // usec/frame, maxBps, padding, flags
+      b.putInt(nF).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, sugBufSize
+      b.putInt(w).putInt(h)
+      b.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      b.put("LIST".getBytes).putInt(moviList).put("movi".getBytes)
+      var f = 0
+      while (f < nF) {
+        b.put("00db".getBytes).putInt(frameBytes)
+        var i = 0
+        while (i < frameBytes) { b.put(((id * 5 + f * 11 + i) & 0xff).toByte); i += 1 }
+        f += 1
+      }
+      b.array()
+    }
+
     def wavChannels(id: Long): Int = (1 + id % 2).toInt
     def wavRate(id: Long): Int = (8000 * (1 + id % 3)).toInt
     def wavSamples(id: Long): Int = (100 + id % 400).toInt
@@ -93,6 +129,49 @@ object Multimodal extends QueryModule {
       b.getShort // planes
       val bpp = b.getShort.toLong
       (magic, w, h, bpp)
+    }
+
+    /** AVI walk + FRAME SAMPLING: parse the RIFF/hdrl/avih headers, then
+      * every 2nd '00db' frame chunk; returns (totalFrames, width, height,
+      * microsPerFrame, nSampled, checksum of the first 64 bytes of each
+      * sampled frame). Throws on malformed input like the other codecs. */
+    def decodeAviSampled(bytes: Array[Byte], every: Int = 2): (Long, Long, Long, Long, Long, Long) = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = new String(Array(b.get(), b.get(), b.get(), b.get()))
+      require(fourcc() == "RIFF", "not RIFF")
+      b.getInt // riff size
+      require(fourcc() == "AVI ", "not AVI")
+      require(fourcc() == "LIST", "missing hdrl LIST")
+      b.getInt
+      require(fourcc() == "hdrl", "missing hdrl")
+      require(fourcc() == "avih", "missing avih")
+      require(b.getInt == 56, "unsupported avih size")
+      val mspf = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt // maxBps, padding, flags
+      val totalFrames = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt // initial, streams, sugBufSize
+      val w = b.getInt.toLong
+      val h = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt; b.getInt // dwReserved
+      require(fourcc() == "LIST", "missing movi LIST")
+      b.getInt
+      require(fourcc() == "movi", "missing movi")
+      var f = 0L
+      var sampled = 0L
+      var pxSum = 0L
+      while (b.remaining() >= 8) {
+        require(fourcc() == "00db", "unexpected movi chunk")
+        val sz = b.getInt
+        if (f % every == 0) {
+          sampled += 1
+          var i = 0
+          while (i < math.min(64, sz)) { pxSum += b.get(b.position() + i) & 0xff; i += 1 }
+        }
+        b.position(b.position() + sz + (sz & 1)) // RIFF chunks pad to even
+        f += 1
+      }
+      require(f == totalFrames, s"header declares $totalFrames frames, movi holds $f")
+      (totalFrames, w, h, mspf, sampled, pxSum)
     }
 
     def decodeWav(bytes: Array[Byte]): (String, Long, Long, Long, Long) = {
@@ -228,6 +307,32 @@ object Multimodal extends QueryModule {
       .map(id => (id, MediaFixture.wav(id))).toDF("doc_id", "payload")
   }
 
+  /** binary video payloads: one real uncompressed AVI per document */
+  def videoPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixture.avi(id))).toDF("doc_id", "payload")
+  }
+
+  /** Typed row produced by the video frame-sampling stage. */
+  final case class FrameMeta(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, micros_per_frame: Long, n_sampled: Long, sampled_px: Long)
+
+  /** Batched per-partition video decode + frame sampling. */
+  def sampleFrames(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[FrameMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (nf, w, h, mspf, ns, px) = MediaCodec.decodeAviSampled(bytes)
+            FrameMeta(id, nf, w, h, mspf, ns, px)
+          }
+        }
+      }
+  }
+
   override val defs: Seq[Q] = Seq(
     // image metadata parsed from real BMP bytes; the oracle restates the
     // fixture's generation formulas (width = 1 + id % 64, rows padded to
@@ -276,6 +381,35 @@ object Multimodal extends QueryModule {
                 CAST(54 + ((3 * w2 + 3) // 4) * 4 * h2 AS BIGINT) AS n_bytes,
                 CAST(SUM(s) AS BIGINT) AS px_sum
               FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""")),
+
+    // video FRAME SAMPLING over real RIFF/AVI containers: parse the avih
+    // main header, walk the movi '00db' chunks, keep every 2nd frame, and
+    // checksum each sampled frame's first 64 filler bytes — the oracle
+    // recomputes header fields AND the checksum from the generation
+    // arithmetic, so the chunk walk (offsets, RIFF even-padding, header
+    // agreement with the actual frame count) is verified, not assumed
+    Q("q_mm_frames",
+      (s, d) => sampleFrames(s, videoPayloads(s, d)).toDF()
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("micros_per_frame"), col("n_sampled"), col("sampled_px"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+                2 + doc_id % 7 AS frames, 8 + doc_id % 8 AS w,
+                6 + (doc_id * 3) % 6 AS h,
+                40000 + (doc_id % 4) * 20000 AS mspf FROM documents),
+              fs AS (SELECT doc_id, unnest(generate_series(0, frames - 1, 2)) AS f
+                FROM p),
+              px AS (SELECT fs.doc_id,
+                  SUM((fs.doc_id * 5 + fs.f * 11 + i.i) % 256) AS sampled_px,
+                  COUNT(DISTINCT fs.f) AS n_sampled
+                FROM fs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+                GROUP BY fs.doc_id)
+              SELECT p.doc_id, CAST(frames AS BIGINT) AS n_frames,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(mspf AS BIGINT) AS micros_per_frame,
+                CAST(px.n_sampled AS BIGINT) AS n_sampled,
+                CAST(px.sampled_px AS BIGINT) AS sampled_px
+              FROM p JOIN px ON p.doc_id = px.doc_id ORDER BY p.doc_id""")),
 
     // audio metadata parsed from real WAV (RIFF/fmt/data) bytes
     Q("q_mm_audio_meta",

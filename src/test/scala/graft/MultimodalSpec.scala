@@ -64,6 +64,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI round-trip: header fields, chunk walk, and sampled checksum agree with the builder") {
+    for (id <- Seq(0L, 1L, 6L, 13L, 9999L)) {
+      val bytes = MediaFixture.avi(id)
+      val (nf, w, h, mspf, ns, px) = MediaCodec.decodeAviSampled(bytes)
+      assert(nf === MediaFixture.aviFrames(id).toLong)
+      assert(w === MediaFixture.aviWidth(id).toLong)
+      assert(h === MediaFixture.aviHeight(id).toLong)
+      assert(mspf === MediaFixture.aviMicrosPerFrame(id).toLong)
+      assert(ns === (MediaFixture.aviFrames(id) + 1) / 2)
+      // brute-force recompute: first 64 filler bytes of every 2nd frame
+      var expected = 0L
+      for (f <- 0 until MediaFixture.aviFrames(id) by 2; i <- 0 until 64)
+        expected += (id * 5 + f * 11 + i) & 0xff
+      assert(px === expected)
+      // a WAV is RIFF but not an AVI
+      intercept[IllegalArgumentException] { MediaCodec.decodeAviSampled(MediaFixture.wav(id)) }
+    }
+  }
+
   test("downsample picks pixel (2x,2y), re-encodes a decodable BMP, and sums kept bytes") {
     for (id <- Seq(0L, 1L, 63L, 127L, 9999L)) {
       val src = MediaFixture.bmp(id)
