@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import graft.plans.Iterate
+import graft.plans.{Iterate, Pregel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -151,6 +151,45 @@ object Graph extends QueryModule {
     out.select(col("v"), round(col("rank"), 9).as("rank")).orderBy("v")
   }
 
+  /** vertex state for the typed-Pregel PageRank parity run */
+  case class PrV(rank: Double, adj: Seq[Long])
+
+  /** ENGINE-PARITY check: the same PageRank (fixed supersteps, damping
+    * 0.85) run on BOTH execution paths — the declarative Iterate loop
+    * that q_graph_pagerank ships AND the typed Pregel engine (vertex
+    * program, dst-keyed message shuffle, sum combiner) — then compared
+    * vertex-by-vertex. This turns the architecture claim "the two engines
+    * implement the same semantics" into a driver-checked invariant row.
+    * Tolerance 1e-6 absorbs message-summation order (the inbox is
+    * unordered, exactly the reference's BSPPeer contract) and the
+    * declared query's 9-decimal rounding; the update chain is identical. */
+  private def pagerankParity(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = edges(s, d).select("src", "dst")
+    val vs = nodes(e).cache()
+    val n = vs.count().toDouble
+    val adj = e.groupBy("src").agg(collect_list("dst").as("adj"))
+    val verts = vs.join(adj, vs("v") === adj("src"), "left")
+      .select(col("v"), coalesce(col("adj"), typedLit(Seq.empty[Long])).as("adj"))
+      .as[(Long, Seq[Long])]
+      .map { case (v, a) => (v, PrV(1.0 / n, a)) }
+    val typed = Pregel.run[PrV, Double, Unit](s, verts, maxIter = iters + 1,
+      combiner = Some((a: Double, b: Double) => a + b))((_, v, msgs, step, _) =>
+        if (step == 0)
+          Pregel.ComputeResult(v, messages = v.adj.map(dst => (dst, v.rank / v.adj.size)))
+        else {
+          val nr = 0.15 / n + 0.85 * msgs.sum
+          if (step < iters)
+            Pregel.ComputeResult(v.copy(rank = nr),
+              messages = v.adj.map(dd => (dd, nr / v.adj.size)))
+          else Pregel.ComputeResult(v.copy(rank = nr), voteToHalt = true)
+        })
+      .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
+    pagerank(s, d, iters).join(typed, "v")
+      .agg(count(lit(1)).as("n_vertices"),
+        (max(abs(col("t_rank") - col("rank"))) < 1e-6).as("engines_agree"))
+  }
+
   /** SSSP from vertex 0, fixed rounds of min-plus relaxation with the
     * MinIntCombiner as partial min aggregation
     * (`examples/src/main/java/org/apache/hama/examples/SSSP.java:41-88`). */
@@ -241,6 +280,11 @@ object Graph extends QueryModule {
                SELECT dst AS v, COUNT(*) AS inlinks FROM e GROUP BY dst ORDER BY v""")),
 
     Q("q_graph_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql(10))),
+
+    Q("q_graph_pagerank_parity", (s, d) => pagerankParity(s, d),
+      Some(s"""WITH $edgesSql, $nodesSql
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                      true AS engines_agree FROM nodes""")),
 
     Q("q_graph_sssp", (s, d) => sssp(s, d), Some(ssspSql(6))),
 
