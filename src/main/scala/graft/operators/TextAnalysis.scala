@@ -36,13 +36,20 @@ object TextAnalysis extends QueryModule {
 
   override val defs: Seq[Q] = Seq(
 
-    // token counting (whitespace/punct tokenizer)
+    // token counting (whitespace/punct tokenizer). Two-level aggregate:
+    // a single countDistinct mixed with plain aggregates would plan as an
+    // Expand (row duplication ×2) over the exploded token relation — the
+    // r2 driver bench showed that amplification at 16 s. Instead reduce
+    // (doc_id, tok) first (map-side partial combine shrinks the explode
+    // output before any shuffle), then roll up per doc: n_uniq is a plain
+    // count, n_tokens/avg_len are exact integer sums — no Expand anywhere.
     Q("q_text_tokens",
       (s, d) => toks(s, d)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("tok")).as("n_uniq"),
-          round(avg(length(col("tok")).cast("double")), 4).as("avg_len"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_uniq"),
+          round((sum(col("c") * length(col("tok"))) * 1.0 / sum(col("c"))), 4).as("avg_len"))
         .orderBy("doc_id"),
       Some(s"""WITH $toksSql
                SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_uniq,
@@ -103,9 +110,15 @@ object TextAnalysis extends QueryModule {
     Q("q_text_tfidf",
       (s, d) => {
         val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        // document frequency as a count window over the tf relation — the
+        // r2 shape re-derived tf twice (once for dfreq's groupBy, once for
+        // the join), i.e. two explodes + two aggregates + a join shuffle;
+        // the window is the same shuffle-by-tok but computes tf exactly once
+        val dfW = Window.partitionBy(col("tok"))
         val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
-        val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+        val scored = tf
+          .withColumn("df", count(lit(1)).over(dfW).cast("double"))
+          .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("nd") / col("df")), 6).as("tfidf"))
         val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("tok"))
