@@ -42,6 +42,10 @@ object GraftSession {
       // inside whole-stage codegen; the default 100-field cap silently
       // drops them to the interpreted path (~5× slower)
       .config("spark.sql.codegen.maxFields", "256")
+      // the typed Pregel engine shuffles RDD records (message tuples); Kryo
+      // serializes them ~3-5× tighter/faster than the JavaSerializer
+      // default. Dataset/DataFrame paths are untouched (UnsafeRow).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

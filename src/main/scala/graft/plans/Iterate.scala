@@ -28,7 +28,16 @@ object Iterate {
       case _ => ()
     }
 
-  def apply(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
+  /** `reliable = true` swaps the executor-local checkpoint for Spark's
+    * reliable `Dataset.checkpoint()` (files under `sc.setCheckpointDir` —
+    * HDFS on a cluster): blocks lost with an executor are recomputed from
+    * the checkpoint FILES instead of killing the job — the analogue of the
+    * reference's superstep checkpoint recovery
+    * (`core/.../bsp/ft/AsyncRcvdMsgCheckpointImpl.java:69-260`). Costs one
+    * filesystem write of the loop state per cadence; cadence × state size
+    * is the knob (BASELINE.md records the measured overhead). */
+  def apply(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10,
+      reliable: Boolean = false)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     var cur = init
     var prevCkpt: DataFrame = null
@@ -37,7 +46,8 @@ object Iterate {
       cur = step(cur, i)
       i += 1
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter) {
-        cur = cur.localCheckpoint() // eager: materialized before old blocks go
+        // eager either way: materialized before old blocks go
+        cur = if (reliable) cur.checkpoint() else cur.localCheckpoint()
         if (prevCkpt != null) release(prevCkpt)
         prevCkpt = cur
       }
@@ -51,7 +61,8 @@ object Iterate {
     * `step` returns (next, changedCount); halts when changedCount == 0.
     * Returns (final, itersRun).
     */
-  def untilFixpoint(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10)(
+  def untilFixpoint(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10,
+      reliable: Boolean = false)(
       step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
     var cur = init
     var prevCkpt: DataFrame = null
@@ -63,7 +74,8 @@ object Iterate {
       i += 1
       if (changed == 0) done = true
       else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxIter) {
-        cur = cur.localCheckpoint() // eager: materialized before old blocks go
+        // eager either way: materialized before old blocks go
+        cur = if (reliable) cur.checkpoint() else cur.localCheckpoint()
         if (prevCkpt != null) release(prevCkpt) // same hygiene as apply()
         prevCkpt = cur
       }

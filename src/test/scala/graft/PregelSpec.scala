@@ -133,6 +133,62 @@ class PregelSpec extends AnyFunSuite {
     assert(res.collect().toMap === Map(0L -> SumV(5), 1L -> SumV(0)))
   }
 
+  // ring-passing job shared by the checkpoint/resume tests: 4 vertices,
+  // each superstep every vertex folds its inbox into its value and sends
+  // (value+1) around the ring — never halts, state depends on every
+  // superstep, so any fast-forward error changes the result
+  private def ringRun(maxIter: Int,
+      ckpt: Option[Pregel.Checkpointing] = None,
+      resume: Option[Pregel.Snapshot[SumV, Long]] = None): Map[Long, SumV] = {
+    val verts = (0L to 3L).map(i => (i, SumV(i))).toDS()
+    Pregel.run[SumV, Long, Unit](spark, verts, maxIter = maxIter,
+      checkpointing = ckpt, resumeFrom = resume)(
+      (id, v, msgs, _, _) => {
+        val nv = v.value + msgs.sum
+        ComputeResult(SumV(nv), messages = Seq(((id + 1) % 4, nv + 1)))
+      }).collect().toMap
+  }
+
+  test("durable checkpoint + resume fast-forwards from the last committed superstep") {
+    // the reference's superstep recovery (AsyncRcvdMsgCheckpointImpl.java:
+    // 69-260 + SuperstepBSP.java:61-77 fast-forward): full run == snapshot
+    // restore + remaining supersteps
+    val dir = GraftSession.tempDirCleanedOnExit("pregel-ckpt").toString
+    val full = ringRun(8, ckpt = Some(Pregel.Checkpointing(dir, every = 3)))
+
+    val snap = Pregel.latestSnapshot[SumV, Long](spark, dir)
+    assert(snap.isDefined && snap.get.superstep === 6,
+      "cadence 3 over 8 supersteps must commit step=3 and step=6")
+    val resumed = ringRun(8, resume = snap)
+    assert(resumed === full)
+
+    // durability: blow away every block-store copy (the executor-loss that
+    // kills a localCheckpoint-only job) — the snapshot is parquet-backed,
+    // so resume must not depend on any cached block
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(ringRun(8, resume = Pregel.latestSnapshot[SumV, Long](spark, dir)) === full)
+  }
+
+  test("resume reconstructs the aggregator value from the restored state") {
+    val dir = GraftSession.tempDirCleanedOnExit("pregel-ckpt-agg").toString
+    def run(resume: Option[Pregel.Snapshot[SumV, Long]]): Map[Long, SumV] =
+      Pregel.run[SumV, Long, Long](spark,
+        Seq(1L -> SumV(1), 2L -> SumV(2)).toDS(), maxIter = 6,
+        aggregator = Some(GlobalAggregator[SumV, Long](
+          observe = ds => ds.map(_._2.value).reduce(math.max),
+          haltOn = _ >= 32)),
+        checkpointing = Some(Pregel.Checkpointing(dir, every = 2)),
+        resumeFrom = resume)(
+        (id, v, _, step, agg) => {
+          if (step > 0) assert(agg.isDefined, "aggregated value must be visible")
+          ComputeResult(SumV(v.value * 2), messages = Seq((id, 1L)))
+        }).collect().toMap
+    val full = run(None)
+    val snap = Pregel.latestSnapshot[SumV, Long](spark, dir)
+    assert(snap.isDefined && snap.get.superstep === 2)
+    assert(run(snap) === full) // halt at the same superstep via recomputed agg
+  }
+
   test("persistent inbox: carried messages merge with newly arriving ones") {
     // sender emits 1 per superstep for 4 supersteps; receiver consumes only
     // on even supersteps, carrying odd-superstep arrivals — total must be
