@@ -84,6 +84,112 @@ object ML extends QueryModule {
        FROM a${kmeansIters - 1} GROUP BY c ORDER BY c"""
   }
 
+  // ---- d-dimensional vector k-means on the embeddings corpus -------------
+  // The 2-D query above keeps the reference's x/y demo shape; this is the
+  // real KMeansBSP capability: arbitrary-dimension DoubleVector points
+  // (ml/src/main/java/org/apache/hama/ml/kmeans/KMeansBSP.java:130-305)
+  // with the distance measure a plug point
+  // (ml/.../distance/EuclidianDistance.java:22-45, CosineDistance.java:22-56).
+
+  /** pluggable distance — the reference's DistanceMeasurer seam */
+  sealed trait VecMeasure
+  case object Euclidean extends VecMeasure
+  case object Cosine extends VecMeasure
+
+  /** One assignment pass: centers ride as LITERAL arrays (the O(k·d)
+    * master broadcast, CenterMessage's analogue), distances are native
+    * codegen'd VecDot compositions, argmin is an array_min over
+    * (dist, center) structs — per-row work only, ZERO shuffle. Distances
+    * round at 6 so the oracle's independently-summed doubles agree. */
+  def assignVec(emb: DataFrame, cen: Seq[(Long, Seq[Double])],
+      measure: VecMeasure): DataFrame = {
+    import graft.functions.VecOps
+    val dists = cen.map { case (c, cv) =>
+      val d = measure match {
+        case Euclidean =>
+          // |v|² − 2·v·c + |c|² ; |c|² is a driver-side constant
+          val cc = cv.map(x => x * x).sum
+          VecOps.vecDot(col("v"), col("v")) -
+            lit(2.0) * VecOps.vecDot(col("v"), typedLit(cv)) + lit(cc)
+        case Cosine => lit(1.0) - VecOps.cosine(col("v"), typedLit(cv))
+      }
+      struct(round(d, 6).as("d"), lit(c).as("c"))
+    }
+    emb.withColumn("c", array_min(array(dists: _*)).getField("c"))
+  }
+
+  /** Lloyd iterations: assign (zero-shuffle) → element-wise-mean center
+    * update (ONE partial-aggregated shuffle via the typed VecMeanAgg
+    * Aggregator, then an O(k·d) collect — the master-collect shape shared
+    * by every trainer in this module). Center means round at 4 decimals on
+    * both engines, same residual-boundary posture as q_sim_ivf_trained.
+    * Returns (final assignment, final centers). */
+  def vectorKmeans(emb: DataFrame, seeds: Seq[(Long, Seq[Double])], iters: Int,
+      measure: VecMeasure): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val dim = seeds.head._2.length
+    val mean = graft.functions.VecMeanAgg.vecMean(dim)
+    var cen = seeds
+    var assign: DataFrame = emb
+    for (_ <- 1 to iters) {
+      assign = assignVec(emb, cen, measure)
+      cen = assign.groupBy("c")
+        .agg(mean(col("v")).as("cv"))
+        .select(col("c"), transform(col("cv"), x => round(x, 4)).as("cv"))
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+        .sortBy(_._1).toSeq
+    }
+    (assign, cen)
+  }
+
+  private def kmeansVec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val seeds = emb.filter(col("vec_id") < 4).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val (assign, cen) = vectorKmeans(emb, seeds, iters = 2, Euclidean)
+    // per-cluster count + member-id checksum (pins the full assignment) +
+    // rounded centroid norm (pins the centers)
+    val norms = cen.map { case (c, cv) =>
+      (c, BigDecimal(math.sqrt(cv.map(x => x * x).sum))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val out = assign.groupBy("c")
+      .agg(count(lit(1)).as("cnt"), sum("vec_id").as("id_sum"))
+      .join(norms.toDF("c", "c_norm"), "c")
+      .select(col("c"), col("cnt"), col("id_sum"), col("c_norm"))
+      .orderBy("c")
+      .localCheckpoint() // eager O(k)-row result; frees the vector cache now
+    emb.unpersist()
+    out
+  }
+
+  private val kmeansVecSql: String = {
+    def distCte(cenCte: String, n: Int) =
+      s"""d$n AS (SELECT e.vec_id, c.c,
+           ROUND(SUM(e.ev * e.ev) - 2 * SUM(e.ev * c.cv) + SUM(c.cv * c.cv), 6) AS dd
+           FROM e JOIN $cenCte c USING (pos) GROUP BY e.vec_id, c.c),
+         a$n AS (SELECT vec_id, c FROM d$n
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)"""
+    s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+         cen0 AS (SELECT vec_id AS c, pos, ev AS cv FROM e WHERE vec_id < 4),
+         ${distCte("cen0", 1)},
+         cen1 AS (SELECT a1.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
+           FROM e JOIN a1 USING (vec_id) GROUP BY a1.c, e.pos),
+         ${distCte("cen1", 2)},
+         cen2 AS (SELECT a2.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
+           FROM e JOIN a2 USING (vec_id) GROUP BY a2.c, e.pos)
+         SELECT s.c, s.cnt, s.id_sum, n.c_norm
+         FROM (SELECT c, COUNT(*) AS cnt, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+               FROM a2 GROUP BY c) s
+         JOIN (SELECT c, ROUND(SQRT(SUM(cv * cv)), 4) AS c_norm
+               FROM cen2 GROUP BY c) n USING (c)
+         ORDER BY c"""
+  }
+
   // ---- Gradient-descent regression, 3 fixed iterations -------------------
   // ml/src/main/java/org/apache/hama/ml/regression/GradientDescentBSP.java:82-257
   // (per-peer partial cost & derivatives summed after sync; master updates θ)
@@ -373,6 +479,8 @@ object ML extends QueryModule {
   override val defs: Seq[Q] = Seq(
 
     Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
+
+    Q("q_ml_kmeans_vec", (s, d) => kmeansVec(s, d), Some(kmeansVecSql)),
 
     Q("q_ml_cf", (s, d) => cf(s, d), Some(cfSql)),
 
