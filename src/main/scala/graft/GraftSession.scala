@@ -46,6 +46,12 @@ object GraftSession {
       // serializes them ~3-5× tighter/faster than the JavaSerializer
       // default. Dataset/DataFrame paths are untouched (UnsafeRow).
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // engine-setup registration of built-in user join ops (the
+      // `bsp.join.define.<ident>` hook, ref core/.../bsp/join/
+      // CompositeInputFormat.java:78-91): queries resolve these via
+      // JoinSpec.definesFromConf → Class.forName, without mutating session
+      // state inside a query closure (ADVICE r2)
+      .config("graft.join.define.concat2", classOf[operators.ConcatValsOp].getName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -149,6 +149,24 @@ object ScaleBench {
     fact.unpersist(); dim.unpersist()
     println(f"""{"metric":"skew_salting","skewed_sec":$skewedSec%.3f,""" +
       f""""salted_sec":$saltedSec%.3f,"hot_key_share":0.5,"salt":$salt}""")
+
+    // ---- LSH dedup at production knobs (VERDICT r2 item 5) ---------------
+    // The declared dedup queries keep the oracle-cheap 8-hash/2-band
+    // config; production near-dup detection runs 64-128 hashes. Same
+    // corpus, same pipeline, numHashes lifted to an argument: record the
+    // cost + candidate-pair curve as bands scale 2 → 8 → 16. Recall rises
+    // with band count (any one equal band proposes the pair); cost is
+    // dominated by the signature projection, linear in digests/shingle —
+    // exactly the trade a 100 TB dedup run tunes.
+    for ((nh, br) <- Seq((8, 4), (32, 4), (64, 4))) {
+      val tL = System.nanoTime()
+      val pairs = graft.operators.Dedup.candidatePairs(spark, sfDir, nh, br)
+      val nPairs = pairs.count()
+      val lshSecs = (System.nanoTime() - tL) / 1e9
+      Iterate.release(pairs)
+      println(f"""{"metric":"lsh_knobs","value":$lshSecs%.3f,"unit":"sec",""" +
+        f""""num_hashes":$nh,"band_rows":$br,"bands":${nh / br},"candidate_pairs":$nPairs}""")
+    }
     spark.stop()
   }
 }

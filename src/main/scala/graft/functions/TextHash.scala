@@ -52,6 +52,22 @@ object TextHashUtil {
     (m1, m2)
   }
 
+  /** token array with null elements dropped (ADVICE r2: checkInputDataTypes
+    * accepts containsNull arrays, so a null token must be skipped, not NPE
+    * inside codegen'd eval) — also hoists the per-element accessor calls
+    * out of the hash loops. */
+  private def compact(tokens: ArrayData): Array[UTF8String] = {
+    val n = tokens.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { out(m) = tokens.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** big-endian unsigned 32-bit slice k (0..3) of a 16-byte digest — equals
     * hex chars [8k, 8k+8) of the md5 hex string, compared as unsigned ints
     * (lexicographic order on lowercase hex == unsigned numeric order) */
@@ -68,14 +84,21 @@ object TextHashUtil {
     UTF8String.fromString(new String(cs))
   }
 
-  /** 8-value MinHash signature over word w-grams of the token array; null
-    * when the document has fewer than w tokens (no shingles — same docs
-    * the explode-formulation drops). */
-  def minhash(tokens: ArrayData, w: Int): ArrayData = {
-    val n = tokens.numElements()
+  /** numHashes-value MinHash signature over word w-grams of the token
+    * array; null when the document has fewer than w tokens (no shingles —
+    * same docs the explode-formulation drops). Hash family 4k+j is slice j
+    * of md5("x"*k || shingle): one digest yields four independent 32-bit
+    * family values, so 64 hashes (production dedup scale) cost 16 digests
+    * per shingle. numHashes must be a positive multiple of 4 (enforced by
+    * [[MinHashSig.checkInputDataTypes]]); 8 reproduces the declared-query
+    * oracle's two-digest formulation bit-for-bit. */
+  def minhash(tokens: ArrayData, w: Int, numHashes: Int): ArrayData = {
+    val toks = compact(tokens)
+    val n = toks.length
     if (n < w) return null
     val md = md5Local.get()
-    val mins = Array.fill(8)(0xffffffffL + 1) // > any unsigned 32-bit value
+    val numDigests = numHashes / 4
+    val mins = Array.fill(numHashes)(0xffffffffL + 1) // > any unsigned 32-bit value
     val sb = new java.lang.StringBuilder(64)
     var p = 0
     while (p <= n - w) {
@@ -83,15 +106,23 @@ object TextHashUtil {
       var q = 0
       while (q < w) {
         if (q > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(p + q).toString)
+        sb.append(toks(p + q).toString)
         q += 1
       }
-      val (m1, m2) = digest2(md, sb.toString.getBytes(UTF_8))
-      var j = 0
-      while (j < 8) {
-        val v = slice32(if (j < 4) m1 else m2, j % 4)
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      val bytes = sb.toString.getBytes(UTF_8)
+      var k = 0
+      while (k < numDigests) {
+        md.reset()
+        var x = 0
+        while (x < k) { md.update('x'.toByte); x += 1 }
+        val m = md.digest(bytes)
+        var j = 0
+        while (j < 4) {
+          val v = slice32(m, j)
+          if (v < mins(k * 4 + j)) mins(k * 4 + j) = v
+          j += 1
+        }
+        k += 1
       }
       p += 1
     }
@@ -101,7 +132,8 @@ object TextHashUtil {
   /** distinct space-joined w-grams in first-occurrence order; empty array
     * when the document has fewer than w tokens */
   def distinctNGrams(tokens: ArrayData, w: Int): ArrayData = {
-    val n = tokens.numElements()
+    val toks = compact(tokens)
+    val n = toks.length
     if (n < w) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]((n - w + 1) * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -111,7 +143,7 @@ object TextHashUtil {
       var q = 0
       while (q < w) {
         if (q > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(p + q).toString)
+        sb.append(toks(p + q).toString)
         q += 1
       }
       seen.add(UTF8String.fromString(sb.toString))
@@ -123,13 +155,14 @@ object TextHashUtil {
   /** 64-bit SimHash bit string ('1'/'0' per majority vote) over the token
     * array; null when the document has no tokens. */
   def simhash(tokens: ArrayData): UTF8String = {
-    val n = tokens.numElements()
+    val toks = compact(tokens)
+    val n = toks.length
     if (n == 0) return null
     val md = md5Local.get()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val (m1, m2) = digest2(md, tokens.getUTF8String(i).getBytes)
+      val (m1, m2) = digest2(md, toks(i).getBytes)
       var j = 0
       while (j < 64) {
         val m = if (j < 32) m1 else m2
@@ -174,25 +207,31 @@ case class DistinctNGrams(child: Expression, nGramWidth: Int)
   override def prettyName: String = "distinct_ngrams"
 }
 
-/** min-hash signature: array<string> tokens → array<string> of 8 hex mins */
-case class MinHashSig(child: Expression, nGramWidth: Int)
+/** min-hash signature: array<string> tokens → array<string> of `numHashes`
+  * hex mins (a positive multiple of 4 — each md5 digest yields 4 family
+  * values). 8 is the declared-query/oracle config; 64+ is the production
+  * dedup scale exercised by ScaleBench's LSH-knob segment. */
+case class MinHashSig(child: Expression, nGramWidth: Int, numHashes: Int = 8)
     extends UnaryExpression with Serializable {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numHashes <= 0 || numHashes % 4 != 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig numHashes must be a positive multiple of 4, got $numHashes")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got ${t.sql}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashUtil.minhash(input.asInstanceOf[ArrayData], nGramWidth)
+    TextHashUtil.minhash(input.asInstanceOf[ArrayData], nGramWidth, numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |${ev.value} = graft.functions.TextHashUtil.minhash($a, $nGramWidth);
+         |${ev.value} = graft.functions.TextHashUtil.minhash($a, $nGramWidth, $numHashes);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -233,8 +272,8 @@ case class SimHashSig(child: Expression)
 }
 
 object TextHash {
-  def minhashSig(tokens: Column, nGramWidth: Int): Column =
-    bridge.column(MinHashSig(bridge.expression(tokens), nGramWidth))
+  def minhashSig(tokens: Column, nGramWidth: Int, numHashes: Int = 8): Column =
+    bridge.column(MinHashSig(bridge.expression(tokens), nGramWidth, numHashes))
 
   def simhashSig(tokens: Column): Column =
     bridge.column(SimHashSig(bridge.expression(tokens)))

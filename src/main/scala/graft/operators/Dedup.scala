@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
+  // Declared-query/oracle config: 8 hashes in 2 bands of 4 keeps the
+  // longhand SQL oracle cheap. Production dedup runs 64-128 hashes; the
+  // knobs are ARGUMENTS of bands/candidatePairs below (numHashes any
+  // positive multiple of 4), and ScaleBench's lshKnobs segment records the
+  // 64-hash/16-band cost + pair-count curve on the same corpus.
   private val shingleWords = 3 // word n-gram size
-  private val numHashes = 8
-  private val bandRows = 4 // → 2 bands
+  private val defaultNumHashes = 8
+  private val defaultBandRows = 4 // → 2 bands
   private val simhashBits = 64
 
   /** documents pre-partitioned by doc_id for the CPU-bound shingle→md5
@@ -57,9 +62,10 @@ object Dedup extends QueryModule {
     * shingle explode, no per-shingle expression rows, no aggregate, no
     * shuffle. The oracle states the identical computation longhand in SQL
     * (explode shingles → md5 → per-family MIN → band md5). */
-  private def bands(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bands(s: SparkSession, d: String,
+      numHashes: Int = defaultNumHashes, bandRows: Int = defaultBandRows): DataFrame = {
     val numBands = numHashes / bandRows
-    val sig = TextHash.minhashSig(toks(col("text")), shingleWords)
+    val sig = TextHash.minhashSig(toks(col("text")), shingleWords, numHashes)
     val bandStructs = (0 until numBands).map { b =>
       val slice = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
       struct(lit(b.toLong).as("band"), md5(concat_ws(",", slice: _*)).as("band_sig"))
@@ -76,13 +82,13 @@ object Dedup extends QueryModule {
        shh AS (SELECT doc_id, md5(sh) AS m1, md5('x' || sh) AS m2 FROM sh),
        mh AS (SELECT doc_id, j,
          MIN(substring(CASE WHEN j < 4 THEN m1 ELSE m2 END, (j % 4) * 8 + 1, 8)) AS minh
-         FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${numHashes - 1})) AS j) js
+         FROM shh CROSS JOIN (SELECT unnest(generate_series(0, ${defaultNumHashes - 1})) AS j) js
          GROUP BY doc_id, j)"""
 
   private val bandsSql =
-    s"""bands AS (SELECT doc_id, j // $bandRows AS band,
+    s"""bands AS (SELECT doc_id, j // $defaultBandRows AS band,
          md5(string_agg(minh, ',' ORDER BY j)) AS band_sig
-         FROM mh GROUP BY doc_id, j // $bandRows)"""
+         FROM mh GROUP BY doc_id, j // $defaultBandRows)"""
 
   /** (doc_a, doc_b) candidate near-dup pairs = docs sharing any band
     * signature — the one definition both the pairs query and the clusters
@@ -92,8 +98,9 @@ object Dedup extends QueryModule {
     * O(pairs)-sized result is checkpointed eagerly, and the signature
     * cache is dropped HERE instead of leaking until the harness's
     * clearCache (ADVICE r1). */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = bands(s, d).persist()
+  private[graft] def candidatePairs(s: SparkSession, d: String,
+      numHashes: Int = defaultNumHashes, bandRows: Int = defaultBandRows): DataFrame = {
+    val b = bands(s, d, numHashes, bandRows).persist()
     val out = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -205,25 +212,35 @@ object Dedup extends QueryModule {
             SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id"""
       }),
 
-    // word-bigram Jaccard similarity of consecutive doc pairs, whole text
+    // word-bigram Jaccard VERIFICATION of the LSH candidate pairs — the
+    // second stage of the dedup funnel: LSH proposes (cheap, approximate),
+    // Jaccard over the full distinct-bigram sets verifies (exact). Pairs
+    // whose candidate status was a pure minhash coincidence (zero shared
+    // bigrams) drop out of the inner join in both engine and oracle.
     Q("q_dedup_jaccard",
       (s, d) => {
+        val pairs = candidatePairs(s, d) // eagerly checkpointed, O(pairs)
         // Per-doc gram dedup happens INSIDE the native DistinctNGrams
         // expression, so exploding directly yields distinct (doc, gram)
         // pairs — no aggregate. The relation is referenced three times
-        // (both self-join sides + per-doc counts): materialize it once,
+        // (both intersection sides + per-doc counts): materialize it once,
         // eagerly, instead of re-running the gram pipeline per reference.
         val g = docs(s, d)
           .select(col("doc_id"),
             explode(TextHash.distinctNGrams(toks(col("text")), 2)).as("gram"))
           .localCheckpoint()
-        // shuffle_hash hint: both sides are the corpus-scale gram relation.
-        // The static estimate under the explode is just the parquet scan
-        // (tiny), so left to itself the planner broadcasts — builds a hash
-        // map of the whole corpus — which cannot survive 100 TB.
-        val inter = g.as("a").join(g.as("b").hint("shuffle_hash"),
-            col("b.doc_id") === col("a.doc_id") + 1 && col("a.gram") === col("b.gram"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // expand each pair by side-a's grams (doc-keyed join), then probe
+        // side-b's gram set on (doc, gram). shuffle_hash hint on the probe:
+        // the build side is the corpus-scale gram relation — the static
+        // estimate under the explode/checkpoint would let the planner
+        // broadcast a hash map of the whole corpus, which cannot survive
+        // 100 TB. Pair expansion is bounded: LSH pairs are sparse and each
+        // expands by one document's gram count, never docs².
+        val inter = pairs
+          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(g.as("gb").hint("shuffle_hash"),
+            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"))
         val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // no broadcast hint on n: it scales with the corpus — AQE picks
@@ -233,21 +250,24 @@ object Dedup extends QueryModule {
           .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard"))
-          .orderBy("doc_a")
+          .orderBy("doc_a", "doc_b")
           .localCheckpoint() // eager; O(doc pairs), small
         graft.plans.Iterate.release(g) // free the gram blocks now, not at harness clearCache
         out
       },
-      Some(s"""WITH g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
+      Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
                 SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
                 FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
               n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.gram = b.gram
-                GROUP BY a.doc_id, b.doc_id)
+              i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+                FROM pairs p
+                JOIN g a ON a.doc_id = p.doc_a
+                JOIN g b ON b.doc_id = p.doc_b AND a.gram = b.gram
+                GROUP BY p.doc_a, p.doc_b)
               SELECT doc_a, doc_b,
                 ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
               FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-              ORDER BY doc_a"""))
+              ORDER BY doc_a, doc_b"""))
   )
 }

@@ -185,9 +185,12 @@ object Graph extends QueryModule {
           else Pregel.ComputeResult(v.copy(rank = nr), voteToHalt = true)
         })
       .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
-    pagerank(s, d, iters).join(typed, "v")
+    val out = pagerank(s, d, iters).join(typed, "v")
       .agg(count(lit(1)).as("n_vertices"),
         (max(abs(col("t_rank") - col("rank"))) < 1e-6).as("engines_agree"))
+      .localCheckpoint() // eager, 1 row — materialize, then free the cache
+    vs.unpersist()       // (ADVICE r2: don't leak blocks until clearCache)
+    out
   }
 
   /** SSSP from vertex 0, fixed rounds of min-plus relaxation with the
@@ -246,7 +249,13 @@ object Graph extends QueryModule {
       prevCkpt = p
       i += 1
     }
-    cur.orderBy("v")
+    // eager final checkpoint (O(vertices), small), then free the edge and
+    // node caches + the last round's blocks (ADVICE r2 cache hygiene)
+    val out = cur.orderBy("v").localCheckpoint()
+    if (prevCkpt != null) Iterate.release(prevCkpt)
+    euPlus.unpersist()
+    vs.unpersist()
+    out
   }
 
   /** K-core estimate, fixed supersteps: each vertex lowers its estimate to

@@ -322,11 +322,13 @@ object Relational extends QueryModule {
     // (core/.../bsp/join/CompositeInputFormat.java:43-91, Parser.java:62-496).
     // Here: parse → JoinSpec ADT → Catalyst joins, with `concat2` resolved
     // from session conf via Class.forName — the user-extension hook proven
-    // in a declared query, not just specs. Leaf convention: a table's first
-    // two columns are its (key, value) pair (the SequenceFile K/V analogue).
+    // in a declared query, not just specs. The op is registered at session
+    // setup (GraftSession), like the reference's job-conf-time defines —
+    // the query only READS conf (ADVICE r2: no side effects in closures).
+    // Leaf convention: a table's first two columns are its (key, value)
+    // pair (the SequenceFile K/V analogue).
     Q("q_join_dsl",
       (s, d) => {
-        s.conf.set("graft.join.define.concat2", classOf[ConcatValsOp].getName)
         val resolve: (String, String) => JoinSpec.Tbl = {
           case ("parquet", name) =>
             val df = t(s, d, name)

@@ -178,7 +178,17 @@ object Similarity extends QueryModule {
         // centroid means round at 4 decimals (not the usual 6): this value
         // feeds ANOTHER rounded-compare layer (the second assignment pass),
         // and the coarser grid keeps the engines' ~1-ulp summation-order
-        // differences far from any rounding boundary
+        // differences far from any rounding boundary.
+        // Residual risk (ADVICE r2, accepted + documented): a mean landing
+        // within ~1 ulp of a 1e-4 grid line could still round differently
+        // per engine and flip a second-pass assignment — data-dependent,
+        // not eliminated by any finite grid. Sized: cell means over ≥100s
+        // of uniform draws land on a grid line with probability ~1e-12 per
+        // (cell, pos); at 4×64 positions that is ~1e-9 per run, and a flip
+        // additionally needs the two nearest centroids within the same ulp.
+        // The bit-exact check is kept (it pins the full quantizer math,
+        // which a recall-invariant would not); if a future SF ever trips
+        // the boundary, demote to a recall-vs-brute-force invariant row.
         val trained = a1.select(col("cell"), posexplode(col("embedding")))
           .groupBy(col("cell"), col("pos"))
           .agg(round(avg(col("col")), 4).as("m"))

@@ -8,7 +8,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   // candidate-pair mining may legitimately find nothing at tiny scale
-  private val mayBeEmpty = Set("q_dedup_minhash_pairs", "q_join_anti")
+  // (q_dedup_jaccard scores those same LSH pairs since r3)
+  private val mayBeEmpty = Set("q_dedup_minhash_pairs", "q_dedup_jaccard", "q_join_anti")
 
   test("oracleSql keys are a subset of queries keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -54,6 +54,44 @@ class TextHashSpec extends AnyFunSuite with Matchers {
     rows(3L) shouldBe ((false, false))
   }
 
+  test("null tokens are skipped, not NPE'd (ADVICE r2)") {
+    // same text, one as a clean token array, one with nulls interleaved
+    val clean = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    val holey = array(lit(null).cast("string"), lit("a"), lit("b"),
+      lit(null).cast("string"), lit("c"), lit("d"))
+    val row = spark.range(1)
+      .select(
+        (TextHash.minhashSig(clean, 2) === TextHash.minhashSig(holey, 2)).as("mh"),
+        (TextHash.simhashSig(clean) === TextHash.simhashSig(holey)).as("sh"),
+        (TextHash.distinctNGrams(clean, 2) === TextHash.distinctNGrams(holey, 2)).as("ng"))
+      .as[(Boolean, Boolean, Boolean)].head()
+    row shouldBe ((true, true, true))
+  }
+
+  test("numHashes=64 extends the family: prefix-compatible with 8, k=2 digest checks out") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs right now ok")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        TextHash.minhashSig(toks, 3).as("s8"),
+        TextHash.minhashSig(toks, 3, 64).as("s64"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    sigs.foreach { case (_, s8, s64) =>
+      s64.length shouldBe 64
+      s64.take(8) shouldBe s8 // families 0-7 are the two-digest config
+    }
+    // family 8 (= digest k=2, slice 0) against the declarative md5("xx"||sh)
+    val expected = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(toks) - 2),
+        p => concat_ws(" ", slice(toks, p, lit(3))))).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(substring(md5(concat(lit("xx"), col("sh"))), 1, 8)).as("h8"))
+      .as[(Long, String)].collect().toMap
+    sigs.foreach { case (id, _, s64) => s64(8) shouldBe expected(id) }
+  }
+
   test("simhash_sig matches the per-bit majority vote formulation") {
     val docs = Seq(
       (1L, "the quick brown fox and the lazy dog"),

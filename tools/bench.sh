@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Builder-side bench runner pinned to the driver's per-round protocol
+# (VERDICT r2 item 7: driver/builder bench parity), so BASELINE.md numbers
+# and BENCH_r{N}.json are produced by the SAME invocation:
+#
+#   - cold JVM per run: sbt -batch "runMain graft.Bench" (run/fork := true,
+#     so the JVM flags are exactly build.sbt's javaOptions — module opens,
+#     heap = SPARK_DRIVER_MEM | min(32g, RAM/2), ReservedCodeCacheSize=512m)
+#   - SPARK_GRAFT_SF_DIR selects the scale (driver: /root/testdata/sf0.1)
+#   - in-JVM warmup + per-query cache clearing live in Bench.scala itself,
+#     shared by both runners by construction
+#
+# Usage: tools/bench.sh [sfDir] [outJson] [onlyCsv]
+#   tools/bench.sh                                  # full suite at sf0.1
+#   tools/bench.sh /root/testdata/sf0.1 /tmp/b.json q_text_tokens,q_text_tfidf
+set -euo pipefail
+SF_DIR="${1:-/root/testdata/sf0.1}"
+OUT="${2:-/tmp/bench_local.json}"
+ONLY="${3:-}"
+cd "$(dirname "$0")/.."
+SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
+  sbt -batch "runMain graft.Bench" 2>&1 \
+  | tee /tmp/bench_sbt.log | grep -E '^\{"metric"' | tail -1 > "$OUT"
+cat "$OUT"
