@@ -23,10 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Default heap: min(32g, half of physical RAM) — 32 threads × shuffle/agg/
-// string-hash working sets GC-thrash at 8g on the 128 GiB bench box, but a
-// hard 32g default would OOM-kill smaller dev machines. SPARK_DRIVER_MEM
-// overrides either way.
+// Default heap: min(12g, half of physical RAM). Measured on the bench VM:
+// FIRST-TOUCH of fresh anonymous pages can be throttled host-side to
+// ~0.1-2 GB/s (a consumable budget that recovers slowly), while re-use of
+// already-faulted pages runs at full speed — so total fresh pages touched,
+// i.e. the heap G1 cycles through, is the scarce resource. A 32g heap let
+// the suite crawl 10× under throttle; 12g bounds the fresh-page bill at a
+// ~10% GC-overhead cost when memory is cheap. SPARK_DRIVER_MEM overrides.
 val defaultHeap: String = {
   val memTotalGb =
     try scala.io.Source.fromFile("/proc/meminfo").getLines()
@@ -34,12 +37,30 @@ val defaultHeap: String = {
         l.trim.split("\\s+")(1).toLong / (1024 * 1024) }
       .getOrElse(64L)
     catch { case _: Throwable => 64L }
-  s"${math.max(4L, math.min(32L, memTotalGb / 2))}g"
+  s"${math.max(4L, math.min(12L, memTotalGb / 2))}g"
 }
+val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // Xms = Xmx: G1 never uncommits, so no page is ever given back to the
+  // OS and re-billed against the throttled fresh-page budget above
+  s"-Xmx$heap", s"-Xms$heap",
+  // madvise-THP heap: 512× fewer fault events on first touch (the
+  // throttle is largely per-event), plus the usual TLB win
+  "-XX:+UseTransparentHugePages",
+  // fault the whole fixed heap at JVM startup: on hosts that throttle
+  // first-touch (see defaultHeap note) the fault bill otherwise lands on
+  // whichever early allocation-heavy queries run before the heap is fully
+  // touched (measured: one mid-suite query absorbing 500+ s). Startup
+  // pays it once, outside any per-query timing; ~1 s on healthy hosts.
+  "-XX:+AlwaysPreTouch",
+  // 32m G1 regions: Tungsten execution pages (spark.buffer.pageSize=8m,
+  // set in GraftSession) then allocate as NORMAL objects, not humongous —
+  // humongous allocations land in fresh regions every time and re-pay the
+  // throttled first-touch cost; normal allocations recycle warm TLAB/eden
+  // pages. Measured: q_text_tfidf 115 s → ~22 s under host throttle.
+  "-XX:G1HeapRegionSize=32m",
   // 89 queries × several codegen stages each outgrow the 240m JIT code
   // cache default; when it fills, compilation stops and generated code
   // runs interpreted — multi-× tail-of-suite slowdowns with no warning

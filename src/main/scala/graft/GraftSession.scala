@@ -46,6 +46,15 @@ object GraftSession {
       // serializes them ~3-5× tighter/faster than the JavaSerializer
       // default. Dataset/DataFrame paths are untouched (UnsafeRow).
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // 8 MB Tungsten pages (default up to 64 MB): with build.sbt's 32 MB
+      // G1 regions these stay below the humongous threshold (region/2), so
+      // hash-agg/sort pages are ordinary eden-recycled allocations instead
+      // of fresh-region humongous ones — the difference between reusing
+      // warm OS pages and re-faulting new ones on hosts that throttle
+      // first-touch (measured 3-5× on the text-aggregate queries). Spill
+      // granularity at 8 MB is unchanged-in-kind; executors on a real
+      // cluster run the same flag pair.
+      .config("spark.buffer.pageSize", "8m")
       // engine-setup registration of built-in user join ops (the
       // `bsp.join.define.<ident>` hook, ref core/.../bsp/join/
       // CompositeInputFormat.java:78-91): queries resolve these via

@@ -122,16 +122,29 @@ object Dedup extends QueryModule {
   private val clusterRounds = 3
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
+    // edge list is O(pairs), materialize once and free the pair blocks —
+    // it is referenced by every propagation round below
     val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
+      .localCheckpoint()
+    graft.plans.Iterate.release(pairs)
     var lab = Tables(s, d, "documents")
       .select(col("doc_id").as("v"), col("doc_id").as("lab"))
+    // each round eagerly checkpoints its (doc, label) output and frees the
+    // previous round's blocks (the cc/Iterate hygiene pattern): without
+    // this, round k re-executes rounds 1..k-1 — 3× the label-prop work —
+    // and the final select re-derives the whole chain once more
+    var prev: DataFrame = null
     for (_ <- 1 to clusterRounds) {
       val fromNeighbors = edges.join(lab.withColumnRenamed("v", "nv"),
           col("n") === col("nv"))
         .select(col("v"), col("lab"))
-      lab = lab.select(col("v"), col("lab")).unionByName(fromNeighbors)
+      val next = lab.select(col("v"), col("lab")).unionByName(fromNeighbors)
         .groupBy("v").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      if (prev != null) graft.plans.Iterate.release(prev)
+      lab = next
+      prev = next
     }
     lab.select(col("v").as("doc_id"), col("lab").as("canon_id"),
       (col("v") === col("lab")).as("keep"))
@@ -252,7 +265,8 @@ object Dedup extends QueryModule {
             round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b")
           .localCheckpoint() // eager; O(doc pairs), small
-        graft.plans.Iterate.release(g) // free the gram blocks now, not at harness clearCache
+        graft.plans.Iterate.release(g)     // free the gram blocks now,
+        graft.plans.Iterate.release(pairs) // not at harness clearCache
         out
       },
       Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,

@@ -18,7 +18,8 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 OUT="${2:-/tmp/bench_local.json}"
 ONLY="${3:-}"
 cd "$(dirname "$0")/.."
+# sbt prefixes the JSON stdout line with "[info] " — strip via -o extraction
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
   sbt -batch "runMain graft.Bench" 2>&1 \
-  | tee /tmp/bench_sbt.log | grep -E '^\{"metric"' | tail -1 > "$OUT"
+  | tee /tmp/bench_sbt.log | grep -oE '\{"metric".*\}' | tail -1 > "$OUT"
 cat "$OUT"
