@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's `run`/`runMain` delegate to bgRun/bgRunMain, which by default COPY
+// the full run classpath (here: every jar in /opt/spark/jars, ~370 MB) into
+// target/bg-jobs before forking, so a background job survives a rebuild.
+// We never rebuild mid-run, and on a host with throttled file I/O that copy
+// alone can exceed an external harness timeout (r4 diagnosis: jstack showed
+// 180 s of CPU inside AbstractBackgroundJobService.copyClasspath before the
+// JVM ever forked). Run from the jars in place.
+Compile / bgRun / bgCopyClasspath := false
+Compile / bgRunMain / bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -40,21 +49,21 @@ val defaultHeap: String = {
   s"${math.max(4L, math.min(12L, memTotalGb / 2))}g"
 }
 val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)
+// Opt-in ONLY (r3 postmortem): -Xms=-Xmx + AlwaysPreTouch force the JVM to
+// fault the entire heap at startup. On hosts whose first-touch page budget
+// is throttled, that startup fault bill can exceed any external timeout
+// covering the run (measured: `java -version` with these flags > 120 s).
+// A healthy bench box may opt in via SPARK_GRAFT_PRETOUCH=1 to move the
+// fault bill to startup instead of mid-suite; default is OFF so a forked
+// JVM always starts promptly.
+val pretouchOpts: Seq[String] =
+  if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+    Seq(s"-Xms$heap", "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
+  else Seq.empty
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Xms = Xmx: G1 never uncommits, so no page is ever given back to the
-  // OS and re-billed against the throttled fresh-page budget above
-  s"-Xmx$heap", s"-Xms$heap",
-  // madvise-THP heap: 512× fewer fault events on first touch (the
-  // throttle is largely per-event), plus the usual TLB win
-  "-XX:+UseTransparentHugePages",
-  // fault the whole fixed heap at JVM startup: on hosts that throttle
-  // first-touch (see defaultHeap note) the fault bill otherwise lands on
-  // whichever early allocation-heavy queries run before the heap is fully
-  // touched (measured: one mid-suite query absorbing 500+ s). Startup
-  // pays it once, outside any per-query timing; ~1 s on healthy hosts.
-  "-XX:+AlwaysPreTouch",
+  s"-Xmx$heap",
   // 32m G1 regions: Tungsten execution pages (spark.buffer.pageSize=8m,
   // set in GraftSession) then allocate as NORMAL objects, not humongous —
   // humongous allocations land in fresh regions every time and re-pay the
@@ -66,4 +75,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs interpreted — multi-× tail-of-suite slowdowns with no warning
   // in the app log. Headroom is cheap; interpreted codegen is not.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++ pretouchOpts

@@ -5,7 +5,7 @@
 #
 #   - cold JVM per run: sbt -batch "runMain graft.Bench" (run/fork := true,
 #     so the JVM flags are exactly build.sbt's javaOptions — module opens,
-#     heap = SPARK_DRIVER_MEM | min(32g, RAM/2), ReservedCodeCacheSize=512m)
+#     heap = SPARK_DRIVER_MEM | min(12g, RAM/2), ReservedCodeCacheSize=512m)
 #   - SPARK_GRAFT_SF_DIR selects the scale (driver: /root/testdata/sf0.1)
 #   - in-JVM warmup + per-query cache clearing live in Bench.scala itself,
 #     shared by both runners by construction
@@ -18,6 +18,20 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 OUT="${2:-/tmp/bench_local.json}"
 ONLY="${3:-}"
 cd "$(dirname "$0")/.."
+# Canary first (r3 postmortem): prove a forked JVM with the build's
+# javaOptions can START within 120 s before committing to the 90-query
+# suite (sbt startup alone can take ~60 s when the host's I/O throttle
+# budget is drained). If it can't, print the flags and abort loudly —
+# never ship a config that hangs the driver's harness at JVM startup again.
+if ! timeout 120 sbt -batch "runMain graft.Canary" 2>&1 \
+    | tee /tmp/canary_sbt.log | grep -q CANARY_OK; then
+  echo "FATAL: forked-JVM canary did not start within 120s." >&2
+  echo "Active javaOptions (from build.sbt):" >&2
+  grep -E 'CANARY_OK|Xm|XX' /tmp/canary_sbt.log >&2 || true
+  sbt -batch 'show javaOptions' 2>/dev/null | tail -5 >&2 || true
+  exit 1
+fi
+grep CANARY_OK /tmp/canary_sbt.log
 # sbt prefixes the JSON stdout line with "[info] " — strip via -o extraction
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
   sbt -batch "runMain graft.Bench" 2>&1 \
