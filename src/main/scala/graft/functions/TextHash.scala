@@ -93,6 +93,11 @@ object TextHashUtil {
     * [[MinHashSig.checkInputDataTypes]]); 8 reproduces the declared-query
     * oracle's two-digest formulation bit-for-bit. */
   def minhash(tokens: ArrayData, w: Int, numHashes: Int): ArrayData = {
+    // enforced here as well as in MinHashSig.checkInputDataTypes: a direct
+    // util call with e.g. numHashes=6 would otherwise leave the trailing
+    // mins at the sentinel and render them as bogus signature values
+    require(numHashes > 0 && numHashes % 4 == 0,
+      s"numHashes ($numHashes) must be a positive multiple of 4")
     val toks = compact(tokens)
     val n = toks.length
     if (n < w) return null

@@ -64,6 +64,10 @@ object Dedup extends QueryModule {
     * (explode shingles → md5 → per-family MIN → band md5). */
   private[graft] def bands(s: SparkSession, d: String,
       numHashes: Int = defaultNumHashes, bandRows: Int = defaultBandRows): DataFrame = {
+    // a leftover (numHashes % bandRows != 0) would silently drop hash
+    // values from the banding — reduced recall with no signal (ADVICE r3)
+    require(numHashes % bandRows == 0,
+      s"numHashes ($numHashes) must be a multiple of bandRows ($bandRows)")
     val numBands = numHashes / bandRows
     val sig = TextHash.minhashSig(toks(col("text")), shingleWords, numHashes)
     val bandStructs = (0 until numBands).map { b =>
@@ -146,6 +150,9 @@ object Dedup extends QueryModule {
       lab = next
       prev = next
     }
+    // the final `lab` checkpoint is the only live dependency — free the
+    // O(pairs) edge blocks now, not at the harness clearCache (ADVICE r3)
+    graft.plans.Iterate.release(edges)
     lab.select(col("v").as("doc_id"), col("lab").as("canon_id"),
       (col("v") === col("lab")).as("keep"))
   }

@@ -193,6 +193,61 @@ object Graph extends QueryModule {
     out
   }
 
+  /** SUPERSTEP-RECOVERY invariant row — the reference's checkpoint-based
+    * recovery semantics (`core/.../bsp/ft/AsyncRcvdMsgCheckpointImpl
+    * .java:69-260`, fast-forward `SuperstepBSP.java:61-77`) as a
+    * driver-checked query: run the typed-Pregel PageRank with durable
+    * snapshots every 2 supersteps, kill the loop mid-run (maxIter=3), then
+    * resume from the last committed snapshot (state entering superstep 2)
+    * and finish the full `iters` supersteps. The resumed result must match
+    * the uninterrupted declarative run vertex-by-vertex (1e-6 tolerance,
+    * as q_graph_pagerank_parity). */
+  private def pagerankResume(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = edges(s, d).select("src", "dst")
+    val vs = nodes(e).cache()
+    val n = vs.count().toDouble
+    val adj = e.groupBy("src").agg(collect_list("dst").as("adj"))
+    val verts = vs.join(adj, vs("v") === adj("src"), "left")
+      .select(col("v"), coalesce(col("adj"), typedLit(Seq.empty[Long])).as("adj"))
+      .as[(Long, Seq[Long])]
+      .map { case (v, a) => (v, PrV(1.0 / n, a)) }
+    // one compute fn shared by the interrupted and the resumed run — the
+    // recovery contract is "same program, restored state"
+    val fn: (Long, PrV, Seq[Double], Int, Option[Unit]) => Pregel.ComputeResult[PrV, Double] =
+      (_, v, msgs, step, _) =>
+        if (step == 0)
+          Pregel.ComputeResult(v, messages = v.adj.map(dst => (dst, v.rank / v.adj.size)))
+        else {
+          val nr = 0.15 / n + 0.85 * msgs.sum
+          if (step < iters)
+            Pregel.ComputeResult(v.copy(rank = nr),
+              messages = v.adj.map(dd => (dd, nr / v.adj.size)))
+          else Pregel.ComputeResult(v.copy(rank = nr), voteToHalt = true)
+        }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_resume_").toString
+    // phase 1: the "crashed" job — snapshot at superstep 2, killed at 3
+    Pregel.run[PrV, Double, Unit](s, verts, maxIter = 3,
+      combiner = Some((a: Double, b: Double) => a + b),
+      checkpointing = Some(Pregel.Checkpointing(dir, every = 2)))(fn)
+    // phase 2: recover from the committed snapshot, run to completion
+    val snap = Pregel.latestSnapshot[PrV, Double](s, dir)
+      .getOrElse(sys.error(s"no committed Pregel snapshot under $dir"))
+    val typed = Pregel.run[PrV, Double, Unit](s, verts, maxIter = iters + 1,
+        combiner = Some((a: Double, b: Double) => a + b),
+        resumeFrom = Some(snap))(fn)
+      .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
+    val out = pagerank(s, d, iters).join(typed, "v")
+      .agg(count(lit(1)).as("n_vertices"),
+        (max(abs(col("t_rank") - col("rank"))) < 1e-6).as("resumed_matches_uninterrupted"))
+      .withColumn("resumed_from", lit(snap.superstep.toLong))
+      .localCheckpoint() // eager, 1 row — materialize before cleanup
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    vs.unpersist()
+    out
+  }
+
   /** SSSP from vertex 0, fixed rounds of min-plus relaxation with the
     * MinIntCombiner as partial min aggregation
     * (`examples/src/main/java/org/apache/hama/examples/SSSP.java:41-88`). */
@@ -297,6 +352,14 @@ object Graph extends QueryModule {
       Some(s"""WITH $edgesSql, $nodesSql
                SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
                       true AS engines_agree FROM nodes""")),
+
+    // superstep recovery: snapshot → kill → resume must equal the
+    // uninterrupted run (resumed_from = the committed superstep boundary)
+    Q("q_graph_pagerank_resume", (s, d) => pagerankResume(s, d, iters = 5),
+      Some(s"""WITH $edgesSql, $nodesSql
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                      true AS resumed_matches_uninterrupted,
+                      CAST(2 AS BIGINT) AS resumed_from FROM nodes""")),
 
     Q("q_graph_sssp", (s, d) => sssp(s, d), Some(ssspSql(6))),
 

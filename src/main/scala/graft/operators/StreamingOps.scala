@@ -91,6 +91,38 @@ object StreamingOps extends QueryModule {
               WHERE c.event_type = 'click' AND p.event_type = 'purchase'
               ORDER BY c.user_id, click_id, purchase_id""")),
 
+    // LIVE Structured-Streaming execution inside the correctness gate
+    // (VERDICT r3 item 8): the same tumbling-window aggregation as
+    // q_stream_tumble, but actually executed by the streaming engine —
+    // readStream file source → watermark → windowed agg → memory sink,
+    // processAllAvailable. Complete output mode because a finite file
+    // source never advances the watermark past the last window (append
+    // would hold every window back); the batch oracle is unchanged —
+    // stream==batch is exactly the invariant.
+    Q("q_stream_live_tumble",
+      (s, d) => {
+        val name = "live_tumble_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.tumblingCounts(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        // copy out of the memory sink eagerly so the returned frame
+        // survives the temp-view drop (and repeated executions re-read
+        // this materialized result, not a stopped stream). wstart comes
+        // back LTZ (watermarks require it); under the fixed-UTC session
+        // the ntz cast is wall-clock identity and matches the batch
+        // queries' parquet type for the driver's hash compare.
+        val out = s.table(name)
+          .withColumn("wstart", col("wstart").cast("timestamp_ntz"))
+          .orderBy("wstart", "event_type").localCheckpoint()
+        s.catalog.dropTempView(name): Unit
+        out
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+              COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {

@@ -22,12 +22,20 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stream of events from a directory of parquet files. Watermarks require
-    * TIMESTAMP (with local tz), so unlike the batch path `ts` stays LTZ —
-    * with the session fixed to UTC the wall-clock values are identical. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsFileSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** Stream of events from a directory of parquet files — or a single
+    * parquet FILE (the testdata layout), streamed as its parent directory
+    * with a name filter, since the file source's basePath must be a
+    * directory. Watermarks require TIMESTAMP (with local tz), so unlike
+    * the batch path `ts` stays LTZ — with the session fixed to UTC the
+    * wall-clock values are identical. */
+  def events(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(eventsFileSchema)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
 
   /** Tumbling 1-hour counts with a 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
