@@ -623,6 +623,45 @@ object ML extends QueryModule {
                 FROM embeddings)
               SELECT vec_id, ROUND(SUM(ev), 4) AS vsum, ROUND(MIN(ev), 4) AS vmin,
                 ROUND(MAX(ev), 4) AS vmax, ROUND(SQRT(SUM(ev * ev)), 4) AS norm
-              FROM e GROUP BY vec_id ORDER BY vec_id"""))
+              FROM e GROUP BY vec_id ORDER BY vec_id""")),
+
+    // SPARSE vector algebra (commons/.../math/SparseDoubleVector.java:31-470,
+    // NamedDoubleVector name = an ordinary key column here): the scalable
+    // relational encoding is (idx, val) ROWS with absent = default 0 — the
+    // same encoding q_ml_spmv uses for matrices. Two sparse vectors in a
+    // 997-dim space built from supplier/customer balances; dot = inner join
+    // (SUM skips null products), add = full-outer coalesce, nnz vs
+    // dimension = getLength vs getDimension. One row out, all counts and
+    // rounded doubles — at 100 TB this is one shuffle on idx, no explode.
+    Q("q_ml_sparse_vector",
+      (s, d) => {
+        val dim = 997
+        val va = Tables(s, d, "supplier")
+          .groupBy((col("s_suppkey") % dim).as("idx"))
+          .agg(round(sum("s_acctbal"), 2).as("av"))
+        val vb = Tables(s, d, "customer")
+          .groupBy((col("c_custkey") % dim).as("idx"))
+          .agg(round(sum("c_acctbal"), 2).as("bv"))
+        va.join(vb, Seq("idx"), "full_outer")
+          .agg(
+            count(col("av")).as("nnz_a"),
+            count(col("bv")).as("nnz_b"),
+            count(lit(1)).as("nnz_add"),
+            count(when(col("av").isNotNull && col("bv").isNotNull, 1)).as("nnz_mul"),
+            round(sum(col("av") * col("bv")), 2).as("dot"),
+            round(sqrt(sum(pow(coalesce(col("av"), lit(0.0)) +
+              coalesce(col("bv"), lit(0.0)), 2))), 2).as("add_norm"))
+          .withColumn("dim", lit(dim.toLong))
+      },
+      Some("""WITH va AS (SELECT s_suppkey % 997 AS idx, ROUND(SUM(s_acctbal), 2) AS av
+                FROM supplier GROUP BY idx),
+              vb AS (SELECT c_custkey % 997 AS idx, ROUND(SUM(c_acctbal), 2) AS bv
+                FROM customer GROUP BY idx)
+              SELECT COUNT(av) AS nnz_a, COUNT(bv) AS nnz_b, COUNT(*) AS nnz_add,
+                COUNT(CASE WHEN av IS NOT NULL AND bv IS NOT NULL THEN 1 END) AS nnz_mul,
+                ROUND(SUM(av * bv), 2) AS dot,
+                ROUND(SQRT(SUM(POWER(COALESCE(av, 0) + COALESCE(bv, 0), 2))), 2) AS add_norm,
+                CAST(997 AS BIGINT) AS dim
+              FROM va FULL OUTER JOIN vb ON va.idx = vb.idx"""))
   )
 }

@@ -96,6 +96,55 @@ object Similarity extends QueryModule {
                  FROM sims) t
                WHERE rank <= $topK ORDER BY q_id, rank""")),
 
+    // INT8 scalar-quantized top-k — the memory/bandwidth scale path for
+    // 100 TB embedding corpora: per-vector symmetric quantization
+    // (s = max|v|/127, q_i = floor(v_i/s + 0.5) ∈ [-127,127]) shrinks the
+    // candidate side 4× vs float32, and every quantized dot/norm is EXACT
+    // integer arithmetic (|q_i|≤127 → 64-term dot ≤ 2^20, exactly
+    // representable) — bit-identical across engines by construction, with
+    // floor(x+0.5) as the rounding both sides so no half-even ambiguity.
+    // Same broadcast-query/top-k-window shape as q_sim_topk.
+    Q("q_sim_quantized",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qz = emb
+          .withColumn("s",
+            greatest(array_max(transform(col("v"), x => abs(x))) / 127.0, lit(1e-12)))
+          .select(col("vec_id"),
+            transform(col("v"), x => floor(x / col("s") + lit(0.5))).as("qv"))
+        val q = qz.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+        val c = qz.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("qv").as("cq"))
+        val sims = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(vecDot(col("qq"), col("cq")) /
+              (sqrt(vecDot(col("qq"), col("qq"))) * sqrt(vecDot(col("cq"), col("cq")))),
+              6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+               sc AS (SELECT vec_id, GREATEST(MAX(ABS(ev)) / 127, 1e-12) AS s
+                 FROM e GROUP BY vec_id),
+               qt AS (SELECT e.vec_id, e.pos, FLOOR(e.ev / sc.s + 0.5) AS qv
+                 FROM e JOIN sc USING (vec_id)),
+               q AS (SELECT vec_id AS q_id, pos, qv AS qq FROM qt WHERE vec_id < 5),
+               c AS (SELECT vec_id AS cand_id, pos, qv AS cq FROM qt WHERE vec_id >= 5),
+               sims AS (SELECT q_id, cand_id,
+                 ROUND(SUM(qq * cq) / (SQRT(SUM(qq * qq)) * SQRT(SUM(cq * cq))), 6) AS sim
+                 FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)
+               SELECT q_id, rank, cand_id, sim FROM (
+                 SELECT q_id, cand_id, sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                 FROM sims) t
+               WHERE rank <= $topK ORDER BY q_id, rank""")),
+
     // LSH bucketing: sign bits against deterministic integer hyperplanes
     // h_j[pos] = ((pos*31 + j*17) % 13) - 6, one native dot per plane
     Q("q_sim_lsh_bucket",
