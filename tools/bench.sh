@@ -23,8 +23,11 @@ cd "$(dirname "$0")/.."
 # suite (sbt startup alone can take ~60 s when the host's I/O throttle
 # budget is drained). If it can't, print the flags and abort loudly —
 # never ship a config that hangs the driver's harness at JVM startup again.
-if ! timeout 120 sbt -batch "runMain graft.Canary" 2>&1 \
-    | tee /tmp/canary_sbt.log | grep -q CANARY_OK; then
+# NOTE: do not pipe sbt into `grep -q` here — grep -q exits at first match,
+# sbt's remaining output then dies on SIGPIPE (141), and pipefail turns a
+# PASSING canary into the FATAL branch. Write the log, then grep the file.
+timeout 120 sbt -batch "runMain graft.Canary" > /tmp/canary_sbt.log 2>&1 || true
+if ! grep -q CANARY_OK /tmp/canary_sbt.log; then
   echo "FATAL: forked-JVM canary did not start within 120s." >&2
   echo "Active javaOptions (from build.sbt):" >&2
   grep -E 'CANARY_OK|Xm|XX' /tmp/canary_sbt.log >&2 || true
