@@ -123,6 +123,30 @@ object StreamingOps extends QueryModule {
               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
 
+    // LIVE stateful processing in the gate: flatMapGroupsWithState running
+    // per-user totals (streaming/Streams.runningTotals — the per-key BSP
+    // peer analogue), executed by the real engine. The single-file source
+    // yields exactly ONE micro-batch, so Append mode emits one changelog
+    // row per user carrying the final state — which is precisely the batch
+    // GROUP BY; the oracle needs no streaming semantics. State size is
+    // O(distinct users) regardless of stream length — the bounded-state
+    // posture that matters on an unbounded feed.
+    Q("q_stream_live_totals",
+      (s, d) => {
+        val name = "live_totals_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.runningTotals(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .toDF("user_id", "n_events", "total")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).orderBy("user_id").localCheckpoint()
+        s.catalog.dropTempView(name): Unit
+        out
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {
