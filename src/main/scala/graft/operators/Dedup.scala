@@ -195,6 +195,49 @@ object Dedup extends QueryModule {
       Some(s"""WITH $minhashSql, $bandsSql, $pairsSql
                SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
+    // INCREMENTAL dedup — the production shape: you never re-dedup the
+    // 100 TB corpus, you dedup today's delta AGAINST it. Delta docs
+    // (doc_id % 10 == 7 here) probe the corpus's band signatures; a delta
+    // doc sharing any band with a corpus doc is a near-dup arrival. At
+    // scale the corpus side is a PRECOMPUTED signature store (signatures
+    // are per-doc projections, computed once at ingest — here both sides
+    // come from one persisted pass for the oracle's sake); the probe join
+    // is band-bucketed so each delta row meets only its bucket, and the
+    // delta→verdict output is O(delta), never O(corpus).
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val b = bands(s, d).persist()
+        val delta = b.filter(col("doc_id") % 10 === 7)
+        val corpus = b.filter(col("doc_id") % 10 =!= 7)
+        val matches = delta.as("n").join(corpus.as("c"),
+            col("n.band") === col("c.band") && col("n.band_sig") === col("c.band_sig"))
+          .groupBy(col("n.doc_id").as("doc_id"))
+          .agg(countDistinct(col("c.doc_id")).as("n_corpus_matches"),
+            min(col("c.doc_id")).as("first_match"))
+        val out = Tables(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 10 === 7)
+          .join(matches, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+            col("first_match"),
+            col("first_match").isNotNull.as("is_dup"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+        b.unpersist()
+        out
+      },
+      Some(s"""WITH $minhashSql, $bandsSql,
+               m AS (SELECT n.doc_id AS doc_id,
+                 COUNT(DISTINCT c.doc_id) AS n_corpus_matches,
+                 MIN(c.doc_id) AS first_match
+                 FROM bands n JOIN bands c
+                 ON n.band = c.band AND n.band_sig = c.band_sig AND c.doc_id % 10 != 7
+                 WHERE n.doc_id % 10 = 7 GROUP BY n.doc_id)
+               SELECT d.doc_id, COALESCE(m.n_corpus_matches, 0) AS n_corpus_matches,
+                 m.first_match, m.first_match IS NOT NULL AS is_dup
+               FROM documents d LEFT JOIN m USING (doc_id)
+               WHERE d.doc_id % 10 = 7 ORDER BY doc_id""")),
+
     // Dedup CLUSTERS: the pipeline step a curation job actually acts on.
     // Candidate pairs (shared band signature) become edges; 3 unrolled
     // min-label propagation rounds assign every document its cluster's
@@ -289,6 +332,38 @@ object Dedup extends QueryModule {
               SELECT doc_a, doc_b,
                 ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
               FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    // Benchmark DECONTAMINATION: flag training docs sharing long word
+    // n-grams with an eval set — the standard pre-training hygiene scan.
+    // Eval sets are tiny (thousands of items) against a 100 TB corpus, so
+    // the eval gram set is BROADCAST and the corpus side is one scan →
+    // native distinct-5-gram projection → broadcast-hash probe →
+    // partial-combining count: no corpus shuffle at all until the O(hits)
+    // aggregate. Production rules use 8-13-gram windows; this synthetic
+    // corpus's docs only ever collide on shorter spans, so the declared
+    // config is 3-grams / ≥2 shared — the gram width and threshold are the
+    // two literals below, nothing else changes with them.
+    Q("q_dedup_decontaminate",
+      (s, d) => {
+        val w = 3
+        val g = docs(s, d).select(col("doc_id"),
+          explode(TextHash.distinctNGrams(toks(col("text")), w)).as("gram"))
+        val ev = g.filter(col("doc_id") < 5).withColumnRenamed("doc_id", "eval_id")
+        g.join(broadcast(ev), "gram")
+          .filter(col("doc_id") =!= col("eval_id"))
+          .groupBy("doc_id", "eval_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some(s"""WITH g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram FROM (
+                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
+              ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id < 5)
+              SELECT g.doc_id, ev.eval_id, COUNT(*) AS n_shared
+              FROM g JOIN ev USING (gram) WHERE g.doc_id <> ev.eval_id
+              GROUP BY g.doc_id, ev.eval_id HAVING COUNT(*) >= 2
+              ORDER BY doc_id, eval_id"""))
   )
 }
