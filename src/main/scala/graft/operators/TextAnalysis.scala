@@ -177,6 +177,151 @@ object TextAnalysis extends QueryModule {
                 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
                        COUNT(*) OVER (PARTITION BY
                          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS cluster_size
-                FROM documents) t ORDER BY doc_id"""))
+                FROM documents) t ORDER BY doc_id""")),
+
+    // REPETITION signals (the Gopher-rules quality family): a document
+    // whose mass concentrates in one n-gram, or whose n-grams mostly
+    // repeat, is boilerplate/spam. Per doc: top-word share, top-bigram
+    // share, and the duplicate fraction of overlapping 4-grams. Each
+    // signal is explode → (doc, gram) partial-combining count → per-doc
+    // rollup — the q_text_tokens two-level shape, so the shuffle carries
+    // pre-reduced (doc, gram) rows, never raw token streams; the three
+    // doc-keyed aggregates then join on doc_id (co-partitioned by AQE).
+    Q("q_text_repetition",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
+        def gramStats(w: Int, prefix: String): DataFrame = {
+          val grams =
+            if (w == 1) base.select(col("doc_id"), explode(col("tk")).as("gram"))
+            else base.select(col("doc_id"), explode(when(size(col("tk")) >= w,
+              expr(s"transform(sequence(0, size(tk) - $w), i -> array_join(slice(tk, i + 1, $w), ' '))"))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("gram"))
+          grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id")
+            .agg(sum(col("c")).as(s"${prefix}_n"),
+              max(col("c")).as(s"${prefix}_top"),
+              count(lit(1)).as(s"${prefix}_uniq"))
+        }
+        gramStats(1, "w").join(gramStats(2, "b"), "doc_id").join(gramStats(4, "f"), "doc_id")
+          .select(col("doc_id"),
+            round(col("w_top") * 1.0 / col("w_n"), 6).as("top_word_frac"),
+            round(col("b_top") * 1.0 / col("b_n"), 6).as("top_bigram_frac"),
+            round(lit(1.0) - col("f_uniq") * 1.0 / col("f_n"), 6).as("dup_4gram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
+               w1 AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top FROM (
+                 SELECT doc_id, tok, COUNT(*) AS c FROM (
+                   SELECT doc_id, unnest(tk) AS tok FROM base) t GROUP BY 1, 2) g GROUP BY 1),
+               w2 AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top FROM (
+                 SELECT doc_id, gram, COUNT(*) AS c FROM (
+                   SELECT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram
+                   FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p FROM base) t0) t
+                 GROUP BY 1, 2) g GROUP BY 1),
+               w4 AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS uniq FROM (
+                 SELECT doc_id, gram, COUNT(*) AS c FROM (
+                   SELECT doc_id, array_to_string(tk[p:p + 3], ' ') AS gram
+                   FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS p FROM base) t0) t
+                 GROUP BY 1, 2) g GROUP BY 1)
+               SELECT w1.doc_id,
+                 ROUND(w1.top * 1.0 / w1.n, 6) AS top_word_frac,
+                 ROUND(w2.top * 1.0 / w2.n, 6) AS top_bigram_frac,
+                 ROUND(1.0 - w4.uniq * 1.0 / w4.n, 6) AS dup_4gram_frac
+               FROM w1 JOIN w2 USING (doc_id) JOIN w4 USING (doc_id)
+               ORDER BY doc_id""")),
+
+    // PII scan + redaction: flag and rewrite emails/phone numbers before
+    // training. The corpus has no real PII, so the query DETERMINISTICALLY
+    // injects a synthetic email (doc_id % 5 = 0) or phone (doc_id % 5 = 3)
+    // first — the redactor then has known-positive and known-negative rows
+    // to prove both match and non-match behavior. Pure per-row projection
+    // (regexp_count + regexp_replace), zero shuffle at any scale; the
+    // redacted text is emitted as a fingerprint so the row stays narrow.
+    Q("q_text_pii",
+      (s, d) => {
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "\\+1-555-[0-9]{4}"
+        val injected = when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example now")))
+          .when(col("doc_id") % 5 === 3,
+            concat(col("text"), lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(col("text"))
+        docs(s, d).select(col("doc_id"), injected.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                     WHEN doc_id % 5 = 3 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                     ELSE text END AS t FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS clean_fp
+              FROM inj ORDER BY doc_id""")),
+
+    // training-SEQUENCE PACKING: concatenate documents and cut every B
+    // tokens — the GPT-style pretraining layout. Packing is per WORKER
+    // (here doc_id % 8; in production the ingest shard), so the running
+    // token offset is a window partitioned by worker, never a global
+    // single-partition cumulative sum: each shard packs independently and
+    // the plan holds at any corpus size. Output per doc: its token offset
+    // within the shard and the first/last training chunk it lands in.
+    Q("q_text_pack",
+      (s, d) => {
+        val budget = 256
+        val nt = docs(s, d).select(col("doc_id"), (col("doc_id") % 8).as("worker"),
+          size(TextExprs.toks(col("text"))).cast("long").as("n_tok"))
+        val w = Window.partitionBy("worker").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        nt.withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("worker"), col("n_tok"), col("tok_offset"),
+            floor(col("tok_offset") / budget).as("chunk_first"),
+            floor((col("tok_offset") + greatest(col("n_tok"), lit(1L)) - 1) / budget)
+              .as("chunk_last"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nt AS (SELECT doc_id, doc_id % 8 AS worker,
+                 CAST(len(${TextExprs.toksSql("text")}) AS BIGINT) AS n_tok FROM documents),
+               off AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY worker ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM nt)
+               SELECT doc_id, worker, n_tok, tok_offset,
+                 CAST(FLOOR(tok_offset / 256.0) AS BIGINT) AS chunk_first,
+                 CAST(FLOOR((tok_offset + GREATEST(n_tok, 1) - 1) / 256.0) AS BIGINT) AS chunk_last
+               FROM off ORDER BY doc_id""")),
+
+    // domain-MIXTURE weighting: per-source token counts → each source's
+    // share of the corpus → the up/down-sampling weight that flattens the
+    // mixture to uniform (weight = target_share / actual_share). One scan
+    // + one tiny per-source aggregate; the share window runs over
+    // #sources rows, not the corpus.
+    Q("q_text_mixture",
+      (s, d) => {
+        val per = docs(s, d)
+          .select(col("source"), size(TextExprs.toks(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val w = Window.partitionBy()
+        per
+          .withColumn("share", col("n_tokens") * 1.0 / sum(col("n_tokens")).over(w))
+          .withColumn("weight", (lit(1.0) / count(lit(1)).over(w)) / col("share"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("token_share"), round(col("weight"), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(${TextExprs.toksSql("text")})) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source)
+               SELECT source, n_docs, n_tokens,
+                 ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share,
+                 ROUND((1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6) AS weight
+               FROM per ORDER BY source"""))
   )
 }
