@@ -364,6 +364,51 @@ object Dedup extends QueryModule {
               SELECT g.doc_id, ev.eval_id, COUNT(*) AS n_shared
               FROM g JOIN ev USING (gram) WHERE g.doc_id <> ev.eval_id
               GROUP BY g.doc_id, ev.eval_id HAVING COUNT(*) >= 2
-              ORDER BY doc_id, eval_id"""))
+              ORDER BY doc_id, eval_id""")),
+
+    // SUBSTRING-level dedup — the "dedup repeated spans, not whole docs"
+    // operator (suffix-array dedup in the single-node literature),
+    // re-shaped for a shuffle engine: hash overlapping W-token windows at
+    // stride S; a window whose hash occurs in ≥2 DISTINCT documents is a
+    // duplicated span. Stride bounds the explode to ≤ tokens/S windows
+    // per doc; the cross-corpus occurrence count is a partial-combining
+    // hash aggregate on the window hash; the per-doc rollup joins doc
+    // windows to those PRE-AGGREGATED counts — documents are never paired
+    // directly, so no docs² term exists at any stage. Per doc: window
+    // count, duplicated-window count, duplicated fraction.
+    Q("q_dedup_span",
+      (s, d) => {
+        val W = 16; val S = 8
+        val base = docs(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
+        val wins = base.select(col("doc_id"), explode(when(size(col("tk")) >= W,
+            expr(s"transform(sequence(0, size(tk) - $W, $S), i -> md5(array_join(slice(tk, i + 1, $W), ' ')))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("h"))
+          .distinct() // count each span once per doc
+        val hc = wins.groupBy("h").agg(count(lit(1)).as("nd"))
+        val per = wins.join(hc, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        // left join back so short docs (< W tokens) report zero windows
+        base.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            round(coalesce(col("n_dup_windows") * 1.0 / col("n_windows"), lit(0.0)), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              wins AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[p:p + 15], ' ')) AS h
+                FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 15, 8)) AS p FROM base) t),
+              hc AS (SELECT h, COUNT(*) AS nd FROM wins GROUP BY 1),
+              per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                        SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+                      FROM wins JOIN hc USING (h) GROUP BY 1)
+              SELECT d.doc_id,
+                CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                ROUND(COALESCE(per.n_dup_windows * 1.0 / per.n_windows, 0), 6) AS dup_frac
+              FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+              ORDER BY doc_id"""))
   )
 }

@@ -382,6 +382,63 @@ object Similarity extends QueryModule {
                 FROM el a JOIN el b ON a.label = b.label AND a.bucket = b.bucket
                   AND a.pos = b.pos AND a.vec_id < b.vec_id
                 GROUP BY a.vec_id, b.vec_id)
-              SELECT id_a, id_b, sim FROM sims WHERE sim > 0.2 ORDER BY id_a, id_b"""))
+              SELECT id_a, id_b, sim FROM sims WHERE sim > 0.2 ORDER BY id_a, id_b""")),
+
+    // ANN quality EVALUATION: recall@5 of the single-probe IVF search
+    // against the brute-force ground truth — the measurement loop any
+    // production ANN deployment runs before trading accuracy for cost.
+    // Composes the two DECLARED queries (q_sim_topk truncated to k=5 and
+    // q_sim_ivf, both deterministic: sims rounded to 6, ties broken by
+    // cand_id), so the evaluator can never drift from the operators it
+    // scores. Both inputs are O(queries × k) rows; the join and rollup
+    // are trivial at any corpus size — the cost IS the two searches.
+    Q("q_sim_recall",
+      (s, d) => {
+        val bf = graft.SparkEntry.queries("q_sim_topk")(s, d)
+          .filter(col("rank") <= 5).select(col("q_id"), col("cand_id"))
+        val ivf = graft.SparkEntry.queries("q_sim_ivf")(s, d)
+          .select(col("q_id").as("iq"), col("cand_id").as("ic"))
+        bf.join(ivf, col("q_id") === col("iq") && col("cand_id") === col("ic"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("iq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+              q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
+              bsims AS (SELECT q_id, cand_id,
+                ROUND(SUM(qv * cv) / (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+                FROM c JOIN q USING (pos) GROUP BY q_id, cand_id),
+              bf AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r
+                FROM bsims) t WHERE r <= 5),
+              cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
+              dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
+                FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
+              cells AS (SELECT vec_id, c_id AS cell FROM dots
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cdot DESC, c_id) = 1),
+              iq AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, cells.cell
+                FROM e JOIN cells USING (vec_id) WHERE e.vec_id < 5),
+              ic AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, cells.cell
+                FROM e JOIN cells USING (vec_id) WHERE e.vec_id >= 5),
+              isims AS (SELECT iq.q_id, ic.cand_id,
+                ROUND(SUM(iq.qv * ic.cv) / (SQRT(SUM(iq.qv * iq.qv)) * SQRT(SUM(ic.cv * ic.cv))), 6) AS sim
+                FROM ic JOIN iq ON iq.cell = ic.cell AND iq.pos = ic.pos
+                GROUP BY iq.q_id, ic.cand_id),
+              ivf AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r
+                FROM isims) t WHERE r <= 5)
+              SELECT bf.q_id,
+                CAST(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                ROUND(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+              FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
+              GROUP BY bf.q_id ORDER BY bf.q_id"""))
   )
 }

@@ -322,6 +322,34 @@ object TextAnalysis extends QueryModule {
                SELECT source, n_docs, n_tokens,
                  ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share,
                  ROUND((1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6) AS weight
-               FROM per ORDER BY source"""))
+               FROM per ORDER BY source""")),
+
+    // token-DISTRIBUTION quality signals: Shannon entropy of the in-doc
+    // unigram distribution and type-token ratio — low entropy flags
+    // repetitive/templated text, high TTR flags word-salad. Uses the
+    // identity H = log2(n) - (Σ c·log2 c)/n so the whole signal is the
+    // q_text_tokens two-level shape: reduce (doc, tok) map-side, one
+    // per-doc rollup — no p_i column, no second pass over tokens.
+    Q("q_text_entropy",
+      (s, d) => {
+        toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("uniq"),
+            sum(col("c") * log2(col("c"))).as("clg"))
+          .select(col("doc_id"),
+            col("n").as("n_tokens"), col("uniq").as("n_types"),
+            round(log2(col("n")) - col("clg") / col("n"), 6).as("entropy"),
+            round(col("uniq") * 1.0 / col("n"), 6).as("type_token_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+               agg AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS uniq,
+                         SUM(c * log2(c)) AS clg FROM cnt GROUP BY 1)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 CAST(uniq AS BIGINT) AS n_types,
+                 ROUND(log2(n) - clg / n, 6) AS entropy,
+                 ROUND(uniq * 1.0 / n, 6) AS type_token_ratio
+               FROM agg ORDER BY doc_id"""))
   )
 }
