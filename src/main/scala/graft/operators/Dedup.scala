@@ -371,11 +371,14 @@ object Dedup extends QueryModule {
     // re-shaped for a shuffle engine: hash overlapping W-token windows at
     // stride S; a window whose hash occurs in ≥2 DISTINCT documents is a
     // duplicated span. Stride bounds the explode to ≤ tokens/S windows
-    // per doc; the cross-corpus occurrence count is a partial-combining
-    // hash aggregate on the window hash; the per-doc rollup joins doc
-    // windows to those PRE-AGGREGATED counts — documents are never paired
-    // directly, so no docs² term exists at any stage. Per doc: window
-    // count, duplicated-window count, duplicated fraction.
+    // per doc; the cross-corpus occurrence count is a COUNT window over
+    // the span hash (the q_text_fingerprint pattern) so the hash→md5
+    // explode pipeline runs ONCE and is consumed ONCE — an aggregate
+    // + join-back would re-execute it and add a shuffle. Documents are
+    // never paired directly; no docs² term exists at any stage. Per doc:
+    // window count, duplicated-window count, duplicated fraction. (md5
+    // is the portable-oracle hash; a production run would swap in the
+    // cheaper native xxhash64 — one literal, nothing else changes.)
     Q("q_dedup_span",
       (s, d) => {
         val W = 16; val S = 8
@@ -384,8 +387,9 @@ object Dedup extends QueryModule {
             expr(s"transform(sequence(0, size(tk) - $W, $S), i -> md5(array_join(slice(tk, i + 1, $W), ' ')))"))
             .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("h"))
           .distinct() // count each span once per doc
-        val hc = wins.groupBy("h").agg(count(lit(1)).as("nd"))
-        val per = wins.join(hc, "h")
+        val per = wins
+          .withColumn("nd", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
