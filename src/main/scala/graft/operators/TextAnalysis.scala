@@ -182,31 +182,37 @@ object TextAnalysis extends QueryModule {
     // REPETITION signals (the Gopher-rules quality family): a document
     // whose mass concentrates in one n-gram, or whose n-grams mostly
     // repeat, is boilerplate/spam. Per doc: top-word share, top-bigram
-    // share, and the duplicate fraction of overlapping 4-grams. Each
-    // signal is explode → (doc, gram) partial-combining count → per-doc
-    // rollup — the q_text_tokens two-level shape, so the shuffle carries
-    // pre-reduced (doc, gram) rows, never raw token streams; the three
-    // doc-keyed aggregates then join on doc_id (co-partitioned by AQE).
+    // share, and the duplicate fraction of overlapping 4-grams. ONE pass:
+    // the three gram families explode together as tagged (typ, gram)
+    // structs, reduce as (doc, typ, gram) partial-combining counts, roll
+    // up per (doc, typ), and pivot to columns with conditional aggregates
+    // — three separate pipelines + two doc-keyed joins would tokenize the
+    // corpus three times. All three groupings are satisfied by the
+    // doc_id clustering the scan already has, so no extra exchange
+    // appears anywhere. Docs lacking any family (< 4 tokens) are dropped,
+    // matching the oracle's inner joins.
     Q("q_text_repetition",
       (s, d) => {
         val base = docs(s, d).select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
-        def gramStats(w: Int, prefix: String): DataFrame = {
-          val grams =
-            if (w == 1) base.select(col("doc_id"), explode(col("tk")).as("gram"))
-            else base.select(col("doc_id"), explode(when(size(col("tk")) >= w,
-              expr(s"transform(sequence(0, size(tk) - $w), i -> array_join(slice(tk, i + 1, $w), ' '))"))
-              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("gram"))
-          grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-            .groupBy("doc_id")
-            .agg(sum(col("c")).as(s"${prefix}_n"),
-              max(col("c")).as(s"${prefix}_top"),
-              count(lit(1)).as(s"${prefix}_uniq"))
-        }
-        gramStats(1, "w").join(gramStats(2, "b"), "doc_id").join(gramStats(4, "f"), "doc_id")
-          .select(col("doc_id"),
-            round(col("w_top") * 1.0 / col("w_n"), 6).as("top_word_frac"),
-            round(col("b_top") * 1.0 / col("b_n"), 6).as("top_bigram_frac"),
-            round(lit(1.0) - col("f_uniq") * 1.0 / col("f_n"), 6).as("dup_4gram_frac"))
+        val empty = "CAST(array() AS ARRAY<STRUCT<typ: STRING, gram: STRING>>)"
+        def windowed(w: Int, tag: String) =
+          s"""CASE WHEN size(tk) >= $w THEN transform(sequence(0, size(tk) - $w),
+                i -> named_struct('typ', '$tag', 'gram', array_join(slice(tk, i + 1, $w), ' ')))
+              ELSE $empty END"""
+        base.select(col("doc_id"), explode(expr(
+            s"""concat(transform(tk, x -> named_struct('typ', 'w', 'gram', x)),
+                ${windowed(2, "b")}, ${windowed(4, "f")})""")).as("g"))
+          .select(col("doc_id"), col("g.typ").as("typ"), col("g.gram").as("gram"))
+          .groupBy("doc_id", "typ", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "typ")
+          .agg(sum(col("c")).as("n"), max(col("c")).as("top"), count(lit(1)).as("uniq"))
+          .groupBy("doc_id")
+          .agg(
+            round(max(when(col("typ") === "w", col("top") * 1.0 / col("n"))), 6).as("top_word_frac"),
+            round(max(when(col("typ") === "b", col("top") * 1.0 / col("n"))), 6).as("top_bigram_frac"),
+            round(max(when(col("typ") === "f", lit(1.0) - col("uniq") * 1.0 / col("n"))), 6).as("dup_4gram_frac"),
+            count(lit(1)).as("_nt"))
+          .filter(col("_nt") === 3).drop("_nt")
           .orderBy("doc_id")
       },
       Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
