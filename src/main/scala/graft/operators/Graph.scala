@@ -271,8 +271,14 @@ object Graph extends QueryModule {
   /** Connected components via min-label propagation (MindistSearch,
     * `examples/src/main/java/org/apache/hama/examples/MindistSearch.java:47-117`,
     * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
-  private def cc(s: SparkSession, d: String, rounds: Int = 4): DataFrame = {
-    val e = edges(s, d)
+  private def cc(s: SparkSession, d: String, rounds: Int = 4): DataFrame =
+    ccLoop(edges(s, d), rounds)
+
+  /** min-label connected components over an arbitrary (src, dst) edge
+    * list — parameterized so the reference's own test graph drives the
+    * SAME loop (ReferenceFixturesSpec); `q_graph_cc` binds the derived
+    * orders graph. */
+  private[graft] def ccLoop(e: DataFrame, rounds: Int): DataFrame = {
     val vs = nodes(e).cache()
     // self-loops fold "keep own label" into the message join (see sssp note)
     val euPlus = undirected(e)
@@ -317,8 +323,13 @@ object Graph extends QueryModule {
     * the largest k with ≥ k neighbors whose estimate ≥ k, never above its
     * previous value (`ml/src/main/java/org/apache/hama/ml/kcore/
     * KCoreVertex.java:137-226`). */
-  private def kcore(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
-    val eu = undirected(edges(s, d)).cache()
+  private def kcore(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    kcoreLoop(edges(s, d), iters)
+
+  /** k-core estimate over an arbitrary (src, dst) edge list — see
+    * [[ccLoop]] for why this is graph-parameterized. */
+  private[graft] def kcoreLoop(e: DataFrame, iters: Int): DataFrame = {
+    val eu = undirected(e).cache()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
     val out = Iterate(init, iters, checkpointEvery = 2) { (k, _) =>
       val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))

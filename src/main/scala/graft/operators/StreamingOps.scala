@@ -147,6 +147,29 @@ object StreamingOps extends QueryModule {
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // LIVE streaming dedup in the gate: the real dropDuplicates state
+    // store (streaming/Streams.dedup — watermarked so state evicts on an
+    // unbounded feed), executed by the engine. Which REPRESENTATIVE row
+    // the state keeps depends on intra-batch arrival order, so the
+    // declared output is the deduped KEY SET — deterministic by
+    // construction, and exactly what downstream consumers of a dedup
+    // stage key on. Oracle is batch DISTINCT.
+    Q("q_stream_live_dedup",
+      (s, d) => {
+        val name = "live_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.dedup(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).orderBy("user_id", "event_type").localCheckpoint()
+        s.catalog.dropTempView(name): Unit
+        out
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {

@@ -91,4 +91,49 @@ class ReferenceFixturesSpec extends AnyFunSuite {
       .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((1L, "s1"), (2L, "s2"), (3L, "s3")))
   }
+
+  test("connected components: the reference's MindistSearch 10-vertex " +
+      "graph, exact min-id labels (MindistSearchTest.java:44-47)") {
+    // input lines "v\tdst..." (MindistSearchTest.java:46-47)
+    val adj = Seq(0L -> Seq(), 1L -> Seq(4L, 7L), 2L -> Seq(3L, 8L),
+      3L -> Seq(5L), 4L -> Seq(1L), 5L -> Seq(6L), 6L -> Seq(), 7L -> Seq(),
+      8L -> Seq(3L), 9L -> Seq(0L))
+    val e = adj.flatMap { case (v, ds) => ds.map(d => (v, d)) }.toDF("src", "dst")
+    val out = operators.Graph.ccLoop(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // resultList (MindistSearchTest.java:44-45): label of vertex i
+    val expected = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L, 8L -> 2L, 9L -> 0L)
+    assert(out === expected)
+  }
+
+  test("k-core: the reference's 11-vertex kcore.txt graph, exact core " +
+      "numbers (KCoreTest.java:60-62, resources/kcore.txt)") {
+    val adj = Seq(1L -> Seq(2L), 2L -> Seq(1L, 3L, 9L, 8L, 5L), 3L -> Seq(2L),
+      4L -> Seq(5L), 5L -> Seq(2L, 4L, 6L, 8L, 9L), 6L -> Seq(5L, 7L, 8L),
+      7L -> Seq(6L), 8L -> Seq(2L, 5L, 6L, 9L, 10L, 11L), 9L -> Seq(2L, 5L, 8L),
+      10L -> Seq(8L, 11L), 11L -> Seq(8L, 10L))
+    val e = adj.flatMap { case (v, ds) => ds.map(d => (v, d)) }.toDF("src", "dst")
+    val out = operators.Graph.kcoreLoop(e, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // KCoreTest.java:61-62: vertex -> core
+    val expected = Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 3L,
+      6L -> 2L, 7L -> 1L, 8L -> 3L, 9L -> 3L, 10L -> 2L, 11L -> 2L)
+    assert(out === expected)
+  }
+
+  test("SpMV: the reference's 4x4 sparse matrix times dense vector = " +
+      "(38, 12, 24, 11) (SpMVTest.java:101-141)") {
+    // matrix cells (SpMVTest.java:101-120), vector (SpMVTest.java:124-131)
+    val m = Seq((0L, 0L, 1.0), (0L, 2L, 6.0), (1L, 1L, 4.0), (2L, 1L, 2.0),
+      (2L, 2L, 3.0), (3L, 0L, 3.0), (3L, 3L, 5.0)).toDF("i", "j", "mv")
+    val v = Seq((0L, 2.0), (1L, 3.0), (2L, 6.0), (3L, 1.0)).toDF("j", "vv")
+    // the q_ml_spmv shape: exploded-cell equi-join + per-row aggregate
+    val u = m.join(org.apache.spark.sql.functions.broadcast(v), "j")
+      .groupBy("i")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("mv") * org.apache.spark.sql.functions.col("vv")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(u === Map(0L -> 38.0, 1L -> 12.0, 2L -> 24.0, 3L -> 11.0))
+  }
 }
