@@ -63,6 +63,67 @@ object Curation extends QueryModule {
               CAST(SUM(CASE WHEN kept_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
               CAST(SUM(CASE WHEN kept_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
               CAST(SUM(CASE WHEN kept_sample THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
-            FROM flags GROUP BY source ORDER BY source"""))
+            FROM flags GROUP BY source ORDER BY source""")),
+
+    // TRAINED quality filter, end-to-end: engineer per-doc features
+    // (the shared character-class quality score + log-length), fit a
+    // logistic classifier to a reference label (lang = 'en' — the
+    // "target distribution" a curation filter is trained toward) by
+    // 3 fixed GD steps, then SCORE AND FLAG every document with the
+    // fitted model — train + inference over the corpus in one declared
+    // dataflow. Each GD step is one aggregate (3 sums) with an O(1)
+    // master-collect of the gradient, the q_ml_logreg protocol; scoring
+    // is a scan-local projection with the weights as literals. At 100 TB
+    // nothing but three 3-double gradients ever reaches the driver.
+    Q("q_pipeline_quality_model",
+      (s, d) => {
+        def r9(v: Double): Double =
+          BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val data = Tables.cpuPartitioned(s, d, "documents", "doc_id")
+          .select(col("doc_id"),
+            TextExprs.qualityScore(col("text")).as("x1"),
+            (log(lit(1.0) + col("n_chars")) / 10.0).as("x2"),
+            when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+          .cache()
+        val m = data.count().toDouble
+        var (th0, th1, th2) = (0.0, 0.0, 0.0)
+        for (_ <- 1 to 3) {
+          val h = lit(1.0) / (lit(1.0) +
+            exp(-(lit(th0) + lit(th1) * col("x1") + lit(th2) * col("x2"))))
+          val r = data.agg(sum(h - col("y")).as("g0"),
+            sum((h - col("y")) * col("x1")).as("g1"),
+            sum((h - col("y")) * col("x2")).as("g2")).collect()(0)
+          th0 = r9(th0 - r.getDouble(0) / m)
+          th1 = r9(th1 - r.getDouble(1) / m)
+          th2 = r9(th2 - r.getDouble(2) / m)
+        }
+        val p = lit(1.0) / (lit(1.0) +
+          exp(-(lit(th0) + lit(th1) * col("x1") + lit(th2) * col("x2"))))
+        val out = data.select(col("doc_id"), round(p, 6).as("score"),
+            (p >= 0.5).as("keep"))
+          .orderBy("doc_id").localCheckpoint() // eager; frees the cache next
+        data.unpersist()
+        out
+      },
+      Some {
+        val feat = s"""d AS (SELECT doc_id,
+          ${TextExprs.qualityScoreSql("text")} AS x1,
+          LN(1.0 + n_chars) / 10.0 AS x2,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)"""
+        val steps = (0 until 3).map { i =>
+          s"""t${i + 1} AS (SELECT
+             ROUND(th0 - SUM(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) / COUNT(*), 9) AS th0,
+             ROUND(th1 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x1) / COUNT(*), 9) AS th1,
+             ROUND(th2 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x2) / COUNT(*), 9) AS th2
+             FROM d CROSS JOIN t$i GROUP BY th0, th1, th2)"""
+        }.mkString(",\n")
+        s"""WITH $feat,
+           t0 AS (SELECT 0.0 AS th0, 0.0 AS th1, 0.0 AS th2),
+           $steps
+           SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))), 6) AS score,
+             1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) >= 0.5 AS keep
+           FROM d CROSS JOIN t3 ORDER BY doc_id"""
+      })
   )
 }
