@@ -100,6 +100,27 @@ object Sources extends QueryModule {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // Hive-style PARTITIONED table layout: write documents partitioned by
+    // lang, read back with a partition predicate — the scan must touch
+    // ONLY the matching partition directories (PartitionFilters in the
+    // plan; SourcesSpec asserts partitionFilters is non-empty and the
+    // data filter list is empty). At 100 TB this is the difference
+    // between listing one directory and scanning the corpus: partition
+    // pruning happens at file listing, before any I/O.
+    Q("q_sink_partitioned",
+      (s, d) => {
+        val out = tmp("graft-part")
+        Tables(s, d, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out).filter(col("lang") === "en")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+              FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang""")),
+
     // Hama Pipes analogue: stream rows through an external process
     // (`core/.../pipes/protocol/MessageType.java:25-32` opcodes collapse to
     // lines on stdin/stdout). Lowercased segments go out, `tr` upcases them

@@ -147,6 +147,39 @@ object StreamingOps extends QueryModule {
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // LIVE session-window aggregation in the gate: streaming/Streams
+    // .sessions executed by the engine (session_window merging in the
+    // streaming aggregation state store). Complete mode for the same
+    // reason as q_stream_live_tumble: a finite file source never advances
+    // the watermark past the final sessions. Oracle = the batch session
+    // query's gap-break SQL, unchanged — stream==batch again.
+    Q("q_stream_live_session",
+      (s, d) => {
+        val name = "live_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.sessions(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name)
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .orderBy("user_id", "session_start").localCheckpoint()
+        s.catalog.dropTempView(name): Unit
+        out
+      },
+      Some("""WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              y AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+              SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS total
+              FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // LIVE streaming dedup in the gate: the real dropDuplicates state
     // store (streaming/Streams.dedup — watermarked so state evicts on an
     // unbounded feed), executed by the engine. Which REPRESENTATIVE row

@@ -31,6 +31,18 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sink_partitioned prunes partitions at the file listing") {
+    val df = SparkEntry.queries("q_sink_partitioned")(spark, TestSpark.sf0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must be a PARTITION filter (applied when listing
+    // directories), not a data filter pushed into row groups
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected a partition filter on lang in:\n$plan")
+    assert("PushedFilters: \\[\\]".r.findFirstIn(plan).isDefined,
+      s"no data filter should remain once lang prunes at listing:\n$plan")
+  }
+
   test("q_join_bucketed matches the unbucketed join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0).collect()
     val plain = Tables(spark, TestSpark.sf0, "orders")
