@@ -203,6 +203,33 @@ object StreamingOps extends QueryModule {
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
+    // LIVE stream-stream interval join in the gate: streaming/Streams
+    // .intervalJoin (watermarks BOTH sides + time bounds in the
+    // condition, so buffered state evicts) executed by the engine.
+    // Append is the only supported mode for stream-stream joins; the
+    // join RESULT is a set, deterministic regardless of arrival order,
+    // so the batch interval-join SQL oracles it directly.
+    Q("q_stream_live_join",
+      (s, d) => {
+        val name = "live_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.intervalJoin(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name)
+          .orderBy("user_id", "click_id", "purchase_id").localCheckpoint()
+        s.catalog.dropTempView(name): Unit
+        out
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+              ROUND(p.value, 2) AS amount
+              FROM events c JOIN events p
+                ON c.user_id = p.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL '1 hour'
+              WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              ORDER BY c.user_id, click_id, purchase_id""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {

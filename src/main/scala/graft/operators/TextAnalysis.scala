@@ -330,6 +330,32 @@ object TextAnalysis extends QueryModule {
                  ROUND((1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6) AS weight
                FROM per ORDER BY source""")),
 
+    // RAG/embedding CHUNKING: split every document into fixed-size token
+    // chunks with overlap (64-token chunks, stride 48 → 16-token overlap)
+    // — the layout an embedding/retrieval pipeline indexes. Pure
+    // projection + bounded explode (≤ tokens/stride chunks per doc), zero
+    // shuffle until the final sort at any corpus size; chunk text is
+    // emitted as a fingerprint so rows stay narrow.
+    Q("q_text_chunk",
+      (s, d) => {
+        val C = 64; val S = 48
+        docs(s, d).select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), size(col("tk")).as("nt"),
+            posexplode(expr(s"transform(sequence(0, size(tk) - 1, $S), i -> md5(array_join(slice(tk, i + 1, $C), ' ')))")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            least(lit(C), col("nt") - col("pos") * S).cast("long").as("n_tokens"),
+            col("col").as("fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents)
+               SELECT doc_id, CAST((p - 1) // 48 AS BIGINT) AS chunk_id,
+                 CAST(LEAST(64, len(tk) - p + 1) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(tk[p:p + 63], ' ')) AS fp
+               FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk), 48)) AS p
+                     FROM base WHERE len(tk) > 0) t
+               ORDER BY doc_id, chunk_id""")),
+
     // token-DISTRIBUTION quality signals: Shannon entropy of the in-doc
     // unigram distribution and type-token ratio — low entropy flags
     // repetitive/templated text, high TTR flags word-salad. Uses the

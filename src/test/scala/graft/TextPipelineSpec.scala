@@ -38,6 +38,18 @@ class TextPipelineSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("q_text_chunk: 100 tokens chunk to 64/52/4 at stride 48") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val hundred = (1 to 100).map(i => s"w$i").mkString(" ")
+    Seq((0L, hundred, "en", "web", hundred.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = SparkEntry.queries("q_text_chunk")(spark, d2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // starts 0/48/96: full chunk, tail-overlapping chunk, 4-token stub
+    assert(rows === Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+  }
+
   test("q_text_entropy matches hand-computed entropy and TTR") {
     val rows = SparkEntry.queries("q_text_entropy")(spark, dir)
       .filter($"doc_id" >= 3).collect()
