@@ -58,7 +58,7 @@ val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)
 // JVM always starts promptly.
 val pretouchOpts: Seq[String] =
   if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
-    Seq(s"-Xms$heap", "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
+    Seq(s"-Xms$heap", "-XX:+AlwaysPreTouch")
   else Seq.empty
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
@@ -75,4 +75,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs interpreted — multi-× tail-of-suite slowdowns with no warning
   // in the app log. Headroom is cheap; interpreted codegen is not.
   "-XX:ReservedCodeCacheSize=512m",
+  // madvise-THP (host: enabled=madvise) batches heap first-touch into 2 MB
+  // faults — 512× fewer fault events plus the TLB win — WITHOUT the startup
+  // fault bill: unlike AlwaysPreTouch, pages still fault lazily on first
+  // use, so forked-JVM startup stays prompt (canary-verified).
+  "-XX:+UseTransparentHugePages",
 ) ++ pretouchOpts

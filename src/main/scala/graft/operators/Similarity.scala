@@ -39,6 +39,51 @@ object Similarity extends QueryModule {
     concat(bits: _*)
   }
 
+  /** Shared DuckDB CTE fragments (module convention, as in Dedup.scala's
+    * minhashSql/bandsSql/pairsSql): every similarity oracle composes these
+    * vals instead of re-typing the chains, so a later tweak to rounding,
+    * tie-breaks, or centroid count cannot silently leave a composed
+    * oracle (q_sim_recall) scoring against a stale formulation. */
+
+  /** unnest embeddings to (vec_id, pos, ev) rows. */
+  private val eSql =
+    """e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings)"""
+
+  /** brute-force cosine sims for every (query, candidate) pair → bsims. */
+  private val bruteSimsSql =
+    """q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+       c AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
+       bsims AS (SELECT q_id, cand_id,
+         ROUND(SUM(qv * cv) / (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+         FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)"""
+
+  /** single-probe IVF: seed centroids, argmax-dot cell assignment, and
+    * same-cell cosine sims → isims. */
+  private val ivfSimsSql =
+    """cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
+       dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
+         FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
+       cells AS (SELECT vec_id, c_id AS cell FROM dots
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cdot DESC, c_id) = 1),
+       iq AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, cells.cell
+         FROM e JOIN cells USING (vec_id) WHERE e.vec_id < 5),
+       ic AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, cells.cell
+         FROM e JOIN cells USING (vec_id) WHERE e.vec_id >= 5),
+       isims AS (SELECT iq.q_id, ic.cand_id,
+         ROUND(SUM(iq.qv * ic.cv) / (SQRT(SUM(iq.qv * iq.qv)) * SQRT(SUM(ic.cv * ic.cv))), 6) AS sim
+         FROM ic JOIN iq ON iq.cell = ic.cell AND iq.pos = ic.pos
+         GROUP BY iq.q_id, ic.cand_id)"""
+
+  /** rank a sims CTE per q_id by (sim DESC, cand_id) and keep the top k. */
+  private def rankSql(simsCte: String, k: Int): String =
+    s"""SELECT q_id, rank, cand_id, sim FROM (
+          SELECT q_id, cand_id, sim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+          FROM $simsCte) t
+        WHERE rank <= $k ORDER BY q_id, rank"""
+
   /** DuckDB CTEs computing the same bucket per vec_id (expects a prior
     * `e(vec_id, pos, ev)` unnested CTE). */
   private val lshBucketSql =
@@ -83,18 +128,8 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
-               q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
-               c AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
-               sims AS (SELECT q_id, cand_id,
-                 ROUND(SUM(qv * cv) / (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
-                 FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)
-               SELECT q_id, rank, cand_id, sim FROM (
-                 SELECT q_id, cand_id, sim,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
-                 FROM sims) t
-               WHERE rank <= $topK ORDER BY q_id, rank""")),
+      Some(s"""WITH $eSql, $bruteSimsSql
+               ${rankSql("bsims", topK)}""")),
 
     // INT8 scalar-quantized top-k — the memory/bandwidth scale path for
     // 100 TB embedding corpora: per-vector symmetric quantization
@@ -128,8 +163,7 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+      Some(s"""WITH $eSql,
                sc AS (SELECT vec_id, GREATEST(MAX(ABS(ev)) / 127, 1e-12) AS s
                  FROM e GROUP BY vec_id),
                qt AS (SELECT e.vec_id, e.pos, FLOOR(e.ev / sc.s + 0.5) AS qv
@@ -139,11 +173,7 @@ object Similarity extends QueryModule {
                sims AS (SELECT q_id, cand_id,
                  ROUND(SUM(qq * cq) / (SQRT(SUM(qq * qq)) * SQRT(SUM(cq * cq))), 6) AS sim
                  FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)
-               SELECT q_id, rank, cand_id, sim FROM (
-                 SELECT q_id, cand_id, sim,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
-                 FROM sims) t
-               WHERE rank <= $topK ORDER BY q_id, rank""")),
+               ${rankSql("sims", topK)}""")),
 
     // LSH bucketing: sign bits against deterministic integer hyperplanes
     // h_j[pos] = ((pos*31 + j*17) % 13) - 6, one native dot per plane
@@ -153,8 +183,7 @@ object Similarity extends QueryModule {
         emb.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+      Some(s"""WITH $eSql,
                dots AS (SELECT vec_id, j, SUM(ev * ((pos * 31 + j * 17) % 13 - 6)) AS dot
                  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS j) js
                  GROUP BY vec_id, j)
@@ -186,27 +215,8 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
-              cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
-              dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
-                FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
-              cells AS (SELECT vec_id, c_id AS cell FROM dots
-                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                  ORDER BY cdot DESC, c_id) = 1),
-              q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, cells.cell
-                FROM e JOIN cells USING (vec_id) WHERE e.vec_id < 5),
-              c AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, cells.cell
-                FROM e JOIN cells USING (vec_id) WHERE e.vec_id >= 5),
-              sims AS (SELECT q.q_id, c.cand_id,
-                ROUND(SUM(q.qv * c.cv) / (SQRT(SUM(q.qv * q.qv)) * SQRT(SUM(c.cv * c.cv))), 6) AS sim
-                FROM c JOIN q ON q.cell = c.cell AND q.pos = c.pos
-                GROUP BY q.q_id, c.cand_id)
-              SELECT q_id, rank, cand_id, sim FROM (
-                SELECT q_id, cand_id, sim,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
-                FROM sims) t
-              WHERE rank <= 5 ORDER BY q_id, rank""")),
+      Some(s"""WITH $eSql, $ivfSimsSql
+               ${rankSql("isims", 5)}""")),
 
     // IVF with a TRAINED coarse quantizer: one Lloyd refinement of the 4
     // seed centroids over the full corpus — assign every vector to its
@@ -258,8 +268,7 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+      Some(s"""WITH $eSql,
               seeds AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
               d1 AS (SELECT e.vec_id, s.c_id, ROUND(SUM(e.ev * s.cv), 6) AS cdot
                 FROM e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c_id),
@@ -284,11 +293,7 @@ object Similarity extends QueryModule {
                 ROUND(SUM(q.qv * c.cv) / (SQRT(SUM(q.qv * q.qv)) * SQRT(SUM(c.cv * c.cv))), 6) AS sim
                 FROM c JOIN q ON q.cell = c.cell AND q.pos = c.pos
                 GROUP BY q.q_id, c.cand_id)
-              SELECT q_id, rank, cand_id, sim FROM (
-                SELECT q_id, cand_id, sim,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
-                FROM sims) t
-              WHERE rank <= 5 ORDER BY q_id, rank""")),
+              ${rankSql("sims", 5)}""")),
 
     // IVF multi-probe: the recall knob the single-probe variant lacks.
     // Candidates still index into exactly ONE cell (the inverted-file
@@ -327,8 +332,7 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+      Some(s"""WITH $eSql,
               cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
               dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
                 FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
@@ -346,11 +350,7 @@ object Similarity extends QueryModule {
                 ROUND(SUM(q.qv * c.cv) / (SQRT(SUM(q.qv * q.qv)) * SQRT(SUM(c.cv * c.cv))), 6) AS sim
                 FROM c JOIN q ON q.cell = c.cell AND q.pos = c.pos
                 GROUP BY q.q_id, c.cand_id)
-              SELECT q_id, rank, cand_id, sim FROM (
-                SELECT q_id, cand_id, sim,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
-                FROM sims) t
-              WHERE rank <= 5 ORDER BY q_id, rank""")),
+              ${rankSql("sims", 5)}""")),
 
     // embedding-cosine near-dup: pairs above threshold blocked on
     // (label, LSH bucket). Label alone leaves block size unbounded — one
@@ -371,8 +371,7 @@ object Similarity extends QueryModule {
           .filter(col("sim") > 0.2)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+      Some(s"""WITH $eSql,
               $lshBucketSql,
               el AS (SELECT e.vec_id, e.pos, e.ev, emb.label, b.bucket
                 FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
@@ -406,35 +405,9 @@ object Similarity extends QueryModule {
             round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
           .orderBy("q_id")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
-              q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
-              bsims AS (SELECT q_id, cand_id,
-                ROUND(SUM(qv * cv) / (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
-                FROM c JOIN q USING (pos) GROUP BY q_id, cand_id),
-              bf AS (SELECT q_id, cand_id FROM (
-                SELECT q_id, cand_id,
-                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r
-                FROM bsims) t WHERE r <= 5),
-              cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
-              dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
-                FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
-              cells AS (SELECT vec_id, c_id AS cell FROM dots
-                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                  ORDER BY cdot DESC, c_id) = 1),
-              iq AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, cells.cell
-                FROM e JOIN cells USING (vec_id) WHERE e.vec_id < 5),
-              ic AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, cells.cell
-                FROM e JOIN cells USING (vec_id) WHERE e.vec_id >= 5),
-              isims AS (SELECT iq.q_id, ic.cand_id,
-                ROUND(SUM(iq.qv * ic.cv) / (SQRT(SUM(iq.qv * iq.qv)) * SQRT(SUM(ic.cv * ic.cv))), 6) AS sim
-                FROM ic JOIN iq ON iq.cell = ic.cell AND iq.pos = ic.pos
-                GROUP BY iq.q_id, ic.cand_id),
-              ivf AS (SELECT q_id, cand_id FROM (
-                SELECT q_id, cand_id,
-                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r
-                FROM isims) t WHERE r <= 5)
+      Some(s"""WITH $eSql, $bruteSimsSql, $ivfSimsSql,
+              bf AS (SELECT q_id, cand_id FROM (${rankSql("bsims", 5)}) bft),
+              ivf AS (SELECT q_id, cand_id FROM (${rankSql("isims", 5)}) ivft)
               SELECT bf.q_id,
                 CAST(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                 ROUND(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall

@@ -17,6 +17,30 @@ object StreamingOps extends QueryModule {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
 
+  /** Run a streaming DataFrame to completion through a uniquely-named
+    * memory sink and hand back the materialized result. Shared by every
+    * q_stream_live_* row: copy out of the sink eagerly (localCheckpoint)
+    * so the returned frame survives the temp-view drop and repeated
+    * executions re-read this result, not a stopped stream; `ntzCols` are
+    * cast timestamp_ltz→ntz (watermarks force LTZ; under the fixed-UTC
+    * session the cast is wall-clock identity, matching the batch parquet
+    * type for the driver's hash compare). The view is dropped in a
+    * finally so a failed run cannot leak it.
+    */
+  private def runLive(s: SparkSession, stream: DataFrame, mode: String,
+                      sortCols: Seq[String], ntzCols: Seq[String] = Nil): DataFrame = {
+    val name = "live_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      try q.processAllAvailable() finally q.stop()
+      val cast = ntzCols.foldLeft(s.table(name)) { (df, c) =>
+        df.withColumn(c, col(c).cast("timestamp_ntz"))
+      }
+      cast.orderBy(sortCols.map(col): _*).localCheckpoint()
+    } finally { s.catalog.dropTempView(name): Unit }
+  }
+
   override val defs: Seq[Q] = Seq(
 
     // tumbling 1-hour windows
@@ -100,25 +124,10 @@ object StreamingOps extends QueryModule {
     // would hold every window back); the batch oracle is unchanged —
     // stream==batch is exactly the invariant.
     Q("q_stream_live_tumble",
-      (s, d) => {
-        val name = "live_tumble_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.Streams.tumblingCounts(
-            graft.streaming.Streams.events(s, s"$d/events.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        // copy out of the memory sink eagerly so the returned frame
-        // survives the temp-view drop (and repeated executions re-read
-        // this materialized result, not a stopped stream). wstart comes
-        // back LTZ (watermarks require it); under the fixed-UTC session
-        // the ntz cast is wall-clock identity and matches the batch
-        // queries' parquet type for the driver's hash compare.
-        val out = s.table(name)
-          .withColumn("wstart", col("wstart").cast("timestamp_ntz"))
-          .orderBy("wstart", "event_type").localCheckpoint()
-        s.catalog.dropTempView(name): Unit
-        out
-      },
+      (s, d) => runLive(s,
+        graft.streaming.Streams.tumblingCounts(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "complete", Seq("wstart", "event_type"), ntzCols = Seq("wstart")),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
@@ -132,18 +141,11 @@ object StreamingOps extends QueryModule {
     // O(distinct users) regardless of stream length — the bounded-state
     // posture that matters on an unbounded feed.
     Q("q_stream_live_totals",
-      (s, d) => {
-        val name = "live_totals_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.Streams.runningTotals(
+      (s, d) => runLive(s,
+        graft.streaming.Streams.runningTotals(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
-          .toDF("user_id", "n_events", "total")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.table(name).orderBy("user_id").localCheckpoint()
-        s.catalog.dropTempView(name): Unit
-        out
-      },
+          .toDF("user_id", "n_events", "total"),
+        "append", Seq("user_id")),
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
@@ -154,19 +156,11 @@ object StreamingOps extends QueryModule {
     // the watermark past the final sessions. Oracle = the batch session
     // query's gap-break SQL, unchanged — stream==batch again.
     Q("q_stream_live_session",
-      (s, d) => {
-        val name = "live_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.Streams.sessions(
-            graft.streaming.Streams.events(s, s"$d/events.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.table(name)
-          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
-          .orderBy("user_id", "session_start").localCheckpoint()
-        s.catalog.dropTempView(name): Unit
-        out
-      },
+      (s, d) => runLive(s,
+        graft.streaming.Streams.sessions(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "complete", Seq("user_id", "session_start"),
+        ntzCols = Seq("session_start")),
       Some("""WITH x AS (SELECT user_id, ts, value,
                 CASE WHEN LAG(ts) OVER w IS NULL
                      OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
@@ -188,18 +182,11 @@ object StreamingOps extends QueryModule {
     // construction, and exactly what downstream consumers of a dedup
     // stage key on. Oracle is batch DISTINCT.
     Q("q_stream_live_dedup",
-      (s, d) => {
-        val name = "live_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.Streams.dedup(
+      (s, d) => runLive(s,
+        graft.streaming.Streams.dedup(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
-          .select(col("user_id"), col("event_type"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.table(name).orderBy("user_id", "event_type").localCheckpoint()
-        s.catalog.dropTempView(name): Unit
-        out
-      },
+          .select(col("user_id"), col("event_type")),
+        "append", Seq("user_id", "event_type")),
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
@@ -210,18 +197,10 @@ object StreamingOps extends QueryModule {
     // join RESULT is a set, deterministic regardless of arrival order,
     // so the batch interval-join SQL oracles it directly.
     Q("q_stream_live_join",
-      (s, d) => {
-        val name = "live_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.Streams.intervalJoin(
-            graft.streaming.Streams.events(s, s"$d/events.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.table(name)
-          .orderBy("user_id", "click_id", "purchase_id").localCheckpoint()
-        s.catalog.dropTempView(name): Unit
-        out
-      },
+      (s, d) => runLive(s,
+        graft.streaming.Streams.intervalJoin(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "append", Seq("user_id", "click_id", "purchase_id")),
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
               ROUND(p.value, 2) AS amount
               FROM events c JOIN events p

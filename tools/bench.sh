@@ -26,15 +26,20 @@ cd "$(dirname "$0")/.."
 # NOTE: do not pipe sbt into `grep -q` here — grep -q exits at first match,
 # sbt's remaining output then dies on SIGPIPE (141), and pipefail turns a
 # PASSING canary into the FATAL branch. Write the log, then grep the file.
-timeout 120 sbt -batch "runMain graft.Canary" > /tmp/canary_sbt.log 2>&1 || true
-if ! grep -q CANARY_OK /tmp/canary_sbt.log; then
+# Compile FIRST (untimed — a cold checkout legitimately takes minutes on
+# this throttled host) so the canary's 120 s measures only sbt startup +
+# JVM fork, never compilation: a slow compile must not read as a dead JVM.
+sbt -batch compile > /dev/null 2>&1 || { echo "FATAL: sbt compile failed" >&2; exit 1; }
+CANARY_LOG="$(mktemp /tmp/canary_sbt.XXXXXX.log)"
+timeout 120 sbt -batch "runMain graft.Canary" > "$CANARY_LOG" 2>&1 || true
+if ! grep -q CANARY_OK "$CANARY_LOG"; then
   echo "FATAL: forked-JVM canary did not start within 120s." >&2
   echo "Active javaOptions (from build.sbt):" >&2
-  grep -E 'CANARY_OK|Xm|XX' /tmp/canary_sbt.log >&2 || true
+  grep -E 'CANARY_OK|Xm|XX' "$CANARY_LOG" >&2 || true
   sbt -batch 'show javaOptions' 2>/dev/null | tail -5 >&2 || true
   exit 1
 fi
-grep CANARY_OK /tmp/canary_sbt.log
+grep CANARY_OK "$CANARY_LOG"
 # sbt prefixes the JSON stdout line with "[info] " — strip via -o extraction
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
   sbt -batch "runMain graft.Bench" 2>&1 \
