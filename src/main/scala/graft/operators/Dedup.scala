@@ -238,6 +238,50 @@ object Dedup extends QueryModule {
                FROM documents d LEFT JOIN m USING (doc_id)
                WHERE d.doc_id % 10 = 7 ORDER BY doc_id""")),
 
+    // BLOOM-pre-filtered incremental exact dedup — the membership-test
+    // scale pattern: against a 100 TB corpus you don't join the delta to
+    // the corpus, you broadcast a Bloom filter of corpus content-hashes
+    // (O(bits), built by one distributed aggregate) and pre-filter the
+    // delta to the rows that MIGHT be dups. A bloom negative is a
+    // DEFINITELY-new doc (no false negatives); only the bloom-positive
+    // sliver reaches the exact verify, and the verify is shaped so the
+    // corpus NEVER shuffles: the (tiny) candidate hash set broadcasts
+    // into a semi-join against the corpus scan, and only matched hashes
+    // come back. False positives die in the verify, so the declared
+    // output is exactly the anti-join — deterministic, oracle = plain
+    // SQL, regardless of bloom seeding. mightContain is a Scala UDF
+    // (Spark exposes no DataFrame bloom-probe expression); it sits on
+    // the delta scan only, off the corpus hot path.
+    Q("q_dedup_bloom",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7).persist()
+        val bloom = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: String) => bc.value.mightContain(h))
+        val candidates = delta.filter(mightContain(col("h")))
+        val matched = corpus
+          .join(broadcast(candidates.select("h").distinct()), Seq("h"), "left_semi")
+          .select("h").distinct()
+        val out = delta
+          .join(broadcast(matched.withColumn("seen", lit(true))), Seq("h"), "left")
+          .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+        corpus.unpersist()
+        // unpersist (not destroy): localCheckpoint blocks can be evicted
+        // under pressure, and a recompute would re-probe the broadcast —
+        // unpersist frees executor copies now but stays re-broadcastable.
+        bc.unpersist()
+        out
+      },
+      Some("""SELECT d.doc_id,
+                EXISTS (SELECT 1 FROM documents c
+                        WHERE c.doc_id % 10 != 7 AND md5(c.text) = md5(d.text)) AS is_dup
+              FROM documents d WHERE d.doc_id % 10 = 7 ORDER BY doc_id""")),
+
     // Dedup CLUSTERS: the pipeline step a curation job actually acts on.
     // Candidate pairs (shared band signature) become edges; 3 unrolled
     // min-label propagation rounds assign every document its cluster's

@@ -144,6 +144,10 @@ object JoinSpec {
         while (pos < input.length && input(pos) == ',') {
           pos += 1
           children += parseFunc()
+          // re-skip before re-checking for a separator: without this,
+          // whitespace before the SECOND comma (`inner(a , b , c)`) ends
+          // the child list early and the `)` check trips on the comma
+          skipWs()
         }
         expect(')')
         ident match {
