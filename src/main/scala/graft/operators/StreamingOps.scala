@@ -209,6 +209,30 @@ object StreamingOps extends QueryModule {
               WHERE c.event_type = 'click' AND p.event_type = 'purchase'
               ORDER BY c.user_id, click_id, purchase_id""")),
 
+    // LIVE streaming with the DURABLE file sink — the production shape the
+    // memory-sink rows stand in for: parquet sink + checkpointLocation
+    // gives exactly-once output via the sink's commit manifest (a killed
+    // batch leaves uncommitted files the read path ignores), and the
+    // checkpoint makes the query restartable with state intact
+    // (StreamsSpec proves dedup state survives a stop/start across new
+    // input). Declared output = the sink read BACK through the manifest,
+    // so the gate checks the durable artifact, not the in-memory result.
+    Q("q_stream_live_sink",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+        val q = graft.streaming.Streams.dedup(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/out")
+          .orderBy("user_id", "event_type").localCheckpoint()
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {

@@ -82,4 +82,46 @@ class StreamsSpec extends AnyFunSuite {
     val batch = SparkEntry.queries("q_stream_session")(spark, TestSpark.sf0).count()
     assert(streamed === batch)
   }
+
+  test("file sink + checkpoint: dedup state survives a stop/start across new input") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft-restart-src").toString
+    val base = Files.createTempDirectory("graft-restart").toString
+    val raw = spark.read.parquet(s"${TestSpark.sf0}/events.parquet")
+
+    def runOnce(): Unit = {
+      val q = Streams.dedup(Streams.events(spark, src))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // stage each half as a FLAT file in the watched dir (a nested write
+    // dir would trip the source's partition-discovery listing)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // first half arrives, stream runs, stops (a deploy/restart boundary)
+    stage(raw.filter(col("event_id") % 2 === 0), "half1.parquet")
+    runOnce()
+    // second half lands; a NEW query restarts from the same checkpoint
+    stage(raw.filter(col("event_id") % 2 === 1), "half2.parquet")
+    runOnce()
+
+    val out = spark.read.parquet(s"$base/out")
+    // exactly one output row per key: keys seen in BOTH halves must not
+    // re-emit after the restart — that duplicate is exactly what a lost
+    // state store would produce
+    assert(out.count() === out.distinct().count(), "restart re-emitted deduped keys")
+    val expected = raw.select("user_id", "event_type").distinct().count()
+    assert(out.distinct().count() === expected)
+  }
 }
