@@ -11,6 +11,16 @@ object Bench {
     val only = (args ++ sys.env.get("SPARK_GRAFT_ONLY").toSeq.flatMap(_.split(',')))
       .filter(_.nonEmpty).toSet
     val spark = GraftSession.get()
+    // per-query Spark-job counter: inflation on this host is a fixed cost
+    // PER JOB (BASELINE.md), so jobs-per-query makes any future slow row
+    // attributable (jobs × tax vs a genuine plan regression) without
+    // re-instrumenting (VERDICT r4 item 7)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(): Unit
+      }
+    })
     // warm the JVM/session so per-query times measure the engine, not
     // startup: one scan-agg, one shuffle join, one window, one string-hash
     // pass compile the hot codegen/shuffle paths before any query is timed
@@ -28,18 +38,29 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
       .map { case (name, fn) =>
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = jobCount.get() - j0
       // per-query isolation: each reference job ran in its own JVM; drop
       // caches so query N's leftover blocks can't tax query N+1
       spark.catalog.clearCache()
+      // incremental per-query line: if the harness's capture window clips
+      // the (large) final JSON line, every row is still recoverable from
+      // these (VERDICT r4 item 8 — the r4 tail lost 33 rows)
+      println(f"""{"bench_q":"$name","sec":$dt%.3f,"jobs":$jobs}""")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy, immune to any stdout windowing
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8")): Unit
+    println(line)
     spark.stop()
   }
 }

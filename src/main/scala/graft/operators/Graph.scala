@@ -141,7 +141,10 @@ object Graph extends QueryModule {
     val e2 = e.join(deg, "src").cache()
     val zeros = vs.select(col("v"), lit(0.0).as("m")).cache()
     val init = vs.select(col("v"), lit(1.0 / n).as("rank"))
-    val out = Iterate(init, iters, checkpointEvery = 4) { (r, _) =>
+    // cadence 5: one mid-loop materialization at superstep 5 instead of two
+    // (4, 8) — lineage depth ≤5 rounds stays cheap to analyze, and each
+    // eager checkpoint is a full job group this host taxes (VERDICT r4 #3)
+    val out = Iterate(init, iters, checkpointEvery = 5) { (r, _) =>
       val contrib = e2.as("ee").join(r.as("rr"), col("ee.src") === col("rr.v"))
         .select(col("ee.dst").as("v"), (col("rr.rank") / col("ee.outdeg")).as("m"))
       contrib.unionAll(zeros)
@@ -174,7 +177,8 @@ object Graph extends QueryModule {
       .as[(Long, Seq[Long])]
       .map { case (v, a) => (v, PrV(1.0 / n, a)) }
     val typed = Pregel.run[PrV, Double, Unit](s, verts, maxIter = iters + 1,
-      combiner = Some((a: Double, b: Double) => a + b))((_, v, msgs, step, _) =>
+      combiner = Some((a: Double, b: Double) => a + b),
+      partitions = Some(Pregel.sizedPartitions(s, n.toLong)))((_, v, msgs, step, _) =>
         if (step == 0)
           Pregel.ComputeResult(v, messages = v.adj.map(dst => (dst, v.rank / v.adj.size)))
         else {
@@ -229,13 +233,15 @@ object Graph extends QueryModule {
     // phase 1: the "crashed" job — snapshot at superstep 2, killed at 3
     Pregel.run[PrV, Double, Unit](s, verts, maxIter = 3,
       combiner = Some((a: Double, b: Double) => a + b),
-      checkpointing = Some(Pregel.Checkpointing(dir, every = 2)))(fn)
+      checkpointing = Some(Pregel.Checkpointing(dir, every = 2)),
+      partitions = Some(Pregel.sizedPartitions(s, n.toLong)))(fn)
     // phase 2: recover from the committed snapshot, run to completion
     val snap = Pregel.latestSnapshot[PrV, Double](s, dir)
       .getOrElse(sys.error(s"no committed Pregel snapshot under $dir"))
     val typed = Pregel.run[PrV, Double, Unit](s, verts, maxIter = iters + 1,
         combiner = Some((a: Double, b: Double) => a + b),
-        resumeFrom = Some(snap))(fn)
+        resumeFrom = Some(snap),
+        partitions = Some(Pregel.sizedPartitions(s, n.toLong)))(fn)
       .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
     val out = pagerank(s, d, iters).join(typed, "v")
       .agg(count(lit(1)).as("n_vertices"),
@@ -390,7 +396,10 @@ object Graph extends QueryModule {
         val e = edges(s, d)
         val vs = nodes(e).select(col("v"), col("v")).as[(Long, Long)]
         val out = graft.plans.Pregel.run[Long, Long, Unit](
-          s, vs, maxIter = 3, combiner = Some(_ + _)) { (id, value, msgs, step, _) =>
+          s, vs, maxIter = 3, combiner = Some(_ + _),
+          // ≤ N vertices by construction (ids are mod-N buckets)
+          partitions = Some(graft.plans.Pregel.sizedPartitions(s, N.toLong))) {
+          (id, value, msgs, step, _) =>
           if (step == 0 && id >= 0)
             graft.plans.Pregel.ComputeResult(value, voteToHalt = true,
               messages = Seq((-1L, value + 1)), remove = true,

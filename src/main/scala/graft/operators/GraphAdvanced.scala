@@ -67,7 +67,9 @@ object GraphAdvanced extends QueryModule {
       .as[(Long, Int, Seq[Long])]
       .map { case (id, side, adj) => (id, BmV(side, -1L, adj.sorted)) }
 
-    val res = Pregel.run[BmV, Long, Unit](s, verts, maxIter = 4 * rounds)(
+    val res = Pregel.run[BmV, Long, Unit](s, verts, maxIter = 4 * rounds,
+      // ≤ L + R vertices by construction (both sides are mod-bucketed)
+      partitions = Some(Pregel.sizedPartitions(s, (L + R).toLong)))(
       (id, v, msgs, step, _) => (step % 4, v.side, v.matched) match {
         // phase 0: every unmatched left proposes to all neighbors
         case (0, 0, -1L) => ComputeResult(v, messages = v.adj.map(r => (r, id)))
@@ -166,7 +168,9 @@ object GraphAdvanced extends QueryModule {
       .map { case (id, adj) => (id, ScV(adj.sortBy(_._1), Nil)) }
 
     Pregel.run[ScV, Seq[(Long, Seq[(Long, Long)])], Unit](
-      s, verts, maxIter = supersteps)(
+      s, verts, maxIter = supersteps,
+      // ≤ SC_N vertices by construction (ids are mod-SC_N buckets)
+      partitions = Some(Pregel.sizedPartitions(s, SC_N.toLong)))(
       (id, v, msgs, step, _) => {
         val self = (id, v.adj)
         val grown = msgs.filter(c => !c.exists(_._1 == id) && c.size < VMAX)

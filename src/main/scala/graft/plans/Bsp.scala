@@ -43,10 +43,12 @@ object Bsp {
       peers: Dataset[(Long, S)],
       maxSupersteps: Int,
       combiner: Option[(M, M) => M] = None,
-      onSuperstep: Pregel.SuperstepHook = Pregel.noHook)(
+      onSuperstep: Pregel.SuperstepHook = Pregel.noHook,
+      partitions: Option[Int] = None)(
       superstep: (Long, S, Seq[M], Int) => PeerResult[S, M]): Dataset[(Long, S)] =
     Pregel.run[S, M, Unit](spark, peers, maxSupersteps, combiner,
-      aggregator = None, onSuperstep = onSuperstep) { (id, s, msgs, step, _) =>
+      aggregator = None, onSuperstep = onSuperstep,
+      partitions = partitions) { (id, s, msgs, step, _) =>
       val r = superstep(id, s, msgs, step)
       Pregel.ComputeResult(r.state, voteToHalt = r.halt, messages = r.messages)
     }

@@ -206,4 +206,25 @@ class PregelSpec extends AnyFunSuite {
         })
     assert(res.collect().toMap === Map(0L -> SumV(4), 1L -> SumV(0)))
   }
+
+  test("sizedPartitions clamps between 1 and the session shuffle parallelism") {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Pregel.sizedPartitions(spark, 0L) === 1)
+    assert(Pregel.sizedPartitions(spark, 200L) === 1)
+    assert(Pregel.sizedPartitions(spark, 20000L) === 1)
+    assert(Pregel.sizedPartitions(spark, 20001L) === 2)
+    assert(Pregel.sizedPartitions(spark, Long.MaxValue / 2) === cap)
+  }
+
+  test("a data-sized partitioner computes the same result as the default") {
+    // 3-vertex accumulate-from-neighbors, run at partitions=1 and default
+    val verts = Seq(0L -> SumV(1), 1L -> SumV(2), 2L -> SumV(3)).toDS()
+    def go(p: Option[Int]) =
+      Pregel.run[SumV, Long, Unit](spark, verts, maxIter = 3,
+        combiner = Some(_ + _), partitions = p)((id, v, msgs, step, _) =>
+        if (step == 0) ComputeResult(v, messages = Seq(((id + 1) % 3, v.value)))
+        else ComputeResult(SumV(v.value + msgs.sum), voteToHalt = true))
+        .collect().toMap
+    assert(go(Some(1)) === go(None))
+  }
 }

@@ -83,6 +83,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  /** Encoding-drift canary (VERDICT r4 #2): whatever parquet writer the
+    * testdata generator uses, the STREAM source must see the same event
+    * times as the type-guarded batch loader — r4 lost 3 gate rows to a
+    * hard-coded nanos assumption when the data regenerated as micros. Both
+    * encodings stay covered here regardless of future regeneration: the
+    * on-disk testdata as written today, plus a self-written int64-nanos
+    * fixture. */
+  test("ts encoding canary: stream agrees with batch min/max/count for both encodings") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables(spark, TestSpark.sf0, "events")
+    val expected = batch.agg(
+      min(col("ts").cast("timestamp")).as("mn"),
+      max(col("ts").cast("timestamp")).as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+
+    def streamedAgg(dir: String, name: String) = {
+      val q = Streams.events(spark, dir)
+        .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()(0)
+    }
+
+    // encoding 1: the driver-generated testdata as currently written
+    assert(streamedAgg(stagedDir(), "canary_asis") === expected)
+
+    // encoding 2: int64 nanoseconds (the pre-r4 generator's encoding)
+    val nanosDir = Files.createTempDirectory("graft-nanos").toString
+    batch.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(nanosDir)
+    assert(streamedAgg(nanosDir, "canary_nanos") === expected)
+  }
+
   test("file sink + checkpoint: dedup state survives a stop/start across new input") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("graft-restart-src").toString
