@@ -121,6 +121,49 @@ object Sources extends QueryModule {
                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
               FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang""")),
 
+    // CSV round-trip: the delimited-text cousin of the KeyValueText
+    // round-trip (core/.../bsp/KeyValueTextInputFormat.java) — write a
+    // projected table as headered CSV, read it back under an EXPLICIT
+    // schema (no inference pass over 100 TB), aggregate. Spark writes
+    // doubles in round-trippable shortest form, so the read-back sums are
+    // bit-identical to the parquet-sourced oracle.
+    Q("q_scan_csv",
+      (s, d) => {
+        val out = tmp("graft-csv")
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, o_orderstatus STRING")
+          .csv(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                ROUND(SUM(o_totalprice), 2) AS tot
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // JSON-lines round-trip: the schemaful read of a semi-structured dump
+    // (one JSON object per line — the interchange format every crawl
+    // pipeline lands in before parquet). Explicit schema again: at corpus
+    // scale an inference pass is a full extra read.
+    Q("q_scan_jsonl",
+      (s, d) => {
+        val out = tmp("graft-jsonl")
+        Tables(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").json(out)
+        s.read.schema("s_suppkey LONG, s_nationkey LONG, s_acctbal DOUBLE")
+          .json(out)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // Hama Pipes analogue: stream rows through an external process
     // (`core/.../pipes/protocol/MessageType.java:25-32` opcodes collapse to
     // lines on stdin/stdout). Lowercased segments go out, `tr` upcases them

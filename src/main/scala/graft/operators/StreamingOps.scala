@@ -132,6 +132,20 @@ object StreamingOps extends QueryModule {
               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
 
+    // LIVE sliding-window aggregation in the gate: the q_stream_slide
+    // overlapping windows executed by the streaming engine (each event
+    // assigned to two windows in the state store). Complete mode as for
+    // the other finite-source live rows; oracle = the batch slide SQL.
+    Q("q_stream_live_slide",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.slidingCounts(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "complete", Seq("wstart"), ntzCols = Seq("wstart")),
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS wstart,
+              COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+              GROUP BY wstart ORDER BY wstart""")),
+
     // LIVE stateful processing in the gate: flatMapGroupsWithState running
     // per-user totals (streaming/Streams.runningTotals — the per-key BSP
     // peer analogue), executed by the real engine. The single-file source

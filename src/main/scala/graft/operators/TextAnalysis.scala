@@ -382,6 +382,43 @@ object TextAnalysis extends QueryModule {
                  CAST(uniq AS BIGINT) AS n_types,
                  ROUND(log2(n) - clg / n, 6) AS entropy,
                  ROUND(uniq * 1.0 / n, 6) AS type_token_ratio
+               FROM agg ORDER BY doc_id""")),
+
+    // LM-perplexity quality scoring (the CCNet-family filter, here with a
+    // corpus-trained add-one-smoothed unigram LM): TRAIN pass aggregates
+    // corpus token counts into the model, SCORE pass joins each document's
+    // term counts against it — bits/token = −Σc·log2 p̂ / Σc, perplexity =
+    // 2^bits. Deliberately two corpus passes, because that is the
+    // production shape: the LM is trained once (or on a reference slice)
+    // and REUSED across scoring runs; at 100 TB the model relation is
+    // O(vocab) — joined by token (broadcast when it fits, AQE decides) —
+    // and the (t, v) scalars ride a broadcast cross join like tfidf's nd.
+    Q("q_text_perplexity",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val lm = toks(s, d).groupBy("tok").agg(count(lit(1)).as("ct"))
+        val scal = lm.agg(sum("ct").cast("double").as("t"),
+          count(lit(1)).cast("double").as("v"))
+        tf.join(lm, "tok").crossJoin(broadcast(scal))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            (-sum(col("c") * log2((col("ct") + 1.0) / (col("t") + col("v")))) / sum("c")).as("bits"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("bits"), 6).as("bits_per_token"),
+            round(pow(lit(2.0), col("bits")), 4).as("perplexity"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+               lm AS (SELECT tok, COUNT(*) AS ct FROM toks GROUP BY 1),
+               scal AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t,
+                               CAST(COUNT(*) AS DOUBLE) AS v FROM lm),
+               agg AS (SELECT doc_id, SUM(c) AS n,
+                         -SUM(c * log2((ct + 1.0) / (t + v))) / SUM(c) AS bits
+                       FROM tf JOIN lm USING (tok) CROSS JOIN scal GROUP BY doc_id)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 ROUND(bits, 6) AS bits_per_token,
+                 ROUND(POWER(2.0, bits), 4) AS perplexity
                FROM agg ORDER BY doc_id"""))
   )
 }

@@ -67,6 +67,15 @@ object Streams {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
       .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
 
+  /** Sliding 1-hour windows every 30 minutes (each event lands in two
+    * windows) with a 2-hour watermark — the streaming twin of batch
+    * `q_stream_slide`. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("wstart"), col("cnt"), col("total"))
+
   /** 30-minute-gap session aggregation per user. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
