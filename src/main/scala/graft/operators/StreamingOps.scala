@@ -204,6 +204,40 @@ object StreamingOps extends QueryModule {
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
+    // LIVE watermark-EVICTED dedup in the gate: dropDuplicatesWithinWatermark
+    // (streaming/Streams.dedupEvicting) — the bounded-state dedup for an
+    // unbounded feed (key state is dropped once the watermark passes it;
+    // plain dropDuplicates state grows forever). The finite source is one
+    // micro-batch, so no key is ever re-admitted and the key set equals
+    // batch DISTINCT — the same oracle as q_stream_live_dedup checks a
+    // DIFFERENT state-management path.
+    Q("q_stream_live_dedup_evict",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.dedupEvicting(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .select(col("user_id"), col("event_type")),
+        "append", Seq("user_id", "event_type")),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
+    // LIVE stream-STATIC join in the gate: live events enriched against
+    // the batch customer dimension (streaming/Streams.enrichedNationTotals)
+    // — the "facts stream, dimensions in the lake" deployment. The static
+    // side re-plans per micro-batch (broadcast here), carries NO streaming
+    // state and needs no watermark; the downstream per-nation aggregate is
+    // ordinary streaming-agg state. Oracle = the same join+agg in batch SQL.
+    Q("q_stream_live_enrich",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.enrichedNationTotals(
+          graft.streaming.Streams.events(s, s"$d/events.parquet"),
+          Tables(s, d, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_nationkey"))),
+        "complete", Seq("c_nationkey")),
+      Some("""SELECT c_nationkey, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS total
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // LIVE stream-stream interval join in the gate: streaming/Streams
     // .intervalJoin (watermarks BOTH sides + time bounds in the
     // condition, so buffered state evicts) executed by the engine.

@@ -396,7 +396,11 @@ object TextAnalysis extends QueryModule {
     Q("q_text_perplexity",
       (s, d) => {
         val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        // the trained model is materialized once (O(vocab) — tiny next to
+        // the corpus): without this, the scalar subtree re-runs the whole
+        // train pass a second time (plan audit showed 3 corpus scans)
         val lm = toks(s, d).groupBy("tok").agg(count(lit(1)).as("ct"))
+          .localCheckpoint()
         val scal = lm.agg(sum("ct").cast("double").as("t"),
           count(lit(1)).cast("double").as("v"))
         tf.join(lm, "tok").crossJoin(broadcast(scal))

@@ -89,6 +89,29 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Watermark-EVICTED streaming dedup (`dropDuplicatesWithinWatermark`):
+    * unlike plain `dropDuplicates`, whose key state grows forever on an
+    * unbounded feed, state for a key is dropped once the watermark passes
+    * its event time — the only dedup shape with bounded state on an
+    * infinite stream. Contract: duplicates arriving within the watermark
+    * delay are suppressed; a re-arrival after eviction re-emits (a batch
+    * job downstream folds those, exactly the incremental-dedup posture of
+    * `Dedup.incremental`). */
+  def dedupEvicting(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-STATIC join: live events enriched against a batch dimension
+    * table (the canonical "facts stream, dimensions sit in the lake"
+    * deployment). The static side is planned per micro-batch like any
+    * batch relation — broadcast here (a dimension fits), co-partitioned
+    * SMJ at 100 TB dimension scale — and needs no watermark: only the
+    * stream side carries state. */
+  def enrichedNationTotals(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+
   /** Stream-stream interval join: clicks matched to same-user purchases in
     * [click_ts, click_ts + 1 h]. Watermarks on BOTH sides plus the time
     * bounds in the condition let the engine evict buffered rows that can

@@ -83,6 +83,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sliding windows and evicting dedup match their batch twins") {
+    import org.apache.spark.sql.functions.col
+    val dir = stagedDir()
+    val q1 = Streams.slidingCounts(Streams.events(spark, dir))
+      .writeStream.format("memory").queryName("slide_out").outputMode("complete").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamedSlide = spark.table("slide_out")
+      .withColumn("wstart", col("wstart").cast("timestamp_ntz"))
+      .orderBy("wstart").collect()
+    val batchSlide = SparkEntry.queries("q_stream_slide")(spark, TestSpark.sf0).collect()
+    assert(streamedSlide.toSeq === batchSlide.toSeq)
+
+    // one finite micro-batch: nothing evicts mid-run, so the key set must
+    // equal plain batch DISTINCT — checks the WithinWatermark state path
+    val q2 = Streams.dedupEvicting(Streams.events(spark, dir))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName("evict_out").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val expected = Tables(spark, TestSpark.sf0, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(spark.table("evict_out").count() === expected)
+  }
+
   /** Encoding-drift canary (VERDICT r4 #2): whatever parquet writer the
     * testdata generator uses, the STREAM source must see the same event
     * times as the type-guarded batch loader — r4 lost 3 gate rows to a
