@@ -220,6 +220,20 @@ object StreamingOps extends QueryModule {
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
+    // LIVE crawl-ingest dedup in the gate: DOCUMENTS stream (not events —
+    // the training-data front door) fingerprinted and first-seen-deduped
+    // by content (streaming/Streams.ingestDedup). Output is the
+    // (fingerprint, lang) key set — fp→lang is functional on this corpus,
+    // so arrival order cannot change it; oracle is batch DISTINCT over
+    // the same md5.
+    Q("q_stream_live_ingest",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.ingestDedup(
+          graft.streaming.Streams.documents(s, s"$d/documents.parquet")),
+        "append", Seq("fp")),
+      Some("""SELECT DISTINCT md5(text) AS fp, lang FROM documents
+              ORDER BY fp""")),
+
     // LIVE stream-STATIC join in the gate: live events enriched against
     // the batch customer dimension (streaming/Streams.enrichedNationTotals)
     // — the "facts stream, dimensions in the lake" deployment. The static

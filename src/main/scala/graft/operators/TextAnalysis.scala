@@ -384,6 +384,26 @@ object TextAnalysis extends QueryModule {
                  ROUND(uniq * 1.0 / n, 6) AS type_token_ratio
                FROM agg ORDER BY doc_id""")),
 
+    // BPE-ish token counting (training-budget estimation): the GPT-2-style
+    // pre-tokenizer regex beside the whitespace count — the number a
+    // compute-budget planner actually needs tracks BPE merges, not words.
+    // Pure projection: one text scan, both counts, zero shuffle.
+    Q("q_text_tokens_bpe",
+      (s, d) => docs(s, d).select(
+          col("doc_id"),
+          size(TextExprs.toks(col("text"))).cast("long").as("n_tokens_ws"),
+          size(TextExprs.bpeToks(col("text"))).cast("long").as("n_tokens_bpe"))
+        .withColumn("bpe_per_word",
+          round(col("n_tokens_bpe") * 1.0 /
+            greatest(col("n_tokens_ws"), lit(1L)), 6))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                 CAST(len(${TextExprs.toksSql("text")}) AS BIGINT) AS n_tokens_ws,
+                 CAST(len(${TextExprs.bpeToksSql("text")}) AS BIGINT) AS n_tokens_bpe,
+                 ROUND(len(${TextExprs.bpeToksSql("text")}) * 1.0 /
+                   GREATEST(len(${TextExprs.toksSql("text")}), 1), 6) AS bpe_per_word
+               FROM documents ORDER BY doc_id""")),
+
     // LM-perplexity quality scoring (the CCNet-family filter, here with a
     // corpus-trained add-one-smoothed unigram LM): TRAIN pass aggregates
     // corpus token counts into the model, SCORE pass joins each document's

@@ -23,6 +23,22 @@ private[operators] object TextExprs {
   def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '[^a-z0-9]+'), t -> length(t) > 0)"
 
+  /** GPT-2-style pre-tokenizer regex (contractions | space-prefixed word |
+    * space-prefixed number | space-prefixed punct run | whitespace run) —
+    * the "BPE-ish" token count that tracks what a real BPE tokenizer
+    * yields far closer than whitespace words (space-prefix merging is the
+    * BPE vocab's dominant structure). Deliberately RE2/Java-compatible
+    * (no lookaround, no \p classes) so Spark and DuckDB run the SAME
+    * pattern. */
+  private val bpePattern =
+    "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  def bpeToks(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpeToksSql(t: String): String =
+    s"regexp_extract_all(lower($t), '${bpePattern.replace("'", "''")}')"
+
   /** character-class quality score: letters minus half-weighted digits,
     * per character (the q_text_quality / curation gate formula) */
   def qualityScore(text: Column): Column =

@@ -89,6 +89,34 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Stream of crawl documents from a parquet landing path (file or
+    * directory, like [[events]]); schema is fixed/simple — no timestamp
+    * encodings to guard. */
+  def documents(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /** Live crawl-ingest dedup: fingerprint each arriving document
+    * (md5 of text) and keep first-seen fingerprints — the streaming
+    * front-door of the batch exact-dedup stage (`Dedup`/`q_dedup_exact`).
+    * Content-keyed state is O(distinct docs); a production deployment
+    * bounds it with an ingest-time watermark + WithinWatermark dedup and
+    * periodically folds the survivors into the batch corpus (the
+    * incremental-dedup path, `Dedup.incremental`). */
+  def ingestDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .dropDuplicates(Seq("fp"))
+      .select(col("fp"), col("lang"))
+
   /** Watermark-EVICTED streaming dedup (`dropDuplicatesWithinWatermark`):
     * unlike plain `dropDuplicates`, whose key state grows forever on an
     * unbounded feed, state for a key is dropped once the watermark passes
