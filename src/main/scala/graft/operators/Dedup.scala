@@ -297,6 +297,34 @@ object Dedup extends QueryModule {
            SELECT v AS doc_id, lab AS canon_id, v = lab AS keep
            FROM l3 ORDER BY doc_id""")),
 
+    // Canonical-by-QUALITY selection: production dedup keeps the BEST
+    // document of each near-dup cluster (highest quality score, ties by
+    // id), not the lowest id — the min-id canon of q_dedup_clusters is a
+    // label, not an editorial choice. One quality projection + one
+    // cluster-keyed window rank; rounding the score BEFORE ranking keeps
+    // the tie-break engine-portable.
+    Q("q_dedup_canonical_quality",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qual = Tables(s, d, "documents").select(col("doc_id"),
+          round(TextExprs.qualityScore(lower(col("text"))), 6).as("quality"))
+        val w = Window.partitionBy(col("canon_id"))
+          .orderBy(desc("quality"), asc("doc_id"))
+        clusterLabels(s, d).join(qual, "doc_id")
+          .withColumn("keep_best", row_number().over(w) === 1)
+          .select(col("doc_id"), col("canon_id"), col("keep_best"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $clustersSqlCtes,
+           qual AS (SELECT doc_id,
+             ROUND(${TextExprs.qualityScoreSql("lower(text)")}, 6) AS quality
+             FROM documents)
+           SELECT v AS doc_id, lab AS canon_id,
+             ROW_NUMBER() OVER (PARTITION BY lab ORDER BY quality DESC, v) = 1
+               AS keep_best,
+             quality
+           FROM l3 JOIN qual ON qual.doc_id = l3.v ORDER BY doc_id""")),
+
     // SimHash: 64-bit signature, per-bit majority vote over token hashes
     // (TWO md5 per token: 64 hex-nibble draws, bit j votes on nibble < 8).
     // Engine path is the native one-pass SimHashSig expression — a pure

@@ -27,6 +27,11 @@ object Similarity extends QueryModule {
   private val topK = 10
   private val numPlanes = 8
 
+  /** per-JVM scratch for the persisted IVF index (overwrite mode, removed
+    * on exit — the Sources scratch pattern) */
+  private lazy val ivfIndexDir: String =
+    graft.GraftSession.tempDirCleanedOnExit("graft-ivf").resolve("idx").toString
+
   /** Sign-bit LSH bucket string against deterministic integer hyperplanes
     * h_j[pos] = ((pos*31 + j*17) % 13) - 6 — one codegen'd dot per plane. */
   private def lshBucket(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -207,6 +212,40 @@ object Similarity extends QueryModule {
         val c = nearestCell(cen, emb.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")), "cand_id", "cemb2")
         val sims = c.join(broadcast(q), "cell")
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb2")), 6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql, $ivfSimsSql
+               ${rankSql("isims", 5)}""")),
+
+    // PERSISTED inverted file: the build-once / query-many deployment —
+    // cell assignments are written as a parquet index PARTITIONED BY CELL,
+    // and the search reads the index back with the probed cell as a join
+    // key, so partition pruning (dynamic, via the broadcast cell set)
+    // confines the scan to the probed cells' directories. At corpus scale
+    // this is the difference between re-assigning 100 TB of vectors per
+    // query batch and listing one directory per probe. Same search
+    // semantics as q_sim_ivf → same oracle.
+    Q("q_sim_ivf_persisted",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cen = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+        val idxDir = ivfIndexDir
+        // BUILD: one assignment pass over the corpus, inverted file on disk
+        nearestCell(cen, emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")),
+            "cand_id", "cemb2")
+          .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+        // SEARCH: load the index, probe only the queries' cells
+        val q = nearestCell(cen, emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
+        val sims = s.read.parquet(idxDir).join(broadcast(q), "cell")
           .select(col("q_id"), col("cand_id"),
             round(cosine(col("qemb"), col("cemb2")), 6).as("sim"))
         val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
