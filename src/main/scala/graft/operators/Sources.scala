@@ -145,6 +145,25 @@ object Sources extends QueryModule {
                 ROUND(SUM(o_totalprice), 2) AS tot
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ORC round-trip: the OTHER columnar container a lake migration meets
+    // (Hive-era tables are ORC; parquet is the native format here). Same
+    // explicit-schema read-back discipline; predicate pushdown and column
+    // pruning work on ORC scans exactly as on parquet.
+    Q("q_scan_orc",
+      (s, d) => {
+        val out = tmp("graft-orc")
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .write.mode("overwrite").orc(out)
+        s.read.schema("l_orderkey LONG, l_returnflag STRING, l_quantity DOUBLE")
+          .orc(out)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // JSON-lines round-trip: the schemaful read of a semi-structured dump
     // (one JSON object per line — the interchange format every crawl
     // pipeline lands in before parquet). Explicit schema again: at corpus

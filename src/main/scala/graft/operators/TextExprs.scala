@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * gate exists precisely to survive degenerate input. The guard maps
   * empty text to score 0 (filtered), identically in both engines.
   */
-private[operators] object TextExprs {
+private[graft] object TextExprs {
 
   /** lowercase word tokens, empties dropped (split on non-alnum runs) */
   def toks(text: Column): Column =
@@ -30,8 +30,12 @@ private[operators] object TextExprs {
     * BPE vocab's dominant structure). Deliberately RE2/Java-compatible
     * (no lookaround, no \p classes) so Spark and DuckDB run the SAME
     * pattern. */
-  private val bpePattern =
-    "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+  private[graft] val bpePattern =
+    // the punct run must INCLUDE the apostrophe (as GPT-2's does via
+    // [^\s\p{L}\p{N}]): excluding it left a bare non-contraction '
+    // matching nothing — the tiling property test caught the dropped
+    // character. Contraction alternatives still win by first-match order.
+    "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
 
   def bpeToks(text: Column): Column =
     regexp_extract_all(lower(text), lit(bpePattern), lit(0))

@@ -80,4 +80,29 @@ class TextHashPropertySpec extends AnyFunSuite {
       assert(s.forall(c => c == '0' || c == '1'))
     }
   }
+
+  test("BPE pre-tokenizer pattern tiles every string; Spark expression agrees with JVM regex") {
+    // the pattern's alternatives cover every character class, so the
+    // matches must CONCATENATE BACK to the input — the invariant that
+    // makes the token count a partition of the text, with nothing
+    // silently dropped between tokens
+    val charGen = Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++
+      Seq(' ', '\t', '\n', '\'', '.', ',', '!', '-', '(', ')', 'A', 'Z'))
+    val strGen = Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val p = java.util.regex.Pattern.compile(graft.operators.TextExprs.bpePattern)
+    val strs = samples(strGen, 60)
+    val jvmCounts = strs.map { s =>
+      val m = p.matcher(s.toLowerCase)
+      val sb = new StringBuilder
+      var n = 0
+      while (m.find()) { sb.append(m.group()); n += 1 }
+      assert(sb.toString === s.toLowerCase, s"pattern did not tile: '${s.toLowerCase}'")
+      n
+    }
+    val sparkCounts = strs.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), size(graft.operators.TextExprs.bpeToks(col("text"))).as("n"))
+      .orderBy("i").as[(Int, Int)].collect().toSeq.map(_._2)
+    assert(sparkCounts === jvmCounts)
+  }
 }
