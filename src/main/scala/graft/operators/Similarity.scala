@@ -51,7 +51,7 @@ object Similarity extends QueryModule {
     * oracle (q_sim_recall) scoring against a stale formulation. */
 
   /** unnest embeddings to (vec_id, pos, ev) rows. */
-  private val eSql =
+  private[operators] val eSql =
     """e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings)"""
 
@@ -63,15 +63,19 @@ object Similarity extends QueryModule {
          ROUND(SUM(qv * cv) / (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
          FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)"""
 
-  /** single-probe IVF: seed centroids, argmax-dot cell assignment, and
-    * same-cell cosine sims → isims. */
-  private val ivfSimsSql =
+  /** seed centroids + argmax-dot cell assignment → cells (shared with the
+    * live vector-ingest row's oracle in StreamingOps). */
+  private[operators] val ivfCellsSql =
     """cen AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
        dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
          FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
        cells AS (SELECT vec_id, c_id AS cell FROM dots
          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY cdot DESC, c_id) = 1),
+           ORDER BY cdot DESC, c_id) = 1)"""
+
+  /** single-probe IVF: cells + same-cell cosine sims → isims. */
+  private val ivfSimsSql =
+    s"""$ivfCellsSql,
        iq AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, cells.cell
          FROM e JOIN cells USING (vec_id) WHERE e.vec_id < 5),
        ic AS (SELECT e.vec_id AS cand_id, e.pos, e.ev AS cv, cells.cell

@@ -234,6 +234,26 @@ object StreamingOps extends QueryModule {
       Some("""SELECT DISTINCT md5(text) AS fp, lang FROM documents
               ORDER BY fp""")),
 
+    // LIVE vector-index ingest in the gate: EMBEDDINGS stream assigned to
+    // IVF cells (coarse quantizer = 4 driver-collected centroid vectors
+    // folded into the plan as literals — broadcast-centers, like k-means)
+    // with per-cell population counts as the one streaming aggregate —
+    // the write path of the inverted file q_sim_ivf_persisted queries.
+    // Oracle reuses Similarity's cell-assignment CTEs verbatim.
+    Q("q_stream_live_vec_ingest",
+      (s, d) => {
+        val cens = Tables(s, d, "embeddings").filter(col("vec_id") < 4)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        runLive(s,
+          graft.streaming.Streams.vecIngestCellCounts(
+            graft.streaming.Streams.embeddings(s, s"$d/embeddings.parquet"), cens),
+          "complete", Seq("cell"))
+      },
+      Some(s"""WITH ${Similarity.eSql}, ${Similarity.ivfCellsSql}
+               SELECT cell, COUNT(*) AS n_vectors FROM cells
+               GROUP BY cell ORDER BY cell""")),
+
     // LIVE stream-STATIC join in the gate: live events enriched against
     // the batch customer dimension (streaming/Streams.enrichedNationTotals)
     // — the "facts stream, dimensions in the lake" deployment. The static

@@ -117,6 +117,40 @@ object Streams {
       .dropDuplicates(Seq("fp"))
       .select(col("fp"), col("lang"))
 
+  /** Stream of embedding vectors from a parquet landing path — the write
+    * side of a vector-index ingest. */
+  def embeddings(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /** Live vector-index ingest: assign each arriving embedding to its
+    * IVF cell and maintain per-cell population counts — the streaming
+    * write path of the inverted file `q_sim_ivf_persisted` queries.
+    * The coarse quantizer (4 centroid vectors) is DRIVER STATE folded
+    * into the plan as literals (the broadcast-centers pattern of
+    * k-means): cell = argmax-dot per row, computed WITHOUT a per-id
+    * aggregate, because a streaming query admits only one stateful
+    * aggregation — the per-cell count. Rounding and tie-break (max dot,
+    * then lowest centroid id) match `Similarity.nearestCell` exactly. */
+  def vecIngestCellCounts(events: DataFrame,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val cands = centroids.map { case (cid, v) =>
+      struct(
+        round(graft.functions.VecOps.vecDot(col("embedding"), typedLit(v)), 6).as("d"),
+        lit(-cid).as("negid"), lit(cid).as("cid"))
+    }
+    events.withColumn("cell", greatest(cands: _*).getField("cid"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Watermark-EVICTED streaming dedup (`dropDuplicatesWithinWatermark`):
     * unlike plain `dropDuplicates`, whose key state grows forever on an
     * unbounded feed, state for a key is dropped once the watermark passes
