@@ -437,6 +437,109 @@ object Relational extends QueryModule {
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // AS-OF JOIN (backward): for every purchase, the latest click by the
+    // same user at-or-before the purchase time — the time-series join the
+    // reference's merge framework cannot express (it is strictly equi-key,
+    // core/.../bsp/join/CompositeRecordReader.java). The naive formulation
+    // is an inequality join (every click × every later purchase) whose
+    // intermediate explodes quadratically per user; this plan UNIONs the
+    // two sides tagged, shuffles ONCE on user_id, and takes a running
+    // last_value(click) over the time-ordered window — O(n log n) per user,
+    // no pair blowup, the plan that survives 100 TB of events. Tie-break:
+    // at equal ts the click sorts before the purchase (side tag), so a
+    // same-instant click matches; among equal-ts clicks the highest
+    // event_id wins deterministically in both engines.
+    Q("q_join_asof",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_click_ts",
+            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+            col("asof_click_id"), col("asof_click_ts"),
+            // ts is TIMESTAMP_NTZ; the session runs UTC so the cast is a
+            // pure reinterpretation and epoch micros match DuckDB epoch_us
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("asof_click_ts").cast("timestamp"))).as("gap_us"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                       NULL::BIGINT AS purchase_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id,
+                       event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+              ), w AS (
+                SELECT *,
+                  LAST_VALUE(click_id IGNORE NULLS) OVER win AS asof_click_id,
+                  LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER win AS asof_click_ts
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, purchase_id, ts AS p_ts, asof_click_id, asof_click_ts,
+                     epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
+              FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
+
+    // AS-OF JOIN (forward): earliest click at-or-after each purchase —
+    // same single-shuffle union+window plan mirrored (first over the
+    // FOLLOWING frame). Ordering puts the purchase before a same-instant
+    // click (side DESC) so "at-or-after" is inclusive.
+    Q("q_join_asof_fwd",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side").desc, col("click_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("next_click_ts",
+            first(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+            col("next_click_id"), col("next_click_ts"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                       NULL::BIGINT AS purchase_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id,
+                       event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+              ), w AS (
+                SELECT *,
+                  FIRST_VALUE(click_id IGNORE NULLS) OVER win AS next_click_id,
+                  FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER win AS next_click_ts
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, side DESC, click_id
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              )
+              SELECT user_id, purchase_id, ts AS p_ts, next_click_id, next_click_ts
+              FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
+
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",
       (s, d) => t(s, d, "customer")

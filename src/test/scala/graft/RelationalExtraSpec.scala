@@ -17,6 +17,38 @@ class RelationalExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join matches a brute-force per-purchase max-click scan") {
+    val asof = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf0)
+      .select("purchase_id", "asof_click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def micros(r: org.apache.spark.sql.Row, i: Int): Long = {
+      val ldt = r.getAs[java.time.LocalDateTime](i)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    }
+    val e = Tables(spark, TestSpark.sf0, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r, 2)))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts").collect()
+    assert(purchases.nonEmpty && asof.size == purchases.length)
+    purchases.foreach { p =>
+      val (u, pid, pts) = (p.getLong(0), p.getLong(1), micros(p, 2))
+      // latest click at-or-before pts; ties broken by max event_id
+      val want = clicks.filter(c => c._1 == u && c._3 <= pts)
+        .sortBy(c => (c._3, c._2)).lastOption.map(_._2).getOrElse(-1L)
+      assert(asof(pid) == want, s"purchase $pid: got ${asof(pid)}, want $want")
+    }
+  }
+
+  test("as-of join plan shuffles exactly once (no inequality-join blowup)") {
+    val plan = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf0)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("rank-1 ALS factors reconstruct ratings better than the global mean") {
     val mae = SparkEntry.queries("q_ml_cf")(spark, TestSpark.sf0)
       .collect()(0).getDouble(0)
