@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DistinctNGrams, MinHashSig, SimHashSig, VecDot}
+
+/** SQL names for graft's native Catalyst expressions, so `spark.sql` users
+  * get the same codegen'd kernels as the Column API (VecDot and the text
+  * hashes are full `doGenCode` expressions — no UDF boundary, no
+  * serialization, stays inside whole-stage codegen).
+  *
+  * The reference's analogue is class-name-by-conf strategy resolution
+  * (`ml/src/main/java/org/apache/hama/ml/distance/DistanceMeasurer.java:35`,
+  * `bsp.join.define.<ident>` in `core/src/main/java/org/apache/hama/bsp/
+  * join/CompositeInputFormat.java:78-91`) — here the engine-extension hook
+  * is Spark's own: `SparkSessionExtensions.injectFunction`, wired into
+  * every [[GraftSession]] via `withExtensions(new GraftExtensions)`, or
+  * onto a foreign session with [[GraftFunctions.register]].
+  */
+object GraftFunctions {
+
+  private type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Hash widths/counts parameterize generated code, so they must be
+    * literal ints at the call site (same contract as the Column API's
+    * plain-Int parameters) — reject anything else loudly at analysis. */
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: <$arg> must be a literal INT, got ${other.sql}")
+  }
+
+  private def bad(fn: String, usage: String, got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn expects $usage, got ${got.length} argument(s)")
+
+  private def d(name: String, usage: String)(
+      b: PartialFunction[Seq[Expression], Expression]): Description = {
+    val info = new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+    (FunctionIdentifier(name), info,
+      (args: Seq[Expression]) => b.applyOrElse(args, bad(name, usage, _: Seq[Expression])))
+  }
+
+  /** Everything injected, one row per SQL-callable kernel. */
+  val all: Seq[Description] = Seq(
+    d("vec_dot", "(array<numeric>, array<numeric>) -> double") {
+      case Seq(a, b) => VecDot(a, b)
+    },
+    d("vec_cosine", "(array<numeric>, array<numeric>) -> double") {
+      // composed from the same codegen'd VecDot kernel as the Column API
+      // (raw catalyst tree — a Column-DSL composition would splice an
+      // unresolvable ColumnNode into the analyzer's expression walk)
+      case Seq(a, b) =>
+        Divide(VecDot(a, b), Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+    },
+    d("minhash_sig", "(array<string> tokens, int ngram_width, int num_hashes) -> array<string>") {
+      case Seq(t, w, k) =>
+        MinHashSig(t, intLit("minhash_sig", "ngram_width", w),
+          intLit("minhash_sig", "num_hashes", k))
+    },
+    d("simhash_sig", "(array<string> tokens) -> string") {
+      case Seq(t) => SimHashSig(t)
+    },
+    d("distinct_ngrams", "(array<string> tokens, int ngram_width) -> array<string>") {
+      case Seq(t, w) => DistinctNGrams(t, intLit("distinct_ngrams", "ngram_width", w))
+    })
+
+  /** Post-hoc registration on an already-built session (idempotent —
+    * re-registering overwrites with the identical builder). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions`-compatible injector: build-time hook for sessions
+  * graft does not construct (`SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

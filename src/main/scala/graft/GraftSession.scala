@@ -29,6 +29,9 @@ object GraftSession {
 
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
     SparkSession.builder()
+      // SQL names for the native kernels (vec_dot, minhash_sig, …) on
+      // every graft session; foreign sessions use GraftFunctions.register
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.warehouse.dir", warehouseDir)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryModule, Tables}
+import graft.{GraftFunctions, Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -680,6 +680,26 @@ object Relational extends QueryModule {
       },
       Some("""SELECT o_orderkey, o_orderstatus AS status_v,
               o_orderpriority AS prio_v, CAST(2 AS BIGINT) AS nkeys
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // §2.10 SQL-function surface: the native codegen'd kernels called by
+    // their injected SQL names (GraftExtensions/GraftFunctions) through
+    // spark.sql — proving the pure-SQL user gets the same expressions as
+    // the Column API. Both engines cast float→double BEFORE multiplying
+    // and sum in list order, so the doubles are bit-identical pre-round.
+    Q("q_fn_vec_sql",
+      (s, d) => {
+        GraftFunctions.register(s) // no-op on graft sessions (extension-injected)
+        t(s, d, "embeddings").createOrReplaceTempView("graft_embeddings")
+        s.sql("""SELECT vec_id,
+                        ROUND(vec_dot(embedding, embedding), 6) AS norm_sq,
+                        ROUND(vec_cosine(embedding, embedding), 6) AS self_cos
+                 FROM graft_embeddings ORDER BY vec_id""")
+      },
+      Some("""SELECT vec_id,
+                ROUND(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
+                1.0 AS self_cos
+              FROM embeddings ORDER BY vec_id"""))
   )
 }

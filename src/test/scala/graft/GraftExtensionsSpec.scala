@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextHash, VecOps}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("SQL names resolve and match the Column API on real documents") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables(spark, TestSpark.sf0, "documents").limit(50)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("toks"))
+      .cache()
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(toks, 3, 8) AS mh, simhash_sig(toks) AS sh,
+                distinct_ngrams(toks, 2) AS ng
+         FROM ext_docs ORDER BY doc_id""").collect()
+    val viaCol = docs.select(col("doc_id"),
+        TextHash.minhashSig(col("toks"), 3, 8).as("mh"),
+        TextHash.simhashSig(col("toks")).as("sh"),
+        TextHash.distinctNGrams(col("toks"), 2).as("ng"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.length == 50)
+    viaSql.zip(viaCol).foreach { case (a, b) => assert(a == b) }
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").as[Double].head()
+    assert(dot == 11.0)
+    val cos = spark.sql(
+      "SELECT vec_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").as[Double].head()
+    assert(cos == 0.0)
+    docs.unpersist()
+  }
+
+  test("non-literal hash knobs fail loudly at analysis, not silently at run") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a','b'), 3, CAST(rand() * 8 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.contains("num_hashes") || e.getMessage.contains("literal"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("GraftExtensions injects at session build time (withExtensions path)") {
+    val base = TestSpark.spark // ensure context exists before we clear sessions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        "SELECT vec_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d").collect()
+      assert(r(0).getDouble(0) == 23.0)
+      // the extension carries ALL descriptors, not just vec_dot
+      assert(s2.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig")))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("vec_cosine SQL name equals the Column-API cosine on embeddings") {
+    GraftFunctions.register(spark)
+    val emb = Tables(spark, TestSpark.sf0, "embeddings").limit(20)
+      .select(col("vec_id"), col("embedding")).cache()
+    emb.createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, ROUND(vec_cosine(a.embedding, b.embedding), 9) AS c
+         FROM ext_emb a JOIN ext_emb b ON b.vec_id = a.vec_id + 1
+         ORDER BY a.vec_id""").collect()
+    val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("emb2"))
+    val viaCol = emb.join(b, col("vid2") === col("vec_id") + 1)
+      .select(col("vec_id"),
+        round(VecOps.cosine(col("embedding"), col("emb2")), 9).as("c"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (x, y) => assert(x == y) }
+    emb.unpersist()
+  }
+}
