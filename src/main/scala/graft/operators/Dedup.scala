@@ -81,6 +81,25 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
   }
 
+  /** Corpus + staged byte-level reformats (every 10th doc upcased with
+    * doubled spacing) for the canonicalize-then-dedup queries — the
+    * testdata's own dups are token-level, invisible to exact hashing. */
+  private def normStaged(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents").select("doc_id", "text", "source")
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(upper(col("text")), " ", "  ").as("text"),
+          col("source")))
+  }
+
+  private val normStagedSql =
+    """staged AS (
+       SELECT doc_id, text, source FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000, regexp_replace(upper(text), ' ', '  ', 'g'), source
+       FROM documents WHERE doc_id % 10 = 0)"""
+
   private val minhashSql =
     s"""$shinglesSql,
        shh AS (SELECT doc_id, md5(sh) AS m1, md5('x' || sh) AS m2 FROM sh),
@@ -183,6 +202,51 @@ object Dedup extends QueryModule {
         .orderBy("source"),
       Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
               FROM documents GROUP BY source ORDER BY source""")),
+
+    // Canonicalize-then-dedup: the production exact-dedup recipe is never
+    // raw-byte equality — crawl text is first normalized (case-fold,
+    // punctuation/whitespace runs collapsed) so trivially-reformatted
+    // copies hash together. The testdata's duplicates are token-level
+    // near-dups (minhash territory) with no byte-level reformats, so the
+    // query stages its own: every 10th doc re-enters the corpus upcased
+    // with doubled spacing — the classic mirror-site reformat. The raw
+    // hash keeps the copies apart; the canonical hash collapses them.
+    // Pure projection + one hash-agg: zero extra shuffles at any scale.
+    Q("q_dedup_normalized",
+      (s, d) => {
+        val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        normStaged(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique_raw"),
+            countDistinct(md5(canon)).as("n_unique_norm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $normStagedSql
+              SELECT source, COUNT(*) AS n_docs,
+              COUNT(DISTINCT md5(text)) AS n_unique_raw,
+              COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+                AS n_unique_norm
+              FROM staged GROUP BY source ORDER BY source""")),
+
+    // The groups normalization (alone) collapses: canonical-form hash →
+    // surviving doc (min id) + member count. HAVING >1 keeps the output
+    // O(dup groups), not O(corpus).
+    Q("q_dedup_norm_groups",
+      (s, d) => {
+        val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        normStaged(s, d)
+          .select(col("doc_id"), md5(canon).as("norm_hash"))
+          .groupBy("norm_hash")
+          .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_members"))
+          .filter(col("n_members") > 1)
+          .orderBy("keep_doc")
+      },
+      Some(s"""WITH $normStagedSql
+              SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+              MIN(doc_id) AS keep_doc, COUNT(*) AS n_members
+              FROM staged GROUP BY norm_hash HAVING COUNT(*) > 1
+              ORDER BY keep_doc""")),
 
     Q("q_dedup_minhash",
       (s, d) => bands(s, d).orderBy("doc_id", "band"),
