@@ -26,6 +26,11 @@ object Similarity extends QueryModule {
 
   private val topK = 10
   private val numPlanes = 8
+  // product quantization: 64-dim embeddings → pqM subspaces of pqSub dims,
+  // pqK codewords per subspace sampled deterministically (vec_id < pqK)
+  private val pqM = 4
+  private val pqSub = 16
+  private val pqK = 8
 
   /** per-JVM scratch for the persisted IVF index (overwrite mode, removed
     * on exit — the Sources scratch pattern) */
@@ -84,6 +89,31 @@ object Similarity extends QueryModule {
          ROUND(SUM(iq.qv * ic.cv) / (SQRT(SUM(iq.qv * iq.qv)) * SQRT(SUM(ic.cv * ic.cv))), 6) AS sim
          FROM ic JOIN iq ON iq.cell = ic.cell AND iq.pos = ic.pos
          GROUP BY iq.q_id, ic.cand_id)"""
+
+  /** product-quantization chain: subspace split → codebook → candidate
+    * codes → per-query LUT (micro-units) → ADC scores. Shared by the
+    * q_sim_pq oracle and the PQ recall evaluator's oracle. */
+  private val pqScoresSql =
+    s"""sub AS (SELECT vec_id, pos // $pqSub AS m, pos % $pqSub AS sp, ev FROM e),
+       cb AS (SELECT vec_id AS k, m, sp, ev AS cbv FROM sub WHERE vec_id < $pqK),
+       cd AS (SELECT s.vec_id AS cand_id, s.m, cb.k,
+         ROUND(SUM(s.ev * cb.cbv), 6) AS dot
+         FROM sub s JOIN cb ON s.m = cb.m AND s.sp = cb.sp
+         WHERE s.vec_id >= $pqK GROUP BY cand_id, s.m, cb.k),
+       codes AS (SELECT cand_id, m, k AS code_k FROM cd
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY cand_id, m
+           ORDER BY dot DESC, k) = 1),
+       lut AS (SELECT s.vec_id AS q_id, s.m, cb.k,
+         CAST(FLOOR(SUM(s.ev * cb.cbv) * 1e6 + 0.5) AS BIGINT) AS lut_u
+         FROM sub s JOIN cb ON s.m = cb.m AND s.sp = cb.sp
+         WHERE s.vec_id < 5 GROUP BY q_id, s.m, cb.k),
+       pqscores AS (SELECT q_id, cand_id, CAST(SUM(lut_u) AS BIGINT) AS adot_u
+         FROM codes JOIN lut ON lut.m = codes.m AND lut.k = codes.code_k
+         GROUP BY q_id, cand_id),
+       pqtop AS (SELECT q_id, cand_id, adot_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adot_u DESC, cand_id) AS BIGINT) AS rank
+         FROM pqscores)"""
 
   /** rank a sims CTE per q_id by (sim DESC, cand_id) and keep the top k. */
   private def rankSql(simsCte: String, k: Int): String =
@@ -183,6 +213,99 @@ object Similarity extends QueryModule {
                  ROUND(SUM(qq * cq) / (SQRT(SUM(qq * qq)) * SQRT(SUM(cq * cq))), 6) AS sim
                  FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)
                ${rankSql("sims", topK)}""")),
+
+    // PRODUCT-QUANTIZED ANN (PQ + asymmetric distance): the compression
+    // scale path past int8 — each candidate vector is stored as pqM=4
+    // one-byte codes (16× smaller than float32), and search never touches
+    // the original vectors: per query, a pqM×pqK lookup table of
+    // subspace dots is built against the codebook (pqM*pqK tiny dots),
+    // broadcast, and each candidate's approximate dot is just pqM table
+    // lookups summed. Encoding is one broadcast-join pass (no shuffle
+    // before the per-(cand,m) argmax partial agg); the LUT sum is exact
+    // integer arithmetic in micro-units, so ranking is deterministic in
+    // both engines. Codebook = subvectors of vec_id < pqK (deterministic
+    // sample, like the IVF seed centroids); candidates = vec_id >= pqK.
+    Q("q_sim_pq",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val ms = (0 until pqM).map(m => lit(m))
+        def subs(idCol: String): DataFrame = emb
+          .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
+          .select(col(idCol), col("m"),
+            slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("sv"))
+        val cb = subs("k").filter(col("k") < pqK)
+          .select(col("k"), col("m"), col("sv").as("cbv"))
+        // ENCODE: per (candidate, subspace), nearest codeword by dot
+        val codes = subs("cand_id").filter(col("cand_id") >= pqK)
+          .join(broadcast(cb), "m")
+          .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
+          .groupBy(col("cand_id"), col("m"))
+          .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
+        // LUT: per (query, subspace, codeword), dot in exact micro-units
+        val lut = subs("q_id").filter(col("q_id") < 5)
+          .join(broadcast(cb), "m")
+          .select(col("q_id"), col("m").as("lm"), col("k"),
+            floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
+        // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]]
+        val scores = codes
+          .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
+          .groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("lut_u")).as("adot_u"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
+        scores.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql, $pqScoresSql
+               SELECT q_id, rank, cand_id, adot_u FROM pqtop
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // PQ quality EVALUATION: recall@5 of the ADC ranking against the
+    // exact-dot ground truth over the SAME candidate set — quantifies
+    // what the 16× compression costs, next to q_sim_recall's IVF number.
+    // (On this synthetic corpus the embeddings are isotropic random, the
+    // hardest case for PQ — 8 sampled codewords per subspace recover
+    // ~0.2-0.4 recall@5; real clustered embeddings and a trained codebook
+    // sit far higher. The row's value is that the knob is MEASURED.)
+    Q("q_sim_pq_recall",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val c = emb.filter(col("vec_id") >= pqK)
+          .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        val exact = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(vecDot(col("qv"), col("cv")), 6).as("dot"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("dot"), asc("cand_id"))
+        val truth = exact.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select(col("q_id"), col("cand_id"))
+        val pq = graft.SparkEntry.queries("q_sim_pq")(s, d)
+          .select(col("q_id").as("pqq"), col("cand_id").as("pqc"))
+        truth.join(pq, col("q_id") === col("pqq") && col("cand_id") === col("pqc"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("pqq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $eSql, $pqScoresSql,
+               xq AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+               xc AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= $pqK),
+               xdots AS (SELECT q_id, cand_id, ROUND(SUM(qv * cv), 6) AS dot
+                 FROM xc JOIN xq USING (pos) GROUP BY q_id, cand_id),
+               truth AS (SELECT q_id, cand_id FROM xdots
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY dot DESC, cand_id) <= 5)
+               SELECT t.q_id, COUNT(p.cand_id) AS n_hits,
+                 ROUND(COUNT(p.cand_id) * 1.0 / COUNT(*), 6) AS recall
+               FROM truth t LEFT JOIN (SELECT q_id, cand_id FROM pqtop WHERE rank <= 5) p
+                 ON p.q_id = t.q_id AND p.cand_id = t.cand_id
+               GROUP BY t.q_id ORDER BY t.q_id""")),
 
     // LSH bucketing: sign bits against deterministic integer hyperplanes
     // h_j[pos] = ((pos*31 + j*17) % 13) - 6, one native dot per plane
