@@ -90,6 +90,37 @@ object Similarity extends QueryModule {
          FROM ic JOIN iq ON iq.cell = ic.cell AND iq.pos = ic.pos
          GROUP BY iq.q_id, ic.cand_id)"""
 
+  /** PQ building blocks shared by q_sim_pq / q_sim_pq_recall / q_sim_ivfpq:
+    * candidate codes (per (cand, subspace): nearest codeword by dot) and
+    * per-query LUT (subspace dots vs every codeword, exact micro-units),
+    * plus the ADC score join. Codebook = subvectors of vec_id < pqK. */
+  private def pqScores(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ms = (0 until pqM).map(m => lit(m))
+    def subs(idCol: String): DataFrame = emb
+      .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
+      .select(col(idCol), col("m"),
+        slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("sv"))
+    val cb = subs("k").filter(col("k") < pqK)
+      .select(col("k"), col("m"), col("sv").as("cbv"))
+    // ENCODE: per (candidate, subspace), nearest codeword by dot
+    val codes = subs("cand_id").filter(col("cand_id") >= pqK)
+      .join(broadcast(cb), "m")
+      .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
+    // LUT: per (query, subspace, codeword), dot in exact micro-units
+    val lut = subs("q_id").filter(col("q_id") < 5)
+      .join(broadcast(cb), "m")
+      .select(col("q_id"), col("m").as("lm"), col("k"),
+        floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
+    // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]]
+    codes.join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("lut_u")).as("adot_u"))
+  }
+
   /** product-quantization chain: subspace split → codebook → candidate
     * codes → per-query LUT (micro-units) → ADC scores. Shared by the
     * q_sim_pq oracle and the PQ recall evaluator's oracle. */
@@ -227,31 +258,7 @@ object Similarity extends QueryModule {
     // sample, like the IVF seed centroids); candidates = vec_id >= pqK.
     Q("q_sim_pq",
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val ms = (0 until pqM).map(m => lit(m))
-        def subs(idCol: String): DataFrame = emb
-          .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
-          .select(col(idCol), col("m"),
-            slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("sv"))
-        val cb = subs("k").filter(col("k") < pqK)
-          .select(col("k"), col("m"), col("sv").as("cbv"))
-        // ENCODE: per (candidate, subspace), nearest codeword by dot
-        val codes = subs("cand_id").filter(col("cand_id") >= pqK)
-          .join(broadcast(cb), "m")
-          .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
-          .groupBy(col("cand_id"), col("m"))
-          .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
-        // LUT: per (query, subspace, codeword), dot in exact micro-units
-        val lut = subs("q_id").filter(col("q_id") < 5)
-          .join(broadcast(cb), "m")
-          .select(col("q_id"), col("m").as("lm"), col("k"),
-            floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
-        // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]]
-        val scores = codes
-          .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
-          .groupBy(col("q_id"), col("cand_id"))
-          .agg(sum(col("lut_u")).as("adot_u"))
+        val scores = pqScores(s, d)
         val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
         scores.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
@@ -306,6 +313,47 @@ object Similarity extends QueryModule {
                FROM truth t LEFT JOIN (SELECT q_id, cand_id FROM pqtop WHERE rank <= 5) p
                  ON p.q_id = t.q_id AND p.cand_id = t.cand_id
                GROUP BY t.q_id ORDER BY t.q_id""")),
+
+    // IVF+PQ — the production-scale composition (FAISS's IVFPQ shape):
+    // the inverted file prunes the candidate list to the query's cell,
+    // and the pruned candidates are ranked by their PQ codes via the
+    // broadcast LUT — the corpus is touched only as (cell, 4 bytes of
+    // codes) per vector. Composes the two declared operators (same cell
+    // assignment as q_sim_ivf, same codes/LUT as q_sim_pq); the rank is
+    // recomputed within the cell-filtered pair set.
+    Q("q_sim_ivfpq",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cen = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+        val qCells = nearestCell(cen, emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
+          .select(col("q_id"), col("cell"))
+        val cCells = nearestCell(cen, emb.filter(col("vec_id") >= pqK)
+            .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")),
+            "cand_id", "cemb2")
+          .select(col("cand_id").as("cc_id"), col("cell").as("ccell"))
+        // cell pruning: keep only (query, candidate) pairs in the same cell
+        val pruned = pqScores(s, d)
+          .join(broadcast(qCells), "q_id")
+          .join(cCells, col("cand_id") === col("cc_id") && col("cell") === col("ccell"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
+        pruned.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql, $ivfCellsSql, $pqScoresSql,
+               prn AS (SELECT p.q_id, p.cand_id, p.adot_u
+                 FROM pqscores p
+                 JOIN cells qc ON qc.vec_id = p.q_id
+                 JOIN cells cc ON cc.vec_id = p.cand_id AND cc.cell = qc.cell)
+               SELECT q_id, rank, cand_id, adot_u FROM (
+                 SELECT q_id, cand_id, adot_u,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adot_u DESC, cand_id) AS BIGINT) AS rank
+                 FROM prn) t
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     // LSH bucketing: sign bits against deterministic integer hyperplanes
     // h_j[pos] = ((pos*31 + j*17) % 13) - 6, one native dot per plane
