@@ -235,6 +235,45 @@ object Relational extends QueryModule {
               GROUP BY ROLLUP (r_name, n_name)
               ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
 
+    // arbitrary GROUPING SETS — the union-of-groupings rollup/cube can't
+    // express (two independent one-column groupings in ONE pass over the
+    // fact table; Catalyst's Expand feeds both from a single scan)
+    Q("q_agg_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              ROUND(SUM(o_totalprice), 2) AS total
+              FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // MERGEABLE distinct-count sketches — the 100 TB posture for COUNT
+    // DISTINCT across shards/days: per-group HLL sketches are built once
+    // (partial-combining agg), then UNIONED to the global estimate without
+    // ever re-touching the rows — re-aggregation is O(groups × sketch),
+    // not O(data). Declared check: the merged estimate must land within
+    // 5% of the exact global distinct (invariant-style, like q_agg_approx).
+    Q("q_agg_hll_merge",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val perGroup = o.groupBy(col("o_orderpriority"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val merged = perGroup.agg(
+          count(lit(1)).as("n_groups"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = o.agg(countDistinct(col("o_custkey")).as("exact_total"))
+        exact.crossJoin(merged)
+          .select(col("exact_total"), col("n_groups"),
+            (abs(col("est") - col("exact_total")) <= col("exact_total") * 0.05)
+              .as("merged_within_5pct"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_total,
+              CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+              true AS merged_within_5pct FROM orders""")),
+
     Q("q_agg_cube",
       (s, d) => t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
