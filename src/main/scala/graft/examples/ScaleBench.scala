@@ -167,6 +167,52 @@ object ScaleBench {
       println(f"""{"metric":"lsh_knobs","value":$lshSecs%.3f,"unit":"sec",""" +
         f""""num_hashes":$nh,"band_rows":$br,"bands":${nh / br},"candidate_pairs":$nPairs}""")
     }
+    // ---- as-of join plan evidence (r5) -----------------------------------
+    // q_join_asof's union+window plan vs the naive inequality join, at a
+    // size where the difference is structural, not noise: E events over U
+    // users means the window plan shuffles E rows once, while the
+    // inequality join materializes Σ_u clicks_u × purchases_u pairs before
+    // its per-purchase max — ~E²/U·p(1−p) rows (≈115 M here vs 6 M).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val nEv = args.lift(2).map(_.toLong).getOrElse(6000000L)
+      // 6000 events/key models per-symbol tick density (the canonical
+      // as-of workload): the inequality join's per-key pair product is
+      // ~4800 clicks × 1200 purchases ≈ 5.8 M rows/key (~5.8 B total)
+      // while the window plan's cost stays the 6 M-row shuffle regardless
+      // of density. Keys are HASHED from the row id — a plain modulus
+      // would share factors with the 1-in-5 purchase stride and make the
+      // two sides' key sets disjoint (measured: zero matches, which
+      // silently flattered the inequality plan in the first version of
+      // this harness).
+      val users = args.lift(3).map(_.toLong).getOrElse(1000L)
+      val ev = spark.range(nEv).select(
+          pmod(xxhash64(col("id")), lit(users)).as("u"),
+          ((col("id") * 2654435761L) % 100000000L).as("ts"),
+          (col("id") % 5 === 0).as("isP"),
+          col("id").as("eid"))
+        .cache()
+      ev.count()
+      val windowSec = time {
+        val w = Window.partitionBy("u")
+          .orderBy(col("ts"), col("isP"), col("eid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("asof_ts",
+            last(when(!col("isP"), col("ts")), ignoreNulls = true).over(w))
+          .filter(col("isP"))
+          .agg(count(lit(1)), sum(col("asof_ts"))).collect()
+      }
+      val ineqSec = time {
+        val clicks = ev.filter(!col("isP")).select(col("u").as("cu"), col("ts").as("cts"))
+        val purch = ev.filter(col("isP")).select(col("u"), col("ts"), col("eid"))
+        purch.join(clicks, col("u") === col("cu") && col("cts") <= col("ts"), "left")
+          .groupBy("eid").agg(max(col("cts")).as("asof_ts"))
+          .agg(count(lit(1)), sum(col("asof_ts"))).collect()
+      }
+      ev.unpersist()
+      println(f"""{"metric":"asof_plans","window_sec":$windowSec%.3f,""" +
+        f""""inequality_sec":$ineqSec%.3f,"events":$nEv,"users":$users}""")
+    }
     spark.stop()
   }
 }
