@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** AS-OF join: for every left row, the single right row with the largest
+  * (backward) / smallest (forward) timestamp at-or-before / at-or-after the
+  * left row's timestamp, per key — the time-series join the reference's
+  * strictly equi-key merge framework (`core/src/main/java/org/apache/hama/
+  * bsp/join/CompositeRecordReader.java`) cannot express.
+  *
+  * Plan shape (the part that matters at 100 TB): the two sides are tagged
+  * and UNIONed, shuffled ONCE on the key, and resolved with a running
+  * `last/first(… ignoreNulls)` window over the time order — O(n log n) per
+  * key, never the per-key pair product an inequality join materializes
+  * (ScaleBench `asof_plans`: 2 s vs 67 s at 6 M events over 1000 keys).
+  *
+  * Matching is inclusive at equal timestamps. The matched right row's
+  * (ts, payload…) travel as ONE struct through the window, so all returned
+  * `asof_*` columns always come from the SAME right row; ties among right
+  * rows at the same instant resolve deterministically by the struct's
+  * ordering (backward keeps the greatest, forward the least).
+  */
+object Asof {
+
+  /** For each row of `left`, attach `payload` columns from the latest
+    * `right` row with `right.ts <= left.ts` on the same `key` (nulls when
+    * no such row). Left's columns survive unchanged; the match arrives as
+    * `asof_<ts>` plus `asof_<c>` for each payload column `c`. */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, ts, payload, forward = false)
+
+  /** Mirror image: the earliest `right` row with `right.ts >= left.ts`. */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, ts, payload, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String], forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pFields = StructType(
+      StructField(ts, right.schema(ts).dataType) +:
+        payload.map(c => StructField(c, right.schema(c).dataType)))
+    val l = left.select(
+      col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
+        lit(null).cast(pFields).as("__p") +:
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(ts).as("__ts") +: lit(0).as("__side") +:
+        struct((col(ts) +: payload.map(col)): _*).as("__p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    // side tag orders a same-instant right row onto the matching side of
+    // the frame boundary (before the left row for backward, after it for
+    // forward), keeping equal-ts matching inclusive; the struct breaks
+    // remaining ties deterministically
+    val ord: Seq[Column] =
+      if (forward) Seq(col("__ts"), col("__side").desc, col("__p"))
+      else Seq(col("__ts"), col("__side"), col("__p"))
+    val base = Window.partitionBy(col("__k")).orderBy(ord: _*)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked =
+      if (forward) first(col("__p"), ignoreNulls = true).over(w)
+      else last(col("__p"), ignoreNulls = true).over(w)
+    l.unionByName(r)
+      .withColumn("__o", picked)
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__l_$c").as(c)) ++
+          (ts +: payload).map(c => col(s"__o.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -491,26 +491,17 @@ object Relational extends QueryModule {
     Q("q_join_asof",
       (s, d) => {
         val e = t(s, d, "events")
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), lit(0).as("side"),
-            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), lit(1).as("side"),
-            lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("side"), col("click_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        clicks.unionByName(purchases)
-          .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-          .withColumn("asof_click_ts",
-            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-          .filter(col("side") === 1)
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        Asof.backward(purchases, clicks, "user_id", "ts", Seq("click_id"))
           .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
-            col("asof_click_id"), col("asof_click_ts"),
+            col("asof_click_id"), col("asof_ts").as("asof_click_ts"),
             // ts is TIMESTAMP_NTZ; the session runs UTC so the cast is a
             // pure reinterpretation and epoch micros match DuckDB epoch_us
             (unix_micros(col("ts").cast("timestamp")) -
-              unix_micros(col("asof_click_ts").cast("timestamp"))).as("gap_us"))
+              unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
           .orderBy("user_id", "purchase_id")
       },
       Some("""WITH u AS (
@@ -541,22 +532,14 @@ object Relational extends QueryModule {
     Q("q_join_asof_fwd",
       (s, d) => {
         val e = t(s, d, "events")
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), lit(0).as("side"),
-            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), lit(1).as("side"),
-            lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("side").desc, col("click_id"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        clicks.unionByName(purchases)
-          .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
-          .withColumn("next_click_ts",
-            first(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-          .filter(col("side") === 1)
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        Asof.forward(purchases, clicks, "user_id", "ts", Seq("click_id"))
           .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
-            col("next_click_id"), col("next_click_ts"))
+            col("asof_click_id").as("next_click_id"),
+            col("asof_ts").as("next_click_ts"))
           .orderBy("user_id", "purchase_id")
       },
       Some("""WITH u AS (
