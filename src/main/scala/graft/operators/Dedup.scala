@@ -470,6 +470,43 @@ object Dedup extends QueryModule {
               FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
               ORDER BY doc_a, doc_b""")),
 
+    // Character-level EDIT-DISTANCE verification of the LSH candidates —
+    // the third verify flavor beside set-Jaccard (above) and embedding
+    // cosine (q_sim_neardup): levenshtein catches small in-place edits
+    // that token-set overlap scores identically. Pairs are O(LSH output)
+    // and tiny relative to the corpus, so the planner broadcasts them
+    // against the text relation and the O(len²) DP runs once per pair,
+    // never per doc². Similarity = 1 − dist/max_len, kept at ≥ 0.5.
+    Q("q_dedup_edit_verify",
+      (s, d) => {
+        val pairs = candidatePairs(s, d)
+        val txt = docs(s, d).select(col("doc_id"), col("text"))
+        val out = pairs
+          .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+            greatest(length(col("ta.text")), length(col("tb.text")))
+              .cast("long").as("max_len"))
+          .withColumn("sim", round(lit(1.0) - col("edit_dist") / col("max_len"), 6))
+          .filter(col("sim") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        graft.plans.Iterate.release(pairs)
+        out
+      },
+      Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,
+              ev AS (SELECT doc_a, doc_b,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+                CAST(GREATEST(length(a.text), length(b.text)) AS BIGINT) AS max_len
+                FROM pairs
+                JOIN documents a ON doc_a = a.doc_id
+                JOIN documents b ON doc_b = b.doc_id)
+              SELECT * FROM (
+                SELECT doc_a, doc_b, edit_dist, max_len,
+                  ROUND(1.0 - edit_dist / max_len, 6) AS sim FROM ev) t
+              WHERE sim >= 0.5 ORDER BY doc_a, doc_b""")),
+
     // Benchmark DECONTAMINATION: flag training docs sharing long word
     // n-grams with an eval set — the standard pre-training hygiene scan.
     // Eval sets are tiny (thousands of items) against a 100 TB corpus, so
