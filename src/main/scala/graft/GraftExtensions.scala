@@ -38,34 +38,36 @@ object GraftFunctions {
     throw new IllegalArgumentException(
       s"$fn expects $usage, got ${got.length} argument(s)")
 
-  private def d(name: String, usage: String)(
+  private def d(name: String, usage: String, impl: Class[_])(
       b: PartialFunction[Seq[Expression], Expression]): Description = {
-    val info = new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+    val info = new ExpressionInfo(impl.getName, null, name, usage, "")
     (FunctionIdentifier(name), info,
       (args: Seq[Expression]) => b.applyOrElse(args, bad(name, usage, _: Seq[Expression])))
   }
 
   /** Everything injected, one row per SQL-callable kernel. */
   val all: Seq[Description] = Seq(
-    d("vec_dot", "(array<numeric>, array<numeric>) -> double") {
+    d("vec_dot", "(array<numeric>, array<numeric>) -> double", classOf[VecDot]) {
       case Seq(a, b) => VecDot(a, b)
     },
-    d("vec_cosine", "(array<numeric>, array<numeric>) -> double") {
+    d("vec_cosine", "(array<numeric>, array<numeric>) -> double", classOf[VecDot]) {
       // composed from the same codegen'd VecDot kernel as the Column API
       // (raw catalyst tree — a Column-DSL composition would splice an
       // unresolvable ColumnNode into the analyzer's expression walk)
       case Seq(a, b) =>
         Divide(VecDot(a, b), Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
     },
-    d("minhash_sig", "(array<string> tokens, int ngram_width, int num_hashes) -> array<string>") {
+    d("minhash_sig", "(array<string> tokens, int ngram_width, int num_hashes) -> array<string>",
+        classOf[MinHashSig]) {
       case Seq(t, w, k) =>
         MinHashSig(t, intLit("minhash_sig", "ngram_width", w),
           intLit("minhash_sig", "num_hashes", k))
     },
-    d("simhash_sig", "(array<string> tokens) -> string") {
+    d("simhash_sig", "(array<string> tokens) -> string", classOf[SimHashSig]) {
       case Seq(t) => SimHashSig(t)
     },
-    d("distinct_ngrams", "(array<string> tokens, int ngram_width) -> array<string>") {
+    d("distinct_ngrams", "(array<string> tokens, int ngram_width) -> array<string>",
+        classOf[DistinctNGrams]) {
       case Seq(t, w) => DistinctNGrams(t, intLit("distinct_ngrams", "ngram_width", w))
     })
 

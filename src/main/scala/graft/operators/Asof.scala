@@ -41,6 +41,15 @@ object Asof {
   private def joinImpl(left: DataFrame, right: DataFrame, key: String,
       ts: String, payload: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    // name-collision guards: chaining (left already carries asof_* output
+    // names) or a payload repeating ts/itself would emit duplicate columns
+    // that fail only later, ambiguously, at reference time
+    require(!payload.contains(ts) && payload.distinct == payload,
+      s"payload must be distinct and must not repeat the ts column '$ts'")
+    val outNames = (ts +: payload).map(c => s"asof_$c")
+    require(leftCols.intersect(outNames).isEmpty,
+      s"left already has column(s) ${leftCols.intersect(outNames).mkString(", ")} — " +
+        "rename them before the as-of join (chained joins need distinct payloads)")
     val pFields = StructType(
       StructField(ts, right.schema(ts).dataType) +:
         payload.map(c => StructField(c, right.schema(c).dataType)))
@@ -48,7 +57,11 @@ object Asof {
       col(key).as("__k") +: col(ts).as("__ts") +: lit(1).as("__side") +:
         lit(null).cast(pFields).as("__p") +:
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
-    val r = right.select(
+    // a NULL-ts right row has no place on the time axis: without the
+    // filter it sorts to the head of the partition (nulls first) and
+    // last(ignoreNulls) would fabricate it as the match for left rows
+    // that have no true predecessor
+    val r = right.where(col(ts).isNotNull).select(
       col(key).as("__k") +: col(ts).as("__ts") +: lit(0).as("__side") +:
         struct((col(ts) +: payload.map(col)): _*).as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
@@ -67,7 +80,10 @@ object Asof {
       if (forward) first(col("__p"), ignoreNulls = true).over(w)
       else last(col("__p"), ignoreNulls = true).over(w)
     l.unionByName(r)
-      .withColumn("__o", picked)
+      // a NULL-ts LEFT row is off the time axis too: it sorts to the
+      // partition head, where the forward frame would hand it the
+      // earliest right row — force its match to null instead
+      .withColumn("__o", when(col("__ts").isNotNull, picked))
       .filter(col("__side") === 1)
       .select(
         leftCols.map(c => col(s"__l_$c").as(c)) ++

@@ -261,8 +261,11 @@ object Relational extends QueryModule {
         val o = t(s, d, "orders")
         val perGroup = o.groupBy(col("o_orderpriority"))
           .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        // count(key), not count(*): a NULL group key would make Spark's
+        // group count disagree with the oracle's COUNT(DISTINCT …), which
+        // drops NULLs — on exactly the query whose point is agreement
         val merged = perGroup.agg(
-          count(lit(1)).as("n_groups"),
+          count(col("o_orderpriority")).as("n_groups"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
         val exact = o.agg(countDistinct(col("o_custkey")).as("exact_total"))
         exact.crossJoin(merged)
@@ -713,9 +716,13 @@ object Relational extends QueryModule {
       (s, d) => {
         GraftFunctions.register(s) // no-op on graft sessions (extension-injected)
         t(s, d, "embeddings").createOrReplaceTempView("graft_embeddings")
+        // zero-vector guard: cosine(0,0) is 0/0 = NaN in double arithmetic
+        // (no ANSI divide error) while the oracle's literal is 1.0 — treat
+        // a zero vector as self-similar explicitly
         s.sql("""SELECT vec_id,
                         ROUND(vec_dot(embedding, embedding), 6) AS norm_sq,
-                        ROUND(vec_cosine(embedding, embedding), 6) AS self_cos
+                        ROUND(CASE WHEN vec_dot(embedding, embedding) = 0 THEN 1.0
+                              ELSE vec_cosine(embedding, embedding) END, 6) AS self_cos
                  FROM graft_embeddings ORDER BY vec_id""")
       },
       Some("""SELECT vec_id,

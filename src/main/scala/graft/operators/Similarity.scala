@@ -94,7 +94,7 @@ object Similarity extends QueryModule {
     * candidate codes (per (cand, subspace): nearest codeword by dot) and
     * per-query LUT (subspace dots vs every codeword, exact micro-units),
     * plus the ADC score join. Codebook = subvectors of vec_id < pqK. */
-  private def pqScores(s: SparkSession, d: String): DataFrame = {
+  private def pqCodesAndLut(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val ms = (0 until pqM).map(m => lit(m))
@@ -115,7 +115,13 @@ object Similarity extends QueryModule {
       .join(broadcast(cb), "m")
       .select(col("q_id"), col("m").as("lm"), col("k"),
         floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
-    // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]]
+    (codes, lut)
+  }
+
+  private def pqScores(s: SparkSession, d: String): DataFrame = {
+    val (codes, lut) = pqCodesAndLut(s, d)
+    // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]], every query
+    // against every candidate (the LUT join fans codes out per query)
     codes.join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("lut_u")).as("adot_u"))
@@ -333,10 +339,20 @@ object Similarity extends QueryModule {
             .select(col("vec_id").as("cand_id"), col("embedding").as("cemb2")),
             "cand_id", "cemb2")
           .select(col("cand_id").as("cc_id"), col("cell").as("ccell"))
-        // cell pruning: keep only (query, candidate) pairs in the same cell
-        val pruned = pqScores(s, d)
-          .join(broadcast(qCells), "q_id")
-          .join(cCells, col("cand_id") === col("cc_id") && col("cell") === col("ccell"))
+        // prune BEFORE scoring: codes pick up their candidate's cell, fan
+        // out only over the queries probing that cell, and the LUT join +
+        // ADC sum run on the surviving (query, candidate) pairs alone —
+        // the cost shrink the inverted file exists for
+        val (codes, lut) = pqCodesAndLut(s, d)
+        val prunedCodes = codes
+          .join(cCells, col("cand_id") === col("cc_id"))
+          .join(broadcast(qCells), col("ccell") === col("cell"))
+          .select(col("q_id").as("pq_id"), col("cand_id"), col("m"), col("code_k"))
+        val pruned = prunedCodes
+          .join(broadcast(lut), col("lm") === col("m") &&
+            col("k") === col("code_k") && col("q_id") === col("pq_id"))
+          .groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("lut_u")).as("adot_u"))
         val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
         pruned.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)

@@ -43,6 +43,36 @@ class AsofSpec extends AnyFunSuite {
     assert(out("q10") == (null, null, null))
   }
 
+  test("NULL timestamps never fabricate matches, either side") {
+    val l = Seq((1L, Option(4L), "p4"), (1L, Option.empty[Long], "pNull"))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, Option.empty[Long], "rNull", 1L), (1L, Option(10L), "r10", 10L))
+      .toDF("k", "ts", "tag", "v")
+    val back = Asof.backward(l, r, "k", "ts", Seq("tag", "v"))
+      .collect().map(x => x.getString(2) -> Option(x.get(4)).orNull).toMap
+    // nothing at-or-before 4 (the NULL-ts right row must not be picked)
+    assert(back("p4") == null)
+    assert(back("pNull") == null)
+    val fwd = Asof.forward(l, r, "k", "ts", Seq("tag", "v"))
+      .collect().map(x => x.getString(2) -> Option(x.get(4)).orNull).toMap
+    assert(fwd("p4") == "r10")
+    // a NULL-ts left row is off the time axis: no match, not "earliest"
+    assert(fwd("pNull") == null)
+  }
+
+  test("colliding output names are rejected up front") {
+    val l = left.withColumnRenamed("lid", "asof_tag")
+    intercept[IllegalArgumentException] {
+      Asof.backward(l, right, "k", "ts", Seq("tag"))
+    }
+    intercept[IllegalArgumentException] {
+      Asof.backward(left, right, "k", "ts", Seq("tag", "tag"))
+    }
+    intercept[IllegalArgumentException] {
+      Asof.backward(left, right, "k", "ts", Seq("ts"))
+    }
+  }
+
   test("payload columns travel atomically (one struct = one right row)") {
     // every returned (asof_tag, asof_v, asof_ts) triple must be an actual
     // right-side row — mixed-row combinations cannot appear
