@@ -489,6 +489,49 @@ object ML extends QueryModule {
 
   override val defs: Seq[Q] = Seq(
 
+    // k-NN classification over the labeled embeddings — the natural
+    // companion of the similarity family the reference lacks entirely:
+    // 5 nearest candidates by cosine (broadcast queries, codegen'd dots,
+    // partial top-k in the rank window), majority label vote, ties to the
+    // smaller label. At corpus scale the brute-force stage swaps for any
+    // declared ANN row (IVF/PQ) without touching the vote.
+    Q("q_ml_knn",
+      (s, d) => {
+        import graft.functions.VecOps
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"),
+            col("label").cast("long").as("label"))
+        val sims = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"), col("label"),
+            round(VecOps.cosine(col("qemb"), col("cemb")), 6).as("sim"))
+        val wTop = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val votes = sims.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .groupBy(col("q_id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+        val wVote = Window.partitionBy(col("q_id")).orderBy(desc("votes"), asc("label"))
+        votes.withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${Similarity.eSql}, ${Similarity.bruteSimsSql},
+              top5 AS (SELECT q_id, cand_id FROM bsims
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, cand_id) <= 5),
+              votes AS (SELECT t.q_id, CAST(emb.label AS BIGINT) AS label,
+                COUNT(*) AS votes
+                FROM top5 t JOIN embeddings emb ON emb.vec_id = t.cand_id
+                GROUP BY t.q_id, label)
+              SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+              FROM votes
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY votes DESC, label) = 1
+              ORDER BY q_id""")),
+
     Q("q_ml_kmeans", (s, d) => kmeans(s, d), Some(kmeansSql)),
 
     Q("q_ml_kmeans_vec", (s, d) => kmeansVec(s, d), Some(kmeansVecSql())),

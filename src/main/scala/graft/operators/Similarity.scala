@@ -61,7 +61,7 @@ object Similarity extends QueryModule {
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings)"""
 
   /** brute-force cosine sims for every (query, candidate) pair → bsims. */
-  private val bruteSimsSql =
+  private[operators] val bruteSimsSql =
     """q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
        c AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
        bsims AS (SELECT q_id, cand_id,

@@ -254,6 +254,32 @@ object StreamingOps extends QueryModule {
                SELECT cell, COUNT(*) AS n_vectors FROM cells
                GROUP BY cell ORDER BY cell""")),
 
+    // LIVE sketch aggregation in the gate: approx_count_distinct (HLL++)
+    // as STREAMING state — per-key distinct-user estimates maintained
+    // incrementally by the state store, the bounded-memory alternative to
+    // exact streaming distinct (whose state grows with the key×user
+    // product). Declared check: the live estimate must land within 10% of
+    // the exact batch distinct per event_type (invariant row, like
+    // q_agg_approx / q_agg_hll_merge).
+    Q("q_stream_live_approx",
+      (s, d) => {
+        val live = runLive(s,
+          graft.streaming.Streams.events(s, s"$d/events.parquet")
+            .groupBy(col("event_type"))
+            .agg(approx_count_distinct(col("user_id")).as("adc")),
+          "complete", Seq("event_type"))
+        ev(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .join(live, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("adc") - col("exact_users")) <= col("exact_users") * 0.10)
+              .as("within_10pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+              true AS within_10pct
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // LIVE stream-STATIC join in the gate: live events enriched against
     // the batch customer dimension (streaming/Streams.enrichedNationTotals)
     // — the "facts stream, dimensions in the lake" deployment. The static
