@@ -105,25 +105,74 @@ object Curation extends QueryModule {
         data.unpersist()
         out
       },
-      Some {
-        val feat = s"""d AS (SELECT doc_id,
-          ${TextExprs.qualityScoreSql("text")} AS x1,
-          LN(1.0 + n_chars) / 10.0 AS x2,
-          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)"""
-        val steps = (0 until 3).map { i =>
-          s"""t${i + 1} AS (SELECT
-             ROUND(th0 - SUM(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) / COUNT(*), 9) AS th0,
-             ROUND(th1 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x1) / COUNT(*), 9) AS th1,
-             ROUND(th2 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x2) / COUNT(*), 9) AS th2
-             FROM d CROSS JOIN t$i GROUP BY th0, th1, th2)"""
-        }.mkString(",\n")
-        s"""WITH $feat,
-           t0 AS (SELECT 0.0 AS th0, 0.0 AS th1, 0.0 AS th2),
-           $steps
-           SELECT doc_id,
-             ROUND(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))), 6) AS score,
-             1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) >= 0.5 AS keep
-           FROM d CROSS JOIN t3 ORDER BY doc_id"""
-      })
+      Some(s"""WITH $qualityModelCtes
+           SELECT doc_id, score, keep FROM scored ORDER BY doc_id""")),
+
+    // Model EVALUATION: exact ROC-AUC of the trained quality score against
+    // its training label, by the Mann-Whitney rank-sum with average ranks
+    // for ties — the measurement a filter deployment reads before picking
+    // a keep threshold. Computed from per-SCORE-GROUP counts (cumulative
+    // window over distinct rounded scores, never a global per-row sort):
+    // O(score grid) window rows at any corpus size. All intermediates are
+    // dyadic rationals well under 2^53, so the double arithmetic is exact
+    // and order-independent in both engines.
+    Q("q_pipeline_quality_auc",
+      (s, d) => {
+        val scored = graft.SparkEntry.queries("q_pipeline_quality_model")(s, d)
+          .select(col("doc_id"), col("score"))
+        val y = Tables(s, d, "documents")
+          .select(col("doc_id"), when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        val g = scored.join(y, "doc_id")
+          .groupBy("score")
+          .agg(count(lit(1)).cast("double").as("n"), sum("y").as("np_g"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val ranked = g.withColumn("arank",
+          coalesce(sum("n").over(w), lit(0.0)) + (col("n") + 1.0) / 2.0)
+        ranked.agg(
+            sum(col("np_g") * col("arank")).as("rsum"),
+            sum(col("np_g")).as("np"),
+            sum(col("n") - col("np_g")).as("nn"))
+          .select(col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"),
+            round((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
+              (col("np") * col("nn")), 6).as("auc"))
+      },
+      Some(s"""WITH $qualityModelCtes,
+           lab AS (SELECT s.score, d.y FROM scored s JOIN d USING (doc_id)),
+           g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS np_g
+             FROM lab GROUP BY score),
+           ranked AS (SELECT np_g, n,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS arank
+             FROM g),
+           agg AS (SELECT SUM(np_g * arank) AS rsum, SUM(np_g) AS np,
+             SUM(n - np_g) AS nn FROM ranked)
+           SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+             ROUND((rsum - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc
+           FROM agg"""))
   )
+
+  /** Train + score SQL chain shared by the quality-model row and its AUC
+    * evaluator (ends in `scored(doc_id, score, keep)`; `d` carries the
+    * features + label). */
+  private lazy val qualityModelCtes: String = {
+    val feat = s"""d AS (SELECT doc_id,
+      ${TextExprs.qualityScoreSql("text")} AS x1,
+      LN(1.0 + n_chars) / 10.0 AS x2,
+      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)"""
+    val steps = (0 until 3).map { i =>
+      s"""t${i + 1} AS (SELECT
+         ROUND(th0 - SUM(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) / COUNT(*), 9) AS th0,
+         ROUND(th1 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x1) / COUNT(*), 9) AS th1,
+         ROUND(th2 - SUM((1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) - y) * x2) / COUNT(*), 9) AS th2
+         FROM d CROSS JOIN t$i GROUP BY th0, th1, th2)"""
+    }.mkString(",\n")
+    s"""$feat,
+       t0 AS (SELECT 0.0 AS th0, 0.0 AS th1, 0.0 AS th2),
+       $steps,
+       scored AS (SELECT doc_id,
+         ROUND(1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))), 6) AS score,
+         1.0 / (1.0 + EXP(-(th0 + th1 * x1 + th2 * x2))) >= 0.5 AS keep
+         FROM d CROSS JOIN t3)"""
+  }
 }
