@@ -100,6 +100,13 @@ object Dedup extends QueryModule {
        SELECT doc_id + 1000000, regexp_replace(upper(text), ' ', '  ', 'g'), source
        FROM documents WHERE doc_id % 10 = 0)"""
 
+  /** ONE canonical-text definition for both normalization-dedup queries
+    * (case-fold + collapse non-alnum runs + trim), with its SQL twin. */
+  private val normCanon: Column =
+    trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+  private val normCanonSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
   private val minhashSql =
     s"""$shinglesSql,
        shh AS (SELECT doc_id, md5(sh) AS m1, md5('x' || sh) AS m2 FROM sh),
@@ -213,37 +220,30 @@ object Dedup extends QueryModule {
     // hash keeps the copies apart; the canonical hash collapses them.
     // Pure projection + one hash-agg: zero extra shuffles at any scale.
     Q("q_dedup_normalized",
-      (s, d) => {
-        val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-        normStaged(s, d)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(md5(col("text"))).as("n_unique_raw"),
-            countDistinct(md5(canon)).as("n_unique_norm"))
-          .orderBy("source")
-      },
+      (s, d) => normStaged(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_raw"),
+          countDistinct(md5(normCanon)).as("n_unique_norm"))
+        .orderBy("source"),
       Some(s"""WITH $normStagedSql
               SELECT source, COUNT(*) AS n_docs,
               COUNT(DISTINCT md5(text)) AS n_unique_raw,
-              COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
-                AS n_unique_norm
+              COUNT(DISTINCT md5($normCanonSql)) AS n_unique_norm
               FROM staged GROUP BY source ORDER BY source""")),
 
     // The groups normalization (alone) collapses: canonical-form hash →
     // surviving doc (min id) + member count. HAVING >1 keeps the output
     // O(dup groups), not O(corpus).
     Q("q_dedup_norm_groups",
-      (s, d) => {
-        val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-        normStaged(s, d)
-          .select(col("doc_id"), md5(canon).as("norm_hash"))
-          .groupBy("norm_hash")
-          .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_members"))
-          .filter(col("n_members") > 1)
-          .orderBy("keep_doc")
-      },
+      (s, d) => normStaged(s, d)
+        .select(col("doc_id"), md5(normCanon).as("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy("keep_doc"),
       Some(s"""WITH $normStagedSql
-              SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+              SELECT md5($normCanonSql) AS norm_hash,
               MIN(doc_id) AS keep_doc, COUNT(*) AS n_members
               FROM staged GROUP BY norm_hash HAVING COUNT(*) > 1
               ORDER BY keep_doc""")),

@@ -25,6 +25,26 @@ object Relational extends QueryModule {
 
   private val ts1997 = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
 
+  /** (purchases, clicks) sides shared by the two as-of join queries. */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = t(s, d, "events")
+    (e.filter(col("event_type") === "purchase")
+       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+     e.filter(col("event_type") === "click")
+       .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
+  }
+
+  /** the tagged click∪purchase relation both as-of oracles window over */
+  private val asofUnionSql =
+    """u AS (
+       SELECT user_id, ts, 0 AS side, event_id AS click_id,
+              NULL::BIGINT AS purchase_id
+       FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id,
+              event_id AS purchase_id
+       FROM events WHERE event_type = 'purchase')"""
+
   override val defs: Seq[Q] = Seq(
 
     // ---- §2.1 scans / sources -------------------------------------------
@@ -493,11 +513,7 @@ object Relational extends QueryModule {
     // event_id wins deterministically in both engines.
     Q("q_join_asof",
       (s, d) => {
-        val e = t(s, d, "events")
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val (purchases, clicks) = asofSides(s, d)
         Asof.backward(purchases, clicks, "user_id", "ts", Seq("click_id"))
           .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
             col("asof_click_id"), col("asof_ts").as("asof_click_ts"),
@@ -507,15 +523,7 @@ object Relational extends QueryModule {
               unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
           .orderBy("user_id", "purchase_id")
       },
-      Some("""WITH u AS (
-                SELECT user_id, ts, 0 AS side, event_id AS click_id,
-                       NULL::BIGINT AS purchase_id
-                FROM events WHERE event_type = 'click'
-                UNION ALL
-                SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id,
-                       event_id AS purchase_id
-                FROM events WHERE event_type = 'purchase'
-              ), w AS (
+      Some(s"""WITH $asofUnionSql, w AS (
                 SELECT *,
                   LAST_VALUE(click_id IGNORE NULLS) OVER win AS asof_click_id,
                   LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
@@ -534,26 +542,14 @@ object Relational extends QueryModule {
     // click (side DESC) so "at-or-after" is inclusive.
     Q("q_join_asof_fwd",
       (s, d) => {
-        val e = t(s, d, "events")
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val (purchases, clicks) = asofSides(s, d)
         Asof.forward(purchases, clicks, "user_id", "ts", Seq("click_id"))
           .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
             col("asof_click_id").as("next_click_id"),
             col("asof_ts").as("next_click_ts"))
           .orderBy("user_id", "purchase_id")
       },
-      Some("""WITH u AS (
-                SELECT user_id, ts, 0 AS side, event_id AS click_id,
-                       NULL::BIGINT AS purchase_id
-                FROM events WHERE event_type = 'click'
-                UNION ALL
-                SELECT user_id, ts, 1 AS side, NULL::BIGINT AS click_id,
-                       event_id AS purchase_id
-                FROM events WHERE event_type = 'purchase'
-              ), w AS (
+      Some(s"""WITH $asofUnionSql, w AS (
                 SELECT *,
                   FIRST_VALUE(click_id IGNORE NULLS) OVER win AS next_click_id,
                   FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
