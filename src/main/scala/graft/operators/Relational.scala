@@ -34,8 +34,9 @@ object Relational extends QueryModule {
        .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
   }
 
-  /** the tagged click∪purchase relation both as-of oracles window over */
-  private val asofUnionSql =
+  /** the tagged click∪purchase relation the as-of oracles window over
+    * (shared with q_stream_live_asof's stream==batch oracle) */
+  private[operators] val asofUnionSql =
     """u AS (
        SELECT user_id, ts, 0 AS side, event_id AS click_id,
               NULL::BIGINT AS purchase_id

@@ -280,6 +280,28 @@ object StreamingOps extends QueryModule {
               true AS within_10pct
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // LIVE as-of join in the gate: Streams.asofMatches — per-key custom
+    // state (the click frontier) via flatMapGroupsWithState, the
+    // streaming execution of the Asof.backward operator. The oracle is
+    // the batch as-of window SQL (Relational.asofUnionSql), so
+    // stream == batch is the checked invariant, exactly like the other
+    // live rows.
+    Q("q_stream_live_asof",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.asofMatches(
+            graft.streaming.Streams.events(s, s"$d/events.parquet"))
+          .toDF("user_id", "purchase_id", "asof_click_id"),
+        "append", Seq("user_id", "purchase_id")),
+      Some(s"""WITH ${Relational.asofUnionSql}, w AS (
+                SELECT *,
+                  LAST_VALUE(click_id IGNORE NULLS) OVER win AS asof_click_id
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, purchase_id, asof_click_id
+              FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
+
     // LIVE stream-STATIC join in the gate: live events enriched against
     // the batch customer dimension (streaming/Streams.enrichedNationTotals)
     // — the "facts stream, dimensions in the lake" deployment. The static

@@ -40,7 +40,8 @@ object Streams {
     * into 43 minutes); a directory that does not exist yet — the normal
     * "stream watches an empty landing dir" deployment — defaults to the
     * standard timestamp encoding. */
-  def events(spark: SparkSession, path: String): DataFrame = {
+  def events(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val f = new java.io.File(path)
     val storedTs: DataType =
       scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
@@ -48,7 +49,7 @@ object Streams {
     // read with the EXACT stored type (a TIMESTAMP_NTZ-annotated file read
     // through a TimestampType schema trips the vectorized reader's type
     // check), then normalize to LTZ for the watermark
-    val reader = spark.readStream.schema(eventsFileSchema(storedTs))
+    val reader = spark.readStream.options(options).schema(eventsFileSchema(storedTs))
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(path)
@@ -202,6 +203,41 @@ object Streams {
     * holds its partition's state across supersteps
     * (`core/src/main/java/org/apache/hama/bsp/BSPPeer.java:34-205`); each
     * micro-batch is the superstep, the changelog rows are the messages. */
+  /** LIVE as-of join as per-key custom state: for every purchase, the
+    * latest same-user click at-or-before it — the streaming execution of
+    * `operators/Asof.backward`. State per user = the click frontier
+    * (latest (ts, click_id) ever seen); each micro-batch's rows are
+    * walked in event-time order (clicks before purchases at equal ts,
+    * then event_id — the batch query's exact tie-break), so one pass
+    * emits every purchase's match and advances the frontier. A file
+    * source delivers one batch and the result equals the batch query
+    * row-for-row; on an unbounded feed the O(1)-per-key frontier carries
+    * across batches (in-order delivery per key assumed — the same
+    * contract as the reference's superstep messaging). */
+  def asofMatches(events: DataFrame): Dataset[(Long, Long, Option[Long])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as[Long],
+        unix_micros(col("ts").cast("timestamp")).as[Long],
+        when(col("event_type") === "click", 0).otherwise(1).as[Int],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          var frontier = state.getOption // latest (ts_micros, click_id)
+          val out = Seq.newBuilder[(Long, Long, Option[Long])]
+          rows.toSeq.sortBy { case (_, ts, side, eid) => (ts, side, eid) }
+            .foreach { case (_, ts, side, eid) =>
+              if (side == 0) frontier = Some((ts, eid)) // sorted ⇒ monotone
+              else out += ((user, eid, frontier.map(_._2)))
+            }
+          frontier.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def runningTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._

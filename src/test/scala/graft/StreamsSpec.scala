@@ -28,6 +28,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("live as-of frontier carries across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events at the time median into two files; maxFilesPerTrigger=1
+    // forces two micro-batches in file order (earlier half first), so
+    // second-batch purchases must match first-batch clicks through STATE
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    val ev = Tables(spark, TestSpark.sf0, "events")
+    val mid = ev.selectExpr(
+        "timestamp_micros(CAST(percentile_cont(0.5) WITHIN GROUP " +
+          "(ORDER BY unix_micros(CAST(ts AS TIMESTAMP))) AS BIGINT))")
+      .collect()(0).getAs[java.sql.Timestamp](0)
+      .toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+    ev.filter(col("ts") <= lit(mid)).coalesce(1).write.parquet(s"$dir/b1")
+    ev.filter(col("ts") > lit(mid)).coalesce(1).write.parquet(s"$dir/b2")
+    val flat = Files.createTempDirectory("graft-asof-flat").toString
+    var i = 0
+    for (sub <- Seq("b1", "b2")) {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(f"$flat/part$i%02d.parquet"))
+      // file source orders pending files by modification time: make the
+      // halves' order deterministic regardless of copy speed
+      new java.io.File(f"$flat/part$i%02d.parquet").setLastModified(1000000L * (i + 1))
+      i += 1
+    }
+    val q = Streams.asofMatches(
+        Streams.events(spark, flat, Map("maxFilesPerTrigger" -> "1")))
+      .toDF("user_id", "purchase_id", "asof_click_id")
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty micro-batches")
+    val streamed = spark.table("asof_out").orderBy("user_id", "purchase_id").collect()
+    val batch = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf0)
+      .select("user_id", "purchase_id", "asof_click_id")
+      .orderBy("user_id", "purchase_id").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+    spark.catalog.dropTempView("asof_out")
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val q = Streams.dedup(Streams.events(spark, stagedDir()))
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
