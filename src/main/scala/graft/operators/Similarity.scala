@@ -94,16 +94,26 @@ object Similarity extends QueryModule {
     * candidate codes (per (cand, subspace): nearest codeword by dot) and
     * per-query LUT (subspace dots vs every codeword, exact micro-units),
     * plus the ADC score join. Codebook = subvectors of vec_id < pqK. */
-  private def pqCodesAndLut(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val emb = Tables(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** per-subspace subvector projection: id column name → (id, m, sv). */
+  private def pqSubs(s: SparkSession, d: String)(idCol: String): DataFrame = {
     val ms = (0 until pqM).map(m => lit(m))
-    def subs(idCol: String): DataFrame = emb
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
       .select(col(idCol), col("m"),
         slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("sv"))
-    val cb = subs("k").filter(col("k") < pqK)
+  }
+
+  /** seed codebook: subvectors of vec_id < pqK as (k, m, cbv). */
+  private def pqSeedCb(s: SparkSession, d: String): DataFrame =
+    pqSubs(s, d)("k").filter(col("k") < pqK)
       .select(col("k"), col("m"), col("sv").as("cbv"))
+
+  /** candidate codes + query LUT against a given codebook (cb must have
+    * columns (k, m, cbv)). */
+  private def pqCodesAndLutVs(s: SparkSession, d: String,
+      cb: DataFrame): (DataFrame, DataFrame) = {
+    val subs = pqSubs(s, d) _
     // ENCODE: per (candidate, subspace), nearest codeword by dot
     val codes = subs("cand_id").filter(col("cand_id") >= pqK)
       .join(broadcast(cb), "m")
@@ -116,6 +126,32 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("m").as("lm"), col("k"),
         floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
     (codes, lut)
+  }
+
+  private def pqCodesAndLut(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCodesAndLutVs(s, d, pqSeedCb(s, d))
+
+  /** ONE Lloyd refinement of the seed codebook, per subspace: assign every
+    * vector's subvector to its nearest seed codeword, recompute per-
+    * (subspace, codeword, position) means (rounded at 4 like the IVF
+    * trained quantizer — this value feeds another rounded compare).
+    * Codewords that attract no vectors drop out, identically in the
+    * oracle (group-by absence). */
+  private def pqTrainedCb(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d) _
+    val all = subs("vec_id")
+    val a1 = all.join(broadcast(pqSeedCb(s, d)), "m")
+      .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("k"))
+    a1.join(all, Seq("vec_id", "m"))
+      .select(col("m"), col("k"), posexplode(col("sv")))
+      .groupBy(col("m"), col("k"), col("pos"))
+      .agg(round(avg(col("col")), 4).as("cv"))
+      .groupBy(col("m"), col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cbv"))
+      .select(col("k"), col("m"), col("cbv"))
   }
 
   private def pqScores(s: SparkSession, d: String): DataFrame = {
@@ -151,6 +187,83 @@ object Similarity extends QueryModule {
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
            ORDER BY adot_u DESC, cand_id) AS BIGINT) AS rank
          FROM pqscores)"""
+
+  /** trained-PQ chain on top of pqScoresSql's sub/cb: one Lloyd
+    * refinement per subspace (assign all vectors to seed codewords,
+    * per-(m,k,pos) means rounded at 4), then codes/LUT/ADC vs the
+    * trained codebook → tpqtop. */
+  private val pqTrainedSql =
+    s"""ta1 AS (SELECT s.vec_id, s.m, cb.k, ROUND(SUM(s.ev * cb.cbv), 6) AS dot
+         FROM sub s JOIN cb ON s.m = cb.m AND s.sp = cb.sp
+         GROUP BY s.vec_id, s.m, cb.k),
+       tasg AS (SELECT vec_id, m, k FROM ta1
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+           ORDER BY dot DESC, k) = 1),
+       tcb AS (SELECT a.m, a.k, s.sp, ROUND(AVG(s.ev), 4) AS cbv
+         FROM tasg a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+         GROUP BY a.m, a.k, s.sp),
+       tcd AS (SELECT s.vec_id AS cand_id, s.m, t.k,
+         ROUND(SUM(s.ev * t.cbv), 6) AS dot
+         FROM sub s JOIN tcb t ON s.m = t.m AND s.sp = t.sp
+         WHERE s.vec_id >= $pqK GROUP BY cand_id, s.m, t.k),
+       tcodes AS (SELECT cand_id, m, k AS code_k FROM tcd
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY cand_id, m
+           ORDER BY dot DESC, k) = 1),
+       tlut AS (SELECT s.vec_id AS q_id, s.m, t.k,
+         CAST(FLOOR(SUM(s.ev * t.cbv) * 1e6 + 0.5) AS BIGINT) AS lut_u
+         FROM sub s JOIN tcb t ON s.m = t.m AND s.sp = t.sp
+         WHERE s.vec_id < 5 GROUP BY q_id, s.m, t.k),
+       tscores AS (SELECT q_id, cand_id, CAST(SUM(lut_u) AS BIGINT) AS adot_u
+         FROM tcodes JOIN tlut ON tlut.m = tcodes.m AND tlut.k = tcodes.code_k
+         GROUP BY q_id, cand_id),
+       tpqtop AS (SELECT q_id, cand_id, adot_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adot_u DESC, cand_id) AS BIGINT) AS rank
+         FROM tscores)"""
+
+  /** exact-dot top-5 ground truth over the PQ candidate set → truth. */
+  private val pqTruthSql =
+    s"""xq AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+       xc AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= $pqK),
+       xdots AS (SELECT q_id, cand_id, ROUND(SUM(qv * cv), 6) AS dot
+         FROM xc JOIN xq USING (pos) GROUP BY q_id, cand_id),
+       truth AS (SELECT q_id, cand_id FROM xdots
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY dot DESC, cand_id) <= 5)"""
+
+  /** shared recall@5 tail: a pq top CTE LEFT-joined against truth. */
+  private def pqRecallSql(topCte: String): String =
+    s"""SELECT t.q_id, COUNT(p.cand_id) AS n_hits,
+        ROUND(COUNT(p.cand_id) * 1.0 / COUNT(*), 6) AS recall
+        FROM truth t LEFT JOIN (SELECT q_id, cand_id FROM $topCte WHERE rank <= 5) p
+          ON p.q_id = t.q_id AND p.cand_id = t.cand_id
+        GROUP BY t.q_id ORDER BY t.q_id"""
+
+  /** recall@5 of a declared PQ search row against the exact-dot top-5
+    * ground truth over the same candidate set. */
+  private def pqRecallOf(s: SparkSession, d: String, pqQuery: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = emb.filter(col("vec_id") >= pqK)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val exact = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("cand_id"),
+        round(vecDot(col("qv"), col("cv")), 6).as("dot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot"), asc("cand_id"))
+    val truth = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select(col("q_id"), col("cand_id"))
+    val pq = graft.SparkEntry.queries(pqQuery)(s, d)
+      .select(col("q_id").as("pqq"), col("cand_id").as("pqc"))
+    truth.join(pq, col("q_id") === col("pqq") && col("cand_id") === col("pqc"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("pqq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
+      .orderBy("q_id")
+  }
 
   /** rank a sims CTE per q_id by (sim DESC, cand_id) and keep the top k. */
   private def rankSql(simsCte: String, k: Int): String =
@@ -283,42 +396,46 @@ object Similarity extends QueryModule {
     // ~0.2-0.4 recall@5; real clustered embeddings and a trained codebook
     // sit far higher. The row's value is that the knob is MEASURED.)
     Q("q_sim_pq_recall",
+      (s, d) => pqRecallOf(s, d, "q_sim_pq"),
+      Some(s"""WITH $eSql, $pqScoresSql, $pqTruthSql
+               ${pqRecallSql("pqtop")}""")),
+
+    // PQ with a TRAINED codebook — the quantizer-quality knob beside the
+    // IVF family's q_sim_ivf_trained: one Lloyd refinement per subspace
+    // (assign every vector's subvector to its nearest seed codeword,
+    // recompute per-(subspace, codeword, position) means), then the
+    // standard codes/LUT/ADC search against the trained codewords.
+    // Training is one broadcast-assign pass + one (m, k, pos)-keyed
+    // aggregate — data-parallel, no driver loop, same shape at any
+    // corpus size.
+    Q("q_sim_pq_trained",
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val c = emb.filter(col("vec_id") >= pqK)
-          .select(col("vec_id").as("cand_id"), col("v").as("cv"))
-        val exact = c.crossJoin(broadcast(q))
-          .select(col("q_id"), col("cand_id"),
-            round(vecDot(col("qv"), col("cv")), 6).as("dot"))
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("dot"), asc("cand_id"))
-        val truth = exact.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5).select(col("q_id"), col("cand_id"))
-        val pq = graft.SparkEntry.queries("q_sim_pq")(s, d)
-          .select(col("q_id").as("pqq"), col("cand_id").as("pqc"))
-        truth.join(pq, col("q_id") === col("pqq") && col("cand_id") === col("pqc"), "left")
-          .groupBy("q_id")
-          .agg(count(lit(1)).as("k"),
-            sum(when(col("pqq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
-          .select(col("q_id"), col("n_hits"),
-            round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
-          .orderBy("q_id")
+        val (codes, lut) = pqCodesAndLutVs(s, d, pqTrainedCb(s, d))
+        val scores = codes
+          .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
+          .groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("lut_u")).as("adot_u"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
+        scores.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
+          .orderBy("q_id", "rank")
       },
-      Some(s"""WITH $eSql, $pqScoresSql,
-               xq AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
-               xc AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= $pqK),
-               xdots AS (SELECT q_id, cand_id, ROUND(SUM(qv * cv), 6) AS dot
-                 FROM xc JOIN xq USING (pos) GROUP BY q_id, cand_id),
-               truth AS (SELECT q_id, cand_id FROM xdots
-                 QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY dot DESC, cand_id) <= 5)
-               SELECT t.q_id, COUNT(p.cand_id) AS n_hits,
-                 ROUND(COUNT(p.cand_id) * 1.0 / COUNT(*), 6) AS recall
-               FROM truth t LEFT JOIN (SELECT q_id, cand_id FROM pqtop WHERE rank <= 5) p
-                 ON p.q_id = t.q_id AND p.cand_id = t.cand_id
-               GROUP BY t.q_id ORDER BY t.q_id""")),
+      Some(s"""WITH $eSql, $pqScoresSql, $pqTrainedSql
+               SELECT q_id, rank, cand_id, adot_u FROM tpqtop
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ... and its measured recall@5 — the number that justifies (or
+    // rejects) spending the training pass at deployment time. On THIS
+    // corpus it rejects it: isotropic random embeddings have no cluster
+    // structure, so the Lloyd step pulls codewords toward the global mean
+    // and measured recall is flat-to-worse vs the sampled codebook
+    // (0.16 vs 0.20 mean at sf0.01) — exactly the deployment decision
+    // the evaluator row exists to surface.
+    Q("q_sim_pq_trained_recall",
+      (s, d) => pqRecallOf(s, d, "q_sim_pq_trained"),
+      Some(s"""WITH $eSql, $pqScoresSql, $pqTrainedSql, $pqTruthSql
+               ${pqRecallSql("tpqtop")}""")),
 
     // IVF+PQ — the production-scale composition (FAISS's IVFPQ shape):
     // the inverted file prunes the candidate list to the query's cell,
