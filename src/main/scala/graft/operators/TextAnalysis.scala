@@ -56,6 +56,40 @@ object TextAnalysis extends QueryModule {
                  ROUND(AVG(CAST(length(tok) AS DOUBLE)), 4) AS avg_len
                FROM toks GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Tokenizer-coverage analysis: induce the corpus vocabulary (top-100
+    // tokens by frequency, ties to the lexicographically smaller token —
+    // the deterministic analogue of a vocab-size cutoff) and measure each
+    // document's out-of-vocabulary rate. The vocab is O(cutoff) and
+    // BROADCAST against the token stream, so coverage scoring is one
+    // corpus scan + the per-doc rollup — the QA pass run before freezing
+    // a tokenizer on new data.
+    Q("q_text_vocab_oov",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("tok").agg(count(lit(1)).as("c"))
+        // orderBy+limit plans as TakeOrderedAndProject (per-partition
+        // partial top-k, no single-partition sort of the whole vocabulary)
+        val vocab = tf.orderBy(desc("c"), asc("tok")).limit(100)
+          .select(col("tok").as("vtok"))
+        toks(s, d)
+          .join(broadcast(vocab), col("tok") === col("vtok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") * 1.0 / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+               vocab AS (SELECT tok FROM (
+                 SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS r
+                 FROM toks GROUP BY tok) t WHERE r <= 100),
+               j AS (SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+               SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+                 ROUND(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate
+               FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // language ID: stopword-hit argmax per document
     Q("q_text_langid",
       (s, d) => {
