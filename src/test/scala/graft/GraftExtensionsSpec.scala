@@ -68,6 +68,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("VecDotCastElision removes array<double> casts under vec_dot, same result") {
+    import graft.functions.VecOps
+    val emb = Tables(spark, TestSpark.sf0, "embeddings").limit(30)
+      .select(col("vec_id"), col("embedding"))
+    val tidy = emb.select(col("vec_id"),
+      VecOps.vecDot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d"))
+    // the session rule (injected via GraftExtensions) must strip both casts
+    val dots = tidy.queryExecution.optimizedPlan
+      .collect { case n => n.expressions.flatMap(_.collect {
+        case d: graft.functions.VecDot => d
+      }) }.flatten
+    assert(dots.nonEmpty)
+    dots.foreach { d =>
+      assert(!d.left.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast] &&
+        !d.right.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast],
+        s"cast not elided: $d")
+    }
+    // and the rewrite is bit-identical to the uncast spelling
+    val raw = emb.select(col("vec_id"),
+      VecOps.vecDot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    tidy.collect().foreach(r => assert(r.getDouble(1) == raw(r.getLong(0))))
+  }
+
   test("vec_cosine SQL name equals the Column-API cosine on embeddings") {
     GraftFunctions.register(spark)
     val emb = Tables(spark, TestSpark.sf0, "embeddings").limit(20)
