@@ -134,8 +134,12 @@ object Curation extends QueryModule {
             sum(col("np_g")).as("np"),
             sum(col("n") - col("np_g")).as("nn"))
           .select(col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"),
-            round((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
-              (col("np") * col("nn")), 6).as("auc"))
+            // degenerate single-class corpus: AUC is undefined — emit NULL
+            // explicitly in BOTH engines (Spark's x/0 → NULL vs DuckDB's
+            // IEEE inf would otherwise split the gate)
+            when(col("np") * col("nn") > 0,
+              round((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
+                (col("np") * col("nn")), 6)).as("auc"))
       },
       Some(s"""WITH $qualityModelCtes,
            lab AS (SELECT s.score, d.y FROM scored s JOIN d USING (doc_id)),
@@ -148,7 +152,9 @@ object Curation extends QueryModule {
            agg AS (SELECT SUM(np_g * arank) AS rsum, SUM(np_g) AS np,
              SUM(n - np_g) AS nn FROM ranked)
            SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-             ROUND((rsum - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc
+             CASE WHEN np * nn > 0
+               THEN ROUND((rsum - np * (np + 1.0) / 2.0) / (np * nn), 6)
+             END AS auc
            FROM agg"""))
   )
 

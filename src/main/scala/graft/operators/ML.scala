@@ -497,19 +497,16 @@ object ML extends QueryModule {
     // declared ANN row (IVF/PQ) without touching the vote.
     Q("q_ml_knn",
       (s, d) => {
-        import graft.functions.VecOps
-        val emb = Tables(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
-        val c = emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"),
-            col("label").cast("long").as("label"))
-        val sims = c.crossJoin(broadcast(q))
-          .select(col("q_id"), col("cand_id"), col("label"),
-            round(VecOps.cosine(col("qemb"), col("cemb")), 6).as("sim"))
+        // rank the ONE shared brute-force cosine relation (Similarity
+        // .bruteSims — the DataFrame twin of the bruteSimsSql oracle CTE),
+        // then join labels per top-5 hit, mirroring the oracle's structure
         val wTop = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
-        val votes = sims.withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5)
+        val top5 = Similarity.bruteSims(s, d)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("q_id", "cand_id")
+        val labels = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val votes = top5.join(labels, col("cand_id") === col("vec_id"))
           .groupBy(col("q_id"), col("label"))
           .agg(count(lit(1)).as("votes"))
         val wVote = Window.partitionBy(col("q_id")).orderBy(desc("votes"), asc("label"))

@@ -154,13 +154,35 @@ object Similarity extends QueryModule {
       .select(col("k"), col("m"), col("cbv"))
   }
 
-  private def pqScores(s: SparkSession, d: String): DataFrame = {
-    val (codes, lut) = pqCodesAndLut(s, d)
+  /** ADC scores + top-5 ranking over a (codes, lut) pair — the one
+    * definition of the join condition, the micro-unit sum, and the
+    * (adot_u DESC, cand_id) tie-break, shared by the seed and trained PQ
+    * rows so they cannot diverge from the shared SQL chain. */
+  private def pqAdcTop(codes: DataFrame, lut: DataFrame): DataFrame = {
     // ADC: approximate dot = Σ_m lut[q, m, code[cand, m]], every query
     // against every candidate (the LUT join fans codes out per query)
-    codes.join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
+    val scores = codes
+      .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("lut_u")).as("adot_u"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** round-6 cosine of every (query, candidate) pair — the bsims relation
+    * both q_sim_topk and ML's q_ml_knn rank (SQL twin: bruteSimsSql). */
+  private[operators] def bruteSims(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val c = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("cand_id"),
+        round(cosine(col("qemb"), col("cemb")), 6).as("sim"))
   }
 
   /** product-quantization chain: subspace split → codebook → candidate
@@ -303,16 +325,8 @@ object Similarity extends QueryModule {
     // brute-force cosine top-k: queries = vec_id < 5, candidates = the rest
     Q("q_sim_topk",
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
-        val c = emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
-        val sims = c.crossJoin(broadcast(q))
-          .select(col("q_id"), col("cand_id"),
-            round(cosine(col("qemb"), col("cemb")), 6).as("sim"))
         val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
-        sims.withColumn("rank", row_number().over(w).cast("long"))
+        bruteSims(s, d).withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= topK)
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
@@ -376,14 +390,7 @@ object Similarity extends QueryModule {
     // both engines. Codebook = subvectors of vec_id < pqK (deterministic
     // sample, like the IVF seed centroids); candidates = vec_id >= pqK.
     Q("q_sim_pq",
-      (s, d) => {
-        val scores = pqScores(s, d)
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
-        scores.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => (pqAdcTop _).tupled(pqCodesAndLut(s, d)),
       Some(s"""WITH $eSql, $pqScoresSql
                SELECT q_id, rank, cand_id, adot_u FROM pqtop
                WHERE rank <= 5 ORDER BY q_id, rank""")),
@@ -409,18 +416,7 @@ object Similarity extends QueryModule {
     // aggregate — data-parallel, no driver loop, same shape at any
     // corpus size.
     Q("q_sim_pq_trained",
-      (s, d) => {
-        val (codes, lut) = pqCodesAndLutVs(s, d, pqTrainedCb(s, d))
-        val scores = codes
-          .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
-          .groupBy(col("q_id"), col("cand_id"))
-          .agg(sum(col("lut_u")).as("adot_u"))
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
-        scores.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => (pqAdcTop _).tupled(pqCodesAndLutVs(s, d, pqTrainedCb(s, d))),
       Some(s"""WITH $eSql, $pqScoresSql, $pqTrainedSql
                SELECT q_id, rank, cand_id, adot_u FROM tpqtop
                WHERE rank <= 5 ORDER BY q_id, rank""")),

@@ -230,8 +230,20 @@ object Streams {
           val out = Seq.newBuilder[(Long, Long, Option[Long])]
           rows.toSeq.sortBy { case (_, ts, side, eid) => (ts, side, eid) }
             .foreach { case (_, ts, side, eid) =>
-              if (side == 0) frontier = Some((ts, eid)) // sorted ⇒ monotone
-              else out += ((user, eid, frontier.map(_._2)))
+              if (side == 0) {
+                // advance-only: a click arriving in a LATER batch with an
+                // earlier event time must not rewind the frontier (that
+                // would corrupt every subsequent purchase for this user —
+                // the damage stays bounded to the late click itself)
+                if (frontier.forall { case (fts, fid) =>
+                      ts > fts || (ts == fts && eid >= fid) })
+                  frontier = Some((ts, eid))
+              } else {
+                // never match a click AFTER the purchase: a late-arriving
+                // purchase older than the frontier gets no match (null)
+                // rather than a future click
+                out += ((user, eid, frontier.collect { case (fts, fid) if fts <= ts => fid }))
+              }
             }
           frontier.foreach(state.update)
           out.result().iterator

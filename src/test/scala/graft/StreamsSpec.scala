@@ -28,11 +28,12 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
-  test("live as-of frontier carries across micro-batches") {
+  /** split events at the time median, stage the two halves as separate
+    * files in mtime order `halves` (earlier half = "b1"), and run
+    * asofMatches with maxFilesPerTrigger=1 → one micro-batch per half. */
+  private def runAsofHalves(halves: Seq[String], sinkName: String)
+      : Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
-    // split events at the time median into two files; maxFilesPerTrigger=1
-    // forces two micro-batches in file order (earlier half first), so
-    // second-batch purchases must match first-batch clicks through STATE
     val dir = Files.createTempDirectory("graft-asof-stream").toString
     val ev = Tables(spark, TestSpark.sf0, "events")
     val mid = ev.selectExpr(
@@ -44,7 +45,7 @@ class StreamsSpec extends AnyFunSuite {
     ev.filter(col("ts") > lit(mid)).coalesce(1).write.parquet(s"$dir/b2")
     val flat = Files.createTempDirectory("graft-asof-flat").toString
     var i = 0
-    for (sub <- Seq("b1", "b2")) {
+    for (sub <- halves) {
       val f = new java.io.File(s"$dir/$sub").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       Files.copy(f.toPath, Paths.get(f"$flat/part$i%02d.parquet"))
@@ -56,17 +57,42 @@ class StreamsSpec extends AnyFunSuite {
     val q = Streams.asofMatches(
         Streams.events(spark, flat, Map("maxFilesPerTrigger" -> "1")))
       .toDF("user_id", "purchase_id", "asof_click_id")
-      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
     q.processAllAvailable(); q.stop()
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
       "expected at least two non-empty micro-batches")
-    val streamed = spark.table("asof_out").orderBy("user_id", "purchase_id").collect()
+    val out = spark.table(sinkName).orderBy("user_id", "purchase_id").collect()
+    spark.catalog.dropTempView(sinkName)
+    out
+  }
+
+  test("live as-of frontier carries across micro-batches") {
+    // earlier half first: second-batch purchases must match first-batch
+    // clicks through STATE, and the result equals the batch query exactly
+    val streamed = runAsofHalves(Seq("b1", "b2"), "asof_out")
     val batch = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf0)
       .select("user_id", "purchase_id", "asof_click_id")
       .orderBy("user_id", "purchase_id").collect()
     assert(streamed.length === batch.length)
     assert(streamed.toSeq === batch.toSeq)
-    spark.catalog.dropTempView("asof_out")
+  }
+
+  test("live as-of under out-of-order batches keeps the causal invariant") {
+    import org.apache.spark.sql.functions._
+    // LATER half arrives first — the adversarial order. Exact equality
+    // with batch is impossible (that needs reprocessing), but the guards
+    // must hold: no purchase ever matches a click AFTER it, and the
+    // frontier never rewinds (first-batch purchases still match their
+    // own half's clicks exactly as in-order processing would).
+    val streamed = runAsofHalves(Seq("b2", "b1"), "asof_ooo_out")
+    val ts = Tables(spark, TestSpark.sf0, "events")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    streamed.filter(!_.isNullAt(2)).foreach { r =>
+      assert(ts(r.getLong(2)) <= ts(r.getLong(1)),
+        s"purchase ${r.getLong(1)} matched a FUTURE click ${r.getLong(2)}")
+    }
   }
 
   test("streaming dedup keeps one row per (user_id, event_type)") {
