@@ -167,6 +167,72 @@ object ScaleBench {
       println(f"""{"metric":"lsh_knobs","value":$lshSecs%.3f,"unit":"sec",""" +
         f""""num_hashes":$nh,"band_rows":$br,"bands":${nh / br},"candidate_pairs":$nPairs}""")
     }
+    // ---- PQ / IVF+PQ at corpus scale (r5) --------------------------------
+    // The declared PQ rows run on the 5 k-vector testdata (oracle-cheap);
+    // here the SAME encode/search shapes run over a ×100-replicated corpus
+    // (500 k × 64-dim at sf0.1) to evidence the scale posture: encoding is
+    // one broadcast-join pass over the corpus (no shuffle before the
+    // per-(cand, subspace) argmax partial agg), and the IVF+PQ search cost
+    // is cell-pruned candidates × a broadcast LUT — corpus size enters
+    // only through the scan.
+    locally {
+      val rep = args.lift(4).map(_.toInt).getOrElse(100)
+      val emb0 = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val base = emb0.count()
+      // replica v+r*base keeps ids 0..7 = the ORIGINAL distinct vectors
+      // (codebook + centroids + queries must not collapse to copies of
+      // vector 0, or every vector lands in one cell and nothing prunes)
+      val big = emb0.crossJoin(spark.range(rep).select(col("id").as("r")))
+        .select((col("vec_id") + col("r") * base).as("vec_id"), col("v"))
+        .cache()
+      val n = big.count()
+      val ms = (0 until 4).map(m => lit(m))
+      def subs(src: org.apache.spark.sql.DataFrame, idCol: String) = src
+        .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
+        .select(col(idCol), col("m"), slice(col("v"), col("m") * 16 + 1, lit(16)).as("sv"))
+      val cb = subs(big.filter(col("vec_id") < 8), "k")
+        .select(col("k"), col("m"), col("sv").as("cbv"))
+      import graft.functions.VecOps.vecDot
+      val tEnc = System.nanoTime()
+      val codes = subs(big, "cand_id")
+        .join(broadcast(cb), "m")
+        .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
+        .groupBy(col("cand_id"), col("m"))
+        .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
+        .cache()
+      val nCodes = codes.count()
+      val encSec = (System.nanoTime() - tEnc) / 1e9
+      // cells from 4 seed centroids; queries = 5 originals
+      val cenDf = big.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      def cells(src: org.apache.spark.sql.DataFrame, idCol: String) = src
+        .crossJoin(broadcast(cenDf))
+        .withColumn("cdot", round(vecDot(col("v"), col("cv")), 6))
+        .groupBy(col(idCol))
+        .agg(max_by(col("c_id"), struct(col("cdot"), -col("c_id"))).as("cell"))
+      val tQ = System.nanoTime()
+      val qCells = cells(big.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id"), "q_id")
+      val cCells = cells(big, "vec_id")
+        .select(col("vec_id").as("cc_id"), col("cell").as("ccell"))
+      val lut = subs(big.filter(col("vec_id") < 5), "q_id")
+        .join(broadcast(cb), "m")
+        .select(col("q_id").as("lq"), col("m").as("lm"), col("k"),
+          floor(vecDot(col("sv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
+      val top = codes
+        .join(cCells, col("cand_id") === col("cc_id"))
+        .join(broadcast(qCells), col("ccell") === col("cell"))
+        .join(broadcast(lut), col("lm") === col("m") &&
+          col("k") === col("code_k") && col("lq") === col("q_id"))
+        .groupBy(col("q_id"), col("cand_id"))
+        .agg(sum(col("lut_u")).as("adot_u"))
+      val nTop = top.count()
+      val searchSec = (System.nanoTime() - tQ) / 1e9
+      big.unpersist(); codes.unpersist()
+      println(f"""{"metric":"ivfpq_scale","vectors":$n,"base":$base,"encode_sec":$encSec%.3f,""" +
+        f""""codes":$nCodes,"search_sec":$searchSec%.3f,"scored_pairs":$nTop}""")
+    }
+
     // ---- as-of join plan evidence (r5) -----------------------------------
     // q_join_asof's union+window plan vs the naive inequality join, at a
     // size where the difference is structural, not noise: E events over U
