@@ -199,6 +199,29 @@ object Relational extends QueryModule {
     // Analytic windows (engine extension): lag/lead/running aggregate per
     // customer's order history — per-key ordered state, the relational
     // cousin of a stateful per-key peer.
+    // distribution window functions: ntile buckets + rank positions per
+    // partition — definitions are identical across engines (percent_rank
+    // = (rank−1)/(n−1), cume_dist = rank_with_ties/n), so exact parity
+    Q("q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+              CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+              ROUND(CUME_DIST() OVER w, 6) AS cume
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderpriority, o_orderkey""")),
+
     Q("q_window_analytics",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -297,6 +320,22 @@ object Relational extends QueryModule {
       Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_total,
               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
               true AS merged_within_5pct FROM orders""")),
+
+    // bivariate statistics family: Pearson correlation + sample/population
+    // covariance per group — one partial-combining agg (each is a few
+    // running sums), the same shuffle shape as q_agg_q1
+    Q("q_agg_corr",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_p"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+              ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_s,
+              ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS cov_p
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Q("q_agg_cube",
       (s, d) => t(s, d, "orders")
