@@ -321,6 +321,39 @@ object Relational extends QueryModule {
               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
               true AS merged_within_5pct FROM orders""")),
 
+    // ordered string aggregation (LISTAGG WITHIN GROUP — deterministic by
+    // declared order, never by arrival): the per-group concatenation shape
+    // report layers want from an engine
+    Q("q_agg_listagg",
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // bitwise scalar family — the reference manipulates raw bits/bytes
+    // constantly (core/src/main/java/org/apache/hama/util/Bytes.java);
+    // here as codegen'd integer expressions
+    Q("q_fn_bits",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("low8"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_bit12"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              o_orderkey & 255 AS low8,
+              o_orderkey | 4096 AS with_bit12,
+              xor(o_orderkey, o_custkey) AS key_xor,
+              o_orderkey << 2 AS shl2,
+              o_orderkey >> 3 AS shr3
+              FROM orders ORDER BY o_orderkey""")),
+
     // bivariate statistics family: Pearson correlation + sample/population
     // covariance per group — one partial-combining agg (each is a few
     // running sums), the same shuffle shape as q_agg_q1
