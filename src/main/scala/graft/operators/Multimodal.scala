@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryModule {
 
+  /** per-JVM scratch directory of real BMP files (ids 0..99) for the
+    * binaryFile-source row; staged once, removed on exit. */
+  private lazy val binaryFileDir: String = {
+    val dir = graft.GraftSession.tempDirCleanedOnExit("graft-bin").toString
+    (0L until 100L).foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/img_$id%05d.bmp"), MediaFixture.bmp(id)): Unit
+    }
+    dir
+  }
+
   /** Typed metadata row produced by the image decode stage. */
   final case class ImageMeta(doc_id: Long, n_bytes: Long, magic: String,
       width: Long, height: Long, bpp: Long, n_chunks: Long)
@@ -338,6 +349,32 @@ object Multimodal extends QueryModule {
     // fixture's generation formulas (width = 1 + id % 64, rows padded to
     // 4 bytes, 54-byte header) — builder and parser must agree on the
     // actual byte layout for the hashes to match
+    // binaryFile SOURCE — the ingestion front door for blob corpora: a
+    // directory of real .bmp FILES (one per id, staged once per JVM) read
+    // through Spark's binary-file format, ids recovered from the path,
+    // then the SAME batched decode as q_mm_meta. At 100 TB this is the
+    // "crawl dump of image files → metadata table" first hop; the oracle
+    // recomputes the expected header fields from the fixture arithmetic.
+    Q("q_mm_binary_source",
+      (s, _) => {
+        val withId = s.read.format("binaryFile").load(binaryFileDir)
+          .select(regexp_extract(col("path"), "img_([0-9]+)\\.bmp", 1)
+            .cast("long").as("doc_id"),
+            col("content").as("payload"))
+        decodeImages(s, withId).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("magic"),
+            col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT unnest(generate_series(0, 99)) AS doc_id),
+              dims AS (SELECT doc_id, 1 + doc_id % 64 AS width,
+                1 + (doc_id * 7) % 48 AS height FROM ids)
+              SELECT doc_id,
+                CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT) AS n_bytes,
+                'BM' AS magic, CAST(width AS BIGINT) AS width,
+                CAST(height AS BIGINT) AS height
+              FROM dims ORDER BY doc_id""")),
+
     Q("q_mm_meta",
       (s, d) => decodeImages(s, imagePayloads(s, d)).toDF()
         .select(col("doc_id"), col("n_bytes"), col("magic"), col("width"),
