@@ -798,6 +798,86 @@ object Relational extends QueryModule {
                 ROUND(list_aggregate(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
                 1.0 AS self_cos
-              FROM embeddings ORDER BY vec_id"""))
+              FROM embeddings ORDER BY vec_id""")),
+
+    // PIVOT: wide conditional aggregation. Values are declared explicitly
+    // (Seq("O","F","P")) so the plan is a single hash aggregate — Spark's
+    // value-discovery pivot would add a distinct-collect job, the wrong
+    // call at scale where the value domain is known.
+    Q("q_agg_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map("O" -> "tot_o", "F" -> "tot_f", "P" -> "tot_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+              ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS tot_o,
+              ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS tot_f,
+              ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS tot_p
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // UNPIVOT (melt): wide → long without a shuffle — pure projection +
+    // generate, so it composes with any downstream aggregate at scale.
+    Q("q_agg_unpivot",
+      (s, d) => t(s, d, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size").cast("double").as("p_size")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+              FROM part
+              UNION ALL
+              SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+              FROM part
+              ORDER BY p_partkey, metric""")),
+
+    // Higher statistical moments + exact median, all one partial-aggregable
+    // pass (median excepted: Spark computes it exactly via sort-based agg).
+    // Spark's skewness/kurtosis are the POPULATION forms; DuckDB's SKEWNESS
+    // is sample-corrected, so the oracle converts (g1 = G1·(n-2)/√(n(n-1)))
+    // and uses KURTOSIS_POP directly.
+    Q("q_agg_moments",
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 6).as("med_qty"),
+          round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              ROUND(MEDIAN(l_quantity), 6) AS med_qty,
+              ROUND(SKEWNESS(l_extendedprice) * (COUNT(*) - 2)
+                    / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 6) AS skew_price,
+              ROUND(KURTOSIS_POP(l_extendedprice), 6) AS kurt_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Time-RANGE window frame: per-user trailing 1-hour sum/count over the
+    // event stream — the sliding-aggregate shape that needs no self-join.
+    // Both engines order by whole epoch seconds so the frame boundaries are
+    // identical; RANGE frames include all peers of the current key, so the
+    // result is deterministic under ts ties.
+    Q("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600, 0)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            // ts is TIMESTAMP_NTZ; the session is pinned UTC so the cast
+            // to instant is identity and unix_seconds truncates to seconds
+            unix_seconds(col("ts").cast("timestamp")).as("sec"))
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 4).as("roll_1h"),
+            count(lit(1)).over(w).cast("long").as("n_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+              ROUND(SUM(value) OVER w, 4) AS roll_1h,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+              FROM (SELECT event_id, user_id, value,
+                    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events) t
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id"""))
   )
 }
