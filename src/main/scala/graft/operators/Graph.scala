@@ -384,6 +384,49 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
+    // Triangle counting. Each undirected edge is oriented from its
+    // lower-degree endpoint to the higher (ties by id), so the wedge join
+    // fans out O(sqrt(m)) per vertex instead of O(max-degree) — the
+    // standard hub-safe posture for a power-law graph at scale. Per-vertex
+    // counts explode each closed triangle's three corners, which is
+    // orientation-independent, so the oracle can enumerate the same
+    // triangle set with the simpler id-ordered (a<b<c) triple join.
+    Q("q_graph_triangle",
+      (s, d) => {
+        val eu = undirected(edges(s, d))
+        val deg = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+        val ori = eu
+          .join(deg.withColumnRenamed("v", "src").withColumnRenamed("dg", "da"), Seq("src"))
+          .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("dg", "db"), Seq("dst"))
+          .filter(col("da") < col("db") ||
+            (col("da") === col("db") && col("src") < col("dst")))
+          .select(col("src").as("a"), col("dst").as("b"))
+        val wedges = ori.as("e1")
+          .join(ori.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+        val tri = wedges
+          .join(ori.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+          .select("wa", "wb", "wc")
+        val per = tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("triangles"))
+        nodes(eu).join(per, Seq("v"), "left")
+          .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql,
+               $undirectedSql,
+               $nodesSql,
+               ori AS (SELECT src AS a, dst AS b FROM eu WHERE src < dst),
+               tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                       FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+                       JOIN ori e3 ON e3.a = e1.a AND e3.b = e2.b),
+               corners AS (SELECT a AS v FROM tri UNION ALL
+                           SELECT b AS v FROM tri UNION ALL
+                           SELECT c AS v FROM tri),
+               per AS (SELECT v, COUNT(*) AS triangles FROM corners GROUP BY v)
+               SELECT nodes.v, CAST(COALESCE(per.triangles, 0) AS BIGINT) AS triangles
+               FROM nodes LEFT JOIN per ON per.v = nodes.v ORDER BY nodes.v""")),
+
     // DynamicGraph: every vertex messages (value + 1) to a freshly ADDED
     // "sum" vertex (id −1) and removes itself; the sum vertex totals its
     // inbox next superstep. Exercises the engine's buffered add/remove +
