@@ -586,6 +586,57 @@ object Dedup extends QueryModule {
                 CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                 ROUND(COALESCE(per.n_dup_windows * 1.0 / per.n_windows, 0), 6) AS dup_frac
               FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+              ORDER BY doc_id""")),
+
+    // Boilerplate block REMOVAL (the CCNet/RefinedWeb paragraph-dedup
+    // move): chunk each doc into non-overlapping 8-token blocks, count
+    // distinct docs per block across the corpus, and REWRITE each doc
+    // keeping only blocks seen in exactly one document. Unlike
+    // q_dedup_span (which only scores duplication) this emits the cleaned
+    // corpus. Scale shape: one block-level count-distinct (two-level hash
+    // agg), one equi-join of blocks to their corpus counts, one per-doc
+    // regroup whose state is bounded by document length — documents are
+    // never paired with each other.
+    Q("q_dedup_boilerplate",
+      (s, d) => {
+        val B = 8
+        val blk = docs(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), posexplode(when(size(col("tk")) > 0,
+            expr(s"transform(sequence(0, size(tk) - 1, $B), i -> array_join(slice(tk, i + 1, $B), ' '))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))))
+          .select(col("doc_id"), col("pos"), col("col").as("block"))
+        val hc = blk.groupBy("block")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val per = blk.join(hc, Seq("block"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_removed"),
+            array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN nd < 2 THEN struct(pos, block) END)), x -> x.block)"),
+              " ").as("cleaned"))
+        docs(s, d).select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              blk AS (SELECT doc_id, p, array_to_string(tk[p:p + 7], ' ') AS block
+                      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk), 8)) AS p
+                            FROM base) t),
+              hc AS (SELECT block, COUNT(DISTINCT doc_id) AS nd FROM blk GROUP BY block),
+              per AS (SELECT doc_id, COUNT(*) AS n_blocks,
+                        SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_removed,
+                        COALESCE(string_agg(CASE WHEN nd < 2 THEN blk.block END, ' '
+                                            ORDER BY p), '') AS cleaned
+                      FROM blk JOIN hc USING (block) GROUP BY doc_id)
+              SELECT d.doc_id,
+                CAST(COALESCE(per.n_blocks, 0) AS BIGINT) AS n_blocks,
+                CAST(COALESCE(per.n_removed, 0) AS BIGINT) AS n_removed,
+                COALESCE(per.cleaned, '') AS cleaned
+              FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
               ORDER BY doc_id"""))
   )
 }
