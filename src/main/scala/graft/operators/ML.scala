@@ -702,6 +702,81 @@ object ML extends QueryModule {
                 ROUND(SUM(av * bv), 2) AS dot,
                 ROUND(SQRT(SUM(POWER(COALESCE(av, 0) + COALESCE(bv, 0), 2))), 2) AS add_norm,
                 CAST(997 AS BIGINT) AS dim
-              FROM va FULL OUTER JOIN vb ON va.idx = vb.idx"""))
+              FROM va FULL OUTER JOIN vb ON va.idx = vb.idx""")),
+
+    // Top principal component of the embedding corpus: one distributed
+    // covariance pass (VecCovAgg — map-side-combined O(d²) buffers, the
+    // ONLY O(n) stage) followed by a driver-local power iteration on the
+    // collected d×d matrix — an O(iters·d²) loop on 4 KB of state, the
+    // same master-collect posture as the k-means center update. The sign
+    // is canonicalized (first non-negligible loading positive) so the
+    // eigenvector is unique. The oracle unrolls the identical iteration
+    // as chained CTEs over an exploded-element covariance.
+    Q("q_ml_pca",
+      (s, d) => {
+        import s.implicits._
+        val dim = 64
+        val cov = Tables(s, d, "embeddings")
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .select(graft.functions.VecCovAgg.vecCov(dim)(col("v")).as("c"))
+          .head.getSeq[Double](0).toArray
+        var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+        var lambda = 0.0
+        var it = 0
+        while (it < PcaIters) {
+          val w = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += cov(i * dim + j) * v(j); j += 1 }
+            w(i) = acc
+            i += 1
+          }
+          lambda = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / lambda)
+          it += 1
+        }
+        val k = v.indexWhere(x => math.abs(x) > 1e-6)
+        val sgn = if (k >= 0 && v(k) < 0) -1.0 else 1.0
+        v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x * sgn, lambda) }
+          .toDF("i", "loading", "eigval")
+          .select(col("i"), round(col("loading"), 6).as("loading"),
+            round(col("eigval"), 6).as("eigval"))
+          .orderBy("i")
+      },
+      Some(pcaSql(PcaIters)))
   )
+
+  // a def, not a val: referenced from `defs`'s initializer above, which
+  // runs before any later val fields would be assigned
+  private def PcaIters: Int = 30
+
+  private def pcaSql(iters: Int): String = {
+    // every step MATERIALIZED too: v_t references w_t twice (value + norm
+    // subquery), so inlining would expand the chain 2^iters-fold
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT cov.i AS i, SUM(cov.c * v${t - 1}.v) AS w
+         FROM cov JOIN v${t - 1} ON v${t - 1}.i = cov.j GROUP BY cov.i),
+         v$t AS MATERIALIZED (SELECT i, w / (SELECT SQRT(SUM(w * w)) FROM w$t) AS v FROM w$t)"""
+    }.mkString(",\n")
+    // MATERIALIZED: DuckDB otherwise inlines the CTE at each of the `iters`
+    // references and re-opens the parquet scan every time (fd exhaustion)
+    s"""WITH elems AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        mu AS MATERIALIZED (SELECT i, AVG(x) AS m FROM elems GROUP BY i),
+        cov AS MATERIALIZED (SELECT e1.i AS i, e2.i AS j, AVG(e1.x * e2.x) - m1.m * m2.m AS c
+          FROM elems e1 JOIN elems e2 USING (vec_id)
+          JOIN mu m1 ON m1.i = e1.i JOIN mu m2 ON m2.i = e2.i
+          GROUP BY e1.i, e2.i, m1.m, m2.m),
+        v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM mu),
+        $steps,
+        sgn AS (SELECT CASE WHEN (SELECT v FROM v$iters
+                  WHERE i = (SELECT MIN(i) FROM v$iters WHERE ABS(v) > 1e-6)) < 0
+                THEN -1.0 ELSE 1.0 END AS s)
+        SELECT CAST(v$iters.i - 1 AS BIGINT) AS i,
+          ROUND(sgn.s * v$iters.v, 6) AS loading,
+          ROUND((SELECT SQRT(SUM(w * w)) FROM w$iters), 6) AS eigval
+        FROM v$iters, sgn ORDER BY i"""
+  }
 }
