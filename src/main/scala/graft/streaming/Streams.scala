@@ -197,6 +197,33 @@ object Streams {
         round(col("amount"), 2).as("amount"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every click with its
+    * in-window purchases, plus — once the watermark passes
+    * `click_ts + 1 h` — one NULL-padded row per never-matched click,
+    * emitted by state eviction (append mode, the only mode stream-stream
+    * joins support). Same watermarks/bounds as [[intervalJoin]], so state
+    * stays bounded on an unbounded feed; determinism requires only that
+    * the watermark ultimately passes every click (guaranteed by
+    * construction on a live feed; a finite replay appends a far-future
+    * sentinel batch to force the final eviction — see
+    * `q_stream_live_outer`). */
+  def leftOuterIntervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+  }
+
   /** Per-user running state (event count + value sum) via
     * flatMapGroupsWithState — the stateful analogue of a per-key BSP peer:
     * state lives with the key across micro-batches exactly as a Hama peer

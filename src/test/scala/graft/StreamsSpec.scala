@@ -140,6 +140,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("live left-outer interval join equals the batch LEFT JOIN (sentinel-driven eviction)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_live_outer")(spark, TestSpark.sf0)
+      .collect().map(_.toString).toSeq
+    val ev = Tables(spark, TestSpark.sf0, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val want = c.join(p,
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("value"), 2).as("amount"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(_.toString).toSeq
+    assert(got.length === want.length, "row count (every unmatched click evicted)")
+    assert(got.sorted === want.sorted)
+    // sanity: the outer rows actually exist (NULL-padded clicks)
+    assert(got.count(_.contains("null")) > 0, "some unmatched clicks expected")
+  }
+
   test("streaming sessions produce the same session count as batch session_window") {
     val q = Streams.sessions(Streams.events(spark, stagedDir()))
       .writeStream.format("memory").queryName("session_out").outputMode("complete").start()
