@@ -384,6 +384,35 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
+    // Synchronous label propagation (community detection): labels start as
+    // vertex ids; each round every vertex adopts the most frequent label
+    // among its undirected neighbors (ties → smallest label, isolated
+    // vertices keep theirs) — deterministic by construction, so a fixed
+    // round count unrolls into an exact SQL oracle. Each round is one
+    // join + count + per-vertex argmax window: pure shuffle-parallel,
+    // state is one label per vertex, no driver materialization.
+    Q("q_graph_lpa",
+      (s, d) => {
+        val eu = undirected(edges(s, d)).cache()
+        val vs = nodes(eu)
+        var lbl = vs.select(col("v"), col("v").as("lbl"))
+        for (_ <- 1 to LpaRounds) {
+          val msg = eu
+            .join(lbl.withColumnRenamed("v", "dst").withColumnRenamed("lbl", "nlbl"),
+              Seq("dst"))
+            .groupBy(col("src").as("v"), col("nlbl"))
+            .agg(count(lit(1)).as("c"))
+          val best = msg
+            .withColumn("mc", max("c").over(Window.partitionBy("v")))
+            .filter(col("c") === col("mc"))
+            .groupBy("v").agg(min("nlbl").as("newl"))
+          lbl = vs.join(best, Seq("v"), "left").join(lbl, Seq("v"))
+            .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        }
+        lbl.orderBy("v")
+      },
+      Some(lpaSql(LpaRounds))),
+
     // Triangle counting. Each undirected edge is oriented from its
     // lower-degree endpoint to the higher (ties by id), so the wedge join
     // fans out O(sqrt(m)) per vertex instead of O(max-degree) — the
@@ -458,4 +487,28 @@ object Graph extends QueryModule {
       Some(s"""WITH $edgesSql, $nodesSql
                SELECT CAST(SUM(v) + COUNT(*) AS BIGINT) AS total FROM nodes"""))
   )
+
+  // a def, not a val: referenced from defs's initializer above
+  private def LpaRounds: Int = 4
+
+  private def lpaSql(rounds: Int): String = {
+    // MATERIALIZED: l_t is referenced twice downstream (s_{t+1} and
+    // l_{t+1}); inlining would expand the chain 2^rounds-fold
+    val steps = (1 to rounds).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT eu.src AS v, l${t - 1}.lbl AS lbl, COUNT(*) AS c
+         FROM eu JOIN l${t - 1} ON l${t - 1}.v = eu.dst GROUP BY eu.src, l${t - 1}.lbl),
+         b$t AS MATERIALIZED (SELECT v, MIN(lbl) AS newl FROM (
+           SELECT v, lbl, c, MAX(c) OVER (PARTITION BY v) AS mc FROM s$t) x
+         WHERE c = mc GROUP BY v),
+         l$t AS MATERIALIZED (SELECT nodes.v, COALESCE(b$t.newl, l${t - 1}.lbl) AS lbl
+         FROM nodes LEFT JOIN b$t ON b$t.v = nodes.v
+         JOIN l${t - 1} ON l${t - 1}.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $undirectedSql,
+       $nodesSql,
+       l0 AS MATERIALIZED (SELECT v, v AS lbl FROM nodes),
+       $steps
+       SELECT v, lbl FROM l$rounds ORDER BY v"""
+  }
 }

@@ -477,6 +477,53 @@ object TextAnalysis extends QueryModule {
                SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                  ROUND(bits, 6) AS bits_per_token,
                  ROUND(POWER(2.0, bits), 4) AS perplexity
+               FROM agg ORDER BY doc_id""")),
+
+    // DSIR-style importance weight (Data Selection via Importance
+    // Resampling): per-doc mean log-likelihood ratio between a TARGET
+    // unigram LM (here the English slice) and the full-corpus LM, both
+    // add-1 smoothed over the corpus vocabulary. Positive ⇒ doc looks
+    // like the target domain; the weight feeds importance resampling of
+    // a raw crawl toward a curated domain. One tagged-token scan trains
+    // BOTH models (conditional partial agg — the q_text_perplexity shape
+    // with a second conditional count), so target-model training adds no
+    // extra corpus pass; scoring is one equi-join on token + per-doc sum.
+    Q("q_text_dsir",
+      (s, d) => {
+        val tk = docs(s, d).select(col("doc_id"), (col("lang") === "en").as("tgt"),
+          explode(TextExprs.toks(col("text"))).as("tok"))
+        val lm = tk.groupBy("tok").agg(
+            count(lit(1)).as("cc"),
+            sum(when(col("tgt"), 1L).otherwise(0L)).as("ctg"))
+          .localCheckpoint() // O(vocab); avoids re-training in the scalar subtree
+        val scal = lm.agg(sum("cc").cast("double").as("nc"),
+          sum("ctg").cast("double").as("nt"),
+          count(lit(1)).cast("double").as("v"))
+        val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tf.join(lm, "tok").crossJoin(broadcast(scal))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            (sum(col("c") * (log2((col("ctg") + 1.0) / (col("nt") + col("v"))) -
+              log2((col("cc") + 1.0) / (col("nc") + col("v"))))) / sum("c")).as("llr"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("llr"), 6).as("llr_per_token"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt,
+                 unnest(${TextExprs.toksSql("text")}) AS tok FROM documents),
+               lm AS (SELECT tok, COUNT(*) AS cc,
+                        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ctg
+                      FROM tk GROUP BY tok),
+               scal AS (SELECT CAST(SUM(cc) AS DOUBLE) AS nc,
+                          CAST(SUM(ctg) AS DOUBLE) AS nt,
+                          CAST(COUNT(*) AS DOUBLE) AS v FROM lm),
+               tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+               agg AS (SELECT doc_id, SUM(c) AS n,
+                         SUM(c * (log2((ctg + 1.0) / (nt + v))
+                                  - log2((cc + 1.0) / (nc + v)))) / SUM(c) AS llr
+                       FROM tf JOIN lm USING (tok) CROSS JOIN scal GROUP BY doc_id)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 ROUND(llr, 6) AS llr_per_token
                FROM agg ORDER BY doc_id"""))
   )
 }
