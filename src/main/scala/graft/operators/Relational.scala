@@ -852,6 +852,30 @@ object Relational extends QueryModule {
               ROUND(KURTOSIS_POP(l_extendedprice), 6) AS kurt_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Equi-width histogram via the codegen'd width_bucket expression —
+    // single hash aggregate over the scan, the O(n) shape that holds at
+    // any scale (no sort, no global pass to find bounds: they're declared).
+    // The oracle replicates Spark's exact bucket arithmetic
+    // (floor((x − lo) / ((hi − lo) / nb)) + 1, under/overflow → 0 / nb+1)
+    // so boundary rows land identically in both engines.
+    Q("q_agg_histogram",
+      (s, d) => t(s, d, "lineitem")
+        .select(width_bucket(col("l_extendedprice"), lit(900.0), lit(105000.0),
+          lit(20)).as("bucket"), col("l_extendedprice").as("x"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("x")), 2).as("lo_x"),
+          round(max(col("x")), 2).as("hi_x"))
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+                WHEN l_extendedprice >= 105000.0 THEN 21
+                ELSE CAST(FLOOR((l_extendedprice - 900.0)
+                                / ((105000.0 - 900.0) / 20)) AS BIGINT) + 1
+                END AS bucket, l_extendedprice AS x FROM lineitem)
+              SELECT bucket, COUNT(*) AS cnt, ROUND(MIN(x), 2) AS lo_x,
+                ROUND(MAX(x), 2) AS hi_x
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
     // Time-RANGE window frame: per-user trailing 1-hour sum/count over the
     // event stream — the sliding-aggregate shape that needs no self-join.
     // Both engines order by whole epoch seconds so the frame boundaries are

@@ -334,6 +334,41 @@ object Similarity extends QueryModule {
       Some(s"""WITH $eSql, $bruteSimsSql
                ${rankSql("bsims", topK)}""")),
 
+    // Hard-NEGATIVE mining (contrastive-training data prep): for each
+    // anchor, the top-k most-similar candidates with a DIFFERENT label —
+    // the negatives that actually move an embedding model, vs random ones.
+    // Same broadcast-anchor / top-k-window shape as q_sim_topk with a
+    // label anti-predicate; at corpus scale the brute pass swaps for the
+    // IVF/PQ candidate generators declared above, the ranking is unchanged.
+    Q("q_sim_hardneg",
+      (s, d) => {
+        val lbl = Tables(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val sims = bruteSims(s, d)
+          .join(broadcast(lbl.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("label").as("q_lbl"))), Seq("q_id"))
+          .join(lbl.select(col("vec_id").as("cand_id"), col("label").as("c_lbl")),
+            Seq("cand_id"))
+          .filter(col("q_lbl") =!= col("c_lbl"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        sims.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+          .select(col("q_id"), col("rank"), col("cand_id"),
+            col("c_lbl").cast("long").as("neg_label"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql, $bruteSimsSql,
+               ql AS (SELECT vec_id AS q_id, label AS q_lbl FROM embeddings WHERE vec_id < 5),
+               cl AS (SELECT vec_id AS cand_id, label AS c_lbl FROM embeddings WHERE vec_id >= 5),
+               hs AS (SELECT b.q_id, b.cand_id, b.sim, cl.c_lbl
+                      FROM bsims b JOIN ql USING (q_id) JOIN cl USING (cand_id)
+                      WHERE ql.q_lbl <> cl.c_lbl)
+               SELECT q_id, rank, cand_id, CAST(c_lbl AS BIGINT) AS neg_label, sim FROM (
+                 SELECT q_id, cand_id, sim, c_lbl,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                 FROM hs) t
+               WHERE rank <= $topK ORDER BY q_id, rank""")),
+
     // INT8 scalar-quantized top-k — the memory/bandwidth scale path for
     // 100 TB embedding corpora: per-vector symmetric quantization
     // (s = max|v|/127, q_i = floor(v_i/s + 0.5) ∈ [-127,127]) shrinks the

@@ -479,6 +479,31 @@ object TextAnalysis extends QueryModule {
                  ROUND(POWER(2.0, bits), 4) AS perplexity
                FROM agg ORDER BY doc_id""")),
 
+    // BPE merge-candidate counting — the inner loop of tokenizer TRAINING:
+    // corpus-wide counts of adjacent token pairs, top-20 by frequency
+    // (full tie-break so the ranking is total). Pairs come from a bounded
+    // in-row transform (no self-join, no per-doc sort window); the count
+    // is one two-level hash agg and the top-k is a tiny ordered limit —
+    // rerunnable per merge round at corpus scale.
+    Q("q_text_bigram_merges",
+      (s, d) => {
+        docs(s, d).select(TextExprs.toks(col("text")).as("tk"))
+          .select(explode(when(size(col("tk")) >= 2,
+            expr("transform(sequence(0, size(tk) - 2), i -> named_struct('t1', tk[i], 't2', tk[i+1]))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRUCT<t1: STRING, t2: STRING>>)"))).as("p"))
+          .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("t1"), asc("t2"))
+          .limit(20)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk
+                 FROM documents),
+               pe AS (SELECT tk[p] AS t1, tk[p + 1] AS t2
+                      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                            FROM base) x)
+               SELECT t1, t2, COUNT(*) AS cnt FROM pe GROUP BY t1, t2
+               ORDER BY cnt DESC, t1, t2 LIMIT 20""")),
+
     // DSIR-style importance weight (Data Selection via Importance
     // Resampling): per-doc mean log-likelihood ratio between a TARGET
     // unigram LM (here the English slice) and the full-corpus LM, both
