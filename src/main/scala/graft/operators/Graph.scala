@@ -73,6 +73,48 @@ object Graph extends QueryModule {
        SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
   }
 
+  /** Personalized PageRank from seed vertex 0: teleport mass returns to
+    * the SEED instead of spreading uniformly, so rank measures proximity
+    * to the seed — the recommendation/similar-entities variant. Same
+    * one-join-one-agg superstep shape as [[pagerank]]. */
+  private def ppr(s: SparkSession, d: String, iters: Int, seed: Long): DataFrame = {
+    val e = edges(s, d).select("src", "dst")
+    val vs = nodes(e).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val e2 = e.join(deg, "src").cache()
+    val zeros = vs.select(col("v"), lit(0.0).as("m")).cache()
+    val init = vs.select(col("v"),
+      when(col("v") === seed, 1.0).otherwise(0.0).as("rank"))
+    val out = Iterate(init, iters, checkpointEvery = 5) { (r, _) =>
+      val contrib = e2.as("ee").join(r.as("rr"), col("ee.src") === col("rr.v"))
+        .select(col("ee.dst").as("v"), (col("rr.rank") / col("ee.outdeg")).as("m"))
+      contrib.unionAll(zeros)
+        .groupBy("v").agg(sum("m").as("msum"))
+        .select(col("v"),
+          (when(col("v") === seed, lit(0.15)).otherwise(lit(0.0)) +
+            lit(0.85) * col("msum")).as("rank"))
+    }
+    out.select(col("v"), round(col("rank"), 9).as("rank")).orderBy("v")
+  }
+
+  private def pprSql(iters: Int, seed: Long): String = {
+    val steps = (0 until iters).map { i =>
+      s"""r${i + 1} AS (SELECT nodes.v,
+         CASE WHEN nodes.v = $seed THEN 0.15 ELSE 0 END
+           + 0.85 * COALESCE(m.msum, 0) AS rank
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS v, SUM(r$i.rank / deg.outdeg) AS msum
+           FROM r$i JOIN e ON e.src = r$i.v JOIN deg ON deg.src = e.src
+           GROUP BY e.dst) m ON m.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       r0 AS (SELECT v, CASE WHEN v = $seed THEN 1.0 ELSE 0.0 END AS rank FROM nodes),
+       $steps
+       SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
+  }
+
   private def ssspSql(rounds: Int): String = {
     val steps = (0 until rounds).map { i =>
       s"""d${i + 1} AS (SELECT v, MIN(dist) AS dist FROM (
@@ -379,6 +421,10 @@ object Graph extends QueryModule {
                       CAST(2 AS BIGINT) AS resumed_from FROM nodes""")),
 
     Q("q_graph_sssp", (s, d) => sssp(s, d), Some(ssspSql(6))),
+
+    // personalized PageRank: teleport to seed 0, 6 unrolled supersteps
+    Q("q_graph_ppr", (s, d) => ppr(s, d, iters = 6, seed = 0L),
+      Some(pprSql(6, 0L))),
 
     Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(4))),
 

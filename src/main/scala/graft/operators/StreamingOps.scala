@@ -425,6 +425,60 @@ object StreamingOps extends QueryModule {
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
+    // Ordered-funnel analysis (MATCH_RECOGNIZE-lite): per user, the
+    // earliest view, the earliest click AT OR AFTER that view (within
+    // 1 h), and the earliest purchase at or after that click (within
+    // 1 h) — stage = how deep the user got. Each step is one filtered
+    // equi-join on user + a min-aggregate: no per-user event sort, no
+    // pattern automaton state; at 100 TB each step is a plain shuffle
+    // join against an O(users) relation.
+    Q("q_events_funnel",
+      (s, d) => {
+        val e = ev(s, d)
+        def step(typ: String) = e.filter(col("event_type") === typ)
+          .select(col("user_id"), col("ts"))
+        val s1 = step("view").groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = step("click").join(s1, Seq("user_id"))
+          .filter(col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = step("purchase").join(s2, Seq("user_id"))
+          .filter(col("ts") >= col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        e.select("user_id").distinct()
+          .join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (when(col("t3").isNotNull, 3L)
+              .when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L).otherwise(0L)).as("stage"),
+            col("t1"), col("t2"), col("t3"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                          WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                     JOIN s1 ON s1.user_id = e.user_id
+                     WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                       AND e.ts <= s1.t1 + INTERVAL '1 hour'
+                     GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                     JOIN s2 ON s2.user_id = e.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                       AND e.ts <= s2.t2 + INTERVAL '1 hour'
+                     GROUP BY e.user_id)
+              SELECT u.user_id,
+                CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+                s1.t1, s2.t2, s3.t3
+              FROM (SELECT DISTINCT user_id FROM events) u
+              LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+              ORDER BY u.user_id""")),
+
     // streaming dedup (dropDuplicates state) as deterministic keep-first
     Q("q_stream_dedup",
       (s, d) => {
