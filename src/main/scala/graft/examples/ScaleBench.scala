@@ -279,6 +279,57 @@ object ScaleBench {
       println(f"""{"metric":"asof_plans","window_sec":$windowSec%.3f,""" +
         f""""inequality_sec":$ineqSec%.3f,"events":$nEv,"users":$users}""")
     }
+    // ---- triangle orientation evidence (r5) ------------------------------
+    // q_graph_triangle's claim: degree-orientation bounds the wedge join on
+    // skewed graphs where id-orientation blows up. Build a graph with a
+    // deliberate MID-ID hub (a hub at the min or max id is accidentally
+    // optimal for id-ordering — in/out wedges through it need ids on both
+    // sides), count wedges + triangles under both orientations: triangle
+    // counts must agree, wedge volumes must not.
+    locally {
+      val nT = 50000L
+      val hub = nT / 2
+      val raw = Tables(spark, sfDir, "lineitem")
+        .select((col("l_orderkey") % nT).as("a"),
+          when(col("l_linenumber") === 1 && col("l_orderkey") % 5 === 0, hub)
+            .otherwise((col("l_partkey") * 31 + col("l_suppkey")) % nT).as("b"))
+        .filter(col("a") =!= col("b"))
+      val euT = raw.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(raw.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().cache()
+      val mT = euT.count() / 2
+      val degT = euT.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      def orient(byDegree: Boolean) = {
+        val o =
+          if (byDegree) euT
+            .join(degT.withColumnRenamed("v", "src").withColumnRenamed("dg", "da"), "src")
+            .join(degT.withColumnRenamed("v", "dst").withColumnRenamed("dg", "db"), "dst")
+            .filter(col("da") < col("db") ||
+              (col("da") === col("db") && col("src") < col("dst")))
+            .select(col("src").as("a"), col("dst").as("b"))
+          else euT.filter(col("src") < col("dst"))
+            .select(col("src").as("a"), col("dst").as("b"))
+        val oc = o.cache(); oc.count()
+        val t0 = System.nanoTime()
+        val wedges = oc.as("e1").join(oc.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e2.b").as("z"))
+        val w = wedges.count()
+        val tri = wedges
+          .join(oc.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        oc.unpersist()
+        (secs, w, tri)
+      }
+      val (degSec, degW, degTri) = orient(byDegree = true)
+      val (idSec, idW, idTri) = orient(byDegree = false)
+      require(degTri == idTri, s"orientation must not change the count: $degTri vs $idTri")
+      euT.unpersist()
+      println(f"""{"metric":"triangle_orientation","edges":$mT,"triangles":$degTri,""" +
+        f""""deg_sec":$degSec%.3f,"deg_wedges":$degW,""" +
+        f""""id_sec":$idSec%.3f,"id_wedges":$idW}""")
+    }
+
     spark.stop()
   }
 }
