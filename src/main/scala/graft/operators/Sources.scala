@@ -145,6 +145,38 @@ object Sources extends QueryModule {
                 ROUND(SUM(o_totalprice), 2) AS tot
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Corrupt-record tolerance — the property a 100 TB crawl ingest cannot
+    // live without: a landing file mixing valid CSV rows with type-garbage
+    // lines is read in PERMISSIVE mode with an explicit corrupt-record
+    // column, so bad lines are COUNTED AND QUARANTINED instead of failing
+    // the job (FAILFAST) or silently vanishing (DROPMALFORMED). The
+    // declared row proves the good rows aggregate to the clean-source
+    // oracle and the bad-line count is exact.
+    Q("q_scan_csv_corrupt",
+      (s, d) => {
+        import s.implicits._
+        val out = tmp("graft-csv-corrupt")
+        val good = Tables(s, d, "orders").filter(col("o_orderkey") <= 200)
+          .select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).as("value"))
+        val bad = Seq("garbage,not,numeric", "x,y,z", "NaNsense,12x,??")
+          .toDF("value")
+        good.unionAll(bad).coalesce(1).write.mode("overwrite").text(out)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(out)
+          .agg(
+            count(when(col("_corrupt").isNull, 1)).as("n_good"),
+            count(col("_corrupt")).as("n_corrupt"),
+            round(sum(when(col("_corrupt").isNull, col("o_totalprice"))), 2).as("tot"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+                CAST(3 AS BIGINT) AS n_corrupt,
+                ROUND(SUM(o_totalprice), 2) AS tot
+              FROM orders WHERE o_orderkey <= 200""")),
+
     // ORC round-trip: the OTHER columnar container a lake migration meets
     // (Hive-era tables are ORC; parquet is the native format here). Same
     // explicit-schema read-back discipline; predicate pushdown and column
