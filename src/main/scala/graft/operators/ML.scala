@@ -715,38 +715,66 @@ object ML extends QueryModule {
     Q("q_ml_pca",
       (s, d) => {
         import s.implicits._
-        val dim = 64
-        val cov = Tables(s, d, "embeddings")
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .select(graft.functions.VecCovAgg.vecCov(dim)(col("v")).as("c"))
-          .head.getSeq[Double](0).toArray
-        var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
-        var lambda = 0.0
-        var it = 0
-        while (it < PcaIters) {
-          val w = new Array[Double](dim)
-          var i = 0
-          while (i < dim) {
-            var acc = 0.0
-            var j = 0
-            while (j < dim) { acc += cov(i * dim + j) * v(j); j += 1 }
-            w(i) = acc
-            i += 1
-          }
-          lambda = math.sqrt(w.map(x => x * x).sum)
-          v = w.map(_ / lambda)
-          it += 1
-        }
-        val k = v.indexWhere(x => math.abs(x) > 1e-6)
-        val sgn = if (k >= 0 && v(k) < 0) -1.0 else 1.0
-        v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x * sgn, lambda) }
+        val (v, lambda) = pcaComponent(s, d)
+        v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x, lambda) }
           .toDF("i", "loading", "eigval")
           .select(col("i"), round(col("loading"), 6).as("loading"),
             round(col("eigval"), 6).as("eigval"))
           .orderBy("i")
       },
-      Some(pcaSql(PcaIters)))
+      Some(pcaSql(PcaIters))),
+
+    // Downstream use of the component: project every embedding onto the
+    // top PC and report per-label projection statistics — the one-number
+    // "does the leading axis separate the classes" readout. The component
+    // is O(d) driver state broadcast into a codegen'd VecDot; the stats
+    // are one hash aggregate over the corpus.
+    Q("q_ml_pca_project",
+      (s, d) => {
+        val (v, _) = pcaComponent(s, d)
+        val vLit = typedLit(v.toSeq)
+        Tables(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            graft.functions.VecOps.vecDot(col("embedding"), vLit).as("p"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("p")), 6).as("mean_p"),
+            round(stddev_pop(col("p")), 6).as("sd_p"))
+          .orderBy("label")
+      },
+      Some(pcaProjectSql(PcaIters)))
   )
+
+  /** shared by q_ml_pca / q_ml_pca_project: one distributed covariance
+    * pass, then the driver-local power iteration; returns the
+    * sign-canonicalized component and its eigenvalue. */
+  private def pcaComponent(s: SparkSession, d: String): (Array[Double], Double) = {
+    val dim = 64
+    val cov = Tables(s, d, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(graft.functions.VecCovAgg.vecCov(dim)(col("v")).as("c"))
+      .head.getSeq[Double](0).toArray
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    var it = 0
+    while (it < PcaIters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += cov(i * dim + j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+      it += 1
+    }
+    val k = v.indexWhere(x => math.abs(x) > 1e-6)
+    val sgn = if (k >= 0 && v(k) < 0) -1.0 else 1.0
+    (v.map(_ * sgn), lambda)
+  }
 
   // a def, not a val: referenced from `defs`'s initializer above, which
   // runs before any later val fields would be assigned
@@ -778,5 +806,20 @@ object ML extends QueryModule {
           ROUND(sgn.s * v$iters.v, 6) AS loading,
           ROUND((SELECT SQRT(SUM(w * w)) FROM w$iters), 6) AS eigval
         FROM v$iters, sgn ORDER BY i"""
+  }
+
+  /** same CTE chain as [[pcaSql]], finishing with the per-label stats of
+    * every embedding's projection onto the sign-canonical component. */
+  private def pcaProjectSql(iters: Int): String = {
+    val base = pcaSql(iters)
+    val cut = base.lastIndexOf("SELECT CAST(")
+    base.substring(0, cut) +
+      s""", vc AS MATERIALIZED (SELECT i, sgn.s * v AS v FROM v$iters, sgn),
+         proj AS (SELECT e.vec_id, SUM(e.x * vc.v) AS p
+                  FROM elems e JOIN vc ON vc.i = e.i GROUP BY e.vec_id)
+         SELECT CAST(emb.label AS BIGINT) AS label, COUNT(*) AS n,
+           ROUND(AVG(p), 6) AS mean_p, ROUND(STDDEV_POP(p), 6) AS sd_p
+         FROM proj JOIN embeddings emb USING (vec_id)
+         GROUP BY emb.label ORDER BY label"""
   }
 }
