@@ -5,6 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal columns: image/audio payloads as opaque `binary` columns with
   * typed metadata extracted by batched per-partition decode workers.
@@ -142,6 +143,37 @@ object Multimodal extends QueryModule {
       (magic, w, h, bpp)
     }
 
+    /** Perceptual AVERAGE-HASH over a decoded BMP: sample the blue channel
+      * on an 8×8 grid (integer-scaled coordinates, so any image size maps
+      * to the same grid), threshold each sample against the grid mean, and
+      * emit the 64 bits row-major as a bit STRING (a 64-bit integer would
+      * overflow signed int64 at bit 63 in the SQL oracle). The mean is an
+      * exact double (integer sum / 64, a power of two), so the > threshold
+      * is deterministic across engines. */
+    def aHashBmp(bytes: Array[Byte]): (Long, Long, String) = {
+      val (_, w0, h0, _) = decodeBmp(bytes)
+      val w = w0.toInt; val h = h0.toInt
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val v = new Array[Int](64)
+      var k = 0
+      var y = 0
+      while (y < 8) {
+        val py = y * h / 8
+        var x = 0
+        while (x < 8) {
+          val px = x * w / 8
+          v(k) = bytes(54 + py * rowSize + 3 * px) & 0xff
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      val mean = v.sum.toDouble / 64
+      val sb = new StringBuilder(64)
+      k = 0
+      while (k < 64) { sb.append(if (v(k) > mean) '1' else '0'); k += 1 }
+      (w0, h0, sb.toString)
+    }
+
     /** AVI walk + FRAME SAMPLING: parse the RIFF/hdrl/avih headers, then
       * every 2nd '00db' frame chunk; returns (totalFrames, width, height,
       * microsPerFrame, nSampled, checksum of the first 64 bytes of each
@@ -207,6 +239,27 @@ object Multimodal extends QueryModule {
   /** Typed row produced by the image transform stage. */
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
       n_bytes: Long, px_sum: Long)
+
+  /** Typed row produced by the perceptual-hash stage. */
+  final case class PHashMeta(doc_id: Long, width: Long, height: Long,
+      phash: String)
+
+  /** Batched per-partition perceptual hashing: decode → 8×8 average-hash.
+    * A feature-extraction codec (CLIP embedding, pHash DCT) slots into the
+    * same batch loop. */
+  def hashImages(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): Dataset[PHashMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, phash) = MediaCodec.aHashBmp(bytes)
+            PHashMeta(id, w, h, phash)
+          }
+        }
+      }
+  }
 
   /** Image TRANSFORM (not just metadata): nearest-neighbor 2× downsample.
     * Decodes the BMP pixel grid (bottom-up rows, 4-byte row padding),
@@ -418,6 +471,41 @@ object Multimodal extends QueryModule {
                 CAST(54 + ((3 * w2 + 3) // 4) * 4 * h2 AS BIGINT) AS n_bytes,
                 CAST(SUM(s) AS BIGINT) AS px_sum
               FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""")),
+
+    // Perceptual-hash image dedup: decode every BMP, average-hash an 8×8
+    // luminance grid, and bucket images by hash — the image analogue of
+    // the text near-dup family (aHash here; a DCT pHash or an embedding
+    // model slots into the same batched decode loop). The oracle
+    // recomputes every sampled pixel, the mean threshold, and the bit
+    // string from the deterministic filler arithmetic, so the real codec's
+    // grid sampling and row-padding math is verified end to end. Hash is
+    // a 64-char bit STRING (a 64-bit int would overflow signed int64 at
+    // bit 63 in SQL).
+    Q("q_mm_phash",
+      (s, d) => {
+        val hashes = hashImages(s, imagePayloads(s, d)).toDF()
+        hashes.withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy(col("phash"))))
+          .select(col("doc_id"), col("width"), col("height"), col("phash"),
+            col("n_same").cast("long").as("n_same"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+                1 + (doc_id * 7) % 48 AS h FROM documents),
+              g AS (SELECT doc_id, w, h, ((3 * w + 3) // 4) * 4 AS row_size,
+                unnest(generate_series(0, 7)) AS y8 FROM dims),
+              gx AS (SELECT doc_id, w, h, row_size, y8,
+                unnest(generate_series(0, 7)) AS x8 FROM g),
+              px AS (SELECT doc_id, w, h, y8 * 8 + x8 AS k,
+                (doc_id + ((y8 * h) // 8) * row_size + 3 * ((x8 * w) // 8)) % 256 AS v
+                FROM gx),
+              m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY doc_id),
+              bits AS (SELECT px.doc_id, ANY_VALUE(px.w) AS w, ANY_VALUE(px.h) AS h,
+                string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, '' ORDER BY k) AS phash
+                FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+              SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                phash, CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+              FROM bits ORDER BY doc_id""")),
 
     // video FRAME SAMPLING over real RIFF/AVI containers: parse the avih
     // main header, walk the movi '00db' chunks, keep every 2nd frame, and
