@@ -311,14 +311,17 @@ object ScaleBench {
             .select(col("src").as("a"), col("dst").as("b"))
         val oc = o.cache(); oc.count()
         val t0 = System.nanoTime()
+        // cache the wedges: counted once for the volume evidence, then
+        // reused by the closing join — without it the dominant self-join
+        // would execute twice inside the timed section
         val wedges = oc.as("e1").join(oc.as("e2"), col("e1.b") === col("e2.a"))
-          .select(col("e1.a").as("x"), col("e2.b").as("z"))
+          .select(col("e1.a").as("x"), col("e2.b").as("z")).cache()
         val w = wedges.count()
         val tri = wedges
           .join(oc.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
           .count()
         val secs = (System.nanoTime() - t0) / 1e9
-        oc.unpersist()
+        wedges.unpersist(); oc.unpersist()
         (secs, w, tri)
       }
       val (degSec, degW, degTri) = orient(byDegree = true)

@@ -747,8 +747,16 @@ object ML extends QueryModule {
 
   /** shared by q_ml_pca / q_ml_pca_project: one distributed covariance
     * pass, then the driver-local power iteration; returns the
-    * sign-canonicalized component and its eigenvalue. */
-  private def pcaComponent(s: SparkSession, d: String): (Array[Double], Double) = {
+    * sign-canonicalized component and its eigenvalue. Memoized per data
+    * dir so materializing both PCA rows in one session runs the O(n)
+    * covariance pass once (the ivfIndexDir sharing pattern). */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
+
+  private def pcaComponent(s: SparkSession, d: String): (Array[Double], Double) =
+    pcaCache.computeIfAbsent(d, dir => computePcaComponent(s, dir))
+
+  private def computePcaComponent(s: SparkSession, d: String): (Array[Double], Double) = {
     val dim = 64
     val cov = Tables(s, d, "embeddings")
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

@@ -350,7 +350,7 @@ object StreamingOps extends QueryModule {
       (s, d) => {
         import java.nio.file.{Files, Paths}
         val ev = Tables(s, d, "events")
-        val dir = Files.createTempDirectory("graft-outer").toString
+        val dir = graft.GraftSession.tempDirCleanedOnExit("graft-outer").toString
         ev.coalesce(1).write.parquet(s"$dir/b1")
         val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
         import s.implicits._
@@ -377,7 +377,7 @@ object StreamingOps extends QueryModule {
         Seq(evRow(-3L, 30L, 10000002L, "purchase"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.parquet(s"$dir/b3")
-        val flat = Files.createTempDirectory("graft-outer-flat").toString
+        val flat = graft.GraftSession.tempDirCleanedOnExit("graft-outer-flat").toString
         var i = 0
         for (sub <- Seq("b1", "b2", "b3")) {
           val f = new java.io.File(s"$dir/$sub").listFiles()
