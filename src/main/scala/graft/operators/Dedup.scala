@@ -259,6 +259,77 @@ object Dedup extends QueryModule {
       Some(s"""WITH $minhashSql, $bandsSql, $pairsSql
                SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
+    // ESTIMATOR-QUALITY evaluation of the sketch itself: for every LSH
+    // candidate pair, the MinHash-estimated Jaccard (fraction of equal
+    // signature components) next to the EXACT shingle-set Jaccard and the
+    // absolute error — the number that tells you whether 8 hashes are
+    // enough before you turn the knob on a 100 TB corpus (the dedup
+    // analogue of the ANN recall rows). Signatures and shingle sets are
+    // each materialized once; the exact side is the q_dedup_jaccard probe
+    // shape on the SAME shingle universe the sketch hashed.
+    Q("q_dedup_minhash_est",
+      (s, d) => {
+        val pairs = candidatePairs(s, d)
+        val sigRel = docs(s, d)
+          .select(col("doc_id"),
+            TextHash.minhashSig(toks(col("text")), shingleWords, defaultNumHashes).as("sig"))
+          .filter(col("sig").isNotNull).localCheckpoint()
+        val est = pairs
+          .join(sigRel.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigRel.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), b -> b))")
+              * 1.0 / defaultNumHashes).as("est_j"))
+        val g = docs(s, d)
+          .select(col("doc_id"),
+            explode(TextHash.distinctNGrams(toks(col("text")), shingleWords)).as("gram"))
+          .localCheckpoint()
+        val inter = pairs
+          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(g.as("gb").hint("shuffle_hash"),
+            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val out = est
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_j"), 6).as("est_j"),
+            round(coalesce(col("i"), lit(0L)) * 1.0 /
+              (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L))), 6).as("exact_j"),
+            round(abs(col("est_j") - coalesce(col("i"), lit(0L)) * 1.0 /
+              (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L)))), 6).as("abs_err"))
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        graft.plans.Iterate.release(g)
+        graft.plans.Iterate.release(sigRel)
+        graft.plans.Iterate.release(pairs)
+        out
+      },
+      Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,
+              est AS (SELECT doc_a, doc_b,
+                SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) * 1.0
+                  / $defaultNumHashes AS est_j
+                FROM pairs JOIN mh ma ON ma.doc_id = doc_a
+                JOIN mh mb ON mb.doc_id = doc_b AND mb.j = ma.j
+                GROUP BY doc_a, doc_b),
+              g AS (SELECT DISTINCT doc_id, sh AS gram FROM sh),
+              inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+                FROM pairs JOIN g ga ON ga.doc_id = doc_a
+                JOIN g gb ON gb.doc_id = doc_b AND gb.gram = ga.gram
+                GROUP BY doc_a, doc_b),
+              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id)
+              SELECT est.doc_a, est.doc_b, ROUND(est_j, 6) AS est_j,
+                ROUND(COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)), 6) AS exact_j,
+                ROUND(ABS(est_j - COALESCE(i, 0) * 1.0
+                          / (na.n + nb.n - COALESCE(i, 0))), 6) AS abs_err
+              FROM est LEFT JOIN inter USING (doc_a, doc_b)
+              JOIN n na ON na.doc_id = est.doc_a
+              JOIN n nb ON nb.doc_id = est.doc_b
+              ORDER BY doc_a, doc_b""")),
+
     // INCREMENTAL dedup — the production shape: you never re-dedup the
     // 100 TB corpus, you dedup today's delta AGAINST it. Delta docs
     // (doc_id % 10 == 7 here) probe the corpus's band signatures; a delta
