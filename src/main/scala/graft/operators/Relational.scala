@@ -876,6 +876,23 @@ object Relational extends QueryModule {
                 ROUND(MAX(x), 2) AS hi_x
               FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    // EXACT distinct counting with bitmap state (graft.functions
+    // .BitsetDistinct): where q_agg_hll_merge trades exactness for O(kB)
+    // sketches, a declared DENSE id domain gets exactness with
+    // O(domain/8) state constant in the row count — ids are bounded by a
+    // modulus, each task folds rows into one word array, merge is OR.
+    Q("q_agg_bitmap_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), (col("l_orderkey") % 1048576L).as("oid"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.BitsetDistinct.bitmapDistinct(1048575L)(col("oid"))
+          .as("n_orders"), count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_orderkey % 1048576) AS BIGINT) AS n_orders,
+              COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Time-RANGE window frame: per-user trailing 1-hour sum/count over the
     // event stream — the sliding-aggregate shape that needs no self-join.
     // Both engines order by whole epoch seconds so the frame boundaries are
