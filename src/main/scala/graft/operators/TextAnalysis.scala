@@ -25,6 +25,22 @@ object TextAnalysis extends QueryModule {
     s"""toks AS (SELECT doc_id, unnest(${TextExprs.toksSql("text")}) AS tok
          FROM documents)"""
 
+  /** (doc_id, t1, t2) adjacent-token pairs from a bounded in-row
+    * transform — no self-join, no per-doc sort window. Shared by the BPE
+    * merge counter and the bigram LM. */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(when(size(col("tk")) >= 2,
+        expr("transform(sequence(0, size(tk) - 2), i -> named_struct('t1', tk[i], 't2', tk[i+1]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRUCT<t1: STRING, t2: STRING>>)"))).as("p"))
+      .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+
+  private val bigramsSql =
+    s"""base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
+       bg AS (SELECT doc_id, tk[p] AS t1, tk[p + 1] AS t2
+              FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                    FROM base) x)"""
+
   /** tiny stopword lexicons per language (n-gram heuristic stand-in) */
   private val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "is",
@@ -487,22 +503,63 @@ object TextAnalysis extends QueryModule {
     // rerunnable per merge round at corpus scale.
     Q("q_text_bigram_merges",
       (s, d) => {
-        docs(s, d).select(TextExprs.toks(col("text")).as("tk"))
-          .select(explode(when(size(col("tk")) >= 2,
-            expr("transform(sequence(0, size(tk) - 2), i -> named_struct('t1', tk[i], 't2', tk[i+1]))"))
-            .otherwise(expr("CAST(array() AS ARRAY<STRUCT<t1: STRING, t2: STRING>>)"))).as("p"))
-          .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        bigrams(s, d)
           .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("t1"), asc("t2"))
           .limit(20)
       },
-      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk
-                 FROM documents),
-               pe AS (SELECT tk[p] AS t1, tk[p + 1] AS t2
-                      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                            FROM base) x)
-               SELECT t1, t2, COUNT(*) AS cnt FROM pe GROUP BY t1, t2
+      Some(s"""WITH $bigramsSql
+               SELECT t1, t2, COUNT(*) AS cnt FROM bg GROUP BY t1, t2
                ORDER BY cnt DESC, t1, t2 LIMIT 20""")),
+
+    // Interpolated BIGRAM-LM perplexity — the step up from the unigram
+    // CCNet filter (q_text_perplexity): P(t2|t1) = λ·c(t1,t2)/c(t1·)
+    // + (1−λ)·P1(t2) with the SAME add-one unigram as backoff, scored
+    // over each doc's transitions. Train = two hash aggs over the
+    // bigram/token streams (O(vocab²) worst-case model, O(seen-bigrams)
+    // actual); score = one equi-join per model relation + per-doc sum —
+    // no extra corpus pass vs the unigram row.
+    Q("q_text_perplexity_bigram",
+      (s, d) => {
+        val lam = 0.7
+        val pf = bigrams(s, d).groupBy("doc_id", "t1", "t2")
+          .agg(count(lit(1)).as("c"))
+        val bgLm = bigrams(s, d).groupBy("t1", "t2")
+          .agg(count(lit(1)).as("cb")).localCheckpoint()
+        val c1 = bgLm.groupBy("t1").agg(sum("cb").as("c1"))
+        val uni = toks(s, d).groupBy("tok").agg(count(lit(1)).as("ct"))
+          .localCheckpoint()
+        val scal = uni.agg(sum("ct").cast("double").as("t"),
+          count(lit(1)).cast("double").as("v"))
+        pf.join(bgLm, Seq("t1", "t2"))
+          .join(c1, Seq("t1"))
+          .join(uni.withColumnRenamed("tok", "t2"), Seq("t2"))
+          .crossJoin(broadcast(scal))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_trans"),
+            (-sum(col("c") * log2(lit(lam) * col("cb") / col("c1") +
+              lit(1 - lam) * (col("ct") + 1.0) / (col("t") + col("v"))))
+              / sum("c")).as("bits"))
+          .select(col("doc_id"), col("n_trans"),
+            round(col("bits"), 6).as("bits_per_transition"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $bigramsSql,
+               pf AS (SELECT doc_id, t1, t2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+               bglm AS (SELECT t1, t2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+               c1 AS (SELECT t1, SUM(cb) AS c1 FROM bglm GROUP BY 1),
+               uni AS (SELECT tok, COUNT(*) AS ct FROM
+                 (SELECT doc_id, unnest(tk) AS tok FROM base) u GROUP BY 1),
+               scal AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t,
+                          CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+               agg AS (SELECT doc_id, SUM(c) AS n,
+                 -SUM(c * log2(0.7 * cb / c1 + 0.3 * (ct + 1.0) / (t + v))) / SUM(c) AS bits
+                 FROM pf JOIN bglm USING (t1, t2) JOIN c1 USING (t1)
+                 JOIN uni ON uni.tok = pf.t2 CROSS JOIN scal
+                 GROUP BY doc_id)
+               SELECT doc_id, CAST(n AS BIGINT) AS n_trans,
+                 ROUND(bits, 6) AS bits_per_transition
+               FROM agg ORDER BY doc_id""")),
 
     // DSIR-style importance weight (Data Selection via Importance
     // Resampling): per-doc mean log-likelihood ratio between a TARGET
