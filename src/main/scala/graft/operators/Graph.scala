@@ -430,6 +430,42 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
+    // Local clustering coefficient: triangles(v) / C(deg(v), 2) — how
+    // close each vertex's neighborhood is to a clique. Composes the
+    // declared triangle pipeline with the degree relation; one extra join
+    // over q_graph_triangle's plan.
+    Q("q_graph_clustering",
+      (s, d) => {
+        val tri = graft.SparkEntry.queries("q_graph_triangle")(s, d)
+        val eu = undirected(edges(s, d))
+        val deg = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+        tri.join(deg, Seq("v"))
+          .select(col("v"), col("triangles"), col("dg").as("degree"),
+            round(when(col("dg") >= 2,
+              col("triangles") * 2.0 / (col("dg") * (col("dg") - 1)))
+              .otherwise(0.0), 6).as("coeff"))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql,
+               $undirectedSql,
+               $nodesSql,
+               ori AS (SELECT src AS a, dst AS b FROM eu WHERE src < dst),
+               tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                       FROM ori e1 JOIN ori e2 ON e2.a = e1.b
+                       JOIN ori e3 ON e3.a = e1.a AND e3.b = e2.b),
+               corners AS (SELECT a AS v FROM tri UNION ALL
+                           SELECT b AS v FROM tri UNION ALL
+                           SELECT c AS v FROM tri),
+               per AS (SELECT v, COUNT(*) AS triangles FROM corners GROUP BY v),
+               deg AS (SELECT src AS v, COUNT(*) AS dg FROM eu GROUP BY src)
+               SELECT nodes.v, CAST(COALESCE(per.triangles, 0) AS BIGINT) AS triangles,
+                 CAST(deg.dg AS BIGINT) AS degree,
+                 ROUND(CASE WHEN deg.dg >= 2
+                   THEN COALESCE(per.triangles, 0) * 2.0 / (deg.dg * (deg.dg - 1))
+                   ELSE 0.0 END, 6) AS coeff
+               FROM nodes JOIN deg ON deg.v = nodes.v
+               LEFT JOIN per ON per.v = nodes.v ORDER BY nodes.v""")),
+
     // Synchronous label propagation (community detection): labels start as
     // vertex ids; each round every vertex adopts the most frequent label
     // among its undirected neighbors (ties → smallest label, isolated

@@ -609,6 +609,38 @@ object Relational extends QueryModule {
                      epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
               FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
 
+    // TOLERANCE-bounded as-of join (market-data semantics: a quote older
+    // than the tolerance is stale, not a match): composes the same Asof
+    // API and NULLs the match beyond a 30-minute gap — a pure projection
+    // on top of the one-shuffle plan, no second window, no re-join.
+    Q("q_join_asof_tol",
+      (s, d) => {
+        val (purchases, clicks) = asofSides(s, d)
+        val tolUs = 30L * 60 * 1000000L
+        val gap = unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("asof_ts").cast("timestamp"))
+        Asof.backward(purchases, clicks, "user_id", "ts", Seq("click_id"))
+          .select(col("user_id"), col("purchase_id"),
+            when(gap <= tolUs, col("asof_click_id")).as("asof_click_id"),
+            when(gap <= tolUs, gap).as("gap_us"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some(s"""WITH $asofUnionSql, w AS (
+                SELECT *,
+                  LAST_VALUE(click_id IGNORE NULLS) OVER win AS asof_click_id,
+                  LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER win AS asof_click_ts
+                FROM u
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              )
+              SELECT user_id, purchase_id,
+                CASE WHEN epoch_us(ts) - epoch_us(asof_click_ts) <= 1800000000
+                     THEN asof_click_id END AS asof_click_id,
+                CASE WHEN epoch_us(ts) - epoch_us(asof_click_ts) <= 1800000000
+                     THEN epoch_us(ts) - epoch_us(asof_click_ts) END AS gap_us
+              FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
+
     // AS-OF JOIN (forward): earliest click at-or-after each purchase —
     // same single-shuffle union+window plan mirrored (first over the
     // FOLLOWING frame). Ordering puts the purchase before a same-instant
