@@ -541,6 +541,67 @@ object Dedup extends QueryModule {
               FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
               ORDER BY doc_a, doc_b""")),
 
+    // CROSS-MODAL semantic dedup: embedding-space near-dup candidates
+    // (the DECLARED q_sim_neardup query — vec_id is the doc_id of the
+    // document the vector embeds, the testdata's 1:1 convention) verified
+    // by LEXICAL 2-gram Jaccard on the corresponding texts. Semantic
+    // recall finds paraphrases exact hashing misses; the lexical score
+    // says which candidates are also surface dups — the two-signal
+    // curation decision. Candidate set is O(near-dup pairs); the verify
+    // is the bounded q_dedup_jaccard probe shape.
+    Q("q_dedup_semantic",
+      (s, d) => {
+        val pairs = graft.SparkEntry.queries("q_sim_neardup")(s, d)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("sim").as("cos_sim"))
+          .localCheckpoint()
+        val g = docs(s, d)
+          .select(col("doc_id"),
+            explode(TextHash.distinctNGrams(toks(col("text")), 2)).as("gram"))
+          .localCheckpoint()
+        val inter = pairs
+          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(g.as("gb").hint("shuffle_hash"),
+            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val lexJ = coalesce(col("i"), lit(0L)) * 1.0 /
+          (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L)))
+        val out = pairs
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("cos_sim"),
+            round(lexJ, 6).as("lex_j"),
+            (lexJ >= 0.3).as("lexical_dup"))
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        graft.plans.Iterate.release(g)
+        graft.plans.Iterate.release(pairs)
+        out
+      },
+      Some(s"""WITH ${Similarity.eSql},
+              ${Similarity.lshBucketSql},
+              ${Similarity.neardupSimsSql},
+              p0 AS (SELECT id_a AS doc_a, id_b AS doc_b, sim AS cos_sim
+                     FROM nsims WHERE sim > 0.2),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
+                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
+              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+              i AS (SELECT p0.doc_a, p0.doc_b, COUNT(*) AS i
+                FROM p0 JOIN g a ON a.doc_id = p0.doc_a
+                JOIN g b ON b.doc_id = p0.doc_b AND a.gram = b.gram
+                GROUP BY p0.doc_a, p0.doc_b)
+              SELECT p0.doc_a, p0.doc_b, cos_sim,
+                ROUND(COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)), 6) AS lex_j,
+                COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)) >= 0.3 AS lexical_dup
+              FROM p0 LEFT JOIN i USING (doc_a, doc_b)
+              JOIN n na ON na.doc_id = p0.doc_a
+              JOIN n nb ON nb.doc_id = p0.doc_b
+              ORDER BY doc_a, doc_b""")),
+
     // Character-level EDIT-DISTANCE verification of the LSH candidates —
     // the third verify flavor beside set-Jaccard (above) and embedding
     // cosine (q_sim_neardup): levenshtein catches small in-place edits

@@ -297,7 +297,20 @@ object Similarity extends QueryModule {
 
   /** DuckDB CTEs computing the same bucket per vec_id (expects a prior
     * `e(vec_id, pos, ev)` unnested CTE). */
-  private val lshBucketSql =
+  /** blocked (label, bucket) self-join cosine pairs → nsims(id_a, id_b,
+    * sim) — shared by q_sim_neardup's oracle and the cross-modal
+    * q_dedup_semantic composition in Dedup.scala. */
+  private[operators] val neardupSimsSql =
+    """el AS (SELECT e.vec_id, e.pos, e.ev, emb.label, b.bucket
+         FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
+                JOIN buckets b ON b.vec_id = e.vec_id),
+       nsims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(SUM(a.ev * b.ev) / (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS sim
+         FROM el a JOIN el b ON a.label = b.label AND a.bucket = b.bucket
+           AND a.pos = b.pos AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id)"""
+
+  private[operators] val lshBucketSql =
     s"""lshdots AS (SELECT vec_id, j, SUM(ev * ((pos * 31 + j * 17) % 13 - 6)) AS dot
          FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS j) js
          GROUP BY vec_id, j),
@@ -751,15 +764,8 @@ object Similarity extends QueryModule {
       },
       Some(s"""WITH $eSql,
               $lshBucketSql,
-              el AS (SELECT e.vec_id, e.pos, e.ev, emb.label, b.bucket
-                FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
-                       JOIN buckets b ON b.vec_id = e.vec_id),
-              sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                ROUND(SUM(a.ev * b.ev) / (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS sim
-                FROM el a JOIN el b ON a.label = b.label AND a.bucket = b.bucket
-                  AND a.pos = b.pos AND a.vec_id < b.vec_id
-                GROUP BY a.vec_id, b.vec_id)
-              SELECT id_a, id_b, sim FROM sims WHERE sim > 0.2 ORDER BY id_a, id_b""")),
+              $neardupSimsSql
+              SELECT id_a, id_b, sim FROM nsims WHERE sim > 0.2 ORDER BY id_a, id_b""")),
 
     // ANN quality EVALUATION: recall@5 of the single-probe IVF search
     // against the brute-force ground truth — the measurement loop any
