@@ -908,6 +908,50 @@ object Relational extends QueryModule {
                 ROUND(MAX(x), 2) AS hi_x
               FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    // Welch's two-sample t-test (unequal variances) from one conditional
+    // aggregate pass — the A/B readout: does returnflag R's price differ
+    // from A's? Everything is sums/counts, so the whole statistic
+    // partial-combines; df is Welch–Satterthwaite.
+    Q("q_agg_ttest",
+      (s, d) => {
+        val x = col("l_extendedprice")
+        val a = col("l_returnflag") === "A"
+        val r = col("l_returnflag") === "R"
+        t(s, d, "lineitem").filter(a || r)
+          .agg(
+            count(when(a, 1)).as("n1"), count(when(r, 1)).as("n2"),
+            avg(when(a, x)).as("m1"), avg(when(r, x)).as("m2"),
+            var_samp(when(a, x)).as("v1"), var_samp(when(r, x)).as("v2"))
+          .select(col("n1"), col("n2"),
+            round(col("m1"), 4).as("m1"), round(col("m2"), 4).as("m2"),
+            round((col("m1") - col("m2")) /
+              sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6).as("t_stat"),
+            round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+              (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+               pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 4).as("df"))
+      },
+      Some("""SELECT CAST(COUNT(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n1,
+                CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n2,
+                ROUND(AVG(l_extendedprice) FILTER (l_returnflag = 'A'), 4) AS m1,
+                ROUND(AVG(l_extendedprice) FILTER (l_returnflag = 'R'), 4) AS m2,
+                ROUND((AVG(l_extendedprice) FILTER (l_returnflag = 'A')
+                       - AVG(l_extendedprice) FILTER (l_returnflag = 'R'))
+                  / SQRT(VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'A')
+                           / COUNT(*) FILTER (l_returnflag = 'A')
+                         + VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'R')
+                           / COUNT(*) FILTER (l_returnflag = 'R')), 6) AS t_stat,
+                ROUND(POWER(VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'A')
+                              / COUNT(*) FILTER (l_returnflag = 'A')
+                            + VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'R')
+                              / COUNT(*) FILTER (l_returnflag = 'R'), 2)
+                  / (POWER(VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'A')
+                             / COUNT(*) FILTER (l_returnflag = 'A'), 2)
+                       / (COUNT(*) FILTER (l_returnflag = 'A') - 1)
+                     + POWER(VAR_SAMP(l_extendedprice) FILTER (l_returnflag = 'R')
+                               / COUNT(*) FILTER (l_returnflag = 'R'), 2)
+                       / (COUNT(*) FILTER (l_returnflag = 'R') - 1)), 4) AS df
+              FROM lineitem WHERE l_returnflag IN ('A', 'R')""")),
+
     // EXACT distinct counting with bitmap state (graft.functions
     // .BitsetDistinct): where q_agg_hll_merge trades exactness for O(kB)
     // sketches, a declared DENSE id domain gets exactness with

@@ -214,6 +214,31 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis): key
+    // k = ln(u)/w with a portable md5-derived uniform u and weight w =
+    // n_chars (stand-in for a quality score) — top-k by key IS a weighted
+    // sample, computed as one projection + one tiny top-k, reproducible
+    // across engines and partitionings like q_text_sample's hash draw.
+    // This is the "sample the corpus proportional to quality" curation
+    // step, without replacement and without a global RNG.
+    Q("q_text_weighted_sample",
+      (s, d) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") + lit(1L)) / lit(16777217.0)
+        val key = log(u) / col("n_chars")
+        docs(s, d)
+          .select(col("doc_id"), col("n_chars"), key.as("k"))
+          .orderBy(desc("k"), asc("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("es_key"))
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+                ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                    + 1) / 16777217.0) / n_chars AS k
+                FROM documents)
+              SELECT doc_id, n_chars, ROUND(k, 9) AS es_key
+              FROM k ORDER BY k DESC, doc_id LIMIT 20""")),
+
     // document fingerprint: md5 of normalized content + duplicate-cluster size
     Q("q_text_fingerprint",
       (s, d) => {
