@@ -908,6 +908,50 @@ object Relational extends QueryModule {
                 ROUND(MAX(x), 2) AS hi_x
               FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    // Built-in linear-regression aggregates (closed-form OLS from running
+    // sums — the partial-combining cousins of q_ml_linreg's GD): slope,
+    // intercept, and R² of price vs quantity per returnflag.
+    Q("q_agg_regr",
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+              ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+              ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+              CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // first/last/nth_value window functions over an explicit full-partition
+    // frame (default frames differ subtly across engines; declaring
+    // UNBOUNDED..UNBOUNDED makes last/nth well-defined in both).
+    Q("q_window_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+              LAST_VALUE(o_orderkey) OVER w AS last_ok,
+              NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+              ORDER BY o_custkey, o_orderkey""")),
+
     // Welch's two-sample t-test (unequal variances) from one conditional
     // aggregate pass — the A/B readout: does returnflag R's price differ
     // from A's? Everything is sums/counts, so the whole statistic

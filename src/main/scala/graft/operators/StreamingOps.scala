@@ -401,6 +401,22 @@ object StreamingOps extends QueryModule {
                 AND p.ts <= c.ts + INTERVAL '1 hour'
               ORDER BY c.user_id, click_id, purchase_id""")),
 
+    // LIVE streaming with a CUSTOM typed aggregate as state: the
+    // BitsetDistinct bitmap Aggregator running inside the streaming
+    // aggregation state store (zero/reduce/merge across micro-batches) —
+    // exact per-window distinct users with O(domain/8) state. Complete
+    // mode like the other finite-source windowed rows; oracle is the
+    // batch exact distinct.
+    Q("q_stream_live_bitmap",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.tumblingDistinctUsers(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "complete", Seq("wstart"), ntzCols = Seq("wstart")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+              CAST(COUNT(DISTINCT user_id % 1024) AS BIGINT) AS n_users,
+              COUNT(*) AS n_events
+              FROM events GROUP BY wstart ORDER BY wstart""")),
+
     // LIVE streaming with the DURABLE file sink — the production shape the
     // memory-sink rows stand in for: parquet sink + checkpointLocation
     // gives exactly-once output via the sink's commit manifest (a killed

@@ -152,6 +152,19 @@ object Streams {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Tumbling windows with a CUSTOM typed aggregate in the streaming
+    * state store: exact distinct-user count per 1-hour window via the
+    * [[graft.functions.BitsetDistinct]] bitmap Aggregator — the proof
+    * that USER Aggregators (zero/reduce/merge) run as streaming state
+    * across micro-batches, not just built-ins. Bitmap state is
+    * O(domain/8) per window regardless of event volume. */
+  def tumblingDistinctUsers(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.BitsetDistinct.bitmapDistinct(1023L)(col("user_id") % 1024)
+        .as("n_users"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("wstart"), col("n_users"), col("n_events"))
+
   /** Watermark-EVICTED streaming dedup (`dropDuplicatesWithinWatermark`):
     * unlike plain `dropDuplicates`, whose key state grows forever on an
     * unbounded feed, state for a key is dropped once the watermark passes
