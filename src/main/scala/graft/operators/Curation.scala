@@ -116,6 +116,32 @@ object Curation extends QueryModule {
     // O(score grid) window rows at any corpus size. All intermediates are
     // dyadic rationals well under 2^53, so the double arithmetic is exact
     // and order-independent in both engines.
+    // Model CALIBRATION: decile-binned reliability readout (n, mean
+    // predicted score, observed positive fraction per bin) — with AUC,
+    // the other half of the deploy decision: a filter can rank well and
+    // still be miscalibrated at the chosen threshold. One join + one
+    // hash agg over the declared scored output.
+    Q("q_pipeline_quality_calibration",
+      (s, d) => {
+        val scored = graft.SparkEntry.queries("q_pipeline_quality_model")(s, d)
+          .select(col("doc_id"), col("score"))
+        val y = Tables(s, d, "documents")
+          .select(col("doc_id"), when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        scored.join(y, "doc_id")
+          .withColumn("bin", floor(col("score") * 10).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("score")), 6).as("mean_score"),
+            round(avg(col("y")), 6).as("frac_pos"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $qualityModelCtes,
+           cal AS (SELECT CAST(FLOOR(s.score * 10) AS BIGINT) AS bin, s.score, d.y
+                   FROM scored s JOIN d USING (doc_id))
+           SELECT bin, COUNT(*) AS n, ROUND(AVG(score), 6) AS mean_score,
+             ROUND(AVG(y), 6) AS frac_pos
+           FROM cal GROUP BY bin ORDER BY bin""")),
+
     Q("q_pipeline_quality_auc",
       (s, d) => {
         val scored = graft.SparkEntry.queries("q_pipeline_quality_model")(s, d)

@@ -430,6 +430,27 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
+    // Degree assortativity: Pearson correlation of endpoint degrees over
+    // the undirected edge list — one number saying whether hubs link to
+    // hubs (positive) or to leaves (negative). Two joins + one
+    // partial-combining corr aggregate.
+    Q("q_graph_assortativity",
+      (s, d) => {
+        val eu = undirected(edges(s, d))
+        val deg = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+        eu.join(deg.withColumnRenamed("v", "src").withColumnRenamed("dg", "da"), Seq("src"))
+          .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("dg", "db"), Seq("dst"))
+          .agg(count(lit(1)).as("n_dir_edges"),
+            round(corr(col("da"), col("db")), 6).as("assortativity"))
+      },
+      Some(s"""WITH $edgesSql,
+               $undirectedSql,
+               deg AS (SELECT src AS v, COUNT(*) AS dg FROM eu GROUP BY src)
+               SELECT COUNT(*) AS n_dir_edges,
+                 ROUND(CORR(da.dg, db.dg), 6) AS assortativity
+               FROM eu JOIN deg da ON da.v = eu.src
+               JOIN deg db ON db.v = eu.dst""")),
+
     // Local clustering coefficient: triangles(v) / C(deg(v), 2) — how
     // close each vertex's neighborhood is to a clique. Composes the
     // declared triangle pipeline with the degree relation; one extra join
