@@ -808,6 +808,26 @@ object Relational extends QueryModule {
               o_orderpriority AS prio_v, CAST(2 AS BIGINT) AS nkeys
               FROM orders ORDER BY o_orderkey""")),
 
+    // Struct construction / field access / JSON round-trip — the nested-
+    // type surface a lake schema leans on: build a struct, read fields
+    // back, serialize to canonical JSON. Key order is declaration order
+    // in both engines, so the JSON strings compare exactly.
+    Q("q_fn_struct",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("o"))
+        .select(col("o_orderkey"),
+          col("o.st").as("st"),
+          round(col("o.tp"), 2).as("tp"),
+          to_json(struct(col("o.st").as("st"),
+            round(col("o.tp"), 2).as("tp"))).as("js"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus AS st,
+              ROUND(o_totalprice, 2) AS tp,
+              '{"st":"' || o_orderstatus || '","tp":' ||
+                CAST(ROUND(o_totalprice, 2) AS VARCHAR) || '}' AS js
+              FROM orders ORDER BY o_orderkey""")),
+
     // §2.10 SQL-function surface: the native codegen'd kernels called by
     // their injected SQL names (GraftExtensions/GraftFunctions) through
     // spark.sql — proving the pure-SQL user gets the same expressions as
