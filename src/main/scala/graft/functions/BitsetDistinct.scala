@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions.udaf
 final class BitsetDistinct(maxId: Long)
     extends Aggregator[Long, Array[Long], Long] {
 
+  // a negative maxId would silently count 0 forever (the reduce guard
+  // never admits an id); a domain past 2^36 overflows the word count /
+  // allocates multi-GB buffers — both are config errors that must fail
+  // loudly at construction (the bands() require convention, ADVICE r3)
+  require(maxId >= 0L && maxId < (1L << 36),
+    s"maxId must be in [0, 2^36): $maxId")
+
   private val words = ((maxId >> 6) + 1).toInt
 
   override def zero: Array[Long] = new Array[Long](words)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline: the composition the L4
@@ -77,33 +78,12 @@ object Curation extends QueryModule {
     // nothing but three 3-double gradients ever reaches the driver.
     Q("q_pipeline_quality_model",
       (s, d) => {
-        def r9(v: Double): Double =
-          BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val data = Tables.cpuPartitioned(s, d, "documents", "doc_id")
-          .select(col("doc_id"),
-            TextExprs.qualityScore(col("text")).as("x1"),
-            (log(lit(1.0) + col("n_chars")) / 10.0).as("x2"),
-            when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-          .cache()
-        val m = data.count().toDouble
-        var (th0, th1, th2) = (0.0, 0.0, 0.0)
-        for (_ <- 1 to 3) {
-          val h = lit(1.0) / (lit(1.0) +
-            exp(-(lit(th0) + lit(th1) * col("x1") + lit(th2) * col("x2"))))
-          val r = data.agg(sum(h - col("y")).as("g0"),
-            sum((h - col("y")) * col("x1")).as("g1"),
-            sum((h - col("y")) * col("x2")).as("g2")).collect()(0)
-          th0 = r9(th0 - r.getDouble(0) / m)
-          th1 = r9(th1 - r.getDouble(1) / m)
-          th2 = r9(th2 - r.getDouble(2) / m)
-        }
+        val (th0, th1, th2) = trainedThetas(s, d)
         val p = lit(1.0) / (lit(1.0) +
           exp(-(lit(th0) + lit(th1) * col("x1") + lit(th2) * col("x2"))))
-        val out = data.select(col("doc_id"), round(p, 6).as("score"),
-            (p >= 0.5).as("keep"))
-          .orderBy("doc_id").localCheckpoint() // eager; frees the cache next
-        data.unpersist()
-        out
+        qualityFeatures(s, d)
+          .select(col("doc_id"), round(p, 6).as("score"), (p >= 0.5).as("keep"))
+          .orderBy("doc_id")
       },
       Some(s"""WITH $qualityModelCtes
            SELECT doc_id, score, keep FROM scored ORDER BY doc_id""")),
@@ -187,6 +167,43 @@ object Curation extends QueryModule {
   /** Train + score SQL chain shared by the quality-model row and its AUC
     * evaluator (ends in `scored(doc_id, score, keep)`; `d` carries the
     * features + label). */
+  /** (doc_id, x1, x2, y) feature relation for the quality model. */
+  private def qualityFeatures(s: SparkSession, d: String) =
+    Tables.cpuPartitioned(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        TextExprs.qualityScore(col("text")).as("x1"),
+        (log(lit(1.0) + col("n_chars")) / 10.0).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  /** Trained logistic weights, memoized per data dir (the pcaCache
+    * pattern, review r5): the model/AUC/calibration rows all depend on
+    * the same 3-step GD train — one session now pays the cache + count +
+    * three gradient passes ONCE. Only 3 doubles are held on the driver.
+    */
+  private val thetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double)]()
+
+  private def trainedThetas(s: SparkSession, d: String): (Double, Double, Double) =
+    thetaCache.computeIfAbsent(d, dir => {
+      def r9(v: Double): Double =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val data = qualityFeatures(s, dir).cache()
+      val m = data.count().toDouble
+      var (th0, th1, th2) = (0.0, 0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val h = lit(1.0) / (lit(1.0) +
+          exp(-(lit(th0) + lit(th1) * col("x1") + lit(th2) * col("x2"))))
+        val r = data.agg(sum(h - col("y")).as("g0"),
+          sum((h - col("y")) * col("x1")).as("g1"),
+          sum((h - col("y")) * col("x2")).as("g2")).collect()(0)
+        th0 = r9(th0 - r.getDouble(0) / m)
+        th1 = r9(th1 - r.getDouble(1) / m)
+        th2 = r9(th2 - r.getDouble(2) / m)
+      }
+      data.unpersist()
+      (th0, th1, th2)
+    })
+
   private lazy val qualityModelCtes: String = {
     val feat = s"""d AS (SELECT doc_id,
       ${TextExprs.qualityScoreSql("text")} AS x1,

@@ -141,6 +141,60 @@ object Dedup extends QueryModule {
     out
   }
 
+  /** Append exact gram-set overlap columns (gi, gna, gnb) to a
+    * (doc_a, doc_b, …carry) pair relation: distinct w-grams per doc via
+    * the native DistinctNGrams expression, pair expansion by side-a's
+    * grams, a (doc, gram)-keyed probe of side b with a shuffle_hash hint
+    * (the build side is corpus-scale — the static estimate under the
+    * explode/checkpoint would broadcast it, which cannot survive 100 TB),
+    * and per-doc totals. This is the ONE lexical-verify shape that
+    * q_dedup_jaccard, q_dedup_minhash_est and q_dedup_semantic all lower
+    * to (review r5: three copies had already appeared). Zero-overlap
+    * pairs survive with gi = 0; result is eagerly checkpointed
+    * (O(pairs)) and the gram blocks are released here. */
+  private def gramOverlap(s: SparkSession, d: String, pairs: DataFrame,
+      w: Int): DataFrame = {
+    val carry = pairs.columns.toSeq
+    val g = docs(s, d)
+      .select(col("doc_id"),
+        explode(TextHash.distinctNGrams(toks(col("text")), w)).as("gram"))
+      .localCheckpoint()
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb").hint("shuffle_hash"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("gi0"))
+    val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val out = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(carry.map(col) ++ Seq(
+        coalesce(col("gi0"), lit(0L)).as("gi"),
+        col("na.n").as("gna"), col("nb.n").as("gnb")): _*)
+      .localCheckpoint()
+    graft.plans.Iterate.release(g)
+    out
+  }
+
+  /** the Jaccard expression over [[gramOverlap]]'s columns */
+  private val gramJaccard: Column =
+    col("gi") * 1.0 / (col("gna") + col("gnb") - col("gi"))
+
+  /** SQL twin of [[gramOverlap]] for a prior `$pairsCte(doc_a, doc_b)`
+    * CTE: g/n/i CTEs with the same w-gram definition. */
+  private def gramOverlapSql(pairsCte: String, w: Int): String =
+    s"""g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + ${w - 1}], ' ') AS gram FROM (
+         SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS p
+         FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
+       n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         FROM $pairsCte p
+         JOIN g a ON a.doc_id = p.doc_a
+         JOIN g b ON b.doc_id = p.doc_b AND a.gram = b.gram
+         GROUP BY p.doc_a, p.doc_b)"""
+
   private val pairsSql =
     """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
@@ -280,30 +334,15 @@ object Dedup extends QueryModule {
           .select(col("doc_a"), col("doc_b"),
             (expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), b -> b))")
               * 1.0 / defaultNumHashes).as("est_j"))
-        val g = docs(s, d)
-          .select(col("doc_id"),
-            explode(TextHash.distinctNGrams(toks(col("text")), shingleWords)).as("gram"))
-          .localCheckpoint()
-        val inter = pairs
-          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-          .join(g.as("gb").hint("shuffle_hash"),
-            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val out = est
-          .join(inter, Seq("doc_a", "doc_b"), "left")
-          .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .localCheckpoint() // referenced twice inside gramOverlap
+        val out = gramOverlap(s, d, est, shingleWords)
           .select(col("doc_a"), col("doc_b"),
             round(col("est_j"), 6).as("est_j"),
-            round(coalesce(col("i"), lit(0L)) * 1.0 /
-              (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L))), 6).as("exact_j"),
-            round(abs(col("est_j") - coalesce(col("i"), lit(0L)) * 1.0 /
-              (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L)))), 6).as("abs_err"))
+            round(gramJaccard, 6).as("exact_j"),
+            round(abs(col("est_j") - gramJaccard), 6).as("abs_err"))
           .orderBy("doc_a", "doc_b")
           .localCheckpoint()
-        graft.plans.Iterate.release(g)
+        graft.plans.Iterate.release(est)
         graft.plans.Iterate.release(sigRel)
         graft.plans.Iterate.release(pairs)
         out
@@ -315,6 +354,8 @@ object Dedup extends QueryModule {
                 FROM pairs JOIN mh ma ON ma.doc_id = doc_a
                 JOIN mh mb ON mb.doc_id = doc_b AND mb.j = ma.j
                 GROUP BY doc_a, doc_b),
+              -- reuses the sh shingle CTE the sketch itself hashed (same
+              -- w-gram definition as gramOverlapSql, no recompute)
               g AS (SELECT DISTINCT doc_id, sh AS gram FROM sh),
               inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
                 FROM pairs JOIN g ga ON ga.doc_id = doc_a
@@ -490,52 +531,21 @@ object Dedup extends QueryModule {
     Q("q_dedup_jaccard",
       (s, d) => {
         val pairs = candidatePairs(s, d) // eagerly checkpointed, O(pairs)
-        // Per-doc gram dedup happens INSIDE the native DistinctNGrams
-        // expression, so exploding directly yields distinct (doc, gram)
-        // pairs — no aggregate. The relation is referenced three times
-        // (both intersection sides + per-doc counts): materialize it once,
-        // eagerly, instead of re-running the gram pipeline per reference.
-        val g = docs(s, d)
-          .select(col("doc_id"),
-            explode(TextHash.distinctNGrams(toks(col("text")), 2)).as("gram"))
-          .localCheckpoint()
-        // expand each pair by side-a's grams (doc-keyed join), then probe
-        // side-b's gram set on (doc, gram). shuffle_hash hint on the probe:
-        // the build side is the corpus-scale gram relation — the static
-        // estimate under the explode/checkpoint would let the planner
-        // broadcast a hash map of the whole corpus, which cannot survive
-        // 100 TB. Pair expansion is bounded: LSH pairs are sparse and each
-        // expands by one document's gram count, never docs².
-        val inter = pairs
-          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-          .join(g.as("gb").hint("shuffle_hash"),
-            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // no broadcast hint on n: it scales with the corpus — AQE picks
-        // broadcast at small SF and shuffle join at scale
-        val out = inter
-          .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        // shared verify shape (gramOverlap): pair expansion by side-a's
+        // grams, shuffle_hash probe of side b, per-doc totals. This row
+        // keeps its historical contract of emitting only overlapping
+        // pairs (gi > 0).
+        val out = gramOverlap(s, d, pairs, 2)
+          .filter(col("gi") > 0)
           .select(col("doc_a"), col("doc_b"),
-            round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard"))
+            round(gramJaccard, 6).as("jaccard"))
           .orderBy("doc_a", "doc_b")
           .localCheckpoint() // eager; O(doc pairs), small
-        graft.plans.Iterate.release(g)     // free the gram blocks now,
         graft.plans.Iterate.release(pairs) // not at harness clearCache
         out
       },
       Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,
-              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
-                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
-              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-              i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
-                FROM pairs p
-                JOIN g a ON a.doc_id = p.doc_a
-                JOIN g b ON b.doc_id = p.doc_b AND a.gram = b.gram
-                GROUP BY p.doc_a, p.doc_b)
+              ${gramOverlapSql("pairs", 2)}
               SELECT doc_a, doc_b,
                 ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
               FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
@@ -555,29 +565,12 @@ object Dedup extends QueryModule {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("sim").as("cos_sim"))
           .localCheckpoint()
-        val g = docs(s, d)
-          .select(col("doc_id"),
-            explode(TextHash.distinctNGrams(toks(col("text")), 2)).as("gram"))
-          .localCheckpoint()
-        val inter = pairs
-          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-          .join(g.as("gb").hint("shuffle_hash"),
-            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val lexJ = coalesce(col("i"), lit(0L)) * 1.0 /
-          (col("na.n") + col("nb.n") - coalesce(col("i"), lit(0L)))
-        val out = pairs
-          .join(inter, Seq("doc_a", "doc_b"), "left")
-          .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        val out = gramOverlap(s, d, pairs, 2)
           .select(col("doc_a"), col("doc_b"), col("cos_sim"),
-            round(lexJ, 6).as("lex_j"),
-            (lexJ >= 0.3).as("lexical_dup"))
+            round(gramJaccard, 6).as("lex_j"),
+            (gramJaccard >= 0.3).as("lexical_dup"))
           .orderBy("doc_a", "doc_b")
           .localCheckpoint()
-        graft.plans.Iterate.release(g)
         graft.plans.Iterate.release(pairs)
         out
       },
@@ -586,17 +579,10 @@ object Dedup extends QueryModule {
               ${Similarity.neardupSimsSql},
               p0 AS (SELECT id_a AS doc_a, id_b AS doc_b, sim AS cos_sim
                      FROM nsims WHERE sim > 0.2),
-              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 1], ' ') AS gram FROM (
-                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                FROM (SELECT doc_id, $toksSql AS tk FROM documents) t0) t1),
-              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-              i AS (SELECT p0.doc_a, p0.doc_b, COUNT(*) AS i
-                FROM p0 JOIN g a ON a.doc_id = p0.doc_a
-                JOIN g b ON b.doc_id = p0.doc_b AND a.gram = b.gram
-                GROUP BY p0.doc_a, p0.doc_b)
+              ${gramOverlapSql("p0", 2)}
               SELECT p0.doc_a, p0.doc_b, cos_sim,
-                ROUND(COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)), 6) AS lex_j,
-                COALESCE(i, 0) * 1.0 / (na.n + nb.n - COALESCE(i, 0)) >= 0.3 AS lexical_dup
+                ROUND(COALESCE(inter, 0) * 1.0 / (na.n + nb.n - COALESCE(inter, 0)), 6) AS lex_j,
+                COALESCE(inter, 0) * 1.0 / (na.n + nb.n - COALESCE(inter, 0)) >= 0.3 AS lexical_dup
               FROM p0 LEFT JOIN i USING (doc_a, doc_b)
               JOIN n na ON na.doc_id = p0.doc_a
               JOIN n nb ON nb.doc_id = p0.doc_b

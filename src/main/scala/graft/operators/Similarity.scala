@@ -295,11 +295,10 @@ object Similarity extends QueryModule {
           FROM $simsCte) t
         WHERE rank <= $k ORDER BY q_id, rank"""
 
-  /** DuckDB CTEs computing the same bucket per vec_id (expects a prior
-    * `e(vec_id, pos, ev)` unnested CTE). */
   /** blocked (label, bucket) self-join cosine pairs → nsims(id_a, id_b,
     * sim) — shared by q_sim_neardup's oracle and the cross-modal
-    * q_dedup_semantic composition in Dedup.scala. */
+    * q_dedup_semantic composition in Dedup.scala. Expects prior `e` and
+    * `buckets` CTEs ([[eSql]], [[lshBucketSql]]). */
   private[operators] val neardupSimsSql =
     """el AS (SELECT e.vec_id, e.pos, e.ev, emb.label, b.bucket
          FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
@@ -310,6 +309,8 @@ object Similarity extends QueryModule {
            AND a.pos = b.pos AND a.vec_id < b.vec_id
          GROUP BY a.vec_id, b.vec_id)"""
 
+  /** DuckDB CTEs computing the same bucket per vec_id (expects a prior
+    * `e(vec_id, pos, ev)` unnested CTE, [[eSql]]). */
   private[operators] val lshBucketSql =
     s"""lshdots AS (SELECT vec_id, j, SUM(ev * ((pos * 31 + j * 17) % 13 - 6)) AS dot
          FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS j) js

@@ -547,10 +547,12 @@ object TextAnalysis extends QueryModule {
     Q("q_text_perplexity_bigram",
       (s, d) => {
         val lam = 0.7
+        // ONE corpus extraction: the per-doc term counts are checkpointed
+        // and the bigram LM is derived by re-aggregating them (review r5:
+        // two independent bigrams() calls ran the tokenize+explode twice)
         val pf = bigrams(s, d).groupBy("doc_id", "t1", "t2")
-          .agg(count(lit(1)).as("c"))
-        val bgLm = bigrams(s, d).groupBy("t1", "t2")
-          .agg(count(lit(1)).as("cb")).localCheckpoint()
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val bgLm = pf.groupBy("t1", "t2").agg(sum("c").as("cb"))
         val c1 = bgLm.groupBy("t1").agg(sum("cb").as("c1"))
         val uni = toks(s, d).groupBy("tok").agg(count(lit(1)).as("ct"))
           .localCheckpoint()
