@@ -972,6 +972,28 @@ object Relational extends QueryModule {
                              AND UNBOUNDED FOLLOWING)
               ORDER BY o_custkey, o_orderkey""")),
 
+    // Median absolute deviation — the robust spread statistic (outliers
+    // move stddev, not MAD). Two grouped exact medians with a join
+    // between them; at scale each median is Spark's sort-based exact
+    // aggregate within the group.
+    Q("q_agg_mad",
+      (s, d) => {
+        val med = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(median(col("l_quantity")).as("med"))
+        t(s, d, "lineitem").join(med, Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(max(col("med")), 6).as("med_qty"),
+            round(median(abs(col("l_quantity") - col("med"))), 6).as("mad_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH med AS (SELECT l_returnflag, MEDIAN(l_quantity) AS med
+                           FROM lineitem GROUP BY l_returnflag)
+              SELECT l.l_returnflag,
+                ROUND(MAX(med), 6) AS med_qty,
+                ROUND(MEDIAN(ABS(l.l_quantity - med)), 6) AS mad_qty
+              FROM lineitem l JOIN med USING (l_returnflag)
+              GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
     // Welch's two-sample t-test (unequal variances) from one conditional
     // aggregate pass — the A/B readout: does returnflag R's price differ
     // from A's? Everything is sums/counts, so the whole statistic
