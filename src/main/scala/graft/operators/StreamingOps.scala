@@ -401,6 +401,28 @@ object StreamingOps extends QueryModule {
                 AND p.ts <= c.ts + INTERVAL '1 hour'
               ORDER BY c.user_id, click_id, purchase_id""")),
 
+    // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
+    // stateful join operators in ONE streaming query (multi-stateful
+    // append mode), the second keyed on event time carried through the
+    // first's output. Inner joins emit on match, so a finite replay needs
+    // no sentinels; the batch triple interval join oracles the result
+    // set directly.
+    Q("q_stream_live_funnel",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.funnelMatches(
+          graft.streaming.Streams.events(s, s"$d/events.parquet")),
+        "append", Seq("user_id", "view_id", "click_id", "purchase_id")),
+      Some("""SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+              p.event_id AS purchase_id
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = v.user_id AND c.ts >= v.ts
+                AND c.ts <= v.ts + INTERVAL '8 hours'
+              JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL '8 hours'
+              ORDER BY c.user_id, view_id, click_id, purchase_id""")),
+
     // LIVE streaming with a CUSTOM typed aggregate as state: the
     // BitsetDistinct bitmap Aggregator running inside the streaming
     // aggregation state store (zero/reduce/merge across micro-batches) —

@@ -152,6 +152,39 @@ object Streams {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** CHAINED stream-stream interval joins (multiple stateful operators in
+    * one streaming query): view→click within 1 h, then that match stream
+    * →purchase within 1 h of the click — the live 3-step funnel. Inner
+    * joins emit on match (no watermark wait); the watermarks bound all
+    * three state stores, and the second join's event time is the click
+    * timestamp CARRIED THROUGH the first join's output — the watermark
+    * propagation that multi-stateful append mode requires. */
+  def funnelMatches(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "12 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "12 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "12 hours")
+    views
+      .join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 8 HOURS"))
+      .join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 8 HOURS"))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("purchase_id"))
+  }
+
   /** Tumbling windows with a CUSTOM typed aggregate in the streaming
     * state store: exact distinct-user count per 1-hour window via the
     * [[graft.functions.BitsetDistinct]] bitmap Aggregator — the proof
