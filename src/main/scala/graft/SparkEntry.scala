@@ -20,6 +20,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Multimodal,
     operators.StreamingOps,
+    operators.Analytics,
     operators.Generators)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.defs)

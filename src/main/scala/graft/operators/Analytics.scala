@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-log analytics over the `events` table: cohort retention, event
+  * transition matrices, exponentially-weighted moving averages, and
+  * time-grid resampling with gap fill. These are the session/behavioral
+  * queries a product-analytics user of the reference would run as chained
+  * BSP aggregation jobs (`examples/src/main/java/org/apache/hama/examples/
+  * CombineExample.java`-style per-key rollups); here each is one declarative
+  * plan whose single shuffle lands on `user_id` and is reused by every
+  * downstream window/aggregate.
+  *
+  * Scale posture: no query materializes per-user history on the driver;
+  * windows and grids are per-user-bounded (the resample grid is bounded by
+  * the observed time span, the EWMA by a fixed 10-row frame), so the widest
+  * shuffle is one hash exchange of the raw events at any corpus size.
+  */
+object Analytics extends QueryModule {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  /** EWMA smoothing factor and frame length (last K events per user). */
+  private val alpha = 0.3
+  private val ewmaK = 10
+
+  // identical double weights on both sides: Scala's Double.toString
+  // round-trips, and DuckDB parses the decimal literal to the nearest
+  // double — bit-identical weights, so left-assoc sums match exactly
+  private val weights: Seq[Double] =
+    (0 until ewmaK).map(j => math.pow(1.0 - alpha, j))
+
+  override val defs: Seq[Q] = Seq(
+
+    // Cohort retention: users grouped by first-active day; for each cohort
+    // and day offset 0..7, how many distinct users were active. One
+    // distinct-reduce of (user, day) — far smaller than the raw log —
+    // then a self-join against the O(users) cohort relation.
+    Q("q_events_retention",
+      (s, d) => {
+        val act = ev(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        act.join(cohort, Seq("user_id"))
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_k"),
+            col("user_id"))
+          .filter(col("day_k") <= 7)
+          .groupBy("cohort_day", "day_k")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          // DATE doesn't round-trip the driver's parquet/pandas compare —
+          // emit the cohort day as an ISO string on both sides
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            col("day_k"), col("n_users"))
+          .orderBy("cohort_day", "day_k")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+              SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_k,
+                COUNT(DISTINCT a.user_id) AS n_users
+              FROM act a JOIN cohort c USING (user_id)
+              WHERE date_diff('day', c.cohort_day, a.day) <= 7
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // First-order Markov transition matrix of the event stream: per user
+    // in event-time order, count (type -> next type) transitions and the
+    // per-source transition probability. LEAD over the user_id clustering;
+    // the transition matrix itself is O(types^2).
+    Q("q_events_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p", round(col("cnt") * 1.0 /
+            sum("cnt").over(Window.partitionBy("from_type")), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH nxt AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+                FROM events)
+              SELECT from_type, to_type, COUNT(*) AS cnt,
+                ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+              FROM nxt WHERE to_type IS NOT NULL
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Per-user EWMA of `value` over the last 10 events (alpha = 0.3),
+    // weights renormalized over the rows actually present at the head of
+    // each series. A FIXED frame of lags — not a recursive running state —
+    // so it stays one window over the user_id clustering with no
+    // cross-partition carry; both sides state the identical left-assoc
+    // weighted sum with bit-identical double weights.
+    Q("q_window_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        def v(j: Int) = if (j == 0) col("value") else lag(col("value"), j).over(w)
+        val num = (0 until ewmaK).map(j =>
+          when(v(j).isNotNull, v(j) * lit(weights(j))).otherwise(lit(0.0)))
+          .reduce(_ + _)
+        val den = (0 until ewmaK).map(j =>
+          when(v(j).isNotNull, lit(weights(j))).otherwise(lit(0.0)))
+          .reduce(_ + _)
+        ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("ewma", round(num / den, 6))
+          .select(col("user_id"), col("event_id"), col("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val lags = (1 until ewmaK).map(j => s"LAG(value, $j) OVER w AS v$j").mkString(", ")
+        def vj(j: Int) = if (j == 0) "value" else s"v$j"
+        val num = (0 until ewmaK)
+          .map(j => s"CASE WHEN ${vj(j)} IS NOT NULL THEN ${vj(j)} * ${weights(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        val den = (0 until ewmaK)
+          .map(j => s"CASE WHEN ${vj(j)} IS NOT NULL THEN ${weights(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""WITH l AS (SELECT user_id, event_id, value, $lags FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id, ROUND(($num) / ($den), 6) AS ewma
+            FROM l ORDER BY user_id, event_id"""
+      }),
+
+    // Hourly resample with gap fill: each user's event stream regularized
+    // onto a dense per-hour grid between their first and last event, empty
+    // hours filled with zero — the feature-engineering shape behind any
+    // time-series model input. The grid is generated per user (bounded by
+    // the observed span, never a global calendar cross-join) and the
+    // left join reuses the (user_id, hour) hash clustering.
+    Q("q_events_resample",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          col("value"))
+        val hourly = e.groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        val grid = e.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h").as("hour_idx"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy("user_id", "hour_idx")
+      },
+      Some("""WITH e AS (SELECT user_id,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, value FROM events),
+              hourly AS (SELECT user_id, h, COUNT(*) AS n_events,
+                ROUND(SUM(value), 2) AS total FROM e GROUP BY 1, 2),
+              grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM
+                (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1) s)
+              SELECT g.user_id, g.h AS hour_idx,
+                COALESCE(hr.n_events, 0) AS n_events,
+                COALESCE(hr.total, 0.0) AS total
+              FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+              ORDER BY 1, 2""")))
+}

@@ -755,6 +755,125 @@ object Dedup extends QueryModule {
                 CAST(COALESCE(per.n_removed, 0) AS BIGINT) AS n_removed,
                 COALESCE(per.cleaned, '') AS cleaned
               FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // EXACT similarity join via prefix filtering (PPJoin family): every
+    // pair with 3-gram Jaccard >= 0.6, NO false negatives — the exact
+    // counterpart of the probabilistic MinHash/LSH path. Each document's
+    // gram set is ordered by ONE global total order (ascending document
+    // frequency, gram as tie-break — rarest first); if Jaccard(A,B) >= t
+    // the first |A| - ceil(t|A|) + 1 grams of A must intersect B's prefix,
+    // so candidates come only from shared PREFIX grams — by construction
+    // the rarest grams in the corpus, so bucket fan-out is minimal and no
+    // all-pairs product ever forms. A size filter (5*min >= 3*max, the
+    // integer form of min >= t*max) prunes before verification; the final
+    // threshold test is pure integer arithmetic (5*inter >= 3*union) — no
+    // float boundary. The oracle is the BRUTE-FORCE join, so a hash match
+    // proves prefix filtering lost nothing. Completeness needs no global
+    // rank table: the (df, gram) sort key IS the order, computed per doc.
+    Q("q_dedup_ppjoin",
+      (s, d) => {
+        val g = docs(s, d).select(col("doc_id"),
+          explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+        val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+        val sorted = g.join(dfreq, Seq("gram"))
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))
+          .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
+          // prefix length |T| - ceil(0.6|T|) + 1; ceil(3n/5) = (3n+4) DIV 5
+          // in exact integer arithmetic (FP ceil(0.6*5) would round to 4)
+          .withColumn("plen", expr("n - (3*n + 4) DIV 5 + 1"))
+          .localCheckpoint() // reused by the prefix explode and both verify probes
+        val prefix = sorted.select(col("doc_id"), col("n"),
+          explode(expr("slice(gs, 1, plen)")).as("pg"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val out = cand
+          .join(sorted.select(col("doc_id").as("doc_a"), col("gs").as("ga"), col("n").as("na")), Seq("doc_a"))
+          .join(sorted.select(col("doc_id").as("doc_b"), col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("i", size(array_intersect(col("ga"), col("gb"))))
+          .filter(col("i") * 5 >= (col("na") + col("nb") - col("i")) * 3)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        graft.plans.Iterate.release(sorted)
+        out
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
+                    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                          FROM base) t),
+              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+              SELECT i.doc_a, i.doc_b,
+                ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jac
+              FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id
+              WHERE 5 * inter >= 3 * (na.n + nb.n - inter)
+              ORDER BY 1, 2""")),
+
+    // Sorted-neighborhood dedup (SNM): sort the corpus by a normalized
+    // blocking key (24-char canonical-text prefix), slide a fixed window,
+    // and verify only window-adjacent pairs (offsets 1..3) by exact 3-gram
+    // Jaccard >= 0.5 — the classic record-linkage alternative to hash
+    // blocking, catching near-dups whose edits fall OUTSIDE the key
+    // prefix. The sort is partitioned by a coarse 2-char block (window
+    // pairs stay within a block; production SNM runs multiple passes with
+    // different keys to cover block boundaries), so no global
+    // single-partition window exists at any scale; candidates are
+    // O(corpus * window), never quadratic. Threshold test in exact
+    // integer form (2*inter >= union).
+    Q("q_dedup_snm",
+      (s, d) => {
+        val winAhead = 3
+        val base = docs(s, d)
+          .select(col("doc_id"), substring(normCanon, 1, 24).as("k"),
+            TextHash.distinctNGrams(toks(col("text")), 3).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .withColumn("blk", substring(col("k"), 1, 2))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("blk").orderBy(col("k"), col("doc_id"))
+        val rn = base.withColumn("rn", row_number().over(w)).localCheckpoint()
+        val probes = rn.select(col("blk"), col("doc_id"), col("tk"),
+          explode(expr(s"sequence(rn + 1, rn + $winAhead)")).as("rnb"))
+        val out = probes.join(
+            rn.select(col("blk"), col("rn").as("rnb"),
+              col("doc_id").as("doc_id_b"), col("tk").as("tb")),
+            Seq("blk", "rnb"))
+          .select(least(col("doc_id"), col("doc_id_b")).as("doc_a"),
+            greatest(col("doc_id"), col("doc_id_b")).as("doc_b"),
+            size(array_intersect(col("tk"), col("tb"))).as("i"),
+            size(col("tk")).as("na"), size(col("tb")).as("nb"))
+          .filter(col("i") * 2 >= col("na") + col("nb") - col("i"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        graft.plans.Iterate.release(rn)
+        out
+      },
+      Some(s"""WITH base0 AS (SELECT doc_id, $normCanonSql AS nrm, $toksSql AS tk
+                    FROM documents),
+              gs AS (SELECT doc_id, substring(nrm, 1, 24) AS k,
+                       list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                         p -> array_to_string(tk[p:p + 2], ' '))) AS g
+                     FROM base0),
+              rn AS (SELECT doc_id, k, g, substring(k, 1, 2) AS blk,
+                       ROW_NUMBER() OVER (PARTITION BY substring(k, 1, 2)
+                         ORDER BY k, doc_id) AS rn
+                     FROM gs WHERE len(g) > 0),
+              cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS ta, b.g AS tb
+                       FROM rn a JOIN rn b ON a.blk = b.blk
+                         AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+              sc AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+                       len(list_intersect(ta, tb)) AS i,
+                       len(ta) AS na, len(tb) AS nb FROM cand)
+              SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 6) AS jac
+              FROM sc WHERE 2 * i >= (na + nb - i) ORDER BY 1, 2"""))
   )
 }
