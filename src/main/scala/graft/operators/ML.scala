@@ -742,8 +742,155 @@ object ML extends QueryModule {
             round(stddev_pop(col("p")), 6).as("sd_p"))
           .orderBy("label")
       },
-      Some(pcaProjectSql(PcaIters)))
+      Some(pcaProjectSql(PcaIters))),
+
+    // Closed-form ridge regression (2 features + intercept, lambda = 0.1):
+    // ONE distributed pass computes the 9 normal-equation sums (an O(d²)
+    // aggregate — the GradientDescentBSP master-collect posture without
+    // the iteration), then Cramer's rule solves the 3×3 system (X'X+λI)θ
+    // = X'y entirely inside the plan. Determinism: the sums are rounded
+    // to 4 decimals on both sides (their parallel-reduction noise is
+    // ~1e-11, far below the rounding step), and the THE SAME formula
+    // strings are interpolated into the Spark selectExpr and the DuckDB
+    // oracle — identical parse trees over identical doubles, so the
+    // determinant arithmetic is bit-reproducible across engines.
+    Q("q_ml_ridge",
+      (s, d) => {
+        val sums = Tables(s, d, "lineitem").select(
+            (col("l_quantity") / 50.0).as("x1"),
+            (col("l_discount") * 10.0).as("x2"),
+            (col("l_extendedprice") / 100000.0).as("y"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            round(sum("x1"), 4).as("s1"), round(sum("x2"), 4).as("s2"),
+            round(sum(col("x1") * col("x1")), 4).as("s11"),
+            round(sum(col("x1") * col("x2")), 4).as("s12"),
+            round(sum(col("x2") * col("x2")), 4).as("s22"),
+            round(sum("y"), 4).as("sy"),
+            round(sum(col("x1") * col("y")), 4).as("s1y"),
+            round(sum(col("x2") * col("y")), 4).as("s2y"))
+        sums.selectExpr(
+          s"ROUND(($ridgeTh0) / ($ridgeDet), 6) AS th0",
+          s"ROUND(($ridgeTh1) / ($ridgeDet), 6) AS th1",
+          s"ROUND(($ridgeTh2) / ($ridgeDet), 6) AS th2")
+      },
+      Some(s"""WITH sums AS (SELECT
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 ROUND(SUM(x1), 4) AS s1, ROUND(SUM(x2), 4) AS s2,
+                 ROUND(SUM(x1 * x1), 4) AS s11,
+                 ROUND(SUM(x1 * x2), 4) AS s12,
+                 ROUND(SUM(x2 * x2), 4) AS s22,
+                 ROUND(SUM(y), 4) AS sy,
+                 ROUND(SUM(x1 * y), 4) AS s1y,
+                 ROUND(SUM(x2 * y), 4) AS s2y
+                 FROM (SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+                       l_extendedprice / 100000.0 AS y FROM lineitem) t)
+               SELECT ROUND(($ridgeTh0) / ($ridgeDet), 6) AS th0,
+                 ROUND(($ridgeTh1) / ($ridgeDet), 6) AS th1,
+                 ROUND(($ridgeTh2) / ($ridgeDet), 6) AS th2
+               FROM sums""")),
+
+    // Multinomial Naive Bayes language classifier: train token
+    // distributions per lang on even doc_ids (Laplace +1 over the train
+    // vocabulary), predict the held-out odd docs. The model is the
+    // (vocab × langs) grid — O(V·L), built by one token aggregate and
+    // joined to the test token stream on tok (a hash join that scales with
+    // the corpus; the langs/prior sides are O(L) broadcasts). Scores are
+    // rounded to 6 BEFORE the argmax (ln() may differ by an ulp per term
+    // across engines; class margins are orders of magnitude larger), ties
+    // broken by lang — the q_text_langid determinism pattern.
+    Q("q_ml_nb",
+      (s, d) => {
+        val docsAll = Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+        naiveBayes(docsAll.filter(col("doc_id") % 2 === 0),
+          docsAll.filter(col("doc_id") % 2 =!= 0))
+      },
+      Some {
+        val toksSql = TextExprs.toksSql("text")
+        s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+           te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+           trt AS (SELECT lang, unnest($toksSql) AS tok FROM tr),
+           counts AS (SELECT lang, tok, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+           totals AS (SELECT lang, SUM(c) AS tot FROM counts GROUP BY 1),
+           vocab AS (SELECT DISTINCT tok FROM counts),
+           vs AS (SELECT COUNT(*) AS v FROM vocab),
+           nd AS (SELECT lang, COUNT(*) AS ndl FROM tr GROUP BY 1),
+           ndt AS (SELECT COUNT(*) AS ndt FROM tr),
+           prior AS (SELECT lang, ln(ndl) - ln(ndt) AS prior FROM nd CROSS JOIN ndt),
+           grid AS (SELECT l.lang, v.tok,
+               ln(COALESCE(c.c, 0) + 1) - ln(t.tot + vs.v) AS lp
+             FROM vocab v CROSS JOIN (SELECT lang FROM nd) l
+             LEFT JOIN counts c ON c.lang = l.lang AND c.tok = v.tok
+             JOIN totals t ON t.lang = l.lang CROSS JOIN vs),
+           tet AS (SELECT doc_id, unnest($toksSql) AS tok FROM te),
+           sums AS (SELECT tet.doc_id, grid.lang, SUM(lp) AS slp
+             FROM tet JOIN grid ON grid.tok = tet.tok GROUP BY 1, 2),
+           scored AS (SELECT te.doc_id, p.lang,
+               ROUND(p.prior + COALESCE(sm.slp, 0.0), 6) AS score
+             FROM te CROSS JOIN prior p
+             LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang)
+           SELECT doc_id, lang AS pred_lang, score FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+           ORDER BY doc_id"""
+      })
   )
+
+  /** Multinomial Naive Bayes (Laplace +1 over the train vocabulary):
+    * train token distributions per `lang` from `train(lang, text)`,
+    * score `test(doc_id, text)`, return (doc_id, pred_lang, score).
+    * OOV test tokens are ignored; scores round at 6 before the argmax
+    * (ties to the smaller lang). Extracted so specs can feed corpora
+    * with real class signal — the testdata's lang labels are random. */
+  def naiveBayes(train: DataFrame, test: DataFrame): DataFrame = {
+    val trTok = train.select(col("lang"), explode(TextExprs.toks(col("text"))).as("tok"))
+    val counts = trTok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("lang").agg(sum("c").as("tot"))
+    val vocab = counts.select("tok").distinct()
+    val vs = vocab.agg(count(lit(1)).as("v"))
+    val nd = train.groupBy("lang").agg(count(lit(1)).as("ndl"))
+    val ndt = train.agg(count(lit(1)).as("ndt"))
+    val prior = nd.crossJoin(broadcast(ndt))
+      .select(col("lang"), (log(col("ndl")) - log(col("ndt"))).as("prior"))
+    val grid = vocab.crossJoin(broadcast(nd.select("lang")))
+      .join(counts, Seq("lang", "tok"), "left")
+      .join(broadcast(totals), Seq("lang"))
+      .crossJoin(broadcast(vs))
+      .select(col("lang"), col("tok"),
+        (log(coalesce(col("c"), lit(0L)) + 1) - log(col("tot") + col("v"))).as("lp"))
+    val teTok = test.select(col("doc_id"), explode(TextExprs.toks(col("text"))).as("tok"))
+    val sums = teTok.join(grid, Seq("tok")) // OOV tokens (absent from the train vocab) are ignored
+      .groupBy("doc_id", "lang").agg(sum("lp").as("slp"))
+    val scored = test.select("doc_id").crossJoin(broadcast(prior))
+      .join(sums, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        round(col("prior") + coalesce(col("slp"), lit(0.0)), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  // ---- ridge: Cramer's-rule formulas over the rounded normal-equation
+  // sums, shared VERBATIM by the Spark selectExpr and the DuckDB oracle so
+  // both engines evaluate the identical parse tree on identical doubles.
+  // A = [[n+λ, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = [sy, s1y, s2y].
+  private def ridgeLam = "0.1"
+  private def ridgeDet =
+    s"(n + $ridgeLam) * ((s11 + $ridgeLam) * (s22 + $ridgeLam) - s12 * s12)" +
+      s" - s1 * (s1 * (s22 + $ridgeLam) - s12 * s2)" +
+      s" + s2 * (s1 * s12 - (s11 + $ridgeLam) * s2)"
+  private def ridgeTh0 =
+    s"sy * ((s11 + $ridgeLam) * (s22 + $ridgeLam) - s12 * s12)" +
+      s" - s1 * (s1y * (s22 + $ridgeLam) - s12 * s2y)" +
+      s" + s2 * (s1y * s12 - (s11 + $ridgeLam) * s2y)"
+  private def ridgeTh1 =
+    s"(n + $ridgeLam) * (s1y * (s22 + $ridgeLam) - s12 * s2y)" +
+      s" - sy * (s1 * (s22 + $ridgeLam) - s12 * s2)" +
+      s" + s2 * (s1 * s2y - s1y * s2)"
+  private def ridgeTh2 =
+    s"(n + $ridgeLam) * ((s11 + $ridgeLam) * s2y - s1y * s12)" +
+      s" - s1 * (s1 * s2y - s1y * s2)" +
+      s" + sy * (s1 * s12 - (s11 + $ridgeLam) * s2)"
 
   /** shared by q_ml_pca / q_ml_pca_project: one distributed covariance
     * pass, then the driver-local power iteration; returns the
