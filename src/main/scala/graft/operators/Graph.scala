@@ -592,11 +592,124 @@ object Graph extends QueryModule {
       // CAST: DuckDB SUM(BIGINT) is HUGEINT, fetched as float64 by the
       // driver — cast back so both sides hash as int64
       Some(s"""WITH $edgesSql, $nodesSql
-               SELECT CAST(SUM(v) + COUNT(*) AS BIGINT) AS total FROM nodes"""))
+               SELECT CAST(SUM(v) + COUNT(*) AS BIGINT) AS total FROM nodes""")),
+
+    // Adamic-Adar link prediction: for each NON-adjacent pair (u, v),
+    // score = sum over common neighbors w of 1/ln(deg(w)) — rare shared
+    // neighbors weigh more. Wedges are enumerated per center (bounded by
+    // degree, the triangle-count shape), scores aggregate per pair, known
+    // edges drop via an anti-join, and the top 20 predictions come off a
+    // TakeOrdered partial top-k — never a global sort of all pairs. Every
+    // wedge center has deg >= 2 by construction, so ln(deg) > 0. Scores
+    // round BEFORE ranking; (u, v) breaks rounded ties identically in
+    // both engines.
+    Q("q_graph_adamic",
+      (s, d) => {
+        val eu = undirected(edges(s, d)).localCheckpoint()
+        val deg = eu.groupBy(col("src").as("w")).agg(count(lit(1)).as("dg"))
+        val wedges = eu.select(col("src").as("w"), col("dst").as("u"))
+          .join(eu.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+        val scores = wedges.join(deg, Seq("w"))
+          .groupBy("u", "v")
+          .agg(round(sum(lit(1.0) / log(col("dg"))), 6).as("score"),
+            count(lit(1)).as("common"))
+        val adj = eu.filter(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("v"))
+        scores.join(adj, Seq("u", "v"), "left_anti")
+          .orderBy(desc("score"), asc("u"), asc("v"))
+          .limit(20)
+      },
+      Some(s"""WITH $edgesSql,
+               $undirectedSql,
+               deg AS (SELECT src AS w, COUNT(*) AS dg FROM eu GROUP BY src),
+               wed AS (SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+                       FROM eu e1 JOIN eu e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+               sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(dg)), 6) AS score,
+                        COUNT(*) AS common
+                      FROM wed JOIN deg USING (w) GROUP BY u, v),
+               adj AS (SELECT src AS u, dst AS v FROM eu WHERE src < dst)
+               SELECT u, v, score, common FROM sc
+               WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = sc.u AND adj.v = sc.v)
+               ORDER BY score DESC, u, v LIMIT 20""")),
+
+    // K-truss decomposition (k = 4): iteratively delete edges supported by
+    // fewer than k-2 = 2 triangles until (approximately) stable — the
+    // cohesive-subgraph operator one level up from triangle counting.
+    // Each round is one triangle enumeration + a per-edge support count +
+    // a semi-join filter, all shuffle-parallel on the oriented edge list;
+    // `trussRounds` fixed rounds unroll into the exact SQL oracle (the
+    // LPA/k-core determinism pattern; TrussSpec pins that the testdata
+    // graph reaches its fixpoint within the budget). Output is the
+    // surviving edge list with its final-graph support — integers only,
+    // no FP anywhere.
+    Q("q_graph_ktruss",
+      (s, d) => {
+        val ori = undirected(edges(s, d)).filter(col("src") < col("dst"))
+          .select(col("src").as("a"), col("dst").as("b"))
+        val fin = Iterate(ori, trussRounds, checkpointEvery = 1) { (ed, _) =>
+          ed.join(trussSupport(ed), Seq("a", "b"))
+            .filter(col("supp") >= 2).select("a", "b")
+        }
+        fin.join(trussSupport(fin), Seq("a", "b"), "left")
+          .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("supp"))
+          .orderBy("a", "b")
+      },
+      Some(ktrussSql(trussRounds)))
   )
 
   // a def, not a val: referenced from defs's initializer above
   private def LpaRounds: Int = 4
+
+  // defs (not vals): referenced from defs's initializer above.
+  // 6 rounds reaches the fixpoint on every testdata scale (sf0.001 needs
+  // 6, the denser graphs converge in 1; extra rounds are no-ops) —
+  // TrussSpec's fixpoint check guards the budget.
+  private def trussRounds: Int = 6
+
+  /** per-edge triangle support within the CURRENT oriented (a<b) edge
+    * set: enumerate triangles (a<b<c triple join), explode each onto its
+    * three edges, count per edge. */
+  private def trussSupport(ed: DataFrame): DataFrame = {
+    val tri = ed.as("e1").join(ed.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      .join(ed.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select("wa", "wb", "wc")
+    tri.select(explode(array(
+        struct(col("wa").as("a"), col("wb").as("b")),
+        struct(col("wa").as("a"), col("wc").as("b")),
+        struct(col("wb").as("a"), col("wc").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+  }
+
+  /** unrolled k-truss rounds: tri_r/sup_r/t_{r+1} CTE chain, then the
+    * final edge list with its final-graph support. */
+  private def ktrussSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""tri$r AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
+           FROM t$r e1 JOIN t$r e2 ON e2.a = e1.b
+           JOIN t$r e3 ON e3.a = e1.a AND e3.b = e2.b),
+         sup$r AS (SELECT a, b, COUNT(*) AS supp FROM (
+           SELECT a, b FROM tri$r UNION ALL SELECT a, c AS b FROM tri$r
+           UNION ALL SELECT b AS a, c AS b FROM tri$r) x GROUP BY a, b),
+         t${r + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t$r t
+           JOIN sup$r s ON s.a = t.a AND s.b = t.b WHERE s.supp >= 2)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $undirectedSql,
+       t0 AS (SELECT src AS a, dst AS b FROM eu WHERE src < dst),
+       $steps,
+       trif AS (SELECT e1.a, e1.b, e2.b AS c
+         FROM t$rounds e1 JOIN t$rounds e2 ON e2.a = e1.b
+         JOIN t$rounds e3 ON e3.a = e1.a AND e3.b = e2.b),
+       supf AS (SELECT a, b, COUNT(*) AS supp FROM (
+         SELECT a, b FROM trif UNION ALL SELECT a, c AS b FROM trif
+         UNION ALL SELECT b AS a, c AS b FROM trif) x GROUP BY a, b)
+       SELECT t.a, t.b, CAST(COALESCE(s.supp, 0) AS BIGINT) AS supp
+       FROM t$rounds t LEFT JOIN supf s ON s.a = t.a AND s.b = t.b
+       ORDER BY t.a, t.b"""
+  }
 
   private def lpaSql(rounds: Int): String = {
     // MATERIALIZED: l_t is referenced twice downstream (s_{t+1} and
