@@ -1,0 +1,67 @@
+package graft.examples
+
+import graft.{GraftSession, SparkEntry, Tables}
+import graft.functions.TextHash
+import graft.operators.TextExprs
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the exact blocking dedup operators: how much of the
+  * brute-force pair universe does PPJoin's prefix filter prune, and what
+  * does the full exact similarity join cost end-to-end at sf0.1?
+  *
+  * The brute-force baseline a naive engine would run is the full gram
+  * equi-join: sum over grams of df·(df−1)/2 candidate pairs. The prefix
+  * filter admits only pairs sharing one of each document's RAREST grams
+  * (plus the 5·min ≥ 3·max length filter), which is the difference
+  * between an operator that survives a 100 TB corpus and one that
+  * doesn't.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.examples.BlockingScale"
+  */
+object BlockingScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+
+    val g = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(TextHash.distinctNGrams(TextExprs.toks(col("text")), 3)).as("gram"))
+      .cache()
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val nGrams = g.count() // materialize before timing
+    val brutePairs = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2)).head.getDouble(0).toLong
+    g.unpersist()
+
+    val t0 = System.nanoTime()
+    val result = SparkEntry.queries("q_dedup_ppjoin")(spark, sfDir)
+    val nResult = result.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // candidate count from the same prefix construction (re-derived here:
+    // the query fuses candidates+verify, so the intermediate isn't exposed)
+    val dfreq = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(TextHash.distinctNGrams(TextExprs.toks(col("text")), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val sorted = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(TextHash.distinctNGrams(TextExprs.toks(col("text")), 3)).as("gram"))
+      .join(dfreq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
+      .withColumn("plen", expr("n - (3*n + 4) DIV 5 + 1"))
+    val prefix = sorted.select(col("doc_id"), col("n"),
+      explode(expr("slice(gs, 1, plen)")).as("pg"))
+    val nCand = prefix.as("a").join(prefix.as("b"),
+        col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+
+    println(s"""{"metric":"ppjoin_scale","docs":$nDocs,"gram_rows":$nGrams,""" +
+      s""""brute_pairs":$brutePairs,"prefix_candidates":$nCand,""" +
+      f""""result_pairs":$nResult,"join_secs":$secs%.2f}""")
+    spark.stop()
+  }
+}

@@ -158,5 +158,49 @@ object Analytics extends QueryModule {
                 COALESCE(hr.n_events, 0) AS n_events,
                 COALESCE(hr.total, 0.0) AS total
               FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
-              ORDER BY 1, 2""")))
+              ORDER BY 1, 2""")),
+
+    // Explicit gap-based sessionization: per user in event-time order, a
+    // >30-minute gap opens a new session (lag + running sum of
+    // new-session flags — the classic two-window assignment), then one
+    // row per session. The windows and the rollup all reuse the single
+    // user_id hash clustering; epoch-microsecond arithmetic keeps the gap
+    // compare integer-exact on both engines. Semantically the same
+    // sessions as session_window (q_stream_session) built from scratch —
+    // and the per-event session ids are available mid-plan for any
+    // consumer that needs event→session attribution, which the built-in
+    // aggregate never exposes.
+    Q("q_events_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val e = ev(s, d)
+          .withColumn("tsm", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("new_sess",
+            when(col("tsm") - lag(col("tsm"), 1).over(w) > 1800000000L
+              or lag(col("tsm"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_seq", sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        e.groupBy("user_id", "sess_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"), max("ts").as("session_end"),
+            round(sum("value"), 2).as("total"))
+          .orderBy("user_id", "sess_seq")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, ts, value,
+                epoch_us(ts) AS tsm,
+                LAG(epoch_us(ts)) OVER w AS ptsm
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              f AS (SELECT user_id, event_id, ts, value,
+                CASE WHEN ptsm IS NULL OR tsm - ptsm > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                FROM l),
+              sess AS (SELECT user_id, ts, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess_seq
+                FROM f)
+              SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+                COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                ROUND(SUM(value), 2) AS total
+              FROM sess GROUP BY user_id, sess_seq
+              ORDER BY user_id, sess_seq""")))
 }

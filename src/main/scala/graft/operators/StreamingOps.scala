@@ -41,6 +41,54 @@ object StreamingOps extends QueryModule {
     } finally { s.catalog.dropTempView(name): Unit }
   }
 
+  /** Staged finite replay for the outer-join live rows: the real events
+    * as batch 1, then TWO sentinel batches, carefully shaped:
+    * - eviction in batch N uses the watermark set by batch N−1, and a
+    *   no-data batch is not guaranteed inside processAllAvailable, so
+    *   the final eviction must happen on a DATA batch;
+    * - sentinels cannot be filtered out downstream: any pushable
+    *   predicate on the join output is pushed into BOTH scans, which
+    *   prunes the sentinels before the watermark nodes ever see them
+    *   (found the hard way). Instead they use user ids no real row
+    *   shares and ts values the final watermark never passes, so no
+    *   sentinel row can match or be emitted as unmatched (on EITHER
+    *   side — which is what lets the full-outer row share this replay).
+    * b2: click+purchase at +20 h → after it, both sides' wm = +18 h.
+    * b3: purchase-only at +30 h → DURING it, wm = +18 h evicts every
+    *     real unmatched row; b2's sentinels (at +20 h) would need
+    *     wm > +21 h / > +20 h — never reached, so they stay silently in
+    *     state; b3's own (+30 h) likewise.
+    * maxFilesPerTrigger=1 + staged mtimes make the batch order
+    * deterministic. Returns the flat directory to stream. */
+  private def stagedOuterReplay(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    import s.implicits._
+    val ev = Tables(s, d, "events")
+    val dir = graft.GraftSession.tempDirCleanedOnExit("graft-outer").toString
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    def evRow(id: Long, plusH: Long, user: Long, typ: String) =
+      (id, maxTs.plusHours(plusH), user, typ, 0.0, "")
+    Seq(evRow(-1L, 20L, 10000001L, "click"),
+        evRow(-2L, 20L, 10000002L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq(evRow(-3L, 30L, 10000002L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b3")
+    val flat = graft.GraftSession.tempDirCleanedOnExit("graft-outer-flat").toString
+    var i = 0
+    for (sub <- Seq("b1", "b2", "b3")) {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(f"$flat/part$i%02d.parquet"))
+      new java.io.File(f"$flat/part$i%02d.parquet")
+        .setLastModified(1000000L * (i + 1)): Unit
+      i += 1
+    }
+    flat
+  }
+
   override val defs: Seq[Q] = Seq(
 
     // tumbling 1-hour windows
@@ -347,52 +395,11 @@ object StreamingOps extends QueryModule {
     // directly. maxFilesPerTrigger=1 + staged mtimes make the
     // real-events→sentinel batch order deterministic.
     Q("q_stream_live_outer",
-      (s, d) => {
-        import java.nio.file.{Files, Paths}
-        val ev = Tables(s, d, "events")
-        val dir = graft.GraftSession.tempDirCleanedOnExit("graft-outer").toString
-        ev.coalesce(1).write.parquet(s"$dir/b1")
-        val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
-        import s.implicits._
-        // TWO sentinel batches, carefully shaped:
-        // - eviction in batch N uses the watermark set by batch N−1, and a
-        //   no-data batch is not guaranteed inside processAllAvailable, so
-        //   the final eviction must happen on a DATA batch;
-        // - sentinels cannot be filtered out downstream: any pushable
-        //   predicate on the join output is pushed into BOTH scans, which
-        //   prunes the sentinels before the watermark nodes ever see them
-        //   (found the hard way). Instead they use user ids no real row
-        //   shares and ts values the final watermark never passes, so no
-        //   sentinel row can match or be emitted as unmatched.
-        // b2: click+purchase at +20 h → after it, both sides' wm = +18 h.
-        // b3: purchase-only at +30 h → DURING it, wm = +18 h evicts every
-        //     real unmatched click (b2's click, at +20 h, needs wm > +21 h
-        //     — never reached, so it stays silently in state).
-        def evRow(id: Long, plusH: Long, user: Long, typ: String) =
-          (id, maxTs.plusHours(plusH), user, typ, 0.0, "")
-        Seq(evRow(-1L, 20L, 10000001L, "click"),
-            evRow(-2L, 20L, 10000002L, "purchase"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(s"$dir/b2")
-        Seq(evRow(-3L, 30L, 10000002L, "purchase"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(s"$dir/b3")
-        val flat = graft.GraftSession.tempDirCleanedOnExit("graft-outer-flat").toString
-        var i = 0
-        for (sub <- Seq("b1", "b2", "b3")) {
-          val f = new java.io.File(s"$dir/$sub").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.copy(f.toPath, Paths.get(f"$flat/part$i%02d.parquet"))
-          new java.io.File(f"$flat/part$i%02d.parquet")
-            .setLastModified(1000000L * (i + 1)): Unit
-          i += 1
-        }
-        runLive(s,
-          graft.streaming.Streams.leftOuterIntervalJoin(
-            graft.streaming.Streams.events(s, flat,
-              Map("maxFilesPerTrigger" -> "1"))),
-          "append", Seq("user_id", "click_id", "purchase_id"))
-      },
+      (s, d) => runLive(s,
+        graft.streaming.Streams.leftOuterIntervalJoin(
+          graft.streaming.Streams.events(s, stagedOuterReplay(s, d),
+            Map("maxFilesPerTrigger" -> "1"))),
+        "append", Seq("user_id", "click_id", "purchase_id")),
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
               ROUND(p.value, 2) AS amount
               FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -400,6 +407,28 @@ object StreamingOps extends QueryModule {
                 ON c.user_id = p.user_id AND p.ts >= c.ts
                 AND p.ts <= c.ts + INTERVAL '1 hour'
               ORDER BY c.user_id, click_id, purchase_id""")),
+
+    // LIVE FULL-outer interval join: both join states emit NULL-padded
+    // rows on watermark eviction — unmatched clicks after wm passes
+    // click_ts + 1 h, unmatched purchases after wm passes p_ts. The same
+    // staged sentinel replay drives the final eviction for BOTH sides
+    // (the b2 sentinels sit at +20 h, above every real ts but forever
+    // below the final +18 h... +28 h watermark pair, so neither emits);
+    // the batch FULL JOIN oracles the complete result.
+    Q("q_stream_live_full_outer",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.fullOuterIntervalJoin(
+          graft.streaming.Streams.events(s, stagedOuterReplay(s, d),
+            Map("maxFilesPerTrigger" -> "1"))),
+        "append", Seq("user_id", "click_id", "purchase_id")),
+      Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+              c.event_id AS click_id, p.event_id AS purchase_id,
+              ROUND(p.value, 2) AS amount
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL '1 hour'
+              ORDER BY user_id, click_id, purchase_id""")),
 
     // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
     // stateful join operators in ONE streaming query (multi-stateful

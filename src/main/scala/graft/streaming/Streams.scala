@@ -270,6 +270,32 @@ object Streams {
         round(col("amount"), 2).as("amount"))
   }
 
+  /** FULL-OUTER stream-stream interval join: [[leftOuterIntervalJoin]]
+    * plus one NULL-padded row per never-matched PURCHASE once the
+    * watermark passes its event time — BOTH state stores emit on
+    * eviction. The user id is coalesced across sides (an unmatched
+    * purchase has no click row to take it from). Same bounded-state
+    * posture; the finite-replay sentinel contract is identical (see
+    * `q_stream_live_full_outer`: sentinels sit above every real ts and
+    * below the final watermark, so none ever match or evict). */
+  def fullOuterIntervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+  }
+
   /** Per-user running state (event count + value sum) via
     * flatMapGroupsWithState — the stateful analogue of a per-key BSP peer:
     * state lives with the key across micro-batches exactly as a Hama peer

@@ -58,6 +58,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(joined.filter(abs(col("ewma") - col("v")) > 1e-6).count() == 0)
   }
 
+  test("explicit sessionization agrees with session_window on session count and events") {
+    val explicitSess = q("q_events_sessionize")
+    val builtin = q("q_stream_session") // session_window(30 min) batch row
+    assert(explicitSess.count() == builtin.count())
+    val a = explicitSess.agg(sum("n_events")).head.getLong(0)
+    val b = builtin.agg(sum("n_events")).head.getLong(0)
+    assert(a == b)
+  }
+
   test("resample grid is dense per user and conserves event counts") {
     val rs = q("q_events_resample")
     val span = rs.groupBy("user_id")
