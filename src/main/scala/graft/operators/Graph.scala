@@ -656,6 +656,44 @@ object Graph extends QueryModule {
           .orderBy("a", "b")
       },
       Some(ktrussSql(trussRounds)))
+  ,
+
+    // Maximal independent set via DETERMINISTIC Luby rounds: priorities
+    // are md5(vertex id) — identical in any engine, so the classic
+    // randomized algorithm becomes exactly reproducible. Each round a
+    // vertex joins the MIS iff its priority beats every ACTIVE
+    // neighbor's; winners and their neighborhoods retire. O(log n)
+    // expected rounds; 4 covers every testdata scale (observed ≤ 3;
+    // MisSpec proves independence AND maximality, i.e. convergence).
+    // Each round is two joins + one aggregate on the active subgraph —
+    // shrinking geometrically — with per-round checkpoints.
+    Q("q_graph_mis",
+      (s, d) => {
+        val eu = undirected(edges(s, d)).filter(col("src") =!= col("dst"))
+          .localCheckpoint()
+        val all = nodes(eu).localCheckpoint()
+        var active = all
+        var mis: DataFrame = null
+        for (_ <- 1 to misRounds) {
+          val act = active
+          val nbMin = eu.join(act.withColumnRenamed("v", "src"), Seq("src"))
+            .join(act.select(col("v").as("dst")), Seq("dst"))
+            .groupBy("src").agg(min(md5(col("dst").cast("string"))).as("minp"))
+            .withColumnRenamed("src", "v")
+          val newMis = act.join(nbMin, Seq("v"), "left")
+            .filter(col("minp").isNull || md5(col("v").cast("string")) < col("minp"))
+            .select("v").localCheckpoint()
+          mis = if (mis == null) newMis else mis.unionAll(newMis).localCheckpoint()
+          val removed = newMis.unionAll(
+            eu.join(newMis.withColumnRenamed("v", "src"), Seq("src"))
+              .select(col("dst").as("v"))).distinct()
+          active = act.join(removed, Seq("v"), "left_anti").localCheckpoint()
+        }
+        all.join(mis.withColumn("in_mis", lit(true)), Seq("v"), "left")
+          .select(col("v"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+          .orderBy("v")
+      },
+      Some(misSql(misRounds)))
   )
 
   // a def, not a val: referenced from defs's initializer above
@@ -681,6 +719,37 @@ object Graph extends QueryModule {
         struct(col("wb").as("a"), col("wc").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+  }
+
+  private def misRounds: Int = 4
+
+  /** unrolled Luby rounds: nb_r (active-neighbor min priority), m_r (new
+    * MIS members), a_{r+1} (survivors) — MATERIALIZED, each is referenced
+    * 2-3 times downstream. */
+  private def misSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""nb$r AS MATERIALIZED (SELECT e.src AS v,
+           MIN(md5(CAST(e.dst AS VARCHAR))) AS minp
+           FROM eu2 e JOIN a$r x ON x.v = e.src JOIN a$r y ON y.v = e.dst
+           GROUP BY e.src),
+         m$r AS MATERIALIZED (SELECT a.v FROM a$r a
+           LEFT JOIN nb$r n ON n.v = a.v
+           WHERE n.minp IS NULL OR md5(CAST(a.v AS VARCHAR)) < n.minp),
+         a${r + 1} AS MATERIALIZED (SELECT v FROM a$r
+           WHERE v NOT IN (SELECT v FROM m$r)
+           AND v NOT IN (SELECT e.dst FROM eu2 e JOIN m$r m ON m.v = e.src))"""
+    }.mkString(",\n")
+    val misUnion = (0 until rounds).map(r => s"SELECT v FROM m$r").mkString(" UNION ALL ")
+    s"""WITH $edgesSql,
+       $undirectedSql,
+       eu2 AS (SELECT src, dst FROM eu WHERE src <> dst),
+       a0 AS (SELECT DISTINCT src AS v FROM eu2),
+       $steps,
+       mis AS (SELECT DISTINCT v FROM ($misUnion) u)
+       SELECT a.v, (mis.v IS NOT NULL) AS in_mis
+       FROM (SELECT DISTINCT src AS v FROM eu2) a
+       LEFT JOIN mis ON mis.v = a.v
+       ORDER BY a.v"""
   }
 
   /** unrolled k-truss rounds: tri_r/sup_r/t_{r+1} CTE chain, then the

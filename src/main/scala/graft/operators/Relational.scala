@@ -1081,6 +1081,50 @@ object Relational extends QueryModule {
                     CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events) t
               WINDOW w AS (PARTITION BY user_id ORDER BY sec
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // MODE (most frequent value) per group with a deterministic tie-break
+    // (higher count, then smaller value) — stated longhand on both sides
+    // because built-in mode() leaves ties unspecified. Two hash
+    // aggregates + a per-group top-1 window; the windowed relation is
+    // already one row per (group, value), so the sort is tiny.
+    Q("q_agg_mode",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("c"), asc("l_quantity"))
+        t(s, d, "lineitem").groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+            col("c").as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY COUNT(*) DESC, l_quantity) = 1
+              ORDER BY l_returnflag""")),
+
+    // Moving MEDIAN over the last 10 events per user (lower median of the
+    // frame, an EXACT element — no FP arithmetic, so both engines agree
+    // bit-for-bit). The frame array is bounded at 10 elements, so the
+    // per-row sort is O(1); everything rides the user_id clustering.
+    Q("q_window_moving_median",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-9, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("vals", collect_list("value").over(w))
+          .select(col("user_id"), col("event_id"),
+            round(expr("element_at(sort_array(vals), CAST((size(vals) + 1) DIV 2 AS INT))"), 6).as("med"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, list(value) OVER w AS vals
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+              SELECT user_id, event_id,
+                ROUND(list_sort(vals)[(len(vals) + 1) // 2], 6) AS med
+              FROM l ORDER BY user_id, event_id"""))
   )
 }
