@@ -53,14 +53,25 @@ object BlockingScale {
       .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
       .withColumn("plen", expr("n - (3*n + 4) DIV 5 + 1"))
     val prefix = sorted.select(col("doc_id"), col("n"),
-      explode(expr("slice(gs, 1, plen)")).as("pg"))
-    val nCand = prefix.as("a").join(prefix.as("b"),
-        col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3)
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        posexplode(expr("slice(gs, 1, plen)")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("pg"))
+      .localCheckpoint()
+    def candCount(positional: Boolean): Long = {
+      val base = col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3
+      val cond = if (positional)
+        base && lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+          expr("(3 * (a.n + b.n) + 7) DIV 8")
+      else base
+      prefix.as("a").join(prefix.as("b"), cond)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    val nCand = candCount(positional = false)
+    val nCandPos = candCount(positional = true)
 
     println(s"""{"metric":"ppjoin_scale","docs":$nDocs,"gram_rows":$nGrams,""" +
       s""""brute_pairs":$brutePairs,"prefix_candidates":$nCand,""" +
+      s""""positional_candidates":$nCandPos,""" +
       f""""result_pairs":$nResult,"join_secs":$secs%.2f}""")
     spark.stop()
   }

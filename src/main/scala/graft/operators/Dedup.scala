@@ -773,8 +773,11 @@ object Dedup extends QueryModule {
     // rank table: the (df, gram) sort key IS the order, computed per doc.
     Q("q_dedup_ppjoin",
       (s, d) => {
+        // the (doc, gram) relation is materialized ONCE — it feeds the df
+        // counts, the per-doc prefix build, and both verify probes
         val g = docs(s, d).select(col("doc_id"),
-          explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+            explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+          .localCheckpoint()
         val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
         val sorted = g.join(dfreq, Seq("gram"))
           .groupBy("doc_id")
@@ -783,24 +786,44 @@ object Dedup extends QueryModule {
           // prefix length |T| - ceil(0.6|T|) + 1; ceil(3n/5) = (3n+4) DIV 5
           // in exact integer arithmetic (FP ceil(0.6*5) would round to 4)
           .withColumn("plen", expr("n - (3*n + 4) DIV 5 + 1"))
-          .localCheckpoint() // reused by the prefix explode and both verify probes
         val prefix = sorted.select(col("doc_id"), col("n"),
-          explode(expr("slice(gs, 1, plen)")).as("pg"))
+            posexplode(expr("slice(gs, 1, plen)")))
+          .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("pg"))
+          .localCheckpoint()
+        // PPJoin's POSITIONAL filter on top of the size filter: a match at
+        // 1-based prefix positions (pa, pb) bounds the overlap by
+        // 1 + min(na-pa, nb-pb), which must reach ceil(t/(1+t)·(na+nb)) =
+        // (3u+7) DIV 8 for t = 0.6 — prunes 193k → 69k candidates at
+        // sf0.1 before the expensive verify, losing nothing (the brute
+        // -force oracle re-proves completeness every round)
         val cand = prefix.as("a").join(prefix.as("b"),
             col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
-              least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3)
+              least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3 &&
+              lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+                expr("(3 * (a.n + b.n) + 7) DIV 8")) // integer ceil(3u/8), not double /
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val out = cand
-          .join(sorted.select(col("doc_id").as("doc_a"), col("gs").as("ga"), col("n").as("na")), Seq("doc_a"))
-          .join(sorted.select(col("doc_id").as("doc_b"), col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
-          .withColumn("i", size(array_intersect(col("ga"), col("gb"))))
+        // verify with THIN rows (pair ids + gram), never carrying the gram
+        // arrays through the pair join — the gramOverlap shape: pair ×
+        // side-a grams, then a (doc, gram)-keyed shuffle_hash probe of
+        // side b (the build side is corpus-scale; r5: carrying the arrays
+        // instead measured 2x slower at sf0.1)
+        val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(g.as("gb").hint("shuffle_hash"),
+            col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        val out = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
           .filter(col("i") * 5 >= (col("na") + col("nb") - col("i")) * 3)
           .select(col("doc_a"), col("doc_b"),
             round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
           .orderBy("doc_a", "doc_b")
           .localCheckpoint()
-        graft.plans.Iterate.release(sorted)
+        graft.plans.Iterate.release(prefix)
+        graft.plans.Iterate.release(g)
         out
       },
       Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),

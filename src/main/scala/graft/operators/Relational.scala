@@ -1125,6 +1125,27 @@ object Relational extends QueryModule {
                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
               SELECT user_id, event_id,
                 ROUND(list_sort(vals)[(len(vals) + 1) // 2], 6) AS med
-              FROM l ORDER BY user_id, event_id"""))
+              FROM l ORDER BY user_id, event_id""")),
+
+    // Shannon ENTROPY of each user's event-type distribution (plus the
+    // distinct-type count) — the information-theoretic aggregate behind
+    // behavioral segmentation and feature audits. Stated as
+    // H = ln(n) − Σ c·ln(c)/n so ONE two-level hash aggregate computes it
+    // (no per-row p·ln p materialization); identical formula shape on
+    // both sides, logs of identical integers, rounded at 6.
+    Q("q_agg_entropy",
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c"))).as("slc"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          round(log(col("n")) - col("slc") / col("n"), 6).as("entropy"))
+        .orderBy("user_id"),
+      Some("""WITH cts AS (SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2)
+              SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+                ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+              FROM cts GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -348,6 +348,21 @@ object Similarity extends QueryModule {
       Some(s"""WITH $eSql, $bruteSimsSql
                ${rankSql("bsims", topK)}""")),
 
+    // RANGE (fixed-radius) search: every candidate within cosine >= 0.3
+    // of each query — the radius API beside top-k (vector stores expose
+    // both; dedup-by-similarity wants radius, retrieval wants top-k).
+    // Same broadcast-query scan; the threshold compares the ROUNDED
+    // similarity, so the boundary decision is identical in both engines.
+    // At corpus scale the brute scan swaps for the IVF/PQ candidate
+    // generators exactly as the top-k rows do.
+    Q("q_sim_range",
+      (s, d) => bruteSims(s, d).filter(col("sim") >= 0.3)
+        .select(col("q_id"), col("cand_id"), col("sim"))
+        .orderBy("q_id", "cand_id"),
+      Some(s"""WITH $eSql, $bruteSimsSql
+               SELECT q_id, cand_id, sim FROM bsims WHERE sim >= 0.3
+               ORDER BY q_id, cand_id""")),
+
     // Hard-NEGATIVE mining (contrastive-training data prep): for each
     // anchor, the top-k most-similar candidates with a DIFFERENT label —
     // the negatives that actually move an embedding model, vs random ones.
