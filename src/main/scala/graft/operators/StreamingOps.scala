@@ -430,6 +430,31 @@ object StreamingOps extends QueryModule {
                 AND p.ts <= c.ts + INTERVAL '1 hour'
               ORDER BY user_id, click_id, purchase_id""")),
 
+    // LIVE UPSERT/MERGE SINK (foreachBatch): per-user running totals in
+    // UPDATE mode maintained as a parquet serving table — each
+    // micro-batch's changed keys key-replace into the state with an
+    // atomic directory swap. The events are staged as THREE range-split
+    // files with maxFilesPerTrigger=1, so every user's total is merged
+    // and re-merged across batches (event_id ranges are uncorrelated with
+    // user_id) — the merge path is actually exercised, not a single
+    // bulk write. Oracle: the plain batch GROUP BY.
+    Q("q_stream_live_upsert",
+      (s, d) => {
+        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-upsert-in").toString
+        Tables(s, d, "events")
+          .repartitionByRange(3, col("event_id"))
+          .write.parquet(s"$stage/in")
+        val state = graft.GraftSession.tempDirCleanedOnExit("graft-upsert-state").toString
+        graft.streaming.Streams.runUpsertTotals(s, s"$stage/in", state,
+            Map("maxFilesPerTrigger" -> "1"))
+          .select(col("user_id"), col("n_events"),
+            round(col("total"), 2).as("total"))
+          .orderBy("user_id")
+          .localCheckpoint()
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
     // stateful join operators in ONE streaming query (multi-stateful
     // append mode), the second keyed on event time carried through the

@@ -270,6 +270,44 @@ object Streams {
         round(col("amount"), 2).as("amount"))
   }
 
+  /** UPSERT (merge) sink via foreachBatch: per-user running aggregates in
+    * UPDATE mode, each micro-batch's changed keys merged into a parquet
+    * state table — the "streaming aggregation maintains a serving table"
+    * deployment. The merge is key-replacement: state rows whose key is
+    * absent from the batch survive, batch rows win otherwise; the write
+    * goes to a fresh directory then an atomic rename swaps it in, so a
+    * reader never sees a half-written state. At lake scale the same
+    * foreachBatch body targets a MERGE-capable table format (or
+    * replaceWhere over key partitions) — the streaming side is unchanged,
+    * which is the point of the hook. Returns the final state.
+    */
+  def runUpsertTotals(spark: SparkSession, eventsPath: String,
+      stateDir: String, options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val agg = events(spark, eventsPath, options)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    val cur = new java.io.File(stateDir, "current")
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val merged =
+          if (cur.exists()) {
+            val state = spark.read.parquet(cur.getPath)
+            state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+              .unionByName(batch)
+          } else batch
+        val next = new java.io.File(stateDir, s"v$batchId")
+        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
+        // atomic swap: rename old state away, promote the new version
+        val trash = new java.io.File(stateDir, s"old$batchId")
+        if (cur.exists()) { cur.renameTo(trash): Unit }
+        next.renameTo(cur): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(cur.getPath)
+  }
+
   /** FULL-OUTER stream-stream interval join: [[leftOuterIntervalJoin]]
     * plus one NULL-padded row per never-matched PURCHASE once the
     * watermark passes its event time — BOTH state stores emit on
