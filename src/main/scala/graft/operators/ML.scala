@@ -744,6 +744,10 @@ object ML extends QueryModule {
       },
       Some(pcaProjectSql(PcaIters))),
 
+    // Farthest-first k-center seeding over the embedding corpus — see
+    // [[farthestSeeds]]; the oracle unrolls the identical selection.
+    Q("q_ml_seeds", (s, d) => farthestSeeds(s, d), Some(farthestSeedsSql)),
+
     // Closed-form ridge regression (2 features + intercept, lambda = 0.1):
     // ONE distributed pass computes the 9 normal-equation sums (an O(d²)
     // aggregate — the GradientDescentBSP master-collect posture without
@@ -834,6 +838,77 @@ object ML extends QueryModule {
            ORDER BY doc_id"""
       })
   )
+
+  /** Farthest-first traversal (k-center / k-means‖-style seeding, the
+    * deterministic cousin of k-means++): seed 1 is vec_id 0; each round
+    * picks the point maximizing its min squared distance to the chosen
+    * set (ties to the smaller id). Distances round at 6 on both engines
+    * BEFORE the min/argmax, so the FP noise between the engine's
+    * |v|²−2v·s+|s|² and the oracle's Σ(v−s)² cannot flip a selection.
+    * O(k) corpus scans, each a broadcast-literal projection + a
+    * TakeOrdered(1) — the k-means master-collect posture. */
+  private def seedK = 4
+  private def farthestSeeds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VecOps
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    def vecOf(id: Long): Seq[Double] =
+      emb.filter(col("vec_id") === id).head.getSeq[Double](1).toIndexedSeq
+    var seeds = Vector(vecOf(0L))
+    val out = scala.collection.mutable.ArrayBuffer((1L, 0L, 0.0))
+    for (r <- 2 to seedK) {
+      val dists = seeds.map { sv =>
+        val cc = sv.map(x => x * x).sum
+        round(VecOps.vecDot(col("v"), col("v")) -
+          lit(2.0) * VecOps.vecDot(col("v"), typedLit(sv)) + lit(cc), 6)
+      }
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = emb.withColumn("dmin", mind)
+        .orderBy(desc("dmin"), asc("vec_id")).limit(1)
+        .select("vec_id", "dmin").head
+      seeds :+= vecOf(next.getLong(0))
+      out += ((r.toLong, next.getLong(0), next.getDouble(1)))
+    }
+    graft.plans.Iterate.release(emb)
+    out.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
+  }
+
+  private def farthestSeedsSql: String = {
+    val rounds = (2 to seedK).map { r =>
+      val prev = if (r == 2) "d1" else s"m${r - 1}"
+      val dcte =
+        s"""d$r AS MATERIALIZED (SELECT a.vec_id,
+             ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d
+             FROM elems a JOIN elems b ON a.i = b.i
+               AND b.vec_id = (SELECT vec_id FROM s$r)
+             GROUP BY a.vec_id)"""
+      val scte =
+        s"""s$r AS MATERIALIZED (SELECT vec_id, d FROM $prev
+             QUALIFY ROW_NUMBER() OVER (ORDER BY d DESC, vec_id) = 1)"""
+      val mcte = if (r < seedK)
+        Seq(s"""m$r AS MATERIALIZED (SELECT $prev.vec_id, LEAST($prev.d, d$r.d) AS d
+               FROM $prev JOIN d$r USING (vec_id))""")
+      else Nil
+      Seq(scte, dcte) ++ mcte
+    }
+    val selects = (2 to seedK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, d AS dist FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH elems AS MATERIALIZED (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       d1 AS MATERIALIZED (SELECT a.vec_id,
+         ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d
+         FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id = 0
+         GROUP BY a.vec_id),
+       ${rounds.flatten.mkString(",\n")}
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS dist
+         UNION ALL $selects) u
+       ORDER BY rank"""
+  }
 
   /** Multinomial Naive Bayes (Laplace +1 over the train vocabulary):
     * train token distributions per `lang` from `train(lang, text)`,

@@ -1146,6 +1146,84 @@ object Relational extends QueryModule {
                 FROM events GROUP BY 1, 2)
               SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
                 ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
-              FROM cts GROUP BY user_id ORDER BY user_id"""))
+              FROM cts GROUP BY user_id ORDER BY user_id""")),
+
+    // GINI coefficient of order totals per priority class — the
+    // inequality/concentration measure (data-mixture audits use it on
+    // tokens-per-source). Rank formula G = 2·Σ i·x⁽ⁱ⁾ / (n·Σx) − (n+1)/n
+    // over each group's ascending sort: ONE window + one aggregate on the
+    // group clustering. Sums round at 2 (parallel-reduction noise ~1e-5)
+    // before the identically-shaped final expression on both engines.
+    Q("q_agg_gini",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("i", row_number().over(w))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sx"),
+            round(sum(col("i") * col("o_totalprice")), 2).as("sixi"))
+          .select(col("o_orderpriority"), col("n"),
+            round(lit(2.0) * col("sixi") / (col("n") * col("sx")) -
+              (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS i
+                FROM orders),
+              sums AS (SELECT o_orderpriority, COUNT(*) AS n,
+                ROUND(SUM(o_totalprice), 2) AS sx,
+                ROUND(SUM(i * o_totalprice), 2) AS sixi
+                FROM r GROUP BY o_orderpriority)
+              SELECT o_orderpriority, n,
+                ROUND(2.0 * sixi / (n * sx) - (n + 1.0) / n, 6) AS gini
+              FROM sums ORDER BY o_orderpriority""")),
+
+    // Lag-1 AUTOCORRELATION of each user's value series — the
+    // time-series memory signal. One window builds (prev, cur) pairs,
+    // one aggregate computes the six sums, and the Pearson formula is
+    // stated identically on both sides over sums rounded at 4; groups
+    // without variance (or under 3 pairs) are filtered by the same
+    // rounded-value predicate, so no division-by-zero path exists.
+    Q("q_agg_autocorr",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .withColumn("x", lag(col("value"), 1).over(w))
+          .filter(col("x").isNotNull)
+          .select(col("user_id"), col("x"), col("value").as("y"))
+        pairs.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            round(sum("x"), 4).as("sx"), round(sum("y"), 4).as("sy"),
+            round(sum(col("x") * col("y")), 4).as("sxy"),
+            round(sum(col("x") * col("x")), 4).as("sxx"),
+            round(sum(col("y") * col("y")), 4).as("syy"))
+          .filter(col("n") >= 3 &&
+            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0)
+          .select(col("user_id"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r1"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id,
+                LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+                value AS y
+                FROM events),
+              sums AS (SELECT user_id, COUNT(*) AS n,
+                ROUND(SUM(x), 4) AS sx, ROUND(SUM(y), 4) AS sy,
+                ROUND(SUM(x * y), 4) AS sxy,
+                ROUND(SUM(x * x), 4) AS sxx,
+                ROUND(SUM(y * y), 4) AS syy
+                FROM p WHERE x IS NOT NULL GROUP BY user_id)
+              SELECT user_id, n,
+                ROUND((n * sxy - sx * sy) /
+                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r1
+              FROM sums
+              WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              ORDER BY user_id"""))
   )
 }
