@@ -840,6 +840,55 @@ object Dedup extends QueryModule {
               WHERE 5 * inter >= 3 * (na.n + nb.n - inter)
               ORDER BY 1, 2""")),
 
+    // RECALL/PRECISION of the probabilistic LSH blocking against EXACT
+    // ground truth: the PPJoin row (above) yields every true Jaccard ≥ 0.6
+    // pair with no false negatives, so the LSH candidate set can be
+    // SCORED, not just eyeballed — the go/no-go number for the
+    // hashes/bands knobs before a 100 TB run (the blocking analogue of
+    // the ANN recall rows; truth there is brute-force cosine, truth here
+    // is the prefix-filtered exact join). One row: set sizes, hits,
+    // recall, precision. Ratio denominators are guarded identically on
+    // both sides (candidate mining may legitimately find nothing at tiny
+    // scale).
+    Q("q_dedup_lsh_recall",
+      (s, d) => {
+        val truth = graft.SparkEntry.queries("q_dedup_ppjoin")(s, d)
+          .select("doc_a", "doc_b")
+        val cands = candidatePairs(s, d)
+        val hits = truth.join(cands, Seq("doc_a", "doc_b"))
+        val n = truth.count(); val c = cands.count(); val h = hits.count()
+        import s.implicits._
+        Seq((n, c, h)).toDF("n_truth", "n_cand", "n_hit")
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") > 0,
+              round(col("n_hit") * 1.0 / col("n_truth"), 6)).as("recall"),
+            when(col("n_cand") > 0,
+              round(col("n_hit") * 1.0 / col("n_cand"), 6)).as("precision"))
+      },
+      Some(s"""WITH $minhashSql, $bandsSql, $pairsSql,
+              base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
+                    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                          FROM base) t),
+              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              truth AS (SELECT i.doc_a, i.doc_b FROM i
+                    JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id
+                    WHERE 5 * inter >= 3 * (na.n + nb.n - inter)),
+              hits AS (SELECT t.doc_a FROM truth t
+                    JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+              cts AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                      (SELECT COUNT(*) FROM pairs) AS n_cand,
+                      (SELECT COUNT(*) FROM hits) AS n_hit)
+              SELECT n_truth, n_cand, n_hit,
+                CASE WHEN n_truth > 0
+                  THEN ROUND(n_hit * 1.0 / n_truth, 6) END AS recall,
+                CASE WHEN n_cand > 0
+                  THEN ROUND(n_hit * 1.0 / n_cand, 6) END AS precision
+              FROM cts""")),
+
     // Sorted-neighborhood dedup (SNM): sort the corpus by a normalized
     // blocking key (24-char canonical-text prefix), slide a fixed window,
     // and verify only window-adjacent pairs (offsets 1..3) by exact 3-gram

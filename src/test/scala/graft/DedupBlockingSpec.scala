@@ -52,6 +52,14 @@ class DedupBlockingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lsh recall row is internally consistent") {
+    val r = SparkEntry.queries("q_dedup_lsh_recall")(spark, TestSpark.sf0).head
+    val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(h <= math.min(t, c))
+    if (t > 0) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    if (c > 0) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("snm finds the known token-level duplicate families ppjoin finds") {
     // the staged near-dups sort adjacently on their normalized prefix, so
     // single-pass SNM must recover the ppjoin (>=0.6) pairs on this corpus
