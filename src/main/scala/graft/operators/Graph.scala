@@ -694,6 +694,43 @@ object Graph extends QueryModule {
           .orderBy("v")
       },
       Some(misSql(misRounds)))
+  ,
+
+    // MODULARITY scoring of the LPA communities — the standard "are these
+    // communities real" metric (Newman Q): per community c,
+    // contrib_c = intra_c/2m − (deg_c/2m)², Q = Σ contrib_c. Reuses the
+    // LPA labels (memoized plan shape via the declared query), then two
+    // hash joins + three aggregates — all on the label clustering, the
+    // only non-integer arithmetic is the final two divisions (identical
+    // shape both sides). The derived benchmark graph is edge-random, so
+    // Q ≈ 0 is the CORRECT readout (no community structure to find) —
+    // LpaModularitySpec pins exactly that, plus the partition/count
+    // conservation laws.
+    Q("q_graph_modularity",
+      (s, d) => {
+        val lab = graft.SparkEntry.queries("q_graph_lpa")(s, d)
+          .select(col("v"), col("lbl")).localCheckpoint()
+        val eu = undirected(edges(s, d)).localCheckpoint()
+        val tot = eu.count().toDouble
+        val intra = eu
+          .join(lab.select(col("v").as("src"), col("lbl").as("la")), Seq("src"))
+          .join(lab.select(col("v").as("dst"), col("lbl").as("lb")), Seq("dst"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ic"))
+        val degs = eu
+          .join(lab.select(col("v").as("src"), col("lbl")), Seq("src"))
+          .groupBy("lbl").agg(count(lit(1)).as("dc"))
+        val mem = lab.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        mem.join(degs, Seq("lbl"))
+          .join(intra, Seq("lbl"), "left")
+          .select(col("lbl"), col("n_members"),
+            coalesce(col("ic"), lit(0L)).as("intra_directed"),
+            col("dc").as("degree_sum"),
+            round(coalesce(col("ic"), lit(0L)) * 1.0 / lit(tot) -
+              (col("dc") * 1.0 / lit(tot)) * (col("dc") * 1.0 / lit(tot)), 6).as("contrib"))
+          .orderBy("lbl")
+      },
+      Some(modularitySql(LpaRounds)))
   )
 
   // a def, not a val: referenced from defs's initializer above
@@ -780,7 +817,9 @@ object Graph extends QueryModule {
        ORDER BY t.a, t.b"""
   }
 
-  private def lpaSql(rounds: Int): String = {
+  /** the LPA CTE chain up to `l$rounds` (no final SELECT) — shared by the
+    * labels query and the modularity scorer. */
+  private def lpaChainSql(rounds: Int): String = {
     // MATERIALIZED: l_t is referenced twice downstream (s_{t+1} and
     // l_{t+1}); inlining would expand the chain 2^rounds-fold
     val steps = (1 to rounds).map { t =>
@@ -797,7 +836,33 @@ object Graph extends QueryModule {
        $undirectedSql,
        $nodesSql,
        l0 AS MATERIALIZED (SELECT v, v AS lbl FROM nodes),
-       $steps
-       SELECT v, lbl FROM l$rounds ORDER BY v"""
+       $steps"""
   }
+
+  private def lpaSql(rounds: Int): String =
+    s"""${lpaChainSql(rounds)}
+       SELECT v, lbl FROM l$rounds ORDER BY v"""
+
+  /** per-community modularity contributions over the LPA labels:
+    * contrib_c = intra_c/|eu| − (deg_c/|eu|)², where |eu| = 2m counts
+    * each undirected edge twice — identical formula shape both sides. */
+  private def modularitySql(rounds: Int): String =
+    s"""${lpaChainSql(rounds)},
+       lab AS MATERIALIZED (SELECT v, lbl FROM l$rounds),
+       tot AS (SELECT COUNT(*) AS t FROM eu),
+       intra AS (SELECT a.lbl, COUNT(*) AS ic FROM eu
+         JOIN lab a ON a.v = eu.src JOIN lab b ON b.v = eu.dst
+         WHERE a.lbl = b.lbl GROUP BY a.lbl),
+       degs AS (SELECT lab.lbl, COUNT(*) AS dc
+         FROM eu JOIN lab ON lab.v = eu.src GROUP BY lab.lbl),
+       mem AS (SELECT lbl, COUNT(*) AS n_members FROM lab GROUP BY lbl)
+       SELECT mem.lbl, mem.n_members,
+         CAST(COALESCE(intra.ic, 0) AS BIGINT) AS intra_directed,
+         CAST(degs.dc AS BIGINT) AS degree_sum,
+         ROUND(COALESCE(intra.ic, 0) * 1.0 / tot.t
+           - (degs.dc * 1.0 / tot.t) * (degs.dc * 1.0 / tot.t), 6) AS contrib
+       FROM mem JOIN degs ON degs.lbl = mem.lbl
+       LEFT JOIN intra ON intra.lbl = mem.lbl
+       CROSS JOIN tot
+       ORDER BY mem.lbl"""
 }
