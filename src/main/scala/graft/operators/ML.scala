@@ -150,6 +150,17 @@ object ML extends QueryModule {
       .cache()
     val seeds = emb.filter(col("vec_id") < 4).as[(Long, Seq[Double])]
       .collect().sortBy(_._1).toSeq
+    kmeansVecOut(emb, seeds, measure)
+  }
+
+  /** shared Lloyd run + result shape for the vector-kmeans rows: cluster
+    * count, member-id checksum (pins the full assignment), centroid norm
+    * (pins the centers). Unpersists `emb` once the O(k)-row result is
+    * materialized. */
+  private def kmeansVecOut(emb: DataFrame, seeds: Seq[(Long, Seq[Double])],
+      measure: VecMeasure): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val (assign, cen) = vectorKmeans(emb, seeds, iters = 2, measure)
     // per-cluster count + member-id checksum (pins the full assignment) +
     // rounded centroid norm (pins the centers)
@@ -171,35 +182,58 @@ object ML extends QueryModule {
     * chosen by measure — Euclidean states |v|²−2v·c+|c|², cosine states
     * 1 − v·c/(‖v‖‖c‖), both rounded at 6 like the engine side
     * (ml/.../distance/CosineDistance.java:22-56 semantics). */
-  private def kmeansVecSql(measure: VecMeasure = Euclidean): String = {
-    def distCte(cenCte: String, n: Int) = {
-      val dd = measure match {
-        case Euclidean =>
-          "ROUND(SUM(e.ev * e.ev) - 2 * SUM(e.ev * c.cv) + SUM(c.cv * c.cv), 6)"
-        case Cosine =>
-          "ROUND(1 - SUM(e.ev * c.cv) / (SQRT(SUM(e.ev * e.ev)) * SQRT(SUM(c.cv * c.cv))), 6)"
-      }
-      s"""d$n AS (SELECT e.vec_id, c.c, $dd AS dd
-           FROM e JOIN $cenCte c USING (pos) GROUP BY e.vec_id, c.c),
-         a$n AS (SELECT vec_id, c FROM d$n
-           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)"""
+  private def kmeansDistCte(measure: VecMeasure)(cenCte: String, n: Int): String = {
+    val dd = measure match {
+      case Euclidean =>
+        "ROUND(SUM(e.ev * e.ev) - 2 * SUM(e.ev * c.cv) + SUM(c.cv * c.cv), 6)"
+      case Cosine =>
+        "ROUND(1 - SUM(e.ev * c.cv) / (SQRT(SUM(e.ev * e.ev)) * SQRT(SUM(c.cv * c.cv))), 6)"
     }
+    s"""d$n AS (SELECT e.vec_id, c.c, $dd AS dd
+         FROM e JOIN $cenCte c USING (pos) GROUP BY e.vec_id, c.c),
+       a$n AS (SELECT vec_id, c FROM d$n
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, c) = 1)"""
+  }
+
+  /** Lloyd unroll from `cen0` to the count/id-checksum/norm readout —
+    * shared by the fixed-seed and farthest-seeded oracles. */
+  private def kmeansVecBodySql(measure: VecMeasure): String = {
+    val distCte = kmeansDistCte(measure) _
+    s"""${distCte("cen0", 1)},
+       cen1 AS (SELECT a1.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
+         FROM e JOIN a1 USING (vec_id) GROUP BY a1.c, e.pos),
+       ${distCte("cen1", 2)},
+       cen2 AS (SELECT a2.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
+         FROM e JOIN a2 USING (vec_id) GROUP BY a2.c, e.pos)
+       SELECT s.c, s.cnt, s.id_sum, n.c_norm
+       FROM (SELECT c, COUNT(*) AS cnt, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+             FROM a2 GROUP BY c) s
+       JOIN (SELECT c, ROUND(SQRT(SUM(cv * cv)), 4) AS c_norm
+             FROM cen2 GROUP BY c) n USING (c)
+       ORDER BY c"""
+  }
+
+  private def kmeansVecSql(measure: VecMeasure = Euclidean): String =
     s"""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
          cen0 AS (SELECT vec_id AS c, pos, ev AS cv FROM e WHERE vec_id < 4),
-         ${distCte("cen0", 1)},
-         cen1 AS (SELECT a1.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
-           FROM e JOIN a1 USING (vec_id) GROUP BY a1.c, e.pos),
-         ${distCte("cen1", 2)},
-         cen2 AS (SELECT a2.c, e.pos, ROUND(AVG(e.ev), 4) AS cv
-           FROM e JOIN a2 USING (vec_id) GROUP BY a2.c, e.pos)
-         SELECT s.c, s.cnt, s.id_sum, n.c_norm
-         FROM (SELECT c, COUNT(*) AS cnt, CAST(SUM(vec_id) AS BIGINT) AS id_sum
-               FROM a2 GROUP BY c) s
-         JOIN (SELECT c, ROUND(SQRT(SUM(cv * cv)), 4) AS c_norm
-               FROM cen2 GROUP BY c) n USING (c)
-         ORDER BY c"""
-  }
+         ${kmeansVecBodySql(measure)}"""
+
+  /** farthest-first seeds feeding the same Lloyd unroll: the chain picks
+    * the 4 seed ids, `seedmap` renumbers them 0..3 in selection order,
+    * `cen0` pulls their element rows. */
+  private def seededKmeansSql: String =
+    s"""WITH ${farthestChainSql("f")},
+       e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+       seedmap(c, svid) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION ALL SELECT 1, (SELECT vec_id FROM fs2)
+         UNION ALL SELECT 2, (SELECT vec_id FROM fs3)
+         UNION ALL SELECT 3, (SELECT vec_id FROM fs4)),
+       cen0 AS (SELECT sm.c, e.pos, e.ev AS cv
+         FROM e JOIN seedmap sm ON e.vec_id = sm.svid),
+       ${kmeansVecBodySql(Euclidean)}"""
 
   // ---- Gradient-descent regression, 3 fixed iterations -------------------
   // ml/src/main/java/org/apache/hama/ml/regression/GradientDescentBSP.java:82-257
@@ -748,6 +782,27 @@ object ML extends QueryModule {
     // [[farthestSeeds]]; the oracle unrolls the identical selection.
     Q("q_ml_seeds", (s, d) => farthestSeeds(s, d), Some(farthestSeedsSql)),
 
+    // The seeding COMPOSED with the trainer: the farthest-first seeds
+    // (renumbered 0..3 in selection order) initialize the same 2-round
+    // Lloyd loop as q_ml_kmeans_vec — seeding and clustering verified
+    // end-to-end as ONE oracle-checked pipeline, not two disconnected
+    // rows. Same determinism ladder throughout (round-6 distances,
+    // round-4 center means).
+    Q("q_ml_kmeans_seeded",
+      (s, d) => {
+        import s.implicits._
+        val seedIds = farthestSeeds(s, d).collect().sortBy(_.getLong(0)).map(_.getLong(1))
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .cache()
+        val byId = emb.filter(col("vec_id").isin(seedIds.map(Long.box): _*))
+          .as[(Long, Seq[Double])].collect().toMap
+        val seeds = seedIds.zipWithIndex
+          .map { case (id, i) => i.toLong -> byId(id) }.toSeq
+        kmeansVecOut(emb, seeds, Euclidean)
+      },
+      Some(seededKmeansSql)),
+
     // Closed-form ridge regression (2 features + intercept, lambda = 0.1):
     // ONE distributed pass computes the 9 normal-equation sums (an O(d²)
     // aggregate — the GradientDescentBSP master-collect posture without
@@ -875,35 +930,42 @@ object ML extends QueryModule {
     out.toSeq.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 
-  private def farthestSeedsSql: String = {
+  /** the farthest-first CTE chain (elems + `${p}d1`/`${p}s2`…`${p}s$k`),
+    * name-prefixable so it composes into other oracles without CTE
+    * collisions. Callers append their own final SELECT. */
+  private def farthestChainSql(p: String): String = {
     val rounds = (2 to seedK).map { r =>
-      val prev = if (r == 2) "d1" else s"m${r - 1}"
+      val prev = if (r == 2) s"${p}d1" else s"${p}m${r - 1}"
       val dcte =
-        s"""d$r AS MATERIALIZED (SELECT a.vec_id,
+        s"""${p}d$r AS MATERIALIZED (SELECT a.vec_id,
              ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d
              FROM elems a JOIN elems b ON a.i = b.i
-               AND b.vec_id = (SELECT vec_id FROM s$r)
+               AND b.vec_id = (SELECT vec_id FROM ${p}s$r)
              GROUP BY a.vec_id)"""
       val scte =
-        s"""s$r AS MATERIALIZED (SELECT vec_id, d FROM $prev
+        s"""${p}s$r AS MATERIALIZED (SELECT vec_id, d FROM $prev
              QUALIFY ROW_NUMBER() OVER (ORDER BY d DESC, vec_id) = 1)"""
       val mcte = if (r < seedK)
-        Seq(s"""m$r AS MATERIALIZED (SELECT $prev.vec_id, LEAST($prev.d, d$r.d) AS d
-               FROM $prev JOIN d$r USING (vec_id))""")
+        Seq(s"""${p}m$r AS MATERIALIZED (SELECT $prev.vec_id, LEAST($prev.d, ${p}d$r.d) AS d
+               FROM $prev JOIN ${p}d$r USING (vec_id))""")
       else Nil
       Seq(scte, dcte) ++ mcte
     }
-    val selects = (2 to seedK)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, d AS dist FROM s$r")
-      .mkString(" UNION ALL ")
-    s"""WITH elems AS MATERIALIZED (
+    s"""elems AS MATERIALIZED (
          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-       d1 AS MATERIALIZED (SELECT a.vec_id,
+       ${p}d1 AS MATERIALIZED (SELECT a.vec_id,
          ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d
          FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id = 0
          GROUP BY a.vec_id),
-       ${rounds.flatten.mkString(",\n")}
+       ${rounds.flatten.mkString(",\n")}"""
+  }
+
+  private def farthestSeedsSql: String = {
+    val selects = (2 to seedK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, d AS dist FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${farthestChainSql("")}
        SELECT * FROM (
          SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS dist
          UNION ALL $selects) u
