@@ -666,6 +666,106 @@ object Relational extends QueryModule {
               SELECT user_id, purchase_id, ts AS p_ts, next_click_id, next_click_ts
               FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
 
+    // NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
+    // the backward and forward matches composed, per purchase the closer
+    // click wins (exact tie → backward, the conservative causal choice).
+    // Two one-shuffle Asof passes joined on the unique purchase key; the
+    // gap comparison is integer epoch-µs, so the pick is engine-exact.
+    Q("q_join_asof_nearest",
+      (s, d) => {
+        val (purchases, clicks) = asofSides(s, d)
+        val b = Asof.backward(purchases, clicks, "user_id", "ts", Seq("click_id"))
+          .select(col("user_id"), col("purchase_id"), col("ts"),
+            col("asof_click_id").as("b_id"), col("asof_ts").as("b_ts"))
+        val f = Asof.forward(purchases, clicks, "user_id", "ts", Seq("click_id"))
+          .select(col("purchase_id").as("p2"),
+            col("asof_click_id").as("f_id"), col("asof_ts").as("f_ts"))
+        def us(c: Column) = unix_micros(c.cast("timestamp"))
+        val gb = us(col("ts")) - us(col("b_ts"))
+        val gf = us(col("f_ts")) - us(col("ts"))
+        b.join(f, col("purchase_id") === col("p2"))
+          .select(col("user_id"), col("purchase_id"),
+            when(col("b_ts").isNull && col("f_ts").isNull, lit(null))
+              .when(col("f_ts").isNull, col("b_id"))
+              .when(col("b_ts").isNull, col("f_id"))
+              .when(gb <= gf, col("b_id")).otherwise(col("f_id"))
+              .as("nearest_click_id"),
+            when(col("b_ts").isNull && col("f_ts").isNull, lit(null))
+              .when(col("f_ts").isNull, lit("b"))
+              .when(col("b_ts").isNull, lit("f"))
+              .when(gb <= gf, lit("b")).otherwise(lit("f"))
+              .as("direction"),
+            when(col("b_ts").isNull && col("f_ts").isNull, lit(null))
+              .when(col("f_ts").isNull, gb)
+              .when(col("b_ts").isNull, gf)
+              .when(gb <= gf, gb).otherwise(gf)
+              .as("gap_us"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some(s"""WITH $asofUnionSql, w AS (
+                SELECT *,
+                  LAST_VALUE(click_id IGNORE NULLS) OVER winb AS b_id,
+                  LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER winb AS b_ts,
+                  FIRST_VALUE(click_id IGNORE NULLS) OVER winf AS f_id,
+                  FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER winf AS f_ts
+                FROM u
+                WINDOW winb AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       winf AS (PARTITION BY user_id ORDER BY ts, side DESC, click_id
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              )
+              SELECT user_id, purchase_id,
+                CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                     WHEN f_ts IS NULL THEN b_id
+                     WHEN b_ts IS NULL THEN f_id
+                     WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                     ELSE f_id END AS nearest_click_id,
+                CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                     WHEN f_ts IS NULL THEN 'b'
+                     WHEN b_ts IS NULL THEN 'f'
+                     WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts) THEN 'b'
+                     ELSE 'f' END AS direction,
+                CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                     WHEN f_ts IS NULL THEN epoch_us(ts) - epoch_us(b_ts)
+                     WHEN b_ts IS NULL THEN epoch_us(f_ts) - epoch_us(ts)
+                     WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+                       THEN epoch_us(ts) - epoch_us(b_ts)
+                     ELSE epoch_us(f_ts) - epoch_us(ts) END AS gap_us
+              FROM w WHERE side = 1 ORDER BY user_id, purchase_id""")),
+
+    // Per-group feature STANDARDIZATION (z-scores): each user's values
+    // centered and scaled by their own population moments — the feature-
+    // engineering transform every model input pipeline runs. Moments from
+    // rounded sums (the autocorr determinism recipe), z stated with the
+    // identical expression shape on both engines; the per-user moment
+    // relation is O(users) and joins back on the existing clustering.
+    Q("q_agg_standardize",
+      (s, d) => {
+        val m = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 4).as("sx"),
+            round(sum(col("value") * col("value")), 4).as("sxx"))
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        t(s, d, "events").join(m, Seq("user_id"))
+          .select(col("user_id"), col("event_id"),
+            round((col("value") - col("sx") / col("n")) /
+              sqrt(col("sxx") / col("n") -
+                (col("sx") / col("n")) * (col("sx") / col("n"))), 6).as("z"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH m AS (SELECT user_id, COUNT(*) AS n,
+                ROUND(SUM(value), 4) AS sx,
+                ROUND(SUM(value * value), 4) AS sxx
+                FROM events GROUP BY user_id)
+              SELECT e.user_id, e.event_id,
+                ROUND((e.value - sx / n) /
+                  sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS z
+              FROM events e JOIN m ON m.user_id = e.user_id
+              WHERE n * sxx - sx * sx > 0
+              ORDER BY e.user_id, e.event_id""")),
+
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",
       (s, d) => t(s, d, "customer")

@@ -136,6 +136,37 @@ object TextAnalysis extends QueryModule {
     // quality scoring: character-class ratios. Denominators are
     // greatest(len, 1) — Spark 4's default ANSI mode would otherwise
     // throw DIVIDE_BY_ZERO on an empty document (see TextExprs).
+    // Sentence segmentation statistics (readability family): sentences =
+    // non-empty [.!?]-delimited spans, mean sentence length in word
+    // tokens — the structural signal quality classifiers consume beside
+    // the character ratios. Pure in-row projection, zero shuffle; the
+    // avg divides two exact integers, so round-4 is engine-identical.
+    Q("q_text_sentences",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          expr("size(filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != ''))")
+            .cast("long").as("n_sentences"),
+          size(TextExprs.toks(col("text"))).cast("long").as("n_words"))
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          when(col("n_sentences") > 0,
+            round(col("n_words") * 1.0 / col("n_sentences"), 4))
+            .otherwise(0.0).as("avg_sentence_words"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                CAST(len(list_filter(list_transform(
+                  string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                  x -> x <> '')) AS BIGINT) AS n_sentences,
+                CAST(len(${TextExprs.toksSql("text")}) AS BIGINT) AS n_words,
+                CASE WHEN len(list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                    x -> x <> '')) > 0
+                  THEN ROUND(len(${TextExprs.toksSql("text")}) * 1.0 /
+                    len(list_filter(list_transform(
+                      string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                      x -> x <> '')), 4)
+                  ELSE 0.0 END AS avg_sentence_words
+              FROM documents ORDER BY doc_id""")),
+
     Q("q_text_quality",
       (s, d) => {
         val den = greatest(length(col("text")), lit(1))
