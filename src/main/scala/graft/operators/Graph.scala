@@ -115,6 +115,54 @@ object Graph extends QueryModule {
        SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
   }
 
+  private def pagerankWeightedSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""r${i + 1} AS (SELECT nodes.v,
+         0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(m.msum, 0) AS rank
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS v, SUM(r$i.rank * e.w / wt.wtot) AS msum
+           FROM r$i JOIN e ON e.src = r$i.v JOIN wt ON wt.src = e.src
+           GROUP BY e.dst) m ON m.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       wt AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS wtot FROM e GROUP BY src),
+       r0 AS (SELECT v, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes),
+       $steps
+       SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
+  }
+
+  private def hitsIters: Int = 3
+
+  /** unrolled HITS half-steps, every raw sum rounded at 6 and every
+    * normalized vector rounded at 6 — the engine's exact value lattice. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""h$t AS MATERIALIZED (SELECT nodes.v, COALESCE(s.x, 0.0) AS hraw
+           FROM nodes LEFT JOIN (
+             SELECT e.src AS v, ROUND(SUM(a${t - 1}.auth), 6) AS x
+             FROM e JOIN a${t - 1} ON a${t - 1}.v = e.dst GROUP BY e.src) s
+           ON s.v = nodes.v),
+         hn$t AS MATERIALIZED (SELECT v,
+           ROUND(hraw / (SELECT MAX(hraw) FROM h$t), 6) AS hub FROM h$t),
+         ar$t AS MATERIALIZED (SELECT nodes.v, COALESCE(s.x, 0.0) AS araw
+           FROM nodes LEFT JOIN (
+             SELECT e.dst AS v, ROUND(SUM(hn$t.hub), 6) AS x
+             FROM e JOIN hn$t ON hn$t.v = e.src GROUP BY e.dst) s
+           ON s.v = nodes.v),
+         a$t AS MATERIALIZED (SELECT v,
+           ROUND(araw / (SELECT MAX(araw) FROM ar$t), 6) AS auth FROM ar$t)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       a0 AS (SELECT v, 1.0 AS auth FROM nodes),
+       $steps
+       SELECT hn$iters.v, hn$iters.hub, a$iters.auth
+       FROM hn$iters JOIN a$iters ON a$iters.v = hn$iters.v
+       ORDER BY hn$iters.v"""
+  }
+
   private def ssspSql(rounds: Int): String = {
     val steps = (0 until rounds).map { i =>
       s"""d${i + 1} AS (SELECT v, MIN(dist) AS dist FROM (
@@ -731,6 +779,65 @@ object Graph extends QueryModule {
           .orderBy("lbl")
       },
       Some(modularitySql(LpaRounds)))
+  ,
+
+    // WEIGHTED PageRank: contributions split by edge weight w/W(u)
+    // instead of 1/outdeg — the variant every citation/affinity graph
+    // actually runs. Identical superstep shape to q_graph_pagerank (one
+    // join + one map-side-combined aggregate per round, zero-mass rows
+    // folded in); the oracle unrolls the same weighted fractions.
+    Q("q_graph_pagerank_weighted",
+      (s, d) => {
+        val e = edges(s, d)
+        val vs = nodes(e).cache()
+        val n = vs.count().toDouble
+        val wsum = e.groupBy("src").agg(sum(col("w")).cast("double").as("wtot"))
+        val e2 = e.join(wsum, "src").cache()
+        val zeros = vs.select(col("v"), lit(0.0).as("m")).cache()
+        val init = vs.select(col("v"), lit(1.0 / n).as("rank"))
+        val out = Iterate(init, 10, checkpointEvery = 4) { (r, _) =>
+          val contrib = e2.as("ee").join(r.as("rr"), col("ee.src") === col("rr.v"))
+            .select(col("ee.dst").as("v"),
+              (col("rr.rank") * col("ee.w") / col("ee.wtot")).as("m"))
+          contrib.unionAll(zeros)
+            .groupBy("v").agg((lit(0.15 / n) + lit(0.85) * sum("m")).as("rank"))
+        }
+        out.select(col("v"), round(col("rank"), 9).as("rank")).orderBy("v")
+      },
+      Some(pagerankWeightedSql(10)),
+    ),
+
+    // HITS hubs & authorities (Kleinberg): h(v) = Σ_out a(u),
+    // a(v) = Σ_in h(u), max-normalized and ROUNDED AT 6 after every
+    // half-step so both engines walk the identical value lattice. 3
+    // iterations; each half-step is one join + one aggregate plus an O(1)
+    // max collect to the driver (the aggregator-to-master shape). The
+    // derived graph has edges, so both maxima stay positive.
+    Q("q_graph_hits",
+      (s, d) => {
+        val e = edges(s, d).select("src", "dst").localCheckpoint()
+        val vs = nodes(e).localCheckpoint()
+        var a = vs.select(col("v"), lit(1.0).as("auth"))
+        var h: DataFrame = null
+        for (_ <- 1 to hitsIters) {
+          val hr = e.join(a.withColumnRenamed("v", "dst"), Seq("dst"))
+            .groupBy("src").agg(round(sum("auth"), 6).as("x"))
+          val hAll = vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
+            .select(col("v"), coalesce(col("x"), lit(0.0)).as("hraw"))
+          val hmax = hAll.agg(max("hraw")).head.getDouble(0)
+          h = hAll.select(col("v"), round(col("hraw") / lit(hmax), 6).as("hub"))
+            .localCheckpoint()
+          val ar = e.join(h.withColumnRenamed("v", "src"), Seq("src"))
+            .groupBy("dst").agg(round(sum("hub"), 6).as("x"))
+          val aAll = vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
+            .select(col("v"), coalesce(col("x"), lit(0.0)).as("araw"))
+          val amax = aAll.agg(max("araw")).head.getDouble(0)
+          a = aAll.select(col("v"), round(col("araw") / lit(amax), 6).as("auth"))
+            .localCheckpoint()
+        }
+        h.join(a, Seq("v")).select(col("v"), col("hub"), col("auth")).orderBy("v")
+      },
+      Some(hitsSql(hitsIters)))
   )
 
   // a def, not a val: referenced from defs's initializer above

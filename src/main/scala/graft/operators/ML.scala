@@ -864,35 +864,63 @@ object ML extends QueryModule {
         naiveBayes(docsAll.filter(col("doc_id") % 2 === 0),
           docsAll.filter(col("doc_id") % 2 =!= 0))
       },
-      Some {
-        val toksSql = TextExprs.toksSql("text")
-        s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
-           te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
-           trt AS (SELECT lang, unnest($toksSql) AS tok FROM tr),
-           counts AS (SELECT lang, tok, COUNT(*) AS c FROM trt GROUP BY 1, 2),
-           totals AS (SELECT lang, SUM(c) AS tot FROM counts GROUP BY 1),
-           vocab AS (SELECT DISTINCT tok FROM counts),
-           vs AS (SELECT COUNT(*) AS v FROM vocab),
-           nd AS (SELECT lang, COUNT(*) AS ndl FROM tr GROUP BY 1),
-           ndt AS (SELECT COUNT(*) AS ndt FROM tr),
-           prior AS (SELECT lang, ln(ndl) - ln(ndt) AS prior FROM nd CROSS JOIN ndt),
-           grid AS (SELECT l.lang, v.tok,
-               ln(COALESCE(c.c, 0) + 1) - ln(t.tot + vs.v) AS lp
-             FROM vocab v CROSS JOIN (SELECT lang FROM nd) l
-             LEFT JOIN counts c ON c.lang = l.lang AND c.tok = v.tok
-             JOIN totals t ON t.lang = l.lang CROSS JOIN vs),
-           tet AS (SELECT doc_id, unnest($toksSql) AS tok FROM te),
-           sums AS (SELECT tet.doc_id, grid.lang, SUM(lp) AS slp
-             FROM tet JOIN grid ON grid.tok = tet.tok GROUP BY 1, 2),
-           scored AS (SELECT te.doc_id, p.lang,
-               ROUND(p.prior + COALESCE(sm.slp, 0.0), 6) AS score
-             FROM te CROSS JOIN prior p
-             LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang)
+      Some(s"""$nbChainSql
            SELECT doc_id, lang AS pred_lang, score FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
-           ORDER BY doc_id"""
-      })
+           ORDER BY doc_id""")),
+
+    // CONFUSION MATRIX of the Naive Bayes predictions against the actual
+    // labels — the evaluation readout that closes the train/predict loop
+    // (near-uniform off-diagonals here, since the testdata's labels are
+    // random w.r.t. the text; the SHAPE of the computation is what a real
+    // corpus reuses). One extra O(test) join + one tiny aggregate on top
+    // of the classifier plan.
+    Q("q_ml_nb_confusion",
+      (s, d) => {
+        val docsAll = Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+        naiveBayes(docsAll.filter(col("doc_id") % 2 === 0),
+            docsAll.filter(col("doc_id") % 2 =!= 0))
+          .join(docsAll.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+          .groupBy(col("actual"), col("pred_lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("actual", "pred_lang")
+      },
+      Some(s"""$nbChainSql,
+           preds AS (SELECT doc_id, lang AS pred_lang FROM scored
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+           SELECT d.lang AS actual, p.pred_lang, COUNT(*) AS cnt
+           FROM preds p JOIN documents d ON d.doc_id = p.doc_id
+           GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** the Naive Bayes oracle chain through `scored` (doc × lang rounded
+    * log-posteriors) — shared by the prediction and confusion-matrix
+    * oracles. A def (not val): referenced from defs's initializer. */
+  private def nbChainSql: String = {
+    val toksSql = TextExprs.toksSql("text")
+    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+       te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+       trt AS (SELECT lang, unnest($toksSql) AS tok FROM tr),
+       counts AS (SELECT lang, tok, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+       totals AS (SELECT lang, SUM(c) AS tot FROM counts GROUP BY 1),
+       vocab AS (SELECT DISTINCT tok FROM counts),
+       vs AS (SELECT COUNT(*) AS v FROM vocab),
+       nd AS (SELECT lang, COUNT(*) AS ndl FROM tr GROUP BY 1),
+       ndt AS (SELECT COUNT(*) AS ndt FROM tr),
+       prior AS (SELECT lang, ln(ndl) - ln(ndt) AS prior FROM nd CROSS JOIN ndt),
+       grid AS (SELECT l.lang, v.tok,
+           ln(COALESCE(c.c, 0) + 1) - ln(t.tot + vs.v) AS lp
+         FROM vocab v CROSS JOIN (SELECT lang FROM nd) l
+         LEFT JOIN counts c ON c.lang = l.lang AND c.tok = v.tok
+         JOIN totals t ON t.lang = l.lang CROSS JOIN vs),
+       tet AS (SELECT doc_id, unnest($toksSql) AS tok FROM te),
+       sums AS (SELECT tet.doc_id, grid.lang, SUM(lp) AS slp
+         FROM tet JOIN grid ON grid.tok = tet.tok GROUP BY 1, 2),
+       scored AS MATERIALIZED (SELECT te.doc_id, p.lang,
+           ROUND(p.prior + COALESCE(sm.slp, 0.0), 6) AS score
+         FROM te CROSS JOIN prior p
+         LEFT JOIN sums sm ON sm.doc_id = te.doc_id AND sm.lang = p.lang)"""
+  }
 
   /** Farthest-first traversal (k-center / k-means‖-style seeding, the
     * deterministic cousin of k-means++): seed 1 is vec_id 0; each round
