@@ -430,6 +430,19 @@ object StreamingOps extends QueryModule {
                 AND p.ts <= c.ts + INTERVAL '1 hour'
               ORDER BY user_id, click_id, purchase_id""")),
 
+    // LIVE TOP-K leaderboard: sort + limit INSIDE the streaming query
+    // (complete mode re-ranks the aggregation state every micro-batch) —
+    // the "top spenders right now" serving query. Totals round before
+    // the sort, ties to the smaller user id; the batch top-10 oracles it.
+    Q("q_stream_live_topk",
+      (s, d) => runLive(s,
+        graft.streaming.Streams.topUsers(
+          graft.streaming.Streams.events(s, s"$d/events.parquet"), 10),
+        "complete", Seq("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY user_id
+              ORDER BY total DESC, user_id LIMIT 10""")),
+
     // LIVE UPSERT/MERGE SINK (foreachBatch): per-user running totals in
     // UPDATE mode maintained as a parquet serving table — each
     // micro-batch's changed keys key-replace into the state with an

@@ -245,6 +245,66 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // Deterministic TRAIN/VAL/TEST split (the hash-draw applied to the
+    // standard 3-way partition): the md5 draw buckets ~90/5/5 by hex
+    // range, so the split is engine/partitioning-independent and any
+    // worker can recompute membership without a lookup table — the
+    // property that makes a 100 TB split reproducible forever. Per-split
+    // counts + token totals in one aggregate.
+    Q("q_text_split",
+      (s, d) => {
+        val draw = TextExprs.hashDraw(col("doc_id"))
+        val split = when(draw < "e6", "train")
+          .when(draw < "f3", "val").otherwise("test")
+        docs(s, d)
+          .select(split.as("split"), size(TextExprs.toks(col("text"))).as("toks"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .orderBy("split")
+      },
+      Some(s"""SELECT CASE
+                WHEN ${TextExprs.hashDrawSql("doc_id")} < 'e6' THEN 'train'
+                WHEN ${TextExprs.hashDrawSql("doc_id")} < 'f3' THEN 'val'
+                ELSE 'test' END AS split,
+              COUNT(*) AS n_docs,
+              CAST(SUM(len(${TextExprs.toksSql("text")})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Cross-SOURCE near-duplicate audit: the exact similarity-join pairs
+    // (q_dedup_ppjoin, Jaccard >= 0.6) whose two documents come from
+    // DIFFERENT sources — the provenance question ("which mirrors carry
+    // this content?") that within-source dedup never answers. On this
+    // corpus nearly every near-dup crosses sources (the staged dups are
+    // mirror-style), while byte-exact cross-source dups are zero — which
+    // is exactly why the audit must run on the near-dup relation. Two
+    // O(pairs) joins on top of the exact join's plan.
+    Q("q_dedup_cross_source",
+      (s, d) => {
+        val src = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        graft.SparkEntry.queries("q_dedup_ppjoin")(s, d)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
+          .filter(col("source_a") =!= col("source_b"))
+          .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"), col("jac"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
+                    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                          FROM base) t),
+              n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+              SELECT i.doc_a, i.doc_b, da.source AS source_a, db.source AS source_b,
+                ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jac
+              FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id
+              JOIN documents da ON da.doc_id = i.doc_a
+              JOIN documents db ON db.doc_id = i.doc_b
+              WHERE 5 * inter >= 3 * (na.n + nb.n - inter)
+                AND da.source <> db.source
+              ORDER BY i.doc_a, i.doc_b""")),
+
     // WEIGHTED sampling without replacement (Efraimidis–Spirakis): key
     // k = ln(u)/w with a portable md5-derived uniform u and weight w =
     // n_chars (stand-in for a quality score) — top-k by key IS a weighted

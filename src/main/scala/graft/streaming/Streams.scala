@@ -270,6 +270,18 @@ object Streams {
         round(col("amount"), 2).as("amount"))
   }
 
+  /** LIVE top-k leaderboard: complete-mode aggregation with ORDER BY +
+    * LIMIT inside the streaming query — the engine re-ranks the full
+    * state every micro-batch (complete mode is the only one that may
+    * sort). Totals round BEFORE the sort so the ranking is deterministic
+    * against the batch oracle; state is O(users), the emitted relation
+    * O(k). */
+  def topUsers(events: DataFrame, k: Int): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .orderBy(desc("total"), asc("user_id"))
+      .limit(k)
+
   /** UPSERT (merge) sink via foreachBatch: per-user running aggregates in
     * UPDATE mode, each micro-batch's changed keys merged into a parquet
     * state table — the "streaming aggregation maintains a serving table"
