@@ -202,5 +202,42 @@ object Analytics extends QueryModule {
                 MIN(ts) AS session_start, MAX(ts) AS session_end,
                 ROUND(SUM(value), 2) AS total
               FROM sess GROUP BY user_id, sess_seq
-              ORDER BY user_id, sess_seq""")))
+              ORDER BY user_id, sess_seq""")),
+
+    // DAU / WAU / stickiness: per calendar day, the daily actives, the
+    // trailing-7-day actives, and their ratio — the engagement KPI every
+    // product dashboard leads with. WAU is COUNT(DISTINCT user) over a
+    // 7-day window — computed as a (day × offset 0..6) explode of the
+    // O(users·days) distinct relation, never a re-scan of the raw log
+    // per window; days outside the observed range are dropped on both
+    // sides.
+    Q("q_events_dau_wau",
+      (s, d) => {
+        val act = ev(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+          .distinct().localCheckpoint()
+        val bounds = act.agg(min("day").as("d0"), max("day").as("d1")).head
+        val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
+        val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        val wau = act
+          .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+          .filter(col("day") between (d0, d1))
+          .groupBy("day").agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day").as("day_idx"), col("dau"), col("wau"),
+            round(col("dau") * 1.0 / col("wau"), 6).as("stickiness"))
+          .orderBy("day_idx")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+              b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM act),
+              dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY day),
+              wau AS (SELECT w.day, COUNT(DISTINCT w.user_id) AS wau FROM (
+                SELECT user_id, unnest(generate_series(day, day + 6)) AS day FROM act) w
+                CROSS JOIN b WHERE w.day BETWEEN b.d0 AND b.d1 GROUP BY w.day)
+              SELECT dau.day AS day_idx, dau.dau, wau.wau,
+                ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+              FROM dau JOIN wau ON wau.day = dau.day
+              ORDER BY day_idx""")))
 }

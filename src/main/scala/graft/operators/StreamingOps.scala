@@ -59,8 +59,16 @@ object StreamingOps extends QueryModule {
     *     wm > +21 h / > +20 h — never reached, so they stay silently in
     *     state; b3's own (+30 h) likewise.
     * maxFilesPerTrigger=1 + staged mtimes make the batch order
-    * deterministic. Returns the flat directory to stream. */
-  private def stagedOuterReplay(s: SparkSession, d: String): String = {
+    * deterministic. Returns the flat directory to stream — staged ONCE
+    * per data dir and shared by the left- and full-outer rows (the
+    * replay is read-only input; re-staging it per row wasted ~3 s). */
+  private val stagedReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedOuterReplay(s: SparkSession, d: String): String =
+    stagedReplayCache.computeIfAbsent(d, dir => stageOuterReplay(s, dir))
+
+  private def stageOuterReplay(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     import s.implicits._
     val ev = Tables(s, d, "events")

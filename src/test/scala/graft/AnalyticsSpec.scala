@@ -67,6 +67,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("dau/wau: wau dominates dau and stickiness lies in (0, 1]") {
+    val rows = q("q_events_dau_wau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(wau >= dau, s"wau $wau < dau $dau")
+      assert(st > 0.0 && st <= 1.0 + 1e-9)
+    }
+  }
+
   test("resample grid is dense per user and conserves event counts") {
     val rs = q("q_events_resample")
     val span = rs.groupBy("user_id")
