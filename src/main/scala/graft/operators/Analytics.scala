@@ -224,10 +224,13 @@ object Analytics extends QueryModule {
           .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
           .filter(col("day") between (d0, d1))
           .groupBy("day").agg(countDistinct("user_id").as("wau"))
-        dau.join(wau, Seq("day"))
+        val out = dau.join(wau, Seq("day"))
           .select(col("day").as("day_idx"), col("dau"), col("wau"),
             round(col("dau") * 1.0 / col("wau"), 6).as("stickiness"))
           .orderBy("day_idx")
+          .localCheckpoint() // eager O(days) result; frees the act blocks now
+        graft.plans.Iterate.release(act)
+        out
       },
       Some("""WITH act AS (SELECT DISTINCT user_id,
                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),

@@ -722,6 +722,9 @@ object Graph extends QueryModule {
         val all = nodes(eu).localCheckpoint()
         var active = all
         var mis: DataFrame = null
+        // superseded loop checkpoints are released as soon as their
+        // successor materializes (the Iterate hygiene pattern)
+        val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         for (_ <- 1 to misRounds) {
           val act = active
           val nbMin = eu.join(act.withColumnRenamed("v", "src"), Seq("src"))
@@ -731,15 +734,23 @@ object Graph extends QueryModule {
           val newMis = act.join(nbMin, Seq("v"), "left")
             .filter(col("minp").isNull || md5(col("v").cast("string")) < col("minp"))
             .select("v").localCheckpoint()
-          mis = if (mis == null) newMis else mis.unionAll(newMis).localCheckpoint()
+          val misNext =
+            if (mis == null) newMis else mis.unionAll(newMis).localCheckpoint()
+          if (mis != null) { spent += mis; spent += newMis }
+          mis = misNext
           val removed = newMis.unionAll(
             eu.join(newMis.withColumnRenamed("v", "src"), Seq("src"))
               .select(col("dst").as("v"))).distinct()
-          active = act.join(removed, Seq("v"), "left_anti").localCheckpoint()
+          val actNext = act.join(removed, Seq("v"), "left_anti").localCheckpoint()
+          if (act ne all) spent += act
+          active = actNext
         }
-        all.join(mis.withColumn("in_mis", lit(true)), Seq("v"), "left")
+        val out = all.join(mis.withColumn("in_mis", lit(true)), Seq("v"), "left")
           .select(col("v"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
           .orderBy("v")
+          .localCheckpoint()
+        (spent ++ Seq(mis, active, all, eu)).foreach(graft.plans.Iterate.release)
+        out
       },
       Some(misSql(misRounds)))
   ,
@@ -819,12 +830,14 @@ object Graph extends QueryModule {
         val vs = nodes(e).localCheckpoint()
         var a = vs.select(col("v"), lit(1.0).as("auth"))
         var h: DataFrame = null
+        val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         for (_ <- 1 to hitsIters) {
           val hr = e.join(a.withColumnRenamed("v", "dst"), Seq("dst"))
             .groupBy("src").agg(round(sum("auth"), 6).as("x"))
           val hAll = vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
             .select(col("v"), coalesce(col("x"), lit(0.0)).as("hraw"))
           val hmax = hAll.agg(max("hraw")).head.getDouble(0)
+          if (h != null) spent += h
           h = hAll.select(col("v"), round(col("hraw") / lit(hmax), 6).as("hub"))
             .localCheckpoint()
           val ar = e.join(h.withColumnRenamed("v", "src"), Seq("src"))
@@ -832,10 +845,14 @@ object Graph extends QueryModule {
           val aAll = vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
             .select(col("v"), coalesce(col("x"), lit(0.0)).as("araw"))
           val amax = aAll.agg(max("araw")).head.getDouble(0)
+          spent += a
           a = aAll.select(col("v"), round(col("araw") / lit(amax), 6).as("auth"))
             .localCheckpoint()
         }
-        h.join(a, Seq("v")).select(col("v"), col("hub"), col("auth")).orderBy("v")
+        val out = h.join(a, Seq("v")).select(col("v"), col("hub"), col("auth"))
+          .orderBy("v").localCheckpoint()
+        (spent ++ Seq(h, a, vs, e)).foreach(graft.plans.Iterate.release)
+        out
       },
       Some(hitsSql(hitsIters)))
   )
