@@ -133,9 +133,6 @@ object TextAnalysis extends QueryModule {
                FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
                ORDER BY d.doc_id""")),
 
-    // quality scoring: character-class ratios. Denominators are
-    // greatest(len, 1) — Spark 4's default ANSI mode would otherwise
-    // throw DIVIDE_BY_ZERO on an empty document (see TextExprs).
     // Sentence segmentation statistics (readability family): sentences =
     // non-empty [.!?]-delimited spans, mean sentence length in word
     // tokens — the structural signal quality classifiers consume beside
@@ -167,6 +164,9 @@ object TextAnalysis extends QueryModule {
                   ELSE 0.0 END AS avg_sentence_words
               FROM documents ORDER BY doc_id""")),
 
+    // quality scoring: character-class ratios. Denominators are
+    // greatest(len, 1) — Spark 4's default ANSI mode would otherwise
+    // throw DIVIDE_BY_ZERO on an empty document (see TextExprs).
     Q("q_text_quality",
       (s, d) => {
         val den = greatest(length(col("text")), lit(1))
@@ -244,6 +244,55 @@ object TextAnalysis extends QueryModule {
                 CASE CAST(substr(source, 4) AS INT) % 3
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
+
+    // COUNT-MIN sketch frequency estimation: depth-4 × width-64 sketch
+    // over the token stream with portable md5-derived hash rows, then
+    // point estimates (min over rows) for the top-20 exact tokens beside
+    // their true counts — the mergeable fixed-memory frequency structure
+    // beside the HLL distinct sketch. The sketch build is ONE hash
+    // aggregate of 4·|tokens| thin rows into 256 cells (mergeable across
+    // shards by cell-wise +); the oracle states the identical sketch
+    // longhand, so estimates match EXACTLY, and the overestimate column
+    // exhibits the CMS guarantee (est >= exact, checked in spec).
+    Q("q_agg_countmin",
+      (s, d) => {
+        val cells = toks(s, d).select(explode(expr(
+            """transform(sequence(0, 3), j ->
+               named_struct('j', j,
+                 'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', tok)), 1, 4), 16, 10) AS INT) % 64))"""))
+            .as("c"))
+          .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // 256 rows, reused by every estimate probe
+        val top = toks(s, d).groupBy("tok").agg(count(lit(1)).as("exact"))
+          .orderBy(desc("exact"), asc("tok")).limit(20)
+        val probes = top.select(col("tok"), col("exact"), explode(expr(
+            """transform(sequence(0, 3), j ->
+               named_struct('j', j,
+                 'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', tok)), 1, 4), 16, 10) AS INT) % 64))"""))
+            .as("p"))
+          .select(col("tok"), col("exact"), col("p.j").as("j"), col("p.bucket").as("bucket"))
+        probes.join(broadcast(cells), Seq("j", "bucket"))
+          .groupBy("tok", "exact").agg(min("cnt").as("est"))
+          .select(col("tok"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overest"))
+          .orderBy(desc("exact"), asc("tok"))
+      },
+      Some(s"""WITH $toksSql,
+              cells AS (SELECT j, CAST(CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 4) AS BIGINT) AS INT) % 64 AS bucket,
+                  COUNT(*) AS cnt
+                FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+                GROUP BY 1, 2),
+              top AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
+                ORDER BY exact DESC, tok LIMIT 20),
+              probes AS (SELECT tok, exact, j,
+                  CAST(CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 4) AS BIGINT) AS INT) % 64 AS bucket
+                FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js)
+              SELECT p.tok, p.exact, MIN(c.cnt) AS est,
+                MIN(c.cnt) - p.exact AS overest
+              FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+              GROUP BY p.tok, p.exact
+              ORDER BY p.exact DESC, p.tok""")),
 
     // Deterministic TRAIN/VAL/TEST split (the hash-draw applied to the
     // standard 3-way partition): the md5 draw buckets ~90/5/5 by hex

@@ -28,6 +28,16 @@ class SplitTopkSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("count-min estimates never undercount (the CMS one-sided guarantee)") {
+    val rows = q("q_agg_countmin").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
   test("live top-k is ranked by rounded total descending") {
     val totals = q("q_stream_live_topk")
       .orderBy(desc("total"), asc("user_id")).collect().map(_.getDouble(2))
