@@ -849,6 +849,44 @@ object ML extends QueryModule {
                  ROUND(($ridgeTh2) / ($ridgeDet), 6) AS th2
                FROM sums""")),
 
+    // RIDGE REGULARIZATION PATH: the closed-form solve evaluated for
+    // lambda in {0.01, 0.1, 1, 10} — model selection from ONE data pass.
+    // All four solutions and their training SSEs derive from the same
+    // nine rounded sums (SSE = syy − 2θ'b + θ'Aθ needs no second scan),
+    // so the path costs one aggregate regardless of grid size — the
+    // hyperparameter sweep at 100 TB for the price of one query. Thetas
+    // round at 6 BEFORE entering the SSE expression on both engines.
+    Q("q_ml_ridge_path",
+      (s, d) => {
+        val sums = ridgeSums(s, d)
+        val perLam = ridgeLambdas.map { lam =>
+          sums.selectExpr(
+            (ridgeSumCols :+ s"CAST($lam AS DOUBLE) AS lambda") ++ Seq(
+              s"ROUND((${ridgeTh0L(lam)}) / (${ridgeDetL(lam)}), 6) AS th0",
+              s"ROUND((${ridgeTh1L(lam)}) / (${ridgeDetL(lam)}), 6) AS th1",
+              s"ROUND((${ridgeTh2L(lam)}) / (${ridgeDetL(lam)}), 6) AS th2"): _*)
+        }.reduce(_ unionAll _)
+        perLam.selectExpr("lambda", "th0", "th1", "th2",
+            s"ROUND($ridgeSseExpr, 4) AS sse")
+          .orderBy("lambda")
+      },
+      Some {
+        val ls = ridgeLambdas.zipWithIndex.map { case (lam, i) =>
+          s"""l$i AS (SELECT ${ridgeSumCols.mkString(", ")},
+               CAST($lam AS DOUBLE) AS lambda,
+               ROUND((${ridgeTh0L(lam)}) / (${ridgeDetL(lam)}), 6) AS th0,
+               ROUND((${ridgeTh1L(lam)}) / (${ridgeDetL(lam)}), 6) AS th1,
+               ROUND((${ridgeTh2L(lam)}) / (${ridgeDetL(lam)}), 6) AS th2
+               FROM sums)"""
+        }.mkString(",\n")
+        val union = ridgeLambdas.indices.map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+        s"""WITH sums AS ($ridgeSumsSql),
+           $ls,
+           u AS ($union)
+           SELECT lambda, th0, th1, th2, ROUND($ridgeSseExpr, 4) AS sse
+           FROM u ORDER BY lambda"""
+      }),
+
     // Multinomial Naive Bayes language classifier: train token
     // distributions per lang on even doc_ids (Laplace +1 over the train
     // vocabulary), predict the held-out odd docs. The model is the
@@ -1040,22 +1078,67 @@ object ML extends QueryModule {
   // both engines evaluate the identical parse tree on identical doubles.
   // A = [[n+λ, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = [sy, s1y, s2y].
   private def ridgeLam = "0.1"
-  private def ridgeDet =
-    s"(n + $ridgeLam) * ((s11 + $ridgeLam) * (s22 + $ridgeLam) - s12 * s12)" +
-      s" - s1 * (s1 * (s22 + $ridgeLam) - s12 * s2)" +
-      s" + s2 * (s1 * s12 - (s11 + $ridgeLam) * s2)"
-  private def ridgeTh0 =
-    s"sy * ((s11 + $ridgeLam) * (s22 + $ridgeLam) - s12 * s12)" +
-      s" - s1 * (s1y * (s22 + $ridgeLam) - s12 * s2y)" +
-      s" + s2 * (s1y * s12 - (s11 + $ridgeLam) * s2y)"
-  private def ridgeTh1 =
-    s"(n + $ridgeLam) * (s1y * (s22 + $ridgeLam) - s12 * s2y)" +
-      s" - sy * (s1 * (s22 + $ridgeLam) - s12 * s2)" +
+  private def ridgeDetL(lam: String) =
+    s"(n + $lam) * ((s11 + $lam) * (s22 + $lam) - s12 * s12)" +
+      s" - s1 * (s1 * (s22 + $lam) - s12 * s2)" +
+      s" + s2 * (s1 * s12 - (s11 + $lam) * s2)"
+  private def ridgeTh0L(lam: String) =
+    s"sy * ((s11 + $lam) * (s22 + $lam) - s12 * s12)" +
+      s" - s1 * (s1y * (s22 + $lam) - s12 * s2y)" +
+      s" + s2 * (s1y * s12 - (s11 + $lam) * s2y)"
+  private def ridgeTh1L(lam: String) =
+    s"(n + $lam) * (s1y * (s22 + $lam) - s12 * s2y)" +
+      s" - sy * (s1 * (s22 + $lam) - s12 * s2)" +
       s" + s2 * (s1 * s2y - s1y * s2)"
-  private def ridgeTh2 =
-    s"(n + $ridgeLam) * ((s11 + $ridgeLam) * s2y - s1y * s12)" +
+  private def ridgeTh2L(lam: String) =
+    s"(n + $lam) * ((s11 + $lam) * s2y - s1y * s12)" +
       s" - s1 * (s1 * s2y - s1y * s2)" +
-      s" + sy * (s1 * s12 - (s11 + $ridgeLam) * s2)"
+      s" + sy * (s1 * s12 - (s11 + $lam) * s2)"
+  private def ridgeLambdas = Seq("0.01", "0.1", "1.0", "10.0")
+  private def ridgeSumCols = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+
+  /** training SSE from the sums and the (already-rounded) thetas:
+    * SSE = syy − 2θ'b + θ'Aθ — no data pass. Shared string both sides. */
+  private def ridgeSseExpr =
+    "syy - 2 * (th0 * sy + th1 * s1y + th2 * s2y)" +
+      " + (th0 * th0 * n + th1 * th1 * s11 + th2 * th2 * s22" +
+      " + 2 * th0 * th1 * s1 + 2 * th0 * th2 * s2 + 2 * th1 * th2 * s12)"
+
+  /** the ridge normal-equation sums (incl. syy), rounded at 4 */
+  private def ridgeSumsSql =
+    """SELECT
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       ROUND(SUM(x1), 4) AS s1, ROUND(SUM(x2), 4) AS s2,
+       ROUND(SUM(x1 * x1), 4) AS s11,
+       ROUND(SUM(x1 * x2), 4) AS s12,
+       ROUND(SUM(x2 * x2), 4) AS s22,
+       ROUND(SUM(y), 4) AS sy,
+       ROUND(SUM(x1 * y), 4) AS s1y,
+       ROUND(SUM(x2 * y), 4) AS s2y,
+       ROUND(SUM(y * y), 4) AS syy
+       FROM (SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+             l_extendedprice / 100000.0 AS y FROM lineitem) t"""
+
+  private def ridgeSums(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").select(
+        (col("l_quantity") / 50.0).as("x1"),
+        (col("l_discount") * 10.0).as("x2"),
+        (col("l_extendedprice") / 100000.0).as("y"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum("x1"), 4).as("s1"), round(sum("x2"), 4).as("s2"),
+        round(sum(col("x1") * col("x1")), 4).as("s11"),
+        round(sum(col("x1") * col("x2")), 4).as("s12"),
+        round(sum(col("x2") * col("x2")), 4).as("s22"),
+        round(sum("y"), 4).as("sy"),
+        round(sum(col("x1") * col("y")), 4).as("s1y"),
+        round(sum(col("x2") * col("y")), 4).as("s2y"),
+        round(sum(col("y") * col("y")), 4).as("syy"))
+
+  private def ridgeDet = ridgeDetL(ridgeLam)
+  private def ridgeTh0 = ridgeTh0L(ridgeLam)
+  private def ridgeTh1 = ridgeTh1L(ridgeLam)
+  private def ridgeTh2 = ridgeTh2L(ridgeLam)
 
   /** shared by q_ml_pca / q_ml_pca_project: one distributed covariance
     * pass, then the driver-local power iteration; returns the

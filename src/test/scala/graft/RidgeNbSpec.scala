@@ -41,6 +41,20 @@ class RidgeNbSpec extends AnyFunSuite {
     }
   }
 
+  test("ridge path: SSE is non-decreasing in lambda and lambda=0.1 matches q_ml_ridge") {
+    val path = q("q_ml_ridge_path").collect().sortBy(_.getDouble(0))
+    assert(path.length == 4)
+    // more regularization can only fit the training data worse (or equal)
+    path.map(_.getDouble(4)).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-6, s"SSE decreased: $a -> $b")
+      case _ =>
+    }
+    val at01 = path.find(r => math.abs(r.getDouble(0) - 0.1) < 1e-12).get
+    val single = q("q_ml_ridge").head
+    (1 to 3).foreach(i =>
+      assert(math.abs(at01.getDouble(i) - single.getDouble(i - 1)) < 1e-9))
+  }
+
   private def toyDocs(rows: (Long, String, String)*) =
     rows.toSeq.toDF("doc_id", "lang", "text")
 
