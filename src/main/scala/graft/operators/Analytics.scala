@@ -242,5 +242,40 @@ object Analytics extends QueryModule {
               SELECT dau.day AS day_idx, dau.dau, wau.wau,
                 ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
               FROM dau JOIN wau ON wau.day = dau.day
-              ORDER BY day_idx""")))
+              ORDER BY day_idx""")),
+
+    // Robust ANOMALY flags: events whose value deviates from their user's
+    // MEDIAN by more than 3.5 robust z-units (|x − med| / (1.4826·MAD) —
+    // the modified z-score, immune to the outliers it hunts, unlike the
+    // mean/stddev version). Two median aggregates per user (O(users)
+    // relation) joined back on the existing clustering; the flag compare
+    // runs on round-6 values so the boundary decision is engine-exact.
+    // Output is O(outliers), not O(events).
+    Q("q_events_outliers",
+      (s, d) => {
+        val med = ev(s, d).groupBy("user_id").agg(median(col("value")).as("med"))
+        val mad = ev(s, d).join(med, Seq("user_id"))
+          .groupBy("user_id")
+          .agg(round(max(col("med")), 6).as("med"),
+            round(median(abs(col("value") - col("med"))), 6).as("mad"))
+          .filter(col("mad") > 0)
+        ev(s, d).join(mad, Seq("user_id"))
+          .withColumn("rz", round(abs(col("value") - col("med")) /
+            (lit(1.4826) * col("mad")), 6))
+          .filter(col("rz") > 3.5)
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 2).as("value"), col("rz"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH med AS (SELECT user_id, MEDIAN(value) AS med
+                           FROM events GROUP BY user_id),
+              mad AS (SELECT e.user_id, ROUND(MAX(med), 6) AS med,
+                        ROUND(MEDIAN(ABS(e.value - med)), 6) AS mad
+                      FROM events e JOIN med USING (user_id)
+                      GROUP BY e.user_id HAVING ROUND(MEDIAN(ABS(e.value - med)), 6) > 0)
+              SELECT e.user_id, e.event_id, ROUND(e.value, 2) AS value,
+                ROUND(ABS(e.value - m.med) / (1.4826 * m.mad), 6) AS rz
+              FROM events e JOIN mad m ON m.user_id = e.user_id
+              WHERE ROUND(ABS(e.value - m.med) / (1.4826 * m.mad), 6) > 3.5
+              ORDER BY e.user_id, e.event_id""")))
 }

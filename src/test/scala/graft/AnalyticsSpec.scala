@@ -67,6 +67,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("robust outliers all exceed the 3.5 modified-z threshold and are rare") {
+    val rows = q("q_events_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 3.5))
+    val nEvents = Tables(spark, TestSpark.sf0, "events").count()
+    assert(rows.length < nEvents / 10, "outliers should be a small minority")
+  }
+
   test("dau/wau: wau dominates dau and stickiness lies in (0, 1]") {
     val rows = q("q_events_dau_wau").collect()
     assert(rows.nonEmpty)
