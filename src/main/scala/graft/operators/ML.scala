@@ -887,6 +887,62 @@ object ML extends QueryModule {
            FROM u ORDER BY lambda"""
       }),
 
+    // DECISION-STUMP split evaluation: information gain of every
+    // (feature, threshold) candidate for predicting the purchase label
+    // from event-time features — the inner loop of any tree/boosting
+    // trainer, emitted as the full evaluation TABLE (the argmax is the
+    // caller's one-line fold; near-tie argmax across engines would be
+    // FP-fragile, the table is not). Per feature: one (value, label)
+    // count aggregate, one cumulative window over the O(distinct values)
+    // relation — the raw events are scanned ONCE per feature regardless
+    // of threshold count. Entropies share one expression string on both
+    // engines; integer counts in, round-6 gain out.
+    Q("q_ml_stump",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").as("hour"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val perFeature = Seq("hour", "dow").map { f =>
+          val cnt = ev.groupBy(col(f).as("v"))
+            .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+          val w = Window.partitionBy(lit(1)).orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          cnt.select(col("v"), sum("pos").over(w).as("pl"), sum("neg").over(w).as("nl"),
+              sum("pos").over(Window.partitionBy(lit(1))).as("pt"),
+              sum("neg").over(Window.partitionBy(lit(1))).as("nt"))
+            .selectExpr(s"'$f' AS feature", "v AS threshold",
+              "pl", "nl", "pt - pl AS pr", "nt - nl AS nr", "pt", "nt")
+        }.reduce(_ unionAll _)
+        perFeature.selectExpr("feature", "threshold",
+            s"ROUND((${stumpH("pt", "nt")}) - " +
+              s"((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) - " +
+              s"((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain")
+          .orderBy("feature", "threshold")
+      },
+      Some {
+        def feat(f: String, expr: String) =
+          s"""SELECT '$f' AS feature, v AS threshold, pl, nl,
+              pt - pl AS pr, nt - nl AS nr, pt, nt FROM (
+                SELECT v,
+                  SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+                  SUM(neg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+                  SUM(pos) OVER () AS pt, SUM(neg) OVER () AS nt
+                FROM (SELECT $expr AS v,
+                        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+                      FROM events GROUP BY 1) c) x"""
+        s"""WITH u AS (
+             ${feat("hour", "CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24")}
+             UNION ALL
+             ${feat("dow", "CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7")})
+           SELECT feature, threshold,
+             ROUND((${stumpH("pt", "nt")}) -
+               ((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) -
+               ((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain
+           FROM u ORDER BY feature, threshold"""
+      }),
+
     // Multinomial Naive Bayes language classifier: train token
     // distributions per lang on even doc_ids (Laplace +1 over the train
     // vocabulary), predict the held-out odd docs. The model is the
@@ -1094,6 +1150,12 @@ object ML extends QueryModule {
     s"(n + $lam) * ((s11 + $lam) * s2y - s1y * s12)" +
       s" - s1 * (s1 * s2y - s1y * s2)" +
       s" + sy * (s1 * s12 - (s11 + $lam) * s2)"
+  /** two-class entropy from integer counts, 0·ln0 = 0 — one string,
+    * both engines (a def: referenced from defs's initializer) */
+  private def stumpH(a: String, b: String): String =
+    s"CASE WHEN $a = 0 OR $b = 0 THEN 0.0" +
+      s" ELSE ln($a + $b) - ($a * ln($a) + $b * ln($b)) / ($a + $b) END"
+
   private def ridgeLambdas = Seq("0.01", "0.1", "1.0", "10.0")
   private def ridgeSumCols = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
 

@@ -94,6 +94,21 @@ class RidgeNbSpec extends AnyFunSuite {
     assert(preds(1L) == "bb")
   }
 
+  test("stump gains are non-negative and bounded by the parent entropy") {
+    val rows = q("q_ml_stump").collect()
+    assert(rows.length == 31) // 24 hour + 7 dow thresholds
+    // parent entropy of the binary label
+    val ev = Tables(spark, TestSpark.sf0, "events")
+    val n = ev.count().toDouble
+    val p = ev.filter(col("event_type") === "purchase").count().toDouble
+    val h = { val q1 = p / n; val q0 = 1 - q1; -(q1 * math.log(q1) + q0 * math.log(q0)) }
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= -1e-6, s"negative gain $g")
+      assert(g <= h + 1e-6, s"gain $g exceeds parent entropy $h")
+    }
+  }
+
   test("naive bayes predicts every held-out doc with a known language") {
     val langs = Tables(spark, TestSpark.sf0, "documents")
       .select("lang").distinct().collect().map(_.getString(0)).toSet
