@@ -766,6 +766,43 @@ object Relational extends QueryModule {
               WHERE n * sxx - sx * sx > 0
               ORDER BY e.user_id, e.event_id""")),
 
+    // SKYLINE (2-D Pareto frontier): customers not dominated on
+    // (order count, total spend). NOT the naive O(n²) dominance
+    // anti-join: a point is dominated iff a strictly-higher-total point
+    // has >= its count, or an equal-total point has a strictly higher
+    // count — both are WINDOW maxima over the integer total key (totals
+    // round at 2 then scale to integer cents, so the RANGE frame is
+    // exact), giving one sort + one window pass at any scale. The
+    // the frontier itself is O(skyline).
+    Q("q_agg_skyline",
+      (s, d) => {
+        val per = t(s, d, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .withColumn("tkey", expr("CAST(round(total * 100) AS BIGINT)"))
+        val wGt = Window.orderBy("tkey").rangeBetween(1, Window.unboundedFollowing)
+        val wEq = Window.partitionBy("tkey")
+        per
+          .withColumn("max_gt", max("n_orders").over(wGt))
+          .withColumn("max_eq", max("n_orders").over(wEq))
+          .filter(!(coalesce(col("max_gt") >= col("n_orders"), lit(false)) ||
+            col("max_eq") > col("n_orders")))
+          .select(col("o_custkey"), col("n_orders"), col("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH per AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                ROUND(SUM(o_totalprice), 2) AS total,
+                CAST(round(ROUND(SUM(o_totalprice), 2) * 100) AS BIGINT) AS tkey
+                FROM orders GROUP BY o_custkey),
+              w AS (SELECT o_custkey, n_orders, total,
+                MAX(n_orders) OVER (ORDER BY tkey
+                  RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS max_gt,
+                MAX(n_orders) OVER (PARTITION BY tkey) AS max_eq
+                FROM per)
+              SELECT o_custkey, n_orders, total FROM w
+              WHERE NOT (COALESCE(max_gt >= n_orders, FALSE) OR max_eq > n_orders)
+              ORDER BY o_custkey""")),
+
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",
       (s, d) => t(s, d, "customer")
