@@ -772,21 +772,30 @@ object Relational extends QueryModule {
     // has >= its count, or an equal-total point has a strictly higher
     // count — both are WINDOW maxima over the integer total key (totals
     // round at 2 then scale to integer cents, so the RANGE frame is
-    // exact), giving one sort + one window pass at any scale. The
-    // the frontier itself is O(skyline).
+    // exact). TWO-PHASE for scale: a bucket-partitioned pass prunes each
+    // hash bucket to its LOCAL frontier in parallel (skyline(∪ local
+    // skylines) = skyline, so nothing is lost), then the same window
+    // runs globally on the tiny surviving set — no full-corpus
+    // single-partition sort anywhere. Frontier output is O(skyline).
     Q("q_agg_skyline",
       (s, d) => {
+        def frontier(df: DataFrame, bucketed: Boolean): DataFrame = {
+          val parts: Seq[Column] = if (bucketed) Seq(col("bkt")) else Nil
+          val wGt = Window.partitionBy(parts: _*).orderBy("tkey")
+            .rangeBetween(1, Window.unboundedFollowing)
+          val wEq = Window.partitionBy(parts :+ col("tkey"): _*)
+          df.withColumn("max_gt", max("n_orders").over(wGt))
+            .withColumn("max_eq", max("n_orders").over(wEq))
+            .filter(!(coalesce(col("max_gt") >= col("n_orders"), lit(false)) ||
+              col("max_eq") > col("n_orders")))
+            .drop("max_gt", "max_eq")
+        }
         val per = t(s, d, "orders").groupBy("o_custkey")
           .agg(count(lit(1)).as("n_orders"),
             round(sum("o_totalprice"), 2).as("total"))
           .withColumn("tkey", expr("CAST(round(total * 100) AS BIGINT)"))
-        val wGt = Window.orderBy("tkey").rangeBetween(1, Window.unboundedFollowing)
-        val wEq = Window.partitionBy("tkey")
-        per
-          .withColumn("max_gt", max("n_orders").over(wGt))
-          .withColumn("max_eq", max("n_orders").over(wEq))
-          .filter(!(coalesce(col("max_gt") >= col("n_orders"), lit(false)) ||
-            col("max_eq") > col("n_orders")))
+          .withColumn("bkt", pmod(col("o_custkey"), lit(32)))
+        frontier(frontier(per, bucketed = true), bucketed = false)
           .select(col("o_custkey"), col("n_orders"), col("total"))
           .orderBy("o_custkey")
       },
