@@ -1300,6 +1300,12 @@ object Relational extends QueryModule {
     // over each group's ascending sort: ONE window + one aggregate on the
     // group clustering. Sums round at 2 (parallel-reduction noise ~1e-5)
     // before the identically-shaped final expression on both engines.
+    // Scale note: the rank window puts each GROUP in one task (fine while
+    // groups are many or moderate; 5 classes here bounds a partition at
+    // corpus/5). For huge single groups the rank decomposes exactly into
+    // repartitionByRange(x) + rank-within-shard + the O(shards) cumulative
+    // shard-count offset — the sequence-packing offset pattern
+    // (TextAnalysis.q_text_pack); Σ i·x then partial-combines per shard.
     Q("q_agg_gini",
       (s, d) => {
         val w = Window.partitionBy("o_orderpriority")
