@@ -849,6 +849,51 @@ object ML extends QueryModule {
                  ROUND(($ridgeTh2) / ($ridgeDet), 6) AS th2
                FROM sums""")),
 
+    // K-MEANS ELBOW readout: total within-cluster inertia (sum of min
+    // squared distances) for the first k farthest-first seeds, k = 1..4
+    // — the model-selection curve beside the ridge path. Each k is one
+    // broadcast-literal projection + one sum over the corpus (the
+    // assignment scan, no Lloyd rounds), distances on the round-6 lattice
+    // the seeding already defined, inertia rounded at 2. The oracle
+    // reuses the selection chain's min-distance CTEs (m1=d1, m2, m3,
+    // LEAST(m3, d4)).
+    Q("q_ml_elbow",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VecOps
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .localCheckpoint()
+        def vecOf(id: Long): Seq[Double] =
+          emb.filter(col("vec_id") === id).head.getSeq[Double](1).toIndexedSeq
+        val seedIds = farthestSeeds(s, d).collect().sortBy(_.getLong(0)).map(_.getLong(1))
+        val seeds = seedIds.map(vecOf)
+        val rows = (1 to seedK).map { k =>
+          val dists = seeds.take(k).map { sv =>
+            val cc = sv.map(x => x * x).sum
+            round(VecOps.vecDot(col("v"), col("v")) -
+              lit(2.0) * VecOps.vecDot(col("v"), typedLit(sv)) + lit(cc), 6)
+          }
+          val mind = if (dists.size == 1) dists.head else least(dists: _*)
+          val inertia = emb.select(sum(mind).as("s")).head.getDouble(0)
+          (k.toLong,
+            BigDecimal(inertia).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        graft.plans.Iterate.release(emb)
+        rows.toDF("k", "inertia").orderBy("k")
+      },
+      Some(s"""WITH ${farthestChainSql("")}
+           SELECT * FROM (
+             SELECT CAST(1 AS BIGINT) AS k, ROUND(SUM(d), 2) AS inertia FROM d1
+             UNION ALL
+             SELECT 2, ROUND(SUM(d), 2) FROM m2
+             UNION ALL
+             SELECT 3, ROUND(SUM(d), 2) FROM m3
+             UNION ALL
+             SELECT 4, ROUND(SUM(LEAST(m3.d, d4.d)), 2)
+             FROM m3 JOIN d4 USING (vec_id)) u
+           ORDER BY k""")),
+
     // RIDGE REGULARIZATION PATH: the closed-form solve evaluated for
     // lambda in {0.01, 0.1, 1, 10} — model selection from ONE data pass.
     // All four solutions and their training SSEs derive from the same

@@ -812,6 +812,39 @@ object Relational extends QueryModule {
               WHERE NOT (COALESCE(max_gt >= n_orders, FALSE) OR max_eq > n_orders)
               ORDER BY o_custkey""")),
 
+    // BENFORD first-digit audit: observed leading-digit distribution of
+    // order totals vs Benford's log10(1+1/d) expectation, with each
+    // digit's chi-square contribution — the forensic data-quality check
+    // for fabricated or truncated numeric columns. One projection + one
+    // 9-row aggregate; expectation terms are literals computed identically
+    // from the same formula on both engines.
+    Q("q_agg_benford",
+      (s, d) => {
+        val n = t(s, d, "orders").count().toDouble
+        val digits = t(s, d, "orders")
+          .select(substring(format_number(col("o_totalprice"), 6), 1, 1)
+            .cast("int").as("digit"))
+          .filter(col("digit").between(1, 9))
+          .groupBy("digit").agg(count(lit(1)).as("observed"))
+        digits
+          .withColumn("expected",
+            round(lit(n) * log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+          .select(col("digit"), col("observed"), col("expected"),
+            round(pow(col("observed") - col("expected"), 2) / col("expected"), 6)
+              .as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),
+              digs AS (SELECT CAST(substring(format('{:.6f}', o_totalprice), 1, 1) AS INT) AS digit
+                       FROM orders),
+              obs AS (SELECT digit, COUNT(*) AS observed FROM digs
+                      WHERE digit BETWEEN 1 AND 9 GROUP BY digit)
+              SELECT digit, observed,
+                ROUND(n.n * log10(1.0 + 1.0 / digit), 4) AS expected,
+                ROUND(POWER(observed - ROUND(n.n * log10(1.0 + 1.0 / digit), 4), 2)
+                  / ROUND(n.n * log10(1.0 + 1.0 / digit), 4), 6) AS chi2_term
+              FROM obs CROSS JOIN n ORDER BY digit""")),
+
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",
       (s, d) => t(s, d, "customer")

@@ -17,6 +17,25 @@ class SeedsGiniSpec extends AnyFunSuite {
     d.foreach(x => assert(x >= 0.0))
   }
 
+  test("elbow inertia is non-increasing in k (more centers never fit worse)") {
+    val rows = q("q_ml_elbow").collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    rows.map(_.getDouble(1)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-6, s"inertia rose: $a -> $b")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
+
+  test("benford digits cover 1..9 and observed counts conserve") {
+    val rows = q("q_agg_benford").collect()
+    assert(rows.map(_.getInt(0)).toSet == (1 to 9).toSet)
+    val totalObs = rows.map(_.getLong(1)).sum
+    val nOrders = Tables(spark, TestSpark.sf0, "orders").count()
+    assert(totalObs == nOrders)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
   test("gini is within [0, 1) for the positive order totals") {
     q("q_agg_gini").collect().foreach { r =>
       val g = r.getDouble(2)
