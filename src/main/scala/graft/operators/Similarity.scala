@@ -363,6 +363,62 @@ object Similarity extends QueryModule {
                SELECT q_id, cand_id, sim FROM bsims WHERE sim >= 0.3
                ORDER BY q_id, cand_id""")),
 
+    // MMR DIVERSIFIED re-ranking (maximal marginal relevance, λ = 0.7):
+    // from each query's top-10 cosine candidates, greedily pick 5 that
+    // balance relevance against redundancy — score = 0.7·sim(q,c) −
+    // 0.3·max_{s∈selected} sim(c,s). The retrieval dedup that keeps a
+    // RAG context window from quoting the same passage five times. The
+    // candidate pool and its pairwise similarity matrix are computed
+    // DISTRIBUTED (per-query top-k window + an O(q·k²) bounded
+    // self-join); only the O(q·k) greedy fold runs on the driver — k is
+    // a constant, so the driver work is scale-free. Every similarity
+    // rounds at 6 and the 0.7/0.3 decimal literals are stated
+    // identically on both engines, so the greedy path is exactly
+    // reproducible; the oracle unrolls all 5 selection steps.
+    Q("q_sim_mmr",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VecOps
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
+        val cand = bruteSims(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("q_id", "cand_id", "sim")
+          .localCheckpoint()
+        val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val ce = cand.join(emb, col("cand_id") === col("vec_id"))
+          .select(col("q_id"), col("cand_id"), col("embedding"))
+        val cc = ce.as("a").join(ce.as("b"),
+            col("a.q_id") === col("b.q_id") && col("a.cand_id") =!= col("b.cand_id"))
+          .select(col("a.q_id").as("q_id"), col("a.cand_id").as("c1"),
+            col("b.cand_id").as("c2"),
+            round(VecOps.cosine(col("a.embedding"), col("b.embedding")), 6).as("ccsim"))
+        val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val ccMap = cc.collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+        graft.plans.Iterate.release(cand)
+        // 7, not 6: the score is an EXACT 7-decimal value (0.7/0.3 times
+        // 6-decimal sims), so rounding at 6 hits .5 half-boundaries
+        // constantly and binary noise makes the half-round engine-divergent;
+        // at 7 the nearest boundary is 5e-8 away — unambiguous
+        def r7(x: Double) = BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs0) =>
+          var remaining = cs0.map(c => (c._2, c._3)).toList
+          var selected = List.empty[Long]
+          (1 to 5).map { rank =>
+            val scored = remaining.map { case (cid, sim) =>
+              val pen = if (selected.isEmpty) 0.0
+                else selected.map(sid => ccMap((q, cid, sid))).max
+              (cid, r7(0.7 * sim - 0.3 * pen))
+            }
+            val (bestId, bestScore) = scored.minBy { case (cid, sc) => (-sc, cid) }
+            selected ::= bestId
+            remaining = remaining.filterNot(_._1 == bestId)
+            (q, rank.toLong, bestId, bestScore)
+          }
+        }
+        out.toDF("q_id", "rank", "cand_id", "score").orderBy("q_id", "rank")
+      },
+      Some(mmrSql)),
+
     // Hard-NEGATIVE mining (contrastive-training data prep): for each
     // anchor, the top-k most-similar candidates with a DIFFERENT label —
     // the negatives that actually move an embedding model, vs random ones.
@@ -814,4 +870,44 @@ object Similarity extends QueryModule {
               FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
               GROUP BY bf.q_id ORDER BY bf.q_id"""))
   )
+
+  /** unrolled MMR oracle: candidate pool + pairwise-sim matrix, then 5
+    * greedy selection steps as CTEs (scored_t excludes selu_{t-1},
+    * penalty = max pairwise sim to the selected set; all sims and scores
+    * round at 6, ties to the smaller cand_id). A def: referenced from
+    * defs's initializer. */
+  private def mmrSql: String = {
+    val steps = (1 to 5).map { t =>
+      s"""scored$t AS (SELECT c.q_id, c.cand_id,
+           ROUND(0.7 * c.sim - 0.3 * COALESCE((SELECT MAX(cc.ccsim) FROM cc
+             WHERE cc.q_id = c.q_id AND cc.c1 = c.cand_id
+               AND cc.c2 IN (SELECT s.cand_id FROM selu${t - 1} s
+                             WHERE s.q_id = c.q_id)), 0.0), 7) AS score
+           FROM cand c WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} s
+             WHERE s.q_id = c.q_id AND s.cand_id = c.cand_id)),
+         sel$t AS MATERIALIZED (SELECT q_id, cand_id, score FROM scored$t
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, cand_id) = 1),
+         selu$t AS MATERIALIZED (SELECT q_id, cand_id FROM selu${t - 1}
+           UNION ALL SELECT q_id, cand_id FROM sel$t)"""
+    }.mkString(",\n")
+    val union = (1 to 5)
+      .map(t => s"SELECT q_id, CAST($t AS BIGINT) AS rank, cand_id, score FROM sel$t")
+      .mkString(" UNION ALL ")
+    s"""WITH $eSql, $bruteSimsSql,
+       cand AS MATERIALIZED (SELECT q_id, cand_id, sim FROM bsims
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY sim DESC, cand_id) <= 10),
+       ce AS (SELECT c.q_id, c.cand_id, e.pos, e.ev
+              FROM cand c JOIN e ON e.vec_id = c.cand_id),
+       cc AS MATERIALIZED (SELECT a.q_id, a.cand_id AS c1, b.cand_id AS c2,
+         ROUND(SUM(a.ev * b.ev) / (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS ccsim
+         FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.pos = b.pos
+           AND a.cand_id <> b.cand_id
+         GROUP BY 1, 2, 3),
+       selu0 AS (SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS cand_id
+                 WHERE FALSE),
+       $steps
+       SELECT * FROM ($union) u ORDER BY q_id, rank"""
+  }
 }
