@@ -894,6 +894,79 @@ object ML extends QueryModule {
              FROM m3 JOIN d4 USING (vec_id)) u
            ORDER BY k""")),
 
+    // 5-FOLD CROSS-VALIDATED ridge: a deterministic md5 fold key, ONE
+    // grouped pass computing each fold's ten sums — and every fold's
+    // TRAINING sums fall out as (total − fold) by linearity, so all five
+    // leave-fold-out models AND their held-out SSEs come from that single
+    // pass: distributed cross-validation with zero extra data scans, at
+    // any corpus size. Fold sums round at 4, thetas at 6 before the
+    // validation SSE (the ridge-path recipe), the fold key is the
+    // portable hash-draw.
+    Q("q_ml_ridge_cv",
+      (s, d) => {
+        val foldCol = expr("CAST(conv(substring(md5(concat(" +
+          "CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))), 1, 4), 16, 10) AS INT) % 5")
+        val folds = Tables(s, d, "lineitem")
+          .select(foldCol.as("fold"),
+            (col("l_quantity") / 50.0).as("x1"),
+            (col("l_discount") * 10.0).as("x2"),
+            (col("l_extendedprice") / 100000.0).as("y"))
+          .groupBy("fold")
+          .agg(count(lit(1)).cast("double").as("vn"),
+            round(sum("x1"), 4).as("vs1"), round(sum("x2"), 4).as("vs2"),
+            round(sum(col("x1") * col("x1")), 4).as("vs11"),
+            round(sum(col("x1") * col("x2")), 4).as("vs12"),
+            round(sum(col("x2") * col("x2")), 4).as("vs22"),
+            round(sum("y"), 4).as("vsy"),
+            round(sum(col("x1") * col("y")), 4).as("vs1y"),
+            round(sum(col("x2") * col("y")), 4).as("vs2y"),
+            round(sum(col("y") * col("y")), 4).as("vsyy"))
+        val names = ridgeSumCols
+        val cv = names.foldLeft(folds) { (df, nm) =>
+          // train sums = total − this fold's sums; the window spans the
+          // 5-row fold relation, not the data
+          df.withColumn(nm,
+            sum(col(s"v$nm")).over(Window.partitionBy(lit(1))) - col(s"v$nm"))
+        }
+        cv.selectExpr(
+            Seq("fold") ++ names.map(nm => s"v$nm") ++ Seq(
+              s"ROUND((${ridgeTh0L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th0",
+              s"ROUND((${ridgeTh1L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th1",
+              s"ROUND((${ridgeTh2L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th2"): _*)
+          .selectExpr("fold", "th0", "th1", "th2",
+            s"ROUND(${ridgeSseExprP("v")}, 4) AS val_sse")
+          .orderBy("fold")
+      },
+      Some {
+        val vCols = ridgeSumCols.map(nm => s"v$nm")
+        val trainCols = ridgeSumCols
+          .map(nm => s"SUM(v$nm) OVER () - v$nm AS $nm").mkString(", ")
+        s"""WITH folds AS (SELECT
+             CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 4) AS BIGINT) AS INT) % 5 AS fold,
+             CAST(COUNT(*) AS DOUBLE) AS vn,
+             ROUND(SUM(x1), 4) AS vs1, ROUND(SUM(x2), 4) AS vs2,
+             ROUND(SUM(x1 * x1), 4) AS vs11,
+             ROUND(SUM(x1 * x2), 4) AS vs12,
+             ROUND(SUM(x2 * x2), 4) AS vs22,
+             ROUND(SUM(y), 4) AS vsy,
+             ROUND(SUM(x1 * y), 4) AS vs1y,
+             ROUND(SUM(x2 * y), 4) AS vs2y,
+             ROUND(SUM(y * y), 4) AS vsyy
+             FROM (SELECT l_orderkey, l_linenumber, l_quantity / 50.0 AS x1,
+                   l_discount * 10.0 AS x2, l_extendedprice / 100000.0 AS y
+                   FROM lineitem) t GROUP BY 1),
+           cv AS (SELECT fold, ${vCols.mkString(", ")}, $trainCols FROM folds),
+           m AS (SELECT fold, ${vCols.mkString(", ")},
+             ROUND((${ridgeTh0L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th0,
+             ROUND((${ridgeTh1L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th1,
+             ROUND((${ridgeTh2L(ridgeLam)}) / (${ridgeDetL(ridgeLam)}), 6) AS th2
+             FROM cv)
+           SELECT fold, th0, th1, th2,
+             ROUND(${ridgeSseExprP("v")}, 4) AS val_sse
+           FROM m ORDER BY fold"""
+      }),
+
     // RIDGE REGULARIZATION PATH: the closed-form solve evaluated for
     // lambda in {0.01, 0.1, 1, 10} — model selection from ONE data pass.
     // All four solutions and their training SSEs derive from the same
@@ -1204,12 +1277,15 @@ object ML extends QueryModule {
   private def ridgeLambdas = Seq("0.01", "0.1", "1.0", "10.0")
   private def ridgeSumCols = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
 
-  /** training SSE from the sums and the (already-rounded) thetas:
-    * SSE = syy − 2θ'b + θ'Aθ — no data pass. Shared string both sides. */
-  private def ridgeSseExpr =
-    "syy - 2 * (th0 * sy + th1 * s1y + th2 * s2y)" +
-      " + (th0 * th0 * n + th1 * th1 * s11 + th2 * th2 * s22" +
-      " + 2 * th0 * th1 * s1 + 2 * th0 * th2 * s2 + 2 * th1 * th2 * s12)"
+  /** SSE over a sum-set with column prefix `p` and the (already-rounded)
+    * thetas: SSE = syy − 2θ'b + θ'Aθ — no data pass. Shared string both
+    * sides; empty prefix = the training sums, "v" = a validation fold's. */
+  private def ridgeSseExprP(p: String) =
+    s"${p}syy - 2 * (th0 * ${p}sy + th1 * ${p}s1y + th2 * ${p}s2y)" +
+      s" + (th0 * th0 * ${p}n + th1 * th1 * ${p}s11 + th2 * th2 * ${p}s22" +
+      s" + 2 * th0 * th1 * ${p}s1 + 2 * th0 * th2 * ${p}s2 + 2 * th1 * th2 * ${p}s12)"
+
+  private def ridgeSseExpr = ridgeSseExprP("")
 
   /** the ridge normal-equation sums (incl. syy), rounded at 4 */
   private def ridgeSumsSql =

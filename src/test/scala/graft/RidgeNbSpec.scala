@@ -94,6 +94,20 @@ class RidgeNbSpec extends AnyFunSuite {
     assert(preds(1L) == "bb")
   }
 
+  test("ridge CV: 5 folds, coefficients near the full-data solve, positive SSEs") {
+    val cv = q("q_ml_ridge_cv").collect().sortBy(_.getLong(0))
+    assert(cv.map(_.getLong(0)).toSeq == (0L to 4L))
+    val full = q("q_ml_ridge").head
+    cv.foreach { r =>
+      // each fold trains on 80% of the data; coefficients must sit close
+      // to the full-data solution (same lambda)
+      (1 to 3).foreach(i =>
+        assert(math.abs(r.getDouble(i) - full.getDouble(i - 1)) < 0.05,
+          s"fold ${r.getLong(0)} th${i - 1} far from full solve"))
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
   test("stump gains are non-negative and bounded by the parent entropy") {
     val rows = q("q_ml_stump").collect()
     assert(rows.length == 31) // 24 hour + 7 dow thresholds
