@@ -95,15 +95,15 @@ class RidgeNbSpec extends AnyFunSuite {
   }
 
   test("ridge CV: 5 folds, coefficients near the full-data solve, positive SSEs") {
-    val cv = q("q_ml_ridge_cv").collect().sortBy(_.getLong(0))
-    assert(cv.map(_.getLong(0)).toSeq == (0L to 4L))
+    val cv = q("q_ml_ridge_cv").collect().sortBy(_.getInt(0))
+    assert(cv.map(_.getInt(0)).toSeq == (0 to 4))
     val full = q("q_ml_ridge").head
     cv.foreach { r =>
       // each fold trains on 80% of the data; coefficients must sit close
       // to the full-data solution (same lambda)
       (1 to 3).foreach(i =>
         assert(math.abs(r.getDouble(i) - full.getDouble(i - 1)) < 0.05,
-          s"fold ${r.getLong(0)} th${i - 1} far from full solve"))
+          s"fold ${r.getInt(0)} th${i - 1} far from full solve"))
       assert(r.getDouble(4) > 0.0)
     }
   }
