@@ -812,6 +812,37 @@ object Relational extends QueryModule {
               WHERE NOT (COALESCE(max_gt >= n_orders, FALSE) OR max_eq > n_orders)
               ORDER BY o_custkey""")),
 
+    // WINSORIZED mean (5%-95% clip) per group beside the raw mean — the
+    // robust location estimate that survives the heavy tail the outlier
+    // row flags. Exact interpolated percentiles (Spark percentile ==
+    // DuckDB quantile_cont), clip bounds rounded at 6 before the clamp
+    // so the boundary decision is engine-exact; two aggregates over one
+    // clustering.
+    Q("q_agg_winsorized",
+      (s, d) => {
+        val b = t(s, d, "events").groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+            round(expr("percentile(value, 0.95)"), 6).as("hi"))
+        t(s, d, "events").join(b, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(avg("value"), 4).as("raw_mean"),
+            round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 4)
+              .as("wins_mean"),
+            round(max(col("lo")), 6).as("lo"), round(max(col("hi")), 6).as("hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+                ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                ROUND(quantile_cont(value, 0.95), 6) AS hi
+                FROM events GROUP BY event_type)
+              SELECT e.event_type, COUNT(*) AS n,
+                ROUND(AVG(value), 4) AS raw_mean,
+                ROUND(AVG(LEAST(GREATEST(value, b.lo), b.hi)), 4) AS wins_mean,
+                ROUND(MAX(b.lo), 6) AS lo, ROUND(MAX(b.hi), 6) AS hi
+              FROM events e JOIN b USING (event_type)
+              GROUP BY e.event_type ORDER BY e.event_type""")),
+
     // BENFORD first-digit audit: observed leading-digit distribution of
     // order totals vs Benford's log10(1+1/d) expectation, with each
     // digit's chi-square contribution — the forensic data-quality check

@@ -245,6 +245,73 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // JENSEN-SHANNON divergence between every source pair's unigram
+    // distributions — the corpus drift/mixture audit ("which sources
+    // speak the same language?"), symmetric and bounded in [0, ln 2]
+    // unlike raw KL. Per-source probabilities from one token aggregate;
+    // the (pair × vocab) grid is bounded by |sources|²·|vocab| (sources
+    // are few by construction in a mixture audit); zero-probability
+    // terms contribute exactly 0 via the same CASE on both engines, and
+    // probabilities round at 9 before the log terms so the value lattice
+    // is shared.
+    Q("q_text_js_divergence",
+      (s, d) => {
+        val probs = toks(s, d)
+          .join(Tables(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("p", round(col("c") /
+            sum("c").over(Window.partitionBy("source")), 9))
+          .select("source", "tok", "p")
+          .localCheckpoint()
+        val srcs = probs.select("source").distinct()
+        val pairs = srcs.as("a").join(srcs.withColumnRenamed("source", "s2").as("b"),
+          col("a.source") < col("b.s2"))
+          .select(col("a.source").as("s1"), col("s2"))
+        val vocab = probs.select("tok").distinct()
+        val grid = pairs.join(vocab)
+          .join(probs.select(col("source").as("s1"), col("tok"), col("p").as("p1")),
+            Seq("s1", "tok"), "left")
+          .join(probs.select(col("source").as("s2"), col("tok"), col("p").as("p2")),
+            Seq("s2", "tok"), "left")
+          .select(col("s1"), col("s2"),
+            coalesce(col("p1"), lit(0.0)).as("p1"),
+            coalesce(col("p2"), lit(0.0)).as("p2"))
+        val out = grid
+          .withColumn("t1", when(col("p1") > 0,
+            col("p1") * log(lit(2.0) * col("p1") / (col("p1") + col("p2"))))
+            .otherwise(lit(0.0)))
+          .withColumn("t2", when(col("p2") > 0,
+            col("p2") * log(lit(2.0) * col("p2") / (col("p1") + col("p2"))))
+            .otherwise(lit(0.0)))
+          .groupBy("s1", "s2")
+          .agg(round(lit(0.5) * sum("t1") + lit(0.5) * sum("t2"), 6).as("js"))
+          .orderBy("s1", "s2")
+          .localCheckpoint()
+        graft.plans.Iterate.release(probs)
+        out
+      },
+      Some(s"""WITH $toksSql,
+              st AS (SELECT t.doc_id, d.source, t.tok FROM toks t
+                     JOIN documents d ON d.doc_id = t.doc_id),
+              probs AS (SELECT source, tok,
+                ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY source), 9) AS p
+                FROM st GROUP BY source, tok),
+              srcs AS (SELECT DISTINCT source FROM probs),
+              pairs AS (SELECT a.source AS s1, b.source AS s2
+                        FROM srcs a JOIN srcs b ON a.source < b.source),
+              vocab AS (SELECT DISTINCT tok FROM probs),
+              grid AS (SELECT p.s1, p.s2, v.tok,
+                COALESCE(p1.p, 0.0) AS p1, COALESCE(p2.p, 0.0) AS p2
+                FROM pairs p CROSS JOIN vocab v
+                LEFT JOIN probs p1 ON p1.source = p.s1 AND p1.tok = v.tok
+                LEFT JOIN probs p2 ON p2.source = p.s2 AND p2.tok = v.tok)
+              SELECT s1, s2, ROUND(
+                0.5 * SUM(CASE WHEN p1 > 0
+                  THEN p1 * ln(2.0 * p1 / (p1 + p2)) ELSE 0.0 END) +
+                0.5 * SUM(CASE WHEN p2 > 0
+                  THEN p2 * ln(2.0 * p2 / (p1 + p2)) ELSE 0.0 END), 6) AS js
+              FROM grid GROUP BY s1, s2 ORDER BY s1, s2""")),
+
     // COUNT-MIN sketch frequency estimation: depth-4 × width-64 sketch
     // over the token stream with portable md5-derived hash rows, then
     // point estimates (min over rows) for the top-20 exact tokens beside

@@ -31,6 +31,23 @@ class EntropyRangeSpec extends AnyFunSuite {
     assert(uniform.count() >= 0)
   }
 
+  test("winsorized mean sits inside the clip bounds") {
+    q("q_agg_winsorized").collect().foreach { r =>
+      val (wm, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(wm >= lo - 1e-6 && wm <= hi + 1e-6, s"wins_mean $wm outside [$lo, $hi]")
+      assert(lo <= hi)
+    }
+  }
+
+  test("JS divergence is bounded in [0, ln 2] over all source pairs") {
+    val rows = q("q_text_js_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9, s"js $js out of bounds")
+    }
+  }
+
   test("range search returns exactly the above-threshold brute pairs") {
     import graft.functions.VecOps
     val emb = Tables(spark, TestSpark.sf0, "embeddings")
