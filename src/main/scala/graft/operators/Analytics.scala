@@ -244,6 +244,66 @@ object Analytics extends QueryModule {
               FROM dau JOIN wau ON wau.day = dau.day
               ORDER BY day_idx""")),
 
+    // STATIONARY distribution of the event-transition Markov chain: the
+    // long-run fraction of time the stream spends in each event type —
+    // the summary number behind "where do users end up?". The transition
+    // matrix is O(types²) driver state (the transitions row's relation
+    // collected — the k-means master-collect posture), powered 20 steps
+    // with per-step round-9 on both engines; the oracle unrolls the same
+    // 20 steps over the same rounded-6 matrix. TYPES is tiny by
+    // construction; the corpus-scale work is the one LEAD window that
+    // builds the counts.
+    Q("q_events_stationary",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val p = ev(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("ft"), col("next_type").as("tt"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p", round(col("cnt") * 1.0 /
+            sum("cnt").over(Window.partitionBy("ft")), 6))
+          .select("ft", "tt", "p")
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        val types = p.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+        def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var pi = types.map(_ => 1.0 / types.length)
+        for (_ <- 1 to 20) {
+          pi = types.map { to =>
+            r9(types.zip(pi).map { case (from, v) =>
+              v * p.getOrElse((from, to), 0.0)
+            }.sum)
+          }
+        }
+        types.zip(pi).map { case (t, v) =>
+          (t, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("event_type", "pi").orderBy("event_type")
+      },
+      Some {
+        val steps = (1 to 20).map { t =>
+          // LEFT JOIN from types: a type with no incoming transitions
+          // stays in pi at 0.0, exactly like the engine's full loop
+          s"""pi$t AS MATERIALIZED (SELECT types.et, COALESCE(s.v, 0.0) AS v
+               FROM types LEFT JOIN (
+                 SELECT tm.tt AS et, ROUND(SUM(pi${t - 1}.v * tm.p), 9) AS v
+                 FROM pi${t - 1} JOIN tm ON tm.ft = pi${t - 1}.et
+                 GROUP BY tm.tt) s ON s.et = types.et)"""
+        }.mkString(",\n")
+        s"""WITH nxt AS (SELECT event_type AS ft,
+              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+              FROM events),
+            tm AS MATERIALIZED (SELECT ft, tt, ROUND(COUNT(*) * 1.0 /
+              SUM(COUNT(*)) OVER (PARTITION BY ft), 6) AS p
+              FROM nxt WHERE tt IS NOT NULL GROUP BY ft, tt),
+            types AS (SELECT DISTINCT et FROM (
+              SELECT ft AS et FROM tm UNION ALL SELECT tt FROM tm) u),
+            pi0 AS (SELECT et, 1.0 / (SELECT COUNT(*) FROM types) AS v FROM types),
+            $steps
+            SELECT et AS event_type, ROUND(v, 6) AS pi FROM pi20
+            ORDER BY event_type"""
+      }),
+
     // Robust ANOMALY flags: events whose value deviates from their user's
     // MEDIAN by more than 3.5 robust z-units (|x − med| / (1.4826·MAD) —
     // the modified z-score, immune to the outliers it hunts, unlike the

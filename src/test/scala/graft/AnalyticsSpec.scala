@@ -67,6 +67,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stationary distribution sums to ~1 and is a transition fixed point") {
+    val pi = q("q_events_stationary").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = pi.values.sum
+    assert(math.abs(total - 1.0) < 1e-3, s"pi sums to $total")
+    // fixed point: pi * P ~= pi (P from the transitions row)
+    val p = q("q_events_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    pi.keys.foreach { to =>
+      val next = pi.map { case (from, v) => v * p.getOrElse((from, to), 0.0) }.sum
+      assert(math.abs(next - pi(to)) < 1e-3, s"$to: $next vs ${pi(to)}")
+    }
+  }
+
   test("robust outliers all exceed the 3.5 modified-z threshold and are rare") {
     val rows = q("q_events_outliers").collect()
     assert(rows.nonEmpty)
