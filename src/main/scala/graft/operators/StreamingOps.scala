@@ -476,6 +476,50 @@ object StreamingOps extends QueryModule {
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // TIME-TRAVEL over the upsert sink's retained versions: the atomic
+    // swap keeps each superseded state (old<batchId>), so "the serving
+    // table as of batch k" is a directory read — the poor-man's Delta
+    // time travel, exercised end-to-end. Staging here is DETERMINISTIC
+    // (event_id % 3 = batch index, mtime-ordered), so version k's
+    // content is exactly the batch GROUP BY over event_id % 3 <= k and
+    // the whole history oracles as three unioned aggregates. Every user
+    // appears in every batch (% is uniform), so each version re-merges
+    // every key.
+    Q("q_stream_live_upsert_history",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-raw").toString
+        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-in").toString
+        val ev = Tables(s, d, "events")
+        var i = 0
+        for (m <- 0 to 2) {
+          ev.filter(pmod(col("event_id"), lit(3)) === m)
+            .coalesce(1).write.parquet(s"$scratch/b$m")
+          val f = new java.io.File(s"$scratch/b$m").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
+          new java.io.File(f"$stage/part$i%02d.parquet")
+            .setLastModified(1000000L * (i + 1)): Unit
+          i += 1
+        }
+        val state = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-state").toString
+        graft.streaming.Streams.runUpsertTotals(s, stage, state,
+          Map("maxFilesPerTrigger" -> "1"))
+        val versions = Seq(
+          0 -> s"$state/old1", 1 -> s"$state/old2", 2 -> s"$state/current")
+        versions.map { case (v, path) =>
+          s.read.parquet(path)
+            .select(lit(v.toLong).as("version"), col("user_id"), col("n_events"),
+              round(col("total"), 2).as("total"))
+        }.reduce(_ unionAll _).orderBy("version", "user_id").localCheckpoint()
+      },
+      Some("""SELECT v.version, e.user_id, COUNT(*) AS n_events,
+                ROUND(SUM(e.value), 2) AS total
+              FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS version) v
+              WHERE e.event_id % 3 <= v.version
+              GROUP BY v.version, e.user_id
+              ORDER BY v.version, e.user_id""")),
+
     // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
     // stateful join operators in ONE streaming query (multi-stateful
     // append mode), the second keyed on event time carried through the

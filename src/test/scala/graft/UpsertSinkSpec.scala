@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
 class UpsertSinkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("upsert history versions are monotone: counts only grow across versions") {
+    val h = SparkEntry.queries("q_stream_live_upsert_history")(spark, TestSpark.sf0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byUser = h.groupBy(_._1._2)
+    byUser.foreach { case (_, versions) =>
+      val counts = versions.toSeq.sortBy(_._1._1).map(_._2)
+      counts.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a, "a later version lost events")
+        case _ =>
+      }
+    }
+    assert(byUser.nonEmpty)
+  }
+
   test("multi-batch upsert converges to the batch group-by") {
     val stage = GraftSession.tempDirCleanedOnExit("spec-upsert-in").toString
     Tables(spark, TestSpark.sf0, "events")
