@@ -843,6 +843,50 @@ object Relational extends QueryModule {
               FROM events e JOIN b USING (event_type)
               GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // Two-sample KOLMOGOROV-SMIRNOV statistic: D = max |F_click − F_purchase|
+    // over the pooled value points — the distribution-equality test
+    // beside Welch's t (which only sees means). CDF steps come from one
+    // per-distinct-value aggregate + running sums; the max compares
+    // exact integer count ratios, rounded at 6 for the readout only.
+    // Scale note: the running-sum window spans one ordered partition
+    // (same posture and same decomposition as q_agg_gini's rank — see
+    // that row's note); the aggregate reduces to O(distinct values)
+    // first.
+    Q("q_agg_kstest",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+        val cnt = e.groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val steps = cnt
+          .withColumn("f1", sum("c1").over(w))
+          .withColumn("f2", sum("c2").over(w))
+          .withColumn("n1", sum("c1").over(Window.partitionBy(lit(1))))
+          .withColumn("n2", sum("c2").over(Window.partitionBy(lit(1))))
+        steps.agg(
+            max(abs(col("f1") * lit(1.0) / col("n1") -
+              col("f2") * lit(1.0) / col("n2"))).as("d0"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+          .select(round(col("d0"), 6).as("ks_d"), col("n1"), col("n2"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events
+                WHERE event_type IN ('click', 'purchase')),
+              cnt AS (SELECT value,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM e GROUP BY value),
+              steps AS (SELECT
+                SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f1,
+                SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f2,
+                SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+                FROM cnt)
+              SELECT ROUND(MAX(ABS(f1 * 1.0 / n1 - f2 * 1.0 / n2)), 6) AS ks_d,
+                CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+              FROM steps""")),
+
     // BENFORD first-digit audit: observed leading-digit distribution of
     // order totals vs Benford's log10(1+1/d) expectation, with each
     // digit's chi-square contribution — the forensic data-quality check

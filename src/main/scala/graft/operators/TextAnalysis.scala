@@ -245,6 +245,47 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // ZIPF rank-frequency fit: log-log OLS over the top-100 token ranks
+    // — natural corpora slope near −1, so a far-off slope flags
+    // synthetic/templated text (as here). The top-k relation is a
+    // TakeOrdered partial top-k; the regression is six sums over 100
+    // rows with the identical formula shape both sides (the autocorr
+    // recipe), so the whole fit is O(vocab) + O(k).
+    Q("q_text_zipf",
+      (s, d) => {
+        val w = Window.orderBy(desc("c"), asc("tok"))
+        val top = toks(s, d).groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("tok")).limit(100)
+          .withColumn("r", row_number().over(w))
+          .select(log(col("r").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y"))
+        top.agg(count(lit(1)).as("n"),
+            round(sum("x"), 6).as("sx"), round(sum("y"), 6).as("sy"),
+            round(sum(col("x") * col("y")), 6).as("sxy"),
+            round(sum(col("x") * col("x")), 6).as("sxx"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("n"), 6).as("intercept"))
+      },
+      Some(s"""WITH $toksSql,
+              top AS (SELECT tok, COUNT(*) AS c,
+                ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS r
+                FROM toks GROUP BY tok ORDER BY c DESC, tok LIMIT 100),
+              xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+                     FROM top),
+              sums AS (SELECT COUNT(*) AS n,
+                ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+                ROUND(SUM(x * y), 6) AS sxy, ROUND(SUM(x * x), 6) AS sxx
+                FROM xy)
+              SELECT n,
+                ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                  AS intercept
+              FROM sums""")),
+
     // JENSEN-SHANNON divergence between every source pair's unigram
     // distributions — the corpus drift/mixture audit ("which sources
     // speak the same language?"), symmetric and bounded in [0, ln 2]

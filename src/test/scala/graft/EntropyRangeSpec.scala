@@ -31,6 +31,19 @@ class EntropyRangeSpec extends AnyFunSuite {
     assert(uniform.count() >= 0)
   }
 
+  test("zipf fit: slope negative (frequency falls with rank), n = 100") {
+    val r = q("q_text_zipf").head
+    assert(r.getLong(0) == 100)
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)} not negative")
+  }
+
+  test("KS statistic lies in [0, 1] and both samples are populated") {
+    val r = q("q_agg_kstest").head
+    val d0 = r.getDouble(0)
+    assert(d0 >= 0.0 && d0 <= 1.0)
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+  }
+
   test("winsorized mean sits inside the clip bounds") {
     q("q_agg_winsorized").collect().foreach { r =>
       val (wm, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
