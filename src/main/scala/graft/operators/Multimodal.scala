@@ -357,6 +357,39 @@ object Multimodal extends QueryModule {
       }
   }
 
+  /** Batched per-partition audio FEATURE EXTRACTION: decode the 16-bit
+    * PCM payload and reduce it to RMS energy + peak amplitude in one
+    * streaming pass over the sample bytes — the signal-level stage after
+    * header metadata (a real loudness/silence gate slots here). Sample
+    * sums are exact in double (|v| < 2¹⁵, counts bounded), so the RMS
+    * matches the oracle's arithmetic bit-for-bit before the round. */
+  def audioStats(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val b = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            // validate the container, then read PCM from the data chunk
+            val (_, ch, _, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+            require(bits == 16, s"expected 16-bit PCM, got $bits")
+            b.position(bytes.length - dataBytes.toInt)
+            var sumSq = 0.0; var peak = 0L; var cnt = 0L
+            while (b.remaining() >= 2) {
+              val v = b.getShort().toLong
+              sumSq += (v * v).toDouble
+              if (math.abs(v) > peak) peak = math.abs(v)
+              cnt += 1
+            }
+            (id, cnt, math.sqrt(sumSq / cnt), peak, ch)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples_total", "rms0", "peak", "channels")
+  }
+
   /** binary image payloads: one real BMP per document */
   def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -550,6 +583,32 @@ object Multimodal extends QueryModule {
                 CAST(rate AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
                 CAST(n AS BIGINT) AS n_samples,
                 CAST(n * 1000 // rate AS BIGINT) AS duration_ms
-              FROM p ORDER BY doc_id"""))
+              FROM p ORDER BY doc_id""")),
+
+    // audio RMS/peak from the DECODED PCM samples (not just headers) —
+    // the oracle recomputes every 16-bit little-endian sample from the
+    // deterministic filler arithmetic ((id·3 + i) mod 256 data bytes),
+    // so the codec's sample extraction is verified end to end, exactly
+    // like q_mm_resize verifies the pixel path.
+    Q("q_mm_audio_rms",
+      (s, d) => audioStats(s, audioPayloads(s, d))
+        .select(col("doc_id"), col("n_samples_total"),
+          round(col("rms0"), 4).as("rms"), col("peak"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                100 + doc_id % 400 AS n FROM documents),
+              k AS (SELECT doc_id, n * ch AS total,
+                unnest(generate_series(0, n * ch - 1)) AS k FROM p),
+              sv AS (SELECT doc_id, total,
+                CAST((doc_id * 3 + 2 * k) % 256 AS BIGINT)
+                  + 256 * CAST((doc_id * 3 + 2 * k + 1) % 256 AS BIGINT) AS raw
+                FROM k),
+              s2 AS (SELECT doc_id, total,
+                CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+                FROM sv)
+              SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_samples_total,
+                ROUND(SQRT(SUM(v * v) * 1.0 / COUNT(*)), 4) AS rms,
+                CAST(MAX(ABS(v)) AS BIGINT) AS peak
+              FROM s2 GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -7,6 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("audio RMS matches a brute-force sample recompute from the filler") {
+    import spark.implicits._
+    for (id <- Seq(0L, 1L, 5L, 1234L)) {
+      val ch = MediaFixture.wavChannels(id); val n = MediaFixture.wavSamples(id)
+      val vals = (0 until n * ch).map { k =>
+        val lo = ((id * 3 + 2 * k) % 256).toInt
+        val hi = ((id * 3 + 2 * k + 1) % 256).toInt
+        val raw = lo + 256 * hi
+        if (raw >= 32768) raw - 65536 else raw
+      }
+      val wantRms = math.sqrt(vals.map(v => v.toDouble * v).sum / vals.length)
+      val wantPeak = vals.map(math.abs).max.toLong
+      val got = Multimodal.audioStats(spark,
+          Seq((id, MediaFixture.wav(id))).toDF("doc_id", "payload")).head
+      assert(got.getLong(1) == (n * ch).toLong)
+      assert(math.abs(got.getDouble(2) - wantRms) < 1e-9)
+      assert(got.getLong(3) == wantPeak)
+    }
+  }
+
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
