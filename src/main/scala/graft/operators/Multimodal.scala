@@ -390,6 +390,40 @@ object Multimodal extends QueryModule {
       .toDF("doc_id", "n_samples_total", "rms0", "peak", "channels")
   }
 
+  /** Batched per-partition image CHANNEL statistics: decode the 24-bpp
+    * pixel grid (skipping the 4-byte row padding — reading it would
+    * silently skew every mean, which is exactly what the oracle's
+    * padding-free recompute would catch) and reduce to per-channel
+    * means — the image analogue of [[audioStats]]. */
+  def imageChannelStats(s: SparkSession, payloads: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (_, w0, h0, _) = MediaCodec.decodeBmp(bytes)
+            val w = w0.toInt; val h = h0.toInt
+            val rowSize = ((3 * w + 3) / 4) * 4
+            val sums = new Array[Long](3)
+            var y = 0
+            while (y < h) {
+              var j = 0
+              while (j < 3 * w) {
+                sums(j % 3) += bytes(54 + y * rowSize + j) & 0xff
+                j += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toDouble
+            (id, w.toLong * h, sums(0) / n, sums(1) / n, sums(2) / n)
+          }
+        }
+      }
+      .toDF("doc_id", "n_pixels", "mean_b0", "mean_g0", "mean_r0")
+  }
+
   /** binary image payloads: one real BMP per document */
   def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -609,6 +643,33 @@ object Multimodal extends QueryModule {
               SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_samples_total,
                 ROUND(SQRT(SUM(v * v) * 1.0 / COUNT(*)), 4) AS rms,
                 CAST(MAX(ABS(v)) AS BIGINT) AS peak
-              FROM s2 GROUP BY doc_id ORDER BY doc_id"""))
+              FROM s2 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // per-channel pixel means from the DECODED 24-bpp grid, row padding
+    // excluded — the oracle regenerates every pixel byte from the
+    // (id + offset) mod 256 filler WITHOUT the padding bytes, so a
+    // decoder that read padded rows naively would hash-mismatch here.
+    Q("q_mm_channel_stats",
+      (s, d) => imageChannelStats(s, imagePayloads(s, d))
+        .select(col("doc_id"), col("n_pixels"),
+          round(col("mean_b0"), 4).as("mean_b"),
+          round(col("mean_g0"), 4).as("mean_g"),
+          round(col("mean_r0"), 4).as("mean_r"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+                1 + (doc_id * 7) % 48 AS h,
+                ((3 * (1 + doc_id % 64) + 3) // 4) * 4 AS row_size
+                FROM documents),
+              yj AS (SELECT doc_id, w, h, row_size,
+                unnest(generate_series(0, h - 1)) AS y FROM p),
+              px AS (SELECT doc_id, w, h,
+                (doc_id + y * row_size + j) % 256 AS v, j % 3 AS c
+                FROM (SELECT doc_id, w, h, row_size, y,
+                      unnest(generate_series(0, 3 * w - 1)) AS j FROM yj) t)
+              SELECT doc_id, CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+                ROUND(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) * 1.0 / (MAX(w) * MAX(h)), 4) AS mean_b,
+                ROUND(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) * 1.0 / (MAX(w) * MAX(h)), 4) AS mean_g,
+                ROUND(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) * 1.0 / (MAX(w) * MAX(h)), 4) AS mean_r
+              FROM px GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

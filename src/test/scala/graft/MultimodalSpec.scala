@@ -27,6 +27,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image channel means match a brute-force padding-free recompute") {
+    import spark.implicits._
+    for (id <- Seq(0L, 3L, 63L, 500L)) {
+      val bytes = MediaFixture.bmp(id)
+      val w = MediaFixture.bmpWidth(id); val h = MediaFixture.bmpHeight(id)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val sums = new Array[Long](3)
+      for (y <- 0 until h; j <- 0 until 3 * w)
+        sums(j % 3) += bytes(54 + y * rowSize + j) & 0xff
+      val got = Multimodal.imageChannelStats(spark,
+          Seq((id, bytes)).toDF("doc_id", "payload")).head
+      assert(got.getLong(1) == w.toLong * h)
+      (0 until 3).foreach(c =>
+        assert(math.abs(got.getDouble(2 + c) - sums(c).toDouble / (w * h)) < 1e-9))
+    }
+  }
+
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
