@@ -478,6 +478,20 @@ object Graph extends QueryModule {
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
+    // COMPONENT SIZE DISTRIBUTION: the connected-components labels rolled
+    // up twice (label → size, size → how many components) — the shape of
+    // the dedup-cluster histogram a crawl-dedup report leads with. Two
+    // tiny aggregates on top of the declared cc plan; the oracle nests
+    // the cc chain as a subquery.
+    Q("q_graph_cc_sizes",
+      (s, d) => cc(s, d)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+        .orderBy("sz"),
+      Some(s"""SELECT sz, COUNT(*) AS n_components FROM (
+                SELECT lbl, COUNT(*) AS sz FROM (${ccSql(4)}) c GROUP BY lbl) x
+              GROUP BY sz ORDER BY sz""")),
+
     // Degree assortativity: Pearson correlation of endpoint degrees over
     // the undirected edge list — one number saying whether hubs link to
     // hubs (positive) or to leaves (negative). Two joins + one
