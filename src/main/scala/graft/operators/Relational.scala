@@ -843,6 +843,40 @@ object Relational extends QueryModule {
               FROM events e JOIN b USING (event_type)
               GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // CHI-SQUARE test of INDEPENDENCE between event type and day-of-week:
+    // the contingency table plus Σ (obs − exp)²/exp with exp =
+    // row·col/total — "is behavior day-dependent?". One grouped count
+    // (the table is O(types × 7)); expected counts round at 4 before the
+    // identically-shaped statistic on both engines.
+    Q("q_agg_chisq",
+      (s, d) => {
+        val cell = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+        val withMargins = cell
+          .withColumn("rt", sum("obs").over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum("obs").over(Window.partitionBy("dow")))
+          .withColumn("n", sum("obs").over(Window.partitionBy(lit(1))))
+          .withColumn("exp", round(col("rt") * col("ct") * 1.0 / col("n"), 4))
+        withMargins
+          .select(col("event_type"), col("dow"), col("obs"), col("exp"),
+            round(pow(col("obs") - col("exp"), 2) / col("exp"), 6).as("chi2_term"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH cell AS (SELECT event_type,
+                CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+                COUNT(*) AS obs
+                FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, dow, obs,
+                ROUND(SUM(obs) OVER (PARTITION BY event_type)
+                  * SUM(obs) OVER (PARTITION BY dow) * 1.0
+                  / SUM(obs) OVER (), 4) AS exp
+                FROM cell)
+              SELECT event_type, dow, obs, exp,
+                ROUND(POWER(obs - exp, 2) / exp, 6) AS chi2_term
+              FROM m ORDER BY event_type, dow""")),
+
     // Two-sample KOLMOGOROV-SMIRNOV statistic: D = max |F_click − F_purchase|
     // over the pooled value points — the distribution-equality test
     // beside Welch's t (which only sees means). CDF steps come from one

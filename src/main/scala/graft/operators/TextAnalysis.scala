@@ -245,6 +245,29 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // CONFUSION matrix of the heuristic language-ID against the labeled
+    // lang column — the evaluation rollup that closes the langid loop
+    // (near-uniform here because the labels are random w.r.t. the text;
+    // the computation shape is what a real corpus reuses). One join +
+    // one tiny aggregate over the declared langid plan.
+    Q("q_text_langid_confusion",
+      (s, d) => graft.SparkEntry.queries("q_text_langid")(s, d)
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("lang").as("actual")),
+          Seq("doc_id"))
+        .groupBy("actual", "pred_lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("actual", "pred_lang"),
+      Some(s"""WITH $toksSql,
+               lex(lang, w) AS (VALUES $lexiconSql),
+               hits AS (SELECT doc_id, lang, COUNT(*) AS score
+                 FROM toks JOIN lex ON tok = w GROUP BY doc_id, lang),
+               best AS (SELECT doc_id, lang, score FROM hits
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang) = 1)
+               SELECT d.lang AS actual, COALESCE(b.lang, 'unknown') AS pred_lang,
+                 COUNT(*) AS cnt
+               FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ZIPF rank-frequency fit: log-log OLS over the top-100 token ranks
     // — natural corpora slope near −1, so a far-off slope flags
     // synthetic/templated text (as here). The top-k relation is a

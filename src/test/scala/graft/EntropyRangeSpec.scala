@@ -31,6 +31,18 @@ class EntropyRangeSpec extends AnyFunSuite {
     assert(uniform.count() >= 0)
   }
 
+  test("chi-square cells conserve the event count and terms are non-negative") {
+    val rows = q("q_agg_chisq").collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables(spark, TestSpark.sf0, "events").count())
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
+  test("langid confusion conserves the corpus") {
+    val total = q("q_text_langid_confusion").collect().map(_.getLong(2)).sum
+    assert(total == Tables(spark, TestSpark.sf0, "documents").count())
+  }
+
   test("zipf fit: slope negative (frequency falls with rank)") {
     val r = q("q_text_zipf").head
     // the tiny sf0.001 corpus has under 100 distinct tokens — the fit
