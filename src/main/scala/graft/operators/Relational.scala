@@ -843,6 +843,43 @@ object Relational extends QueryModule {
               FROM events e JOIN b USING (event_type)
               GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // RUNS count (Wald-Wolfowitz shape): per user in event-time order,
+    // the number of maximal runs of values above/below their own median
+    // — too few runs flags trending/auto-correlated series, too many
+    // flags oscillation. Runs = 1 + sign changes via one lag over the
+    // user clustering; the median compare uses the round-6 value so the
+    // side assignment is engine-exact (exact-median rows are dropped on
+    // both sides identically).
+    Q("q_agg_runs",
+      (s, d) => {
+        val med = t(s, d, "events").groupBy("user_id")
+          .agg(round(median(col("value")), 6).as("med"))
+        val side = t(s, d, "events").join(med, Seq("user_id"))
+          .filter(round(col("value"), 6) =!= col("med"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (round(col("value"), 6) > col("med")).cast("int").as("s"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        side.withColumn("prev", lag(col("s"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            (sum(when(col("prev").isNotNull && col("prev") =!= col("s"), 1L)
+              .otherwise(0L)) + 1L).as("n_runs"))
+          .orderBy("user_id")
+      },
+      Some("""WITH med AS (SELECT user_id, ROUND(MEDIAN(value), 6) AS med
+                FROM events GROUP BY user_id),
+              side AS (SELECT e.user_id, e.ts, e.event_id,
+                CAST(ROUND(e.value, 6) > med AS INT) AS s
+                FROM events e JOIN med USING (user_id)
+                WHERE ROUND(e.value, 6) <> med),
+              lagged AS (SELECT user_id, s,
+                LAG(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM side)
+              SELECT user_id, COUNT(*) AS n_obs,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> s THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS n_runs
+              FROM lagged GROUP BY user_id ORDER BY user_id""")),
+
     // CHI-SQUARE test of INDEPENDENCE between event type and day-of-week:
     // the contingency table plus Σ (obs − exp)²/exp with exp =
     // row·col/total — "is behavior day-dependent?". One grouped count

@@ -245,6 +245,40 @@ object TextAnalysis extends QueryModule {
                   WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS kept
               FROM documents ORDER BY doc_id""")),
 
+    // N-GRAM NOVELTY curve: per document (in ingest order), the fraction
+    // of its distinct 3-grams appearing for the FIRST time — the
+    // diminishing-returns readout that tells a crawl when more of the
+    // same source stops adding information. First-occurrence owner =
+    // min(doc_id) per gram (one aggregate over the gram relation), then
+    // one join back: near-dup documents show near-zero novelty, which is
+    // the dedup connection. O(grams) throughout.
+    Q("q_text_novelty",
+      (s, d) => {
+        val g = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.TextHash.distinctNGrams(
+            TextExprs.toks(col("text")), 3)).as("gram"))
+        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        g.join(first, Seq("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            round(col("n_novel") * 1.0 / col("n_grams"), 6).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
+                    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                          FROM base) t),
+              f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                  / COUNT(*), 6) AS novelty
+              FROM g JOIN f USING (gram)
+              GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
     // CONFUSION matrix of the heuristic language-ID against the labeled
     // lang column — the evaluation rollup that closes the langid loop
     // (near-uniform here because the labels are random w.r.t. the text;

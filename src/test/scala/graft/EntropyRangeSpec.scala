@@ -31,6 +31,22 @@ class EntropyRangeSpec extends AnyFunSuite {
     assert(uniform.count() >= 0)
   }
 
+  test("novelty: doc 0 is fully novel and near-dups score near zero") {
+    val rows = q("q_text_novelty").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(rows(0L) - 1.0) < 1e-9, "the first doc owns all its grams")
+    // every exact ppjoin near-dup pair's LATER member has low novelty
+    val dupLater = q("q_dedup_ppjoin").collect().map(_.getLong(1)).toSet
+    dupLater.foreach(d => assert(rows(d) < 0.5, s"near-dup $d novelty ${rows(d)}"))
+  }
+
+  test("runs count is within [1, n_obs] per user") {
+    q("q_agg_runs").collect().foreach { r =>
+      val (n, runs) = (r.getLong(1), r.getLong(2))
+      assert(runs >= 1 && runs <= n)
+    }
+  }
+
   test("chi-square cells conserve the event count and terms are non-negative") {
     val rows = q("q_agg_chisq").collect()
     assert(rows.map(_.getLong(2)).sum ==
