@@ -953,12 +953,40 @@ object Dedup extends QueryModule {
   private val ppjoinCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Double)]]()
 
+  /** Cache holds at most this many pairs; beyond it the memoization is
+    * skipped and callers pay the full pipeline per query — bounded driver
+    * memory beats a saved re-execution. */
+  private val ppjoinCacheCap = 200000
+
+  /** Content fingerprint of the documents table under `d`: every parquet
+    * part's (path, size, mtime). Regenerating the dataset in-session
+    * (tests, reruns) changes the key, so the cache can never serve stale
+    * pairs for a path whose bytes changed. */
+  private def docsFingerprint(d: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(walk).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
+      else f.getName.hashCode.toLong * 31 + f.length() * 31 + f.lastModified()
+    val root = new java.io.File(d, "documents.parquet")
+    s"$d#${if (root.exists()) walk(root) else 0L}"
+  }
+
   private[operators] def ppjoinResult(s: SparkSession, d: String): DataFrame = {
-    val rows = ppjoinCache.computeIfAbsent(d, dir =>
-      computePpjoin(s, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
     import s.implicits._
-    rows.toDF("doc_a", "doc_b", "jac").orderBy("doc_a", "doc_b")
+    val key = docsFingerprint(d)
+    val cached = ppjoinCache.get(key)
+    if (cached != null) cached.toDF("doc_a", "doc_b", "jac").orderBy("doc_a", "doc_b")
+    else {
+      // computePpjoin localCheckpoints its result, so the cap probe and
+      // (on overflow) the direct return replay materialized partitions,
+      // not the whole pipeline
+      val df = computePpjoin(s, d)
+      val head = df.head(ppjoinCacheCap + 1)
+      if (head.length <= ppjoinCacheCap) {
+        val rows = head.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        ppjoinCache.put(key, rows)
+        rows.toDF("doc_a", "doc_b", "jac").orderBy("doc_a", "doc_b")
+      } else df // un-memoized: result too large to pin on the driver
+    }
   }
 
   /** brute-force similarity-join oracle — proves the prefix+positional

@@ -667,7 +667,11 @@ object Graph extends QueryModule {
     // both engines.
     Q("q_graph_adamic",
       (s, d) => {
-        val eu = undirected(edges(s, d)).localCheckpoint()
+        // self-loops excluded (as in q_graph_mis/q_graph_ktruss): a
+        // vertex's own loop must not inflate deg(w) in the 1/ln(deg)
+        // weight — textbook Adamic-Adar is over the simple graph
+        val eu = undirected(edges(s, d))
+          .filter(col("src") =!= col("dst")).localCheckpoint()
         val deg = eu.groupBy(col("src").as("w")).agg(count(lit(1)).as("dg"))
         val wedges = eu.select(col("src").as("w"), col("dst").as("u"))
           .join(eu.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
@@ -684,9 +688,10 @@ object Graph extends QueryModule {
       },
       Some(s"""WITH $edgesSql,
                $undirectedSql,
-               deg AS (SELECT src AS w, COUNT(*) AS dg FROM eu GROUP BY src),
+               eus AS (SELECT src, dst FROM eu WHERE src <> dst),
+               deg AS (SELECT src AS w, COUNT(*) AS dg FROM eus GROUP BY src),
                wed AS (SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
-                       FROM eu e1 JOIN eu e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+                       FROM eus e1 JOIN eus e2 ON e1.src = e2.src AND e1.dst < e2.dst),
                sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(dg)), 6) AS score,
                         COUNT(*) AS common
                       FROM wed JOIN deg USING (w) GROUP BY u, v),

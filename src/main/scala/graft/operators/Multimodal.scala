@@ -130,17 +130,24 @@ object Multimodal extends QueryModule {
     * The decode verifies bytes → metadata: any disagreement between the
     * builder's and parser's idea of the layout breaks the oracle match. */
   object MediaCodec {
-    def decodeBmp(bytes: Array[Byte]): (String, Long, Long, Long) = {
+    /** Returns (magic, width, height, bpp, pixelArrayOffset). The offset
+      * is the header's own bfOffBits field — consumers index pixels from
+      * it rather than assuming the 54-byte minimal-header layout, so a
+      * payload with a palette or extended DIB header can't silently shift
+      * the pixel grid. */
+    def decodeBmp(bytes: Array[Byte]): (String, Long, Long, Long, Int) = {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val magic = new String(Array(b.get(), b.get()))
       require(magic == "BM", s"not a BMP: $magic")
-      b.getInt; b.getInt; b.getInt // file size, reserved, pixel offset
+      b.getInt; b.getInt // file size, reserved
+      val pxOff = b.getInt // bfOffBits: start of the pixel array
       require(b.getInt == 40, "unsupported DIB header")
       val w = b.getInt.toLong
       val h = b.getInt.toLong
       b.getShort // planes
       val bpp = b.getShort.toLong
-      (magic, w, h, bpp)
+      require(pxOff >= 54 && pxOff <= bytes.length, s"bad pixel offset $pxOff")
+      (magic, w, h, bpp, pxOff)
     }
 
     /** Perceptual AVERAGE-HASH over a decoded BMP: sample the blue channel
@@ -151,7 +158,7 @@ object Multimodal extends QueryModule {
       * exact double (integer sum / 64, a power of two), so the > threshold
       * is deterministic across engines. */
     def aHashBmp(bytes: Array[Byte]): (Long, Long, String) = {
-      val (_, w0, h0, _) = decodeBmp(bytes)
+      val (_, w0, h0, _, pxOff) = decodeBmp(bytes)
       val w = w0.toInt; val h = h0.toInt
       val rowSize = ((3 * w + 3) / 4) * 4
       val v = new Array[Int](64)
@@ -162,7 +169,7 @@ object Multimodal extends QueryModule {
         var x = 0
         while (x < 8) {
           val px = x * w / 8
-          v(k) = bytes(54 + py * rowSize + 3 * px) & 0xff
+          v(k) = bytes(pxOff + py * rowSize + 3 * px) & 0xff
           k += 1; x += 1
         }
         y += 1
@@ -217,7 +224,12 @@ object Multimodal extends QueryModule {
       (totalFrames, w, h, mspf, sampled, pxSum)
     }
 
-    def decodeWav(bytes: Array[Byte]): (String, Long, Long, Long, Long) = {
+    /** Returns (riff, channels, rate, bits, dataBytes, dataOffset). The
+      * offset is the parser's position after the data-chunk header —
+      * consumers read PCM from it rather than end-anchoring
+      * (bytes.length - dataBytes), which would break on any trailing
+      * chunk (LIST/INFO metadata) after the data chunk. */
+    def decodeWav(bytes: Array[Byte]): (String, Long, Long, Long, Long, Int) = {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val riff = new String(Array(b.get(), b.get(), b.get(), b.get()))
       require(riff == "RIFF", s"not RIFF: $riff")
@@ -232,7 +244,9 @@ object Multimodal extends QueryModule {
       val bits = b.getShort.toLong
       require(new String(Array(b.get(), b.get(), b.get(), b.get())) == "data", "missing data")
       val dataBytes = b.getInt.toLong
-      (riff, ch, rate, bits, dataBytes)
+      val dataOff = b.position()
+      require(dataOff + dataBytes <= bytes.length, "truncated data chunk")
+      (riff, ch, rate, bits, dataBytes, dataOff)
     }
   }
 
@@ -269,7 +283,7 @@ object Multimodal extends QueryModule {
     * arithmetic, not just the output header. */
   object MediaTransform {
     def downsampleBmp(bytes: Array[Byte]): (Array[Byte], Long) = {
-      val (_, w0, h0, _) = MediaCodec.decodeBmp(bytes)
+      val (_, w0, h0, _, pxOff) = MediaCodec.decodeBmp(bytes)
       val w = w0.toInt; val h = h0.toInt
       val rowSize = ((3 * w + 3) / 4) * 4
       val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
@@ -289,7 +303,7 @@ object Multimodal extends QueryModule {
         while (x2 < w2) {
           var c = 0
           while (c < 3) {
-            val v = bytes(54 + 2 * y2 * rowSize + 6 * x2 + c) & 0xff
+            val v = bytes(pxOff + 2 * y2 * rowSize + 6 * x2 + c) & 0xff
             arr(54 + y2 * rowSize2 + 3 * x2 + c) = v.toByte
             pxSum += v
             c += 1
@@ -312,7 +326,7 @@ object Multimodal extends QueryModule {
         it.grouped(batchSize).flatMap { batch =>
           // one "worker call" per batch — a full codec slots in here
           batch.iterator.map { case (id, bytes) =>
-            val (magic, w, h, bpp) = MediaCodec.decodeBmp(bytes)
+            val (magic, w, h, bpp, _) = MediaCodec.decodeBmp(bytes)
             ImageMeta(id, bytes.length.toLong, magic, w, h, bpp,
               (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
           }
@@ -333,7 +347,7 @@ object Multimodal extends QueryModule {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val (resized, pxSum) = MediaTransform.downsampleBmp(bytes)
-            val (_, w2, h2, _) = MediaCodec.decodeBmp(resized)
+            val (_, w2, h2, _, _) = MediaCodec.decodeBmp(resized)
             ResizedMeta(id, w2, h2, resized.length.toLong, pxSum)
           }
         }
@@ -348,7 +362,7 @@ object Multimodal extends QueryModule {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val (magic, ch, rate, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+            val (magic, ch, rate, bits, dataBytes, _) = MediaCodec.decodeWav(bytes)
             val nSamples = dataBytes / (ch * bits / 8)
             AudioMeta(id, bytes.length.toLong, magic, ch, rate, bits, nSamples,
               nSamples * 1000 / rate)
@@ -373,9 +387,9 @@ object Multimodal extends QueryModule {
             val b = java.nio.ByteBuffer.wrap(bytes)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             // validate the container, then read PCM from the data chunk
-            val (_, ch, _, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+            val (_, ch, _, bits, dataBytes, dataOff) = MediaCodec.decodeWav(bytes)
             require(bits == 16, s"expected 16-bit PCM, got $bits")
-            b.position(bytes.length - dataBytes.toInt)
+            b.position(dataOff).limit(dataOff + dataBytes.toInt)
             var sumSq = 0.0; var peak = 0L; var cnt = 0L
             while (b.remaining() >= 2) {
               val v = b.getShort().toLong
@@ -403,7 +417,7 @@ object Multimodal extends QueryModule {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val (_, w0, h0, _) = MediaCodec.decodeBmp(bytes)
+            val (_, w0, h0, _, pxOff) = MediaCodec.decodeBmp(bytes)
             val w = w0.toInt; val h = h0.toInt
             val rowSize = ((3 * w + 3) / 4) * 4
             val sums = new Array[Long](3)
@@ -411,7 +425,7 @@ object Multimodal extends QueryModule {
             while (y < h) {
               var j = 0
               while (j < 3 * w) {
-                sums(j % 3) += bytes(54 + y * rowSize + j) & 0xff
+                sums(j % 3) += bytes(pxOff + y * rowSize + j) & 0xff
                 j += 1
               }
               y += 1

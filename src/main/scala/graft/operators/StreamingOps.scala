@@ -505,8 +505,18 @@ object StreamingOps extends QueryModule {
         val state = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-state").toString
         graft.streaming.Streams.runUpsertTotals(s, stage, state,
           Map("maxFilesPerTrigger" -> "1"))
-        val versions = Seq(
-          0 -> s"$state/old1", 1 -> s"$state/old2", 2 -> s"$state/current")
+        // enumerate the retained old<k> dirs actually produced (sorted by
+        // the retiring batch id) rather than assuming ids 1 and 2: any
+        // deviation in batch granularity fails loudly here instead of
+        // silently shifting version semantics against the oracle
+        val olds = new java.io.File(state).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("old\\d+"))
+          .sortBy(_.getName.drop(3).toLong)
+          .map(_.getPath)
+        require(olds.length == 2,
+          s"expected 2 retained versions + current, got ${olds.mkString(",")}")
+        val versions = (olds :+ s"$state/current").zipWithIndex
+          .map { case (p, v) => v -> p }.toSeq
         versions.map { case (v, path) =>
           s.read.parquet(path)
             .select(lit(v.toLong).as("version"), col("user_id"), col("n_events"),

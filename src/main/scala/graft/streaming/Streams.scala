@@ -293,6 +293,37 @@ object Streams {
     * replaceWhere over key partitions) — the streaming side is unchanged,
     * which is the point of the hook. Returns the final state.
     */
+  /** Crash recovery for the upsert sink's state directory. The commit
+    * protocol is: (1) write `v<k>` fully (the parquet writer drops a
+    * `_SUCCESS` marker on completion), (2) rename `current` → `old<k>`,
+    * (3) rename `v<k>` → `current`. Each rename is atomic, so a crash
+    * leaves exactly one of three states, all repairable:
+    *   - mid-write: a `v<k>` without `_SUCCESS` → swept (stale dir);
+    *   - after (1), before (2): complete `v<k>` + `current` → finish the
+    *     swap (retire current, promote v);
+    *   - between (2) and (3): complete `v<k>`, no `current` → promote v.
+    * After recovery `current` always exists (once any version committed)
+    * and always holds a COMPLETE version — a reader can never observe a
+    * half-swapped serving table. */
+  private[graft] def recoverUpsertState(stateDir: String): Unit = {
+    val root = new java.io.File(stateDir)
+    if (!root.exists()) return
+    val vDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val (complete, stale) =
+      vDirs.partition(f => new java.io.File(f, "_SUCCESS").exists())
+    // sweep half-written versions: they can never be promoted
+    stale.foreach { d =>
+      d.listFiles().foreach(_.delete()); d.delete(): Unit
+    }
+    val cur = new java.io.File(root, "current")
+    complete.sortBy(_.getName.drop(1).toLong).foreach { v =>
+      val k = v.getName.drop(1).toLong
+      if (cur.exists()) { cur.renameTo(new java.io.File(root, s"old$k")): Unit }
+      v.renameTo(cur): Unit
+    }
+  }
+
   def runUpsertTotals(spark: SparkSession, eventsPath: String,
       stateDir: String, options: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.SaveMode
@@ -300,8 +331,10 @@ object Streams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
     val cur = new java.io.File(stateDir, "current")
+    recoverUpsertState(stateDir) // repair any interrupted swap before serving
     val q = agg.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        recoverUpsertState(stateDir)
         val merged =
           if (cur.exists()) {
             val state = spark.read.parquet(cur.getPath)

@@ -47,7 +47,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
-      val (magic, w, h, bpp) = MediaCodec.decodeBmp(bytes)
+      val (magic, w, h, bpp, pxOff) = MediaCodec.decodeBmp(bytes)
+      assert(pxOff === 54)
       assert(magic === "BM")
       assert(w === MediaFixture.bmpWidth(id))
       assert(h === MediaFixture.bmpHeight(id))
@@ -62,7 +63,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("WAV round-trip: RIFF/fmt/data headers parse back") {
     for (id <- Seq(0L, 1L, 2L, 3L, 500L)) {
       val bytes = MediaFixture.wav(id)
-      val (magic, ch, rate, bits, dataBytes) = MediaCodec.decodeWav(bytes)
+      val (magic, ch, rate, bits, dataBytes, dataOff) = MediaCodec.decodeWav(bytes)
+      assert(dataOff === 44)
       assert(magic === "RIFF")
       assert(ch === MediaFixture.wavChannels(id))
       assert(rate === MediaFixture.wavRate(id))
@@ -124,7 +126,7 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 63L, 127L, 9999L)) {
       val src = MediaFixture.bmp(id)
       val (resized, pxSum) = Multimodal.MediaTransform.downsampleBmp(src)
-      val (magic, w2, h2, bpp) = MediaCodec.decodeBmp(resized)
+      val (magic, w2, h2, bpp, _) = MediaCodec.decodeBmp(resized)
       assert(magic === "BM" && bpp === 24L)
       val w = MediaFixture.bmpWidth(id); val h = MediaFixture.bmpHeight(id)
       assert(w2 === (w + 1) / 2 && h2 === (h + 1) / 2)
