@@ -919,10 +919,11 @@ object Relational extends QueryModule {
     // beside Welch's t (which only sees means). CDF steps come from one
     // per-distinct-value aggregate + running sums; the max compares
     // exact integer count ratios, rounded at 6 for the readout only.
-    // Scale note: the running-sum window spans one ordered partition
-    // (same posture and same decomposition as q_agg_gini's rank — see
-    // that row's note); the aggregate reduces to O(distinct values)
-    // first.
+    // Scale note: the two CDF running sums go through
+    // RangedRank.withRunningTotals (range-sharded, no global
+    // single-partition window), and the aggregate reduces to O(distinct
+    // values) first; the grand totals come from a scalar aggregate
+    // cross-joined back rather than a partition-less window.
     Q("q_agg_kstest",
       (s, d) => {
         val e = t(s, d, "events")
@@ -930,13 +931,10 @@ object Relational extends QueryModule {
         val cnt = e.groupBy("value")
           .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val steps = cnt
-          .withColumn("f1", sum("c1").over(w))
-          .withColumn("f2", sum("c2").over(w))
-          .withColumn("n1", sum("c1").over(Window.partitionBy(lit(1))))
-          .withColumn("n2", sum("c2").over(Window.partitionBy(lit(1))))
+        val totals = cnt.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        val steps = RangedRank.withRunningTotals(cnt, Seq.empty, Seq("value"),
+            Seq("c1" -> "f1", "c2" -> "f2"))
+          .crossJoin(broadcast(totals))
         steps.agg(
             max(abs(col("f1") * lit(1.0) / col("n1") -
               col("f2") * lit(1.0) / col("n2"))).as("d0"),
@@ -1479,18 +1477,15 @@ object Relational extends QueryModule {
     // over each group's ascending sort: ONE window + one aggregate on the
     // group clustering. Sums round at 2 (parallel-reduction noise ~1e-5)
     // before the identically-shaped final expression on both engines.
-    // Scale note: the rank window puts each GROUP in one task (fine while
-    // groups are many or moderate; 5 classes here bounds a partition at
-    // corpus/5). For huge single groups the rank decomposes exactly into
-    // repartitionByRange(x) + rank-within-shard + the O(shards) cumulative
-    // shard-count offset — the sequence-packing offset pattern
-    // (TextAnalysis.q_text_pack); Σ i·x then partial-combines per shard.
+    // Scale note: the rank runs through RangedRank.withRank — the
+    // range-sharded decomposition (rank-within-shard + O(shards)
+    // cumulative offsets), so no task ever holds a whole priority class
+    // even when one class is the whole corpus; RankScale measures the
+    // sharded plan vs the single-partition window on a 7.5M-row group.
     Q("q_agg_gini",
       (s, d) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, d, "orders")
-          .withColumn("i", row_number().over(w))
+        RangedRank.withRank(t(s, d, "orders"), Seq("o_orderpriority"),
+            Seq("o_totalprice", "o_orderkey"), "i")
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             round(sum("o_totalprice"), 2).as("sx"),
