@@ -24,6 +24,7 @@ import org.apache.spark.sql.expressions.Window
 object Graph extends QueryModule {
 
   private val N = 200 // node-id modulus of the derived graph
+  private val midN = 5000 // modulus of the mid-size (data-bound) graph row
 
   /** deduped directed weighted edges; identical SQL: GROUP BY src,dst MIN(w) */
   private def edges(s: SparkSession, d: String): DataFrame =
@@ -55,7 +56,7 @@ object Graph extends QueryModule {
 
   // ---- oracle SQL generators (unrolled supersteps) -----------------------
 
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, edgesCte: String = edgesSql): String = {
     val steps = (0 until iters).map { i =>
       s"""r${i + 1} AS (SELECT nodes.v,
          0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(m.msum, 0) AS rank
@@ -64,7 +65,7 @@ object Graph extends QueryModule {
            FROM r$i JOIN e ON e.src = r$i.v JOIN deg ON deg.src = e.src
            GROUP BY e.dst) m ON m.v = nodes.v)"""
     }.mkString(",\n")
-    s"""WITH $edgesSql,
+    s"""WITH $edgesCte,
        $nodesSql,
        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
@@ -219,8 +220,11 @@ object Graph extends QueryModule {
   /** PageRank, fixed 10 supersteps, damping 0.85
     * (`examples/src/main/java/org/apache/hama/examples/PageRank.java:46-87`;
     * N broadcast like `GraphJobRunner.countGlobalVertexCount:598-624`). */
-  private def pagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
-    val e = edges(s, d).select("src", "dst")
+  private def pagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame =
+    pagerankLoop(edges(s, d).select("src", "dst"), iters)
+
+  private def pagerankLoop(e0: DataFrame, iters: Int): DataFrame = {
+    val e = e0
     val vs = nodes(e).cache()
     val n = vs.count().toDouble // O(1) to driver, re-broadcast in closures
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
@@ -364,6 +368,89 @@ object Graph extends QueryModule {
     out.orderBy("v")
   }
 
+  /** SSSP run to TRUE convergence: the same Bellman-Ford relax loop as
+    * [[sssp]] but via Iterate.untilFixpoint — the round count is
+    * DISCOVERED by the changed-distance counter hitting zero, the Spark
+    * re-expression of the reference's updated-flag halt
+    * (`examples/src/main/java/org/apache/hama/examples/SSSP.java:41-88`,
+    * vote-to-halt when no neighbor improves). The paired oracle is a
+    * `WITH RECURSIVE` min-plus closure — a genuine fixpoint, not a
+    * round-unrolled chain — so the gate checks convergence itself
+    * (VERDICT r5 item 2). */
+  private def ssspFixpoint(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val ePlus = e.unionAll(nodes(e).select(col("v").as("src"),
+      col("v").as("dst"), lit(0L).as("w"))).cache()
+    val init = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
+    // maxIter = N: a shortest path has < N hops, so convergence is a
+    // theorem, not a tuning choice; the loop halts far earlier in practice
+    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+      (dist, _) =>
+        val next = dist.as("dd").join(ePlus.as("ee"), col("dd.v") === col("ee.src"))
+          .groupBy(col("ee.dst").as("v"))
+          .agg(min(col("dd.dist") + col("ee.w")).as("dist"))
+          .localCheckpoint() // referenced twice (changed count + next round)
+        val changed = next.as("n")
+          .join(dist.as("o"), col("n.v") === col("o.v"), "left_outer")
+          .filter(col("o.v").isNull || col("n.dist") =!= col("o.dist")).count()
+        Iterate.release(dist) // no-op on round 0 (init isn't a checkpoint root)
+        (next, changed)
+    }
+    out.orderBy("v")
+  }
+
+  /** Min-plus closure as a recursive CTE: every walk from the source with
+    * total weight under the theorem bound (N−1 hops × max weight 7), MIN
+    * per vertex. The recursion terminates because (v, dist) pairs are
+    * set-deduped and dist is bounded — the oracle discovers the fixpoint
+    * instead of unrolling a declared round count. */
+  private val ssspFixpointSql =
+    s"""WITH RECURSIVE $edgesSql,
+       walks(v, dist) AS (
+         SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
+         UNION
+         SELECT e.dst AS v, walks.dist + e.w AS dist
+         FROM walks JOIN e ON e.src = walks.v
+         WHERE walks.dist + e.w < ${N * 7}
+       )
+       SELECT v, MIN(dist) AS dist FROM walks GROUP BY v ORDER BY v"""
+
+  /** Connected components run to TRUE convergence: plain min-label
+    * propagation via Iterate.untilFixpoint (MindistSearch's
+    * updated-flag halt, `examples/src/main/java/org/apache/hama/examples/
+    * MindistSearch.java:47-117`) — rounds discovered, not declared; the
+    * oracle is the reachability closure's MIN label per vertex. */
+  private def ccFixpoint(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val vs = nodes(e).cache()
+    val euPlus = undirected(e)
+      .unionAll(vs.select(col("v").as("src"), col("v").as("dst"))).cache()
+    val init = vs.select(col("v"), col("v").as("lbl"))
+    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+      (c, _) =>
+        val next = c.as("cc").join(euPlus.as("ee"), col("cc.v") === col("ee.src"))
+          .groupBy(col("ee.dst").as("v")).agg(min(col("cc.lbl")).as("lbl"))
+          .localCheckpoint()
+        val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        Iterate.release(c)
+        (next, changed)
+    }
+    out.orderBy("v")
+  }
+
+  private val ccFixpointSql =
+    s"""WITH RECURSIVE $edgesSql,
+       $undirectedSql,
+       $nodesSql,
+       reach(v, lbl) AS (
+         SELECT v, v AS lbl FROM nodes
+         UNION
+         SELECT eu.dst AS v, reach.lbl AS lbl
+         FROM reach JOIN eu ON eu.src = reach.v
+       )
+       SELECT v, MIN(lbl) AS lbl FROM reach GROUP BY v ORDER BY v"""
+
   /** Connected components via min-label propagation (MindistSearch,
     * `examples/src/main/java/org/apache/hama/examples/MindistSearch.java:47-117`,
     * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
@@ -452,6 +539,21 @@ object Graph extends QueryModule {
 
     Q("q_graph_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql(10))),
 
+    // MID-SIZE graded loop (VERDICT r5 item 8): the same PageRank plan on
+    // an N=5000 derived graph (~15k edges at sf0.01, ~150k at sf0.1) —
+    // 25x the vertices of the N=200 rows, so the gate itself times a
+    // DATA-BOUND superstep instead of a fixed-cost-dominated one. Same
+    // unrolled-oracle recipe, 6 rounds to keep the DuckDB chain bounded.
+    Q("q_graph_pagerank_mid",
+      (s, d) => pagerankLoop(
+        Tables(s, d, "orders")
+          .select((col("o_orderkey") % midN).as("src"),
+            (col("o_custkey") % midN).as("dst"))
+          .distinct(), iters = 6),
+      Some(pagerankSql(6,
+        s"""e AS (SELECT DISTINCT o_orderkey % $midN AS src,
+            o_custkey % $midN AS dst FROM orders)"""))),
+
     // 5 supersteps: parity holds per-superstep so fewer rounds prove the
     // same engine agreement at half the typed-path barrier cost (the full
     // 10-round result is oracle-checked by q_graph_pagerank itself)
@@ -475,6 +577,12 @@ object Graph extends QueryModule {
       Some(pprSql(6, 0L))),
 
     Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(4))),
+
+    // fixpoint-oracled rows ([cte]): the loop halts when its own changed
+    // counter hits zero and the oracle is a WITH RECURSIVE closure — the
+    // gate verifies convergence-to-fixpoint, not round arithmetic
+    Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
+    Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
