@@ -255,11 +255,19 @@ object Relational extends QueryModule {
     // (0.05 is one σ of relative error, so ±15% = 3σ) — the driver
     // hash-checks both instead of recording no_oracle
     Q("q_agg_approx",
-      (s, d) => t(s, d, "orders").agg(
-        countDistinct(col("o_custkey")).as("exact_cust"),
-        countDistinct(col("o_totalprice")).as("exact_price"),
-        approx_count_distinct(col("o_custkey")).as("ac"),
-        approx_count_distinct(col("o_totalprice")).as("ap"))
+      (s, d) => {
+        // one distinct column per aggregate: two countDistinct columns in
+        // ONE agg force an Expand (x3 row multiplication) before the
+        // shuffle; split per-column, each plan is a pruned single-column
+        // scan + two-phase distinct agg, and the two scalar rows meet in
+        // a free cross join (r6 probe: 1.05 s vs 2.77 s combined at sf0.1)
+        val o = t(s, d, "orders")
+        o.agg(countDistinct(col("o_custkey")).as("exact_cust"),
+            approx_count_distinct(col("o_custkey")).as("ac"))
+          .crossJoin(o.agg(
+            countDistinct(col("o_totalprice")).as("exact_price"),
+            approx_count_distinct(col("o_totalprice")).as("ap")))
+      }
         .select(col("exact_cust"), col("exact_price"),
           (abs(col("ac") - col("exact_cust")) <= col("exact_cust") * 0.15).as("cust_within_rsd"),
           (abs(col("ap") - col("exact_price")) <= col("exact_price") * 0.15).as("price_within_rsd")),

@@ -194,7 +194,11 @@ object TextAnalysis extends QueryModule {
         // document frequency as a count window over the tf relation — the
         // r2 shape re-derived tf twice (once for dfreq's groupBy, once for
         // the join), i.e. two explodes + two aggregates + a join shuffle;
-        // the window is the same shuffle-by-tok but computes tf exactly once
+        // the window is the same shuffle-by-tok but computes tf exactly once.
+        // (r6 re-test: a localCheckpoint + broadcast-df variant measured
+        // 3.50 s/12 jobs vs this shape's 3.34 s/10 jobs at sf0.1 — the
+        // checkpoint job costs more than the by-tok re-shuffle saves at
+        // this corpus's 31-token vocabulary; see BASELINE.md r6 note.)
         val dfW = Window.partitionBy(col("tok"))
         val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
         val scored = tf
