@@ -172,6 +172,104 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-RESIDUAL PQ top-5 (the FAISS IVFPQ default encoding): each
+    * vector is split into coarse + fine parts — cell centroid (the IVF
+    * quantizer, same argmax-dot assignment as q_sim_ivf) plus a PQ code
+    * of the RESIDUAL v − centroid. Scoring is dot(q, centroid) EXACT
+    * (4 cells × 5 queries of micro-unit dots) plus the residual's ADC
+    * sum from a LUT of raw query subvectors against residual codewords:
+    * dot(q, v) ≈ dot(q, c) + Σ_m lut[q, m, code_m(v−c)]. The residual
+    * codebook samples vec_id ∈ [4, 4+pqK) — the centroid vectors
+    * themselves (vec_id < 4) have zero residuals and would waste half
+    * the codewords. Candidates stay vec_id ≥ pqK, so the recall
+    * evaluator compares against q_sim_pq on the SAME candidate set. */
+  private def pqResidualTop(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cen = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // cell + that cell's centroid vector, per vector (ivfCellsSql recipe)
+    val cells = emb.crossJoin(broadcast(cen))
+      .withColumn("cdot", round(vecDot(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(struct(col("c_id"), col("cv")),
+          struct(col("cdot"), -col("c_id"))).as("cc"))
+      .select(col("vec_id"), col("v"),
+        col("cc.c_id").as("cell"), col("cc.cv").as("ccv"))
+    val rsd = cells.select(col("vec_id"), col("cell"),
+      zip_with(col("v"), col("ccv"), (a, b) => a - b).as("rv"))
+    val ms = (0 until pqM).map(m => lit(m))
+    val rsub = rsd.select(col("vec_id"), explode(array(ms: _*)).as("m"), col("rv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("rv"), col("m") * pqSub + 1, lit(pqSub)).as("rsv"))
+    val rcb = rsub.filter(col("vec_id") >= 4 && col("vec_id") < 4 + pqK)
+      .select(col("vec_id").as("k"), col("m"), col("rsv").as("cbv"))
+    val codes = rsub.filter(col("vec_id") >= pqK)
+      .select(col("vec_id").as("cand_id"), col("m"), col("rsv"))
+      .join(broadcast(rcb), "m")
+      .withColumn("dot", round(vecDot(col("rsv"), col("cbv")), 6))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
+    val qsub = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), explode(array(ms: _*)).as("m"), col("v"))
+      .select(col("q_id"), col("m"),
+        slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("qsv"))
+    val lut = qsub.join(broadcast(rcb), "m")
+      .select(col("q_id"), col("m").as("lm"), col("k"),
+        floor(vecDot(col("qsv"), col("cbv")) * 1e6 + 0.5).cast("long").as("lut_u"))
+    val qcd = emb.filter(col("vec_id") < 5).crossJoin(broadcast(cen))
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+        floor(vecDot(col("v"), col("cv")) * 1e6 + 0.5).cast("long").as("qc_u"))
+    val rsum = codes
+      .join(broadcast(lut), col("lm") === col("m") && col("k") === col("code_k"))
+      .groupBy(col("q_id"), col("cand_id")).agg(sum(col("lut_u")).as("r_u"))
+    val scores = rsum
+      .join(cells.select(col("vec_id").as("cand_id"), col("cell")), "cand_id")
+      .join(broadcast(qcd), Seq("q_id", "cell"))
+      .select(col("q_id"), col("cand_id"), (col("r_u") + col("qc_u")).as("adot_u"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("adot_u"), asc("cand_id"))
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("adot_u"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** residual-PQ chain (expects prior e + ivfCellsSql CTEs) → rpqtop. */
+  private val pqResidualSql =
+    s"""rsd AS (SELECT e.vec_id, e.pos, e.ev - cen.cv AS rv
+         FROM e JOIN cells ON cells.vec_id = e.vec_id
+         JOIN cen ON cen.c_id = cells.cell AND cen.pos = e.pos),
+       rsub AS (SELECT vec_id, pos // $pqSub AS m, pos % $pqSub AS sp, rv FROM rsd),
+       rcb AS (SELECT vec_id AS k, m, sp, rv AS cbv FROM rsub
+         WHERE vec_id >= 4 AND vec_id < ${4 + pqK}),
+       rcd AS (SELECT s.vec_id AS cand_id, s.m, c.k,
+         ROUND(SUM(s.rv * c.cbv), 6) AS dot
+         FROM rsub s JOIN rcb c ON s.m = c.m AND s.sp = c.sp
+         WHERE s.vec_id >= $pqK GROUP BY cand_id, s.m, c.k),
+       rcodes AS (SELECT cand_id, m, k AS code_k FROM rcd
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY cand_id, m
+           ORDER BY dot DESC, k) = 1),
+       qsb AS (SELECT vec_id, pos // $pqSub AS m, pos % $pqSub AS sp, ev
+         FROM e WHERE vec_id < 5),
+       rlut AS (SELECT s.vec_id AS q_id, s.m, c.k,
+         CAST(FLOOR(SUM(s.ev * c.cbv) * 1e6 + 0.5) AS BIGINT) AS lut_u
+         FROM qsb s JOIN rcb c ON s.m = c.m AND s.sp = c.sp
+         GROUP BY q_id, s.m, c.k),
+       qcd AS (SELECT e.vec_id AS q_id, cen.c_id AS cell,
+         CAST(FLOOR(SUM(e.ev * cen.cv) * 1e6 + 0.5) AS BIGINT) AS qc_u
+         FROM e JOIN cen USING (pos) WHERE e.vec_id < 5 GROUP BY q_id, cen.c_id),
+       rsum AS (SELECT l.q_id, rc.cand_id, CAST(SUM(l.lut_u) AS BIGINT) AS r_u
+         FROM rcodes rc JOIN rlut l ON l.m = rc.m AND l.k = rc.code_k
+         GROUP BY l.q_id, rc.cand_id),
+       rscores AS (SELECT r.q_id, r.cand_id, r.r_u + q.qc_u AS adot_u
+         FROM rsum r JOIN cells cc ON cc.vec_id = r.cand_id
+         JOIN qcd q ON q.q_id = r.q_id AND q.cell = cc.cell),
+       rpqtop AS (SELECT q_id, cand_id, adot_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adot_u DESC, cand_id) AS BIGINT) AS rank
+         FROM rscores)"""
+
   /** round-6 cosine of every (query, candidate) pair — the bsims relation
     * both q_sim_topk and ML's q_ml_knn rank (SQL twin: bruteSimsSql). */
   private[operators] def bruteSims(s: SparkSession, d: String): DataFrame = {
@@ -552,6 +650,35 @@ object Similarity extends QueryModule {
       (s, d) => pqRecallOf(s, d, "q_sim_pq_trained"),
       Some(s"""WITH $eSql, $pqScoresSql, $pqTrainedSql, $pqTruthSql
                ${pqRecallSql("tpqtop")}""")),
+
+    // IVF-RESIDUAL PQ (VERDICT r5 item 7 — the FAISS IVFPQ default):
+    // coarse centroid dot EXACT + PQ-encoded residual via ADC. The
+    // residual's variance is what the codebook has to cover, and the
+    // exact coarse term re-injects the signal the pure-ADC ranking
+    // loses — see q_sim_pq_residual_recall for the measured effect on
+    // the same candidate set as q_sim_pq.
+    Q("q_sim_pq_residual",
+      (s, d) => pqResidualTop(s, d),
+      Some(s"""WITH $eSql, $ivfCellsSql, $pqResidualSql
+               SELECT q_id, rank, cand_id, adot_u FROM rpqtop
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ... and its measured recall@5 vs the exact-dot truth on the SAME
+    // candidate set as q_sim_pq_recall — the number that decides whether
+    // residual encoding pays for itself on this corpus. MEASURED NEGATIVE
+    // (sf0.01): 0.08 mean vs plain PQ's 0.20. On isotropic random
+    // embeddings the 4 sampled coarse centroids barely correlate with any
+    // vector (E[max cos] ≈ √(2·ln4/64) ≈ 0.2), so the residual carries
+    // MORE variance than the vector itself (~2×) and the residual
+    // codebook quantizes worse than the direct one — the same
+    // no-cluster-structure failure the trained-codebook row records.
+    // On real clustered embeddings (where trained IVF centroids absorb
+    // most of the norm) the inequality flips; the row's value is that
+    // the deployment decision is MEASURED, not assumed.
+    Q("q_sim_pq_residual_recall",
+      (s, d) => pqRecallOf(s, d, "q_sim_pq_residual"),
+      Some(s"""WITH $eSql, $ivfCellsSql, $pqResidualSql, $pqTruthSql
+               ${pqRecallSql("rpqtop")}""")),
 
     // IVF+PQ — the production-scale composition (FAISS's IVFPQ shape):
     // the inverted file prunes the candidate list to the query's cell,
