@@ -942,6 +942,126 @@ object TextAnalysis extends QueryModule {
                        FROM tf JOIN lm USING (tok) CROSS JOIN scal GROUP BY doc_id)
                SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                  ROUND(llr, 6) AS llr_per_token
-               FROM agg ORDER BY doc_id"""))
+               FROM agg ORDER BY doc_id""")),
+
+    // BM25 LEXICAL RETRIEVAL (Okapi, k1=1.2, b=0.75): queries = the
+    // distinct token sets of doc_id < 5 (aligned with the vector rows'
+    // vec_id < 5 queries), candidates = doc_id >= 5. One corpus-side
+    // (doc, tok) aggregate, document lengths, df, and a broadcast of the
+    // tiny query-term relation — the score join is a broadcast probe of
+    // the tf relation followed by a partial-combining per-(q, doc) sum,
+    // so the corpus is shuffled once no matter how many queries ride
+    // along. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the floor-at-zero
+    // BM25+ form); scores round at 6 before ranking, ties to doc_id.
+    Q("q_text_bm25",
+      (s, d) => bm25Top(s, d, 5),
+      Some(s"""WITH $toksSql, $bm25Sql
+               SELECT q_id, rank, cand_id, bm25 FROM (
+                 SELECT q_id, cand_id, bm25,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY bm25 DESC, cand_id) AS BIGINT) AS rank
+                 FROM bm) t
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // HYBRID RETRIEVAL via RECIPROCAL RANK FUSION: the deployment-shape
+    // ranker — BM25 lexical ranks and exact-cosine vector ranks over the
+    // SAME query/candidate split (doc_id ↔ vec_id align 1:1), fused as
+    // Σ 1/(60 + rank) with a missing side contributing 0 (a candidate
+    // sharing no query token has no lexical rank). Both rank lists are
+    // per-query row_numbers over corpus-wide scores; the fusion is a
+    // full-outer join on (q_id, cand_id) + one arithmetic projection —
+    // no re-scoring, which is RRF's point at scale: rank lists from ANY
+    // retriever pair combine without calibrating score ranges.
+    Q("q_sim_hybrid_rrf",
+      (s, d) => {
+        val wB = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
+        val lex = bm25Scores(s, d)
+          .withColumn("lr", row_number().over(wB))
+          .select(col("q_id"), col("cand_id"), col("lr"))
+        val wV = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val vec = Similarity.bruteSims(s, d)
+          .withColumn("vr", row_number().over(wV))
+          .select(col("q_id"), col("cand_id"), col("vr"))
+        val fused = lex.join(vec, Seq("q_id", "cand_id"), "full_outer")
+          .select(col("q_id"), col("cand_id"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)), 6).as("rrf"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), asc("cand_id"))
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("rrf"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $toksSql, $bm25Sql, ${Similarity.eSql}, ${Similarity.bruteSimsSql},
+               lex AS (SELECT q_id, cand_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY bm25 DESC, cand_id) AS BIGINT) AS lr FROM bm),
+               vec AS (SELECT q_id, cand_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, cand_id) AS BIGINT) AS vr FROM bsims),
+               fused AS (SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+                 COALESCE(lex.cand_id, vec.cand_id) AS cand_id,
+                 ROUND(COALESCE(1.0 / (60 + lr), 0) +
+                       COALESCE(1.0 / (60 + vr), 0), 6) AS rrf
+                 FROM lex FULL JOIN vec
+                   ON lex.q_id = vec.q_id AND lex.cand_id = vec.cand_id)
+               SELECT q_id, rank, cand_id, rrf FROM (
+                 SELECT q_id, cand_id, rrf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank
+                 FROM fused) t
+               WHERE rank <= 5 ORDER BY q_id, rank"""))
   )
+
+  /** BM25 scores per (query, candidate) over the shared token relation;
+    * SQL twin: [[bm25Sql]]'s `bm` CTE. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val tk = toks(s, d)
+    val cd = tk.filter(col("doc_id") >= 5)
+    val tf = cd.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = cd.groupBy("doc_id").agg(count(lit(1)).cast("double").as("len"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("len")).as("avglen"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val qt = tk.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    tf.join(broadcast(qt), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("doc_id").as("cand_id"))
+      .agg(round(sum(
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen")))), 6)
+        .as("bm25"))
+  }
+
+  private def bm25Top(s: SparkSession, d: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
+    bm25Scores(s, d).withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("bm25"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** BM25 chain (expects a prior `toks` CTE) → bm(q_id, cand_id, bm25).
+    * A def: referenced from defs's initializer, which runs before any
+    * trailing val would be assigned. */
+  private def bm25Sql =
+    """cd AS (SELECT doc_id, tok FROM toks WHERE doc_id >= 5),
+       tfq AS (SELECT doc_id, tok, COUNT(*) AS tf FROM cd GROUP BY doc_id, tok),
+       dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len FROM cd GROUP BY doc_id),
+       bstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(len) AS avglen FROM dl),
+       dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY tok),
+       qtt AS (SELECT DISTINCT doc_id AS q_id, tok FROM toks WHERE doc_id < 5),
+       bm AS (SELECT qtt.q_id, tfq.doc_id AS cand_id,
+         ROUND(SUM(LN(1.0 + (bstats.nd - dfq.df + 0.5) / (dfq.df + 0.5)) *
+           tfq.tf * 2.2 /
+           (tfq.tf + 1.2 * (0.25 + 0.75 * dl.len / bstats.avglen))), 6) AS bm25
+         FROM qtt JOIN tfq USING (tok)
+         JOIN dl ON dl.doc_id = tfq.doc_id
+         JOIN dfq ON dfq.tok = tfq.tok
+         CROSS JOIN bstats
+         GROUP BY qtt.q_id, tfq.doc_id)"""
 }
