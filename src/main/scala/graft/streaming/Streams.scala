@@ -353,6 +353,66 @@ object Streams {
     spark.read.parquet(cur.getPath)
   }
 
+  /** Per-user running totals maintained as a [[TxLog]]-backed MERGE
+    * table — the lake-scale form of [[runUpsertTotals]]: each
+    * micro-batch key-replaces into the serving state and commits
+    * `{adds: [new part], removes: [old parts]}` atomically to the
+    * versioned log. Readers replay the log (snapshot isolation), any
+    * version stays addressable ([[readMergeTable]] time travel), a
+    * crash before the log rename leaves only invisible orphans
+    * (TxLog.vacuum sweeps them), and a concurrent-writer conflict
+    * surfaces as a failed rename → re-read + retry, never a lost
+    * update. Returns the final snapshot. */
+  def runMergeTotals(spark: SparkSession, eventsPath: String,
+      tableDir: String, options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import java.nio.file.{Files, Paths}
+    val agg = events(spark, eventsPath, options)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    Files.createDirectories(Paths.get(tableDir))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        var committed = false
+        var attempt = 0
+        while (!committed) {
+          val snap = TxLog.snapshot(tableDir)
+          val merged =
+            if (snap.files.nonEmpty) {
+              val state = spark.read.parquet(
+                snap.files.map(f => s"$tableDir/$f"): _*)
+              state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                .unionByName(batch)
+            } else batch
+          // stage the new part OUTSIDE the log, then move it in: until
+          // the commit entry lands, the file is an invisible orphan
+          val stage = Files.createTempDirectory("graft-merge-stage").toString
+          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val name = s"part-b$batchId-a$attempt-${part.getName.stripPrefix("part-")}"
+          Files.move(part.toPath, Paths.get(tableDir, name))
+          committed = TxLog.commit(tableDir, Seq(name), snap.files,
+            expectedCurrent = snap.version).isDefined
+          if (!committed) { // conflict: orphan our part, re-read, retry
+            Files.deleteIfExists(Paths.get(tableDir, name)): Unit
+          }
+          attempt += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readMergeTable(spark, tableDir)
+  }
+
+  /** Snapshot (optionally time-traveled) read of a TxLog MERGE table. */
+  def readMergeTable(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(tableDir, asOf)
+    require(snap.files.nonEmpty, s"empty table $tableDir at version ${snap.version}")
+    spark.read.parquet(snap.files.map(f => s"$tableDir/$f"): _*)
+  }
+
   /** FULL-OUTER stream-stream interval join: [[leftOuterIntervalJoin]]
     * plus one NULL-padded row per never-matched PURCHASE once the
     * watermark passes its event time — BOTH state stores emit on
