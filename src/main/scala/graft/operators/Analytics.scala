@@ -337,5 +337,48 @@ object Analytics extends QueryModule {
                 ROUND(ABS(e.value - m.med) / (1.4826 * m.mad), 6) AS rz
               FROM events e JOIN mad m ON m.user_id = e.user_id
               WHERE ROUND(ABS(e.value - m.med) / (1.4826 * m.mad), 6) > 3.5
-              ORDER BY e.user_id, e.event_id""")))
+              ORDER BY e.user_id, e.event_id""")),
+
+    // CUSUM change-point detection: per user, the cumulative deviation
+    // from the series mean s_i = Σ_{j≤i}(x_j − μ) peaks where the level
+    // shifts — the monitoring primitive behind drift alarms on training
+    // -data ingest streams. The cumulative sum AND the position index
+    // both come out of ONE RangedRank.withRunningTotals pass (the
+    // range-sharded decomposition — no per-user ordered window task even
+    // for a user holding the whole corpus); the argmax is then a plain
+    // max_by aggregate on the rounded lattice, ties to the earliest
+    // position, identical in the oracle's QUALIFY.
+    Q("q_events_cusum",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), lit(1L).as("one"))
+        val mu = ev(s, d).groupBy("user_id")
+          .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+        val cum = RangedRank.withRunningTotals(e, Seq("user_id"),
+          Seq("ts", "event_id"), Seq("value" -> "cum", "one" -> "i"))
+        cum.join(mu, Seq("user_id"))
+          .select(col("user_id"), col("n"), col("i"),
+            round(abs(col("cum") - col("i") * (col("sv") / col("n"))), 4).as("sabs"))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n"),
+            max(col("sabs")).as("max_cusum"),
+            max_by(col("i"), struct(col("sabs"), -col("i"))).as("at_i"))
+          .select(col("user_id"), col("n"), col("at_i"), col("max_cusum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (SELECT user_id, SUM(value) AS sv, COUNT(*) AS n
+                         FROM events GROUP BY user_id),
+              c AS (SELECT user_id, value,
+                      SUM(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS i
+                    FROM events),
+              sdev AS (SELECT c.user_id, m.n, c.i,
+                         ROUND(ABS(c.cum - c.i * (m.sv / m.n)), 4) AS sabs
+                       FROM c JOIN m USING (user_id))
+              SELECT user_id, n, i AS at_i, sabs AS max_cusum FROM sdev
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY sabs DESC, i) = 1
+              ORDER BY user_id""")))
 }

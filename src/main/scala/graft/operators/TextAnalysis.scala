@@ -973,45 +973,94 @@ object TextAnalysis extends QueryModule {
     // no re-scoring, which is RRF's point at scale: rank lists from ANY
     // retriever pair combine without calibrating score ranges.
     Q("q_sim_hybrid_rrf",
+      (s, d) => hybridRrfTop(s, d),
+      Some(s"""WITH $toksSql, $bm25Sql, ${Similarity.eSql}, ${Similarity.bruteSimsSql},
+               $rrfSql
+               SELECT q_id, rank, cand_id, rrf FROM rtop
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // RETRIEVAL QUALITY: nDCG@5 of the hybrid ranking with the exact
+    // cosine similarity as the (continuous) relevance grade — the
+    // evaluator that says whether fusing the lexical ranks HELPED over
+    // pure vector search (whose nDCG is 1 by construction against its
+    // own grades). DCG = Σ rel(r)/log2(r+1) over the fused top-5; IDCG
+    // the same over the cosine-ideal top-5; both engines sum the same 5
+    // rounded grades.
+    Q("q_sim_hybrid_ndcg",
       (s, d) => {
-        val wB = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
-        val lex = bm25Scores(s, d)
-          .withColumn("lr", row_number().over(wB))
-          .select(col("q_id"), col("cand_id"), col("lr"))
-        val wV = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
-        val vec = Similarity.bruteSims(s, d)
-          .withColumn("vr", row_number().over(wV))
-          .select(col("q_id"), col("cand_id"), col("vr"))
-        val fused = lex.join(vec, Seq("q_id", "cand_id"), "full_outer")
-          .select(col("q_id"), col("cand_id"),
-            round(coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)), 6).as("rrf"))
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), asc("cand_id"))
-        fused.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("cand_id"), col("rrf"))
-          .orderBy("q_id", "rank")
+        val sims = Similarity.bruteSims(s, d)
+        val fusedRel = hybridRrfTop(s, d)
+          .select(col("q_id"), col("rank"), col("cand_id"))
+          .join(sims, Seq("q_id", "cand_id"))
+        val dcg = fusedRel.groupBy("q_id")
+          .agg(round(sum(col("sim") / log(2.0, col("rank") + 1)), 6).as("dcg"))
+        val wI = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val idcg = sims.withColumn("irank", row_number().over(wI).cast("long"))
+          .filter(col("irank") <= 5)
+          .groupBy("q_id")
+          .agg(round(sum(col("sim") / log(2.0, col("irank") + 1)), 6).as("idcg"))
+        dcg.join(idcg, "q_id")
+          .select(col("q_id"), col("dcg"), col("idcg"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg"))
+          .orderBy("q_id")
       },
       Some(s"""WITH $toksSql, $bm25Sql, ${Similarity.eSql}, ${Similarity.bruteSimsSql},
-               lex AS (SELECT q_id, cand_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY bm25 DESC, cand_id) AS BIGINT) AS lr FROM bm),
-               vec AS (SELECT q_id, cand_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY sim DESC, cand_id) AS BIGINT) AS vr FROM bsims),
-               fused AS (SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
-                 COALESCE(lex.cand_id, vec.cand_id) AS cand_id,
-                 ROUND(COALESCE(1.0 / (60 + lr), 0) +
-                       COALESCE(1.0 / (60 + vr), 0), 6) AS rrf
-                 FROM lex FULL JOIN vec
-                   ON lex.q_id = vec.q_id AND lex.cand_id = vec.cand_id)
-               SELECT q_id, rank, cand_id, rrf FROM (
-                 SELECT q_id, cand_id, rrf,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                     ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank
-                 FROM fused) t
-               WHERE rank <= 5 ORDER BY q_id, rank"""))
+               $rrfSql,
+               dcg AS (SELECT t.q_id,
+                   ROUND(SUM(b.sim / log2(t.rank + 1)), 6) AS dcg
+                 FROM rtop t JOIN bsims b
+                   ON b.q_id = t.q_id AND b.cand_id = t.cand_id
+                 WHERE t.rank <= 5 GROUP BY t.q_id),
+               idcg AS (SELECT q_id, ROUND(SUM(sim / log2(irank + 1)), 6) AS idcg
+                 FROM (SELECT q_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, cand_id) AS BIGINT) AS irank
+                   FROM bsims) r
+                 WHERE irank <= 5 GROUP BY q_id)
+               SELECT q_id, dcg, idcg, ROUND(dcg / idcg, 6) AS ndcg
+               FROM dcg JOIN idcg USING (q_id) ORDER BY q_id"""))
   )
+
+  /** hybrid BM25+cosine RRF top-5; SQL twin: [[rrfSql]]'s `rtop`. */
+  private def hybridRrfTop(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
+    val lex = bm25Scores(s, d)
+      .withColumn("lr", row_number().over(wB))
+      .select(col("q_id"), col("cand_id"), col("lr"))
+    val wV = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+    val vec = Similarity.bruteSims(s, d)
+      .withColumn("vr", row_number().over(wV))
+      .select(col("q_id"), col("cand_id"), col("vr"))
+    val fused = lex.join(vec, Seq("q_id", "cand_id"), "full_outer")
+      .select(col("q_id"), col("cand_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)), 6).as("rrf"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), asc("cand_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("rrf"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** RRF fusion chain (expects bm + bsims CTEs) → rtop(q_id, rank,
+    * cand_id, rrf). A def: referenced from defs's initializer. */
+  private def rrfSql =
+    """lex AS (SELECT q_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY bm25 DESC, cand_id) AS BIGINT) AS lr FROM bm),
+       vec AS (SELECT q_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY sim DESC, cand_id) AS BIGINT) AS vr FROM bsims),
+       fused AS (SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+         COALESCE(lex.cand_id, vec.cand_id) AS cand_id,
+         ROUND(COALESCE(1.0 / (60 + lr), 0) +
+               COALESCE(1.0 / (60 + vr), 0), 6) AS rrf
+         FROM lex FULL JOIN vec
+           ON lex.q_id = vec.q_id AND lex.cand_id = vec.cand_id),
+       rtop AS (SELECT q_id, cand_id, rrf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank
+         FROM fused)"""
 
   /** BM25 scores per (query, candidate) over the shared token relation;
     * SQL twin: [[bm25Sql]]'s `bm` CTE. */

@@ -11,11 +11,12 @@ import scala.jdk.CollectionConverters._
   * references them, which gives:
   *
   *   - **atomic commits**: an entry is staged as `_txlog/.tmp-*` and
-  *     promoted with an atomic rename to `_txlog/<version>.json`; the
-  *     rename fails if the version exists, so concurrent writers get
-  *     optimistic-concurrency conflicts instead of lost updates;
+  *     promoted by HARD-LINKING it to `_txlog/<version>.json` — link
+  *     creation is atomic and fails if the version exists, so
+  *     concurrent writers get optimistic-concurrency conflicts instead
+  *     of lost updates (a rename would silently replace);
   *   - **crash safety**: a writer dying after writing data files but
-  *     before the rename leaves ORPHANS that no reader ever sees;
+  *     before the link leaves ORPHANS that no reader ever sees;
   *     [[vacuum]] sweeps them;
   *   - **snapshot isolation + time travel**: [[snapshot]] replays the
   *     log to any version; readers pin a file set, never a directory
