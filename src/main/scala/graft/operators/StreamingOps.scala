@@ -576,6 +576,47 @@ object StreamingOps extends QueryModule {
               GROUP BY v.version, e.user_id
               ORDER BY v.version, e.user_id""")),
 
+    // Spark 4 transformWithState IN THE GATE: per-user totals as a
+    // custom StatefulProcessor with typed ValueState in RocksDB — the
+    // arbitrary-state operator API one step past
+    // flatMapGroupsWithState (explicit lifecycle, named state
+    // variables, TTL/timers available). Three range-split batches with
+    // maxFilesPerTrigger=1 force the state to round-trip RocksDB across
+    // micro-batches; update mode emits per batch, and the final state
+    // per user is the max-count row. Oracle: the plain batch GROUP BY.
+    Q("q_stream_live_tws",
+      (s, d) => {
+        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-tws-in").toString
+        Tables(s, d, "events")
+          .repartitionByRange(3, col("event_id"))
+          .write.parquet(s"$stage/in")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val emitted = runLive(s,
+            graft.streaming.Streams.totalsTransformWithState(
+                graft.streaming.Streams.events(s, s"$stage/in",
+                  Map("maxFilesPerTrigger" -> "1")))
+              .toDF("user_id", "n_events", "total"),
+            "update", Seq("user_id"))
+          emitted.groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+              max_by(col("total"), col("n_events")).as("t0"))
+            .select(col("user_id"), col("n_events"), round(col("t0"), 2).as("total"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
     // stateful join operators in ONE streaming query (multi-stateful
     // append mode), the second keyed on event time carried through the

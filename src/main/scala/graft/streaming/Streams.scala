@@ -492,6 +492,43 @@ object Streams {
       }
   }
 
+  /** Per-user running totals via Spark 4's `transformWithState` — the
+    * ARBITRARY-STATE OPERATOR API (typed `ValueState` living in the
+    * RocksDB state store, explicit init/handleInputRows lifecycle). This
+    * is the closest modern analogue of a Hama BSP peer: `init` = peer
+    * setup, each micro-batch's `handleInputRows` = one superstep over
+    * the key's messages, the ValueState = the peer-local store carried
+    * across supersteps (`core/src/main/java/org/apache/hama/bsp/
+    * BSPPeer.java:34-205`). Update mode emits the state after every
+    * batch, so the final state per key is the row with the max count.
+    * Requires the RocksDB state store provider (the declared row sets
+    * and restores the session conf). */
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, total) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; total += v }
+      totals.update((n, total))
+      Iterator.single((key, n, total))
+    }
+  }
+
+  def totalsTransformWithState(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
