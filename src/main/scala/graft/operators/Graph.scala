@@ -451,6 +451,61 @@ object Graph extends QueryModule {
        )
        SELECT v, MIN(lbl) AS lbl FROM reach GROUP BY v ORDER BY v"""
 
+  /** Closeness centrality + eccentricity from the 5 lowest-id sources:
+    * MULTI-SOURCE BFS run to fixpoint — one state relation keyed
+    * (source, vertex, dist), all sources expanding in the same
+    * join→min-agg superstep (5 BFS trees for the price of one loop; at
+    * 1000 sources the same plan stands, state is sources × reached).
+    * Rounds are discovered (changed-count halt); the oracle is the
+    * recursive hop-closure per source. closeness = (reached−1)/Σdist,
+    * ecc = max dist — the standard sampled-landmark estimators. */
+  private def closeness(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d).select("src", "dst")
+    val ePlus = e.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionAll(nodes(e).select(col("v").as("src"), col("v").as("dst"),
+        lit(0L).as("w"))).cache()
+    val init = nodes(e).filter(col("v") < 5)
+      .select(col("v").as("q"), col("v"), lit(0L).as("dist"))
+    val (dist, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+      (st, _) =>
+        val next = st.as("ss").join(ePlus.as("ee"), col("ss.v") === col("ee.src"))
+          .groupBy(col("ss.q"), col("ee.dst").as("v"))
+          .agg(min(col("ss.dist") + col("ee.w")).as("dist"))
+          .localCheckpoint()
+        val changed = next.as("n")
+          .join(st.as("o"), col("n.q") === col("o.q") && col("n.v") === col("o.v"),
+            "left_outer")
+          .filter(col("o.v").isNull || col("n.dist") =!= col("o.dist")).count()
+        Iterate.release(st)
+        (next, changed)
+    }
+    dist.groupBy(col("q").as("src"))
+      .agg((count(lit(1)) - 1).as("n_reached"), sum("dist").as("sum_dist"),
+        max("dist").as("ecc"))
+      .filter(col("sum_dist") > 0)
+      .select(col("src"), col("n_reached"), col("sum_dist"),
+        round((col("n_reached") * lit(1.0)) / col("sum_dist"), 6).as("closeness"),
+        col("ecc"))
+      .orderBy("src")
+  }
+
+  private val closenessSql =
+    s"""WITH RECURSIVE $edgesSql,
+       $nodesSql,
+       walks(q, v, d) AS (
+         SELECT v AS q, v, CAST(0 AS BIGINT) AS d FROM nodes WHERE v < 5
+         UNION
+         SELECT w.q, e.dst AS v, w.d + 1 AS d
+         FROM walks w JOIN e ON e.src = w.v
+         WHERE w.d + 1 < $N
+       ),
+       dist AS (SELECT q, v, MIN(d) AS d FROM walks GROUP BY q, v)
+       SELECT q AS src, COUNT(*) - 1 AS n_reached,
+         CAST(SUM(d) AS BIGINT) AS sum_dist,
+         ROUND((COUNT(*) - 1) * 1.0 / SUM(d), 6) AS closeness,
+         CAST(MAX(d) AS BIGINT) AS ecc
+       FROM dist GROUP BY q HAVING SUM(d) > 0 ORDER BY src"""
+
   /** Connected components via min-label propagation (MindistSearch,
     * `examples/src/main/java/org/apache/hama/examples/MindistSearch.java:47-117`,
     * MinTextCombiner → min partial agg), fixed rounds on the undirected view. */
@@ -583,6 +638,7 @@ object Graph extends QueryModule {
     // gate verifies convergence-to-fixpoint, not round arithmetic
     Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
+    Q("q_graph_closeness", (s, d) => closeness(s, d), Some(closenessSql)),
 
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
