@@ -617,6 +617,62 @@ object StreamingOps extends QueryModule {
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ... and the full typed-state surface of that API in one processor:
+    // ValueState counter + ListState latest-3 event ids (commutative
+    // keep-3-largest merge, arrival-order independent) + MapState
+    // per-type counts — the named-state-variables upgrade over
+    // flatMapGroupsWithState's single state slot. Same 3-batch RocksDB
+    // round-trip staging; oracle recomputes all three state shapes as
+    // plain batch aggregates.
+    Q("q_stream_live_tws_profile",
+      (s, d) => {
+        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-twsp-in").toString
+        Tables(s, d, "events")
+          .repartitionByRange(3, col("event_id"))
+          .write.parquet(s"$stage/in")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val emitted = runLive(s,
+            graft.streaming.Streams.profileTransformWithState(
+                graft.streaming.Streams.events(s, s"$stage/in",
+                  Map("maxFilesPerTrigger" -> "1")))
+              .toDF("user_id", "n_events", "n_types", "last3", "type_counts"),
+            "update", Seq("user_id"))
+          emitted.groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+              max_by(struct(col("n_types"), col("last3"), col("type_counts")),
+                col("n_events")).as("fin"))
+            .select(col("user_id"), col("n_events"), col("fin.n_types").as("n_types"),
+              col("fin.last3").as("last3"), col("fin.type_counts").as("type_counts"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""WITH r AS (SELECT user_id, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY event_id DESC) AS rn
+                FROM events),
+              l AS (SELECT user_id,
+                  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS last3
+                FROM r WHERE rn <= 3 GROUP BY user_id),
+              tc AS (SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY user_id, event_type),
+              tl AS (SELECT user_id, COUNT(*) AS n_types,
+                  string_agg(event_type || ':' || c, ',' ORDER BY event_type) AS type_counts
+                FROM tc GROUP BY user_id),
+              n AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+              SELECT n.user_id, n.n_events, tl.n_types, l.last3, tl.type_counts
+              FROM n JOIN l USING (user_id) JOIN tl USING (user_id)
+              ORDER BY user_id""")),
+
     // LIVE 3-step funnel via CHAINED stream-stream interval joins — two
     // stateful join operators in ONE streaming query (multi-stateful
     // append mode), the second keyed on event time carried through the

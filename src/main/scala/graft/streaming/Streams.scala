@@ -520,6 +520,57 @@ object Streams {
     }
   }
 
+  /** All three typed state shapes of the transformWithState API in one
+    * processor: a ValueState event counter, a ListState holding each
+    * user's 3 LATEST event ids (merge = keep the 3 largest ids — a
+    * commutative fold, so the result is arrival-order independent), and
+    * a MapState of per-event-type counts. Emits one row per key per
+    * batch; the event counter is monotone, so the final state is the
+    * max-count row. */
+  class ProfileProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), (Long, Long, Long, String, String)] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var last3: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+      seen = getHandle.getValueState("seen", E.scalaLong, ttl)
+      last3 = getHandle.getListState("last3", E.scalaLong, ttl)
+      types = getHandle.getMapState("types", E.STRING, E.scalaLong, ttl)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long, String, String)] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (last3.exists()) ids ++= last3.get()
+      rows.foreach { case (_, eid, tpe) =>
+        n += 1
+        ids += eid
+        val c = if (types.containsKey(tpe)) types.getValue(tpe) else 0L
+        types.updateValue(tpe, c + 1)
+      }
+      val kept = ids.sorted.takeRight(3).toArray
+      last3.put(kept)
+      seen.update(n)
+      val typeCsv = types.iterator().toSeq.sortBy(_._1)
+        .map { case (t, c) => s"$t:$c" }.mkString(",")
+      Iterator.single((key, n, types.keys().size.toLong,
+        kept.sorted.mkString(","), typeCsv))
+    }
+  }
+
+  def profileTransformWithState(events: DataFrame): Dataset[(Long, Long, Long, String, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String])
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def totalsTransformWithState(events: DataFrame): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
