@@ -576,6 +576,48 @@ object StreamingOps extends QueryModule {
               GROUP BY v.version, e.user_id
               ORDER BY v.version, e.user_id""")),
 
+    // Batch MERGE INTO with BUCKET-FILE PRUNING (MergeTable over TxLog):
+    // the table's files are hash-bucketed by user_id, and a correction
+    // batch touching only user_id % 10 == 0 rewrites ONLY the buckets
+    // holding those keys — a merge touching 1% of keys rewrites ~1% of
+    // the table, which is what makes a serving-table merge viable at
+    // 100 TB. Both versions stay addressable (time travel); the row
+    // requires the rewritten-bucket set to be exactly the touched keys'
+    // buckets, and MergeTableSpec proves untouched buckets keep their
+    // identical files across versions.
+    Q("q_merge_into",
+      (s, d) => {
+        val buckets = 8
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergeinto").toString
+        val base = Tables(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+          .localCheckpoint()
+        graft.streaming.MergeTable.load(s, table, base, "user_id", buckets)
+        val updates = base.filter(pmod(col("user_id"), lit(10)) === 0)
+          .select(col("user_id"), (col("n_events") + 1).as("n_events"),
+            (col("total") + 100).as("total"))
+        val (v1, touched) = graft.streaming.MergeTable.mergeInto(
+          s, table, updates, "user_id", buckets)
+        val expected = updates.select(pmod(col("user_id"), lit(buckets)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        require(v1 == 1L && touched == expected,
+          s"bucket pruning broken: rewrote $touched, expected $expected")
+        Seq(0L, 1L).map { v =>
+          graft.streaming.MergeTable.read(s, table, Some(v))
+            .select(lit(v).as("version"), col("user_id"), col("n_events"),
+              round(col("total"), 2).as("total"))
+        }.reduce(_ unionAll _).orderBy("version", "user_id").localCheckpoint()
+      },
+      Some("""WITH b AS (SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total
+                         FROM events GROUP BY user_id)
+              SELECT v.version, b.user_id,
+                CASE WHEN v.version = 1 AND b.user_id % 10 = 0
+                     THEN b.n_events + 1 ELSE b.n_events END AS n_events,
+                ROUND(CASE WHEN v.version = 1 AND b.user_id % 10 = 0
+                     THEN b.total + 100 ELSE b.total END, 2) AS total
+              FROM b CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS version) v
+              ORDER BY version, user_id""")),
+
     // Spark 4 transformWithState IN THE GATE: per-user totals as a
     // custom StatefulProcessor with typed ValueState in RocksDB — the
     // arbitrary-state operator API one step past

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Batch MERGE INTO over a [[TxLog]] table with BUCKET-FILE PRUNING —
+  * the piece that makes a serving-table merge viable at 100 TB: the
+  * table's data files are hash-bucketed by key (`b<k>-v<version>-*`),
+  * and a merge rewrites ONLY the buckets that contain a changed key,
+  * committing `{adds: new bucket files, removes: superseded bucket
+  * files}`. Untouched buckets keep their exact files across versions —
+  * a merge touching 1% of keys rewrites ~1% of the table, not all of
+  * it. Snapshot isolation, time travel and conflict detection come
+  * from the TxLog protocol unchanged.
+  *
+  * (The streaming `runMergeTotals` full-rewrite is the degenerate
+  * K=1 case; this is the shape a real lakehouse MERGE takes.)
+  */
+object MergeTable {
+
+  /** Initial load: write one parquet file per key bucket, commit v0.
+    * Returns the committed version. */
+  def load(spark: SparkSession, table: String, df: DataFrame,
+      keyCol: String, buckets: Int): Long = {
+    Files.createDirectories(Paths.get(table))
+    val adds = (0 until buckets).map { k =>
+      writeBucket(spark, table, df.filter(pmod(col(keyCol), lit(buckets)) === k),
+        k, version = 0L)
+    }
+    TxLog.commit(table, adds, Seq.empty, expectedCurrent = -1L)
+      .getOrElse(sys.error(s"initial load conflict on $table"))
+  }
+
+  /** MERGE INTO (key-replacement upsert): rows of `updates` replace
+    * same-key rows, new keys insert. Only buckets containing an updated
+    * key are rewritten. Returns (committed version, rewritten buckets). */
+  def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, buckets: Int): (Long, Seq[Int]) = {
+    var result: Option[(Long, Seq[Int])] = None
+    while (result.isEmpty) {
+      val snap = TxLog.snapshot(table)
+      val byBucket = snap.files.groupBy(bucketOfFile)
+      val touched = updates
+        .select(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      val next = snap.version + 1
+      val adds = touched.map { k =>
+        val upd = updates.filter(pmod(col(keyCol), lit(buckets)) === k)
+        val old = byBucket.get(k) match {
+          case Some(fs) => spark.read.parquet(fs.map(f => s"$table/$f"): _*)
+          case None => upd.limit(0)
+        }
+        val merged = old.join(upd.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(upd)
+        writeBucket(spark, table, merged, k, next)
+      }
+      val removes = touched.flatMap(k => byBucket.getOrElse(k, Seq.empty))
+      TxLog.commit(table, adds, removes, expectedCurrent = snap.version) match {
+        case Some(v) => result = Some((v, touched))
+        case None => // lost the race: orphan our files, re-read, retry
+          adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      }
+    }
+    result.get
+  }
+
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
+    Streams.readMergeTable(spark, table, asOf)
+
+  private def bucketOfFile(name: String): Int =
+    name.stripPrefix("b").takeWhile(_.isDigit).toInt
+
+  private def writeBucket(spark: SparkSession, table: String, df: DataFrame,
+      bucket: Int, version: Long): String = {
+    val stage = Files.createTempDirectory("graft-mergetbl").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val name = s"b$bucket-v$version-${part.getName.stripPrefix("part-")}"
+    Files.move(part.toPath, Paths.get(table, name))
+    name
+  }
+}

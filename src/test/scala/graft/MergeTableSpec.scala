@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.{MergeTable, TxLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucket-file pruning of MergeTable: a merge must rewrite ONLY the
+  * buckets containing changed keys, and untouched buckets must keep
+  * their exact files across versions. */
+class MergeTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merge rewrites only touched buckets; untouched files are shared between versions") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl").toString
+    val base = (0L until 64L).map(i => (i, i * 10.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 8)
+    val snap0 = TxLog.snapshot(table)
+    assert(snap0.version === 0L && snap0.files.length === 8)
+
+    // update keys 3 and 11 — both land in bucket 3, nothing else
+    val updates = Seq((3L, -1.0), (11L, -2.0)).toDF("k", "v")
+    val (v1, touched) = MergeTable.mergeInto(spark, table, updates, "k", buckets = 8)
+    assert(v1 === 1L && touched === Seq(3))
+
+    val snap1 = TxLog.snapshot(table)
+    val untouched0 = snap0.files.filterNot(_.startsWith("b3-")).toSet
+    val untouched1 = snap1.files.filterNot(_.startsWith("b3-")).toSet
+    assert(untouched0 === untouched1, "untouched buckets must keep their exact files")
+    assert(snap1.files.count(_.startsWith("b3-")) === 1)
+    assert(snap0.files.toSet !== snap1.files.toSet)
+
+    // values: merged keys replaced, others intact; v0 unchanged
+    val cur = MergeTable.read(spark, table).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(cur(3L) === -1.0 && cur(11L) === -2.0 && cur(5L) === 50.0)
+    assert(cur.size === 64)
+    val old = MergeTable.read(spark, table, Some(0L)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(old(3L) === 30.0 && old(11L) === 110.0)
+  }
+
+  test("merge inserts new keys into their buckets") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-ins").toString
+    val base = (0L until 8L).map(i => (i, 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)
+    val (_, touched) = MergeTable.mergeInto(spark, table,
+      Seq((100L, 9.0)).toDF("k", "v"), "k", buckets = 4)
+    assert(touched === Seq(0)) // 100 % 4 == 0
+    val cur = MergeTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(cur(100L) === 9.0 && cur.size === 9)
+  }
+}
