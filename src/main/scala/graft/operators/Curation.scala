@@ -161,7 +161,68 @@ object Curation extends QueryModule {
              CASE WHEN np * nn > 0
                THEN ROUND((rsum - np * (np + 1.0) / 2.0) / (np * nn), 6)
              END AS auc
-           FROM agg"""))
+           FROM agg""")),
+
+    // WEIGHT-OF-EVIDENCE / INFORMATION-VALUE binning: n_chars cut at its
+    // exact quartiles (both engines use the same linear-interpolated
+    // percentile, rounded at 6 so the bin boundaries are engine-exact),
+    // label = lang == 'en'; per bin, WOE = ln of the smoothed good/bad
+    // odds ratio and its IV term — the feature-screening scorecard that
+    // says whether a candidate quality feature separates the classes at
+    // all, BEFORE spending a training pass on it. One percentile
+    // aggregate + one broadcast of 3 cuts + one grouped pass.
+    Q("q_pipeline_woe",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val cuts = docs.agg(
+          round(expr("percentile(n_chars, 0.25)"), 6).as("c1"),
+          round(expr("percentile(n_chars, 0.50)"), 6).as("c2"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("c3"))
+        val binned = docs.crossJoin(broadcast(cuts))
+          .select(col("y"),
+            when(col("n_chars") <= col("c1"), 0L)
+              .when(col("n_chars") <= col("c2"), 1L)
+              .when(col("n_chars") <= col("c3"), 2L)
+              .otherwise(3L).as("bin"))
+        val g = binned.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_good"))
+        val tot = g.agg(sum("n_good").as("tg"),
+          sum(col("n") - col("n_good")).as("tb"))
+        g.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("n_good"),
+            (col("n") - col("n_good")).as("n_bad"),
+            round(log(((col("n_good") + 0.5) / col("tg")) /
+              ((col("n") - col("n_good") + 0.5) / col("tb"))), 6).as("woe"),
+            round(((col("n_good") + 0.5) / col("tg") -
+              (col("n") - col("n_good") + 0.5) / col("tb")) *
+              log(((col("n_good") + 0.5) / col("tg")) /
+                ((col("n") - col("n_good") + 0.5) / col("tb"))), 6).as("iv_term"))
+          .orderBy("bin")
+      },
+      Some("""WITH docs AS (SELECT n_chars,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+              cuts AS (SELECT
+                  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 6) AS c1,
+                  ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars), 6) AS c2,
+                  ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars), 6) AS c3
+                FROM docs),
+              binned AS (SELECT y,
+                  CAST(CASE WHEN n_chars <= c1 THEN 0
+                       WHEN n_chars <= c2 THEN 1
+                       WHEN n_chars <= c3 THEN 2
+                       ELSE 3 END AS BIGINT) AS bin
+                FROM docs CROSS JOIN cuts),
+              g AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_good
+                FROM binned GROUP BY bin),
+              tot AS (SELECT CAST(SUM(n_good) AS DOUBLE) AS tg,
+                  CAST(SUM(n - n_good) AS DOUBLE) AS tb FROM g)
+              SELECT bin, n, n_good, n - n_good AS n_bad,
+                ROUND(LN(((n_good + 0.5) / tg) / ((n - n_good + 0.5) / tb)), 6) AS woe,
+                ROUND(((n_good + 0.5) / tg - (n - n_good + 0.5) / tb) *
+                  LN(((n_good + 0.5) / tg) / ((n - n_good + 0.5) / tb)), 6) AS iv_term
+              FROM g CROSS JOIN tot ORDER BY bin"""))
   )
 
   /** Train + score SQL chain shared by the quality-model row and its AUC
