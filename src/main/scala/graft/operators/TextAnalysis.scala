@@ -944,6 +944,62 @@ object TextAnalysis extends QueryModule {
                  ROUND(llr, 6) AS llr_per_token
                FROM agg ORDER BY doc_id""")),
 
+    // GOPHER-STYLE RULE FILTER: the named heuristic gate a pretraining
+    // pipeline runs before any learned quality model — word-count
+    // bounds, mean-word-length band, stopword presence, and a
+    // top-token repetition cap, each reported per source as its own
+    // pass count plus the all-rules survivor count (the per-rule
+    // breakdown is the debugging surface: it says WHICH rule is eating
+    // a source). One (doc, tok) aggregate feeds all four rules; flags
+    // compare on the round-6 lattice so boundary docs land identically
+    // in both engines.
+    Q("q_text_gopher_rules",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val perDoc = tf.groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          sum(length(col("tok")) * col("c")).as("sum_len"),
+          max("c").as("top_c"),
+          max(when(col("tok").isin("the", "a", "of", "and"), 1L).otherwise(0L))
+            .as("has_stop"))
+        val flagged = docs(s, d).select(col("doc_id"), col("source"))
+          .join(perDoc, "doc_id")
+          .select(col("source"),
+            col("n_words").between(30, 90).as("r_wc"),
+            round(col("sum_len") * 1.0 / col("n_words"), 6).between(4.4, 4.7).as("r_mwl"),
+            (col("has_stop") === 1).as("r_stop"),
+            (round(col("top_c") * 1.0 / col("n_words"), 6) <= 0.2).as("r_rep"))
+        flagged.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("r_wc").cast("long")).as("n_wc"),
+            sum(col("r_mwl").cast("long")).as("n_mwl"),
+            sum(col("r_stop").cast("long")).as("n_stop"),
+            sum(col("r_rep").cast("long")).as("n_rep"),
+            sum((col("r_wc") && col("r_mwl") && col("r_stop") && col("r_rep"))
+              .cast("long")).as("n_all"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $toksSql,
+               tfg AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+               pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                   SUM(length(tok) * c) AS sum_len, MAX(c) AS top_c,
+                   MAX(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS has_stop
+                 FROM tfg GROUP BY doc_id),
+               fl AS (SELECT d.source,
+                   pd.n_words BETWEEN 30 AND 90 AS r_wc,
+                   ROUND(pd.sum_len * 1.0 / pd.n_words, 6) BETWEEN 4.4 AND 4.7 AS r_mwl,
+                   pd.has_stop = 1 AS r_stop,
+                   ROUND(pd.top_c * 1.0 / pd.n_words, 6) <= 0.2 AS r_rep
+                 FROM documents d JOIN pd USING (doc_id))
+               SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+                 CAST(SUM(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+                 CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                 CAST(SUM(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+                 CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_stop AND r_rep
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_all
+               FROM fl GROUP BY source ORDER BY source""")),
+
     // BM25 LEXICAL RETRIEVAL (Okapi, k1=1.2, b=0.75): queries = the
     // distinct token sets of doc_id < 5 (aligned with the vector rows'
     // vec_id < 5 queries), candidates = doc_id >= 5. One corpus-side
