@@ -1490,6 +1490,40 @@ object Relational extends QueryModule {
     // cumulative offsets), so no task ever holds a whole priority class
     // even when one class is the whole corpus; RankScale measures the
     // sharded plan vs the single-partition window on a 7.5M-row group.
+    // EXACT GLOBAL NTILE(10): decile assignment over the WHOLE relation
+    // — the textbook single-partition window scale-killer, here via
+    // RangedRank's groupless rank (range shards + offset join, no task
+    // ever sees more than corpus/shards rows) and the closed-form
+    // NTILE bucket arithmetic bucket(i) from rank i and total n:
+    // the first n%10 buckets get ceil(n/10) rows, the rest floor(n/10)
+    // — identical integer arithmetic to the SQL NTILE definition, so
+    // the decile edges match the oracle row-for-row.
+    Q("q_agg_ntile_exact",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val n = o.count()
+        val ranked = RangedRank.withRank(o, Seq.empty,
+          Seq("o_totalprice", "o_orderkey"), "i")
+        val big = n % 10 // buckets 1..big get (n/10 + 1) rows
+        val cut = big * (n / 10 + 1)
+        val bucketed = ranked.withColumn("decile",
+          when(lit(big) > 0 && col("i") <= cut,
+            floor((col("i") - 1) / lit(n / 10 + 1)) + 1)
+            .otherwise(floor((col("i") - lit(cut) - 1) / lit(n / 10)) + 1 + big))
+        bucketed.groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("decile")
+      },
+      Some("""WITH r AS (SELECT o_totalprice,
+                CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+                FROM orders)
+              SELECT decile, COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo,
+                ROUND(MAX(o_totalprice), 2) AS hi, ROUND(SUM(o_totalprice), 2) AS total
+              FROM r GROUP BY decile ORDER BY decile""")),
+
     Q("q_agg_gini",
       (s, d) => {
         RangedRank.withRank(t(s, d, "orders"), Seq("o_orderpriority"),
