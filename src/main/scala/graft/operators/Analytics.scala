@@ -380,5 +380,55 @@ object Analytics extends QueryModule {
               SELECT user_id, n, i AS at_i, sabs AS max_cusum FROM sdev
               QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY sabs DESC, i) = 1
-              ORDER BY user_id""")))
+              ORDER BY user_id""")),
+
+    // REVENUE ATTRIBUTION (last-touch with channel fallback): each
+    // purchase credits 'click' if the same user clicked within the 2h
+    // lookback, else 'view' within 8h, else 'direct' — the
+    // marketing-funnel rollup on top of the engine's interval joins.
+    // Two semi-join passes compute the qualifying-touch flags (each a
+    // per-user range join, state bounded by the lookback like the
+    // streaming interval joins), then one 3-row aggregate.
+    Q("q_events_attribution",
+      (s, d) => {
+        val e = ev(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        def touched(tpe: String, hours: Int): DataFrame =
+          p.as("p").join(
+              e.filter(col("event_type") === tpe)
+                .select(col("user_id").as("tu"), col("ts").as("tts")),
+              col("p.user_id") === col("tu") && col("tts") <= col("p.ts") &&
+                col("tts") >= col("p.ts") - expr(s"INTERVAL $hours HOURS"),
+              "left_semi")
+            .select(col("event_id"))
+            .distinct()
+        val pc = touched("click", 2).withColumn("has_c", lit(1))
+        val pv = touched("view", 8).withColumn("has_v", lit(1))
+        p.join(pc, Seq("event_id"), "left")
+          .join(pv, Seq("event_id"), "left")
+          .select(col("value"),
+            when(col("has_c").isNotNull, "click")
+              .when(col("has_v").isNotNull, "view")
+              .otherwise("direct").as("channel"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                         WHERE event_type = 'purchase'),
+              att AS (SELECT p.value,
+                  CASE WHEN EXISTS (SELECT 1 FROM events c
+                         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '2 hours')
+                       THEN 'click'
+                       WHEN EXISTS (SELECT 1 FROM events v
+                         WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '8 hours')
+                       THEN 'view'
+                       ELSE 'direct' END AS channel
+                FROM p)
+              SELECT channel, COUNT(*) AS n_purchases,
+                ROUND(SUM(value), 2) AS revenue
+              FROM att GROUP BY channel ORDER BY channel""")))
 }
