@@ -68,6 +68,19 @@ object MergeTable {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
     Streams.readMergeTable(spark, table, asOf)
 
+  /** Point lookup with FILE SKIPPING: the key's hash bucket names the
+    * only file(s) that can hold it, so the scan opens 1/buckets of the
+    * table (MergeTableSpec asserts `inputFiles` is the single bucket
+    * file) — the metadata-pruned read path a serving table needs. */
+  def lookup(spark: SparkSession, table: String, keyCol: String, key: Long,
+      buckets: Int): DataFrame = {
+    val b = java.lang.Math.floorMod(key, buckets.toLong).toInt
+    val files = TxLog.snapshot(table).files.filter(bucketOfFile(_) == b)
+    require(files.nonEmpty, s"no file for bucket $b in $table")
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .filter(col(keyCol) === key)
+  }
+
   private def bucketOfFile(name: String): Int =
     name.stripPrefix("b").takeWhile(_.isDigit).toInt
 

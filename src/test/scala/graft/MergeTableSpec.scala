@@ -40,6 +40,18 @@ class MergeTableSpec extends AnyFunSuite {
     assert(old(3L) === 30.0 && old(11L) === 110.0)
   }
 
+  test("point lookup opens only the key's bucket file") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-lkp").toString
+    val base = (0L until 64L).map(i => (i, i * 2.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 8)
+    val hit = MergeTable.lookup(spark, table, "k", 13L, buckets = 8)
+    assert(hit.inputFiles.length === 1, "lookup must prune to one bucket file")
+    assert(hit.inputFiles.head.contains("b5-"), "13 % 8 = 5")
+    assert(hit.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((13L, 26.0)))
+    // full read touches all 8 files — the pruning is real, not incidental
+    assert(MergeTable.read(spark, table).inputFiles.length === 8)
+  }
+
   test("merge inserts new keys into their buckets") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-ins").toString
     val base = (0L until 8L).map(i => (i, 1.0)).toDF("k", "v")
