@@ -89,7 +89,39 @@ def main():
                MAX(size(distinct_ngrams(tk, 3))) AS grams FROM t""").head()
     check("simhash/distinct_ngrams usable from SQL", row.sims > 0 and row.grams > 0)
 
-    # 5. a declared engine query runs untouched from Python: the Scala
+    # 5. mapInPandas over BINARY payloads — the multimodal decode
+    # plumbing (schema, partitioning, batch shape) with a deterministic
+    # stand-in for the codec: each Arrow batch of (doc_id, payload)
+    # yields (doc_id, n_bytes, checksum). A real image/audio decoder
+    # slots into decode() unchanged.
+    import pandas as pd
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    payloads = spark.sql(
+        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload "
+        "FROM documents").repartition(4)
+
+    def decode(batches):
+        for pdf in batches:  # one pandas DataFrame per Arrow batch
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len),
+                "checksum": pdf["payload"].map(lambda b: sum(b[:64]) if b else 0),
+            })
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()), StructField("n_bytes", LongType()),
+        StructField("checksum", LongType())])
+    decoded = payloads.mapInPandas(decode, out_schema)
+    decoded.createOrReplaceTempView("decoded")
+    row = spark.sql("""
+        SELECT COUNT(*) AS n, SUM(CASE WHEN d.n_bytes = length(doc.text)
+                 THEN 1 ELSE 0 END) AS len_ok
+        FROM decoded d JOIN documents doc ON d.doc_id = doc.doc_id""").head()
+    check("mapInPandas batch decode", row.n > 0 and row.len_ok == row.n,
+          f"docs={row.n}")
+
+    # 6. a declared engine query runs untouched from Python: the Scala
     # query registry is reachable through the JVM gateway, so a PySpark
     # caller can run ANY SparkEntry row without porting it
     jdf = (spark._jvm.graft.SparkEntry.queries().apply("q_agg_q1")
