@@ -382,6 +382,35 @@ object Analytics extends QueryModule {
                 ORDER BY sabs DESC, i) = 1
               ORDER BY user_id""")),
 
+    // GAPS-AND-ISLANDS: collapse each user's CONSECUTIVE same-type
+    // events into validity runs (the SCD-style interval table behind
+    // "how long did the user stay in state X") via the two-row_number
+    // difference trick — rn(user) − rn(user, type) is constant exactly
+    // within a run. Both windows partition per user (bounded groups);
+    // the island rollup is one hash aggregate.
+    Q("q_events_islands",
+      (s, d) => {
+        val w1 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val w2 = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("isl", row_number().over(w1) - row_number().over(w2))
+          .groupBy(col("user_id"), col("event_type"), col("isl"))
+          .agg(min("ts").as("run_start"), max("ts").as("run_end"),
+            count(lit(1)).as("n_events"))
+          .drop("isl")
+          .orderBy("user_id", "run_start", "event_type")
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS isl
+                FROM events)
+              SELECT user_id, event_type, MIN(ts) AS run_start,
+                MAX(ts) AS run_end, COUNT(*) AS n_events
+              FROM r GROUP BY user_id, event_type, isl
+              ORDER BY user_id, run_start, event_type""")),
+
     // REVENUE ATTRIBUTION (last-touch with channel fallback): each
     // purchase credits 'click' if the same user clicked within the 2h
     // lookback, else 'view' within 8h, else 'direct' — the
