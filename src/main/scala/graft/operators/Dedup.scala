@@ -523,6 +523,65 @@ object Dedup extends QueryModule {
             SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id"""
       }),
 
+    // SimHash NEAR-DUP PAIRS via BANDED blocking: the 64-bit signature
+    // splits into four 16-bit bands; by pigeonhole, any pair within
+    // Hamming distance 3 agrees EXACTLY on at least one band, so the
+    // band-equality self-join is a COMPLETE candidate generator for
+    // t = 3 (not an approximation — the only filtering the verify step
+    // does is dropping candidates over the radius). Candidates then
+    // verify with an exact 64-position Hamming count. The join blocks
+    // on (band index, 16 bits): ~N/2^16 expected bucket sizes at scale,
+    // the standard multi-index Hamming search layout.
+    Q("q_dedup_simhash_pairs",
+      (s, d) => {
+        val sigs = docs(s, d)
+          .select(col("doc_id"), TextHash.simhashSig(toks(col("text"))).as("sig"))
+          .filter(col("sig").isNotNull)
+          .localCheckpoint() // referenced by 4 band projections + verify
+        val bands = sigs.select(col("doc_id"), col("sig"),
+            explode(expr("transform(sequence(0, 3), b -> " +
+              "named_struct('b', b, 'bits', substring(sig, b * 16 + 1, 16)))")).as("bd"))
+          .select(col("doc_id"), col("sig"), col("bd.b").as("b"), col("bd.bits").as("bits"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bits") === col("y.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          .distinct()
+        cand.withColumn("hamming", expr(
+            """aggregate(sequence(1, 64), 0, (acc, j) ->
+               acc + IF(substring(sig_a, j, 1) = substring(sig_b, j, 1), 0, 1))""")
+            .cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val votes = (0 until simhashBits).map { j =>
+          val m = if (j < 32) "m1" else "m2"
+          s"SUM(CASE WHEN substring($m, ${j % 32 + 1}, 1) < '8' THEN 1 ELSE -1 END) AS v$j"
+        }.mkString(", ")
+        val bits = (0 until simhashBits).map(j =>
+          s"CASE WHEN v$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH tk AS (SELECT doc_id, md5(tok) AS m1, md5('x' || tok) AS m2 FROM (
+              SELECT doc_id, unnest($toksSql) AS tok FROM documents) t),
+            votes AS (SELECT doc_id, $votes FROM tk GROUP BY doc_id),
+            sigs AS (SELECT doc_id, $bits AS sig FROM votes),
+            bands AS (SELECT doc_id, sig, b, substring(sig, b * 16 + 1, 16) AS bits
+              FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                x.sig AS sig_a, y.sig AS sig_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id),
+            ham AS (SELECT doc_a, doc_b, CAST(SUM(CASE WHEN
+                  substring(sig_a, j, 1) = substring(sig_b, j, 1)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS hamming
+              FROM cand CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+              GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b, hamming FROM ham
+            WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+      }),
+
     // word-bigram Jaccard VERIFICATION of the LSH candidate pairs — the
     // second stage of the dedup funnel: LSH proposes (cheap, approximate),
     // Jaccard over the full distinct-bigram sets verifies (exact). Pairs
