@@ -478,6 +478,25 @@ object Multimodal extends QueryModule {
       }
   }
 
+  /** average-hash regeneration chain (→ `bits(doc_id, w, h, phash)`),
+    * shared by q_mm_phash and the phash near-dup pair join — the oracle
+    * rebuilds each BMP's 8×8 grid samples from the generation
+    * arithmetic, so the decoder's offset math stays pinned. */
+  private val phashCtes =
+    """dims AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+         1 + (doc_id * 7) % 48 AS h FROM documents),
+       g AS (SELECT doc_id, w, h, ((3 * w + 3) // 4) * 4 AS row_size,
+         unnest(generate_series(0, 7)) AS y8 FROM dims),
+       gx AS (SELECT doc_id, w, h, row_size, y8,
+         unnest(generate_series(0, 7)) AS x8 FROM g),
+       px AS (SELECT doc_id, w, h, y8 * 8 + x8 AS k,
+         (doc_id + ((y8 * h) // 8) * row_size + 3 * ((x8 * w) // 8)) % 256 AS v
+         FROM gx),
+       m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY doc_id),
+       bits AS (SELECT px.doc_id, ANY_VALUE(px.w) AS w, ANY_VALUE(px.h) AS h,
+         string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, '' ORDER BY k) AS phash
+         FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)"""
+
   override val defs: Seq[Q] = Seq(
     // image metadata parsed from real BMP bytes; the oracle restates the
     // fixture's generation formulas (width = 1 + id % 64, rows padded to
@@ -571,22 +590,56 @@ object Multimodal extends QueryModule {
             col("n_same").cast("long").as("n_same"))
           .orderBy("doc_id")
       },
-      Some("""WITH dims AS (SELECT doc_id, 1 + doc_id % 64 AS w,
-                1 + (doc_id * 7) % 48 AS h FROM documents),
-              g AS (SELECT doc_id, w, h, ((3 * w + 3) // 4) * 4 AS row_size,
-                unnest(generate_series(0, 7)) AS y8 FROM dims),
-              gx AS (SELECT doc_id, w, h, row_size, y8,
-                unnest(generate_series(0, 7)) AS x8 FROM g),
-              px AS (SELECT doc_id, w, h, y8 * 8 + x8 AS k,
-                (doc_id + ((y8 * h) // 8) * row_size + 3 * ((x8 * w) // 8)) % 256 AS v
-                FROM gx),
-              m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY doc_id),
-              bits AS (SELECT px.doc_id, ANY_VALUE(px.w) AS w, ANY_VALUE(px.h) AS h,
-                string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, '' ORDER BY k) AS phash
-                FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+      Some(s"""WITH $phashCtes
               SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 phash, CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
               FROM bits ORDER BY doc_id""")),
+
+    // NEAR-DUPLICATE IMAGES by perceptual-hash Hamming radius: the
+    // multimodal arm of the dedup family. Eight 8-bit bands over the
+    // 64-bit average-hash — by pigeonhole a pair within Hamming
+    // distance 7 agrees exactly on ≥1 band, so the band join is a
+    // COMPLETE candidate generator for the radius; candidates verify
+    // with the exact 64-position count. Same multi-index layout as
+    // q_dedup_simhash_pairs, different modality and radius.
+    Q("q_mm_phash_pairs",
+      (s, d) => {
+        val sigs = hashImages(s, imagePayloads(s, d)).toDF()
+          .select(col("doc_id"), col("phash"))
+          .localCheckpoint() // referenced by 8 band projections + verify
+        val bands = sigs.select(col("doc_id"), col("phash"),
+            explode(expr("transform(sequence(0, 7), b -> " +
+              "named_struct('b', b, 'bits', substring(phash, b * 8 + 1, 8)))")).as("bd"))
+          .select(col("doc_id"), col("phash"), col("bd.b").as("b"),
+            col("bd.bits").as("bits"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bits") === col("y.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.phash").as("sig_a"), col("y.phash").as("sig_b"))
+          .distinct()
+        cand.withColumn("hamming", expr(
+            """aggregate(sequence(1, 64), 0, (acc, j) ->
+               acc + IF(substring(sig_a, j, 1) = substring(sig_b, j, 1), 0, 1))""")
+            .cast("long"))
+          .filter(col("hamming") <= 7)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $phashCtes,
+              bands AS (SELECT doc_id, phash, b, substring(phash, b * 8 + 1, 8) AS bb
+                FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs),
+              cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.phash AS sig_a, y.phash AS sig_b
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bb = y.bb AND x.doc_id < y.doc_id),
+              ham AS (SELECT doc_a, doc_b, CAST(SUM(CASE WHEN
+                    substring(sig_a, j, 1) = substring(sig_b, j, 1)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS hamming
+                FROM cand CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+                GROUP BY doc_a, doc_b)
+              SELECT doc_a, doc_b, hamming FROM ham
+              WHERE hamming <= 7 ORDER BY doc_a, doc_b""")),
 
     // video FRAME SAMPLING over real RIFF/AVI containers: parse the avih
     // main header, walk the movi '00db' chunks, keep every 2nd frame, and
