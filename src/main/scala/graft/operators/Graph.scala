@@ -481,11 +481,13 @@ object Graph extends QueryModule {
     }
     dist.groupBy(col("q").as("src"))
       .agg((count(lit(1)) - 1).as("n_reached"), sum("dist").as("sum_dist"),
-        max("dist").as("ecc"))
+        max("dist").as("ecc"),
+        sum(when(col("dist") > 0, lit(1.0) / col("dist")).otherwise(0.0))
+          .as("hraw"))
       .filter(col("sum_dist") > 0)
       .select(col("src"), col("n_reached"), col("sum_dist"),
         round((col("n_reached") * lit(1.0)) / col("sum_dist"), 6).as("closeness"),
-        col("ecc"))
+        round(col("hraw"), 6).as("harmonic"), col("ecc"))
       .orderBy("src")
   }
 
@@ -503,6 +505,7 @@ object Graph extends QueryModule {
        SELECT q AS src, COUNT(*) - 1 AS n_reached,
          CAST(SUM(d) AS BIGINT) AS sum_dist,
          ROUND((COUNT(*) - 1) * 1.0 / SUM(d), 6) AS closeness,
+         ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 6) AS harmonic,
          CAST(MAX(d) AS BIGINT) AS ecc
        FROM dist GROUP BY q HAVING SUM(d) > 0 ORDER BY src"""
 
