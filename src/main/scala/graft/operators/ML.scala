@@ -1015,6 +1015,112 @@ object ML extends QueryModule {
     // relation — the raw events are scanned ONCE per feature regardless
     // of threshold count. Entropies share one expression string on both
     // engines; integer counts in, round-6 gain out.
+    // GRADIENT-BOOSTED STUMPS (L2 boosting, 2 rounds): base prediction =
+    // the global mean, then each round fits a regression stump to the
+    // RESIDUALS — per (feature, threshold), one O(distinct values)
+    // cumulative table gives every split's left/right residual sums, the
+    // best split by round-6 score (sl²/nl + sr²/nr, ties to (feature,
+    // threshold)) is an O(31)-row master-collect exactly like the GD
+    // rows' gradients, and its round-6 leaf means join the model as
+    // literals. Output: one row per round (split + leaves + train MSE
+    // after applying it — GbtSpec pins the MSE monotone-decrease).
+    // The oracle replays the identical selection with QUALIFY argmax on
+    // the same rounded lattice. Scale: each round = one scan + one tiny
+    // window; the model, like every ML row here, is O(rounds) on the
+    // driver — never data.
+    Q("q_ml_gbt",
+      (s, d) => {
+        import java.math.{BigDecimal => JBD, MathContext}
+        def r6(x: Double): Double =
+          new JBD(x, MathContext.DECIMAL64).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val ev = Tables(s, d, "events").select(
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").as("hour"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+            col("value").as("y"))
+          .localCheckpoint() // scanned once per round + once per MSE
+        val f0 = r6(ev.agg(avg("y")).head.getDouble(0))
+        var model = List.empty[(String, Long, Double, Double)]
+        def resid: org.apache.spark.sql.Column = model.foldLeft(col("y") - f0) {
+          case (acc, (f, t, lv, rv)) =>
+            acc - when(col(f) <= t, lv).otherwise(rv)
+        }
+        val rows = (1 to 2).map { rnd =>
+          val withR = ev.withColumn("r", resid)
+          val table = Seq("hour", "dow").map { f =>
+            val cnt = withR.groupBy(col(f).as("v"))
+              .agg(count(lit(1)).as("c"), sum("r").as("sr"))
+            val w = Window.partitionBy(lit(1)).orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            cnt.select(lit(f).as("feature"), col("v"),
+                sum("c").over(w).as("nl"), sum("sr").over(w).as("sl"),
+                sum("c").over(Window.partitionBy(lit(1))).as("n"),
+                sum("sr").over(Window.partitionBy(lit(1))).as("st"))
+          }.reduce(_ unionAll _)
+          val best = table
+            .filter(col("nl") > 0 && col("n") - col("nl") > 0)
+            .select(col("feature"), col("v"), col("nl"), (col("n") - col("nl")).as("nr"),
+              col("sl"), (col("st") - col("sl")).as("sr2"),
+              round(col("sl") * col("sl") / col("nl") +
+                (col("st") - col("sl")) * (col("st") - col("sl")) /
+                  (col("n") - col("nl")), 6).as("score"))
+            .orderBy(desc("score"), asc("feature"), asc("v"))
+            .head()
+          val (f, t) = (best.getString(0), best.getLong(1))
+          val lv = r6(best.getDouble(4) / best.getLong(2))
+          val rv = r6(best.getDouble(5) / best.getLong(3))
+          model = model :+ ((f, t, lv, rv))
+          val mse = ev.withColumn("r", resid)
+            .agg(round(avg(col("r") * col("r")), 6)).head.getDouble(0)
+          (rnd.toLong, f, t, lv, rv, mse)
+        }
+        import s.implicits._
+        rows.toDF("round", "feature", "threshold", "left_val", "right_val", "train_mse")
+          .orderBy("round")
+      },
+      Some {
+        def roundCtes(i: Int): String = {
+          val rIn = s"r$i"
+          s"""t$i AS (
+               SELECT 'hour' AS feature, v,
+                 SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+                 SUM(sr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS sl,
+                 SUM(c) OVER () AS n, SUM(sr) OVER () AS st
+               FROM (SELECT hour AS v, COUNT(*) AS c, SUM(r) AS sr FROM $rIn GROUP BY 1) ch
+               UNION ALL
+               SELECT 'dow' AS feature, v,
+                 SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+                 SUM(sr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS sl,
+                 SUM(c) OVER () AS n, SUM(sr) OVER () AS st
+               FROM (SELECT dow AS v, COUNT(*) AS c, SUM(r) AS sr FROM $rIn GROUP BY 1) cd),
+             b$i AS (SELECT feature, v, ROUND(sl / nl, 6) AS lv,
+                 ROUND((st - sl) / (n - nl), 6) AS rv
+               FROM (SELECT *, ROUND(sl * sl / nl + (st - sl) * (st - sl) / (n - nl), 6) AS score
+                     FROM t$i WHERE nl > 0 AND n - nl > 0) g
+               QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, feature, v) = 1),
+             r${i + 1} AS (SELECT hour, dow,
+                 r - CASE WHEN b$i.feature = 'hour'
+                       THEN CASE WHEN hour <= b$i.v THEN b$i.lv ELSE b$i.rv END
+                       ELSE CASE WHEN dow <= b$i.v THEN b$i.lv ELSE b$i.rv END
+                     END AS r
+               FROM $rIn CROSS JOIN b$i),
+             m$i AS (SELECT ROUND(AVG(r * r), 6) AS mse FROM r${i + 1})"""
+        }
+        s"""WITH ev AS (SELECT
+              CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour,
+              CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+              value AS y FROM events),
+            f0 AS (SELECT ROUND(AVG(y), 6) AS f0 FROM ev),
+            r1 AS (SELECT hour, dow, y - f0 AS r FROM ev CROSS JOIN f0),
+            ${roundCtes(1)},
+            ${roundCtes(2)}
+            SELECT 1 AS round, feature, CAST(v AS BIGINT) AS threshold,
+              lv AS left_val, rv AS right_val, (SELECT mse FROM m1) AS train_mse
+            FROM b1
+            UNION ALL
+            SELECT 2, feature, CAST(v AS BIGINT), lv, rv, (SELECT mse FROM m2) FROM b2
+            ORDER BY round"""
+      }),
+
     Q("q_ml_stump",
       (s, d) => {
         val ev = Tables(s, d, "events").select(
