@@ -523,6 +523,58 @@ object Dedup extends QueryModule {
             SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id"""
       }),
 
+    // ASYMMETRIC CONTAINMENT pairs: |A∩B| / min(|A|,|B|) over distinct
+    // 3-gram sets — the metric that catches SUBSET duplication (a doc
+    // quoted wholesale inside a larger one), which symmetric Jaccard
+    // dilutes below any threshold as the container grows. The smaller
+    // set is the CONTAINED side (ties to the lower id). Inverted-index
+    // shape: native distinct-gram projection → gram-keyed self-join →
+    // per-pair count → size join; no docs² term, same posture as the
+    // Jaccard verify.
+    Q("q_dedup_containment",
+      (s, d) => {
+        val g = docs(s, d).select(col("doc_id"),
+            explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+          .localCheckpoint() // consumed by sizes + both join sides
+        val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = g.as("a").join(g.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
+          .filter(col("cont") >= 0.8)
+          .select(
+            when(col("na") < col("nb"), col("doc_a"))
+              .when(col("nb") < col("na"), col("doc_b"))
+              .otherwise(least(col("doc_a"), col("doc_b"))).as("contained"),
+            when(col("na") < col("nb"), col("doc_b"))
+              .when(col("nb") < col("na"), col("doc_a"))
+              .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container"),
+            col("i"), col("cont"))
+          .orderBy("contained", "container")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
+                FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+                      FROM base) t),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              sc AS (SELECT i.doc_a, i.doc_b, i.i, na.n AS na, nb.n AS nb,
+                  ROUND(i.i * 1.0 / LEAST(na.n, nb.n), 6) AS cont
+                FROM i JOIN sz na ON i.doc_a = na.doc_id
+                JOIN sz nb ON i.doc_b = nb.doc_id)
+              SELECT CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+                       ELSE LEAST(doc_a, doc_b) END AS contained,
+                CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a
+                  ELSE GREATEST(doc_a, doc_b) END AS container,
+                i, cont
+              FROM sc WHERE cont >= 0.8 ORDER BY contained, container""")),
+
     // SimHash NEAR-DUP PAIRS via BANDED blocking: the 64-bit signature
     // splits into four 16-bit bands; by pigeonhole, any pair within
     // Hamming distance 3 agrees EXACTLY on at least one band, so the
