@@ -529,6 +529,53 @@ object ML extends QueryModule {
     // partial top-k in the rank window), majority label vote, ties to the
     // smaller label. At corpus scale the brute-force stage swaps for any
     // declared ANN row (IVF/PQ) without touching the vote.
+    // NEAREST-CENTROID classification (Rocchio): per-label centroids from
+    // one (label, pos) mean aggregate (rounded at 4 — a value that feeds
+    // another rounded compare, the IVF trained-quantizer discipline),
+    // then every vector classifies to its max-dot centroid (round-6
+    // dots, ties to the smaller label) and the readout is the per-class
+    // confusion-style accuracy row. Centroids are O(labels × dims) —
+    // broadcast; the classify pass is one scan however large the corpus.
+    Q("q_ml_nearest_centroid",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = emb.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("clabel"), col("pos"))
+          .agg(round(avg(col("col")), 4).as("cv"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        val scored = emb.crossJoin(broadcast(cent))
+          .withColumn("dot", round(graft.functions.VecOps.vecDot(col("v"), col("cvec")), 6))
+        val wBest = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("dot"), asc("clabel"))
+        scored.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            round(col("n_correct") * 1.0 / col("n"), 6).as("accuracy"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ${Similarity.eSql},
+              lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+              cent AS (SELECT l.label AS clabel, e.pos, ROUND(AVG(e.ev), 4) AS cv
+                FROM e JOIN lb l USING (vec_id) GROUP BY 1, 2),
+              dots AS (SELECT e.vec_id, c.clabel, ROUND(SUM(e.ev * c.cv), 6) AS dot
+                FROM e JOIN cent c ON c.pos = e.pos GROUP BY e.vec_id, c.clabel),
+              best AS (SELECT vec_id, clabel FROM dots
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dot DESC, clabel) = 1)
+              SELECT l.label, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN b.clabel = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                ROUND(SUM(CASE WHEN b.clabel = l.label THEN 1 ELSE 0 END) * 1.0
+                  / COUNT(*), 6) AS accuracy
+              FROM lb l JOIN best b USING (vec_id)
+              GROUP BY l.label ORDER BY l.label""")),
+
     Q("q_ml_knn",
       (s, d) => {
         // rank the ONE shared brute-force cosine relation (Similarity
