@@ -576,6 +576,53 @@ object ML extends QueryModule {
               FROM lb l JOIN best b USING (vec_id)
               GROUP BY l.label ORDER BY l.label""")),
 
+    // SIMPLIFIED SILHOUETTE per label cluster: a(i) = distance to the
+    // own-label centroid, b(i) = distance to the nearest OTHER centroid,
+    // s(i) = (b−a)/max(a,b) — the O(n·k) silhouette variant (the full
+    // pairwise version is O(n²) and has no 100 TB posture; this one is
+    // one broadcast of k centroids + one scan). Distances round at 6
+    // before the min/ratio, centroid means at 4 (the shared quantizer
+    // discipline), so both engines rank and ratio the same lattice.
+    Q("q_ml_silhouette",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = emb.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("clabel"), col("pos"))
+          .agg(round(avg(col("col")), 4).as("cv"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+        val dists = emb.crossJoin(broadcast(cent))
+          .withColumn("dist", round(sqrt(
+            expr("aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), " +
+              "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")), 6))
+        val ab = dists.groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+            min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+        ab.withColumn("sil",
+            round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), round(avg("sil"), 6).as("mean_silhouette"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ${Similarity.eSql},
+              lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+              cent AS (SELECT l.label AS clabel, e.pos, ROUND(AVG(e.ev), 4) AS cv
+                FROM e JOIN lb l USING (vec_id) GROUP BY 1, 2),
+              dst AS (SELECT e.vec_id, c.clabel,
+                  ROUND(SQRT(SUM((e.ev - c.cv) * (e.ev - c.cv))), 6) AS dist
+                FROM e JOIN cent c ON c.pos = e.pos GROUP BY e.vec_id, c.clabel),
+              ab AS (SELECT d.vec_id, l.label,
+                  MAX(CASE WHEN d.clabel = l.label THEN d.dist END) AS a,
+                  MIN(CASE WHEN d.clabel <> l.label THEN d.dist END) AS b
+                FROM dst d JOIN lb l USING (vec_id) GROUP BY 1, 2),
+              sil AS (SELECT label,
+                  ROUND((b - a) / GREATEST(a, b), 6) AS sil FROM ab)
+              SELECT label, COUNT(*) AS n, ROUND(AVG(sil), 6) AS mean_silhouette
+              FROM sil GROUP BY label ORDER BY label""")),
+
     Q("q_ml_knn",
       (s, d) => {
         // rank the ONE shared brute-force cosine relation (Similarity
