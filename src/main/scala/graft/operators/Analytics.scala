@@ -382,6 +382,33 @@ object Analytics extends QueryModule {
                 ORDER BY sabs DESC, i) = 1
               ORDER BY user_id""")),
 
+    // TOP USER JOURNEYS: the 10 most common event-type TRIGRAM paths
+    // across all users' timelines — one step past the Markov transition
+    // matrix (q_events_transitions only sees pairs; "view>click>purchase
+    // vs view>click>view" is a trigram question). Two lead() windows per
+    // user (bounded partitions), one path aggregate, a TakeOrdered
+    // top-10 — never a global sort of all paths.
+    Q("q_events_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("path"))
+          .limit(10)
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+              FROM r WHERE t3 IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")),
+
     // GAPS-AND-ISLANDS: collapse each user's CONSECUTIVE same-type
     // events into validity runs (the SCD-style interval table behind
     // "how long did the user stay in state X") via the two-row_number
