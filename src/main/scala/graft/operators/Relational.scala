@@ -1500,7 +1500,7 @@ object Relational extends QueryModule {
     // the decile edges match the oracle row-for-row.
     Q("q_agg_ntile_exact",
       (s, d) => {
-        val o = t(s, d, "orders")
+        val o = t(s, d, "orders").select("o_totalprice", "o_orderkey")
         val n = o.count()
         val ranked = RangedRank.withRank(o, Seq.empty,
           Seq("o_totalprice", "o_orderkey"), "i")
@@ -1526,7 +1526,11 @@ object Relational extends QueryModule {
 
     Q("q_agg_gini",
       (s, d) => {
-        RangedRank.withRank(t(s, d, "orders"), Seq("o_orderpriority"),
+        // project before ranking: RangedRank materializes its input
+        // (localCheckpoint), so unused columns would be checkpointed too
+        RangedRank.withRank(
+            t(s, d, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey"),
+            Seq("o_orderpriority"),
             Seq("o_totalprice", "o_orderkey"), "i")
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
