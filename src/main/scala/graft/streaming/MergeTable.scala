@@ -51,8 +51,12 @@ object MergeTable {
           case Some(fs) => spark.read.parquet(fs.map(f => s"$table/$f"): _*)
           case None => upd.limit(0)
         }
+        // allowMissingColumns = schema evolution: an update batch may
+        // carry NEW columns (old rows null-fill) or omit columns the
+        // table already has — the additive-evolution contract a serving
+        // table needs across application versions
         val merged = old.join(upd.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(upd)
+          .unionByName(upd, allowMissingColumns = true)
         writeBucket(spark, table, merged, k, next)
       }
       val removes = touched.flatMap(k => byBucket.getOrElse(k, Seq.empty))

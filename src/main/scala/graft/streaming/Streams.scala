@@ -405,12 +405,16 @@ object Streams {
     readMergeTable(spark, tableDir)
   }
 
-  /** Snapshot (optionally time-traveled) read of a TxLog MERGE table. */
+  /** Snapshot (optionally time-traveled) read of a TxLog MERGE table.
+    * mergeSchema: bucket files may carry evolved (additive) schemas —
+    * untouched buckets keep the old one, and rows there null-fill the
+    * new columns. */
   def readMergeTable(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(tableDir, asOf)
     require(snap.files.nonEmpty, s"empty table $tableDir at version ${snap.version}")
-    spark.read.parquet(snap.files.map(f => s"$tableDir/$f"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$tableDir/$f"): _*)
   }
 
   /** FULL-OUTER stream-stream interval join: [[leftOuterIntervalJoin]]

@@ -52,6 +52,23 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, table).inputFiles.length === 8)
   }
 
+  test("schema evolution: an update batch with a NEW column null-fills old rows") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-evo").toString
+    val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)
+    // v carries over, NEW column tag appears only on the merged keys
+    val updates = Seq((1L, 99.0, "new"), (2L, 98.0, "new")).toDF("k", "v", "tag")
+    MergeTable.mergeInto(spark, table, updates, "k", buckets = 4)
+    val cur = MergeTable.read(spark, table)
+    assert(cur.columns.sorted === Array("k", "tag", "v"))
+    val byK = cur.collect().map(r =>
+      r.getLong(cur.columns.indexOf("k")) ->
+        Option(r.get(cur.columns.indexOf("tag")))).toMap
+    assert(byK(1L) === Some("new") && byK(2L) === Some("new"))
+    assert(byK(7L) === None, "untouched rows must null-fill the evolved column")
+    assert(byK.size === 16)
+  }
+
   test("merge inserts new keys into their buckets") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-ins").toString
     val base = (0L until 8L).map(i => (i, 1.0)).toDF("k", "v")
