@@ -576,6 +576,56 @@ object StreamingOps extends QueryModule {
               GROUP BY v.version, e.user_id
               ORDER BY v.version, e.user_id""")),
 
+    // CHANGE DATA FEED from the upsert sink: per micro-batch, exactly
+    // the updated keys with (old, new) cumulative values — the delta
+    // subscription downstream consumers read instead of diffing
+    // snapshots. Deterministic %-split staging again, so version k's
+    // changelog oracles as "users with an event in batch k" with the
+    // cumulative counts before/after (old_n NULL on first appearance).
+    Q("q_stream_live_changelog",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-raw").toString
+        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-in").toString
+        val ev = Tables(s, d, "events")
+        var i = 0
+        for (m <- 0 to 2) {
+          ev.filter(pmod(col("event_id"), lit(3)) === m)
+            .coalesce(1).write.parquet(s"$scratch/b$m")
+          val f = new java.io.File(s"$scratch/b$m").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
+          new java.io.File(f"$stage/part$i%02d.parquet")
+            .setLastModified(1000000L * (i + 1)): Unit
+          i += 1
+        }
+        val state = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-state").toString
+        graft.streaming.Streams.runUpsertTotalsWithChangelog(s, stage, state,
+          Map("maxFilesPerTrigger" -> "1"))
+        val versions = new java.io.File(state, "changes").listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+          .sortBy(_.getName.drop(1).toLong)
+        require(versions.length == 3,
+          s"expected 3 changelog versions, got ${versions.map(_.getName).mkString(",")}")
+        versions.zipWithIndex.map { case (p, v) =>
+          s.read.parquet(p.getPath)
+            .select(lit(v.toLong).as("version"), col("user_id"), col("old_n"),
+              col("new_n"), col("new_total"))
+        }.reduce(_ unionAll _).orderBy("version", "user_id").localCheckpoint()
+      },
+      Some("""WITH vs AS (SELECT unnest(generate_series(0, 2)) AS version),
+              agg AS (SELECT v.version, e.user_id,
+                  CAST(SUM(CASE WHEN e.event_id % 3 < v.version THEN 1 ELSE 0 END) AS BIGINT) AS old_raw,
+                  CAST(SUM(CASE WHEN e.event_id % 3 <= v.version THEN 1 ELSE 0 END) AS BIGINT) AS new_n,
+                  SUM(CASE WHEN e.event_id % 3 = v.version THEN 1 ELSE 0 END) AS in_batch,
+                  ROUND(SUM(CASE WHEN e.event_id % 3 <= v.version THEN e.value ELSE 0 END), 2) AS new_total
+                FROM events e CROSS JOIN vs v GROUP BY 1, 2)
+              SELECT version, user_id,
+                CASE WHEN old_raw = 0 THEN NULL ELSE old_raw END AS old_n,
+                new_n, new_total
+              FROM agg WHERE in_batch > 0
+              ORDER BY version, user_id""")),
+
     // Batch MERGE INTO with BUCKET-FILE PRUNING (MergeTable over TxLog):
     // the table's files are hash-bucketed by user_id, and a correction
     // batch touching only user_id % 10 == 0 rewrites ONLY the buckets

@@ -293,6 +293,52 @@ object Streams {
     * replaceWhere over key partitions) — the streaming side is unchanged,
     * which is the point of the hook. Returns the final state.
     */
+  /** [[runUpsertTotals]] plus a CHANGE DATA FEED: each micro-batch also
+    * writes a changelog partition `changes/v<batchId>` of (user_id,
+    * old_n, new_n, new_total) for exactly the keys it updated — old_n
+    * NULL on first appearance. Update-mode foreachBatch already hands
+    * over the new cumulative rows per changed key; the old values are a
+    * key-join against the pre-swap serving table, so the feed costs one
+    * bounded join per batch and downstream consumers can subscribe to
+    * deltas without diffing snapshots (the Delta CDF shape). */
+  def runUpsertTotalsWithChangelog(spark: SparkSession, eventsPath: String,
+      stateDir: String, options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val agg = events(spark, eventsPath, options)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    val cur = new java.io.File(stateDir, "current")
+    recoverUpsertState(stateDir)
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        recoverUpsertState(stateDir)
+        val old =
+          if (cur.exists())
+            spark.read.parquet(cur.getPath)
+              .select(col("user_id"), col("n_events").as("old_n"))
+          else batch.select(col("user_id"), col("n_events").as("old_n")).limit(0)
+        batch.join(old, Seq("user_id"), "left")
+          .select(col("user_id"), col("old_n"), col("n_events").as("new_n"),
+            round(col("total"), 2).as("new_total"))
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/changes/v$batchId")
+        val merged =
+          if (cur.exists()) {
+            val state = spark.read.parquet(cur.getPath)
+            state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+              .unionByName(batch)
+          } else batch
+        val next = new java.io.File(stateDir, s"v$batchId")
+        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
+        val trash = new java.io.File(stateDir, s"old$batchId")
+        if (cur.exists()) { cur.renameTo(trash): Unit }
+        next.renameTo(cur): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(cur.getPath)
+  }
+
   /** Crash recovery for the upsert sink's state directory. The commit
     * protocol is: (1) write `v<k>` fully (the parquet writer drops a
     * `_SUCCESS` marker on completion), (2) rename `current` → `old<k>`,
