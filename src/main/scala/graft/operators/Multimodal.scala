@@ -604,18 +604,27 @@ object Multimodal extends QueryModule {
     // q_dedup_simhash_pairs, different modality and radius.
     Q("q_mm_phash_pairs",
       (s, d) => {
-        val sigs = hashImages(s, imagePayloads(s, d)).toDF()
-          .select(col("doc_id"), col("phash"))
+        // COLLAPSE identical hashes FIRST: synthetic (and real) corpora
+        // carry large exact-duplicate hash groups, and banding raw doc
+        // ids would explode hot buckets quadratically (an r6 seal-bench
+        // 670 s lesson at sf0.1). Distinct hashes join distinct hashes;
+        // each surviving pair reports both groups' representatives and
+        // sizes, so the doc-level pair count is recoverable as
+        // n_a × n_b without ever materializing it.
+        val groups = hashImages(s, imagePayloads(s, d)).toDF()
+          .groupBy("phash")
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("grp"))
           .localCheckpoint() // referenced by 8 band projections + verify
-        val bands = sigs.select(col("doc_id"), col("phash"),
+        val bands = groups.select(col("phash"), col("rep"), col("grp"),
             explode(expr("transform(sequence(0, 7), b -> " +
               "named_struct('b', b, 'bits', substring(phash, b * 8 + 1, 8)))")).as("bd"))
-          .select(col("doc_id"), col("phash"), col("bd.b").as("b"),
-            col("bd.bits").as("bits"))
+          .select(col("phash"), col("rep"), col("grp"),
+            col("bd.b").as("b"), col("bd.bits").as("bits"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.bits") === col("y.bits") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+            col("x.grp").as("n_a"), col("y.grp").as("n_b"),
             col("x.phash").as("sig_a"), col("y.phash").as("sig_b"))
           .distinct()
         cand.withColumn("hamming", expr(
@@ -623,23 +632,25 @@ object Multimodal extends QueryModule {
                acc + IF(substring(sig_a, j, 1) = substring(sig_b, j, 1), 0, 1))""")
             .cast("long"))
           .filter(col("hamming") <= 7)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy("doc_a", "doc_b")
+          .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"), col("hamming"))
+          .orderBy("rep_a", "rep_b")
       },
       Some(s"""WITH $phashCtes,
-              bands AS (SELECT doc_id, phash, b, substring(phash, b * 8 + 1, 8) AS bb
-                FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs),
-              cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                  x.phash AS sig_a, y.phash AS sig_b
+              grp AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS grp
+                FROM bits GROUP BY phash),
+              bands AS (SELECT phash, rep, grp, b, substring(phash, b * 8 + 1, 8) AS bb
+                FROM grp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs),
+              cand AS (SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b,
+                  x.grp AS n_a, y.grp AS n_b, x.phash AS sig_a, y.phash AS sig_b
                 FROM bands x JOIN bands y
-                  ON x.b = y.b AND x.bb = y.bb AND x.doc_id < y.doc_id),
-              ham AS (SELECT doc_a, doc_b, CAST(SUM(CASE WHEN
+                  ON x.b = y.b AND x.bb = y.bb AND x.rep < y.rep),
+              ham AS (SELECT rep_a, rep_b, n_a, n_b, CAST(SUM(CASE WHEN
                     substring(sig_a, j, 1) = substring(sig_b, j, 1)
                     THEN 0 ELSE 1 END) AS BIGINT) AS hamming
                 FROM cand CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
-                GROUP BY doc_a, doc_b)
-              SELECT doc_a, doc_b, hamming FROM ham
-              WHERE hamming <= 7 ORDER BY doc_a, doc_b""")),
+                GROUP BY rep_a, rep_b, n_a, n_b)
+              SELECT rep_a, rep_b, n_a, n_b, hamming FROM ham
+              WHERE hamming <= 7 ORDER BY rep_a, rep_b""")),
 
     // video FRAME SAMPLING over real RIFF/AVI containers: parse the avih
     // main header, walk the movi '00db' chunks, keep every 2nd frame, and
