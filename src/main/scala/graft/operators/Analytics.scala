@@ -382,6 +382,60 @@ object Analytics extends QueryModule {
                 ORDER BY sabs DESC, i) = 1
               ORDER BY user_id""")),
 
+    // RFM SEGMENTATION: recency (hours since the user's last purchase,
+    // against the corpus max ts), frequency (purchase count), monetary
+    // (purchase value sum) — each median-split into high/low against
+    // exact corpus medians (rounded at 6, the engine-exact boundary
+    // discipline), yielding the 8 classic segments with counts and
+    // revenue. One per-user aggregate + one 3-median aggregate
+    // broadcast back + one 8-row rollup.
+    Q("q_events_rfm",
+      (s, d) => {
+        val p = ev(s, d).filter(col("event_type") === "purchase")
+        val maxTs = p.agg(max(col("ts")).as("mx"))
+        val perUser = p.groupBy("user_id")
+          .agg(max("ts").as("last_ts"), count(lit(1)).as("f"),
+            sum("value").as("m"))
+          .crossJoin(broadcast(maxTs))
+          .select(col("user_id"),
+            round((unix_micros(col("mx").cast("timestamp")) -
+              unix_micros(col("last_ts").cast("timestamp"))) / lit(3.6e9), 6).as("r"),
+            col("f"), round(col("m"), 6).as("m"))
+        val med = perUser.agg(
+          round(expr("percentile(r, 0.5)"), 6).as("mr"),
+          round(expr("percentile(f, 0.5)"), 6).as("mf"),
+          round(expr("percentile(m, 0.5)"), 6).as("mm"))
+        perUser.crossJoin(broadcast(med))
+          .select(
+            // recency: LOWER is better — high segment = below median
+            when(col("r") <= col("mr"), "R").otherwise("r").as("rs"),
+            when(col("f") >= col("mf"), "F").otherwise("f").as("fs"),
+            when(col("m") >= col("mm"), "M").otherwise("m").as("ms"),
+            col("m"))
+          .groupBy(concat(col("rs"), col("fs"), col("ms")).as("segment"))
+          .agg(count(lit(1)).as("n_users"), round(sum("m"), 2).as("revenue"))
+          .orderBy("segment")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase'),
+              mx AS (SELECT MAX(ts) AS mx FROM p),
+              pu AS (SELECT user_id,
+                  ROUND((epoch_us(mx.mx) - epoch_us(MAX(ts))) / 3.6e9, 6) AS r,
+                  COUNT(*) AS f, ROUND(SUM(value), 6) AS m
+                FROM p CROSS JOIN mx GROUP BY user_id, mx.mx),
+              med AS (SELECT
+                  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY r), 6) AS mr,
+                  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY f), 6) AS mf,
+                  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY m), 6) AS mm
+                FROM pu),
+              seg AS (SELECT
+                  (CASE WHEN r <= mr THEN 'R' ELSE 'r' END) ||
+                  (CASE WHEN f >= mf THEN 'F' ELSE 'f' END) ||
+                  (CASE WHEN m >= mm THEN 'M' ELSE 'm' END) AS segment, m
+                FROM pu CROSS JOIN med)
+              SELECT segment, COUNT(*) AS n_users, ROUND(SUM(m), 2) AS revenue
+              FROM seg GROUP BY segment ORDER BY segment""")),
+
     // TOP USER JOURNEYS: the 10 most common event-type TRIGRAM paths
     // across all users' timelines — one step past the Markov transition
     // matrix (q_events_transitions only sees pairs; "view>click>purchase

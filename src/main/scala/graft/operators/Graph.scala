@@ -643,6 +643,46 @@ object Graph extends QueryModule {
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
     Q("q_graph_closeness", (s, d) => closeness(s, d), Some(closenessSql)),
 
+    // RECIPROCITY: the fraction of directed edges whose reverse edge
+    // also exists (self-loops excluded) — the mutuality scalar beside
+    // assortativity. One self-semi-join on the deduped edge list.
+    Q("q_graph_reciprocity",
+      (s, d) => {
+        val e = edges(s, d).select("src", "dst")
+          .filter(col("src") =!= col("dst")).localCheckpoint()
+        val mutual = e.as("a").join(e.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+            "left_semi").count()
+        val total = e.count()
+        import s.implicits._
+        Seq((total, mutual,
+          BigDecimal(mutual.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_edges", "n_mutual", "reciprocity")
+      },
+      Some(s"""WITH $edgesSql,
+               ed AS (SELECT src, dst FROM e WHERE src <> dst)
+               SELECT COUNT(*) AS n_edges,
+                 CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ed r
+                   WHERE r.src = ed.dst AND r.dst = ed.src)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+                 ROUND(SUM(CASE WHEN EXISTS (SELECT 1 FROM ed r
+                   WHERE r.src = ed.dst AND r.dst = ed.src)
+                   THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS reciprocity
+               FROM ed""")),
+
+    // DEGREE DISTRIBUTION: how many vertices have out-degree k — the
+    // first chart anyone draws of a graph, and the skew signal that
+    // decides salting strategy. Two tiny cascaded aggregates.
+    Q("q_graph_degree_dist",
+      (s, d) => edges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("k"),
+      Some(s"""WITH $edgesSql,
+               deg AS (SELECT src, COUNT(*) AS k FROM e GROUP BY src)
+               SELECT k, COUNT(*) AS n_vertices FROM deg
+               GROUP BY k ORDER BY k""")),
+
     Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
 
     // COMPONENT SIZE DISTRIBUTION: the connected-components labels rolled
