@@ -249,9 +249,8 @@ object ML extends QueryModule {
   private def r9(v: Double): Double =
     BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def linreg(s: SparkSession, d: String): DataFrame = {
-    val data = gdData(s, d).cache()
-    val m = data.count().toDouble
+  /** the 3-step GD loop on cached data → round-9 (th0, th1). */
+  private def linregThetas(data: DataFrame, m: Double): (Double, Double) = {
     var (th0, th1) = (0.0, 0.0)
     for (_ <- 1 to 3) {
       val err = lit(th0) + lit(th1) * col("x") - col("y")
@@ -259,12 +258,59 @@ object ML extends QueryModule {
       th0 = r9(th0 - 0.5 * r.getDouble(0) / m)
       th1 = r9(th1 - 0.5 * r.getDouble(1) / m)
     }
+    (th0, th1)
+  }
+
+  private def linreg(s: SparkSession, d: String): DataFrame = {
+    val data = gdData(s, d).cache()
+    val m = data.count().toDouble
+    val (th0, th1) = linregThetas(data, m)
     val err = lit(th0) + lit(th1) * col("x") - col("y")
     val out = data.agg(round(sum(err * err) / (2 * m), 6).as("cost"))
       .select(round(lit(th0), 6).as("th0"), round(lit(th1), 6).as("th1"), col("cost"))
       .localCheckpoint() // eager 1-row result; frees the SF-scaled cache now
     data.unpersist()
     out
+  }
+
+  /** REGRESSION EVALUATION of the fitted line: R², MAE, RMSE over the
+    * training relation — the readout that says whether the line is
+    * worth deploying, beside the raw cost the training row emits. Same
+    * round-9 theta lattice; metrics are single aggregates rounded at 6
+    * (SST's mean enters as an exact sub-aggregate in both engines). */
+  private def linregMetrics(s: SparkSession, d: String): DataFrame = {
+    val data = gdData(s, d).cache()
+    val m = data.count().toDouble
+    val (th0, th1) = linregThetas(data, m)
+    val err = lit(th0) + lit(th1) * col("x") - col("y")
+    val ybar = data.agg(avg("y")).head.getDouble(0)
+    val out = data.agg(
+        round(lit(1.0) - sum(err * err) /
+          sum((col("y") - ybar) * (col("y") - ybar)), 6).as("r2"),
+        round(avg(abs(err)), 6).as("mae"),
+        round(sqrt(avg(err * err)), 6).as("rmse"))
+      .localCheckpoint()
+    data.unpersist()
+    out
+  }
+
+  private val linregMetricsSql: String = {
+    val steps = (0 until 3).map { i =>
+      s"""t${i + 1} AS (SELECT
+         ROUND(th0 - 0.5 * SUM(th0 + th1 * x - y) / COUNT(*), 9) AS th0,
+         ROUND(th1 - 0.5 * SUM((th0 + th1 * x - y) * x) / COUNT(*), 9) AS th1
+         FROM d CROSS JOIN t$i GROUP BY th0, th1)"""
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y
+         FROM lineitem),
+       t0 AS (SELECT 0.0 AS th0, 0.0 AS th1),
+       $steps,
+       st AS (SELECT AVG(y) AS ybar FROM d)
+       SELECT ROUND(1.0 - SUM((th0 + th1 * x - y) * (th0 + th1 * x - y))
+                / SUM((y - ybar) * (y - ybar)), 6) AS r2,
+         ROUND(AVG(ABS(th0 + th1 * x - y)), 6) AS mae,
+         ROUND(SQRT(AVG((th0 + th1 * x - y) * (th0 + th1 * x - y))), 6) AS rmse
+       FROM d CROSS JOIN t3 CROSS JOIN st GROUP BY th0, th1, ybar"""
   }
 
   private val linregSql: String = {
@@ -675,6 +721,7 @@ object ML extends QueryModule {
     Q("q_ml_cf_user_sim", (s, d) => cfUserSim(s, d), Some(cfUserSimSql)),
 
     Q("q_ml_linreg", (s, d) => linreg(s, d), Some(linregSql)),
+    Q("q_ml_linreg_metrics", (s, d) => linregMetrics(s, d), Some(linregMetricsSql)),
 
     Q("q_ml_logreg", (s, d) => logreg(s, d), Some(logregSql)),
 
