@@ -382,6 +382,39 @@ object Analytics extends QueryModule {
                 ORDER BY sabs DESC, i) = 1
               ORDER BY user_id""")),
 
+    // CONVERSION RATE with WILSON 95% LOWER BOUND per day-of-week: the
+    // A/B-readout shape — a raw rate is meaningless without its
+    // uncertainty, and Wilson's interval (z = 1.96) stays sane at small
+    // n where the normal approximation lies. Pure integer counts into
+    // one closed-form expression, stated identically on both engines,
+    // rounded at 6.
+    Q("q_events_conversion",
+      (s, d) => {
+        val z = 1.96
+        val cnt = ev(s, d)
+          .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n"), sum("p").as("k"))
+        cnt.select(col("dow"), col("n"), col("k"),
+            round(col("k") * 1.0 / col("n"), 6).as("rate"),
+            round((col("k") / col("n") + lit(z * z) / (col("n") * 2) -
+              lit(z) * sqrt((col("k") * 1.0 / col("n")) *
+                (lit(1.0) - col("k") * 1.0 / col("n")) / col("n") +
+                lit(z * z) / (col("n") * col("n") * 4))) /
+              (lit(1.0) + lit(z * z) / col("n")), 6).as("wilson_lo"))
+          .orderBy("dow")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+                  COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+                FROM events GROUP BY 1)
+              SELECT dow, n, k, ROUND(k * 1.0 / n, 6) AS rate,
+                ROUND((k / n + 1.96 * 1.96 / (2 * n) -
+                  1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n +
+                    1.96 * 1.96 / (4 * n * n))) / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo
+              FROM c ORDER BY dow""")),
+
     // RFM SEGMENTATION: recency (hours since the user's last purchase,
     // against the corpus max ts), frequency (purchase count), monetary
     // (purchase value sum) — each median-split into high/low against
