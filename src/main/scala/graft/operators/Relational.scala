@@ -1490,6 +1490,39 @@ object Relational extends QueryModule {
     // cumulative offsets), so no task ever holds a whole priority class
     // even when one class is the whole corpus; RankScale measures the
     // sharded plan vs the single-partition window on a 7.5M-row group.
+    // THEIL T inequality index per priority class — Gini's
+    // information-theoretic sibling, and DECOMPOSABLE: unlike Gini,
+    // total inequality = within-group + between-group, which is why
+    // mixture audits prefer it. T = (1/n) Σ (x/μ)·ln(x/μ). No ordered
+    // window at all: one mean aggregate joined back + one grouped sum —
+    // strictly cheaper than the rank-based Gini at any scale.
+    Q("q_agg_theil",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+        val mu = o.groupBy("o_orderpriority")
+          .agg((sum("o_totalprice") / count(lit(1))).as("mu"))
+        o.join(mu, "o_orderpriority")
+          .select(col("o_orderpriority"),
+            (col("o_totalprice") / col("mu") * log(col("o_totalprice") / col("mu")))
+              .as("term"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("term"), 4).as("st"))
+          .select(col("o_orderpriority"), col("n"),
+            round(col("st") / col("n"), 6).as("theil"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH mu AS (SELECT o_orderpriority,
+                  SUM(o_totalprice) / COUNT(*) AS mu
+                FROM orders GROUP BY o_orderpriority),
+              tr AS (SELECT o.o_orderpriority,
+                  o.o_totalprice / m.mu * LN(o.o_totalprice / m.mu) AS term
+                FROM orders o JOIN mu m USING (o_orderpriority)),
+              ag AS (SELECT o_orderpriority, COUNT(*) AS n,
+                  ROUND(SUM(term), 4) AS st
+                FROM tr GROUP BY o_orderpriority)
+              SELECT o_orderpriority, n, ROUND(st / n, 6) AS theil
+              FROM ag ORDER BY o_orderpriority""")),
+
     // EXACT GLOBAL NTILE(10): decile assignment over the WHOLE relation
     // — the textbook single-partition window scale-killer, here via
     // RangedRank's groupless rank (range shards + offset join, no task
