@@ -944,6 +944,32 @@ object TextAnalysis extends QueryModule {
                  ROUND(llr, 6) AS llr_per_token
                FROM agg ORDER BY doc_id""")),
 
+    // LEXICAL DIVERSITY per source: type-token ratio (distinct tokens /
+    // total tokens) plus root-TTR (types/√tokens — Guiraud's index, the
+    // length-corrected variant that survives corpus-size changes) — the
+    // vocabulary-richness signal a templated or spam-heavy source fails
+    // first. One token aggregate per source; sqrt/ratios on integer
+    // counts round at 6.
+    Q("q_text_ttr",
+      (s, d) => {
+        val tk = toks(s, d).join(docs(s, d).select("doc_id", "source"), "doc_id")
+        tk.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_types"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round(col("n_types") * 1.0 / col("n_tokens"), 6).as("ttr"),
+            round(col("n_types") / sqrt(col("n_tokens")), 6).as("root_ttr"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $toksSql,
+               st AS (SELECT d.source, t.tok FROM toks t
+                      JOIN documents d USING (doc_id))
+               SELECT source, COUNT(*) AS n_tokens,
+                 CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+                 ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 6) AS ttr,
+                 ROUND(COUNT(DISTINCT tok) / SQRT(COUNT(*)), 6) AS root_ttr
+               FROM st GROUP BY source ORDER BY source""")),
+
     // GOPHER-STYLE RULE FILTER: the named heuristic gate a pretraining
     // pipeline runs before any learned quality model — word-count
     // bounds, mean-word-length band, stopword presence, and a
