@@ -527,34 +527,33 @@ object Dedup extends QueryModule {
     // 3-gram sets — the metric that catches SUBSET duplication (a doc
     // quoted wholesale inside a larger one), which symmetric Jaccard
     // dilutes below any threshold as the container grows. The smaller
-    // set is the CONTAINED side (ties to the lower id). Inverted-index
-    // shape: native distinct-gram projection → gram-keyed self-join →
-    // per-pair count → size join; no docs² term, same posture as the
-    // Jaccard verify.
+    // set is the CONTAINED side (ties to the lower id).
+    //
+    // Candidates come from the containment-adapted PREFIX FILTER (r6
+    // verdict #1 — the raw gram-gram self-join was the last declared
+    // plan that could go quadratic on a hot shared shingle): each doc's
+    // grams sort by ONE global (df, gram) order, and the candidate join
+    // probes only the SMALLER doc's prefix against the larger doc's
+    // full gram list. Complete by pigeonhole: cont >= t means the
+    // smaller doc (m grams) shares >= ceil(t*m) grams with the larger,
+    // so its first m - ceil(t*m) + 1 grams cannot all miss — one of
+    // them IS a shared gram, present verbatim in the larger doc's full
+    // list. Prefixes hold each doc's globally RAREST grams, so a
+    // boilerplate gram shared by f docs contributes ~0 prefix rows
+    // instead of C(f,2) candidate pairs (ContainmentPrefixSpec proves
+    // zero false negatives; DedupScale measures the hot-gram corpus).
+    // Verification is brute-force-equivalent, so the UNCHANGED oracle
+    // hash re-proves completeness every round.
     Q("q_dedup_containment",
       (s, d) => {
         val g = docs(s, d).select(col("doc_id"),
             explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
-          .localCheckpoint() // consumed by sizes + both join sides
-        val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = g.as("a").join(g.as("b"),
-            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
-          .filter(col("cont") >= 0.8)
-          .select(
-            when(col("na") < col("nb"), col("doc_a"))
-              .when(col("nb") < col("na"), col("doc_b"))
-              .otherwise(least(col("doc_a"), col("doc_b"))).as("contained"),
-            when(col("na") < col("nb"), col("doc_b"))
-              .when(col("nb") < col("na"), col("doc_a"))
-              .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container"),
-            col("i"), col("cont"))
-          .orderBy("contained", "container")
+          .localCheckpoint() // consumed by df counts, prefixes + both verify sides
+        // materialize the O(dup pairs) result before releasing g — the
+        // returned frame must not re-run over a dropped checkpoint
+        val out = containmentPairs(g, 0.8).localCheckpoint()
+        graft.plans.Iterate.release(g)
+        out
       },
       Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
               g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
@@ -1052,6 +1051,71 @@ object Dedup extends QueryModule {
     graft.plans.Iterate.release(prefix)
     graft.plans.Iterate.release(g)
     out
+  }
+
+  /** Containment-join candidate pairs over a (doc_id, gram) relation via
+    * the asymmetric prefix filter (threshold `t` on |A∩B|/min(|A|,|B|)).
+    * Emits (doc_a, doc_b) with doc_a < doc_b, a SUPERSET of every true
+    * containment-≥-t pair (ContainmentPrefixSpec). Shape: per-gram df →
+    * per-doc (df, gram)-sorted gram list → prefix of the rarest
+    * n - ceil(t·n) + 2 grams (one slack gram absorbs the round(·,6)
+    * boundary on the verify side, so candidate generation can never be
+    * stricter than the filter it feeds) → prefix ⋈ full-list on gram,
+    * restricted to (smaller, larger) by (n, doc_id) so each unordered
+    * pair is probed exactly once, from its smaller side. Candidate count
+    * per gram is prefix-occurrences × df, not df²: hot grams sort LAST
+    * in the global order and fall out of prefixes, which is the whole
+    * df-bound. */
+  private[graft] def containmentCandidates(g: DataFrame, t: Double): DataFrame = {
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val num = math.round(t * 10).toInt; val den = 10 // t as an exact rational
+    val sorted = g.join(dfreq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
+      // ceil(t·n) in exact integer arithmetic: (num·n + den - 1) DIV den
+      .withColumn("plen", expr(s"n - ($num*n + ${den - 1}) DIV $den + 2"))
+    val prefix = sorted.select(col("doc_id"), col("n"),
+        explode(expr("slice(gs, 1, plen)")).as("pg"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val full = g.join(sizes, Seq("doc_id"))
+    prefix.as("a").join(full.as("b"),
+        col("a.pg") === col("b.gram") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Full containment pipeline over a materialized (doc_id, gram)
+    * relation: prefix-filtered candidates ([[containmentCandidates]]),
+    * thin-row intersection verify (the computePpjoin shape — pair ids ×
+    * side-a grams probing a (doc, gram)-keyed hash of side b; gram
+    * arrays never ride through the pair join), exact containment score,
+    * contained/container orientation by (size, id). */
+  private[graft] def containmentPairs(g: DataFrame, t: Double): DataFrame = {
+    val cand = containmentCandidates(g, t)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb").hint("shuffle_hash"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
+      .filter(col("cont") >= t)
+      .select(
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("contained"),
+        when(col("na") < col("nb"), col("doc_b"))
+          .when(col("nb") < col("na"), col("doc_a"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container"),
+        col("i"), col("cont"))
+      .orderBy("contained", "container")
   }
 
   /** Memoized PPJoin result per data dir (the thetaCache/pcaCache
