@@ -34,9 +34,12 @@ object MergeTable {
 
   /** MERGE INTO (key-replacement upsert): rows of `updates` replace
     * same-key rows, new keys insert. Only buckets containing an updated
-    * key are rewritten. Returns (committed version, rewritten buckets). */
+    * key are rewritten. Returns (committed version, rewritten buckets).
+    * `primitive` is the storage commit seam (TxLogSpec's concurrent
+    * merge test injects a racing one to force the retry path). */
   def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
-      keyCol: String, buckets: Int): (Long, Seq[Int]) = {
+      keyCol: String, buckets: Int,
+      primitive: CommitPrimitive = TxLog.LocalFs): (Long, Seq[Int]) = {
     var result: Option[(Long, Seq[Int])] = None
     while (result.isEmpty) {
       val snap = TxLog.snapshot(table)
@@ -60,7 +63,8 @@ object MergeTable {
         writeBucket(spark, table, merged, k, next)
       }
       val removes = touched.flatMap(k => byBucket.getOrElse(k, Seq.empty))
-      TxLog.commit(table, adds, removes, expectedCurrent = snap.version) match {
+      TxLog.commit(table, adds, removes, expectedCurrent = snap.version,
+          primitive = primitive) match {
         case Some(v) => result = Some((v, touched))
         case None => // lost the race: orphan our files, re-read, retry
           adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))

@@ -330,9 +330,7 @@ object Streams {
           } else batch
         val next = new java.io.File(stateDir, s"v$batchId")
         merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
-        val trash = new java.io.File(stateDir, s"old$batchId")
-        if (cur.exists()) { cur.renameTo(trash): Unit }
-        next.renameTo(cur): Unit
+        promote(new java.io.File(stateDir), cur, next, batchId)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -358,16 +356,41 @@ object Streams {
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
     val (complete, stale) =
       vDirs.partition(f => new java.io.File(f, "_SUCCESS").exists())
-    // sweep half-written versions: they can never be promoted
-    stale.foreach { d =>
-      d.listFiles().foreach(_.delete()); d.delete(): Unit
-    }
+    // sweep half-written versions: they can never be promoted. The walk is
+    // RECURSIVE — a mid-write crash typically leaves a _temporary/ tree
+    // inside v<k>, which a flat listFiles().delete() would silently skip,
+    // stranding the stale dir forever (ADVICE r6)
+    stale.foreach(deleteRecursively)
     val cur = new java.io.File(root, "current")
     complete.sortBy(_.getName.drop(1).toLong).foreach { v =>
       val k = v.getName.drop(1).toLong
-      if (cur.exists()) { cur.renameTo(new java.io.File(root, s"old$k")): Unit }
-      v.renameTo(cur): Unit
+      promote(root, cur, v, k)
     }
+  }
+
+  /** Atomic serving-table swap: retire `current` → `old<k>`, promote the
+    * complete `v` → `current` — CHECKING every rename (ADVICE r6: a
+    * silently failed retire leaves `current` in place, the promote then
+    * also fails silently, and the serving table goes stale while claiming
+    * the swap protocol holds). A pre-existing `old<k>` (streaming batch
+    * retry replaying a batch id, or re-recovery of the same version) is
+    * swept first so the retire cannot collide. */
+  private def promote(root: java.io.File, cur: java.io.File,
+      v: java.io.File, k: Long): Unit = {
+    if (cur.exists()) {
+      val trash = new java.io.File(root, s"old$k")
+      if (trash.exists()) deleteRecursively(trash)
+      if (!cur.renameTo(trash))
+        sys.error(s"upsert sink: failed to retire $cur -> $trash")
+    }
+    if (!v.renameTo(cur))
+      sys.error(s"upsert sink: failed to promote $v -> $cur")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      sys.error(s"upsert sink: failed to sweep $f")
   }
 
   def runUpsertTotals(spark: SparkSession, eventsPath: String,
@@ -389,10 +412,8 @@ object Streams {
           } else batch
         val next = new java.io.File(stateDir, s"v$batchId")
         merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
-        // atomic swap: rename old state away, promote the new version
-        val trash = new java.io.File(stateDir, s"old$batchId")
-        if (cur.exists()) { cur.renameTo(trash): Unit }
-        next.renameTo(cur): Unit
+        // atomic swap: retire old state, promote the new version (checked)
+        promote(new java.io.File(stateDir), cur, next, batchId)
       }
       .start()
     try q.processAllAvailable() finally q.stop()

@@ -1,7 +1,29 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** The ONE storage primitive the TxLog commit protocol needs: atomically
+  * publish `content` at `target` IF AND ONLY IF nothing exists there,
+  * returning whether this writer won. Everything else in the protocol
+  * (JSON entries, log replay, snapshot isolation, vacuum) is plain reads
+  * and writes of immutable files, so porting the table format to a new
+  * store means implementing exactly this method:
+  *
+  *   - POSIX / HDFS: stage + hard link (below) or `create(..., CREATE_NEW)`;
+  *   - S3: conditional PUT with `If-None-Match: *`;
+  *   - GCS: PUT with `x-goog-if-generation-match: 0`;
+  *   - ABFS: create with ETag `If-None-Match: *`;
+  *   - anything without conditional writes: a DynamoDB-style lock table
+  *     keyed by (table, version) — the Delta-on-S3 commit-service shape.
+  *
+  * The contract is strict: on `false` the target was ALREADY committed by
+  * another writer and this writer's content must not be visible anywhere.
+  */
+trait CommitPrimitive {
+  def createExclusive(target: Path, content: Array[Byte]): Boolean
+}
 
 /** Minimal log-based transactional table format (the lake-scale MERGE
   * sink the upsert rows defer to): a table is a directory of immutable
@@ -10,14 +32,12 @@ import scala.jdk.CollectionConverters._
   * replay — data files are never read unless a committed entry
   * references them, which gives:
   *
-  *   - **atomic commits**: an entry is staged as `_txlog/.tmp-*` and
-  *     promoted by HARD-LINKING it to `_txlog/<version>.json` — link
-  *     creation is atomic and fails if the version exists, so
-  *     concurrent writers get optimistic-concurrency conflicts instead
-  *     of lost updates (a rename would silently replace);
+  *   - **atomic commits**: an entry is published through a
+  *     [[CommitPrimitive]] (create-exclusive), so concurrent writers get
+  *     optimistic-concurrency conflicts instead of lost updates;
   *   - **crash safety**: a writer dying after writing data files but
-  *     before the link leaves ORPHANS that no reader ever sees;
-  *     [[vacuum]] sweeps them;
+  *     before the commit leaves ORPHANS that no reader ever sees;
+  *     [[vacuum]] sweeps them once they age past the in-flight window;
   *   - **snapshot isolation + time travel**: [[snapshot]] replays the
   *     log to any version; readers pin a file set, never a directory
   *     listing of mutable state.
@@ -33,17 +53,43 @@ object TxLog {
 
   final case class Snapshot(version: Long, files: Seq[String])
 
+  /** POSIX-local [[CommitPrimitive]]: stage a temp file beside the
+    * target, then HARD-LINK it in — link creation is atomic and fails if
+    * the target exists (a rename would silently replace it). */
+  object LocalFs extends CommitPrimitive {
+    def createExclusive(target: Path, content: Array[Byte]): Boolean = {
+      val tmp = Files.createTempFile(target.getParent, ".tmp-", ".json")
+      Files.write(tmp, content)
+      try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+      }
+    }
+  }
+
+  /** Data files younger than this survive [[vacuum]] by default: a
+    * concurrent writer stages bucket/part files BEFORE its commit entry
+    * lands (MergeTable.writeBucket, runMergeTotals), so an age-blind
+    * sweep could delete files an in-flight commit is about to reference.
+    * 10 minutes comfortably exceeds any single commit's write window;
+    * pass `minAgeMs = 0` only when no writer can be live (tests, offline
+    * maintenance). */
+  val defaultVacuumMinAgeMs: Long = 10 * 60 * 1000L
+
   private def logDir(table: String) = Paths.get(table, "_txlog")
 
   /** Committed versions present in the log, ascending. */
   def versions(table: String): Seq[Long] = {
     val d = logDir(table)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d+\\.json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+    else Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("\\d+\\.json"))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq.sorted
+    }
   }
 
   /** Replay the log up to (and including) `asOf` (latest if None). */
@@ -61,7 +107,8 @@ object TxLog {
   }
 
   /** Parse one committed entry → (adds, removes). The JSON is written by
-    * [[commit]] with a fixed field order and no nesting, so a
+    * [[commit]] with a fixed field order, no nesting, and file names
+    * VALIDATED to contain no `"` or `,` (enforced at commit time), so a
     * regex-based parse is exact (no JSON library in the engine deps). */
   private[streaming] def readEntry(table: String, v: Long): (Seq[String], Seq[String]) = {
     val txt = new String(Files.readAllBytes(logDir(table).resolve(s"$v.json")), "UTF-8")
@@ -74,52 +121,58 @@ object TxLog {
     (arr("adds"), arr("removes"))
   }
 
-  /** Atomically commit `version` = current + 1. Returns the committed
-    * version, or None on a CONFLICT (someone else committed that version
-    * first — re-read the snapshot and retry). File names are relative to
-    * the table root and must not contain `"` or `,`. */
+  /** Atomically commit `version` = current + 1 through `primitive`.
+    * Returns the committed version, or None on a CONFLICT (someone else
+    * committed that version first — re-read the snapshot and retry).
+    * File names are relative to the table root; names containing `"` or
+    * `,` would corrupt the regex replay, so they are rejected HERE, at
+    * write time, instead of corrupting every later read. */
   def commit(table: String, adds: Seq[String], removes: Seq[String],
-      expectedCurrent: Long): Option[Long] = {
+      expectedCurrent: Long, primitive: CommitPrimitive = LocalFs): Option[Long] = {
+    (adds ++ removes).foreach { n =>
+      require(!n.contains('"') && !n.contains(','),
+        s"file name must not contain '\"' or ',': $n")
+    }
     val next = expectedCurrent + 1
     val d = logDir(table)
     Files.createDirectories(d)
     val entry =
       s"""{"version":$next,"adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
-    val tmp = Files.createTempFile(d, ".tmp-", ".json")
-    Files.write(tmp, entry.getBytes("UTF-8"))
-    val target = d.resolve(s"$next.json")
-    try {
-      // hard-link creation is the atomic CREATE-EXCLUSIVE primitive: it
-      // fails if the target exists (rename() would silently replace it),
-      // which is exactly optimistic concurrency control
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
+    if (primitive.createExclusive(d.resolve(s"$next.json"), entry.getBytes("UTF-8")))
       Some(next)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); None
-    }
+    else None
   }
 
   /** Delete data files no committed log entry references (crash orphans)
-    * and stale `.tmp-` entries. Returns the swept file names. Files
-    * REMOVED by some version stay on disk — they back time travel. */
-  def vacuum(table: String): Seq[String] = {
+    * and stale `.tmp-` entries, SKIPPING anything modified within the
+    * last `minAgeMs` — an unreferenced-but-young file is most likely a
+    * concurrent writer's staged part whose commit has not landed yet
+    * (TxLogSpec: vacuum-during-write). Returns the swept file names.
+    * Files REMOVED by some version stay on disk — they back time
+    * travel. */
+  def vacuum(table: String, minAgeMs: Long = defaultVacuumMinAgeMs): Seq[String] = {
     val referenced = versions(table)
       .flatMap { v => val (a, r) = readEntry(table, v); a ++ r }.toSet
     val root = Paths.get(table)
     if (!Files.exists(root)) return Seq.empty
-    val orphans = Files.list(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(_.getFileName.toString)
-      .filterNot(referenced)
-      .toSeq
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map(_.getFileName.toString)
+        .filterNot(referenced)
+        .toSeq
+    }
     orphans.foreach(f => Files.deleteIfExists(root.resolve(f)))
     val d = logDir(table)
-    if (Files.exists(d)) Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".tmp-"))
-      .foreach(p => Files.deleteIfExists(p))
+    if (Files.exists(d)) Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq
+    }.foreach(p => Files.deleteIfExists(p))
     orphans
   }
 }

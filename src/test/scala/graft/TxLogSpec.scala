@@ -47,13 +47,73 @@ class TxLogSpec extends AnyFunSuite {
     writePart(t, "orphan.parquet") // writer died before its commit rename
     assert(TxLog.snapshot(t).files === Seq("live.parquet"),
       "readers must never see an uncommitted file")
-    assert(TxLog.vacuum(t) === Seq("orphan.parquet"))
+    assert(TxLog.vacuum(t, minAgeMs = 0L) === Seq("orphan.parquet"))
     assert(!Files.exists(Paths.get(t, "orphan.parquet")))
     // removed-but-logged files survive vacuum: they back time travel
     writePart(t, "v1.parquet")
     assert(TxLog.commit(t, Seq("v1.parquet"), Seq("live.parquet"), 0L) === Some(1L))
-    assert(TxLog.vacuum(t) === Seq.empty)
+    assert(TxLog.vacuum(t, minAgeMs = 0L) === Seq.empty)
     assert(Files.exists(Paths.get(t, "live.parquet")))
+  }
+
+  test("vacuum with the default age guard spares an in-flight writer's staged file") {
+    val t = freshTable("vacuum-race")
+    writePart(t, "committed.parquet")
+    assert(TxLog.commit(t, Seq("committed.parquet"), Seq.empty, -1L) === Some(0L))
+    // a concurrent writer has staged its next part but not committed yet:
+    // unreferenced AND freshly written — exactly what an age-blind sweep
+    // would delete out from under the about-to-land commit entry
+    writePart(t, "inflight.parquet")
+    assert(TxLog.vacuum(t) === Seq.empty,
+      "default-age vacuum must not sweep a freshly staged file")
+    assert(Files.exists(Paths.get(t, "inflight.parquet")))
+    // ... so the in-flight commit still lands on intact data
+    assert(TxLog.commit(t, Seq("inflight.parquet"), Seq.empty, 0L) === Some(1L))
+    assert(TxLog.snapshot(t).files.sorted ===
+      Seq("committed.parquet", "inflight.parquet"))
+  }
+
+  test("commit rejects file names that would corrupt the JSON replay") {
+    val t = freshTable("badname")
+    intercept[IllegalArgumentException] {
+      TxLog.commit(t, Seq("a,b.parquet"), Seq.empty, -1L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.commit(t, Seq("ok.parquet"), Seq("a\"b.parquet"), -1L)
+    }
+    assert(TxLog.versions(t) === Seq.empty, "no partial entry may land")
+  }
+
+  test("concurrent mergeInto: loser retries, both updates land, no lost update") {
+    import spark.implicits._
+    val t = freshTable("concurrent-merge")
+    streaming.MergeTable.load(spark, t,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v"), "id", buckets = 4)
+    // writer B fires BETWEEN writer A's snapshot read and A's commit: the
+    // racing primitive runs a full competing merge before delegating A's
+    // first commit attempt, which therefore MUST conflict and retry
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing = new streaming.CommitPrimitive {
+      def createExclusive(target: java.nio.file.Path, content: Array[Byte]): Boolean = {
+        if (raced.compareAndSet(false, true))
+          streaming.MergeTable.mergeInto(spark, t,
+            Seq((3L, 999L)).toDF("id", "v"), "id", buckets = 4)
+        streaming.TxLog.LocalFs.createExclusive(target, content)
+      }
+    }
+    val (vA, _) = streaming.MergeTable.mergeInto(spark, t,
+      Seq((7L, 777L)).toDF("id", "v"), "id", buckets = 4, primitive = racing)
+    assert(raced.get, "the race must actually have been exercised")
+    assert(vA === 2L, "A read v0, lost v1 to B, retried and committed v2")
+    val fin = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin(3L) === 999L, "B's update must survive A's retry")
+    assert(fin(7L) === 777L, "A's update must land on retry")
+    assert(fin(0L) === 0L && fin(9L) === 90L, "untouched keys intact")
+    // A's conflicted first-attempt files were self-cleaned; nothing young
+    // is referenced-free except possibly empty-bucket artifacts
+    assert(TxLog.vacuum(t, minAgeMs = 0L) === Seq.empty,
+      "loser must orphan-clean its own failed attempt")
   }
 
   test("merge sink converges to the batch group-by and time-travels per version") {
