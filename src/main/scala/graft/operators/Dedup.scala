@@ -1029,15 +1029,21 @@ object Dedup extends QueryModule {
             expr("(3 * (a.n + b.n) + 7) DIV 8")) // integer ceil(3u/8), not double /
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint() // consumed twice: the gb semi-join + the verify probe
     // verify with THIN rows (pair ids + gram), never carrying the gram
     // arrays through the pair join — the gramOverlap shape: pair ×
     // side-a grams, then a (doc, gram)-keyed shuffle_hash probe of
-    // side b (the build side is corpus-scale; r5: carrying the arrays
-    // instead measured 2x slower at sf0.1)
+    // side b (r5: carrying the arrays instead measured 2x slower at
+    // sf0.1). The build side is g restricted to candidate doc_b's via a
+    // cheap semi-join — O(candidate docs), not corpus-scale, so the
+    // hash build cannot OOM on a large corpus with few dups (the 1M-doc
+    // DedupScale lesson from the containment twin of this pipeline).
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val gb = g.join(
+      cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
     val inter = cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g.as("gb").hint("shuffle_hash"),
+      .join(gb.as("gb").hint("shuffle_hash"),
         col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     val out = inter
@@ -1049,6 +1055,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
       .localCheckpoint()
     graft.plans.Iterate.release(prefix)
+    graft.plans.Iterate.release(cand)
     graft.plans.Iterate.release(g)
     out
   }
@@ -1095,11 +1102,18 @@ object Dedup extends QueryModule {
     * arrays never ride through the pair join), exact containment score,
     * contained/container orientation by (size, id). */
   private[graft] def containmentPairs(g: DataFrame, t: Double): DataFrame = {
-    val cand = containmentCandidates(g, t)
+    val cand = containmentCandidates(g, t).localCheckpoint()
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the verify build side is g RESTRICTED to docs that appear in a
+    // candidate pair — O(dup volume), not corpus scale. Hash-building the
+    // full gram relation OOM'd the 1M-doc DedupScale probe; after the
+    // semi-join the build side shrinks with the candidate set and the
+    // shuffle_hash plan is safe at any corpus size.
+    val gb = g.join(
+      cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
     val inter = cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g.as("gb").hint("shuffle_hash"),
+      .join(gb.as("gb").hint("shuffle_hash"),
         col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter

@@ -94,15 +94,23 @@ object Similarity extends QueryModule {
     * candidate codes (per (cand, subspace): nearest codeword by dot) and
     * per-query LUT (subspace dots vs every codeword, exact micro-units),
     * plus the ADC score join. Codebook = subvectors of vec_id < pqK. */
-  /** per-subspace subvector projection: id column name → (id, m, sv). */
-  private def pqSubs(s: SparkSession, d: String)(idCol: String): DataFrame = {
-    val ms = (0 until pqM).map(m => lit(m))
+  /** (vec_id, v: array<double>) relation the PQ chains consume. */
+  private def embOf(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** per-subspace subvector projection over any (vec_id, v) relation:
+    * id column name → (id, m, sv). */
+  private def pqSubsOf(emb: DataFrame)(idCol: String): DataFrame = {
+    val ms = (0 until pqM).map(m => lit(m))
+    emb
       .select(col("vec_id").as(idCol), explode(array(ms: _*)).as("m"), col("v"))
       .select(col(idCol), col("m"),
         slice(col("v"), col("m") * pqSub + 1, lit(pqSub)).as("sv"))
   }
+
+  private def pqSubs(s: SparkSession, d: String)(idCol: String): DataFrame =
+    pqSubsOf(embOf(s, d))(idCol)
 
   /** seed codebook: subvectors of vec_id < pqK as (k, m, cbv). */
   private def pqSeedCb(s: SparkSession, d: String): DataFrame =
@@ -110,10 +118,10 @@ object Similarity extends QueryModule {
       .select(col("k"), col("m"), col("sv").as("cbv"))
 
   /** candidate codes + query LUT against a given codebook (cb must have
-    * columns (k, m, cbv)). */
-  private def pqCodesAndLutVs(s: SparkSession, d: String,
+    * columns (k, m, cbv)) over any (vec_id, v) relation. */
+  private def pqCodesAndLutOf(emb: DataFrame,
       cb: DataFrame): (DataFrame, DataFrame) = {
-    val subs = pqSubs(s, d) _
+    val subs = pqSubsOf(emb) _
     // ENCODE: per (candidate, subspace), nearest codeword by dot
     val codes = subs("cand_id").filter(col("cand_id") >= pqK)
       .join(broadcast(cb), "m")
@@ -128,8 +136,17 @@ object Similarity extends QueryModule {
     (codes, lut)
   }
 
+  private def pqCodesAndLutVs(s: SparkSession, d: String,
+      cb: DataFrame): (DataFrame, DataFrame) =
+    pqCodesAndLutOf(embOf(s, d), cb)
+
   private def pqCodesAndLut(s: SparkSession, d: String): (DataFrame, DataFrame) =
     pqCodesAndLutVs(s, d, pqSeedCb(s, d))
+
+  /** seed codebook over any (vec_id, v) relation. */
+  private def pqSeedCbOf(emb: DataFrame): DataFrame =
+    pqSubsOf(emb)("k").filter(col("k") < pqK)
+      .select(col("k"), col("m"), col("sv").as("cbv"))
 
   /** ONE Lloyd refinement of the seed codebook, per subspace: assign every
     * vector's subvector to its nearest seed codeword, recompute per-
@@ -183,9 +200,10 @@ object Similarity extends QueryModule {
     * themselves (vec_id < 4) have zero residuals and would waste half
     * the codewords. Candidates stay vec_id ≥ pqK, so the recall
     * evaluator compares against q_sim_pq on the SAME candidate set. */
-  private def pqResidualTop(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private def pqResidualTop(s: SparkSession, d: String): DataFrame =
+    pqResidualTopOf(embOf(s, d))
+
+  private def pqResidualTopOf(emb: DataFrame): DataFrame = {
     val cen = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     // cell + that cell's centroid vector, per vector (ivfCellsSql recipe)

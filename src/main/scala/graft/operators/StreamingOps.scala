@@ -68,6 +68,48 @@ object StreamingOps extends QueryModule {
   private def stagedOuterReplay(s: SparkSession, d: String): String =
     stagedReplayCache.computeIfAbsent(d, dir => stageOuterReplay(s, dir))
 
+  /** events staged ONCE per data dir as three range-split parquet files —
+    * the read-only replay input shared by the upsert/transformWithState
+    * live rows (r6 verdict #5: each row re-staged its own copy, ~3
+    * redundant write rounds per suite; state dirs stay per-row, only the
+    * immutable input is shared). */
+  private val rangeSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedRangeSplit(s: SparkSession, d: String): String =
+    rangeSplitCache.computeIfAbsent(d, dir => {
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-rsplit-in").toString
+      Tables(s, dir, "events")
+        .repartitionByRange(3, col("event_id"))
+        .write.parquet(s"$stage/in")
+      s"$stage/in"
+    })
+
+  /** events staged ONCE per data dir as the DETERMINISTIC event_id % 3
+    * split with ascending mtimes (batch k = residue k under
+    * maxFilesPerTrigger=1) — shared by the history/merge/changelog rows
+    * whose oracles aggregate over `event_id % 3 <= version`. */
+  private val modSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedModSplit(s: SparkSession, d: String): String =
+    modSplitCache.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths}
+      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-msplit-raw").toString
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-msplit-in").toString
+      val ev = Tables(s, dir, "events")
+      for (m <- 0 to 2) {
+        ev.filter(pmod(col("event_id"), lit(3)) === m)
+          .coalesce(1).write.parquet(s"$scratch/b$m")
+        val f = new java.io.File(s"$scratch/b$m").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+        new java.io.File(f"$stage/part$m%02d.parquet")
+          .setLastModified(1000000L * (m + 1)): Unit
+      }
+      stage
+    })
+
   private def stageOuterReplay(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     import s.implicits._
@@ -461,12 +503,8 @@ object StreamingOps extends QueryModule {
     // bulk write. Oracle: the plain batch GROUP BY.
     Q("q_stream_live_upsert",
       (s, d) => {
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-upsert-in").toString
-        Tables(s, d, "events")
-          .repartitionByRange(3, col("event_id"))
-          .write.parquet(s"$stage/in")
         val state = graft.GraftSession.tempDirCleanedOnExit("graft-upsert-state").toString
-        graft.streaming.Streams.runUpsertTotals(s, s"$stage/in", state,
+        graft.streaming.Streams.runUpsertTotals(s, stagedRangeSplit(s, d), state,
             Map("maxFilesPerTrigger" -> "1"))
           .select(col("user_id"), col("n_events"),
             round(col("total"), 2).as("total"))
@@ -487,23 +525,8 @@ object StreamingOps extends QueryModule {
     // every key.
     Q("q_stream_live_upsert_history",
       (s, d) => {
-        import java.nio.file.{Files, Paths}
-        val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-raw").toString
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-in").toString
-        val ev = Tables(s, d, "events")
-        var i = 0
-        for (m <- 0 to 2) {
-          ev.filter(pmod(col("event_id"), lit(3)) === m)
-            .coalesce(1).write.parquet(s"$scratch/b$m")
-          val f = new java.io.File(s"$scratch/b$m").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
-          new java.io.File(f"$stage/part$i%02d.parquet")
-            .setLastModified(1000000L * (i + 1)): Unit
-          i += 1
-        }
         val state = graft.GraftSession.tempDirCleanedOnExit("graft-upshist-state").toString
-        graft.streaming.Streams.runUpsertTotals(s, stage, state,
+        graft.streaming.Streams.runUpsertTotals(s, stagedModSplit(s, d), state,
           Map("maxFilesPerTrigger" -> "1"))
         // enumerate the retained old<k> dirs actually produced (sorted by
         // the retiring batch id) rather than assuming ids 1 and 2: any
@@ -542,23 +565,8 @@ object StreamingOps extends QueryModule {
     // version k oracles as the cumulative batch aggregate.
     Q("q_stream_live_merge",
       (s, d) => {
-        import java.nio.file.{Files, Paths}
-        val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-merge-raw").toString
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-merge-in").toString
-        val ev = Tables(s, d, "events")
-        var i = 0
-        for (m <- 0 to 2) {
-          ev.filter(pmod(col("event_id"), lit(3)) === m)
-            .coalesce(1).write.parquet(s"$scratch/b$m")
-          val f = new java.io.File(s"$scratch/b$m").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
-          new java.io.File(f"$stage/part$i%02d.parquet")
-            .setLastModified(1000000L * (i + 1)): Unit
-          i += 1
-        }
         val table = graft.GraftSession.tempDirCleanedOnExit("graft-merge-table").toString
-        graft.streaming.Streams.runMergeTotals(s, stage, table,
+        graft.streaming.Streams.runMergeTotals(s, stagedModSplit(s, d), table,
           Map("maxFilesPerTrigger" -> "1"))
         val vs = graft.streaming.TxLog.versions(table)
         require(vs == Seq(0L, 1L, 2L),
@@ -584,23 +592,8 @@ object StreamingOps extends QueryModule {
     // cumulative counts before/after (old_n NULL on first appearance).
     Q("q_stream_live_changelog",
       (s, d) => {
-        import java.nio.file.{Files, Paths}
-        val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-raw").toString
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-in").toString
-        val ev = Tables(s, d, "events")
-        var i = 0
-        for (m <- 0 to 2) {
-          ev.filter(pmod(col("event_id"), lit(3)) === m)
-            .coalesce(1).write.parquet(s"$scratch/b$m")
-          val f = new java.io.File(s"$scratch/b$m").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
-          new java.io.File(f"$stage/part$i%02d.parquet")
-            .setLastModified(1000000L * (i + 1)): Unit
-          i += 1
-        }
         val state = graft.GraftSession.tempDirCleanedOnExit("graft-cdc-state").toString
-        graft.streaming.Streams.runUpsertTotalsWithChangelog(s, stage, state,
+        graft.streaming.Streams.runUpsertTotalsWithChangelog(s, stagedModSplit(s, d), state,
           Map("maxFilesPerTrigger" -> "1"))
         val versions = new java.io.File(state, "changes").listFiles()
           .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
@@ -678,10 +671,7 @@ object StreamingOps extends QueryModule {
     // per user is the max-count row. Oracle: the plain batch GROUP BY.
     Q("q_stream_live_tws",
       (s, d) => {
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-tws-in").toString
-        Tables(s, d, "events")
-          .repartitionByRange(3, col("event_id"))
-          .write.parquet(s"$stage/in")
+        val stage = stagedRangeSplit(s, d)
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,
@@ -718,10 +708,7 @@ object StreamingOps extends QueryModule {
     // plain batch aggregates.
     Q("q_stream_live_tws_profile",
       (s, d) => {
-        val stage = graft.GraftSession.tempDirCleanedOnExit("graft-twsp-in").toString
-        Tables(s, d, "events")
-          .repartitionByRange(3, col("event_id"))
-          .write.parquet(s"$stage/in")
+        val stage = stagedRangeSplit(s, d)
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,

@@ -258,18 +258,28 @@ object TextAnalysis extends QueryModule {
     // the dedup connection. O(grams) throughout.
     Q("q_text_novelty",
       (s, d) => {
+        // r7 plan: a gram is novel for exactly ONE doc (its min), so
+        // n_novel per doc is a COUNT over the gram-minima relation —
+        // no corpus-scale gram-keyed join back onto g (the r6 plan
+        // shuffled the gram relation twice and joined it against its
+        // own aggregate; this one runs two independent hash aggregates
+        // and joins only doc-level rows)
         val g = docs(s, d).select(col("doc_id"),
           explode(graft.functions.TextHash.distinctNGrams(
             TextExprs.toks(col("text")), 3)).as("gram"))
-        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
-        g.join(first, Seq("gram"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .select(col("doc_id"), col("n_grams"), col("n_novel"),
-            round(col("n_novel") * 1.0 / col("n_grams"), 6).as("novelty"))
+          .localCheckpoint() // shared by both aggregates, built once
+        val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val novel = g.groupBy("gram").agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        val out = sizes.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            round(coalesce(col("n_novel"), lit(0L)) * 1.0 / col("n_grams"), 6)
+              .as("novelty"))
           .orderBy("doc_id")
+          .localCheckpoint()
+        graft.plans.Iterate.release(g)
+        out
       },
       Some(s"""WITH base AS (SELECT doc_id, ${TextExprs.toksSql("text")} AS tk FROM documents),
               g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
