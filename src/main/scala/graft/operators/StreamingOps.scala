@@ -679,7 +679,7 @@ object StreamingOps extends QueryModule {
         try {
           val emitted = runLive(s,
             graft.streaming.Streams.totalsTransformWithState(
-                graft.streaming.Streams.events(s, s"$stage/in",
+                graft.streaming.Streams.events(s, stage,
                   Map("maxFilesPerTrigger" -> "1")))
               .toDF("user_id", "n_events", "total"),
             "update", Seq("user_id"))
@@ -716,7 +716,7 @@ object StreamingOps extends QueryModule {
         try {
           val emitted = runLive(s,
             graft.streaming.Streams.profileTransformWithState(
-                graft.streaming.Streams.events(s, s"$stage/in",
+                graft.streaming.Streams.events(s, stage,
                   Map("maxFilesPerTrigger" -> "1")))
               .toDF("user_id", "n_events", "n_types", "last3", "type_counts"),
             "update", Seq("user_id"))
