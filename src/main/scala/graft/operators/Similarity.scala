@@ -99,6 +99,24 @@ object Similarity extends QueryModule {
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** DETERMINISTIC clustered embedding relation (r6 verdict #6): a
+    * seeded mixture-of-centers transform of the real vectors —
+    * v' = center(vec_id % 8) + v, center_j[pos] = ((pos·7 + j·13) % 11) − 5.
+    * The 8 centers have norm ≈ 26 vs the unit-ish source vectors, so the
+    * derived corpus has REAL cluster structure (the thing the testdata's
+    * isotropic embeddings lack, which kept every PQ/IVF recall row at an
+    * honest ~0.1-0.2). Declared as a query-local transform in BOTH
+    * engines, so the recall comparison below runs on identical inputs. */
+  private def clusteredEmb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, (x, p) -> " +
+        "CAST((p*7 + (vec_id % 8)*13) % 11 - 5 AS DOUBLE) + CAST(x AS DOUBLE))").as("v"))
+
+  private val clusteredESql =
+    """e0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings),
+       e AS (SELECT vec_id, pos, ((pos*7 + (vec_id % 8)*13) % 11) - 5 + ev AS ev FROM e0)"""
+
   /** per-subspace subvector projection over any (vec_id, v) relation:
     * id column name → (id, m, sv). */
   private def pqSubsOf(emb: DataFrame)(idCol: String): DataFrame = {
@@ -697,6 +715,59 @@ object Similarity extends QueryModule {
       (s, d) => pqRecallOf(s, d, "q_sim_pq_residual"),
       Some(s"""WITH $eSql, $ivfCellsSql, $pqResidualSql, $pqTruthSql
                ${pqRecallSql("rpqtop")}""")),
+
+    // The DEPLOYMENT-POSITIVE case the residual operator was built for
+    // (r6 verdict #6): the same plain-PQ and residual-PQ chains run over
+    // the clusteredEmb mixture relation — 8 well-separated centers, so
+    // coarse structure dominates each vector's norm. Plain PQ's seed
+    // codewords are whole clustered vectors: every member of a cluster
+    // encodes to the SAME codeword per subspace, ADC collapses to a
+    // per-cluster constant, and within-cluster ranking degenerates to
+    // the cand_id tie-break. Residual PQ subtracts the coarse part
+    // first, so its codes quantize the fine structure that actually
+    // ranks the top-5 — the FAISS IVFPQ argument, here as a measured
+    // side-by-side on identical inputs, truth, and candidate set.
+    Q("q_sim_clustered_recall",
+      (s, d) => {
+        val emb = clusteredEmb(s, d).localCheckpoint()
+        val (codes, lut) = pqCodesAndLutOf(emb, pqSeedCbOf(emb))
+        val pqTop = pqAdcTop(codes, lut)
+        val rpqTop = pqResidualTopOf(emb)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val c = emb.filter(col("vec_id") >= pqK)
+          .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("dot"), asc("cand_id"))
+        val truth = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(vecDot(col("qv"), col("cv")), 6).as("dot"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select("q_id", "cand_id").localCheckpoint()
+        def recallOf(m: String, top: DataFrame): DataFrame =
+          truth.join(top.select(col("q_id").as("tq"), col("cand_id").as("tc")),
+              col("q_id") === col("tq") && col("cand_id") === col("tc"), "left")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("tq").isNotNull, 1L).otherwise(0L)).as("h"))
+            .select(lit(m).as("method"), col("h").as("n_hits"),
+              round(col("h") * 1.0 / col("n"), 6).as("recall"))
+        recallOf("pq", pqTop).unionAll(recallOf("rpq", rpqTop)).orderBy("method")
+      },
+      Some(s"""WITH $clusteredESql, $ivfCellsSql, $pqScoresSql, $pqResidualSql, $pqTruthSql
+              SELECT method, n_hits, recall FROM (
+                SELECT 'pq' AS method,
+                  CAST(COUNT(p.cand_id) AS BIGINT) AS n_hits,
+                  ROUND(COUNT(p.cand_id) * 1.0 / COUNT(*), 6) AS recall
+                FROM truth t LEFT JOIN
+                  (SELECT q_id, cand_id FROM pqtop WHERE rank <= 5) p
+                  ON p.q_id = t.q_id AND p.cand_id = t.cand_id
+                UNION ALL
+                SELECT 'rpq' AS method,
+                  CAST(COUNT(r.cand_id) AS BIGINT) AS n_hits,
+                  ROUND(COUNT(r.cand_id) * 1.0 / COUNT(*), 6) AS recall
+                FROM truth t LEFT JOIN
+                  (SELECT q_id, cand_id FROM rpqtop WHERE rank <= 5) r
+                  ON r.q_id = t.q_id AND r.cand_id = t.cand_id
+              ) ORDER BY method""")),
 
     // IVF+PQ — the production-scale composition (FAISS's IVFPQ shape):
     // the inverted file prunes the candidate list to the query's cell,
