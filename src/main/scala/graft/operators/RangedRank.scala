@@ -59,10 +59,28 @@ object RangedRank {
     *                inputs accumulate as long, fractional as double.
     * @param shards  range-shard count; defaults to the session's
     *                `spark.sql.shuffle.partitions`.
+    * @param maxBroadcastOffsets  the offsets relation is O(groups ×
+    *                shards); up to this many rows it is broadcast-joined
+    *                back (the declared consumers have groups ≤ corpus/5,
+    *                well inside), above it the join falls back to a
+    *                regular shuffle join so high-cardinality groups
+    *                cannot OOM the driver/executors on the broadcast
+    *                (RangedRankSpec exercises the fallback path).
+    *
+    * Fractional totals: sharded accumulation (per-shard partial sums +
+    * prefix offsets + local scan) associates double additions differently
+    * from a strictly sequential window, so fractional results may differ
+    * from the single-task window by ulp-level error (integral totals are
+    * exact). RangedRankPropertySpec pins both: exact equality for longs,
+    * 1e-9-relative agreement for doubles. Consumers that ROUND a
+    * fractional cumulative (q_events_cusum rounds at 4) accept the
+    * boundary risk knowingly; at round-scale 1e-4 vs error 1e-12 a
+    * boundary hit needs a value within 1e-12 of a .00005 edge.
     */
   def withRunningTotals(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], totals: Seq[(String, String)],
-      shards: Option[Int] = None): DataFrame = {
+      shards: Option[Int] = None,
+      maxBroadcastOffsets: Long = 4000000L): DataFrame = {
     require(totals.nonEmpty, "at least one running total required")
     val session = df.sparkSession
     val n = shards.getOrElse(session.sessionState.conf.numShufflePartitions)
@@ -130,8 +148,12 @@ object RangedRank {
     // axis → broadcast back as each shard's starting offset
     val shardKey = groupCols :+ "__shard"
     val sums = totals.map { case (in, out) => sum(col(in)).as(s"__t_$out") }
+    // materialized: counted for the broadcast guard, then re-read by the
+    // offsets window — one execution of the aggregate either way
     val subtotals = sharded.groupBy(shardKey.map(col): _*)
       .agg(sums.head, sums.tail: _*)
+      .localCheckpoint()
+    val nOffsets = subtotals.count()
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -141,7 +163,12 @@ object RangedRank {
     }.select(shardKey.map(col) ++
       totals.map { case (_, out) => col(s"__off_$out") }: _*)
 
-    val joined = local.join(broadcast(offsets), shardKey)
+    // fallback is an UNHINTED join: at guard-tripping cardinality the
+    // safe plan is whatever AQE picks from real sizes (usually sort-merge,
+    // which spills; a forced hash build would just move the OOM)
+    val joined =
+      if (nOffsets <= maxBroadcastOffsets) local.join(broadcast(offsets), shardKey)
+      else local.join(offsets, shardKey)
     totals.foldLeft(joined) { case (acc, (_, out)) =>
       acc.withColumn(out, col(out) + col(s"__off_$out")).drop(s"__off_$out")
     }.drop("__shard")

@@ -71,6 +71,22 @@ class RangedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("high-cardinality groups take the non-broadcast offsets path and stay exact") {
+    // one group per row forces the offsets relation past the (tiny) cap,
+    // so the guard must fall back to a shuffle join — and the result must
+    // still equal the per-group window exactly
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i % 250, i, i * 3 + 1)).toDF("g", "k", "x")
+    val naive = df.withColumn("s",
+        sum("x").over(Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "k", "s").orderBy("g", "k").collect().toSeq
+    val sharded = RangedRank.withRunningTotals(df, Seq("g"), Seq("k"),
+        Seq("x" -> "s"), Some(7), maxBroadcastOffsets = 10L)
+      .select("g", "k", "s").orderBy("g", "k").collect().toSeq
+    assert(sharded === naive)
+  }
+
   test("no single task ever holds a whole group: max window partition is shard-bounded") {
     // with 8 shards over ~15k orders, each (group, shard) slice must be
     // well under a whole priority class (~3k rows)
