@@ -1082,17 +1082,35 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
       // ceil(t·n) in exact integer arithmetic: (num·n + den - 1) DIV den
       .withColumn("plen", expr(s"n - ($num*n + ${den - 1}) DIV $den + 2"))
-    val prefix = sorted.select(col("doc_id"), col("n"),
-        explode(expr("slice(gs, 1, plen)")).as("pg"))
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val full = g.join(sizes, Seq("doc_id"))
-    prefix.as("a").join(full.as("b"),
-        col("a.pg") === col("b.gram") &&
+    // one positioned explosion serves both join sides: positions in the
+    // SAME global (df, gram) order power the positional filter below
+    val pos = sorted
+      .select(col("doc_id"), col("n"), col("plen"), posexplode(col("gs")))
+      .select(col("doc_id"), col("n"), col("plen"),
+        (col("pos") + 1).as("p"), col("col").as("gram"))
+      .localCheckpoint()
+    val prefix = pos.filter(col("p") <= col("plen"))
+    // positional filter, containment-adapted: for the FIRST shared gram
+    // in the global order, every earlier gram of BOTH docs is non-shared
+    // (a shared gram earlier in either list would be globally smaller),
+    // so overlap <= 1 + min(na - pa, nb - pb); the verify admits
+    // i >= ceil(t·na) - 1 (the round(·,6) slack), so candidates where
+    // the bound cannot reach that are safely pruned — the pair survives
+    // through its first shared gram if it survives at all. At sf0.1 this
+    // cuts 175k candidates to the low tens of thousands; hot grams sit
+    // at the END of every doc's order, so they fail the bound instantly.
+    val out = prefix.as("a").join(pos.as("b"),
+        col("a.gram") === col("b.gram") &&
           (col("a.n") < col("b.n") ||
-            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+            expr(s"($num * a.n + ${den - 1}) DIV $den - 1"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    graft.plans.Iterate.release(pos)
+    out
   }
 
   /** Full containment pipeline over a materialized (doc_id, gram)
@@ -1102,7 +1120,8 @@ object Dedup extends QueryModule {
     * arrays never ride through the pair join), exact containment score,
     * contained/container orientation by (size, id). */
   private[graft] def containmentPairs(g: DataFrame, t: Double): DataFrame = {
-    val cand = containmentCandidates(g, t).localCheckpoint()
+    val cand = containmentCandidates(g, t) // already materialized
+
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // the verify build side is g RESTRICTED to docs that appear in a
     // candidate pair — O(dup volume), not corpus scale. Hash-building the
