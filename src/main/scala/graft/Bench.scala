@@ -73,9 +73,13 @@ object Bench {
     // closing brace) inside the window (VERDICT r5 item 5)
     val line =
       f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
-    // durable copy, immune to any stdout windowing
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8")): Unit
+    // durable copy, immune to any stdout windowing — full runs only: a
+    // focused SPARK_GRAFT_ONLY run must not clobber the last full
+    // suite's per-query record (it is the only per-query survivor of
+    // the driver's 2000-char stdout tail)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes("UTF-8")): Unit
     println(line)
     spark.stop()
   }
