@@ -36,10 +36,14 @@ object MergeTable {
     * same-key rows, new keys insert. Only buckets containing an updated
     * key are rewritten. Returns (committed version, rewritten buckets).
     * `primitive` is the storage commit seam (TxLogSpec's concurrent
-    * merge test injects a racing one to force the retry path). */
+    * merge test injects a racing one to force the retry path). Every
+    * `checkpointEvery` commits a log CHECKPOINT is written so reader
+    * replay stays O(commits since checkpoint) over the table's life —
+    * 0 disables. */
   def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, buckets: Int,
-      primitive: CommitPrimitive = TxLog.LocalFs): (Long, Seq[Int]) = {
+      primitive: CommitPrimitive = TxLog.LocalFs,
+      checkpointEvery: Int = 10): (Long, Seq[Int]) = {
     var result: Option[(Long, Seq[Int])] = None
     while (result.isEmpty) {
       val snap = TxLog.snapshot(table)
@@ -65,7 +69,10 @@ object MergeTable {
       val removes = touched.flatMap(k => byBucket.getOrElse(k, Seq.empty))
       TxLog.commit(table, adds, removes, expectedCurrent = snap.version,
           primitive = primitive) match {
-        case Some(v) => result = Some((v, touched))
+        case Some(v) =>
+          if (checkpointEvery > 0 && v > 0 && v % checkpointEvery == 0)
+            TxLog.writeCheckpoint(table, primitive): Unit
+          result = Some((v, touched))
         case None => // lost the race: orphan our files, re-read, retry
           adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
       }

@@ -92,18 +92,93 @@ object TxLog {
     }
   }
 
-  /** Replay the log up to (and including) `asOf` (latest if None). */
+  /** Checkpoint versions present in the log, ascending. */
+  def checkpointVersions(table: String): Seq[Long] = {
+    val d = logDir(table)
+    if (!Files.exists(d)) Seq.empty
+    else Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("\\d+\\.checkpoint\\.json"))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+        .toSeq.sorted
+    }
+  }
+
+  /** Replay the log up to (and including) `asOf` (latest if None),
+    * starting from the newest CHECKPOINT at or below the target — so a
+    * reader's cost is O(commits since last checkpoint), not O(all
+    * versions), and entries older than a checkpoint may be aged out
+    * (after which time travel below the checkpoint is gone, by
+    * declared retention, and fails loudly here). */
   def snapshot(table: String, asOf: Option[Long] = None): Snapshot = {
     val all = versions(table)
     val upTo = asOf.fold(all)(a => all.filter(_ <= a))
-    require(asOf.isEmpty || upTo.nonEmpty || all.isEmpty,
+    val base = asOf.fold(checkpointVersions(table))(
+      a => checkpointVersions(table).filter(_ <= a)).lastOption
+    require(asOf.isEmpty || upTo.nonEmpty || base.nonEmpty || all.isEmpty,
       s"no committed version <= ${asOf.get} in $table")
-    var files = Vector.empty[String]
-    upTo.foreach { v =>
+    val fromV = base.getOrElse(-1L)
+    var files = base.fold(Vector.empty[String])(v => readCheckpoint(table, v).toVector)
+    val replay = upTo.filter(_ > fromV)
+    // versions are always committed consecutively, so the replayed
+    // suffix must be exactly fromV+1, fromV+2, … — a hole means entries
+    // were deleted past the newest checkpoint and replay would silently
+    // skip commits; refuse instead
+    require(replay == ((fromV + 1) to (fromV + replay.length)),
+      s"log gap after checkpoint $fromV in $table: ${replay.mkString(",")}")
+    replay.foreach { v =>
       val (adds, removes) = readEntry(table, v)
       files = files.filterNot(removes.toSet) ++ adds
     }
-    Snapshot(upTo.lastOption.getOrElse(-1L), files)
+    Snapshot(replay.lastOption.orElse(base).getOrElse(-1L), files)
+  }
+
+  /** Write a checkpoint of the CURRENT snapshot: one JSON file holding
+    * the fully-replayed live file set at that version. Idempotent and
+    * concurrency-safe (create-exclusive through `primitive`; a loser
+    * means someone else checkpointed the same version — fine). Returns
+    * the checkpointed version, None if the table is empty or the
+    * checkpoint already exists. Entries at or below a checkpoint may
+    * then be deleted by retention policy — doing so gives up time
+    * travel below the checkpoint, nothing else. */
+  def writeCheckpoint(table: String,
+      primitive: CommitPrimitive = LocalFs): Option[Long] = {
+    val snap = snapshot(table)
+    if (snap.version < 0) return None
+    snap.files.foreach { n =>
+      require(!n.contains('"') && !n.contains(','),
+        s"file name must not contain '\"' or ',': $n")
+    }
+    val entry =
+      s"""{"version":${snap.version},"files":[${
+        snap.files.map("\"" + _ + "\"").mkString(",")}]}"""
+    val target = logDir(table).resolve(s"${snap.version}.checkpoint.json")
+    if (primitive.createExclusive(target, entry.getBytes("UTF-8"))) Some(snap.version)
+    else None
+  }
+
+  /** Retention: delete entry files AT OR BELOW the newest checkpoint.
+    * Readers then start from the checkpoint; time travel below it is
+    * deliberately given up (snapshot refuses loudly). Returns the
+    * expired versions. No-op without a checkpoint. */
+  def expireEntriesBelowCheckpoint(table: String): Seq[Long] = {
+    checkpointVersions(table).lastOption match {
+      case None => Seq.empty
+      case Some(cp) =>
+        val old = versions(table).filter(_ <= cp)
+        old.foreach(v => Files.deleteIfExists(logDir(table).resolve(s"$v.json")))
+        old
+    }
+  }
+
+  private def readCheckpoint(table: String, v: Long): Seq[String] = {
+    val txt = new String(
+      Files.readAllBytes(logDir(table).resolve(s"$v.checkpoint.json")), "UTF-8")
+    val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+    m.map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Seq.empty)
   }
 
   /** Parse one committed entry → (adds, removes). The JSON is written by
@@ -152,8 +227,9 @@ object TxLog {
     * Files REMOVED by some version stay on disk — they back time
     * travel. */
   def vacuum(table: String, minAgeMs: Long = defaultVacuumMinAgeMs): Seq[String] = {
-    val referenced = versions(table)
-      .flatMap { v => val (a, r) = readEntry(table, v); a ++ r }.toSet
+    val referenced = (versions(table)
+      .flatMap { v => val (a, r) = readEntry(table, v); a ++ r } ++
+      checkpointVersions(table).flatMap(v => readCheckpoint(table, v))).toSet
     val root = Paths.get(table)
     if (!Files.exists(root)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs

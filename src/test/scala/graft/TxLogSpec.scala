@@ -116,6 +116,61 @@ class TxLogSpec extends AnyFunSuite {
       "loser must orphan-clean its own failed attempt")
   }
 
+  test("checkpoint compaction: replay starts at the checkpoint, retention bounds time travel") {
+    val t = freshTable("checkpoint")
+    for (v <- 0 to 5) {
+      writePart(t, s"f$v.parquet")
+      val removes = if (v == 3) Seq("f0.parquet") else Seq.empty
+      assert(TxLog.commit(t, Seq(s"f$v.parquet"), removes, v - 1L) === Some(v.toLong))
+    }
+    val full = TxLog.snapshot(t)
+    assert(TxLog.writeCheckpoint(t) === Some(5L))
+    assert(TxLog.writeCheckpoint(t) === None, "same-version checkpoint is idempotent-loser")
+    // checkpointed snapshot must equal the full replay
+    assert(TxLog.snapshot(t) === full)
+    // commits continue past the checkpoint and compose with it
+    writePart(t, "f6.parquet")
+    assert(TxLog.commit(t, Seq("f6.parquet"), Seq("f1.parquet"), 5L) === Some(6L))
+    val after = TxLog.snapshot(t)
+    assert(after.version === 6L)
+    assert(after.files.sorted ===
+      Seq("f2.parquet", "f3.parquet", "f4.parquet", "f5.parquet", "f6.parquet"))
+    // retention: age out entries <= checkpoint — latest reads still work...
+    assert(TxLog.expireEntriesBelowCheckpoint(t) === (0L to 5L))
+    assert(TxLog.snapshot(t) === after)
+    assert(TxLog.snapshot(t, Some(5L)).files === full.files)
+    // ...and time travel BELOW the checkpoint fails loudly, by contract
+    intercept[IllegalArgumentException] { TxLog.snapshot(t, Some(2L)) }
+    // vacuum after retention: f0 (removed at v3, kept only for the time
+    // travel retention gave up) is now garbage and goes; everything the
+    // checkpoint or a live entry references survives
+    assert(TxLog.vacuum(t, minAgeMs = 0L) === Seq("f0.parquet"))
+    assert(Files.exists(Paths.get(t, "f2.parquet")))
+    assert(Files.exists(Paths.get(t, "f1.parquet")),
+      "checkpoint-referenced file must survive vacuum with entries expired")
+  }
+
+  test("mergeInto auto-checkpoints and reads stay correct across the boundary") {
+    import spark.implicits._
+    val t = freshTable("auto-cp")
+    streaming.MergeTable.load(spark, t,
+      (0L until 8L).map(i => (i, 0L)).toDF("id", "v"), "id", buckets = 2)
+    for (k <- 1 to 11) {
+      streaming.MergeTable.mergeInto(spark, t,
+        Seq((k % 8L, k.toLong)).toDF("id", "v"), "id", buckets = 2,
+        checkpointEvery = 5)
+    }
+    assert(streaming.TxLog.checkpointVersions(t) === Seq(5L, 10L))
+    val fin = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin(3L) === 11L && fin(2L) === 10L && fin(0L) === 8L)
+    // replay from the newest checkpoint alone (entries aged out)
+    streaming.TxLog.expireEntriesBelowCheckpoint(t)
+    val fin2 = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin2 === fin)
+  }
+
   test("merge sink converges to the batch group-by and time-travels per version") {
     val stage = GraftSession.tempDirCleanedOnExit("txlog-sink-in").toString
     Tables(spark, TestSpark.sf0, "events")
