@@ -661,6 +661,49 @@ object StreamingOps extends QueryModule {
               FROM b CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS version) v
               ORDER BY version, user_id""")),
 
+    // CHECKPOINTED MERGE TABLE in the gate: six successive single-key
+    // corrections with auto-checkpoint every 3 commits, then entry
+    // RETENTION below the newest checkpoint — the final read must
+    // replay checkpoint + suffix only (the aged-out entries are GONE
+    // from disk, so a hash match proves the checkpointed read path is
+    // the one that ran). This is the long-lived serving-table shape:
+    // reader cost stays O(commits since checkpoint) over the table's
+    // lifetime instead of growing with every commit ever made.
+    Q("q_merge_checkpointed",
+      (s, d) => {
+        import s.implicits._
+        val buckets = 4
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergecp").toString
+        val base = Tables(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+          .localCheckpoint()
+        graft.streaming.MergeTable.load(s, table, base, "user_id", buckets)
+        for (k <- 1 to 6) {
+          graft.streaming.MergeTable.mergeInto(s, table,
+            Seq((k.toLong * 10, -k.toLong, -k.toDouble)).toDF("user_id", "n_events", "total"),
+            "user_id", buckets, checkpointEvery = 3)
+        }
+        val cps = graft.streaming.TxLog.checkpointVersions(table)
+        require(cps == Seq(3L, 6L), s"expected checkpoints 3,6, got $cps")
+        val expired = graft.streaming.TxLog.expireEntriesBelowCheckpoint(table)
+        require(expired.nonEmpty, "retention must delete pre-checkpoint entries")
+        graft.streaming.MergeTable.read(s, table)
+          .select(col("user_id"), col("n_events"), round(col("total"), 2).as("total"))
+          .orderBy("user_id").localCheckpoint()
+      },
+      Some("""WITH b AS (SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total
+                         FROM events GROUP BY user_id),
+              k AS (SELECT unnest(generate_series(1, 6)) AS k)
+              SELECT user_id, n_events, ROUND(total, 2) AS total FROM (
+                SELECT b.user_id,
+                  COALESCE(-k.k, b.n_events) AS n_events,
+                  COALESCE(-CAST(k.k AS DOUBLE), b.total) AS total
+                FROM b LEFT JOIN k ON b.user_id = k.k * 10
+                UNION ALL
+                SELECT k.k * 10, -k.k, -CAST(k.k AS DOUBLE) FROM k
+                WHERE k.k * 10 NOT IN (SELECT user_id FROM b)
+              ) ORDER BY user_id""")),
+
     // Spark 4 transformWithState IN THE GATE: per-user totals as a
     // custom StatefulProcessor with typed ValueState in RocksDB — the
     // arbitrary-state operator API one step past

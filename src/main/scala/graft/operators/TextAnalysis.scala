@@ -52,6 +52,57 @@ object TextAnalysis extends QueryModule {
 
   override val defs: Seq[Q] = Seq(
 
+    // HEAVY HITTERS (vocabulary head) via Misra-Gries sketch + exact
+    // recount: every token with frequency > total/200, found with ONE
+    // bounded-memory scan (k = 512 counters per partition) that yields a
+    // candidate SUPERSET — the MG guarantee: a token with global
+    // freq > n/(k+1) survives at least the partition where its local
+    // share exceeds 1/(k+1), and 200 < k+1 = 513 — then one exact
+    // aggregate over candidates only. The recount pass never groups the
+    // full token stream: candidates are broadcast and non-candidates are
+    // never shuffled. Oracle is the brute GROUP BY ... HAVING, so a hash
+    // match proves the sketch lost nothing. This is the zipf-head
+    // discovery a tokenizer/vocab pipeline runs at corpus scale, where
+    // the full token group-by is the cost being avoided.
+    Q("q_text_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val tk = toks(s, d).select(col("tok"))
+        val cands = tk.as[String].mapPartitions { it =>
+          val k = 512
+          val m = new java.util.HashMap[String, Long](k * 2)
+          it.foreach { t =>
+            val cur = m.get(t)
+            if (cur != null) m.put(t, cur + 1L)
+            else if (m.size < k) m.put(t, 1L)
+            else { // decrement-all step (amortized O(1): fires <= n/k times)
+              val del = new java.util.ArrayList[String]()
+              val e = m.entrySet().iterator()
+              while (e.hasNext) {
+                val kv = e.next()
+                if (kv.getValue == 1L) del.add(kv.getKey)
+                else kv.setValue(kv.getValue - 1L)
+              }
+              del.forEach(x => { m.remove(x): Unit })
+            }
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            m.keySet().iterator()).asScala
+        }.toDF("tok").distinct()
+        // total WITHOUT the explode: sum of per-doc token counts
+        val total = docs(s, d)
+          .agg(sum(size(TextExprs.toks(col("text"))))).head.getLong(0)
+        tk.join(broadcast(cands), Seq("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > total)
+          .orderBy(desc("cnt"), asc("tok"))
+      },
+      Some(s"""WITH $toksSql,
+              c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+              n AS (SELECT COUNT(*) AS total FROM toks)
+              SELECT tok, cnt FROM c, n WHERE cnt * 200 > total
+              ORDER BY cnt DESC, tok""")),
+
     // token counting (whitespace/punct tokenizer). Two-level aggregate:
     // a single countDistinct mixed with plain aggregates would plan as an
     // Expand (row duplication ×2) over the exploded token relation — the
