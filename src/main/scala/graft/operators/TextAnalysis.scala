@@ -958,6 +958,89 @@ object TextAnalysis extends QueryModule {
                  ROUND(bits, 6) AS bits_per_transition
                FROM agg ORDER BY doc_id""")),
 
+    // Top COLLOCATIONS by pointwise mutual information over the bigram
+    // stream: PMI(t1,t2) = log2(c12·N / (cL(t1)·cR(t2))) with marginals
+    // taken over the same bigram stream (left/right occurrence counts),
+    // floored at c12 >= 5 so rare-pair noise can't dominate (the classic
+    // Church&Hanks collocation extractor). Three hash aggregates over
+    // one bigram extraction + two broadcast-scalar joins; top-20 by the
+    // ROUNDED score with a (t1, t2) tie-break so both engines order
+    // identically.
+    Q("q_text_pmi",
+      (s, d) => {
+        val bg = bigrams(s, d).groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint()
+        val cl = bg.groupBy("t1").agg(sum("c12").as("cl"))
+        val cr = bg.groupBy("t2").agg(sum("c12").as("cr"))
+        val n = bg.agg(sum("c12").cast("double").as("n"))
+        bg.filter(col("c12") >= 5)
+          .join(cl, Seq("t1")).join(cr, Seq("t2"))
+          .crossJoin(broadcast(n))
+          .select(col("t1"), col("t2"), col("c12"),
+            round(log2(col("c12") * col("n") / (col("cl") * col("cr"))), 6).as("pmi"))
+          .orderBy(desc("pmi"), asc("t1"), asc("t2"))
+          .limit(20)
+      },
+      Some(s"""WITH $bigramsSql,
+              bgc AS (SELECT t1, t2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+              cl AS (SELECT t1, SUM(c12) AS cl FROM bgc GROUP BY 1),
+              cr AS (SELECT t2, SUM(c12) AS cr FROM bgc GROUP BY 1),
+              n AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM bgc)
+              SELECT t1, t2, c12, ROUND(log2(c12 * n / (cl.cl * cr.cr)), 6) AS pmi
+              FROM bgc JOIN cl USING (t1) JOIN cr USING (t2) CROSS JOIN n
+              WHERE c12 >= 5
+              ORDER BY pmi DESC, t1, t2 LIMIT 20""")),
+
+    // KNESER-NEY smoothed bigram perplexity — the LM-quality scorer the
+    // interpolated row approximates: P(t2|t1) = max(c12−δ,0)/c1 +
+    // δ·T(t1)/c1 · Pcont(t2), where T(t1) = distinct continuations of
+    // t1 and Pcont(t2) = distinct left-contexts of t2 / distinct bigram
+    // types — the continuation probability that makes KN the standard
+    // n-gram smoother. δ = 0.75. Training = the same two-level hash
+    // aggregates as the interpolated row (distinct counts come free
+    // from the (t1,t2)-grouped relation); scoring touches only each
+    // doc's own transitions (all seen in training, so no zero path).
+    Q("q_text_perplexity_kn",
+      (s, d) => {
+        val delta = 0.75
+        val pf = bigrams(s, d).groupBy("doc_id", "t1", "t2")
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val bgLm = pf.groupBy("t1", "t2").agg(sum("c").as("c12"))
+          .localCheckpoint()
+        val left = bgLm.groupBy("t1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("tt"))
+        val cont = bgLm.groupBy("t2").agg(count(lit(1)).as("nleft"))
+        val types = bgLm.agg(count(lit(1)).cast("double").as("ntypes"))
+        pf.join(bgLm, Seq("t1", "t2"))
+          .join(left, Seq("t1"))
+          .join(cont, Seq("t2"))
+          .crossJoin(broadcast(types))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_trans"),
+            (-sum(col("c") * log2(
+              greatest(col("c12") - delta, lit(0.0)) / col("c1") +
+                lit(delta) * col("tt") / col("c1") * col("nleft") / col("ntypes")))
+              / sum("c")).as("bits"))
+          .select(col("doc_id"), col("n_trans"),
+            round(col("bits"), 6).as("bits_per_transition"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $bigramsSql,
+              pf AS (SELECT doc_id, t1, t2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+              bglm AS (SELECT t1, t2, SUM(c) AS c12 FROM pf GROUP BY 1, 2),
+              lft AS (SELECT t1, SUM(c12) AS c1, COUNT(*) AS tt FROM bglm GROUP BY 1),
+              cont AS (SELECT t2, COUNT(*) AS nleft FROM bglm GROUP BY 1),
+              ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ntypes FROM bglm),
+              agg AS (SELECT doc_id, SUM(c) AS n,
+                -SUM(c * log2(GREATEST(c12 - 0.75, 0.0) / c1
+                  + 0.75 * tt / c1 * nleft / ntypes)) / SUM(c) AS bits
+                FROM pf JOIN bglm USING (t1, t2) JOIN lft USING (t1)
+                JOIN cont USING (t2) CROSS JOIN ty
+                GROUP BY doc_id)
+              SELECT doc_id, CAST(n AS BIGINT) AS n_trans,
+                ROUND(bits, 6) AS bits_per_transition
+              FROM agg ORDER BY doc_id""")),
+
     // DSIR-style importance weight (Data Selection via Importance
     // Resampling): per-doc mean log-likelihood ratio between a TARGET
     // unigram LM (here the English slice) and the full-corpus LM, both
