@@ -451,6 +451,96 @@ object Graph extends QueryModule {
        )
        SELECT v, MIN(lbl) AS lbl FROM reach GROUP BY v ORDER BY v"""
 
+  /** STRONGLY connected components on the directed graph via
+    * forward-backward min-label trim: per peel, F(v) = min id forward-
+    * reachable from v and B(v) = min id backward-reachable (two CC-shaped
+    * min-label fixpoints, state O(V) each — never a closure relation);
+    * F and B are constant on an SCC, and F(v) = B(v) = m means v and m
+    * are mutually reachable with m the SCC's min — so every vertex with
+    * F = B settles with its whole component, settled components leave
+    * the residual graph, and the loop repeats. The residual global min
+    * always settles (F = B = itself), so peels ≤ #SCCs and in practice
+    * few: dense graphs collapse to one giant SCC in peel 1. This is the
+    * FW-BW-Trim family (Slota et al.) restated as dataflow — the same
+    * scale posture as CC, times the peel count. Oracle: transitive
+    * closure → mutual-reach pairs → min per vertex (exact, small-N). */
+  private def sccTrim(s: SparkSession, d: String): DataFrame =
+    sccTrimOn(edges(s, d).select("src", "dst"))
+
+  private[graft] def sccTrimOn(edgesDf: DataFrame): DataFrame = {
+    val s = edgesDf.sparkSession
+    // materialize AND mint fresh attribute ids: the peel loop repeatedly
+    // joins/unions descendants of the same relations, and checkpointed
+    // plans keep ancestor ids, which trips Catalyst's union constraint
+    // rewrite on the second peel (key-not-found on a stale id). Building
+    // a new DataFrame over the checkpointed RDD severs the lineage AND
+    // the ids — no recompute, the blocks are already materialized.
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val eAll = pin(edgesDf)
+    val allNodes = pin(nodes(eAll))
+    val e0 = pin(eAll.filter(col("src") =!= col("dst")))
+    var residualNodes = allNodes
+    var residualEdges = e0
+    var done: DataFrame = null
+    var guard = 0
+    while (residualNodes.limit(1).count() > 0 && guard < N) {
+      guard += 1
+      val rn = residualNodes
+      def minReach(ed: DataFrame): DataFrame = {
+        val edPlus = ed.unionAll(rn.select(col("v").as("src"), col("v").as("dst")))
+        val init = rn.select(col("v"), col("v").as("lbl"))
+        val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+          (c, _) =>
+            val next = c.as("cc").join(edPlus.as("ee"), col("cc.v") === col("ee.dst"))
+              .groupBy(col("ee.src").as("v")).agg(min(col("cc.lbl")).as("lbl"))
+              .localCheckpoint()
+            val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
+              .filter(col("n.lbl") =!= col("o.lbl")).count()
+            Iterate.release(c)
+            (next, changed)
+        }
+        out
+      }
+      val f = minReach(residualEdges)
+      val b = minReach(residualEdges
+        .select(col("dst").as("src"), col("src").as("dst")))
+      val settled = pin(f.as("f").join(b.as("b"), col("f.v") === col("b.v"))
+        .filter(col("f.lbl") === col("b.lbl"))
+        .select(col("f.v").as("v"), col("f.lbl").as("scc")))
+      done = if (done == null) settled
+        else pin(done.unionAll(settled))
+      // fresh alias on the settled key set: localCheckpoint keeps the
+      // ancestor's attribute ids, so an anti-join of residualNodes
+      // against its own descendant would hit ambiguous-attribute
+      // resolution on the second peel
+      val settledV = settled.select(col("v").as("__settled_v"))
+      residualNodes = pin(residualNodes
+        .join(settledV, col("v") === col("__settled_v"), "left_anti"))
+      residualEdges = pin(residualEdges
+        .join(settledV, col("src") === col("__settled_v"), "left_anti")
+        .join(settledV, col("dst") === col("__settled_v"), "left_anti"))
+    }
+    done.orderBy("v")
+  }
+
+  private val sccSql =
+    s"""WITH RECURSIVE $edgesSql,
+       $nodesSql,
+       ed AS (SELECT src, dst FROM e WHERE src <> dst),
+       closure(src, dst) AS (
+         SELECT src, dst FROM ed
+         UNION
+         SELECT c.src, ed.dst FROM closure c JOIN ed ON ed.src = c.dst
+       ),
+       mutual AS (SELECT c1.src AS v, c1.dst AS u FROM closure c1
+         JOIN closure c2 ON c2.src = c1.dst AND c2.dst = c1.src),
+       lbl AS (SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc
+               FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v)
+       SELECT v, scc FROM lbl ORDER BY v"""
+
   /** Closeness centrality + eccentricity from the 5 lowest-id sources:
     * MULTI-SOURCE BFS run to fixpoint — one state relation keyed
     * (source, vertex, dist), all sources expanding in the same
@@ -641,6 +731,7 @@ object Graph extends QueryModule {
     // gate verifies convergence-to-fixpoint, not round arithmetic
     Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
+    Q("q_graph_scc", (s, d) => sccTrim(s, d), Some(sccSql)),
     Q("q_graph_closeness", (s, d) => closeness(s, d), Some(closenessSql)),
 
     // RECIPROCITY: the fraction of directed edges whose reverse edge
