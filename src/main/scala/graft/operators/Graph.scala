@@ -526,10 +526,12 @@ object Graph extends QueryModule {
     done.orderBy("v")
   }
 
-  private val sccSql =
-    s"""WITH RECURSIVE $edgesSql,
-       $nodesSql,
-       ed AS (SELECT src, dst FROM e WHERE src <> dst),
+  private def sccCtes(pred: String = "TRUE"): String =
+    s"""$edgesSql,
+       ef AS (SELECT src, dst FROM e WHERE ($pred)),
+       nodes AS (SELECT DISTINCT v FROM
+         (SELECT src AS v FROM ef UNION ALL SELECT dst AS v FROM ef) t0),
+       ed AS (SELECT src, dst FROM ef WHERE src <> dst),
        closure(src, dst) AS (
          SELECT src, dst FROM ed
          UNION
@@ -538,8 +540,74 @@ object Graph extends QueryModule {
        mutual AS (SELECT c1.src AS v, c1.dst AS u FROM closure c1
          JOIN closure c2 ON c2.src = c1.dst AND c2.dst = c1.src),
        lbl AS (SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc
-               FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v)
+               FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v)"""
+
+  private val sccSql =
+    s"""WITH RECURSIVE ${sccCtes()}
        SELECT v, scc FROM lbl ORDER BY v"""
+
+  /** CONDENSATION of the SCC quotient graph, leveled: collapse each
+    * strongly connected component to one node, keep inter-component
+    * edges, and compute each component's LEVEL = longest path (in
+    * edges) from any source of the DAG — the topological stratification
+    * that schedules dependency stages (condensation is a DAG by
+    * construction, so longest-path relaxation converges in ≤ #levels
+    * fixpoint rounds). Composes the declared SCC operator; state is
+    * O(components). */
+  /** forward-biased subgraph for the condensation row: all ascending
+    * edges plus back-edges only from the 7 sources ≡ 0 (mod 29) — the
+    * full derived graph is dense enough to collapse into one giant SCC
+    * (a 1-row condensation demonstrates nothing), while this subgraph
+    * yields real multi-component, multi-level structure. */
+  private val condPred = "src < dst OR (src % 29 = 0 AND dst < src)"
+
+  private def condensationLevels(s: SparkSession, d: String): DataFrame = {
+    val eFilt = edges(s, d).select("src", "dst")
+      .filter(col("src") < col("dst") ||
+        (col("src") % 29 === 0 && col("dst") < col("src")))
+    val sccMap = sccTrimOn(eFilt).localCheckpoint()
+    val e = eFilt
+    val ce = e
+      .join(sccMap.select(col("v").as("src"), col("scc").as("sa")), "src")
+      .join(sccMap.select(col("v").as("dst"), col("scc").as("sb")), "dst")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa").as("src"), col("sb").as("dst")).distinct()
+      .localCheckpoint()
+    val comps = sccMap.select(col("scc").as("c")).distinct().localCheckpoint()
+    val init = comps.select(col("c"), lit(0L).as("lvl"))
+    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+      (lv, _) =>
+        val relax = lv.as("l").join(ce.as("ee"), col("l.c") === col("ee.src"))
+          .groupBy(col("ee.dst").as("c")).agg((max(col("l.lvl")) + 1L).as("ind"))
+        val next = comps.join(relax, Seq("c"), "left")
+          .select(col("c"), coalesce(col("ind"), lit(0L)).as("lvl"))
+          .localCheckpoint()
+        val changed = next.as("n").join(lv.as("o"), col("n.c") === col("o.c"))
+          .filter(col("n.lvl") =!= col("o.lvl")).count()
+        Iterate.release(lv)
+        (next, changed)
+    }
+    val sizes = sccMap.groupBy(col("scc")).agg(count(lit(1)).as("n_vertices"))
+    out.join(sizes, col("c") === col("scc"))
+      .select(col("scc"), col("lvl"), col("n_vertices"))
+      .orderBy("scc")
+  }
+
+  private val condensationSql =
+    s"""WITH RECURSIVE ${sccCtes(condPred)},
+       ce AS (SELECT DISTINCT la.scc AS src, lb.scc AS dst
+              FROM ed JOIN lbl la ON la.v = ed.src
+              JOIN lbl lb ON lb.v = ed.dst
+              WHERE la.scc <> lb.scc),
+       walks(c, len) AS (
+         SELECT scc AS c, 0 AS len FROM (SELECT DISTINCT scc FROM lbl) t
+         UNION
+         SELECT ce.dst, walks.len + 1 FROM walks JOIN ce ON ce.src = walks.c
+       ),
+       lv AS (SELECT c, CAST(MAX(len) AS BIGINT) AS lvl FROM walks GROUP BY c),
+       sz AS (SELECT scc, COUNT(*) AS n_vertices FROM lbl GROUP BY scc)
+       SELECT lv.c AS scc, lv.lvl, sz.n_vertices
+       FROM lv JOIN sz ON sz.scc = lv.c ORDER BY scc"""
 
   /** Closeness centrality + eccentricity from the 5 lowest-id sources:
     * MULTI-SOURCE BFS run to fixpoint — one state relation keyed
@@ -732,6 +800,7 @@ object Graph extends QueryModule {
     Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
     Q("q_graph_scc", (s, d) => sccTrim(s, d), Some(sccSql)),
+    Q("q_graph_condensation", (s, d) => condensationLevels(s, d), Some(condensationSql)),
     Q("q_graph_closeness", (s, d) => closeness(s, d), Some(closenessSql)),
 
     // RECIPROCITY: the fraction of directed edges whose reverse edge

@@ -175,6 +175,35 @@ object Relational extends QueryModule {
               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
               FROM lineitem GROUP BY grp ORDER BY grp""")),
 
+    // EXACT GLOBAL quantiles — the ungrouped twin of q_agg_percentile,
+    // which at corpus scale is the classic "ORDER BY the whole table
+    // through one task" hazard. Fifth RangedRank consumer: global rank
+    // via range-sharded running count (no global window anywhere), then
+    // three point lookups at ceil(q·n). Deterministic by the
+    // (price, orderkey, linenumber) unique order key.
+    Q("q_agg_quantile_exact_global",
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val n = li.count()
+        val ranked = graft.operators.RangedRank.withRank(li, Seq.empty,
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rk")
+        val targets = Seq(0.5, 0.95, 0.99)
+          .map(q => (q, math.ceil(q * n).toLong)).toDF("q", "target")
+        ranked.join(broadcast(targets), col("rk") === col("target"))
+          .select(col("q"), round(col("l_extendedprice"), 2).as("value"))
+          .orderBy("q")
+      },
+      Some("""WITH r AS (SELECT l_extendedprice,
+                ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+                FROM lineitem),
+              n AS (SELECT COUNT(*) AS n FROM lineitem),
+              t(q) AS (VALUES (0.5), (0.95), (0.99))
+              SELECT t.q, ROUND(r.l_extendedprice, 2) AS value
+              FROM t CROSS JOIN n JOIN r ON r.rk = CAST(CEIL(t.q * n.n) AS BIGINT)
+              ORDER BY t.q""")),
+
     // The SCALE path for percentiles: approx_percentile's mergeable
     // Greenwald-Khanna sketch holds O(accuracy) per group instead of the
     // exact aggregate's full value buffer. Sketch internals aren't
