@@ -112,6 +112,86 @@ object Relational extends QueryModule {
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")),
 
+    // TPC-H Q3 (shipping priority): the canonical sales-funnel 3-way
+    // join — filter the small dimension FIRST (segment cut on customer),
+    // broadcast it into orders, shuffle-join lineitem on the order key,
+    // top-10 by revenue. The date cuts push into both fact scans
+    // (PushedFilters); group key carries the date so the output is
+    // deterministic without re-reading orders.
+    Q("q_rel_tpch_q3",
+      (s, d) => {
+        val cut = lit("1998-03-15").cast("timestamp")
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders").filter(col("o_orderdate") < cut)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(desc("revenue"), asc("o_date"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                o_orderpriority,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15'
+                AND l_shipdate > TIMESTAMP '1998-03-15'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 (local supplier volume): the canonical snowflake join —
+    // region→nation broadcast chain prunes suppliers AND customers to
+    // one region, the same-nation constraint (c_nationkey = s_nationkey)
+    // applies as a post-join filter on the two independently-joined
+    // legs, and only lineitem/orders ever shuffle. The shape that
+    // proves join-order + broadcast discipline on a star schema.
+    Q("q_rel_tpch_q5",
+      (s, d) => {
+        val asia = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_nationkey")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "orders")
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
