@@ -661,6 +661,36 @@ object StreamingOps extends QueryModule {
               FROM b CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS version) v
               ORDER BY version, user_id""")),
 
+    // BUCKET-PRUNED STREAMING MERGE in the gate: the same %-split
+    // replay as q_stream_live_merge, but the sink is MergeTable —
+    // batch 0 bucket-loads, batches 1-2 MERGE their changed keys and
+    // rewrite only the touched buckets through the TxLog protocol.
+    // Versions stay addressable; version k's state oracles as the
+    // cumulative batch aggregate, identical to the full-rewrite row —
+    // proving the pruned merge path preserves exactly the semantics
+    // the simple sink had, at 1/buckets of the write volume when keys
+    // cluster.
+    Q("q_stream_live_merge_bucketed",
+      (s, d) => {
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergebk-table").toString
+        graft.streaming.Streams.runMergeBucketed(s, stagedModSplit(s, d), table,
+          buckets = 8, Map("maxFilesPerTrigger" -> "1"))
+        val vs = graft.streaming.TxLog.versions(table)
+        require(vs == Seq(0L, 1L, 2L),
+          s"expected commit versions 0..2, got ${vs.mkString(",")}")
+        vs.map { v =>
+          graft.streaming.Streams.readMergeTable(s, table, Some(v))
+            .select(lit(v).as("version"), col("user_id"), col("n_events"),
+              round(col("total"), 2).as("total"))
+        }.reduce(_ unionAll _).orderBy("version", "user_id").localCheckpoint()
+      },
+      Some("""SELECT v.version, e.user_id, COUNT(*) AS n_events,
+                ROUND(SUM(e.value), 2) AS total
+              FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS version) v
+              WHERE e.event_id % 3 <= v.version
+              GROUP BY v.version, e.user_id
+              ORDER BY v.version, e.user_id""")),
+
     // CHECKPOINTED MERGE TABLE in the gate: six successive single-key
     // corrections with auto-checkpoint every 3 commits, then entry
     // RETENTION below the newest checkpoint — the final read must

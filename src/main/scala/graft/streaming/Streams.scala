@@ -472,6 +472,35 @@ object Streams {
     readMergeTable(spark, tableDir)
   }
 
+  /** Per-user running totals maintained as a BUCKET-PRUNED MergeTable —
+    * the lake-scale streaming sink [[runMergeTotals]]'s full-state
+    * rewrite stands in for: batch 0 bucket-loads the table, every later
+    * micro-batch MERGEs its changed keys so only buckets holding a
+    * changed key rewrite, committing through the TxLog protocol
+    * (snapshot isolation, time travel, auto-checkpoint every 10
+    * commits). At 100 TB this is the difference between rewriting the
+    * serving table per batch and rewriting the touched 1%. */
+  def runMergeBucketed(spark: SparkSession, eventsPath: String,
+      tableDir: String, buckets: Int = 8,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val agg = events(spark, eventsPath, options)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // update mode hands exactly the changed keys with their NEW
+        // cumulative values — precisely mergeInto's key-replacement input
+        if (TxLog.versions(tableDir).isEmpty)
+          MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
+        else
+          MergeTable.mergeInto(spark, tableDir, batch, "user_id", buckets): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readMergeTable(spark, tableDir)
+  }
+
   /** Snapshot (optionally time-traveled) read of a TxLog MERGE table.
     * mergeSchema: bucket files may carry evolved (additive) schemas —
     * untouched buckets keep the old one, and rows there null-fill the
