@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val nBase = sys.env.getOrElse("DEDUP_SCALE_DOCS", "1000000").toLong
+    // injection rate: every Nth doc gets a wrapped duplicate — sweeping
+    // this at fixed corpus size measures "candidates grow with dup
+    // volume" directly (r6 verdict #3's acceptance shape)
+    val dupEvery = sys.env.getOrElse("DEDUP_SCALE_DUP_EVERY", "1000").toLong
     val spark = GraftSession.get()
 
     // --- corpus: boilerplate + unique md5-derived body, schema matches
@@ -43,9 +47,9 @@ object DedupScale {
       concat(lit(boiler + " "), expr(body)).as("text"),
       lit("en").as("lang"),
       concat(lit("s"), pmod(col("id"), lit(5))).as("source"))
-    // injected containment: every 1000th doc re-appears wrapped in pad
-    // tokens — the TRUE pairs the filters must not lose
-    val wrapped = spark.range(0, nBase, 1000).select(
+    // injected containment: every `dupEvery`-th doc re-appears wrapped
+    // in pad tokens — the TRUE pairs the filters must not lose
+    val wrapped = spark.range(0, nBase, dupEvery).select(
       (col("id") + 100000000L).as("doc_id"),
       concat(lit("padx pady padz "), lit(boiler + " "), expr(body),
         lit(" padp padq padr")).as("text"),
@@ -75,7 +79,7 @@ object DedupScale {
     }
 
     println(s"""{"metric":"dedup_scale_corpus","docs":$nDocs,"gram_rows":$nGrams,""" +
-      s""""brute_pairs":$brutePairs,"hot_gram_df":$hotDf}""")
+      s""""dup_every":$dupEvery,"brute_pairs":$brutePairs,"hot_gram_df":$hotDf}""")
 
     timed("containment_candidates") {
       graft.operators.Dedup.containmentCandidates(g, 0.8).count()
