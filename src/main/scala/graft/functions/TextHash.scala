@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -132,6 +132,20 @@ object TextHashUtil {
       p += 1
     }
     new GenericArrayData(mins.map(toHex8))
+  }
+
+  /** Hamming distance between two equal-length bit strings ('0'/'1'
+    * chars, byte-per-byte compare): count of differing positions, plus
+    * any length delta (so ragged inputs can never under-count). One
+    * linear byte scan — replaces the 64-step `aggregate(sequence(...))`
+    * SQL fold the banded-pairs verifies previously evaluated per
+    * candidate, which built 64 substring calls per row. */
+  def hamming(a: UTF8String, b: UTF8String): Long = {
+    val ba = a.getBytes; val bb = b.getBytes
+    val n = math.min(ba.length, bb.length)
+    var i = 0; var c: Long = math.abs(ba.length - bb.length).toLong
+    while (i < n) { if (ba(i) != bb(i)) c += 1; i += 1 }
+    c
   }
 
   /** distinct space-joined w-grams in first-occurrence order; empty array
@@ -276,9 +290,38 @@ case class SimHashSig(child: Expression)
   override def prettyName: String = "simhash_sig"
 }
 
+/** codegen'd bit-string Hamming distance (see [[TextHashUtil.hamming]]) */
+case class HammingBits(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hamming_bits needs (string, string), got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.hamming($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingBits =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hamming_bits"
+}
+
 object TextHash {
   def minhashSig(tokens: Column, nGramWidth: Int, numHashes: Int = 8): Column =
     bridge.column(MinHashSig(bridge.expression(tokens), nGramWidth, numHashes))
+
+  def hammingBits(a: Column, b: Column): Column =
+    bridge.column(HammingBits(bridge.expression(a), bridge.expression(b)))
 
   def simhashSig(tokens: Column): Column =
     bridge.column(SimHashSig(bridge.expression(tokens)))

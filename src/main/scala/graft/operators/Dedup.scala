@@ -599,10 +599,10 @@ object Dedup extends QueryModule {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
           .distinct()
-        cand.withColumn("hamming", expr(
-            """aggregate(sequence(1, 64), 0, (acc, j) ->
-               acc + IF(substring(sig_a, j, 1) = substring(sig_b, j, 1), 0, 1))""")
-            .cast("long"))
+        // codegen'd byte-scan Hamming (one compiled loop per candidate;
+        // the SQL aggregate fold evaluated 64 substring pairs per row)
+        cand.withColumn("hamming",
+            TextHash.hammingBits(col("sig_a"), col("sig_b")))
           .filter(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")

@@ -627,10 +627,9 @@ object Multimodal extends QueryModule {
             col("x.grp").as("n_a"), col("y.grp").as("n_b"),
             col("x.phash").as("sig_a"), col("y.phash").as("sig_b"))
           .distinct()
-        cand.withColumn("hamming", expr(
-            """aggregate(sequence(1, 64), 0, (acc, j) ->
-               acc + IF(substring(sig_a, j, 1) = substring(sig_b, j, 1), 0, 1))""")
-            .cast("long"))
+        // codegen'd byte-scan Hamming (see Dedup.q_dedup_simhash_pairs)
+        cand.withColumn("hamming",
+            graft.functions.TextHash.hammingBits(col("sig_a"), col("sig_b")))
           .filter(col("hamming") <= 7)
           .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"), col("hamming"))
           .orderBy("rep_a", "rep_b")
