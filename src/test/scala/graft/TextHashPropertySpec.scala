@@ -105,4 +105,27 @@ class TextHashPropertySpec extends AnyFunSuite {
       .orderBy("i").as[(Int, Int)].collect().toSeq.map(_._2)
     assert(sparkCounts === jvmCounts)
   }
+
+  test("hamming_bits equals the SQL substring fold on random bit strings") {
+    val bitsGen: Gen[(String, String)] = for {
+      n <- Gen.choose(1, 80)
+      a <- Gen.listOfN(n, Gen.oneOf('0', '1'))
+      b <- Gen.listOfN(n, Gen.oneOf('0', '1'))
+    } yield (a.mkString, b.mkString)
+    val pairs = samples(bitsGen, 40)
+    val got = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), TextHash.hammingBits(col("a"), col("b")).as("h"))
+      .orderBy("i").as[(Int, Long)].collect().toSeq.map(_._2)
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x != y }.toLong }
+    assert(got === want)
+    // ragged inputs count the length delta, never under-count
+    val ragged = Seq(("0101", "01"), ("1", "111"))
+      .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), TextHash.hammingBits(col("a"), col("b")).as("h"))
+      .orderBy("i").as[(Int, Long)].collect().toSeq.map(_._2)
+    assert(ragged === Seq(2L, 2L))
+  }
 }
