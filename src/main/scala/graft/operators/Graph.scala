@@ -488,7 +488,30 @@ object Graph extends QueryModule {
     var guard = 0
     while (residualNodes.limit(1).count() > 0 && guard < N) {
       guard += 1
+      // ONE TRIM pass: a vertex with no incoming (or no outgoing)
+      // residual edge is a singleton SCC — settled here with two cheap
+      // anti-joins, which peels sparse tails without a fixpoint.
+      locally {
+        val srcs = residualEdges.select(col("src").as("__k")).distinct()
+        val dsts = residualEdges.select(col("dst").as("__k")).distinct()
+        val trimmed = pin(residualNodes
+          .join(srcs, col("v") === col("__k"), "left_anti")
+          .unionAll(residualNodes
+            .join(dsts, col("v") === col("__k"), "left_anti"))
+          .distinct())
+        if (trimmed.limit(1).count() > 0) {
+          val settled = trimmed.select(col("v"), col("v").as("scc"))
+          done = if (done == null) pin(settled) else pin(done.unionAll(settled))
+          val tv = trimmed.select(col("v").as("__settled_v"))
+          residualNodes = pin(residualNodes
+            .join(tv, col("v") === col("__settled_v"), "left_anti"))
+          residualEdges = pin(residualEdges
+            .join(tv, col("src") === col("__settled_v"), "left_anti")
+            .join(tv, col("dst") === col("__settled_v"), "left_anti"))
+        }
+      }
       val rn = residualNodes
+      if (rn.limit(1).count() > 0) {
       def minReach(ed: DataFrame): DataFrame = {
         val edPlus = ed.unionAll(rn.select(col("v").as("src"), col("v").as("dst")))
         val init = rn.select(col("v"), col("v").as("lbl"))
@@ -504,9 +527,24 @@ object Graph extends QueryModule {
         }
         out
       }
-      val f = minReach(residualEdges)
-      val b = minReach(residualEdges
-        .select(col("dst").as("src"), col("src").as("dst")))
+      // Orzan coloring peel: F (forward min) partitions the residual
+      // into classes that each CONTAIN their root's SCC (F is constant
+      // on an SCC), so computing backward-min WITHIN each class settles
+      // SCC(root) for EVERY class simultaneously: B_class(u) = F(u) iff
+      // the class root reaches u through the class iff u ∈ SCC(root).
+      // Singleton classes settle trivially (B_class = self = F), which
+      // is what consumes a dense ascending DAG residual in one peel —
+      // the plain F/B core settled one component per peel and measured
+      // 26.5 s on the condensation row at sf0.1.
+      val f = pin(minReach(residualEdges))
+      val f1 = f.select(col("v").as("__fv1"), col("lbl").as("__fl1"))
+      val f2 = f.select(col("v").as("__fv2"), col("lbl").as("__fl2"))
+      val classEdgesRev = residualEdges
+        .join(f1, col("src") === col("__fv1"))
+        .join(f2, col("dst") === col("__fv2"))
+        .filter(col("__fl1") === col("__fl2"))
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val b = minReach(classEdgesRev)
       val settled = pin(f.as("f").join(b.as("b"), col("f.v") === col("b.v"))
         .filter(col("f.lbl") === col("b.lbl"))
         .select(col("f.v").as("v"), col("f.lbl").as("scc")))
@@ -522,6 +560,7 @@ object Graph extends QueryModule {
       residualEdges = pin(residualEdges
         .join(settledV, col("src") === col("__settled_v"), "left_anti")
         .join(settledV, col("dst") === col("__settled_v"), "left_anti"))
+      }
     }
     done.orderBy("v")
   }
