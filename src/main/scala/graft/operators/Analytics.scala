@@ -532,6 +532,53 @@ object Analytics extends QueryModule {
     // Two semi-join passes compute the qualifying-touch flags (each a
     // per-user range join, state bounded by the lookback like the
     // streaming interval joins), then one 3-row aggregate.
+    // TIME-DECAY MULTI-TOUCH attribution — the fractional-credit upgrade
+    // over the last-touch row: each purchase's value splits over the
+    // user's clicks in the preceding 8 h with weights 1/(1 + whole hours
+    // before), normalized per purchase. Per user: credited clicks and
+    // total credit (which re-sums to the attributed purchase value —
+    // conservation is the built-in sanity check). One interval join on
+    // (user, time-band) + two hash aggregates; no window over the raw
+    // stream.
+    Q("q_events_attribution_decay",
+      (s, d) => {
+        val e = ev(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts").as("pts"), col("value"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id"),
+            col("ts").as("cts"))
+        val pairs = p.join(c, Seq("user_id"))
+          .filter(col("cts") <= col("pts") &&
+            col("cts") >= col("pts") - expr("INTERVAL 8 HOURS"))
+          .withColumn("w", lit(1.0) /
+            (lit(1) + floor((unix_timestamp(col("pts")) -
+              unix_timestamp(col("cts"))) / 3600)))
+        val norm = pairs.groupBy("pid").agg(sum("w").as("wsum"))
+        pairs.join(norm, Seq("pid"))
+          .select(col("user_id"), col("cid"),
+            (col("value") * col("w") / col("wsum")).as("credit"))
+          .groupBy("user_id")
+          .agg(countDistinct(col("cid")).as("n_clicks"),
+            round(sum("credit"), 2).as("total_credit"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+                         FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+              pr AS (SELECT p.pid, p.user_id, c.cid, p.value,
+                  1.0 / (1 + (epoch(p.pts) - epoch(c.cts)) // 3600) AS w
+                FROM p JOIN c USING (user_id)
+                WHERE c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 8 HOURS),
+              nm AS (SELECT pid, SUM(w) AS wsum FROM pr GROUP BY pid)
+              SELECT pr.user_id,
+                CAST(COUNT(DISTINCT pr.cid) AS BIGINT) AS n_clicks,
+                ROUND(SUM(pr.value * pr.w / nm.wsum), 2) AS total_credit
+              FROM pr JOIN nm USING (pid)
+              GROUP BY pr.user_id ORDER BY pr.user_id""")),
+
     Q("q_events_attribution",
       (s, d) => {
         val e = ev(s, d)

@@ -192,6 +192,40 @@ object Relational extends QueryModule {
                 AND o_orderdate < TIMESTAMP '1998-01-01'
               GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q18 (large-volume customers): the aggregate-HAVING semi-join
+    // shape — the qualifying order keys come from a grouped HAVING over
+    // the fact table, then semi-join back before the 3-way join +
+    // re-aggregate. The qualifier set is tiny (heavy-tail orders), so it
+    // broadcasts; lineitem is scanned twice by construction (the classic
+    // plan) but never carries non-qualifying orders past the semi-join.
+    Q("q_rel_tpch_q18",
+      (s, d) => {
+        val qual = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("qty"))
+          .filter(col("qty") > 300)
+          .select(col("l_orderkey").as("qk"))
+        t(s, d, "lineitem")
+          .join(broadcast(qual), col("l_orderkey") === col("qk"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"))
+          .agg(round(sum("l_quantity"), 2).as("total_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH q AS (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+              SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+                ROUND(SUM(l_quantity), 2) AS total_qty
+              FROM lineitem JOIN q USING (l_orderkey)
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "orders")
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
