@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
-import graft.functions.{DistinctNGrams, MinHashSig, SimHashSig, VecDot}
+import graft.functions.{DistinctNGrams, HammingBits, MinHashSig, SimHashSig, VecDot}
 
 /** SQL names for graft's native Catalyst expressions, so `spark.sql` users
   * get the same codegen'd kernels as the Column API (VecDot and the text
@@ -71,6 +71,10 @@ object GraftFunctions {
     d("distinct_ngrams", "(array<string> tokens, int ngram_width) -> array<string>",
         classOf[DistinctNGrams]) {
       case Seq(t, w) => DistinctNGrams(t, intLit("distinct_ngrams", "ngram_width", w))
+    },
+    d("hamming_bits", "(string bits_a, string bits_b) -> bigint",
+        classOf[HammingBits]) {
+      case Seq(a, b) => HammingBits(a, b)
     })
 
   /** Post-hoc registration on an already-built session (idempotent —

@@ -111,4 +111,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     viaSql.zip(viaCol).foreach { case (x, y) => assert(x == y) }
     emb.unpersist()
   }
+
+  test("hamming_bits SQL name matches the Column API") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq((0, "010101", "011001"), (1, "1111", "0000")).toDF("i", "a", "b")
+      .createOrReplaceTempView("hb")
+    val sql = spark.sql("SELECT i, hamming_bits(a, b) AS h FROM hb ORDER BY i")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sql === Seq(2L, 4L))
+    spark.catalog.dropTempView("hb")
+  }
 }

@@ -171,6 +171,41 @@ class TxLogSpec extends AnyFunSuite {
     assert(fin2 === fin)
   }
 
+  test("a conditional-put primitive (no filesystem atomicity) drives the full protocol") {
+    import spark.implicits._
+    // object-store semantics: the WINNER is decided by putIfAbsent on a
+    // shared key space (S3 If-None-Match shape); the file write itself is
+    // plain and non-atomic — losers never write, so no hard links or
+    // atomic renames are ever needed. Proves TxLog depends on nothing
+    // beyond the CommitPrimitive contract.
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val condPut = new streaming.CommitPrimitive {
+      def createExclusive(target: java.nio.file.Path, content: Array[Byte]): Boolean = {
+        if (!claimed.add(target.toString)) false
+        else if (Files.exists(target)) { claimed.remove(target.toString); false }
+        else { Files.write(target, content); true }
+      }
+    }
+    val t = freshTable("condput")
+    assert(TxLog.commit(t, Seq("a.parquet"), Seq.empty, -1L, condPut) === Some(0L))
+    assert(TxLog.commit(t, Seq("b.parquet"), Seq("a.parquet"), 0L, condPut) === Some(1L))
+    assert(TxLog.commit(t, Seq("c.parquet"), Seq("a.parquet"), 0L, condPut) === None,
+      "conflict must surface through the conditional put")
+    assert(TxLog.snapshot(t).files === Seq("b.parquet"))
+    // and the full MergeTable flow (load + merge + checkpoint) runs on it
+    val mt = freshTable("condput-mt")
+    streaming.MergeTable.load(spark, mt,
+      (0L until 6L).map(i => (i, i)).toDF("id", "v"), "id", buckets = 2)
+    val (v1, _) = streaming.MergeTable.mergeInto(spark, mt,
+      Seq((2L, 99L)).toDF("id", "v"), "id", buckets = 2,
+      primitive = condPut, checkpointEvery = 1)
+    assert(v1 === 1L)
+    assert(streaming.TxLog.checkpointVersions(mt) === Seq(1L))
+    val got = streaming.MergeTable.read(spark, mt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 99L && got(5L) === 5L)
+  }
+
   test("merge sink converges to the batch group-by and time-travels per version") {
     val stage = GraftSession.tempDirCleanedOnExit("txlog-sink-in").toString
     Tables(spark, TestSpark.sf0, "events")
