@@ -1041,6 +1041,60 @@ object TextAnalysis extends QueryModule {
                 ROUND(bits, 6) AS bits_per_transition
               FROM agg ORDER BY doc_id""")),
 
+    // DoReMi-style DOMAIN REWEIGHTING (one proxy step): per-source
+    // excess loss under the corpus unigram LM (source bits-per-token
+    // minus the best source's), exponentiated into a softmax and mixed
+    // 80/20 with uniform — the mixture-weight update that up-weights
+    // hard domains. The whole computation is two hash aggregates over
+    // (source, tok) counts plus an O(sources) driver-free softmax
+    // (window over a 5-row relation); the LM is the same add-one
+    // unigram every perplexity row uses.
+    Q("q_text_doremi",
+      (s, d) => {
+        val st = docs(s, d).select(col("source"),
+            explode(TextExprs.toks(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val lm = st.groupBy("tok").agg(sum("c").as("ct"))
+        val scal = lm.agg(sum("ct").cast("double").as("t"),
+          count(lit(1)).cast("double").as("v"))
+        val bits = st.join(lm, "tok").crossJoin(broadcast(scal))
+          .groupBy("source")
+          .agg((-sum(col("c") * log2((col("ct") + 1.0) / (col("t") + col("v"))))
+            / sum("c")).as("bits"), sum("c").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        bits
+          .withColumn("excess", col("bits") - min("bits").over(w))
+          .withColumn("e", exp(col("excess")))
+          .withColumn("weight",
+            lit(0.8) * col("e") / sum("e").over(w) + lit(0.2) / count(lit(1)).over(w))
+          .select(col("source"), col("n_tokens"),
+            round(col("bits"), 6).as("bits_per_token"),
+            round(col("excess"), 6).as("excess"),
+            round(col("weight"), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some(s"""WITH st AS (SELECT source, unnest(${TextExprs.toksSql("text")}) AS tok
+                           FROM documents),
+              sc AS (SELECT source, tok, COUNT(*) AS c FROM st GROUP BY 1, 2),
+              lm AS (SELECT tok, SUM(c) AS ct FROM sc GROUP BY 1),
+              scal AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t,
+                              CAST(COUNT(*) AS DOUBLE) AS v FROM lm),
+              b AS (SELECT source,
+                      -SUM(c * log2((ct + 1.0) / (t + v))) / SUM(c) AS bits,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens
+                    FROM sc JOIN lm USING (tok) CROSS JOIN scal GROUP BY source),
+              x AS (SELECT source, n_tokens, bits,
+                      bits - MIN(bits) OVER () AS excess FROM b),
+              e AS (SELECT source, n_tokens, bits, excess,
+                      EXP(excess) AS ew FROM x)
+              SELECT source, n_tokens,
+                ROUND(bits, 6) AS bits_per_token,
+                ROUND(excess, 6) AS excess,
+                ROUND(0.8 * ew / SUM(ew) OVER () + 0.2 / COUNT(*) OVER (), 6) AS weight
+              FROM e ORDER BY source""")),
+
     // DSIR-style importance weight (Data Selection via Importance
     // Resampling): per-doc mean log-likelihood ratio between a TARGET
     // unigram LM (here the English slice) and the full-corpus LM, both

@@ -171,6 +171,26 @@ class TxLogSpec extends AnyFunSuite {
     assert(fin2 === fin)
   }
 
+  test("merge replay is idempotent: re-applying a batch changes versions, not state") {
+    import spark.implicits._
+    // foreachBatch can REPLAY a batch after a crash-restart; the upsert
+    // contract (key-replacement with cumulative values) must make the
+    // second application a no-op on state
+    val t = freshTable("replay")
+    streaming.MergeTable.load(spark, t,
+      (0L until 6L).map(i => (i, i * 2)).toDF("id", "v"), "id", buckets = 2)
+    val batch = Seq((1L, 100L), (4L, 400L)).toDF("id", "v")
+    streaming.MergeTable.mergeInto(spark, t, batch, "id", buckets = 2)
+    val once = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streaming.MergeTable.mergeInto(spark, t, batch, "id", buckets = 2)
+    val twice = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twice === once)
+    assert(TxLog.versions(t) === Seq(0L, 1L, 2L),
+      "replay commits a new version; the data is what must not change")
+  }
+
   test("a conditional-put primitive (no filesystem atomicity) drives the full protocol") {
     import spark.implicits._
     // object-store semantics: the WINNER is decided by putIfAbsent on a
