@@ -110,6 +110,42 @@ object StreamingOps extends QueryModule {
       stage
     })
 
+  /** events staged ONCE per data dir in EVENT-TIME ORDER (3 ts-range
+    * files, ascending mtimes) plus a far-future sentinel batch (user
+    * 10000001 at max ts + 20 h) — the replay shape event-time TIMERS
+    * need: the watermark only ever moves past data already processed,
+    * so a timer at (first event + 8 h) fires in a batch whose earlier
+    * batches already delivered every qualifying event, and the sentinel
+    * pushes the final watermark (delay 1 h → max + 19 h) past every
+    * real timer while its own (+28 h) never fires. */
+  private val timeSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedTimeSplit(s: SparkSession, d: String): String =
+    timeSplitCache.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-tsplit-raw").toString
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-tsplit-in").toString
+      val ev = Tables(s, dir, "events")
+      ev.repartitionByRange(3, col("ts"), col("event_id"))
+        .write.parquet(s"$scratch/real")
+      val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+      Seq((-10L, maxTs.plusHours(20), 10000001L, "click", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$scratch/sentinel")
+      val parts = new java.io.File(s"$scratch/real").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName) ++
+        new java.io.File(s"$scratch/sentinel").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(f"$stage/part$i%02d.parquet"))
+        new java.io.File(f"$stage/part$i%02d.parquet")
+          .setLastModified(1000000L * (i + 1)): Unit
+      }
+      stage
+    })
+
   private def stageOuterReplay(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     import s.implicits._
@@ -733,6 +769,43 @@ object StreamingOps extends QueryModule {
                 SELECT k.k * 10, -k.k, -CAST(k.k AS DOUBLE) FROM k
                 WHERE k.k * 10 NOT IN (SELECT user_id FROM b)
               ) ORDER BY user_id""")),
+
+    // EVENT-TIME TIMERS in the gate — the remaining transformWithState
+    // surface after the tws/tws_profile state rows: each user's
+    // processor registers ONE timer at (first event + 8 h) and emits
+    // only from handleExpiredTimer when the watermark passes it — the
+    // count of events inside that first window. The ts-ordered staging
+    // makes expiry deterministic (qualifying events always precede the
+    // firing batch) and the sentinel batch pushes the final watermark
+    // past every real timer without its own ever firing. Oracle: plain
+    // per-user count within 8 h of the user's min ts.
+    Q("q_stream_live_tws_timer",
+      (s, d) => {
+        val stage = stagedTimeSplit(s, d)
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          runLive(s,
+            graft.streaming.Streams.firstWindowTransformWithState(
+                graft.streaming.Streams.events(s, stage,
+                  Map("maxFilesPerTrigger" -> "1")))
+              .toDF("user_id", "n_first_window"),
+            "append", Seq("user_id"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""WITH m AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id)
+              SELECT e.user_id,
+                CAST(SUM(CASE WHEN e.ts <= m.t0 + INTERVAL 8 HOURS
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_first_window
+              FROM events e JOIN m USING (user_id)
+              GROUP BY e.user_id ORDER BY e.user_id""")),
 
     // Spark 4 transformWithState IN THE GATE: per-user totals as a
     // custom StatefulProcessor with typed ValueState in RocksDB — the

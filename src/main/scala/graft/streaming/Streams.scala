@@ -671,6 +671,59 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** EVENT-TIME TIMER surface of transformWithState: per user, ONE timer
+    * registered at (first event time + 8 h); when the watermark passes
+    * it, the processor emits the count of events that fell inside that
+    * window and marks itself done (later events are ignored — exactly
+    * one emission per key, so append mode carries the result). Input
+    * rows emit nothing: every output row is a `handleExpiredTimer`
+    * product, which is the point — the row proves the timer path, not
+    * the input path. Determinism contract: the caller stages batches in
+    * EVENT-TIME ORDER (so the watermark only moves forward past data
+    * already processed) and appends a far-future sentinel batch to push
+    * the final watermark past every real timer. */
+  class FirstWindowProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long)] {
+    private val win = 8 * 3600 * 1000L
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Boolean)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState("firstwin",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Boolean)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      var (start, cnt, done) =
+        if (st.exists()) st.get() else (-1L, 0L, false)
+      rows.foreach { case (_, tsMs) =>
+        if (!done) {
+          if (start < 0) { start = tsMs; getHandle.registerTimer(start + win) }
+          if (tsMs <= start + win) cnt += 1
+        }
+      }
+      st.update((start, cnt, done))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val (start, cnt, done) = st.get()
+      if (done) Iterator.empty
+      else { st.update((start, cnt, true)); Iterator.single((key, cnt)) }
+    }
+  }
+
+  def firstWindowTransformWithState(events: DataFrame): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long],
+        (unix_timestamp(col("ts")) * 1000).as[Long])
+      .groupByKey(_._1)
+      .transformWithState(new FirstWindowProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def totalsTransformWithState(events: DataFrame): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
