@@ -934,6 +934,52 @@ object Dedup extends QueryModule {
                   THEN ROUND(n_hit * 1.0 / n_cand, 6) END AS precision
               FROM cts""")),
 
+    // EXACT near-dup CLUSTERS: connected components over the PPJoin
+    // exact-pair graph, run to TRUE fixpoint (rounds discovered, not
+    // declared — unlike the LSH clusters row's fixed 3 rounds, which is
+    // honest for candidate graphs but not for exact ones). Composition
+    // of two proven operators: the memoized exact similarity join feeds
+    // a min-label propagation whose state is O(docs); the oracle is the
+    // recursive closure over the brute-force pair truth, so both the
+    // pairs AND the transitive grouping are verified end-to-end.
+    Q("q_dedup_exact_clusters",
+      (s, d) => {
+        val pairs = ppjoinResult(s, d).select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        val vs = Tables(s, d, "documents").select(col("doc_id").as("v"))
+        val ePlus = edges
+          .unionAll(vs.select(col("v").as("src"), col("v").as("dst")))
+          .localCheckpoint()
+        val init = vs.select(col("v"), col("v").as("lbl"))
+        val (out, _) = graft.plans.Iterate.untilFixpoint(init,
+            maxIter = 1000, checkpointEvery = 0) { (c, _) =>
+          val next = c.as("cc").join(ePlus.as("ee"), col("cc.v") === col("ee.src"))
+            .groupBy(col("ee.dst").as("v")).agg(min(col("cc.lbl")).as("lbl"))
+            .localCheckpoint()
+          val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
+            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          graft.plans.Iterate.release(c)
+          (next, changed)
+        }
+        val res = out.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+          .orderBy("doc_id").localCheckpoint()
+        graft.plans.Iterate.release(ePlus)
+        graft.plans.Iterate.release(edges)
+        res
+      },
+      Some(s"""WITH RECURSIVE $ppjoinTruthCtes,
+              ed AS (SELECT doc_a AS src, doc_b AS dst FROM tpairs
+                     UNION ALL SELECT doc_b, doc_a FROM tpairs),
+              reach(v, lbl) AS (
+                SELECT doc_id AS v, doc_id AS lbl FROM documents
+                UNION
+                SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.v
+              )
+              SELECT v AS doc_id, MIN(lbl) AS cluster FROM reach
+              GROUP BY v ORDER BY doc_id""")),
+
     // Sorted-neighborhood dedup (SNM): sort the corpus by a normalized
     // blocking key (24-char canonical-text prefix), slide a fixed window,
     // and verify only window-adjacent pairs (offsets 1..3) by exact 3-gram
@@ -1197,20 +1243,26 @@ object Dedup extends QueryModule {
     }
   }
 
-  /** brute-force similarity-join oracle — proves the prefix+positional
-    * filtering lost nothing. A def: referenced from defs's initializer. */
-  private def ppjoinOracleSql: String =
-    s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** brute-force similarity-join truth as a CTE chain ending in
+    * `tpairs(doc_a, doc_b, jac)` — shared by the ppjoin row's oracle and
+    * the exact-clusters closure oracle. */
+  private def ppjoinTruthCtes: String =
+    s"""base AS (SELECT doc_id, $toksSql AS tk FROM documents),
         g AS (SELECT DISTINCT doc_id, array_to_string(tk[p:p + 2], ' ') AS gram
               FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
                     FROM base) t),
         n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-        SELECT i.doc_a, i.doc_b,
-          ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jac
-        FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id
-        WHERE 5 * inter >= 3 * (na.n + nb.n - inter)
-        ORDER BY 1, 2"""
+              GROUP BY 1, 2),
+        tpairs AS (SELECT i.doc_a, i.doc_b,
+            ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jac
+          FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id
+          WHERE 5 * inter >= 3 * (na.n + nb.n - inter))"""
+
+  /** brute-force similarity-join oracle — proves the prefix+positional
+    * filtering lost nothing. A def: referenced from defs's initializer. */
+  private def ppjoinOracleSql: String =
+    s"""WITH $ppjoinTruthCtes
+        SELECT doc_a, doc_b, jac FROM tpairs ORDER BY 1, 2"""
 }
