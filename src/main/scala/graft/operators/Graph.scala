@@ -838,6 +838,65 @@ object Graph extends QueryModule {
     // gate verifies convergence-to-fixpoint, not round arithmetic
     Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
+    // DETERMINISTIC RANDOM WALKS (the node2vec/DeepWalk sampling
+    // primitive): 3 walks from each of the 10 lowest-id vertices, 4
+    // steps; the step choice is argmin md5(walk, step, candidate) over
+    // the current vertex's out-neighbors — a seeded hash in place of an
+    // RNG, so BOTH engines replay the identical corpus of walks and the
+    // row is hash-checkable. A walk with no out-neighbor terminates and
+    // carries its path. Each step is one frontier-edge join + one
+    // min-struct aggregate: state O(walks), steps bounded — exactly the
+    // batched walk-sampling shape embedding pipelines run at scale.
+    Q("q_graph_walks",
+      (s, d) => {
+        val e = edges(s, d).select("src", "dst").localCheckpoint()
+        val sources = nodes(e).orderBy("v").limit(10)
+        var walks = sources
+          .crossJoin(broadcast(s.range(3).select(col("id").as("r"))))
+          .select((col("v") * 10 + col("r")).as("wid"), col("v").as("cur"),
+            col("v").cast("string").as("path"), lit(false).as("done"))
+          .localCheckpoint()
+        for (k <- 1 to 4) {
+          val live = walks.filter(not(col("done")))
+          val stepped = live.join(e, col("cur") === col("src"))
+            .withColumn("h", md5(concat_ws("-", col("wid"), lit(k), col("dst"))))
+            .groupBy("wid")
+            .agg(min(struct(col("h"), col("dst"))).as("pick"),
+              first(col("path")).as("path"))
+            .select(col("wid"), col("pick.dst").as("cur"),
+              concat(col("path"), lit("->"), col("pick.dst").cast("string")).as("path"),
+              lit(false).as("done"))
+          val terminal = live.join(e.select(col("src").as("cur")).distinct(),
+              Seq("cur"), "left_anti")
+            .select(col("wid"), col("cur"), col("path"), lit(true).as("done"))
+          walks = stepped
+            .unionByName(terminal)
+            .unionByName(walks.filter(col("done")))
+            .localCheckpoint()
+        }
+        walks.select(col("wid"), col("path")).orderBy("wid")
+      },
+      Some {
+        val steps = (1 to 4).map { k =>
+          s"""w$k AS (
+               SELECT wid, cur, path FROM (
+                 SELECT w.wid, e.dst AS cur, w.path || '->' || e.dst AS path
+                 FROM w${k - 1} w JOIN e ON e.src = w.cur
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY w.wid
+                   ORDER BY md5(w.wid || '-' || $k || '-' || e.dst), e.dst) = 1)
+               UNION ALL
+               SELECT wid, cur, path FROM w${k - 1}
+               WHERE cur NOT IN (SELECT src FROM e))"""
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+            $nodesSql,
+            srcs AS (SELECT v FROM nodes ORDER BY v LIMIT 10),
+            w0 AS (SELECT v * 10 + r AS wid, v AS cur, CAST(v AS VARCHAR) AS path
+                   FROM srcs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) rr),
+            $steps
+            SELECT wid, path FROM w4 ORDER BY wid"""
+      }),
+
     Q("q_graph_scc", (s, d) => sccTrim(s, d), Some(sccSql)),
     Q("q_graph_condensation", (s, d) => condensationLevels(s, d), Some(condensationSql)),
     Q("q_graph_closeness", (s, d) => closeness(s, d), Some(closenessSql)),

@@ -404,6 +404,40 @@ object Multimodal extends QueryModule {
       .toDF("doc_id", "n_samples_total", "rms0", "peak", "channels")
   }
 
+  /** Decimate-by-2 downsample of the PCM stream (every 2nd sample kept,
+    * no anti-alias filter — the naive decimator, stated as such) with
+    * RMS/peak of the kept stream: the resample shape an audio feature
+    * pipeline runs before frame-level hashing. Same batched
+    * mapPartitions decode as [[audioStats]]. */
+  def audioDownsample(s: SparkSession, payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val b = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val (_, _, _, bits, dataBytes, dataOff) = MediaCodec.decodeWav(bytes)
+            require(bits == 16, s"expected 16-bit PCM, got $bits")
+            b.position(dataOff).limit(dataOff + dataBytes.toInt)
+            var sumSq = 0.0; var peak = 0L; var kept = 0L; var k = 0L
+            while (b.remaining() >= 2) {
+              val v = b.getShort().toLong
+              if (k % 2 == 0) {
+                sumSq += (v * v).toDouble
+                if (math.abs(v) > peak) peak = math.abs(v)
+                kept += 1
+              }
+              k += 1
+            }
+            (id, kept, math.sqrt(sumSq / kept), peak)
+          }
+        }
+      }
+      .toDF("doc_id", "n_kept", "rms0", "peak")
+  }
+
   /** Batched per-partition image CHANNEL statistics: decode the 24-bpp
     * pixel grid (skipping the 4-byte row padding — reading it would
     * silently skew every mean, which is exactly what the oracle's
@@ -720,6 +754,31 @@ object Multimodal extends QueryModule {
               SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_samples_total,
                 ROUND(SQRT(SUM(v * v) * 1.0 / COUNT(*)), 4) AS rms,
                 CAST(MAX(ABS(v)) AS BIGINT) AS peak
+              FROM s2 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // decimate-by-2 audio downsample: every 2nd decoded sample kept,
+    // RMS/peak over the kept stream — the oracle regenerates the even-
+    // index samples from the filler arithmetic (generate_series step 2),
+    // so both the decode AND the decimation phase are verified.
+    Q("q_mm_audio_downsample",
+      (s, d) => audioDownsample(s, audioPayloads(s, d))
+        .select(col("doc_id"), col("n_kept"),
+          round(col("rms0"), 4).as("rms_ds"), col("peak").as("peak_ds"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                100 + doc_id % 400 AS n FROM documents),
+              k AS (SELECT doc_id, n * ch AS total,
+                unnest(generate_series(0, n * ch - 1, 2)) AS k FROM p),
+              sv AS (SELECT doc_id, total,
+                CAST((doc_id * 3 + 2 * k) % 256 AS BIGINT)
+                  + 256 * CAST((doc_id * 3 + 2 * k + 1) % 256 AS BIGINT) AS raw
+                FROM k),
+              s2 AS (SELECT doc_id, total,
+                CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+                FROM sv)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                ROUND(SQRT(SUM(v * v) * 1.0 / COUNT(*)), 4) AS rms_ds,
+                CAST(MAX(ABS(v)) AS BIGINT) AS peak_ds
               FROM s2 GROUP BY doc_id ORDER BY doc_id""")),
 
     // per-channel pixel means from the DECODED 24-bpp grid, row padding
