@@ -89,6 +89,15 @@ def main():
                MAX(size(distinct_ngrams(tk, 3))) AS grams FROM t""").head()
     check("simhash/distinct_ngrams usable from SQL", row.sims > 0 and row.grams > 0)
 
+    # 4b. hamming_bits over simhash signatures — the banded-verify kernel
+    row = spark.sql("""
+        WITH t AS (SELECT simhash_sig(split(lower(text), ' ')) AS sig
+                   FROM documents WHERE length(text) > 0 LIMIT 50)
+        SELECT MAX(hamming_bits(a.sig, b.sig)) AS mx,
+               MIN(hamming_bits(a.sig, a.sig)) AS zero
+        FROM t a CROSS JOIN t b""").head()
+    check("hamming_bits usable from SQL", row.zero == 0 and 0 <= row.mx <= 64)
+
     # 5. mapInPandas over BINARY payloads — the multimodal decode
     # plumbing (schema, partitioning, batch shape) with a deterministic
     # stand-in for the codec: each Arrow batch of (doc_id, payload)
