@@ -958,6 +958,69 @@ object TextAnalysis extends QueryModule {
                  ROUND(bits, 6) AS bits_per_transition
                FROM agg ORDER BY doc_id""")),
 
+    // TF-IDF COSINE k-NN over documents: for the 5 lowest-id docs, the
+    // 3 most similar other docs by sparse tf-idf cosine — the classic
+    // lexical retrieval ranking beside the embedding ANN rows. The dot
+    // products come from ONE term-keyed equi-join of the query docs'
+    // sparse vectors against the corpus (bounded by Σ_t qtf·df — hot
+    // terms fan out but carry near-zero idf weight; a production run
+    // prefix-filters them, here 5 queries × corpus is the honest cost),
+    // norms from one per-doc aggregate. Weights stay UNROUNDED through
+    // the dot; only the final cosine rounds.
+    Q("q_text_tfidf_knn",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfW = Window.partitionBy(col("tok"))
+        val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
+        val w0 = tf
+          .withColumn("df", count(lit(1)).over(dfW).cast("double"))
+          .crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * log(col("nd") / col("df"))).as("w"))
+          .localCheckpoint() // feeds norms + both join sides
+        val norms = w0.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        val q = w0.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("tok"), col("w").as("wq"))
+        val c = w0.filter(col("doc_id") >= 5)
+          .select(col("doc_id").as("cand_id"), col("tok"), col("w").as("wc"))
+        val dots = q.join(c, Seq("tok"))
+          .groupBy("q_id", "cand_id").agg(sum(col("wq") * col("wc")).as("dot"))
+        val rw = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+        val out = dots
+          .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("nq")), "q_id")
+          .join(norms.select(col("doc_id").as("cand_id"), col("nrm").as("nc")), "cand_id")
+          .select(col("q_id"), col("cand_id"),
+            round(col("dot") / (col("nq") * col("nc")), 6).as("cos"))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("cos"))
+          .orderBy("q_id", "rank").localCheckpoint()
+        graft.plans.Iterate.release(w0)
+        out
+      },
+      Some(s"""WITH $toksSql,
+              tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+              nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+              w0 AS (SELECT doc_id, tok, tf * LN(nd.nd / df) AS w
+                     FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+              nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w0 GROUP BY doc_id),
+              dots AS (SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+                  SUM(q.w * c.w) AS dot
+                FROM w0 q JOIN w0 c ON q.tok = c.tok
+                WHERE q.doc_id < 5 AND c.doc_id >= 5
+                GROUP BY 1, 2),
+              cs AS (SELECT d.q_id, d.cand_id,
+                  ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+                FROM dots d JOIN nrm nq ON nq.doc_id = d.q_id
+                JOIN nrm nc ON nc.doc_id = d.cand_id)
+              SELECT q_id, rank, cand_id, cos FROM (
+                SELECT q_id, cand_id, cos,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+                FROM cs) t
+              WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // Top COLLOCATIONS by pointwise mutual information over the bigram
     // stream: PMI(t1,t2) = log2(c12·N / (cL(t1)·cR(t2))) with marginals
     // taken over the same bigram stream (left/right occurrence counts),
