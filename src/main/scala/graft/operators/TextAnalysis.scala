@@ -486,43 +486,47 @@ object TextAnalysis extends QueryModule {
     // exhibits the CMS guarantee (est >= exact, checked in spec).
     Q("q_agg_countmin",
       (s, d) => {
-        val cells = toks(s, d).select(explode(expr(
-            """transform(sequence(0, 3), j ->
-               named_struct('j', j,
-                 'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', tok)), 1, 4), 16, 10) AS INT) % 64))"""))
-            .as("c"))
+        // r7 plan: reduce to the (tok, count) relation FIRST, so md5
+        // work is per VOCAB ENTRY, not per occurrence, and all 4 hash
+        // rows come from SLICES of one digest (the MinHashSig
+        // 4-values-per-digest trick). The r6 shape scanned the raw
+        // stream twice and paid 4 digests per token occurrence.
+        val tf = toks(s, d).groupBy("tok").agg(count(lit(1)).as("exact"))
+          .localCheckpoint() // feeds the sketch build AND the top-20 probes
+        val rows4 =
+          """transform(sequence(0, 3), j ->
+             named_struct('j', j,
+               'bucket', CAST(conv(substring(md5(tok), 4 * j + 1, 4), 16, 10) AS INT) % 64))"""
+        val cells = tf.select(col("exact"), explode(expr(rows4)).as("c"))
           .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("exact").as("cnt"))
           .localCheckpoint() // 256 rows, reused by every estimate probe
-        val top = toks(s, d).groupBy("tok").agg(count(lit(1)).as("exact"))
-          .orderBy(desc("exact"), asc("tok")).limit(20)
-        val probes = top.select(col("tok"), col("exact"), explode(expr(
-            """transform(sequence(0, 3), j ->
-               named_struct('j', j,
-                 'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', tok)), 1, 4), 16, 10) AS INT) % 64))"""))
-            .as("p"))
+        val top = tf.orderBy(desc("exact"), asc("tok")).limit(20)
+        val probes = top.select(col("tok"), col("exact"), explode(expr(rows4)).as("p"))
           .select(col("tok"), col("exact"), col("p.j").as("j"), col("p.bucket").as("bucket"))
-        probes.join(broadcast(cells), Seq("j", "bucket"))
+        val out = probes.join(broadcast(cells), Seq("j", "bucket"))
           .groupBy("tok", "exact").agg(min("cnt").as("est"))
           .select(col("tok"), col("exact"), col("est"),
             (col("est") - col("exact")).as("overest"))
-          .orderBy(desc("exact"), asc("tok"))
+          .orderBy(desc("exact"), asc("tok")).localCheckpoint()
+        graft.plans.Iterate.release(tf)
+        out
       },
       Some(s"""WITH $toksSql,
-              cells AS (SELECT j, CAST(CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 4) AS BIGINT) AS INT) % 64 AS bucket,
-                  COUNT(*) AS cnt
-                FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
-                GROUP BY 1, 2),
-              top AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
-                ORDER BY exact DESC, tok LIMIT 20),
-              probes AS (SELECT tok, exact, j,
-                  CAST(CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 4) AS BIGINT) AS INT) % 64 AS bucket
-                FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js)
-              SELECT p.tok, p.exact, MIN(c.cnt) AS est,
-                MIN(c.cnt) - p.exact AS overest
-              FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
-              GROUP BY p.tok, p.exact
-              ORDER BY p.exact DESC, p.tok""")),
+              tf AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok),
+              hx AS (SELECT tok, exact, j,
+                  CAST(CAST('0x' || substring(md5(tok), 4 * j + 1, 4) AS BIGINT) AS INT) % 64 AS bucket
+                FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+              cells AS (SELECT j, bucket, SUM(exact) AS cnt FROM hx GROUP BY 1, 2),
+              top AS (SELECT tok, exact FROM tf ORDER BY exact DESC, tok LIMIT 20),
+              probes AS (SELECT h.tok, h.exact, h.j, h.bucket
+                FROM hx h JOIN top USING (tok)),
+              est AS (SELECT p.tok, p.exact, MIN(c.cnt) AS est
+                FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+                GROUP BY p.tok, p.exact)
+              SELECT tok, exact, CAST(est AS BIGINT) AS est,
+                CAST(est - exact AS BIGINT) AS overest
+              FROM est ORDER BY exact DESC, tok""")),
 
     // Deterministic TRAIN/VAL/TEST split (the hash-draw applied to the
     // standard 3-way partition): the md5 draw buckets ~90/5/5 by hex
