@@ -995,49 +995,98 @@ object Dedup extends QueryModule {
       (s, d) => {
         val winAhead = 3
         val base = docs(s, d)
-          .select(col("doc_id"), substring(normCanon, 1, 24).as("k"),
+          .select(col("doc_id"), normCanon.as("nrm"),
             TextHash.distinctNGrams(toks(col("text")), 3).as("tk"))
           .filter(size(col("tk")) > 0)
-          .withColumn("blk", substring(col("k"), 1, 2))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("blk").orderBy(col("k"), col("doc_id"))
-        val rn = base.withColumn("rn", row_number().over(w)).localCheckpoint()
-        val probes = rn.select(col("blk"), col("doc_id"), col("tk"),
-          explode(expr(s"sequence(rn + 1, rn + $winAhead)")).as("rnb"))
-        val out = probes.join(
-            rn.select(col("blk"), col("rn").as("rnb"),
-              col("doc_id").as("doc_id_b"), col("tk").as("tb")),
-            Seq("blk", "rnb"))
-          .select(least(col("doc_id"), col("doc_id_b")).as("doc_a"),
-            greatest(col("doc_id"), col("doc_id_b")).as("doc_b"),
-            size(array_intersect(col("tk"), col("tb"))).as("i"),
-            size(col("tk")).as("na"), size(col("tb")).as("nb"))
-          .filter(col("i") * 2 >= col("na") + col("nb") - col("i"))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
-          .orderBy("doc_a", "doc_b")
-          .localCheckpoint()
-        graft.plans.Iterate.release(rn)
+          .localCheckpoint() // shared by both passes
+        // one pass per blocking key — multi-pass is the production SNM
+        // shape. Pass 1 sorts on the canonical-text PREFIX (catches
+        // tail edits); pass 2 sorts on each doc's globally RAREST gram
+        // (position-independent: a near-dup pair shares its rare
+        // content grams regardless of where the edits sit — the
+        // DedupScale probe's pad-wrapped copies, invisible to any
+        // affix key, sort adjacent here because the pads are
+        // corpus-common while the shared body grams have df = 2).
+        def pass(keyed: DataFrame): DataFrame = {
+          val blocked = keyed.withColumn("blk", substring(col("k"), 1, 2))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("blk").orderBy(col("k"), col("doc_id"))
+          val rn = blocked.withColumn("rn", row_number().over(w)).localCheckpoint()
+          val probes = rn.select(col("blk"), col("doc_id"), col("tk"),
+            explode(expr(s"sequence(rn + 1, rn + $winAhead)")).as("rnb"))
+          val out = probes.join(
+              rn.select(col("blk"), col("rn").as("rnb"),
+                col("doc_id").as("doc_id_b"), col("tk").as("tb")),
+              Seq("blk", "rnb"))
+            .select(least(col("doc_id"), col("doc_id_b")).as("doc_a"),
+              greatest(col("doc_id"), col("doc_id_b")).as("doc_b"),
+              size(array_intersect(col("tk"), col("tb"))).as("i"),
+              size(col("tk")).as("na"), size(col("tb")).as("nb"))
+            .filter(col("i") * 2 >= col("na") + col("nb") - col("i"))
+            .select(col("doc_a"), col("doc_b"),
+              round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
+            .localCheckpoint()
+          graft.plans.Iterate.release(rn)
+          out
+        }
+        val p1 = pass(base.select(col("doc_id"),
+          substring(col("nrm"), 1, 24).as("k"), col("tk")))
+        val gr = base.select(col("doc_id"), explode(col("tk")).as("gram"))
+        // a blocking key is useless unless SHARED: df-1 grams can never
+        // link two docs, and a near-dup's unique boundary grams would
+        // otherwise hijack its "rarest" key away from its partner's
+        val dfq = gr.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        val rkey = gr.join(dfq, Seq("gram")).groupBy("doc_id")
+          .agg(min(struct(col("df"), col("gram"))).as("m"))
+          .select(col("doc_id"), col("m.gram").as("k"))
+        val p2 = pass(base.join(rkey, Seq("doc_id"))
+          .select(col("doc_id"), col("k"), col("tk")))
+        val out = p1.unionAll(p2).distinct()
+          .orderBy("doc_a", "doc_b").localCheckpoint()
+        graft.plans.Iterate.release(p1)
+        graft.plans.Iterate.release(p2)
+        graft.plans.Iterate.release(base)
         out
       },
-      Some(s"""WITH base0 AS (SELECT doc_id, $normCanonSql AS nrm, $toksSql AS tk
-                    FROM documents),
-              gs AS (SELECT doc_id, substring(nrm, 1, 24) AS k,
-                       list_distinct(list_transform(generate_series(1, len(tk) - 2),
-                         p -> array_to_string(tk[p:p + 2], ' '))) AS g
-                     FROM base0),
-              rn AS (SELECT doc_id, k, g, substring(k, 1, 2) AS blk,
-                       ROW_NUMBER() OVER (PARTITION BY substring(k, 1, 2)
-                         ORDER BY k, doc_id) AS rn
-                     FROM gs WHERE len(g) > 0),
-              cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS ta, b.g AS tb
-                       FROM rn a JOIN rn b ON a.blk = b.blk
-                         AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
-              sc AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
-                       len(list_intersect(ta, tb)) AS i,
-                       len(ta) AS na, len(tb) AS nb FROM cand)
-              SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 6) AS jac
-              FROM sc WHERE 2 * i >= (na + nb - i) ORDER BY 1, 2"""))
+      Some {
+        def passSql(tag: String, keyedCte: String) =
+          s"""rn$tag AS (SELECT doc_id, k, g, substring(k, 1, 2) AS blk,
+                 ROW_NUMBER() OVER (PARTITION BY substring(k, 1, 2)
+                   ORDER BY k, doc_id) AS rn
+               FROM $keyedCte),
+             cand$tag AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS ta, b.g AS tb
+               FROM rn$tag a JOIN rn$tag b ON a.blk = b.blk
+                 AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+             sc$tag AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+                 len(list_intersect(ta, tb)) AS i,
+                 len(ta) AS na, len(tb) AS nb FROM cand$tag),
+             p$tag AS (SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 6) AS jac
+               FROM sc$tag WHERE 2 * i >= (na + nb - i))"""
+        s"""WITH base0 AS (SELECT doc_id, $normCanonSql AS nrm, $toksSql AS tk
+                  FROM documents),
+            gs AS (SELECT doc_id, nrm,
+                     list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                       p -> array_to_string(tk[p:p + 2], ' '))) AS g
+                   FROM base0),
+            gg AS (SELECT doc_id, nrm, g FROM gs WHERE len(g) > 0),
+            keyed1 AS (SELECT doc_id, substring(nrm, 1, 24) AS k, g FROM gg),
+            gre AS (SELECT doc_id, unnest(g) AS gram FROM gg),
+            dfq AS (SELECT gram, COUNT(*) AS df FROM gre
+                    GROUP BY gram HAVING COUNT(*) >= 2),
+            rk AS (SELECT doc_id, gram AS k FROM (
+                SELECT g1.doc_id, g1.gram,
+                  ROW_NUMBER() OVER (PARTITION BY g1.doc_id
+                    ORDER BY d.df, g1.gram) AS rn
+                FROM gre g1 JOIN dfq d USING (gram)) t WHERE rn = 1),
+            keyed2 AS (SELECT gg.doc_id, rk.k, gg.g
+                       FROM gg JOIN rk ON rk.doc_id = gg.doc_id),
+            ${passSql("1", "keyed1")},
+            ${passSql("2", "keyed2")}
+            SELECT DISTINCT doc_a, doc_b, jac
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+            ORDER BY 1, 2"""
+      })
   )
 
   /** The exact PPJoin pipeline (candidates by prefix + positional filter,
