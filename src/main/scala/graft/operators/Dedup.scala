@@ -772,14 +772,17 @@ object Dedup extends QueryModule {
     // re-shaped for a shuffle engine: hash overlapping W-token windows at
     // stride S; a window whose hash occurs in ≥2 DISTINCT documents is a
     // duplicated span. Stride bounds the explode to ≤ tokens/S windows
-    // per doc; the cross-corpus occurrence count is a COUNT window over
-    // the span hash (the q_text_fingerprint pattern) so the hash→md5
-    // explode pipeline runs ONCE and is consumed ONCE — an aggregate
-    // + join-back would re-execute it and add a shuffle. Documents are
-    // never paired directly; no docs² term exists at any stage. Per doc:
-    // window count, duplicated-window count, duplicated fraction. (md5
-    // is the portable-oracle hash; a production run would swap in the
-    // cheaper native xxhash64 — one literal, nothing else changes.)
+    // per doc; the cross-corpus occurrence count is a per-hash groupBy
+    // joined back to the windows — NOT a count window: a viral
+    // boilerplate span (the very thing this operator hunts) would put
+    // its whole O(corpus) group in ONE window task. The groupBy is
+    // map-side-combined to one row per distinct span before the shuffle,
+    // and the explode pipeline is checkpointed so it still runs ONCE.
+    // Documents are never paired directly; no docs² term exists at any
+    // stage. Per doc: window count, duplicated-window count, duplicated
+    // fraction. (md5 is the portable-oracle hash; a production run
+    // would swap in the cheaper native xxhash64 — one literal, nothing
+    // else changes.)
     Q("q_dedup_span",
       (s, d) => {
         val W = 16; val S = 8
@@ -788,19 +791,21 @@ object Dedup extends QueryModule {
             expr(s"transform(sequence(0, size(tk) - $W, $S), i -> md5(array_join(slice(tk, i + 1, $W), ' ')))"))
             .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("h"))
           .distinct() // count each span once per doc
-        val per = wins
-          .withColumn("nd", count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+          .localCheckpoint()
+        val hc = wins.groupBy("h").agg(count(lit(1)).as("nd"))
+        val per = wins.join(hc, Seq("h"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
         // left join back so short docs (< W tokens) report zero windows
-        base.select("doc_id").join(per, Seq("doc_id"), "left")
+        val out = base.select("doc_id").join(per, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_windows"), lit(0L)).as("n_windows"),
             coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
             round(coalesce(col("n_dup_windows") * 1.0 / col("n_windows"), lit(0.0)), 6).as("dup_frac"))
-          .orderBy("doc_id")
+          .orderBy("doc_id").localCheckpoint()
+        graft.plans.Iterate.release(wins)
+        out
       },
       Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
               wins AS (SELECT DISTINCT doc_id, md5(array_to_string(tk[p:p + 15], ' ')) AS h
@@ -1009,9 +1014,15 @@ object Dedup extends QueryModule {
         // corpus-common while the shared body grams have df = 2).
         def pass(keyed: DataFrame): DataFrame = {
           val blocked = keyed.withColumn("blk", substring(col("k"), 1, 2))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("blk").orderBy(col("k"), col("doc_id"))
-          val rn = blocked.withColumn("rn", row_number().over(w)).localCheckpoint()
+          // per-block row_number through RangedRank, not a window: block
+          // COUNT is bounded (~10³) but block SIZE is data-skewed — a
+          // corpus where most normalized docs share a 2-char prefix (or
+          // most rarest-grams start alike) would put O(corpus) rows in
+          // one window sort task. RangedRank range-shards the (blk, k)
+          // sort so no task ever holds a whole block (SnmHotBlockSpec +
+          // the DedupScale hot-block segment measure the bound).
+          val rn = RangedRank.withRank(blocked, Seq("blk"),
+            Seq("k", "doc_id"), "rn").localCheckpoint()
           val probes = rn.select(col("blk"), col("doc_id"), col("tk"),
             explode(expr(s"sequence(rn + 1, rn + $winAhead)")).as("rnb"))
           val out = probes.join(
@@ -1170,7 +1181,17 @@ object Dedup extends QueryModule {
     * df-bound. */
   private[graft] def containmentCandidates(g: DataFrame, t: Double): DataFrame = {
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    val num = math.round(t * 10).toInt; val den = 10 // t as an exact rational
+    // t as an exact rational num/den with num/den <= t + 1e-9: thresholds
+    // that are exact in 3 decimals round-trip; anything finer FLOORS so
+    // the rational can only be LOOSER than t — a looser prefix/positional
+    // filter admits extra candidates (cost) but can never lose a true
+    // pair (the superset guarantee the exact verify depends on).
+    val den = 1000
+    val num = {
+      val r = math.round(t * den).toInt
+      if (math.abs(r.toDouble / den - t) <= 1e-9) r
+      else math.floor(t * den).toInt
+    }
     val sorted = g.join(dfreq, Seq("gram"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))

@@ -484,7 +484,10 @@ object Graph extends QueryModule {
     val e0 = pin(eAll.filter(col("src") =!= col("dst")))
     var residualNodes = allNodes
     var residualEdges = e0
-    var done: DataFrame = null
+    // start from an EMPTY (v, scc) frame, not null: an empty edge input
+    // never enters the peel loop and must still return a valid relation
+    var done: DataFrame = allNodes.filter(lit(false))
+      .select(col("v"), col("v").as("scc"))
     var guard = 0
     while (residualNodes.limit(1).count() > 0 && guard < N) {
       guard += 1
@@ -501,7 +504,7 @@ object Graph extends QueryModule {
           .distinct())
         if (trimmed.limit(1).count() > 0) {
           val settled = trimmed.select(col("v"), col("v").as("scc"))
-          done = if (done == null) pin(settled) else pin(done.unionAll(settled))
+          done = pin(done.unionAll(settled))
           val tv = trimmed.select(col("v").as("__settled_v"))
           residualNodes = pin(residualNodes
             .join(tv, col("v") === col("__settled_v"), "left_anti"))
@@ -548,8 +551,7 @@ object Graph extends QueryModule {
       val settled = pin(f.as("f").join(b.as("b"), col("f.v") === col("b.v"))
         .filter(col("f.lbl") === col("b.lbl"))
         .select(col("f.v").as("v"), col("f.lbl").as("scc")))
-      done = if (done == null) settled
-        else pin(done.unionAll(settled))
+      done = pin(done.unionAll(settled))
       // fresh alias on the settled key set: localCheckpoint keeps the
       // ancestor's attribute ids, so an anti-join of residualNodes
       // against its own descendant would hit ambiguous-attribute
@@ -562,6 +564,10 @@ object Graph extends QueryModule {
         .join(settledV, col("dst") === col("__settled_v"), "left_anti"))
       }
     }
+    // fail LOUDLY if the peel guard exhausted with residual vertices
+    // left — partial labels silently returned would be a wrong answer
+    require(residualNodes.limit(1).count() == 0,
+      s"sccTrimOn: peel guard exhausted after $guard rounds with residual vertices remaining")
     done.orderBy("v")
   }
 

@@ -770,6 +770,58 @@ object StreamingOps extends QueryModule {
                 WHERE k.k * 10 NOT IN (SELECT user_id FROM b)
               ) ORDER BY user_id""")),
 
+    // COMPACTION / OPTIMIZE in the gate (VERDICT r7 item 4): load a
+    // bucketed table, blind-APPEND three single-row batches (each
+    // leaves one extra small file in its bucket's live snapshot), then
+    // compact — the row itself proves the three OPTIMIZE invariants
+    // before returning the final content: (1) live file count strictly
+    // drops (via inputFiles), (2) snapshot CONTENT is identical across
+    // the compaction commit (exceptAll both ways), (3) time travel
+    // BELOW the compaction still replays the pre-append base exactly.
+    // The oracle sees only the final content: base ∪ appended rows.
+    Q("q_merge_compacted",
+      (s, d) => {
+        import s.implicits._
+        val buckets = 4
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergeopt").toString
+        val base = Tables(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+          .localCheckpoint()
+        graft.streaming.MergeTable.load(s, table, base, "user_id", buckets)
+        for (k <- 1 to 3)
+          graft.streaming.MergeTable.append(s, table,
+            Seq((k.toLong * 10 + 1, -k.toLong, -k.toDouble))
+              .toDF("user_id", "n_events", "total"),
+            "user_id", buckets)
+        val pre = graft.streaming.MergeTable.read(s, table).localCheckpoint()
+        val preFiles = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val (_, compacted) =
+          graft.streaming.MergeTable.compact(s, table, "user_id", buckets)
+            .getOrElse(sys.error("compaction found nothing to fold"))
+        require(compacted.nonEmpty, "no bucket compacted")
+        val post = graft.streaming.MergeTable.read(s, table).localCheckpoint()
+        val postFiles = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        require(postFiles < preFiles,
+          s"compaction must reduce live files: $preFiles -> $postFiles")
+        require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+          "snapshot content changed across the compaction commit")
+        val tt = graft.streaming.MergeTable.read(s, table, Some(0L))
+        require(tt.exceptAll(base).isEmpty && base.exceptAll(tt).isEmpty,
+          "time travel below the compaction no longer replays v0")
+        post.select(col("user_id"), col("n_events"),
+            round(col("total"), 2).as("total"))
+          .orderBy("user_id", "n_events")
+      },
+      Some("""WITH b AS (SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total
+                         FROM events GROUP BY user_id),
+              k AS (SELECT unnest(generate_series(1, 3)) AS k)
+              SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                     ROUND(total, 2) AS total FROM (
+                SELECT user_id, n_events, total FROM b
+                UNION ALL
+                SELECT k * 10 + 1, -k, -CAST(k AS DOUBLE) FROM k
+              ) ORDER BY user_id, n_events""")),
+
     // EVENT-TIME TIMERS in the gate — the remaining transformWithState
     // surface after the tws/tws_profile state rows: each user's
     // processor registers ONE timer at (first event + 8 h) and emits

@@ -242,26 +242,28 @@ object TextAnalysis extends QueryModule {
     Q("q_text_tfidf",
       (s, d) => {
         val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        // document frequency as a count window over the tf relation — the
-        // r2 shape re-derived tf twice (once for dfreq's groupBy, once for
-        // the join), i.e. two explodes + two aggregates + a join shuffle;
-        // the window is the same shuffle-by-tok but computes tf exactly once.
-        // (r6 re-test: a localCheckpoint + broadcast-df variant measured
-        // 3.50 s/12 jobs vs this shape's 3.34 s/10 jobs at sf0.1 — the
-        // checkpoint job costs more than the by-tok re-shuffle saves at
-        // this corpus's 31-token vocabulary; see BASELINE.md r6 note.)
-        val dfW = Window.partitionBy(col("tok"))
+          .localCheckpoint() // compute tf once; feeds both df agg and the scored join
+        // document frequency as groupBy + equi-join, NOT a count window:
+        // a window partitioned by tok puts a stopword's whole group
+        // (O(corpus docs)) in ONE task — the hot-key straggler at 100×.
+        // The groupBy is map-side-combined to O(vocab) rows before the
+        // shuffle, and the join back is a plain shuffle join (AQE turns
+        // it broadcast when vocab is small). localCheckpoint keeps the
+        // compute-tf-once property the window shape was chosen for.
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
         val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
         val scored = tf
-          .withColumn("df", count(lit(1)).over(dfW).cast("double"))
+          .join(dfreq, "tok")
           .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("nd") / col("df")), 6).as("tfidf"))
         val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("tok"))
-        scored.withColumn("rn", row_number().over(w).cast("long"))
+        val out = scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("doc_id"), col("rn"), col("tok"), col("tfidf"))
-          .orderBy("doc_id", "rn")
+          .orderBy("doc_id", "rn").localCheckpoint()
+        graft.plans.Iterate.release(tf)
+        out
       },
       Some(s"""WITH $toksSql,
                tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -973,11 +975,15 @@ object TextAnalysis extends QueryModule {
     // the dot; only the final cosine rounds.
     Q("q_text_tfidf_knn",
       (s, d) => {
+        // df via groupBy + equi-join, not a per-tok count window (a hot
+        // token's window group is single-task — see q_text_tfidf's note);
+        // tf is checkpointed so the explode runs once for df + weights.
         val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfW = Window.partitionBy(col("tok"))
+          .localCheckpoint()
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
         val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
         val w0 = tf
-          .withColumn("df", count(lit(1)).over(dfW).cast("double"))
+          .join(dfreq, "tok")
           .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("tok"),
             (col("tf") * log(col("nd") / col("df"))).as("w"))
@@ -1000,6 +1006,7 @@ object TextAnalysis extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("cos"))
           .orderBy("q_id", "rank").localCheckpoint()
         graft.plans.Iterate.release(w0)
+        graft.plans.Iterate.release(tf)
         out
       },
       Some(s"""WITH $toksSql,

@@ -97,6 +97,81 @@ object MergeTable {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
     Streams.readMergeTable(spark, table, asOf)
 
+  /** Blind APPEND ingest (no key replacement — the fact-table path
+    * beside mergeInto's upsert): stage one file per non-empty touched
+    * bucket, commit adds-only. Each batch leaves one small file per
+    * touched bucket in the live snapshot, which is exactly the
+    * small-files debt [[compact]] exists to fold — the standard
+    * append-then-OPTIMIZE lakehouse ingest pair. */
+  def append(spark: SparkSession, table: String, rows: DataFrame,
+      keyCol: String, buckets: Int,
+      primitive: CommitPrimitive = TxLog.LocalFs): Long = {
+    var result: Option[Long] = None
+    while (result.isEmpty) {
+      val snap = TxLog.snapshot(table)
+      val touched = rows
+        .select(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      val next = snap.version + 1
+      val written = writeBuckets(spark, table, rows, keyCol, buckets, touched, next)
+      val adds = touched.flatMap(written.get) // an empty batch bucket adds nothing
+      TxLog.commit(table, adds, Seq.empty, expectedCurrent = snap.version,
+          primitive = primitive) match {
+        case Some(v) => result = Some(v)
+        case None => adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      }
+    }
+    result.get
+  }
+
+  /** OPTIMIZE / compaction (VERDICT r7 item 4): every bucket that has
+    * accumulated >= `minFiles` live files is rewritten into ONE file,
+    * and the rewrite commits `{adds: compacted files, removes: all
+    * superseded parts}` atomically through the standard TxLog entry —
+    * so the snapshot's CONTENT is identical across the compaction
+    * commit (no rows added or removed), older versions still see the
+    * small files (time travel is untouched), and [[TxLog.vacuum]]
+    * reclaims the superseded parts once they age out. This is the
+    * maintenance half a bucket-pruned MERGE needs: long-running merge
+    * sinks accrue one small file per touched-bucket version; Delta/
+    * Iceberg pair MERGE with OPTIMIZE for exactly this reason. Loses
+    * races like mergeInto does — a concurrent merge's commit wins the
+    * version and compaction retries against the fresh snapshot
+    * (MergeTableSpec's concurrent compaction-vs-merge case).
+    *
+    * Returns Some(committed version, compacted buckets), or None when
+    * no bucket met the threshold. */
+  def compact(spark: SparkSession, table: String, keyCol: String,
+      buckets: Int, minFiles: Int = 2,
+      primitive: CommitPrimitive = TxLog.LocalFs): Option[(Long, Seq[Int])] = {
+    var result: Option[Option[(Long, Seq[Int])]] = None
+    while (result.isEmpty) {
+      val snap = TxLog.snapshot(table)
+      val byBucket = snap.files.groupBy(bucketOfFile)
+      val todo = byBucket.filter(_._2.size >= minFiles).keys.toSeq.sorted
+      if (todo.isEmpty) result = Some(None)
+      else {
+        val next = snap.version + 1
+        val oldFiles = todo.flatMap(byBucket)
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(oldFiles.map(f => s"$table/$f"): _*)
+        val written = writeBuckets(spark, table, df, keyCol, buckets, todo, next)
+        val adds = todo.map(k => written.getOrElse(k,
+          // bucket whose live files hold zero rows: partitionBy made no
+          // dir; it still needs one schema-bearing file for lookup()
+          writeBucket(spark, table,
+            df.filter(pmod(col(keyCol), lit(buckets)) === k), k, next)))
+        TxLog.commit(table, adds, oldFiles, expectedCurrent = snap.version,
+            primitive = primitive) match {
+          case Some(v) => result = Some(Some((v, todo)))
+          case None => // lost to a concurrent merge: orphan ours, retry
+            adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+        }
+      }
+    }
+    result.get
+  }
+
   /** Point lookup with FILE SKIPPING: the key's hash bucket names the
     * only file(s) that can hold it, so the scan opens 1/buckets of the
     * table (MergeTableSpec asserts `inputFiles` is the single bucket
@@ -122,35 +197,48 @@ object MergeTable {
   private def writeBuckets(spark: SparkSession, table: String, df: DataFrame,
       keyCol: String, buckets: Int, wanted: Seq[Int],
       version: Long): Map[Int, String] = {
-    val stage = Files.createTempDirectory("graft-mergetbl").toString
-    df.withColumn("__b", pmod(col(keyCol), lit(buckets)).cast("int"))
-      .repartition(col("__b"))
-      .write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(stage)
-    wanted.flatMap { k =>
-      val dir = new java.io.File(s"$stage/__b=$k")
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).toSeq match {
-        case Seq(part) =>
-          val name = s"b$k-v$version-${part.getName.stripPrefix("part-")}"
-          Files.move(part.toPath, Paths.get(table, name))
-          Some(k -> name)
-        case Seq() => None
-        case many => // hash-collision split across tasks: keep them all?
-          // repartition by __b guarantees one task per value; if Spark
-          // ever changes that, fail loudly rather than lose files
-          sys.error(s"bucket $k split into ${many.size} files")
-      }
-    }.toMap
+    val stage = Files.createTempDirectory("graft-mergetbl")
+    try {
+      df.withColumn("__b", pmod(col(keyCol), lit(buckets)).cast("int"))
+        .repartition(col("__b"))
+        .write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(stage.toString)
+      wanted.flatMap { k =>
+        val dir = new java.io.File(s"$stage/__b=$k")
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).toSeq match {
+          case Seq(part) =>
+            val name = s"b$k-v$version-${part.getName.stripPrefix("part-")}"
+            Files.move(part.toPath, Paths.get(table, name))
+            Some(k -> name)
+          case Seq() => None
+          case many => // hash-collision split across tasks: keep them all?
+            // repartition by __b guarantees one task per value; if Spark
+            // ever changes that, fail loudly rather than lose files
+            sys.error(s"bucket $k split into ${many.size} files")
+        }
+      }.toMap
+    } finally deleteRecursively(stage) // a long-running merge stream
+    // stages once per micro-batch; leaving the _SUCCESS marker and
+    // partition dirs behind accrues one orphan temp tree per batch
   }
 
   private def writeBucket(spark: SparkSession, table: String, df: DataFrame,
       bucket: Int, version: Long): String = {
-    val stage = Files.createTempDirectory("graft-mergetbl").toString
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val name = s"b$bucket-v$version-${part.getName.stripPrefix("part-")}"
-    Files.move(part.toPath, Paths.get(table, name))
-    name
+    val stage = Files.createTempDirectory("graft-mergetbl")
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val name = s"b$bucket-v$version-${part.getName.stripPrefix("part-")}"
+      Files.move(part.toPath, Paths.get(table, name))
+      name
+    } finally deleteRecursively(stage)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => Files.deleteIfExists(q))
+      }
 }

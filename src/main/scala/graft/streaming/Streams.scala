@@ -693,13 +693,19 @@ object Streams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
-      var (start, cnt, done) =
-        if (st.exists()) st.get() else (-1L, 0L, false)
-      rows.foreach { case (_, tsMs) =>
-        if (!done) {
-          if (start < 0) { start = tsMs; getHandle.registerTimer(start + win) }
-          if (tsMs <= start + win) cnt += 1
+      var (start, cnt, done) = if (st.exists()) st.get() else (-1L, 0L, false)
+      if (!done) {
+        // transformWithState gives no within-batch ordering for a key's
+        // rows, so the window start is the batch MIN timestamp, not the
+        // first row in iterator order — materialize before counting.
+        // The event-time-ordered staging contract (doc above) puts the
+        // key's true min in its first batch, so a per-batch min suffices.
+        val ts = rows.map(_._2).toArray
+        if (start < 0 && ts.nonEmpty) {
+          start = ts.min
+          getHandle.registerTimer(start + win)
         }
+        ts.foreach { t => if (t <= start + win) cnt += 1 }
       }
       st.update((start, cnt, done))
       Iterator.empty

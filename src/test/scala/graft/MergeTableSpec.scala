@@ -80,4 +80,75 @@ class MergeTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(cur(100L) === 9.0 && cur.size === 9)
   }
+
+  test("append + compact: files fold to one per bucket, content and time travel intact") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-opt").toString
+    val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)
+    // three appends into bucket 1 (keys 5, 9, 13): bucket 1 grows to 4
+    // live files while buckets 0/2/3 stay at one
+    for (i <- 0 until 3)
+      MergeTable.append(spark, table,
+        Seq((5L + i * 4, 100.0 + i)).toDF("k", "v"), "k", buckets = 4)
+    val pre = TxLog.snapshot(table)
+    assert(pre.version === 3L)
+    assert(pre.files.count(_.startsWith("b1-")) === 4)
+    assert(pre.files.length === 7)
+
+    val Some((v, compacted)) = MergeTable.compact(spark, table, "k", buckets = 4)
+    assert(v === 4L && compacted === Seq(1), "only bucket 1 met the threshold")
+    val post = TxLog.snapshot(table)
+    assert(post.files.count(_.startsWith("b1-")) === 1, "bucket 1 folded to one file")
+    assert(post.files.length === 4)
+    assert(post.files.filterNot(_.startsWith("b1-")).toSet ===
+      pre.files.filterNot(_.startsWith("b1-")).toSet,
+      "untouched buckets keep their exact files across the compaction")
+
+    // content identical across the commit (appends keep DUPLICATE keys)
+    val cur = MergeTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val want = ((0L until 16L).map(i => (i, i * 1.0)) ++
+      (0 until 3).map(i => (5L + i * 4, 100.0 + i))).sorted
+    assert(cur === want)
+    // time travel below the compaction: v1 = base + first append only
+    val v1 = MergeTable.read(spark, table, Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(v1 === ((0L until 16L).map(i => (i, i * 1.0)) :+ (5L, 100.0)).sorted)
+    // idempotence: nothing left to fold
+    assert(MergeTable.compact(spark, table, "k", buckets = 4) === None)
+  }
+
+  test("concurrent compaction vs merge: compaction loses the version race and retries correctly") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-race").toString
+    val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)
+    MergeTable.append(spark, table, Seq((5L, 100.0)).toDF("k", "v"), "k", buckets = 4)
+    // a merge (on ANOTHER bucket) commits BETWEEN compaction's snapshot
+    // read and its commit attempt: compaction must conflict, orphan its
+    // staged file, and retry against the fresh snapshot
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing = new graft.streaming.CommitPrimitive {
+      def createExclusive(target: java.nio.file.Path, content: Array[Byte]): Boolean = {
+        if (raced.compareAndSet(false, true))
+          MergeTable.mergeInto(spark, table,
+            Seq((10L, -10.0)).toDF("k", "v"), "k", buckets = 4)
+        TxLog.LocalFs.createExclusive(target, content)
+      }
+    }
+    val Some((v, compacted)) =
+      MergeTable.compact(spark, table, "k", buckets = 4, primitive = racing)
+    assert(raced.get, "the race must actually have been exercised")
+    assert(v === 3L, "compaction read v1, lost v2 to the merge, committed v3")
+    assert(compacted === Seq(1))
+    val cur = MergeTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // the racing merge replaced key 10 (bucket 2); compaction's retry
+    // folded bucket 1 over the post-merge snapshot, losing nothing
+    val want = ((0L until 16L).filter(_ != 10L).map(i => (i, i * 1.0)) ++
+      Seq((5L, 100.0), (10L, -10.0))).sorted
+    assert(cur === want)
+    assert(TxLog.snapshot(table).files.count(_.startsWith("b1-")) === 1)
+    assert(TxLog.vacuum(table, minAgeMs = 0L) === Seq.empty,
+      "compaction's conflicted first attempt must self-clean")
+  }
 }
