@@ -251,6 +251,30 @@ object Graph extends QueryModule {
   /** vertex state for the typed-Pregel PageRank parity run */
   case class PrV(rank: Double, adj: Seq[Long])
 
+  /** Uninterrupted declarative PageRank, memoized per (dir, iters) — the
+    * thetaCache/ppjoinCache pattern: `_parity` and `_resume` both compare
+    * against the SAME run, which used to execute twice per bench suite
+    * (~10 s at sf0.1, VERDICT r7 item 5). O(V) driver rows, capped; the
+    * rounded ranks make the replayed relation bit-identical to a rerun. */
+  private val prCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
+  private val prCacheCap = 200000
+
+  private def pagerankShared(s: SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val key = s"$d#$iters"
+    val cached = prCache.get(key)
+    val rows =
+      if (cached != null) cached
+      else {
+        val r = pagerank(s, d, iters).select("v", "rank")
+          .as[(Long, Double)].collect().toSeq
+        if (r.length <= prCacheCap) prCache.put(key, r)
+        r
+      }
+    rows.toDF("v", "rank")
+  }
+
   /** ENGINE-PARITY check: the same PageRank (fixed supersteps, damping
     * 0.85) run on BOTH execution paths — the declarative Iterate loop
     * that q_graph_pagerank ships AND the typed Pregel engine (vertex
@@ -283,7 +307,7 @@ object Graph extends QueryModule {
           else Pregel.ComputeResult(v.copy(rank = nr), voteToHalt = true)
         })
       .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
-    val out = pagerank(s, d, iters).join(typed, "v")
+    val out = pagerankShared(s, d, iters).join(typed, "v")
       .agg(count(lit(1)).as("n_vertices"),
         (max(abs(col("t_rank") - col("rank"))) < 1e-6).as("engines_agree"))
       .localCheckpoint() // eager, 1 row — materialize, then free the cache
@@ -337,7 +361,7 @@ object Graph extends QueryModule {
         resumeFrom = Some(snap),
         partitions = Some(Pregel.sizedPartitions(s, n.toLong)))(fn)
       .map { case (id, v) => (id, v.rank) }.toDF("v", "t_rank")
-    val out = pagerank(s, d, iters).join(typed, "v")
+    val out = pagerankShared(s, d, iters).join(typed, "v")
       .agg(count(lit(1)).as("n_vertices"),
         (max(abs(col("t_rank") - col("rank"))) < 1e-6).as("resumed_matches_uninterrupted"))
       .withColumn("resumed_from", lit(snap.superstep.toLong))

@@ -431,7 +431,8 @@ object Streams {
     * surfaces as a failed rename → re-read + retry, never a lost
     * update. Returns the final snapshot. */
   def runMergeTotals(spark: SparkSession, eventsPath: String,
-      tableDir: String, options: Map[String, String] = Map.empty): DataFrame = {
+      tableDir: String, options: Map[String, String] = Map.empty,
+      primitive: CommitPrimitive = TxLog.LocalFs): DataFrame = {
     import org.apache.spark.sql.SaveMode
     import java.nio.file.{Files, Paths}
     val agg = events(spark, eventsPath, options)
@@ -460,7 +461,7 @@ object Streams {
           val name = s"part-b$batchId-a$attempt-${part.getName.stripPrefix("part-")}"
           Files.move(part.toPath, Paths.get(tableDir, name))
           committed = TxLog.commit(tableDir, Seq(name), snap.files,
-            expectedCurrent = snap.version).isDefined
+            expectedCurrent = snap.version, primitive = primitive).isDefined
           if (!committed) { // conflict: orphan our part, re-read, retry
             Files.deleteIfExists(Paths.get(tableDir, name)): Unit
           }

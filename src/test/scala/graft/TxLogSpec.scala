@@ -247,4 +247,41 @@ class TxLogSpec extends AnyFunSuite {
         .agg(sum("n_events")).head.getLong(0))
     assert(counts === counts.sorted, s"a later version lost events: $counts")
   }
+
+  test("merge sink end-to-end on an object-store primitive (no filesystem atomicity)") {
+    // VERDICT r7 item 7: the FULL streaming session (every micro-batch
+    // commit) runs through a primitive with object-store semantics —
+    // putIfAbsent decides the winner on a shared key space, the file
+    // write itself is plain and non-atomic, no hard links or atomic
+    // renames anywhere. One commit attempt is artificially rejected to
+    // force the sink's conflict-retry path through the same primitive.
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val rejectedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val objectStore = new streaming.CommitPrimitive {
+      def createExclusive(target: java.nio.file.Path, content: Array[Byte]): Boolean = {
+        if (target.getFileName.toString == "2.json" &&
+          rejectedOnce.compareAndSet(false, true)) false // emulated lost race
+        else if (!claimed.add(target.toString)) false
+        else if (Files.exists(target)) { claimed.remove(target.toString); false }
+        else { Files.write(target, content); true }
+      }
+    }
+    val stage = GraftSession.tempDirCleanedOnExit("txlog-objstore-in").toString
+    Tables(spark, TestSpark.sf0, "events")
+      .repartitionByRange(3, col("event_id"))
+      .write.parquet(s"$stage/in")
+    val table = GraftSession.tempDirCleanedOnExit("txlog-objstore-table").toString
+    val got = streaming.Streams.runMergeTotals(spark, s"$stage/in", table,
+        Map("maxFilesPerTrigger" -> "1"), primitive = objectStore)
+      .select(col("user_id"), col("n_events"), round(col("total"), 2).as("total"))
+    val want = Tables(spark, TestSpark.sf0, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+    assert(got.join(want, Seq("user_id", "n_events", "total")).count() === want.count())
+    assert(rejectedOnce.get, "the emulated conflict must have been exercised")
+    assert(TxLog.versions(table).length >= 3)
+    // the rejected attempt's part file was orphan-cleaned by the retry
+    assert(TxLog.vacuum(table, minAgeMs = 0L) === Seq.empty,
+      "conflicted attempts must self-clean their staged parts")
+  }
 }
