@@ -481,15 +481,24 @@ object Dedup extends QueryModule {
     // the tie-break engine-portable.
     Q("q_dedup_canonical_quality",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val qual = Tables(s, d, "documents").select(col("doc_id"),
           round(TextExprs.qualityScore(lower(col("text"))), 6).as("quality"))
-        val w = Window.partitionBy(col("canon_id"))
-          .orderBy(desc("quality"), asc("doc_id"))
-        clusterLabels(s, d).join(qual, "doc_id")
-          .withColumn("keep_best", row_number().over(w) === 1)
+        // best-per-cluster as a max_by aggregate + equi-join, not a
+        // cluster-keyed row_number window: a viral dup cluster is one
+        // single-task window partition, while the aggregate partial-
+        // combines to one row per cluster and the join back is
+        // AQE-skew-splittable. Checkpoint so the cluster labels compute
+        // once for both the aggregate and the join side.
+        val lbl = clusterLabels(s, d).join(qual, "doc_id").localCheckpoint()
+        val best = lbl.groupBy("canon_id")
+          .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+            .as("best_doc"))
+        val out = lbl.join(best, "canon_id")
+          .withColumn("keep_best", col("doc_id") === col("best_doc"))
           .select(col("doc_id"), col("canon_id"), col("keep_best"), col("quality"))
-          .orderBy("doc_id")
+          .orderBy("doc_id").localCheckpoint()
+        graft.plans.Iterate.release(lbl)
+        out
       },
       Some(s"""WITH $clustersSqlCtes,
            qual AS (SELECT doc_id,

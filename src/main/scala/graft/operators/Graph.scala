@@ -1066,10 +1066,14 @@ object Graph extends QueryModule {
               Seq("dst"))
             .groupBy(col("src").as("v"), col("nlbl"))
             .agg(count(lit(1)).as("c"))
+          // argmax by (count DESC, label ASC) as ONE hash aggregate —
+          // not a per-vertex max window: a celebrity vertex's label
+          // group is O(degree) and a window partition is single-task,
+          // while max_by partial-combines map-side (the nearestCell
+          // pattern); also one aggregate instead of window+filter+agg
           val best = msg
-            .withColumn("mc", max("c").over(Window.partitionBy("v")))
-            .filter(col("c") === col("mc"))
-            .groupBy("v").agg(min("nlbl").as("newl"))
+            .groupBy("v")
+            .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("newl"))
           vs.join(best, Seq("v"), "left").join(lbl, Seq("v"))
             .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"))
         }

@@ -617,12 +617,17 @@ object Multimodal extends QueryModule {
     // bit 63 in SQL).
     Q("q_mm_phash",
       (s, d) => {
-        val hashes = hashImages(s, imagePayloads(s, d)).toDF()
-        hashes.withColumn("n_same",
-            count(lit(1)).over(Window.partitionBy(col("phash"))))
+        // occurrence count via groupBy + join, not a per-phash count
+        // window (a viral identical image would single-task its whole
+        // window group); checkpoint so the decode pipeline runs once
+        val hashes = hashImages(s, imagePayloads(s, d)).toDF().localCheckpoint()
+        val hc = hashes.groupBy("phash").agg(count(lit(1)).as("n_same"))
+        val out = hashes.join(hc, Seq("phash"))
           .select(col("doc_id"), col("width"), col("height"), col("phash"),
             col("n_same").cast("long").as("n_same"))
-          .orderBy("doc_id")
+          .orderBy("doc_id").localCheckpoint()
+        graft.plans.Iterate.release(hashes)
+        out
       },
       Some(s"""WITH $phashCtes
               SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
