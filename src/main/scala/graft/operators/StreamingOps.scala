@@ -822,6 +822,52 @@ object StreamingOps extends QueryModule {
                 SELECT k * 10 + 1, -k, -CAST(k AS DOUBLE) FROM k
               ) ORDER BY user_id, n_events""")),
 
+    // FILE SKIPPING in the gate: time-partitioned ingest (the batch
+    // boundary IS a time window — the realistic append pattern) records
+    // per-file (min, max) hour stats in each commit entry; a range scan
+    // prunes files whose interval misses the predicate BEFORE opening
+    // anything. The row proves, in the gate: the scan reads strictly
+    // fewer files than the full table, the pruned set excludes exactly
+    // the out-of-range append's files, and stat-LESS files (the initial
+    // load) are still read and row-filtered — pruning is an
+    // optimization, never a correctness filter. Oracle: plain per-user
+    // aggregate over the hour range.
+    Q("q_merge_skipping",
+      (s, d) => {
+        val buckets = 4
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergeskip").toString
+        def winAgg(loH: Int, hiH: Int) = Tables(s, d, "events")
+          .withColumn("hr", hour(col("ts")).cast("long"))
+          .filter(col("hr") >= loH && col("hr") < hiH)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"),
+            min("hr").as("hr"))
+        graft.streaming.MergeTable.load(s, table, winAgg(0, 8), "user_id", buckets)
+        graft.streaming.MergeTable.append(s, table, winAgg(8, 16),
+          "user_id", buckets, statsCol = Some("hr"))
+        graft.streaming.MergeTable.append(s, table, winAgg(16, 24),
+          "user_id", buckets, statsCol = Some("hr"))
+        val fullFiles = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val scan = graft.streaming.MergeTable.scanRange(s, table, "hr", 16L, 23L)
+        val scanned = scan.inputFiles
+        require(scanned.length < fullFiles,
+          s"skipping must prune files: $fullFiles -> ${scanned.length}")
+        require(!scanned.exists(_.contains("-v1-")),
+          "the [8,16) append's files must be pruned by their stats")
+        require(scanned.exists(_.contains("-v2-")) &&
+          scanned.exists(_.contains("-v0-")),
+          "in-range and stat-less files must both survive the prune")
+        scan.select(col("user_id"), col("n_events"),
+            round(col("total"), 2).as("total"), col("hr"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, value,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr FROM events)
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total, CAST(MIN(hr) AS BIGINT) AS hr
+              FROM e WHERE hr >= 16 AND hr < 24
+              GROUP BY user_id ORDER BY user_id""")),
+
     // EVENT-TIME TIMERS in the gate — the remaining transformWithState
     // surface after the tws/tws_profile state rows: each user's
     // processor registers ONE timer at (first event + 8 h) and emits

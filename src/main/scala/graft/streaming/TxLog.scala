@@ -51,7 +51,13 @@ trait CommitPrimitive {
   */
 object TxLog {
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** `stats` maps a live file to the (min, max) of its declared stats
+    * column, when the committing writer recorded them — the Delta-style
+    * file-skipping metadata: a range scan prunes files whose interval
+    * misses the predicate, and a file WITHOUT stats is always kept
+    * (safe degradation for pre-stats files and expired entries). */
+  final case class Snapshot(version: Long, files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** POSIX-local [[CommitPrimitive]]: stage a temp file beside the
     * target, then HARD-LINK it in — link creation is atomic and fails if
@@ -120,6 +126,8 @@ object TxLog {
       s"no committed version <= ${asOf.get} in $table")
     val fromV = base.getOrElse(-1L)
     var files = base.fold(Vector.empty[String])(v => readCheckpoint(table, v).toVector)
+    var stats = base.fold(Map.empty[String, (Long, Long)])(
+      v => readStats(table, s"$v.checkpoint.json"))
     val replay = upTo.filter(_ > fromV)
     // versions are always committed consecutively, so the replayed
     // suffix must be exactly fromV+1, fromV+2, … — a hole means entries
@@ -130,8 +138,9 @@ object TxLog {
     replay.foreach { v =>
       val (adds, removes) = readEntry(table, v)
       files = files.filterNot(removes.toSet) ++ adds
+      stats = (stats -- removes) ++ readStats(table, s"$v.json")
     }
-    Snapshot(replay.lastOption.orElse(base).getOrElse(-1L), files)
+    Snapshot(replay.lastOption.orElse(base).getOrElse(-1L), files, stats)
   }
 
   /** Write a checkpoint of the CURRENT snapshot: one JSON file holding
@@ -152,10 +161,33 @@ object TxLog {
     }
     val entry =
       s"""{"version":${snap.version},"files":[${
-        snap.files.map("\"" + _ + "\"").mkString(",")}]}"""
+        snap.files.map("\"" + _ + "\"").mkString(",")}]${statsJson(snap.stats)}}"""
     val target = logDir(table).resolve(s"${snap.version}.checkpoint.json")
     if (primitive.createExclusive(target, entry.getBytes("UTF-8"))) Some(snap.version)
     else None
+  }
+
+  /** `,"stats":{"f":[lo,hi],…}` — empty string when no stats. Placed
+    * LAST in the entry so the adds/removes array regexes (which stop at
+    * the first `]`) never see the stats brackets. */
+  private def statsJson(stats: Map[String, (Long, Long)]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1)
+      .map { case (f, (lo, hi)) => s""""$f":[$lo,$hi]""" }
+      .mkString(""","stats":{""", ",", "}")
+
+  /** Parse the `stats` object of a log/checkpoint file (empty when the
+    * field is absent — pre-stats entries stay readable). */
+  private def readStats(table: String, fileName: String): Map[String, (Long, Long)] = {
+    val p = logDir(table).resolve(fileName)
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    """"stats":\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
+    }
   }
 
   /** Retention: delete entry files AT OR BELOW the newest checkpoint.
@@ -203,17 +235,20 @@ object TxLog {
     * `,` would corrupt the regex replay, so they are rejected HERE, at
     * write time, instead of corrupting every later read. */
   def commit(table: String, adds: Seq[String], removes: Seq[String],
-      expectedCurrent: Long, primitive: CommitPrimitive = LocalFs): Option[Long] = {
+      expectedCurrent: Long, primitive: CommitPrimitive = LocalFs,
+      stats: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
     (adds ++ removes).foreach { n =>
       require(!n.contains('"') && !n.contains(','),
         s"file name must not contain '\"' or ',': $n")
     }
+    require(stats.keySet.subsetOf(adds.toSet),
+      s"stats may only cover this commit's adds: ${stats.keySet -- adds.toSet}")
     val next = expectedCurrent + 1
     val d = logDir(table)
     Files.createDirectories(d)
     val entry =
       s"""{"version":$next,"adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]${statsJson(stats)}}"""
     if (primitive.createExclusive(d.resolve(s"$next.json"), entry.getBytes("UTF-8")))
       Some(next)
     else None

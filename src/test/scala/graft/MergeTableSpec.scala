@@ -118,6 +118,71 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.compact(spark, table, "k", buckets = 4) === None)
   }
 
+  test("file stats: scanRange prunes by interval, compact folds stats, stat-less files survive") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-stats").toString
+    // base load (no stats) + three appends with disjoint stat ranges,
+    // all into bucket 1 (keys ≡ 1 mod 4)
+    MergeTable.load(spark, table,
+      Seq((1L, 0L)).toDF("k", "t"), "k", buckets = 4)
+    for (i <- 0 until 3)
+      MergeTable.append(spark, table,
+        Seq((5L + i * 4, 100L * (i + 1))).toDF("k", "t"),
+        "k", buckets = 4, statsCol = Some("t"))
+    val snap = TxLog.snapshot(table)
+    assert(snap.stats.size === 3, "three appended files carry stats")
+
+    // prune: [150, 250] hits only the t=200 file; stat-less base files
+    // (4 of them) are always kept
+    val scan = MergeTable.scanRange(spark, table, "t", 150L, 250L)
+    assert(scan.inputFiles.length === 5, "1 in-range + 4 stat-less base files")
+    assert(scan.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 200L)))
+    // out-of-range scan: only the stat-less files open, zero rows pass
+    val none = MergeTable.scanRange(spark, table, "t", 900L, 999L)
+    assert(none.inputFiles.length === 4 && none.count() === 0L)
+
+    // compact folds bucket 1's files; the folded file's stats must be
+    // ABSENT (one constituent — the base b1 file — had none)
+    val Some((_, Seq(1))) = MergeTable.compact(spark, table, "k", buckets = 4)
+    assert(TxLog.snapshot(table).stats.isEmpty,
+      "fold with a stat-less constituent must drop stats")
+
+    // all-stats fold: backfill the base file's stats via a metadata-only
+    // commit (remove + re-add the same file WITH stats — the maintenance
+    // op a lake runs after enabling skipping), then compact → the folded
+    // file's interval is the union of its constituents
+    val t2 = GraftSession.tempDirCleanedOnExit("spec-mergetbl-stats2").toString
+    MergeTable.load(spark, t2, Seq((0L, 5L)).toDF("k", "t"), "k", buckets = 1)
+    val s0 = TxLog.snapshot(t2)
+    val baseF = s0.files.head
+    assert(TxLog.commit(t2, Seq(baseF), Seq(baseF), s0.version,
+      stats = Map(baseF -> (5L, 5L))).isDefined)
+    MergeTable.append(spark, t2, Seq((1L, 10L)).toDF("k", "t"),
+      "k", buckets = 1, statsCol = Some("t"))
+    MergeTable.append(spark, t2, Seq((2L, 30L)).toDF("k", "t"),
+      "k", buckets = 1, statsCol = Some("t"))
+    assert(TxLog.snapshot(t2).stats.size === 3)
+    val Some((_, _)) = MergeTable.compact(spark, t2, "k", buckets = 1)
+    assert(TxLog.snapshot(t2).stats.values.toSeq === Seq((5L, 30L)),
+      "folded file must carry the union interval of its constituents")
+    assert(MergeTable.read(spark, t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((0L, 5L), (1L, 10L), (2L, 30L)))
+
+    // commit-level: stats land in the entry and survive checkpoint +
+    // entry retention
+    val adds = Seq("bx.parquet")
+    val t3 = GraftSession.tempDirCleanedOnExit("spec-mergetbl-stats3").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t3))
+    assert(TxLog.commit(t3, adds, Seq.empty, -1L,
+      stats = Map("bx.parquet" -> (3L, 9L))) === Some(0L))
+    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> (3L, 9L)))
+    // checkpoint carries stats through replay truncation
+    assert(TxLog.writeCheckpoint(t3) === Some(0L))
+    TxLog.expireEntriesBelowCheckpoint(t3)
+    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> (3L, 9L)),
+      "stats must survive checkpoint + entry retention")
+  }
+
   test("concurrent compaction vs merge: compaction loses the version race and retries correctly") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-race").toString
     val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
