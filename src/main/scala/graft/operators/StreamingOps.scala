@@ -822,6 +822,43 @@ object StreamingOps extends QueryModule {
                 SELECT k * 10 + 1, -k, -CAST(k AS DOUBLE) FROM k
               ) ORDER BY user_id, n_events""")),
 
+    // CHANGE DATA FEED in the gate: merge a batch of updates + one
+    // brand-new key into the bucketed table, then read the row-level
+    // changes between the two versions from the LOG's file diff alone —
+    // only rewritten bucket files are opened, and the unchanged rows
+    // they carry cancel in the content diff, so the feed is exactly the
+    // 3 updates + 1 insert regardless of bucket width. Oracle: the
+    // update spec joined against the base aggregate (a key present in
+    // the base types as update, absent as insert).
+    Q("q_merge_changes",
+      (s, d) => {
+        import s.implicits._
+        val buckets = 4
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergecdf").toString
+        val base = Tables(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+          .localCheckpoint()
+        graft.streaming.MergeTable.load(s, table, base, "user_id", buckets)
+        val upd = ((1 to 3).map(k => (k.toLong * 10, -k.toLong, -k.toDouble)) :+
+          ((1000000000L, 0L, 0.0))).toDF("user_id", "n_events", "total")
+        graft.streaming.MergeTable.mergeInto(s, table, upd, "user_id", buckets)
+        graft.streaming.MergeTable.changes(s, table, "user_id", 0L, 1L)
+          .select(col("user_id"), col("n_events"),
+            round(col("total"), 2).as("total"), col("_change"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total
+                         FROM events GROUP BY user_id),
+              k AS (SELECT unnest(generate_series(1, 3)) AS k),
+              upd AS (SELECT k * 10 AS user_id, -k AS n_events,
+                        -CAST(k AS DOUBLE) AS total FROM k
+                      UNION ALL SELECT 1000000000, 0, 0.0)
+              SELECT u.user_id, CAST(u.n_events AS BIGINT) AS n_events,
+                ROUND(u.total, 2) AS total,
+                CASE WHEN b.user_id IS NULL THEN 'insert' ELSE 'update' END AS _change
+              FROM upd u LEFT JOIN b ON b.user_id = u.user_id
+              ORDER BY u.user_id""")),
+
     // FILE SKIPPING in the gate: time-partitioned ingest (the batch
     // boundary IS a time window — the realistic append pattern) records
     // per-file (min, max) hour stats in each commit entry; a range scan

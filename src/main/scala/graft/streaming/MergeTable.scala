@@ -97,6 +97,45 @@ object MergeTable {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
     Streams.readMergeTable(spark, table, asOf)
 
+  /** CHANGE DATA FEED between two committed versions (the Delta CDF
+    * read path): row-level changes derived from the log's file-level
+    * diff, so only files ADDED or REMOVED between the versions are ever
+    * opened — untouched buckets contribute nothing, and a pure-metadata
+    * rewrite (compaction) yields an EMPTY feed because its rewritten
+    * rows cancel in the content diff. Emits the table's columns plus
+    * `_change`:
+    *   - `insert`  — key absent at `fromV`, present at `toV` (post-image)
+    *   - `update`  — key present in both with a different row (post-image)
+    *   - `delete`  — key present at `fromV`, absent at `toV` (pre-image)
+    * Both versions must share a schema (columns are aligned by name;
+    * a diverged schema fails loudly rather than null-filling a diff). */
+  def changes(spark: SparkSession, table: String, keyCol: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val sa = TxLog.snapshot(table, Some(fromV))
+    val sb = TxLog.snapshot(table, Some(toV))
+    val removed = (sa.files.toSet -- sb.files.toSet).toSeq.sorted
+    val added = (sb.files.toSet -- sa.files.toSet).toSeq.sorted
+    val empty = Streams.readMergeTable(spark, table, Some(toV)).limit(0)
+    def rd(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty) empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => s"$table/$f"): _*)
+    val cols = rd(added).columns.sorted
+    val old = rd(removed).select(cols.map(col): _*)
+    val neu = rd(added).select(cols.map(col): _*)
+    val oldKeys = old.select(col(keyCol)).distinct()
+    val newKeys = neu.select(col(keyCol)).distinct()
+    val post = neu.exceptAll(old) // inserts + update post-images
+    val pre = old.exceptAll(neu)  // deletes + update pre-images
+    val inserts = post.join(oldKeys, Seq(keyCol), "left_anti")
+      .withColumn("_change", lit("insert"))
+    val updates = post.join(oldKeys, Seq(keyCol), "left_semi")
+      .withColumn("_change", lit("update"))
+    val deletes = pre.join(newKeys, Seq(keyCol), "left_anti")
+      .withColumn("_change", lit("delete"))
+    inserts.unionAll(updates).unionAll(deletes)
+  }
+
   /** Blind APPEND ingest (no key replacement — the fact-table path
     * beside mergeInto's upsert): stage one file per non-empty touched
     * bucket, commit adds-only. Each batch leaves one small file per

@@ -183,6 +183,47 @@ class MergeTableSpec extends AnyFunSuite {
       "stats must survive checkpoint + entry retention")
   }
 
+  test("change data feed: inserts, updates, deletes, and an empty feed across compaction") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-cdf").toString
+    val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)                 // v0
+    // v1: update key 3, insert key 100 (both bucket 3 ∪ bucket 0)
+    MergeTable.mergeInto(spark, table,
+      Seq((3L, -3.0), (100L, 9.0)).toDF("k", "v"), "k", buckets = 4)
+    val c1 = MergeTable.changes(spark, table, "k", 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(c1 === Seq((3L, -3.0, "update"), (100L, 9.0, "insert")))
+
+    // v2: append into bucket 1 → pure inserts
+    MergeTable.append(spark, table, Seq((5L, 50.0)).toDF("k", "v"), "k", buckets = 4)
+    assert(MergeTable.changes(spark, table, "k", 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ===
+      Seq((5L, 50.0, "insert")))
+
+    // v3: compaction rewrites bucket 1's two files — content unchanged,
+    // so the feed across the compaction commit is EMPTY
+    val Some((v3, _)) = MergeTable.compact(spark, table, "k", buckets = 4)
+    assert(v3 === 3L)
+    assert(MergeTable.changes(spark, table, "k", 2L, 3L).count() === 0L)
+
+    // v4: erasure commit — drop bucket 2's file without replacement
+    // (the GDPR bucket-erase shape); its keys surface as deletes
+    val snap = TxLog.snapshot(table)
+    val b2 = snap.files.filter(_.startsWith("b2-"))
+    assert(TxLog.commit(table, Seq.empty, b2, snap.version).isDefined)
+    val dels = MergeTable.changes(spark, table, "k", 3L, 4L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(dels === Seq((2L, 2.0, "delete"), (6L, 6.0, "delete"),
+      (10L, 10.0, "delete"), (14L, 14.0, "delete")))
+    // and the full span composes: 0→4 nets out the compaction noise;
+    // key 5's appended row types as UPDATE here (key existed at v0,
+    // and its unchanged base row cancels in the diff)
+    val span = MergeTable.changes(spark, table, "k", 0L, 4L).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(span === Seq((2L, "delete"), (3L, "update"), (5L, "update"),
+      (6L, "delete"), (10L, "delete"), (14L, "delete"), (100L, "insert")))
+  }
+
   test("concurrent compaction vs merge: compaction loses the version race and retries correctly") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-race").toString
     val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
