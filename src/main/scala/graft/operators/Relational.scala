@@ -344,7 +344,12 @@ object Relational extends QueryModule {
     // cousin of a stateful per-key peer.
     // distribution window functions: ntile buckets + rank positions per
     // partition — definitions are identical across engines (percent_rank
-    // = (rank−1)/(n−1), cume_dist = rank_with_ties/n), so exact parity
+    // = (rank−1)/(n−1), cume_dist = rank_with_ties/n), so exact parity.
+    // Scale note: this is the API-surface row — its 5 priority groups
+    // each sort corpus/5 rows in one task, which is fine for a surface
+    // demo but NOT the 100× path; the scale twin is q_agg_ntile_exact /
+    // q_agg_quantile_exact_global, the same ordered statistics through
+    // RangedRank with no task ever holding a whole group.
     Q("q_window_dist",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))
@@ -1154,7 +1159,12 @@ object Relational extends QueryModule {
               ORDER BY revenue DESC, c_custkey LIMIT 10""")),
 
     // top-N per group = semi-clustering's bounded candidate list shape
-    // (ml/.../semiclustering/SemiClusteringVertex.java:68-93)
+    // (ml/.../semiclustering/SemiClusteringVertex.java:68-93).
+    // Scale note: the rank-filter pattern plans as WindowGroupLimit
+    // (Partial map-side + Final) in Spark 4 — each mapper ships ≤N rows
+    // per group, so a hot group never rides the shuffle whole; this is
+    // why rank-FILTER windows are exempt from the round-8 hot-key
+    // de-windowing (WindowLimitSpec pins the plan shape).
     Q("q_topk_window",
       (s, d) => {
         val w = Window.partitionBy(col("p_brand"))
