@@ -226,6 +226,97 @@ object Relational extends QueryModule {
               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
+    // TPC-H Q7 (volume shipping): the two-role dimension join — nation
+    // joins the fact path TWICE (supplier side and customer side) with a
+    // symmetric pair predicate. Both nation-keyed builds broadcast
+    // (25-row dim), the pair filter runs where both roles are in scope,
+    // and the fact scan carries only the four join/measure columns.
+    Q("q_rel_tpch_q7",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin(pair: _*))
+              .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .select("s_suppkey", "supp_nation")
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin(pair: _*))
+              .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+          .select("c_custkey", "cust_nation")
+        val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q10 (returned-item reporting, adapted to the testdata's
+    // customer columns): one quarter's returned lineitems attributed
+    // back to customers — filter BOTH fact inputs before the join
+    // (returnflag on lineitem, the quarter on orders), aggregate to
+    // customers, keep the top 20 by lost revenue.
+    Q("q_rel_tpch_q10",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+              .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, n_name,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY 1, 2, 3, 4
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "orders")
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
