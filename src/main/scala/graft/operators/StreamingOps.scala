@@ -822,6 +822,32 @@ object StreamingOps extends QueryModule {
                 SELECT k * 10 + 1, -k, -CAST(k AS DOUBLE) FROM k
               ) ORDER BY user_id, n_events""")),
 
+    // APPEND + AUTO-COMPACT streaming ingest in the gate: three
+    // micro-batches (event_id mod split) flow through the append sink —
+    // batch 0 loads, batches 1-2 append with hour stats, and the
+    // every-2-commits OPTIMIZE fires mid-stream (versions must read
+    // load, append, append, compact). After the stream: every bucket
+    // holds exactly ONE live file (the fold ran and lost nothing — the
+    // oracle hash over the full ingested content proves it).
+    Q("q_stream_live_append_compact",
+      (s, d) => {
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-appendcp").toString
+        val out = graft.streaming.Streams.runAppendCompacted(s,
+          stagedModSplit(s, d), table, buckets = 4, compactEvery = 2,
+          Map("maxFilesPerTrigger" -> "1"))
+        val vs = graft.streaming.TxLog.versions(table)
+        require(vs == Seq(0L, 1L, 2L, 3L),
+          s"expected load, append, append, compact — got ${vs.mkString(",")}")
+        val files = graft.streaming.TxLog.snapshot(table).files
+        require(files.length == 4,
+          s"each bucket must hold one folded file, got ${files.length}")
+        out.select(col("user_id"), col("event_id"), col("value"), col("hr"))
+          .orderBy("event_id").localCheckpoint()
+      },
+      Some("""SELECT user_id, event_id, value,
+                CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+              FROM events ORDER BY event_id""")),
+
     // CHANGE DATA FEED in the gate: merge a batch of updates + one
     // brand-new key into the bucketed table, then read the row-level
     // changes between the two versions from the LOG's file diff alone —

@@ -473,6 +473,38 @@ object Streams {
     readMergeTable(spark, tableDir)
   }
 
+  /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse
+    * fact-table loop (append + periodic OPTIMIZE) as one
+    * self-maintaining sink: batch 0 bucket-loads the table, every later
+    * micro-batch appends its rows' bucket files recording (min, max)
+    * hour stats for [[MergeTable.scanRange]] file skipping, and every
+    * `compactEvery` commits the accrued small files fold through
+    * [[MergeTable.compact]]'s atomic adds+removes commit. Readers are
+    * never blocked and never see a partial state: ingest, compaction
+    * and reads all ride the same TxLog snapshot protocol. */
+  def runAppendCompacted(spark: SparkSession, eventsPath: String,
+      tableDir: String, buckets: Int = 4, compactEvery: Int = 2,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val src = events(spark, eventsPath, options)
+      .select(col("user_id"), col("event_id"), col("value"),
+        hour(col("ts")).cast("long").as("hr"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    val q = src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (TxLog.versions(tableDir).isEmpty)
+          MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
+        else
+          MergeTable.append(spark, tableDir, batch, "user_id", buckets,
+            statsCol = Some("hr")): Unit
+        val v = TxLog.snapshot(tableDir).version
+        if (compactEvery > 0 && v > 0 && v % compactEvery == 0)
+          MergeTable.compact(spark, tableDir, "user_id", buckets): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readMergeTable(spark, tableDir)
+  }
+
   /** Per-user running totals maintained as a BUCKET-PRUNED MergeTable —
     * the lake-scale streaming sink [[runMergeTotals]]'s full-state
     * rewrite stands in for: batch 0 bucket-loads the table, every later
