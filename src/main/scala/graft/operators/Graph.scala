@@ -491,6 +491,111 @@ object Graph extends QueryModule {
   private def sccTrim(s: SparkSession, d: String): DataFrame =
     sccTrimOn(edges(s, d).select("src", "dst"))
 
+  /** Level-synchronous all-sources BFS with path counting: returns
+    * (reached, perLevelFrontiers) where `reached` holds one row
+    * (s, v, d, sigma) per source-reachable pair — d the shortest
+    * distance, sigma the NUMBER of shortest s→v paths. State is
+    * O(sources × V); the declared 100 TB shape samples the source set
+    * (the standard Brandes estimator) — here sources = all vertices so
+    * the oracle can be exact. One join + one partial-combined aggregate
+    * per level; levels = graph diameter. */
+  private def bfsSigma(e0: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val s = e0.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
+    val ns = pin(nodes(e))
+    var reached = pin(ns.select(col("v").as("s"), col("v"),
+      lit(0).as("d"), lit(1L).as("sigma")))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](reached)
+    var frontier = reached
+    var lvl = 0
+    while (frontier.limit(1).count() > 0 && lvl < N) {
+      lvl += 1
+      val expand = frontier.select(col("s"), col("v").as("u"), col("sigma"))
+        .join(e, col("u") === col("src"))
+        .groupBy(col("s"), col("dst")).agg(sum("sigma").as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(lvl).as("d"), col("sigma"))
+      val nf = pin(expand.join(
+        reached.select(col("s").as("rs"), col("v").as("rv")),
+        col("s") === col("rs") && col("v") === col("rv"), "left_anti"))
+      if (nf.limit(1).count() > 0) {
+        reached = pin(reached.unionAll(nf))
+        levels += nf
+      }
+      frontier = nf
+    }
+    (reached, levels.toSeq)
+  }
+
+  /** Betweenness centrality — Brandes restated as level-synchronous
+    * dataflow: forward all-sources BFS with path counts ([[bfsSigma]]),
+    * then the dependency accumulation run BACKWARD one level at a time:
+    * δ_s(v) = Σ_{(v,w) on the shortest-path DAG} σ_sv/σ_sw·(1+δ_s(w)),
+    * bc(v) = Σ_{s≠v} δ_s(v). Each backward level is one edge join + one
+    * aggregate over the level's pairs — no per-source sequential state,
+    * which is what makes the textbook stack-based Brandes distributable.
+    * Exact here (all sources); at corpus scale the source set samples
+    * and bc rescales by V/|S| — the standard estimator, same dataflow. */
+  private[graft] def betweennessOn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
+    val (reached, levels) = bfsSigma(e)
+    val ns = nodes(e)
+    val maxLvl = levels.length - 1
+    if (maxLvl == 0) return ns.select(col("v"), lit(0.0).as("bc")).orderBy("v")
+    var curDelta = pin(levels(maxLvl).select(col("s"), col("v"), lit(0.0).as("delta")))
+    var acc = curDelta
+    for (l <- maxLvl to 1 by -1) {
+      val w = levels(l).select(col("s").as("ws"), col("v").as("w"), col("sigma").as("sw"))
+        .join(curDelta.select(col("s").as("ds"), col("v").as("dv"), col("delta").as("dw0")),
+          col("ws") === col("ds") && col("w") === col("dv"), "left")
+        .select(col("ws"), col("w"), col("sw"),
+          coalesce(col("dw0"), lit(0.0)).as("dw"))
+      val vprev = levels(l - 1).select(col("s").as("vs"), col("v"), col("sigma").as("sv"))
+      curDelta = pin(vprev
+        .join(e, col("v") === col("src"))
+        .join(w, col("vs") === col("ws") && col("dst") === col("w"))
+        .groupBy(col("vs").as("s"), col("v"))
+        .agg(sum(col("sv") * (lit(1.0) + col("dw")) / col("sw")).as("delta")))
+      acc = pin(acc.unionAll(curDelta))
+    }
+    // δ_s(s) (the level-0 rows) is a loop invariant of the recurrence,
+    // NOT part of bc — Brandes sums δ_s(v) only over v ≠ s
+    ns.join(acc.filter(col("s") =!= col("v"))
+        .groupBy("v").agg(sum("delta").as("bc0")), Seq("v"), "left")
+      .select(col("v"), round(coalesce(col("bc0"), lit(0.0)), 4).as("bc"))
+      .orderBy("v")
+  }
+
+  /** unrolled BFS-with-path-counts CTE chain for the DuckDB oracle —
+    * `levels` fixed at comfortably above the test graph's diameter
+    * (extra levels yield empty frontiers and add nothing). Defines
+    * `ed`, `bnodes`, and `r` = (s, v, d, sigma). */
+  private def bfsSigmaSql(levels: Int): String = {
+    val steps = (0 until levels).map { i =>
+      s"""f${i + 1} AS (
+           SELECT f.s, ed.dst AS v, ${i + 1} AS d, SUM(f.sigma) AS sigma
+           FROM f$i f JOIN ed ON ed.src = f.v
+           LEFT JOIN r$i seen ON seen.s = f.s AND seen.v = ed.dst
+           WHERE seen.v IS NULL
+           GROUP BY f.s, ed.dst),
+         r${i + 1} AS (SELECT * FROM r$i UNION ALL SELECT * FROM f${i + 1})"""
+    }.mkString(",\n")
+    s"""ed AS (SELECT src, dst FROM e WHERE src <> dst GROUP BY src, dst),
+       bnodes AS (SELECT DISTINCT src AS v FROM ed UNION SELECT DISTINCT dst FROM ed),
+       r0 AS (SELECT v AS s, v, 0 AS d, CAST(1 AS BIGINT) AS sigma FROM bnodes),
+       f0 AS (SELECT * FROM r0),
+       $steps,
+       r AS (SELECT * FROM r$levels)"""
+  }
+
   private[graft] def sccTrimOn(edgesDf: DataFrame): DataFrame = {
     val s = edgesDf.sparkSession
     // materialize AND mint fresh attribute ids: the peel loop repeatedly
@@ -957,6 +1062,42 @@ object Graph extends QueryModule {
                    WHERE r.src = ed.dst AND r.dst = ed.src)
                    THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS reciprocity
                FROM ed""")),
+
+    // BETWEENNESS CENTRALITY — Brandes as level-synchronous dataflow
+    // (forward BFS with path counts, backward dependency accumulation,
+    // see betweennessOn). Exact all-sources here so the oracle can be
+    // too: DuckDB computes the same bc from the pairwise identity
+    // bc(v) = Σ σ_sv·σ_vt/σ_st over triples with d_sv + d_vt = d_st —
+    // two independent derivations of the same statistic, rounded at 4.
+    Q("q_graph_betweenness",
+      (s, d) => betweennessOn(edges(s, d).select("src", "dst")),
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)},
+               bcs AS (SELECT a.v, SUM(CAST(a.sigma AS DOUBLE) * b.sigma / c.sigma) AS bc
+                 FROM r a
+                 JOIN r b ON b.s = a.v AND b.d > 0
+                 JOIN r c ON c.s = a.s AND c.v = b.v AND c.d = a.d + b.d
+                 WHERE a.d > 0
+                 GROUP BY a.v)
+               SELECT n.v, ROUND(COALESCE(bcs.bc, 0), 4) AS bc
+               FROM bnodes n LEFT JOIN bcs ON bcs.v = n.v ORDER BY n.v""")),
+
+    // ECCENTRICITY per vertex (max shortest-path distance to any
+    // reachable vertex) + reach count — the diameter/radius building
+    // block, from the same all-sources BFS relation the betweenness
+    // row's forward pass produces.
+    Q("q_graph_eccentricity",
+      (s, d) => {
+        val (reached, _) = bfsSigma(edges(s, d).select("src", "dst"))
+        reached.groupBy("s")
+          .agg(max("d").cast("long").as("ecc"),
+            (count(lit(1)) - 1).as("n_reached"))
+          .select(col("s").as("v"), col("ecc"), col("n_reached"))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)}
+               SELECT s AS v, CAST(MAX(d) AS BIGINT) AS ecc,
+                 CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+               FROM r GROUP BY s ORDER BY v""")),
 
     // DEGREE DISTRIBUTION: how many vertices have out-degree k — the
     // first chart anyone draws of a graph, and the skew signal that
