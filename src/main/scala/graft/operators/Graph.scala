@@ -1099,6 +1099,27 @@ object Graph extends QueryModule {
                  CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
                FROM r GROUP BY s ORDER BY v""")),
 
+    // HARMONIC CENTRALITY, all-sources exact: Σ 1/d(v,t) over
+    // reachable t ≠ v — the disconnected-robust closeness variant
+    // (Boldi-Vigna), read directly off the betweenness family's BFS
+    // relation. q_graph_closeness carries the 5-SOURCE sampled variant
+    // (the 100 TB shape); this row is its exact full-graph counterpart
+    // with an independently-derived unrolled-CTE oracle. Unreachable
+    // pairs contribute 0 by absence, which is the point of the
+    // harmonic form.
+    Q("q_graph_harmonic",
+      (s, d) => {
+        val (reached, _) = bfsSigma(edges(s, d).select("src", "dst"))
+        reached.filter(col("d") > 0)
+          .groupBy("s")
+          .agg(round(sum(lit(1.0) / col("d")), 4).as("harmonic"))
+          .select(col("s").as("v"), col("harmonic"))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)}
+               SELECT s AS v, ROUND(SUM(1.0 / d), 4) AS harmonic
+               FROM r WHERE d > 0 GROUP BY s ORDER BY v""")),
+
     // DEGREE DISTRIBUTION: how many vertices have out-degree k — the
     // first chart anyone draws of a graph, and the skew signal that
     // decides salting strategy. Two tiny cascaded aggregates.
