@@ -163,6 +163,44 @@ object Curation extends QueryModule {
              END AS auc
            FROM agg""")),
 
+    // AVERAGE PRECISION (PR-AUC) of the trained quality score against
+    // the language label — the retrieval-style evaluator beside the
+    // rank-statistic ROC AUC: AP = mean over positives of precision at
+    // each positive's rank under (score DESC, doc_id) order. The global
+    // ordered cumsum+rank runs through RangedRank (sixth consumer), so
+    // no task ever holds the whole ranking — the ROC row's
+    // score-group window is bounded by distinct scores, this one is
+    // per-document and would otherwise be a single-task global window.
+    // Degenerate all-negative corpus → NULL in both engines.
+    Q("q_pipeline_quality_ap",
+      (s, d) => {
+        val scored = graft.SparkEntry.queries("q_pipeline_quality_model")(s, d)
+          .select(col("doc_id"), col("score"))
+        val y = Tables(s, d, "documents")
+          .select(col("doc_id"), when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        val lab = scored.join(y, "doc_id")
+          .select(col("doc_id"), (-col("score")).as("negscore"), col("y"),
+            lit(1L).as("one"))
+        val ranked = RangedRank.withRunningTotals(lab, Seq.empty,
+          Seq("negscore", "doc_id"), Seq("y" -> "tp", "one" -> "k"))
+        ranked.agg(sum("y").as("np"),
+            sum(when(col("y") === 1.0, col("tp") / col("k"))).as("apsum"))
+          .select(col("np").cast("long").as("n_pos"),
+            when(col("np") > 0, round(col("apsum") / col("np"), 6)).as("ap"))
+      },
+      Some(s"""WITH $qualityModelCtes,
+           lab AS (SELECT s.doc_id, s.score, d.y FROM scored s JOIN d USING (doc_id)),
+           r AS (SELECT y,
+               SUM(y) OVER (ORDER BY score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS k
+             FROM lab),
+           agg AS (SELECT SUM(y) AS np,
+               SUM(CASE WHEN y = 1 THEN tp * 1.0 / k END) AS apsum FROM r)
+           SELECT CAST(np AS BIGINT) AS n_pos,
+             CASE WHEN np > 0 THEN ROUND(apsum / np, 6) END AS ap
+           FROM agg""")),
+
     // WEIGHT-OF-EVIDENCE / INFORMATION-VALUE binning: n_chars cut at its
     // exact quartiles (both engines use the same linear-interpolated
     // percentile, rounded at 6 so the bin boundaries are engine-exact),

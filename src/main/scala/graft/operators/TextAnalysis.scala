@@ -278,6 +278,61 @@ object TextAnalysis extends QueryModule {
                  FROM scored) t
                WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
+    // HEAPS'-LAW FIT: vocabulary growth V(n) ≈ K·n^β over the corpus in
+    // doc_id order — the curve that says how much NEW vocabulary each
+    // additional terabyte of corpus buys (sublinear β ≈ 0.4-0.6 for
+    // natural text; β near 1 flags synthetic/ID-heavy content). The
+    // cumulative-distinct is the first-occurrence trick (a token's
+    // min doc_id marks the one doc where it increments V), so the
+    // whole curve is two hash aggregates + one global ordered cumsum —
+    // run through RangedRank (seventh consumer) since a corpus-length
+    // ordered window is exactly the single-task shape this round
+    // removed. Output: log-log OLS slope β and intercept K.
+    Q("q_text_heaps",
+      (s, d) => {
+        val tk = toks(s, d)
+        val perDoc = tk.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+        val newV = tk.groupBy("tok").agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("nv"))
+        val base = docs(s, d).select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(newV, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("ntok"), lit(0L)).as("ntok"),
+            coalesce(col("nv"), lit(0L)).as("nv"))
+        val cum = RangedRank.withRunningTotals(base, Seq.empty, Seq("doc_id"),
+          Seq("ntok" -> "n", "nv" -> "v"))
+        val pts = cum.filter(col("n") > 0 && col("v") > 0)
+          .select(log(col("n").cast("double")).as("x"),
+            log(col("v").cast("double")).as("y"))
+        val beta = (col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx"))
+        pts.agg(count(lit(1)).cast("double").as("m"),
+            avg("x").as("mx"), avg("y").as("my"),
+            avg(col("x") * col("x")).as("mxx"), avg(col("x") * col("y")).as("mxy"))
+          .select(col("m").cast("long").as("n_points"),
+            round(beta, 6).as("beta"),
+            round(exp(col("my") - beta * col("mx")), 6).as("k"))
+      },
+      Some(s"""WITH $toksSql,
+              perdoc AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
+              firsttok AS (SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok),
+              newv AS (SELECT doc_id, COUNT(*) AS nv FROM firsttok GROUP BY doc_id),
+              base AS (SELECT d.doc_id, COALESCE(p.ntok, 0) AS ntok,
+                  COALESCE(v.nv, 0) AS nv
+                FROM (SELECT doc_id FROM documents) d
+                LEFT JOIN perdoc p USING (doc_id) LEFT JOIN newv v USING (doc_id)),
+              cum AS (SELECT doc_id,
+                  SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS n,
+                  SUM(nv) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS v
+                FROM base),
+              pts AS (SELECT LN(n) AS x, LN(v) AS y FROM cum WHERE n > 0 AND v > 0),
+              agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, AVG(x) AS mx,
+                  AVG(y) AS my, AVG(x * x) AS mxx, AVG(x * y) AS mxy FROM pts)
+              SELECT CAST(m AS BIGINT) AS n_points,
+                ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS beta,
+                ROUND(EXP(my - (mxy - mx * my) / (mxx - mx * mx) * mx), 6) AS k
+              FROM agg""")),
+
     // deterministic stratified sampling (training-data mixture control):
     // per-stratum keep rates decided by a PORTABLE hash draw — the first
     // two md5 hex chars of the doc id compared against a per-stratum
