@@ -233,7 +233,7 @@ object Relational extends QueryModule {
     // and the fact scan carries only the four join/measure columns.
     Q("q_rel_tpch_q7",
       (s, d) => {
-        val pair = Seq("NATION_1", "NATION_2")
+        val pair = Seq("NATION_18", "NATION_19")
         val sup = t(s, d, "supplier")
           .join(broadcast(t(s, d, "nation")
               .filter(col("n_name").isin(pair: _*))
@@ -271,8 +271,8 @@ object Relational extends QueryModule {
               JOIN customer ON c_custkey = o_custkey
               JOIN nation n1 ON n1.n_nationkey = s_nationkey
               JOIN nation n2 ON n2.n_nationkey = c_nationkey
-              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-                AND n2.n_name IN ('NATION_1', 'NATION_2')
+              WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+                AND n2.n_name IN ('NATION_18', 'NATION_19')
                 AND n1.n_name <> n2.n_name
                 AND l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate < TIMESTAMP '1998-01-01'
