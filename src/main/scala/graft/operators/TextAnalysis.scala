@@ -1372,6 +1372,24 @@ object TextAnalysis extends QueryModule {
                  FROM bm) t
                WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // PERSISTED BM25 (the lexical build-once/query-many counterpart of
+    // q_sim_pq_persisted): postings on disk partitioned by term-hash
+    // bucket, df + corpus stats as side relations; a query's term
+    // buckets dynamically prune the postings scan before anything
+    // opens. Same ranking semantics as q_text_bm25 → same oracle.
+    Q("q_text_bm25_persisted",
+      (s, d) => {
+        bm25PersistBuild(s, d)
+        bm25PersistSearch(s, d, 5)
+      },
+      Some(s"""WITH $toksSql, $bm25Sql
+               SELECT q_id, rank, cand_id, bm25 FROM (
+                 SELECT q_id, cand_id, bm25,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY bm25 DESC, cand_id) AS BIGINT) AS rank
+                 FROM bm) t
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // HYBRID RETRIEVAL via RECIPROCAL RANK FUSION: the deployment-shape
     // ranker — BM25 lexical ranks and exact-cosine vector ranks over the
     // SAME query/candidate split (doc_id ↔ vec_id align 1:1), fused as
@@ -1498,6 +1516,59 @@ object TextAnalysis extends QueryModule {
   private def bm25Top(s: SparkSession, d: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
     bm25Scores(s, d).withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("bm25"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** per-JVM scratch for the persisted BM25 inverted index */
+  private lazy val bm25IdxDir: String =
+    graft.GraftSession.tempDirCleanedOnExit("graft-bm25").resolve("postings").toString
+  private lazy val bm25SideDir: String =
+    graft.GraftSession.tempDirCleanedOnExit("graft-bm25-side").resolve("side").toString
+
+  private val bm25Buckets = 16
+  private def termBucket(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(bm25Buckets)).cast("int")
+
+  /** BUILD the on-disk lexical index: postings (tok, doc_id, tf, len)
+    * PARTITIONED BY TERM-HASH BUCKET, plus the df table and corpus
+    * stats as small side relations — the build-once/query-many shape
+    * the persisted IVF/PQ rows already have, for BM25. At corpus scale
+    * the index build is one tokenize + two hash aggregates, run once. */
+  private[graft] def bm25PersistBuild(s: SparkSession, d: String): Unit = {
+    val cd = toks(s, d).filter(col("doc_id") >= 5)
+    val tf = cd.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = cd.groupBy("doc_id").agg(count(lit(1)).cast("double").as("len"))
+    tf.join(dl, "doc_id")
+      .withColumn("tb", termBucket(col("tok")))
+      .write.mode("overwrite").partitionBy("tb").parquet(bm25IdxDir)
+    tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").parquet(s"$bm25SideDir/df")
+    dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("len")).as("avglen"))
+      .write.mode("overwrite").parquet(s"$bm25SideDir/stats")
+  }
+
+  /** SEARCH the on-disk index: the query terms' buckets DYNAMICALLY
+    * prune the postings scan (Bm25PersistSpec audits the plan), df and
+    * stats broadcast, and only surviving postings are scored — the scan
+    * opens |query-term buckets| / bm25Buckets of the index. */
+  private[graft] def bm25PersistSearch(s: SparkSession, d: String, k: Int): DataFrame = {
+    val qt = toks(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+      .withColumn("tb", termBucket(col("tok")))
+    val scores = s.read.parquet(bm25IdxDir)
+      .join(broadcast(qt), Seq("tb", "tok"))
+      .join(broadcast(s.read.parquet(s"$bm25SideDir/df")), "tok")
+      .crossJoin(broadcast(s.read.parquet(s"$bm25SideDir/stats")))
+      .groupBy(col("q_id"), col("doc_id").as("cand_id"))
+      .agg(round(sum(
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen")))), 6)
+        .as("bm25"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("bm25"), asc("cand_id"))
+    scores.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("cand_id"), col("bm25"))
       .orderBy("q_id", "rank")
