@@ -63,5 +63,42 @@ object MergeScale {
       f""""rows_rewritten_pruned":$prunedRows,"rows_rewritten_full":$nKeys,""" +
       f""""pruned_sec":$prunedSec%.3f,"full_rewrite_sec":$fullSec%.3f,""" +
       f""""speedup":${fullSec / prunedSec}%.2f}""")
+
+    // --- append/compact/skip lifecycle at many versions (round 8): 40
+    // single-bucket append batches with disjoint stat ranges, then
+    // OPTIMIZE, then a ranged read — measuring the small-files debt,
+    // the fold, and the file-skipping payoff over the table's life
+    locally {
+      val k = 8
+      val table = GraftSession.tempDirCleanedOnExit("merge-scale-appendlife").toString
+      MergeTable.load(spark, table, base.limit(0), "l_orderkey", k)
+      val t0 = System.nanoTime()
+      for (i <- 0 until 40) {
+        val batch = base.filter(col("l_orderkey") % 40 === i)
+          .withColumn("day", lit(i.toLong))
+        MergeTable.append(spark, table, batch, "l_orderkey", k,
+          statsCol = Some("day"))
+      }
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val filesBefore = TxLog.snapshot(table).files.length
+      val t1 = System.nanoTime()
+      MergeTable.compact(spark, table, "l_orderkey", k)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val filesAfter = TxLog.snapshot(table).files.length
+      // post-compact stats are dropped (the stat-less load file is a
+      // constituent), so the skip measurement reads the PRE-compact
+      // version: day ∈ [10, 12) must open ~2/40 of the appended files
+      val t2 = System.nanoTime()
+      val scan = MergeTable.scanRange(spark, table, "day", 10L, 11L,
+        asOf = Some(40L))
+      val scanFiles = scan.inputFiles.length
+      val scanRows = scan.count()
+      val scanSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"metric":"merge_scale_append_lifecycle","appends":40,""" +
+        f""""append_sec":$appendSec%.3f,"files_before_compact":$filesBefore,""" +
+        f""""files_after_compact":$filesAfter,"compact_sec":$compactSec%.3f,""" +
+        f""""scan_files_opened":$scanFiles,"scan_rows":$scanRows,""" +
+        f""""scan_sec":$scanSec%.3f}""")
+    }
   }
 }

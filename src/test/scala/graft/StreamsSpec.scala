@@ -271,4 +271,36 @@ class StreamsSpec extends AnyFunSuite {
     val expected = raw.select("user_id", "event_type").distinct().count()
     assert(out.distinct().count() === expected)
   }
+
+  test("watermark drops late rows, counted in progress metrics, excluded from state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val ms = MemoryStream[(Long, Timestamp)](spark)
+    val agg = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val name = "wmdrop_spec"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    try {
+      ms.addData((1L, t(1)))
+      q.processAllAvailable()
+      ms.addData((1L, t(10))) // advances the watermark to 09:30
+      q.processAllAvailable()
+      ms.addData((1L, t(2)))  // 8 h behind the watermark: must be dropped
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, "the late row must be counted as dropped by the watermark")
+      val windows = spark.table(name)
+        .select(col("window.start").cast("string")).collect().map(_.getString(0))
+      assert(!windows.exists(_.contains("02:00")),
+        "the dropped row must not have re-opened its expired window")
+      assert(windows.exists(_.contains("01:00")) && windows.exists(_.contains("10:00")))
+    } finally { q.stop(); spark.catalog.dropTempView(name): Unit }
+  }
 }
