@@ -189,6 +189,35 @@ object Similarity extends QueryModule {
     pqSeedCb(s, d).write.mode("overwrite").parquet(pqCbDir)
   }
 
+  /** INCREMENTAL index maintenance: encode ONLY the new vectors against
+    * the PERSISTED codebook and coarse centroids, and append their
+    * (cand_id, codes, cell) rows to the existing cell partitions — no
+    * rebuild, no touch of the already-encoded corpus. The ingest cost
+    * is O(new vectors); search is unchanged (PqPersistSpec proves
+    * append ≡ rebuild-on-union). This is what makes the persisted index
+    * viable under continuous ingest at 100 TB: the codebook is frozen
+    * at build time (the standard FAISS deployment contract — retrain
+    * and rebuild only on drift). */
+  private[graft] def pqPersistAppend(s: SparkSession, d: String,
+      newEmb: DataFrame): Unit = {
+    val emb = Tables(s, d, "embeddings")
+    val cen = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+    val cb = s.read.parquet(pqCbDir)
+    val codes = pqSubsOf(newEmb)("cand_id")
+      .join(broadcast(cb), "m")
+      .withColumn("dot", round(vecDot(col("sv"), col("cbv")), 6))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(max_by(col("k"), struct(col("dot"), -col("k"))).as("code_k"))
+    val cells = nearestCell(cen,
+        newEmb.select(col("vec_id").as("cand_id"), col("v").as("cemb2")),
+        "cand_id", "cemb2")
+      .select(col("cand_id").as("cc_id"), col("cell"))
+    codes.join(cells, col("cand_id") === col("cc_id"))
+      .select(col("cand_id"), col("m"), col("code_k"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(pqIndexDir)
+  }
+
   /** SEARCH phase over the on-disk PQ index: the probed cell set
     * (broadcast) DYNAMICALLY prunes the codes scan to the queries'
     * partition directories, and the ADC sum runs against a LUT built

@@ -136,6 +136,15 @@ object MergeTable {
     inserts.unionAll(updates).unionAll(deletes)
   }
 
+  /** CDC consumer cursor: every change committed AFTER `sinceVersion`,
+    * plus the new cursor to store for the next poll — the poll-based
+    * consumption loop a downstream sync job runs against the feed. */
+  def changesSince(spark: SparkSession, table: String, keyCol: String,
+      sinceVersion: Long): (DataFrame, Long) = {
+    val cur = TxLog.snapshot(table).version
+    (changes(spark, table, keyCol, sinceVersion, cur), cur)
+  }
+
   /** Blind APPEND ingest (no key replacement — the fact-table path
     * beside mergeInto's upsert): stage one file per non-empty touched
     * bucket, commit adds-only. Each batch leaves one small file per

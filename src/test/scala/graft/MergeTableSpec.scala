@@ -222,6 +222,12 @@ class MergeTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
     assert(span === Seq((2L, "delete"), (3L, "update"), (5L, "update"),
       (6L, "delete"), (10L, "delete"), (14L, "delete"), (100L, "insert")))
+    // consumer cursor loop: poll from v1, store the cursor, poll again —
+    // the second poll from the stored cursor is empty
+    val (feed, cursor) = MergeTable.changesSince(spark, table, "k", 1L)
+    assert(cursor === 4L && feed.count() === 5L) // key-5 update + 4 deletes
+    val (feed2, cursor2) = MergeTable.changesSince(spark, table, "k", cursor)
+    assert(cursor2 === 4L && feed2.count() === 0L)
   }
 
   test("concurrent compaction vs merge: compaction loses the version race and retries correctly") {
