@@ -317,6 +317,34 @@ object Relational extends QueryModule {
               GROUP BY 1, 2, 3, 4
               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // PURE-SQL end-to-end: the engine driven entirely through
+    // `spark.sql` over registered views — the surface a SQL-first user
+    // works in (GraftExtensions' native kernels are registered into the
+    // same session, see q_fn_vec_sql). The statement exercises a join,
+    // a distinct aggregate, and a ranking window; the oracle is the
+    // near-identical text, which is the point.
+    Q("q_sql_e2e",
+      (s, d) => {
+        Seq("orders", "customer").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        s.sql("""SELECT c_mktsegment, n_cust, revenue,
+                   CAST(RANK() OVER (ORDER BY revenue DESC) AS BIGINT) AS rnk
+                 FROM (SELECT c_mktsegment,
+                         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                         ROUND(SUM(o_totalprice), 2) AS revenue
+                       FROM orders JOIN customer ON c_custkey = o_custkey
+                       GROUP BY c_mktsegment) t
+                 ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, n_cust, revenue,
+                CAST(RANK() OVER (ORDER BY revenue DESC) AS BIGINT) AS rnk
+              FROM (SELECT c_mktsegment,
+                      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                      ROUND(SUM(o_totalprice), 2) AS revenue
+                    FROM orders JOIN customer ON c_custkey = o_custkey
+                    GROUP BY c_mktsegment) t
+              ORDER BY c_mktsegment""")),
+
     Q("q_agg_distinct",
       (s, d) => t(s, d, "orders")
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
