@@ -1023,15 +1023,28 @@ object Dedup extends QueryModule {
         // corpus-common while the shared body grams have df = 2).
         def pass(keyed: DataFrame): DataFrame = {
           val blocked = keyed.withColumn("blk", substring(col("k"), 1, 2))
-          // per-block row_number through RangedRank, not a window: block
-          // COUNT is bounded (~10³) but block SIZE is data-skewed — a
-          // corpus where most normalized docs share a 2-char prefix (or
-          // most rarest-grams start alike) would put O(corpus) rows in
-          // one window sort task. RangedRank range-shards the (blk, k)
-          // sort so no task ever holds a whole block (SnmHotBlockSpec +
-          // the DedupScale hot-block segment measure the bound).
-          val rn = RangedRank.withRank(blocked, Seq("blk"),
-            Seq("k", "doc_id"), "rn").localCheckpoint()
+          // per-block row_number, SKEW-ADAPTIVE: block COUNT is bounded
+          // (~10³) but block SIZE is data-skewed — a corpus where most
+          // normalized docs share a 2-char prefix (or most rarest-grams
+          // start alike) puts O(corpus) rows in one window sort task.
+          // One cheap count decides the plan: if no block can exceed the
+          // per-task bound, the plain window is safe AND ~1.5 s cheaper
+          // per pass at sf0.1 (RangedRank's range shuffle + checkpoint
+          // are its fixed cost); past the bound, RangedRank range-shards
+          // the (blk, k) sort so no task ever holds a whole block
+          // (HotKeyProbe measures both shapes; DedupScale's 1M-doc
+          // corpus — every normalized doc shares the boilerplate's 2-char
+          // prefix — takes the sharded path). Same guard-then-choose
+          // pattern as RangedRank's own offsets-broadcast bound.
+          val maxBlock = blocked.groupBy("blk").count()
+            .agg(max("count")).head.getLong(0)
+          val rn = (if (maxBlock <= 65536)
+            blocked.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("blk").orderBy(col("k"), col("doc_id"))).cast("long"))
+          else
+            RangedRank.withRank(blocked, Seq("blk"), Seq("k", "doc_id"), "rn"))
+            .localCheckpoint()
           val probes = rn.select(col("blk"), col("doc_id"), col("tk"),
             explode(expr(s"sequence(rn + 1, rn + $winAhead)")).as("rnb"))
           val out = probes.join(
