@@ -617,12 +617,23 @@ object Multimodal extends QueryModule {
     // bit 63 in SQL).
     Q("q_mm_phash",
       (s, d) => {
-        // occurrence count via groupBy + join, not a per-phash count
-        // window (a viral identical image would single-task its whole
-        // window group); checkpoint so the decode pipeline runs once
+        // occurrence count, SKEW-ADAPTIVE (the q_dedup_snm guard): a
+        // viral identical image would single-task its whole per-phash
+        // window group, so one cheap max-group count picks the plan —
+        // the window only when no phash group can exceed the per-task
+        // bound (the gate's 500-image table: yes, and the window costs
+        // a third of the join+checkpoint shape there), groupBy + join
+        // with the decode checkpointed once past it.
         val hashes = hashImages(s, imagePayloads(s, d)).toDF().localCheckpoint()
-        val hc = hashes.groupBy("phash").agg(count(lit(1)).as("n_same"))
-        val out = hashes.join(hc, Seq("phash"))
+        val maxGroup = hashes.groupBy("phash").count()
+          .agg(max("count")).head.getLong(0)
+        val out = (if (maxGroup <= 65536)
+          hashes.withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy(col("phash"))))
+        else {
+          val hc = hashes.groupBy("phash").agg(count(lit(1)).as("n_same"))
+          hashes.join(hc, Seq("phash"))
+        })
           .select(col("doc_id"), col("width"), col("height"), col("phash"),
             col("n_same").cast("long").as("n_same"))
           .orderBy("doc_id").localCheckpoint()
