@@ -931,6 +931,45 @@ object StreamingOps extends QueryModule {
               FROM e WHERE hr >= 16 AND hr < 24
               GROUP BY user_id ORDER BY user_id""")),
 
+    // OPTIMIZE ZORDER BY in the gate: the table's live files are
+    // rewritten clustered by the MORTON CODE of (hour, user-group), each
+    // file's z-interval recorded in the commit entry, and a 2-D box scan
+    // prunes files through the EXACT quadtree interval-vs-box test
+    // (Zorder.intervalIntersectsBox — no false prunes by construction,
+    // ZorderSpec proves it against brute force). One (lo, hi) long per
+    // file thus skips on BOTH predicate columns at once — the
+    // multi-dimensional half of the lakehouse maintenance pair beside
+    // q_merge_compacted's bin-packing. The row asserts the prune opened
+    // strictly fewer files than the table holds, then aggregates the
+    // box; the oracle is the plain 2-predicate SQL over events.
+    Q("q_merge_zorder",
+      (s, d) => {
+        val bits = 5
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergezorder").toString
+        val rows = Tables(s, d, "events")
+          .select(col("event_id").as("k"),
+            hour(col("ts")).cast("long").as("x"),
+            pmod(col("user_id"), lit(32)).cast("long").as("y"),
+            col("value"))
+        graft.streaming.MergeTable.load(s, table, rows, "k", buckets = 2)
+        graft.streaming.MergeTable.optimizeZorder(
+          s, table, "k", buckets = 2, "x", "y", bits, chunks = 8)
+        val full = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val scan = graft.streaming.MergeTable.scanBox(
+          s, table, "x", "y", 6L, 17L, 8L, 23L, bits)
+        require(scan.inputFiles.length < full,
+          s"z-order skipping must prune files: $full -> ${scan.inputFiles.length}")
+        scan.groupBy("y")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+          .orderBy("y")
+      },
+      Some("""WITH e AS (SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                  user_id % 32 AS y, value FROM events)
+              SELECT y, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total
+              FROM e WHERE x BETWEEN 6 AND 17 AND y BETWEEN 8 AND 23
+              GROUP BY y ORDER BY y""")),
+
     // EVENT-TIME TIMERS in the gate — the remaining transformWithState
     // surface after the tws/tws_profile state rows: each user's
     // processor registers ONE timer at (first event + 8 h) and emits

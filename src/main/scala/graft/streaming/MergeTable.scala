@@ -267,6 +267,93 @@ object MergeTable {
     result.get
   }
 
+  /** OPTIMIZE ZORDER BY (xCol, yCol): rewrite every bucket's live rows
+    * into `chunks` files clustered by the MORTON CODE of the two
+    * columns, recording each file's (min z, max z) in the commit entry —
+    * the multi-dimensional half of the maintenance pair next to
+    * [[compact]]'s bin-packing. A later [[scanBox]] for a 2-D predicate
+    * box prunes files through [[Zorder.intervalIntersectsBox]], which is
+    * exact, so ONE long interval per file skips on BOTH columns at once
+    * without widening the log format. Content is identical across the
+    * commit (pure rewrite); time travel and vacuum behave as for
+    * compact. Coordinates must lie in [0, 2^bits); rows are chunked by
+    * per-bucket z-rank (a bucket is already one write task in every
+    * writer here, so the per-bucket rank window sits inside the same
+    * task-size envelope the table's bucket count declares). Loses races
+    * like mergeInto and retries. Returns (version, rewritten buckets). */
+  def optimizeZorder(spark: SparkSession, table: String, keyCol: String,
+      buckets: Int, xCol: String, yCol: String, bits: Int, chunks: Int,
+      primitive: CommitPrimitive = TxLog.LocalFs): (Long, Seq[Int]) = {
+    import org.apache.spark.sql.expressions.Window
+    var result: Option[(Long, Seq[Int])] = None
+    while (result.isEmpty) {
+      val snap = TxLog.snapshot(table)
+      val byBucket = snap.files.groupBy(bucketOfFile)
+      val todo = byBucket.keys.toSeq.sorted
+      val next = snap.version + 1
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$table/$f"): _*)
+      val zd = df
+        .withColumn("__b", pmod(col(keyCol), lit(buckets)).cast("int"))
+        .withColumn("__z", Zorder.zvalue(col(xCol), col(yCol), bits))
+        .withColumn("__c",
+          ntile(chunks).over(Window.partitionBy("__b").orderBy("__z")))
+        .drop("__z")
+      val written = writeChunks(spark, table, zd, next)
+      val adds = written.values.toSeq.sorted ++
+        // a bucket whose live files hold zero rows still needs one
+        // schema-bearing file for lookup()
+        todo.filterNot(k => written.keys.exists(_._1 == k)).map(k =>
+          writeBucket(spark, table, df.limit(0), k, next))
+      // stats from the WRITTEN bytes (one job over the new files), so the
+      // recorded interval provably covers what the file holds — immune to
+      // any nondeterminism in the rank's tie-breaking between passes
+      val stats: Map[String, (Long, Long)] =
+        if (written.isEmpty) Map.empty
+        else spark.read.parquet(written.values.toSeq.map(f => s"$table/$f"): _*)
+          .withColumn("__z", Zorder.zvalue(col(xCol), col(yCol), bits))
+          .groupBy(input_file_name().as("__f"))
+          .agg(min("__z").as("lo"), max("__z").as("hi"))
+          .collect().map { r =>
+            r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))
+          }.toMap
+      TxLog.commit(table, adds, snap.files, expectedCurrent = snap.version,
+          primitive = primitive, stats = stats) match {
+        case Some(v) => result = Some((v, todo))
+        case None =>
+          adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      }
+    }
+    result.get
+  }
+
+  /** 2-D box scan with Z-ORDER FILE SKIPPING: prunes live files whose
+    * recorded z-interval provably contains no point of
+    * `[xlo, xhi] × [ylo, yhi]` (exact quadtree test — see [[Zorder]]),
+    * then applies the real predicate to every surviving row. Files
+    * without stats are always read: pruning is an optimization, never a
+    * correctness filter. `bits` must match the value the table was
+    * z-ordered with. */
+  def scanBox(spark: SparkSession, table: String, xCol: String, yCol: String,
+      xlo: Long, xhi: Long, ylo: Long, yhi: Long, bits: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(table, asOf)
+    val keep = snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case Some((zlo, zhi)) =>
+          Zorder.intervalIntersectsBox(zlo, zhi, xlo, xhi, ylo, yhi, bits)
+        case None => true
+      }
+    }
+    val base =
+      if (keep.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(keep.map(f => s"$table/$f"): _*)
+      else Streams.readMergeTable(spark, table, asOf).limit(0)
+    base.filter(col(xCol).cast("long").between(xlo, xhi) &&
+      col(yCol).cast("long").between(ylo, yhi))
+  }
+
   /** Point lookup with FILE SKIPPING: the key's hash bucket names the
     * only file(s) that can hold it, so the scan opens 1/buckets of the
     * table (MergeTableSpec asserts `inputFiles` is the single bucket
@@ -315,6 +402,40 @@ object MergeTable {
     } finally deleteRecursively(stage) // a long-running merge stream
     // stages once per micro-batch; leaving the _SUCCESS marker and
     // partition dirs behind accrues one orphan temp tree per batch
+  }
+
+  /** Write z-chunked rows (`__b`, `__c` columns present) in ONE
+    * partitionBy job; returns (bucket, chunk) → committed file name.
+    * Chunk files parse through [[bucketOfFile]] like any bucket file, so
+    * every existing reader (merge, compact, CDF, lookup) sees them as
+    * ordinary per-bucket parts. */
+  private def writeChunks(spark: SparkSession, table: String, df: DataFrame,
+      version: Long): Map[(Int, Int), String] = {
+    val stage = Files.createTempDirectory("graft-mergetbl")
+    try {
+      df.repartition(col("__b"), col("__c"))
+        .write.partitionBy("__b", "__c").mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+      val out = scala.collection.mutable.Map.empty[(Int, Int), String]
+      Option(new java.io.File(stage.toString).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("__b=")).foreach { bd =>
+          val k = bd.getName.stripPrefix("__b=").toInt
+          Option(bd.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("__c=")).foreach { cd =>
+              val c = cd.getName.stripPrefix("__c=").toInt
+              cd.listFiles().filter(_.getName.endsWith(".parquet")).toSeq match {
+                case Seq(part) =>
+                  val name = s"b$k-v$version-zc$c-${part.getName.stripPrefix("part-")}"
+                  Files.move(part.toPath, Paths.get(table, name))
+                  out((k, c)) = name
+                case Seq() => ()
+                case many =>
+                  sys.error(s"chunk ($k,$c) split into ${many.size} files")
+              }
+            }
+        }
+      out.toMap
+    } finally deleteRecursively(stage)
   }
 
   private def writeBucket(spark: SparkSession, table: String, df: DataFrame,
