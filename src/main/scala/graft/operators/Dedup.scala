@@ -830,6 +830,40 @@ object Dedup extends QueryModule {
               FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
               ORDER BY doc_id""")),
 
+    // MAXIMAL DUPLICATED SUBSTRING SPANS — the ExactSubstr dedup shape
+    // ("Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2022): every STRIDE-1 W-token window whose hash occurs
+    // >= 2 times corpus-wide marks its token range duplicated, and
+    // overlapping/adjacent marked windows merge into maximal per-doc
+    // intervals — exactly the spans an exact-substring cut would remove
+    // (a duplicated substring of length >= W necessarily contains a
+    // duplicated W-window, so coverage is complete at W granularity).
+    // Scale shape, vs the paper's suffix array: token-LINEAR — the
+    // stride-1 explode is O(corpus tokens) rows (checkpointed, runs
+    // once), the dup set is one map-side-combined groupBy on window
+    // hash, marking is a semi-join (no counts carried, no docs² term),
+    // and the interval merge is a per-doc window whose group is bounded
+    // by DOCUMENT LENGTH, never by corpus-wide hash frequency — a viral
+    // span inflates the dup set's build side, not any single task.
+    Q("q_dedup_substring",
+      (s, d) => maximalDupSpans(docs(s, d), W = 16),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              wins AS (SELECT doc_id, p, md5(array_to_string(tk[p:p + 15], ' ')) AS h
+                       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 15, 1)) AS p
+                             FROM base WHERE len(tk) >= 16) t),
+              dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+              pos AS (SELECT doc_id, p FROM wins JOIN dup USING (h)),
+              isl AS (SELECT doc_id, p,
+                        SUM(CASE WHEN prev IS NULL OR p > prev + 16 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                      FROM (SELECT doc_id, p,
+                              LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                            FROM pos) t)
+              SELECT doc_id, CAST(MIN(p) AS BIGINT) AS start_tok,
+                     CAST(MAX(p) + 15 AS BIGINT) AS end_tok,
+                     CAST(MAX(p) + 16 - MIN(p) AS BIGINT) AS span_toks
+              FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""")),
+
     // Boilerplate block REMOVAL (the CCNet/RefinedWeb paragraph-dedup
     // move): chunk each doc into non-overlapping 8-token blocks, count
     // distinct docs per block across the corpus, and REWRITE each doc
@@ -1308,6 +1342,40 @@ object Dedup extends QueryModule {
     * part's (path, size, mtime). Regenerating the dataset in-session
     * (tests, reruns) changes the key, so the cache can never serve stale
     * pairs for a path whose bytes changed. */
+  /** Maximal duplicated token spans over a (doc_id, text) relation — the
+    * q_dedup_substring body (see that row's doc comment for the scale
+    * argument). Emits (doc_id, start_tok, end_tok, span_toks), token
+    * positions 1-based, one row per maximal interval of positions whose
+    * stride-1 W-token window hash occurs >= 2 times corpus-wide
+    * (within-doc repeats count — a doc that plagiarizes itself is
+    * flagged like one that plagiarizes a neighbor). */
+  def maximalDupSpans(docsDf: DataFrame, W: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.select(col("doc_id"), toks(col("text")).as("tk"))
+    val wins = base.filter(size(col("tk")) >= W)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(tk) - $W, 1), i -> md5(array_join(slice(tk, i + 1, $W), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .localCheckpoint()
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val pos = wins.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val isl = pos
+      .withColumn("prev", lag("p", 1).over(w))
+      .withColumn("grp", sum(when(col("prev").isNull ||
+        col("p") > col("prev") + W, 1).otherwise(0)).over(w))
+    val out = isl.groupBy("doc_id", "grp")
+      .agg(min("p").as("lo"), max("p").as("hi"))
+      .select(col("doc_id"), col("lo").cast("long").as("start_tok"),
+        (col("hi") + W - 1).cast("long").as("end_tok"),
+        (col("hi") + W - col("lo")).cast("long").as("span_toks"))
+      .orderBy("doc_id", "start_tok")
+      .localCheckpoint()
+    graft.plans.Iterate.release(wins)
+    out
+  }
+
   private def docsFingerprint(d: String): String = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).map(walk).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
