@@ -864,6 +864,68 @@ object Dedup extends QueryModule {
                      CAST(MAX(p) + 16 - MIN(p) AS BIGINT) AS span_toks
               FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""")),
 
+    // EXACT-SUBSTRING CUT — the REWRITE half of q_dedup_substring (the
+    // detect→rewrite pair the span/boilerplate rows already form): drop
+    // every token covered by a maximal duplicated span and emit the
+    // cleaned corpus. Maximal spans are disjoint by construction (merged
+    // intervals), so the token↔span range join has multiplicity <= 1 and
+    // the per-doc regroup is bounded by document length; spans per doc
+    // are <= len/W, so the join's build side tracks dup volume.
+    Q("q_dedup_substring_cut",
+      (s, d) => {
+        val W = 16
+        val spans = maximalDupSpans(docs(s, d), W)
+          .select(col("doc_id").as("sdoc"), col("start_tok").as("slo"),
+            col("end_tok").as("shi"))
+        val base = docs(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
+        val tp = base.select(col("doc_id"), posexplode(col("tk")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+        val per = tp.join(spans, col("doc_id") === col("sdoc") &&
+            col("p").between(col("slo"), col("shi")), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("slo").isNotNull, 1L).otherwise(0L)).as("n_cut"),
+            array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN slo IS NULL THEN struct(p, tok) END)), x -> x.tok)"),
+              " ").as("cleaned"))
+        docs(s, d).select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              wins AS (SELECT doc_id, p, md5(array_to_string(tk[p:p + 15], ' ')) AS h
+                       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 15, 1)) AS p
+                             FROM base WHERE len(tk) >= 16) t),
+              dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+              pos AS (SELECT doc_id, p FROM wins JOIN dup USING (h)),
+              isl AS (SELECT doc_id, p,
+                        SUM(CASE WHEN prev IS NULL OR p > prev + 16 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                      FROM (SELECT doc_id, p,
+                              LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                            FROM pos) t),
+              spans AS (SELECT doc_id, MIN(p) AS lo, MAX(p) + 15 AS hi
+                        FROM isl GROUP BY doc_id, grp),
+              tp AS (SELECT doc_id, p, tk[p] AS tok
+                     FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+                           FROM base) t),
+              per AS (SELECT tp.doc_id, COUNT(*) AS n_tokens,
+                        SUM(CASE WHEN s.lo IS NOT NULL THEN 1 ELSE 0 END) AS n_cut,
+                        COALESCE(string_agg(CASE WHEN s.lo IS NULL THEN tp.tok END,
+                          ' ' ORDER BY tp.p), '') AS cleaned
+                      FROM tp LEFT JOIN spans s
+                        ON s.doc_id = tp.doc_id AND tp.p BETWEEN s.lo AND s.hi
+                      GROUP BY tp.doc_id)
+              SELECT d.doc_id,
+                CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(per.n_cut, 0) AS BIGINT) AS n_cut,
+                COALESCE(per.cleaned, '') AS cleaned
+              FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+              ORDER BY doc_id""")),
+
     // Boilerplate block REMOVAL (the CCNet/RefinedWeb paragraph-dedup
     // move): chunk each doc into non-overlapping 8-token blocks, count
     // distinct docs per block across the corpus, and REWRITE each doc

@@ -931,6 +931,45 @@ object StreamingOps extends QueryModule {
               FROM e WHERE hr >= 16 AND hr < 24
               GROUP BY user_id ORDER BY user_id""")),
 
+    // Row-level DELETE in the gate — the third lakehouse verb beside
+    // upsert and append: dropping 3 keys rewrites only their hash
+    // buckets (untouched buckets keep their exact files across the
+    // commit, asserted), and the change data feed classifies exactly
+    // those keys as `delete` from the log's file diff alone. Oracle:
+    // the base aggregate minus the deleted keys.
+    Q("q_merge_delete",
+      (s, d) => {
+        import s.implicits._
+        val buckets = 4
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergedel").toString
+        val base = Tables(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+          .localCheckpoint()
+        graft.streaming.MergeTable.load(s, table, base, "user_id", buckets)
+        val snap0 = graft.streaming.TxLog.snapshot(table)
+        val del = Seq(2L, 6L, 10L).toDF("user_id") // all in bucket 2
+        val (v1, touched) = graft.streaming.MergeTable.deleteKeys(
+          s, table, del, "user_id", buckets)
+        require(v1 == 1L && touched == Seq(2),
+          s"3 keys of one bucket must rewrite exactly that bucket: $touched")
+        val snap1 = graft.streaming.TxLog.snapshot(table)
+        require(snap0.files.filterNot(_.startsWith("b2-")).toSet ==
+          snap1.files.filterNot(_.startsWith("b2-")).toSet,
+          "untouched buckets must keep their exact files across the delete")
+        val feed = graft.streaming.MergeTable.changes(s, table, "user_id", 0L, 1L)
+        require(feed.filter(col("_change") === "delete").count() == 3L &&
+          feed.count() == 3L,
+          "the CDF must classify exactly the 3 dropped keys as deletes")
+        graft.streaming.MergeTable.read(s, table)
+          .select(col("user_id"), col("n_events"),
+            round(col("total"), 2).as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total
+              FROM events WHERE user_id NOT IN (2, 6, 10)
+              GROUP BY user_id ORDER BY user_id""")),
+
     // OPTIMIZE ZORDER BY in the gate: the table's live files are
     // rewritten clustered by the MORTON CODE of (hour, user-group), each
     // file's z-interval recorded in the commit entry, and a 2-D box scan

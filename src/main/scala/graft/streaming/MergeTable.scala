@@ -97,6 +97,46 @@ object MergeTable {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame =
     Streams.readMergeTable(spark, table, asOf)
 
+  /** Row-level DELETE (the third lakehouse verb beside mergeInto's
+    * upsert and append's blind insert): drop every row whose key is in
+    * `keys`, rewriting ONLY the buckets that contain one — a delete of
+    * 1% of keys rewrites ~1% of the table. Same optimistic-concurrency
+    * retry as mergeInto; the change data feed classifies the dropped
+    * rows as `delete` from the file diff alone. Returns (version,
+    * rewritten buckets). */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, buckets: Int,
+      primitive: CommitPrimitive = TxLog.LocalFs): (Long, Seq[Int]) = {
+    var result: Option[(Long, Seq[Int])] = None
+    while (result.isEmpty) {
+      val snap = TxLog.snapshot(table)
+      val byBucket = snap.files.groupBy(bucketOfFile)
+      val touched = keys
+        .select(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        .filter(byBucket.contains) // a key in an empty bucket deletes nothing
+      if (touched.isEmpty) return (snap.version, Seq.empty)
+      val oldFiles = touched.flatMap(byBucket)
+      val old = spark.read.option("mergeSchema", "true")
+        .parquet(oldFiles.map(f => s"$table/$f"): _*)
+      val remaining = old.join(keys.select(keyCol), Seq(keyCol), "left_anti")
+      val written = writeBuckets(spark, table, remaining, keyCol, buckets,
+        touched, snap.version + 1)
+      val adds = touched.map(k => written.getOrElse(k,
+        // bucket fully emptied by the delete: it still needs one
+        // schema-bearing file for lookup()
+        writeBucket(spark, table,
+          remaining.filter(pmod(col(keyCol), lit(buckets)) === k),
+          k, snap.version + 1)))
+      TxLog.commit(table, adds, oldFiles, expectedCurrent = snap.version,
+          primitive = primitive) match {
+        case Some(v) => result = Some((v, touched))
+        case None => adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      }
+    }
+    result.get
+  }
+
   /** CHANGE DATA FEED between two committed versions (the Delta CDF
     * read path): row-level changes derived from the log's file-level
     * diff, so only files ADDED or REMOVED between the versions are ever

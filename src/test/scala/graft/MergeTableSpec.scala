@@ -69,6 +69,38 @@ class MergeTableSpec extends AnyFunSuite {
     assert(byK.size === 16)
   }
 
+  test("deleteKeys drops rows bucket-locally; emptied buckets keep a schema file") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-del").toString
+    val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+    MergeTable.load(spark, table, base, "k", buckets = 4)
+    val snap0 = TxLog.snapshot(table)
+
+    // delete both keys of bucket 1 that we pick (5, 13) plus one of
+    // bucket 3 (7): buckets {1, 3} rewrite, {0, 2} keep exact files
+    val (v1, touched) = MergeTable.deleteKeys(spark, table,
+      Seq(5L, 13L, 7L).toDF("k"), "k", buckets = 4)
+    assert(v1 === 1L && touched === Seq(1, 3))
+    val snap1 = TxLog.snapshot(table)
+    val keepPrefixes = Set("b0-", "b2-")
+    assert(snap0.files.filter(f => keepPrefixes.exists(f.startsWith)).toSet ===
+      snap1.files.filter(f => keepPrefixes.exists(f.startsWith)).toSet)
+    val cur = MergeTable.read(spark, table).collect().map(_.getLong(0)).toSet
+    assert(cur === (0L until 16L).toSet -- Set(5L, 13L, 7L))
+    // time travel still sees the deleted rows
+    assert(MergeTable.read(spark, table, Some(0L)).count() === 16L)
+
+    // empty an ENTIRE bucket (1's remaining keys 1, 9): lookup on it
+    // must still resolve to a schema-bearing file with zero rows
+    MergeTable.deleteKeys(spark, table, Seq(1L, 9L).toDF("k"), "k", buckets = 4)
+    val hit = MergeTable.lookup(spark, table, "k", 9L, buckets = 4)
+    assert(hit.count() === 0L)
+    // deleting keys with no live bucket at all is a no-op commit-wise
+    val before = TxLog.snapshot(table).version
+    val (vSame, none) = MergeTable.deleteKeys(spark, table,
+      spark.range(0).select(col("id").as("k")), "k", buckets = 4)
+    assert(vSame === before && none.isEmpty)
+  }
+
   test("merge inserts new keys into their buckets") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-ins").toString
     val base = (0L until 8L).map(i => (i, 1.0)).toDF("k", "v")
