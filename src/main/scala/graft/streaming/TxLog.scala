@@ -248,10 +248,42 @@ object TxLog {
     Files.createDirectories(d)
     val entry =
       s"""{"version":$next,"adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]${statsJson(stats)}}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]${statsJson(stats)},""" +
+        s""""ts":${System.currentTimeMillis()}}"""
     if (primitive.createExclusive(d.resolve(s"$next.json"), entry.getBytes("UTF-8")))
       Some(next)
     else None
+  }
+
+  /** Commit wall-clock time of a version, for timestamp time travel:
+    * the entry's recorded `ts` field, falling back to the entry FILE's
+    * modification time for pre-`ts` entries (close enough — both are
+    * the committing writer's clock at publish time). */
+  def commitTimeMillis(table: String, v: Long): Long = {
+    val p = logDir(table).resolve(s"$v.json")
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    """"ts":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** TIMESTAMP AS OF: the newest version whose commit time is at or
+    * before `tsMillis` — `snapshot(table, Some(versionAt(...)))` is the
+    * Delta-style timestamp read. Commit times come from each WRITER's
+    * clock, so they are not guaranteed monotone across writers; the max
+    * over the qualifying set (not a binary search) keeps the answer
+    * well-defined under skew. Fails loudly when `tsMillis` predates
+    * every retained entry — including entries aged out below a
+    * checkpoint, matching version-based time travel's retention
+    * contract. */
+  def versionAt(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed entries in $table")
+    val ok = vs.filter(v => commitTimeMillis(table, v) <= tsMillis)
+    require(ok.nonEmpty,
+      s"no version committed at or before $tsMillis in $table " +
+        s"(earliest retained: ${commitTimeMillis(table, vs.head)})")
+    ok.max
   }
 
   /** Delete data files no committed log entry references (crash orphans)

@@ -30,6 +30,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(t, Some(0L)).files === Seq("a.parquet"))
   }
 
+  test("timestamp time travel: versionAt resolves captured instants; pre-ts entries fall back to mtime") {
+    val t = freshTable("tsat")
+    writePart(t, "a.parquet"); writePart(t, "b.parquet")
+    assert(TxLog.commit(t, Seq("a.parquet"), Seq.empty, -1L) === Some(0L))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    assert(TxLog.commit(t, Seq("b.parquet"), Seq("a.parquet"), 0L) === Some(1L))
+    assert(TxLog.versionAt(t, between) === 0L)
+    assert(TxLog.versionAt(t, System.currentTimeMillis()) === 1L)
+    assert(TxLog.snapshot(t, Some(TxLog.versionAt(t, between))).files === Seq("a.parquet"))
+    // an instant before every commit fails loudly
+    val early = TxLog.commitTimeMillis(t, 0L) - 1000
+    assertThrows[IllegalArgumentException](TxLog.versionAt(t, early))
+    // a pre-ts entry (hand-written old format) resolves via file mtime
+    val t2 = freshTable("tsat-old")
+    writePart(t2, "a.parquet")
+    Files.createDirectories(Paths.get(t2, "_txlog"))
+    Files.write(Paths.get(t2, "_txlog", "0.json"),
+      """{"version":0,"adds":["a.parquet"],"removes":[]}""".getBytes("UTF-8"))
+    assert(TxLog.versionAt(t2, System.currentTimeMillis() + 1000) === 0L)
+  }
+
   test("conflicting commit at the same version loses; no lost update") {
     val t = freshTable("conflict")
     assert(TxLog.commit(t, Seq("x.parquet"), Seq.empty, -1L) === Some(0L))
