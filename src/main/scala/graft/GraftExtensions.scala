@@ -75,6 +75,23 @@ object GraftFunctions {
     d("hamming_bits", "(string bits_a, string bits_b) -> bigint",
         classOf[HammingBits]) {
       case Seq(a, b) => HammingBits(a, b)
+    },
+    d("morton2", "(bigint x, bigint y, int literal bits) -> bigint",
+        classOf[org.apache.spark.sql.catalyst.expressions.ShiftLeft]) {
+      // the Z-order interleave behind MergeTable.optimizeZorder, as a
+      // pure shift/mask tree (stays in whole-stage codegen); semantics
+      // identical to Zorder.zvalue / Zorder.interleave — x on even bits
+      case Seq(x, y, b) =>
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, ShiftLeft, ShiftRight}
+        val bits = intLit("morton2", "bits", b)
+        if (bits < 1 || bits > 31) throw new IllegalArgumentException(
+          s"morton2: bits must be in [1,31], got $bits")
+        val xl = Cast(x, LongType); val yl = Cast(y, LongType)
+        (0 until bits).map { i =>
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRight(xl, Literal(i)), Literal(1L)), Literal(2 * i)),
+            ShiftLeft(BitwiseAnd(ShiftRight(yl, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+        }.reduce(BitwiseOr(_, _))
     })
 
   /** Post-hoc registration on an already-built session (idempotent —

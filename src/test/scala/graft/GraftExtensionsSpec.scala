@@ -122,4 +122,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql === Seq(2L, 4L))
     spark.catalog.dropTempView("hb")
   }
+
+  test("morton2 SQL name matches the driver interleave; bits must be a literal in range") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(1 << 9).toLong, rnd.nextInt(1 << 9).toLong))
+    rows.toDF("x", "y").createOrReplaceTempView("mz")
+    val got = spark.sql("SELECT x, y, morton2(x, y, 9) AS z FROM mz")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) === graft.streaming.Zorder.interleave(x, y, 9))
+    }
+    val e1 = intercept[Exception](spark.sql("SELECT morton2(1, 2, 99)").collect())
+    assert(e1.getMessage.contains("bits must be in [1,31]"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT morton2(x, y, CAST(x AS INT)) FROM mz").collect())
+    assert(e2.getMessage.contains("literal INT"))
+    spark.catalog.dropTempView("mz")
+  }
 }
