@@ -96,6 +96,23 @@ object DedupScale {
     timed("boilerplate") {
       SparkEntry.queries("q_dedup_boilerplate")(spark, dir).count()
     }
+    // exact-substring spans at corpus scale: the 9-token boilerplate sits
+    // BELOW the 16-token window, so the df=1M hot sentence contributes
+    // ZERO dup windows (every window crosses into a unique body); the
+    // only duplicated runs are the injected base↔wrapped pairs' 33-token
+    // boiler+body block — expected spans = exactly 2 per pair, all 33
+    // tokens, at token-linear cost over 1M docs
+    timed("substring_spans") {
+      val spans = graft.operators.Dedup.maximalDupSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), 16)
+        .localCheckpoint()
+      val nSpans = spans.count()
+      val nWrapped = (nBase + dupEvery - 1) / dupEvery
+      val offLen = spans.filter(col("span_toks") =!= 33L).count()
+      require(nSpans == 2 * nWrapped && offLen == 0,
+        s"expected ${2 * nWrapped} spans of 33 tokens, got $nSpans with $offLen off-length")
+      nSpans
+    }
     spark.stop()
   }
 }

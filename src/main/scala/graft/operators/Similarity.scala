@@ -410,7 +410,7 @@ object Similarity extends QueryModule {
   /** product-quantization chain: subspace split → codebook → candidate
     * codes → per-query LUT (micro-units) → ADC scores. Shared by the
     * q_sim_pq oracle and the PQ recall evaluator's oracle. */
-  private val pqScoresSql =
+  private[operators] val pqScoresSql =
     s"""sub AS (SELECT vec_id, pos // $pqSub AS m, pos % $pqSub AS sp, ev FROM e),
        cb AS (SELECT vec_id AS k, m, sp, ev AS cbv FROM sub WHERE vec_id < $pqK),
        cd AS (SELECT s.vec_id AS cand_id, s.m, cb.k,

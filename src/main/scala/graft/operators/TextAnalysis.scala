@@ -1406,6 +1406,65 @@ object TextAnalysis extends QueryModule {
                SELECT q_id, rank, cand_id, rrf FROM rtop
                WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // HYBRID retrieval over the PERSISTED indexes — the full serving
+    // stack in one row: the lexical side searches the on-disk BM25
+    // postings (term-bucket-pruned scan), the vector side the on-disk
+    // PQ codes (cell-pruned ADC), and RRF fuses the two TOP-5 SHORTLISTS
+    // (unlike q_sim_hybrid_rrf's exact full-list fusion — fusing index
+    // shortlists is what a deployment does, since neither index ever
+    // materializes a corpus-wide rank list). Build once, query many;
+    // missing sides contribute 0 to the fused score.
+    Q("q_sim_hybrid_persisted",
+      (s, d) => {
+        bm25PersistBuild(s, d)
+        Similarity.pqPersistBuild(s, d)
+        val lex = bm25PersistSearch(s, d, 5)
+          .select(col("q_id"), col("cand_id"), col("rank").as("lr"))
+        val vec = Similarity.pqPersistSearch(s, d)
+          .select(col("q_id"), col("cand_id"), col("rank").as("vr"))
+        val fused = lex.join(vec, Seq("q_id", "cand_id"), "full_outer")
+          .select(col("q_id"), col("cand_id"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)), 6).as("rrf"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), asc("cand_id"))
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("rrf"))
+          .orderBy("q_id", "rank")
+      },
+      // bm25Sql and pqScoresSql both name a CTE `cd`; the PQ side is
+      // textually namespaced here (pure rename, no semantic change)
+      Some(s"""WITH $toksSql, $bm25Sql, ${Similarity.eSql}, ${Similarity.ivfCellsSql},
+               ${Similarity.pqScoresSql
+                   .replace("cd AS (", "pqcd AS (")
+                   .replace("FROM cd", "FROM pqcd")},
+               btop AS (SELECT q_id, cand_id, lr FROM (
+                   SELECT q_id, cand_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY bm25 DESC, cand_id) AS BIGINT) AS lr FROM bm) t
+                 WHERE lr <= 5),
+               prn AS (SELECT p.q_id, p.cand_id, p.adot_u
+                 FROM pqscores p
+                 JOIN cells qc ON qc.vec_id = p.q_id
+                 JOIN cells cc ON cc.vec_id = p.cand_id AND cc.cell = qc.cell),
+               vtop AS (SELECT q_id, cand_id, vr FROM (
+                   SELECT q_id, cand_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY adot_u DESC, cand_id) AS BIGINT) AS vr FROM prn) t
+                 WHERE vr <= 5),
+               fused AS (SELECT COALESCE(b.q_id, v.q_id) AS q_id,
+                   COALESCE(b.cand_id, v.cand_id) AS cand_id,
+                   ROUND(COALESCE(1.0 / (60 + b.lr), 0) +
+                         COALESCE(1.0 / (60 + v.vr), 0), 6) AS rrf
+                 FROM btop b FULL JOIN vtop v
+                   ON v.q_id = b.q_id AND v.cand_id = b.cand_id)
+               SELECT q_id, rank, cand_id, rrf FROM (
+                 SELECT q_id, cand_id, rrf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank
+                 FROM fused) t
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // RETRIEVAL QUALITY: nDCG@5 of the hybrid ranking with the exact
     // cosine similarity as the (continuous) relevance grade — the
     // evaluator that says whether fusing the lexical ranks HELPED over
