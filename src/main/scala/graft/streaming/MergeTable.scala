@@ -328,6 +328,7 @@ object MergeTable {
     var result: Option[(Long, Seq[Int])] = None
     while (result.isEmpty) {
       val snap = TxLog.snapshot(table)
+      if (snap.files.isEmpty) return (snap.version, Seq.empty)
       val byBucket = snap.files.groupBy(bucketOfFile)
       val todo = byBucket.keys.toSeq.sorted
       val next = snap.version + 1

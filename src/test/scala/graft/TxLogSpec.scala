@@ -139,6 +139,36 @@ class TxLogSpec extends AnyFunSuite {
       "loser must orphan-clean its own failed attempt")
   }
 
+  test("concurrent deleteKeys: loser retries against the winner's state, no resurrection") {
+    import spark.implicits._
+    val t = freshTable("concurrent-del")
+    streaming.MergeTable.load(spark, t,
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v"), "id", buckets = 4)
+    // a merge updating key 6 (bucket 2) lands between the delete's
+    // snapshot read and its commit: the delete (keys 2, 6 — bucket 2)
+    // must retry against the merged state, so the winner's update to 6
+    // is deleted too, not resurrected from the stale read
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing = new streaming.CommitPrimitive {
+      def createExclusive(target: java.nio.file.Path, content: Array[Byte]): Boolean = {
+        if (raced.compareAndSet(false, true))
+          streaming.MergeTable.mergeInto(spark, t,
+            Seq((6L, 666L), (0L, 100L)).toDF("id", "v"), "id", buckets = 4)
+        streaming.TxLog.LocalFs.createExclusive(target, content)
+      }
+    }
+    val (vD, touched) = streaming.MergeTable.deleteKeys(spark, t,
+      Seq(2L, 6L).toDF("id"), "id", buckets = 4, primitive = racing)
+    assert(raced.get && vD === 2L && touched === Seq(2))
+    val fin = streaming.MergeTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fin.contains(2L) && !fin.contains(6L), "deletes land after retry")
+    assert(fin(0L) === 100L, "the winner's concurrent update survives")
+    assert(fin.size === 8)
+    assert(TxLog.vacuum(t, minAgeMs = 0L) === Seq.empty,
+      "loser must orphan-clean its failed attempt")
+  }
+
   test("checkpoint compaction: replay starts at the checkpoint, retention bounds time travel") {
     val t = freshTable("checkpoint")
     for (v <- 0 to 5) {
