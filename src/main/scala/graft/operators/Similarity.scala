@@ -174,7 +174,16 @@ object Similarity extends QueryModule {
     * written PARTITIONED BY CELL, plus the codebook as a small side
     * relation. At corpus scale the index is 16× smaller than the raw
     * vectors and encoding runs ONCE, not per query batch. */
+  /** Memo: corpus dir the on-disk PQ index currently serves. Build is
+    * idempotent per corpus per JVM — exactly the build-once contract
+    * the rows gate — and an APPEND invalidates it, so the next build
+    * call reconstructs a clean index (PqPersistSpec's append test
+    * relies on rebuild clearing appended vectors). */
+  private val pqBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private[graft] def pqPersistBuild(s: SparkSession, d: String): Unit = {
+    if (pqBuiltFor.get == d) return
     val emb = Tables(s, d, "embeddings")
     val cen = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
@@ -187,6 +196,7 @@ object Similarity extends QueryModule {
       .select(col("cand_id"), col("m"), col("code_k"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(pqIndexDir)
     pqSeedCb(s, d).write.mode("overwrite").parquet(pqCbDir)
+    pqBuiltFor.set(d)
   }
 
   /** INCREMENTAL index maintenance: encode ONLY the new vectors against
@@ -200,6 +210,7 @@ object Similarity extends QueryModule {
     * and rebuild only on drift). */
   private[graft] def pqPersistAppend(s: SparkSession, d: String,
       newEmb: DataFrame): Unit = {
+    pqBuiltFor.set(null) // the index diverges from a clean build
     val emb = Tables(s, d, "embeddings")
     val cen = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))

@@ -1595,7 +1595,13 @@ object TextAnalysis extends QueryModule {
     * stats as small side relations — the build-once/query-many shape
     * the persisted IVF/PQ rows already have, for BM25. At corpus scale
     * the index build is one tokenize + two hash aggregates, run once. */
+  /** Memo: corpus dir the on-disk postings currently serve (build-once
+    * per JVM, same contract as the PQ index's memo). */
+  private val bm25BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private[graft] def bm25PersistBuild(s: SparkSession, d: String): Unit = {
+    if (bm25BuiltFor.get == d) return
     val cd = toks(s, d).filter(col("doc_id") >= 5)
     val tf = cd.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = cd.groupBy("doc_id").agg(count(lit(1)).cast("double").as("len"))
@@ -1606,6 +1612,7 @@ object TextAnalysis extends QueryModule {
       .write.mode("overwrite").parquet(s"$bm25SideDir/df")
     dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("len")).as("avglen"))
       .write.mode("overwrite").parquet(s"$bm25SideDir/stats")
+    bm25BuiltFor.set(d)
   }
 
   /** SEARCH the on-disk index: the query terms' buckets DYNAMICALLY
