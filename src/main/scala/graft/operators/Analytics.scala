@@ -35,6 +35,78 @@ object Analytics extends QueryModule {
 
   override val defs: Seq[Q] = Seq(
 
+    // KAPLAN-MEIER SURVIVAL: time from a user's first event to their
+    // first 'purchase' (the event of interest), users who never
+    // purchase RIGHT-CENSORED at their last observed event — the
+    // standard product-limit estimator S(t) = Π (1 − dᵢ/nᵢ) over death
+    // times, with S = 0 once a step consumes the whole risk set (the
+    // LN(0) guard mirrors that in both engines). Scale shape: two
+    // per-user aggregates + one left join reduce the log to O(users)
+    // rows, then everything downstream — the risk-set reverse cumsum
+    // and the running log-product — runs on O(distinct durations)
+    // rows, bounded by the time horizon in hours, never by users or
+    // events, so the unpartitioned windows hold a few hundred rows by
+    // construction.
+    Q("q_events_survival",
+      (s, d) => {
+        def hb(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          ((unix_timestamp(date_trunc("hour", b)) -
+            unix_timestamp(date_trunc("hour", a))) / 3600).cast("long")
+        val e = ev(s, d)
+        val fa = e.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("tlast"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("tp"))
+        val lab = fa.join(fp, Seq("user_id"), "left")
+          .select(
+            when(col("tp").isNotNull, hb(col("t0"), col("tp")))
+              .otherwise(hb(col("t0"), col("tlast"))).as("dur"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+        val byt = lab.groupBy(col("dur").as("t"))
+          .agg(count(lit(1)).as("n_total"), sum("death").as("n_death"))
+        val wD = Window.orderBy(desc("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wA = Window.orderBy(asc("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byt.withColumn("n_risk", sum("n_total").over(wD))
+          .filter(col("n_death") > 0)
+          .withColumn("zero",
+            max(when(col("n_death") >= col("n_risk"), 1).otherwise(0)).over(wA))
+          .withColumn("lnsum", sum(log(
+            when(col("n_death") >= col("n_risk"), lit(1.0))
+              .otherwise(lit(1.0) - col("n_death") * 1.0 / col("n_risk")))).over(wA))
+          .select(col("t").cast("long").as("t"),
+            col("n_risk").cast("long").as("n_risk"),
+            col("n_death").cast("long").as("n_death"),
+            when(col("zero") === 1, lit(0.0))
+              .otherwise(round(exp(col("lnsum")), 6)).as("surv"))
+          .orderBy("t")
+      },
+      Some("""WITH fa AS (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tlast
+                FROM events GROUP BY user_id),
+              fp AS (SELECT user_id, MIN(ts) AS tp FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+              lab AS (SELECT
+                  CASE WHEN fp.tp IS NOT NULL THEN DATE_DIFF('hour', fa.t0, fp.tp)
+                       ELSE DATE_DIFF('hour', fa.t0, fa.tlast) END AS dur,
+                  CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM fa LEFT JOIN fp USING (user_id)),
+              byt AS (SELECT dur AS t, COUNT(*) AS n_total, SUM(death) AS n_death
+                FROM lab GROUP BY dur),
+              risk AS (SELECT t, n_death,
+                  SUM(n_total) OVER (ORDER BY t DESC) AS n_risk FROM byt),
+              km AS (SELECT t, n_risk, n_death,
+                  CASE WHEN MAX(CASE WHEN n_death >= n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t) = 1 THEN 0.0
+                       ELSE ROUND(EXP(SUM(LN(CASE WHEN n_death >= n_risk THEN 1.0
+                           ELSE 1.0 - n_death * 1.0 / n_risk END))
+                         OVER (ORDER BY t)), 6)
+                  END AS surv
+                FROM risk WHERE n_death > 0)
+              SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+                CAST(n_death AS BIGINT) AS n_death, surv
+              FROM km ORDER BY t""")),
+
     // Cohort retention: users grouped by first-active day; for each cohort
     // and day offset 0..7, how many distinct users were active. One
     // distinct-reduce of (user, day) — far smaller than the raw log —
