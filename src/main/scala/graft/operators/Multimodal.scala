@@ -224,6 +224,38 @@ object Multimodal extends QueryModule {
       (totalFrames, w, h, mspf, sampled, pxSum)
     }
 
+    /** Per-frame intensity walk: same RIFF/hdrl/movi parse as
+      * [[decodeAviSampled]], but EVERY '00db' chunk yields the sum of
+      * its first 64 payload bytes — the cheap per-frame statistic a
+      * scene-cut detector differences. Returns the ordered sums. */
+    def decodeAviFrameSums(bytes: Array[Byte]): Seq[Long] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = new String(Array(b.get(), b.get(), b.get(), b.get()))
+      require(fourcc() == "RIFF", "not RIFF")
+      b.getInt
+      require(fourcc() == "AVI ", "not AVI")
+      require(fourcc() == "LIST", "missing hdrl LIST")
+      b.getInt
+      require(fourcc() == "hdrl", "missing hdrl")
+      require(fourcc() == "avih", "missing avih")
+      require(b.getInt == 56, "unsupported avih size")
+      (1 to 14).foreach(_ => b.getInt) // the 56-byte avih = 14 ints
+      require(fourcc() == "LIST", "missing movi LIST")
+      b.getInt
+      require(fourcc() == "movi", "missing movi")
+      val sums = Seq.newBuilder[Long]
+      while (b.remaining() >= 8) {
+        require(fourcc() == "00db", "unexpected movi chunk")
+        val sz = b.getInt
+        var acc = 0L
+        var i = 0
+        while (i < math.min(64, sz)) { acc += b.get(b.position() + i) & 0xff; i += 1 }
+        sums += acc
+        b.position(b.position() + sz + (sz & 1))
+      }
+      sums.result()
+    }
+
     /** Returns (riff, channels, rate, bits, dataBytes, dataOffset). The
       * offset is the parser's position after the data-chunk header —
       * consumers read PCM from it rather than end-anchoring
@@ -512,6 +544,22 @@ object Multimodal extends QueryModule {
       }
   }
 
+  /** Batched per-partition decode of EVERY frame's intensity sum —
+    * (doc_id, ordered per-frame sums), the scene-cut detector's input. */
+  def frameSums(s: SparkSession, payloads: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            (id, MediaCodec.decodeAviFrameSums(bytes))
+          }
+        }
+      }.toDF("doc_id", "fsums")
+  }
+
   /** average-hash regeneration chain (→ `bits(doc_id, w, h, phash)`),
     * shared by q_mm_phash and the phash near-dup pair join — the oracle
     * rebuilds each BMP's 8×8 grid samples from the generation
@@ -729,6 +777,41 @@ object Multimodal extends QueryModule {
                 CAST(px.n_sampled AS BIGINT) AS n_sampled,
                 CAST(px.sampled_px AS BIGINT) AS sampled_px
               FROM p JOIN px ON p.doc_id = px.doc_id ORDER BY p.doc_id""")),
+
+    // SCENE-CUT DETECTION over the decoded video stream: every frame's
+    // intensity statistic (sum of its first 64 payload bytes), lag-
+    // differenced per video, a cut where the jump clears the threshold
+    // — the frame-delta shot-boundary heuristic, running on the REAL
+    // byte-level AVI walk (every '00db' chunk decoded, not just the
+    // sampled ones). The per-video window group is bounded by frame
+    // count by construction. Oracle: per-frame sums re-derived from
+    // the fixture's generation arithmetic, like every mm codec row.
+    Q("q_mm_scene",
+      (s, d) => {
+        val fs = frameSums(s, videoPayloads(s, d))
+          .select(col("doc_id"), posexplode(col("fsums")).as(Seq("f", "fsum")))
+        val w = Window.partitionBy("doc_id").orderBy("f")
+        fs.withColumn("delta", abs(col("fsum") - lag("fsum", 1).over(w)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("delta") >= 1000L, 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(max("delta"), lit(0L)).cast("long").as("max_delta"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, 2 + doc_id % 7 AS frames FROM documents),
+              fr AS (SELECT doc_id, unnest(generate_series(0, frames - 1)) AS f
+                FROM p),
+              px AS (SELECT fr.doc_id, fr.f,
+                  SUM((fr.doc_id * 5 + fr.f * 11 + i.i) % 256) AS fsum
+                FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+                GROUP BY fr.doc_id, fr.f),
+              dl AS (SELECT doc_id, f, fsum,
+                  ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+                FROM px)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                CAST(SUM(CASE WHEN delta >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+              FROM dl GROUP BY doc_id ORDER BY doc_id""")),
 
     // audio metadata parsed from real WAV (RIFF/fmt/data) bytes
     Q("q_mm_audio_meta",
