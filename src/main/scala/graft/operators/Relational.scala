@@ -283,6 +283,50 @@ object Relational extends QueryModule {
     // back to customers — filter BOTH fact inputs before the join
     // (returnflag on lineitem, the quarter on orders), aggregate to
     // customers, keep the top 20 by lost revenue.
+    // TPC-H Q6 (forecast revenue change): the pure scan-and-reduce
+    // query — three pushable range predicates, one global sum, zero
+    // joins. The plan check that matters at 100 TB: every predicate
+    // reaches the parquet scan (PushedFilters), the agg is a two-stage
+    // partial+final, and no shuffle moves more than one row per
+    // partition.
+    Q("q_rel_tpch_q6",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      Some("""SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // TPC-H Q14 (promotion effect), widened to every ship month: promo
+    // revenue share = 100 · Σ(promo rev)/Σ(rev) per month. One broadcast
+    // of the part dimension against the lineitem scan, one month
+    // aggregate — the conditional-share shape of the original with a
+    // GROUP BY instead of the single-month filter (the testdata's
+    // p_type is the bare category word, so the match is equality, not
+    // the spec's 'PROMO%' prefix).
+    Q("q_rel_tpch_q14",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_share"))
+        .orderBy("ship_month"),
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+                  SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("q_rel_tpch_q10",
       (s, d) => {
         val ord = t(s, d, "orders")
