@@ -43,5 +43,5 @@ grep CANARY_OK "$CANARY_LOG"
 # sbt prefixes the JSON stdout line with "[info] " — strip via -o extraction
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
   sbt -batch "runMain graft.Bench" 2>&1 \
-  | tee /tmp/bench_sbt.log | grep -oE '\{"metric".*\}' | tail -1 > "$OUT"
+  | tee /tmp/bench_sbt.log | grep -oE '\{"(metric|queries)".*\}' | tail -1 > "$OUT"
 cat "$OUT"
