@@ -970,6 +970,39 @@ object StreamingOps extends QueryModule {
               FROM events WHERE user_id NOT IN (2, 6, 10)
               GROUP BY user_id ORDER BY user_id""")),
 
+    // BLOOM-SIDECAR POINT SKIPPING in the gate: five appends (one per
+    // event type) each record a per-file bloom over event_type; a
+    // point scan for 'purchase' must open strictly fewer files than
+    // the table holds — with only the probed type's files (plus any
+    // false positives, impossible here at 1 value/filter) surviving —
+    // and still return exactly the plain filter's aggregate. The
+    // membership complement of scanRange's (min, max) interval
+    // skipping: a non-key categorical column gets file pruning too.
+    Q("q_merge_bloom",
+      (s, d) => {
+        val buckets = 2
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergebloom").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+        val e = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        Seq("click", "view", "purchase", "signup", "error").foreach { t =>
+          graft.streaming.MergeTable.appendWithBloom(s, table,
+            e.filter(col("event_type") === t), "user_id", buckets, "event_type")
+        }
+        val full = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val scan = graft.streaming.MergeTable.scanPoint(
+          s, table, "event_type", lit("purchase"))
+        require(scan.inputFiles.length < full,
+          s"bloom skipping must prune files: $full -> ${scan.inputFiles.length}")
+        scan.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id ORDER BY user_id""")),
+
     // OPTIMIZE ZORDER BY in the gate: the table's live files are
     // rewritten clustered by the MORTON CODE of (hour, user-group), each
     // file's z-interval recorded in the commit entry, and a 2-D box scan

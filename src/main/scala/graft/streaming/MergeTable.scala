@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
@@ -224,6 +224,85 @@ object MergeTable {
     result.get
   }
 
+  // ---- per-file BLOOM sidecars: point-lookup skipping on a NON-key
+  // column (the Delta bloom-filter-index analogue). The filter is an
+  // m-bit / k-hash bloom whose position i for a value is
+  // floorMod(xxhash64(value, i), m) — computed with the NATIVE
+  // codegen'd xxhash64 on both the build and probe sides, so no hash
+  // is reimplemented anywhere. Sidecars are `<datafile>.bloom`, written
+  // right after the commit that references the data file: a reader
+  // that races the sidecar (or a crash that orphans one) just reads
+  // the file unskipped — absence of a sidecar is always safe. Vacuum
+  // sweeps sidecars whose data file is gone. One sidecar is m/8 bytes
+  // (512 B at the default 4096 bits); a point scan reads O(live files)
+  // sidecars on the driver — the same metadata-scale cost as the stats
+  // map. False positives cost a wasted file read; false negatives are
+  // impossible (BloomSkipSpec pins the contract).
+  private[streaming] val bloomBits = 4096
+  private[streaming] val bloomHashes = 5
+
+  private def bloomPosCols(value: Column): Seq[Column] =
+    (0 until bloomHashes).map(i =>
+      pmod(xxhash64(value, lit(i)), lit(bloomBits.toLong)).cast("int"))
+
+  /** Append with an additional BLOOM sidecar per written file over
+    * `bloomCol`. Same commit semantics as [[append]]; `statsCol` still
+    * supported. The per-bucket bit sets are computed DISTRIBUTED (one
+    * explode + distinct, bounded by bloomBits per bucket, never by
+    * rows) — only the <= m set positions per bucket reach the driver. */
+  def appendWithBloom(spark: SparkSession, table: String, rows: DataFrame,
+      keyCol: String, buckets: Int, bloomCol: String,
+      primitive: CommitPrimitive = TxLog.LocalFs,
+      statsCol: Option[String] = None): Long = {
+    val bits: Map[Int, Seq[Int]] = rows
+      .select(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"),
+        explode(array(bloomPosCols(col(bloomCol)): _*)).as("p"))
+      .distinct()
+      .groupBy("__b").agg(collect_set("p").as("ps"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
+    val v = append(spark, table, rows, keyCol, buckets, primitive, statsCol)
+    // sidecars for the files THIS commit added (their names carry v)
+    TxLog.snapshot(table).files
+      .filter(f => f.contains(s"-v$v-"))
+      .foreach { f =>
+        bits.get(bucketOfFile(f)).foreach { ps =>
+          val arr = new Array[Byte](bloomBits / 8)
+          ps.foreach(p => arr(p / 8) = (arr(p / 8) | (1 << (p % 8))).toByte)
+          Files.write(Paths.get(table, f + ".bloom"), arr)
+        }
+      }
+    v
+  }
+
+  /** Point scan on the bloom column: opens only live files whose
+    * sidecar might contain `value` (files without a sidecar are always
+    * read — skipping is an optimization, never a correctness filter),
+    * then applies the real predicate. `value` must be a literal-like
+    * Column (its k probe positions are evaluated once, driver-side,
+    * through the same native xxhash64). */
+  def scanPoint(spark: SparkSession, table: String, bloomCol: String,
+      value: Column, asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(table, asOf)
+    val psRow = spark.range(1)
+      .select(bloomPosCols(value).zipWithIndex.map {
+        case (c, i) => c.as(s"p$i") }: _*).head
+    val ps = (0 until bloomHashes).map(psRow.getInt)
+    val keep = snap.files.filter { f =>
+      val sc = Paths.get(table, f + ".bloom")
+      if (!Files.exists(sc)) true
+      else {
+        val arr = Files.readAllBytes(sc)
+        ps.forall(p => (arr(p / 8) & (1 << (p % 8))) != 0)
+      }
+    }
+    val base =
+      if (keep.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(keep.map(f => s"$table/$f"): _*)
+      else Streams.readMergeTable(spark, table, asOf).limit(0)
+    base.filter(col(bloomCol) === value)
+  }
+
   /** Range scan with FILE SKIPPING: prunes live files whose recorded
     * (min, max) interval on `statsCol` misses [lo, hi] before the scan
     * opens anything — the Delta data-skipping read path for
@@ -298,7 +377,22 @@ object MergeTable {
         }.toMap
         TxLog.commit(table, adds, oldFiles, expectedCurrent = snap.version,
             primitive = primitive, stats = stats) match {
-          case Some(v) => result = Some(Some((v, todo)))
+          case Some(v) =>
+            // fold bloom sidecars like the stats: the compacted file's
+            // filter is the bitwise OR of its constituents' — only when
+            // ALL constituents carry one (a sidecar-less part's
+            // contents are unbounded, so the fold must stay so)
+            adds.foreach { f =>
+              val parts = byBucket(bucketOfFile(f))
+                .map(p => Paths.get(table, p + ".bloom"))
+              if (parts.nonEmpty && parts.forall(Files.exists(_))) {
+                val folded = parts.map(Files.readAllBytes).reduce { (a, b) =>
+                  a.zip(b).map { case (x, y) => (x | y).toByte }
+                }
+                Files.write(Paths.get(table, f + ".bloom"), folded)
+              }
+            }
+            result = Some(Some((v, todo)))
           case None => // lost to a concurrent merge: orphan ours, retry
             adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
         }

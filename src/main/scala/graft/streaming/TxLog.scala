@@ -309,6 +309,15 @@ object TxLog {
         .toSeq
     }
     orphans.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    // bloom sidecars ride beside their data file outside the log; sweep
+    // any whose data file is gone (swept above, or vacuumed earlier)
+    Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".bloom"))
+        .filter(p => !Files.exists(Paths.get(
+          p.toString.stripSuffix(".bloom"))))
+        .toSeq
+    }.foreach(p => Files.deleteIfExists(p))
     val d = logDir(table)
     if (Files.exists(d)) Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
