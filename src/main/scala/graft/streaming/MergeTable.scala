@@ -249,7 +249,12 @@ object MergeTable {
     * `bloomCol`. Same commit semantics as [[append]]; `statsCol` still
     * supported. The per-bucket bit sets are computed DISTRIBUTED (one
     * explode + distinct, bounded by bloomBits per bucket, never by
-    * rows) — only the <= m set positions per bucket reach the driver. */
+    * rows) — only the <= m set positions per bucket reach the driver.
+    * `rows` must be deterministic across re-evaluation (it is scanned
+    * once for the bit sets and once by the write, the same contract
+    * every writer here places on its input): a batch that changes
+    * between scans could write a filter missing a value, silently
+    * voiding the no-false-negative guarantee. */
   def appendWithBloom(spark: SparkSession, table: String, rows: DataFrame,
       keyCol: String, buckets: Int, bloomCol: String,
       primitive: CommitPrimitive = TxLog.LocalFs,

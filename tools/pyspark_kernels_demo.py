@@ -98,6 +98,12 @@ def main():
         FROM t a CROSS JOIN t b""").head()
     check("hamming_bits usable from SQL", row.zero == 0 and 0 <= row.mx <= 64)
 
+    # 4c. morton2 — the Z-order interleave behind OPTIMIZE ZORDER BY,
+    # checked against a hand-computed code: x=5 (0101) on even bits,
+    # y=3 (0011) on odd bits -> z = 0b00011011 = 27
+    row = spark.sql("SELECT morton2(5, 3, 4) AS z, morton2(0, 0, 4) AS z0").head()
+    check("morton2 usable from SQL", row.z == 27 and row.z0 == 0)
+
     # 5. mapInPandas over BINARY payloads — the multimodal decode
     # plumbing (schema, partitioning, batch shape) with a deterministic
     # stand-in for the codec: each Arrow batch of (doc_id, payload)
