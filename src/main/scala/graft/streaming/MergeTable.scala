@@ -478,8 +478,14 @@ object MergeTable {
       xlo: Long, xhi: Long, ylo: Long, yhi: Long, bits: Int,
       asOf: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(table, asOf)
+    val zMax = (1L << (2 * bits)) - 1
     val keep = snap.files.filter { f =>
       snap.stats.get(f) match {
+        // an interval past the addressable range means the table was
+        // z-ordered with MORE bits than this scan assumes — pruning
+        // against the wrong curve could lose rows, so keep the file
+        // (the mirror of the stat-less always-read rule)
+        case Some((zlo, zhi)) if zhi > zMax || zlo < 0 => true
         case Some((zlo, zhi)) =>
           Zorder.intervalIntersectsBox(zlo, zhi, xlo, xhi, ylo, yhi, bits)
         case None => true

@@ -115,6 +115,14 @@ class ZorderSpec extends AnyFunSuite {
       assert(got.getLong(1) === want.map(_.getLong(0)).sum)
     }
 
+    // a scan assuming FEWER bits than the table was ordered with must
+    // not prune (the z-intervals exceed the smaller curve's range) —
+    // wrong-curve pruning would silently lose rows
+    val under = MergeTable.scanBox(spark, table, "x", "y", 8, 23, 40, 55, bits - 2)
+    assert(under.inputFiles.length >= scan.inputFiles.length,
+      "out-of-range intervals must be kept, not pruned on the wrong curve")
+    assert(under.orderBy("k").collect().toSeq === want)
+
     // the rewrite composes with the rest of the lifecycle: a merge after
     // z-ordering replaces keys and drops the touched chunks' stats rows
     val upd = Seq((7L, 0L, 0L, -1.0)).toDF("k", "x", "y", "v")
