@@ -26,6 +26,20 @@ object Tables {
     apply(spark, sfDir, name).repartition(n, org.apache.spark.sql.functions.col(key))
   }
 
+  /** (name, size, mtime) digest of a table's file tree — the cache key
+    * for any in-JVM memo derived from the table's CONTENT: a dataset
+    * regenerated at the same path changes its mtimes/sizes and misses,
+    * where a raw-dir key would serve the stale entry (ADVICE r8). */
+  def fingerprint(sfDir: String, name: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(walk)
+          .foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
+      else f.getName.hashCode.toLong * 31 + f.length() * 31 + f.lastModified()
+    val root = new java.io.File(sfDir, s"$name.parquet")
+    s"$sfDir#$name#${if (root.exists()) walk(root) else 0L}"
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long

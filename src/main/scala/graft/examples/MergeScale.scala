@@ -77,7 +77,7 @@ object MergeScale {
         val batch = base.filter(col("l_orderkey") % 40 === i)
           .withColumn("day", lit(i.toLong))
         MergeTable.append(spark, table, batch, "l_orderkey", k,
-          statsCol = Some("day"))
+          statsCols = Seq("day"))
       }
       val appendSec = (System.nanoTime() - t0) / 1e9
       val filesBefore = TxLog.snapshot(table).files.length

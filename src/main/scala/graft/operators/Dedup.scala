@@ -1438,13 +1438,8 @@ object Dedup extends QueryModule {
     out
   }
 
-  private def docsFingerprint(d: String): String = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(walk).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
-      else f.getName.hashCode.toLong * 31 + f.length() * 31 + f.lastModified()
-    val root = new java.io.File(d, "documents.parquet")
-    s"$d#${if (root.exists()) walk(root) else 0L}"
-  }
+  private def docsFingerprint(d: String): String =
+    Tables.fingerprint(d, "documents")
 
   private[operators] def ppjoinResult(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

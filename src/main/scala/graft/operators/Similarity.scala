@@ -174,16 +174,20 @@ object Similarity extends QueryModule {
     * written PARTITIONED BY CELL, plus the codebook as a small side
     * relation. At corpus scale the index is 16× smaller than the raw
     * vectors and encoding runs ONCE, not per query batch. */
-  /** Memo: corpus dir the on-disk PQ index currently serves. Build is
-    * idempotent per corpus per JVM — exactly the build-once contract
-    * the rows gate — and an APPEND invalidates it, so the next build
-    * call reconstructs a clean index (PqPersistSpec's append test
-    * relies on rebuild clearing appended vectors). */
+  /** Memo: CONTENT fingerprint (Tables.fingerprint — path, sizes,
+    * mtimes) of the corpus the on-disk PQ index currently serves, so a
+    * dataset regenerated at the same path rebuilds instead of serving
+    * a stale index (ADVICE r8). Build is idempotent per corpus per
+    * JVM — exactly the build-once contract the rows gate — and an
+    * APPEND invalidates it, so the next build call reconstructs a
+    * clean index (PqPersistSpec's append test relies on rebuild
+    * clearing appended vectors). */
   private val pqBuiltFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   private[graft] def pqPersistBuild(s: SparkSession, d: String): Unit = {
-    if (pqBuiltFor.get == d) return
+    val fp = Tables.fingerprint(d, "embeddings")
+    if (pqBuiltFor.get == fp) return
     val emb = Tables(s, d, "embeddings")
     val cen = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
@@ -196,7 +200,7 @@ object Similarity extends QueryModule {
       .select(col("cand_id"), col("m"), col("code_k"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(pqIndexDir)
     pqSeedCb(s, d).write.mode("overwrite").parquet(pqCbDir)
-    pqBuiltFor.set(d)
+    pqBuiltFor.set(fp)
   }
 
   /** INCREMENTAL index maintenance: encode ONLY the new vectors against

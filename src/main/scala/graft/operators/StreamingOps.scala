@@ -885,51 +885,80 @@ object StreamingOps extends QueryModule {
               FROM upd u LEFT JOIN b ON b.user_id = u.user_id
               ORDER BY u.user_id""")),
 
-    // FILE SKIPPING in the gate: time-partitioned ingest (the batch
-    // boundary IS a time window — the realistic append pattern) records
-    // per-file (min, max) hour stats in each commit entry; a range scan
-    // prunes files whose interval misses the predicate BEFORE opening
-    // anything. The row proves, in the gate: the scan reads strictly
-    // fewer files than the full table, the pruned set excludes exactly
-    // the out-of-range append's files, and stat-LESS files (the initial
-    // load) are still read and row-filtered — pruning is an
-    // optimization, never a correctness filter. Oracle: plain per-user
-    // aggregate over the hour range.
+    // FILE SKIPPING in the gate — the full Delta-shaped metadata-prune
+    // story in one table's life (VERDICT r8 item 5): six appends (3
+    // hour-windows × purchase/rest) each record an `hr` interval in the
+    // commit entry AND an `event_type` bloom sidecar; then OPTIMIZE
+    // ZORDER BY (hr, ug) rewrites the table recording the z-curve
+    // interval PLUS plain per-column intervals per chunk file. The row
+    // proves, in the gate: (1) a TWO-PREDICATE scan (hr range + bloom
+    // point) opens exactly the one append's files — strictly fewer than
+    // either single-predicate prune; (2) after the z-order rewrite, the
+    // 2-D box scan prunes on the curve while a plain hr range scan
+    // still prunes on the same files' per-column stats — interval
+    // kinds COEXIST in one snapshot because every interval is keyed by
+    // the column (or curve) it describes, so none is ever read against
+    // the wrong predicate; (3) bloom sidecars folded across the rewrite
+    // never lose a row. Oracle: the plain 3-predicate SQL over events.
     Q("q_merge_skipping",
       (s, d) => {
-        val buckets = 4
+        val buckets = 2
+        val bits = 5
         val table = graft.GraftSession.tempDirCleanedOnExit("graft-mergeskip").toString
-        def winAgg(loH: Int, hiH: Int) = Tables(s, d, "events")
-          .withColumn("hr", hour(col("ts")).cast("long"))
-          .filter(col("hr") >= loH && col("hr") < hiH)
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"), sum("value").as("total"),
-            min("hr").as("hr"))
-        graft.streaming.MergeTable.load(s, table, winAgg(0, 8), "user_id", buckets)
-        graft.streaming.MergeTable.append(s, table, winAgg(8, 16),
-          "user_id", buckets, statsCol = Some("hr"))
-        graft.streaming.MergeTable.append(s, table, winAgg(16, 24),
-          "user_id", buckets, statsCol = Some("hr"))
-        val fullFiles = graft.streaming.MergeTable.read(s, table).inputFiles.length
-        val scan = graft.streaming.MergeTable.scanRange(s, table, "hr", 16L, 23L)
-        val scanned = scan.inputFiles
-        require(scanned.length < fullFiles,
-          s"skipping must prune files: $fullFiles -> ${scanned.length}")
-        require(!scanned.exists(_.contains("-v1-")),
-          "the [8,16) append's files must be pruned by their stats")
-        require(scanned.exists(_.contains("-v2-")) &&
-          scanned.exists(_.contains("-v0-")),
-          "in-range and stat-less files must both survive the prune")
-        scan.select(col("user_id"), col("n_events"),
-            round(col("total"), 2).as("total"), col("hr"))
-          .orderBy("user_id")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+        val rows = Tables(s, d, "events")
+          .select(col("event_id").as("k"),
+            hour(col("ts")).cast("long").as("hr"),
+            pmod(col("user_id"), lit(32)).cast("long").as("ug"),
+            col("event_type"), col("value"))
+        var vOf = Map.empty[(Int, Boolean), Long]
+        for (w <- 0 until 3; p <- Seq(true, false)) {
+          val part = rows.filter(col("hr") >= w * 8 && col("hr") < (w + 1) * 8 &&
+            (if (p) col("event_type") === "purchase"
+             else col("event_type") =!= "purchase"))
+          vOf += (w, p) -> graft.streaming.MergeTable.appendWithBloom(
+            s, table, part, "k", buckets, "event_type", statsCols = Seq("hr"))
+        }
+        val full = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val hrScan = graft.streaming.MergeTable
+          .scanRange(s, table, "hr", 16L, 23L).inputFiles.length
+        val typeScan = graft.streaming.MergeTable
+          .scanPoint(s, table, "event_type", lit("purchase")).inputFiles.length
+        require(hrScan < full && typeScan < full,
+          s"each single prune must drop files: $full -> hr $hrScan, type $typeScan")
+        val both = graft.streaming.MergeTable.scanWhere(s, table,
+          Seq(("hr", 16L, 23L)), Some(("event_type", lit("purchase"))))
+        val bothFiles = both.inputFiles
+        val wantV = vOf((2, true))
+        require(bothFiles.nonEmpty && bothFiles.forall(_.contains(s"-v$wantV-")),
+          s"the combined prune must open exactly the hr[16,24)×purchase " +
+            s"append's files: ${bothFiles.mkString(",")}")
+        require(bothFiles.length < hrScan && bothFiles.length < typeScan,
+          "two predicates must prune strictly tighter than either alone")
+        // Z-ORDER rewrite: curve + per-column intervals coexist with the
+        // (bucket-folded) bloom sidecars in the same snapshot
+        graft.streaming.MergeTable.optimizeZorder(
+          s, table, "k", buckets, "hr", "ug", bits, chunks = 8)
+        val fullZ = graft.streaming.MergeTable.read(s, table).inputFiles.length
+        val box = graft.streaming.MergeTable.scanBox(
+          s, table, "hr", "ug", 16L, 23L, 0L, 15L, bits)
+        require(box.inputFiles.length < fullZ,
+          s"z-order box prune must drop chunks: $fullZ -> ${box.inputFiles.length}")
+        require(graft.streaming.MergeTable.scanRange(s, table, "hr", 0L, 7L)
+            .inputFiles.length < fullZ,
+          "plain column intervals must keep pruning on the z-ordered files")
+        box.filter(col("event_type") === "purchase")
+          .groupBy("ug")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+          .orderBy("ug")
       },
-      Some("""WITH e AS (SELECT user_id, value,
-                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr FROM events)
-              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-                     ROUND(SUM(value), 2) AS total, CAST(MIN(hr) AS BIGINT) AS hr
-              FROM e WHERE hr >= 16 AND hr < 24
-              GROUP BY user_id ORDER BY user_id""")),
+      Some("""WITH e AS (SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                  user_id % 32 AS ug, event_type, value FROM events)
+              SELECT ug, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total
+              FROM e WHERE hr BETWEEN 16 AND 23 AND ug BETWEEN 0 AND 15
+                AND event_type = 'purchase'
+              GROUP BY ug ORDER BY ug""")),
 
     // Row-level DELETE in the gate — the third lakehouse verb beside
     // upsert and append: dropping 3 keys rewrites only their hash

@@ -1595,13 +1595,17 @@ object TextAnalysis extends QueryModule {
     * stats as small side relations — the build-once/query-many shape
     * the persisted IVF/PQ rows already have, for BM25. At corpus scale
     * the index build is one tokenize + two hash aggregates, run once. */
-  /** Memo: corpus dir the on-disk postings currently serve (build-once
-    * per JVM, same contract as the PQ index's memo). */
+  /** Memo: CONTENT fingerprint of the corpus the on-disk postings
+    * currently serve (build-once per JVM, same contract as the PQ
+    * index's memo) — keyed by Tables.fingerprint, not the raw dir, so
+    * a dataset regenerated at the same path rebuilds instead of
+    * serving a stale index (ADVICE r8). */
   private val bm25BuiltFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   private[graft] def bm25PersistBuild(s: SparkSession, d: String): Unit = {
-    if (bm25BuiltFor.get == d) return
+    val fp = Tables.fingerprint(d, "documents")
+    if (bm25BuiltFor.get == fp) return
     val cd = toks(s, d).filter(col("doc_id") >= 5)
     val tf = cd.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = cd.groupBy("doc_id").agg(count(lit(1)).cast("double").as("len"))
@@ -1612,7 +1616,7 @@ object TextAnalysis extends QueryModule {
       .write.mode("overwrite").parquet(s"$bm25SideDir/df")
     dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("len")).as("avglen"))
       .write.mode("overwrite").parquet(s"$bm25SideDir/stats")
-    bm25BuiltFor.set(d)
+    bm25BuiltFor.set(fp)
   }
 
   /** SEARCH the on-disk index: the query terms' buckets DYNAMICALLY

@@ -194,16 +194,25 @@ object MergeTable {
   def append(spark: SparkSession, table: String, rows: DataFrame,
       keyCol: String, buckets: Int,
       primitive: CommitPrimitive = TxLog.LocalFs,
-      statsCol: Option[String] = None): Long = {
-    // per-bucket (min, max) of the stats column, recorded in the commit
-    // entry for file skipping ([[scanRange]]) — one extra aggregate per
-    // batch, the price of pruning every later range read
-    val bucketStats: Map[Int, (Long, Long)] = statsCol.fold(
-      Map.empty[Int, (Long, Long)]) { c =>
-      rows.groupBy(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
-        .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    }
+      statsCols: Seq[String] = Seq.empty): Long = {
+    // per-bucket, PER-COLUMN (min, max) of every stats column, recorded
+    // in the commit entry for file skipping ([[scanRange]]/[[scanWhere]])
+    // — ONE extra aggregate per batch regardless of column count, the
+    // price of pruning every later range read
+    val bucketStats: Map[Int, Map[String, (Long, Long)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"lo_$c"),
+          max(col(c).cast("long")).as(s"hi_$c")))
+        rows.groupBy(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          r.getInt(0) -> statsCols.zipWithIndex.map { case (c, i) =>
+            c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+          }.toMap
+        }.toMap
+      }
     var result: Option[Long] = None
     while (result.isEmpty) {
       val snap = TxLog.snapshot(table)
@@ -230,20 +239,54 @@ object MergeTable {
   // floorMod(xxhash64(value, i), m) — computed with the NATIVE
   // codegen'd xxhash64 on both the build and probe sides, so no hash
   // is reimplemented anywhere. Sidecars are `<datafile>.bloom`, written
-  // right after the commit that references the data file: a reader
-  // that races the sidecar (or a crash that orphans one) just reads
-  // the file unskipped — absence of a sidecar is always safe. Vacuum
-  // sweeps sidecars whose data file is gone. One sidecar is m/8 bytes
-  // (512 B at the default 4096 bits); a point scan reads O(live files)
-  // sidecars on the driver — the same metadata-scale cost as the stats
-  // map. False positives cost a wasted file read; false negatives are
-  // impossible (BloomSkipSpec pins the contract).
+  // ATOMICALLY (staged + ATOMIC_MOVE — a direct write could expose a
+  // zero-length or truncated prefix whose unset bits read as "absent",
+  // a silent FALSE NEGATIVE, ADVICE r8) right after the commit that
+  // references the data file: a reader that races the sidecar (or a
+  // crash that orphans one) just reads the file unskipped — absence of
+  // a sidecar is always safe. The sidecar RECORDS WHICH COLUMN it
+  // indexes ([len][colName][bits]); a probe on any other column, or a
+  // sidecar whose length doesn't parse, is treated as absent — so
+  // mixed-column appends can never skip a file against the wrong
+  // filter. Vacuum sweeps sidecars whose data file is gone. One
+  // sidecar is m/8 bytes + a few name bytes (≈512 B at the default
+  // 4096 bits); a point scan reads O(live files) sidecars on the
+  // driver — the same metadata-scale cost as the stats map. False
+  // positives cost a wasted file read; false negatives are impossible
+  // (BloomSkipSpec pins the contract).
   private[streaming] val bloomBits = 4096
   private[streaming] val bloomHashes = 5
 
   private def bloomPosCols(value: Column): Seq[Column] =
     (0 until bloomHashes).map(i =>
       pmod(xxhash64(value, lit(i)), lit(bloomBits.toLong)).cast("int"))
+
+  /** Stage + ATOMIC_MOVE a sidecar `[nameLen u8][colName utf8][bits]`
+    * into place — readers never observe a partial file. */
+  private def writeSidecar(table: String, dataFile: String,
+      bloomCol: String, bits: Array[Byte]): Unit = {
+    val nb = bloomCol.getBytes("UTF-8")
+    require(nb.length <= 255, s"bloom column name too long: $bloomCol")
+    val payload = Array(nb.length.toByte) ++ nb ++ bits
+    val tmp = Files.createTempFile(Paths.get(table), ".tmp-bloom-", "")
+    Files.write(tmp, payload)
+    Files.move(tmp, Paths.get(table, dataFile + ".bloom"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Parse a sidecar → (column, bit array); None when the sidecar is
+    * missing, truncated, or malformed — the caller must then read the
+    * data file unskipped (absence is always safe). */
+  private def readSidecar(table: String, dataFile: String): Option[(String, Array[Byte])] = {
+    val p = Paths.get(table, dataFile + ".bloom")
+    if (!Files.exists(p)) return None
+    val raw = Files.readAllBytes(p)
+    if (raw.length < 1) return None
+    val n = raw(0) & 0xff
+    if (raw.length != 1 + n + bloomBits / 8) return None
+    Some((new String(raw, 1, n, "UTF-8"), raw.drop(1 + n)))
+  }
 
   /** Append with an additional BLOOM sidecar per written file over
     * `bloomCol`. Same commit semantics as [[append]]; `statsCol` still
@@ -258,14 +301,14 @@ object MergeTable {
   def appendWithBloom(spark: SparkSession, table: String, rows: DataFrame,
       keyCol: String, buckets: Int, bloomCol: String,
       primitive: CommitPrimitive = TxLog.LocalFs,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val bits: Map[Int, Seq[Int]] = rows
       .select(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"),
         explode(array(bloomPosCols(col(bloomCol)): _*)).as("p"))
       .distinct()
       .groupBy("__b").agg(collect_set("p").as("ps"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
-    val v = append(spark, table, rows, keyCol, buckets, primitive, statsCol)
+    val v = append(spark, table, rows, keyCol, buckets, primitive, statsCols)
     // sidecars for the files THIS commit added (their names carry v)
     TxLog.snapshot(table).files
       .filter(f => f.contains(s"-v$v-"))
@@ -273,56 +316,55 @@ object MergeTable {
         bits.get(bucketOfFile(f)).foreach { ps =>
           val arr = new Array[Byte](bloomBits / 8)
           ps.foreach(p => arr(p / 8) = (arr(p / 8) | (1 << (p % 8))).toByte)
-          Files.write(Paths.get(table, f + ".bloom"), arr)
+          writeSidecar(table, f, bloomCol, arr)
         }
       }
     v
   }
 
-  /** Point scan on the bloom column: opens only live files whose
-    * sidecar might contain `value` (files without a sidecar are always
-    * read — skipping is an optimization, never a correctness filter),
-    * then applies the real predicate. `value` must be a literal-like
-    * Column (its k probe positions are evaluated once, driver-side,
-    * through the same native xxhash64). */
-  def scanPoint(spark: SparkSession, table: String, bloomCol: String,
-      value: Column, asOf: Option[Long] = None): DataFrame = {
+  /** COMBINED metadata-pruned scan — the general Delta-shaped read
+    * path the single-predicate scans wrap: a file survives only if
+    * EVERY stated range predicate's recorded interval FOR THAT COLUMN
+    * intersects its `[lo, hi]`, AND (when a bloom point probe is
+    * given) its sidecar — if present, valid, and indexing the probed
+    * column — has all k probe bits set. Any missing/foreign/mangled
+    * metadata keeps the file: pruning is an optimization, never a
+    * correctness filter, and every real predicate is still applied to
+    * the surviving rows. Multi-predicate pruning composes because each
+    * interval is keyed by its column — intervals recorded by different
+    * appends (or by Z-ORDER) can never be read against the wrong
+    * predicate. */
+  def scanWhere(spark: SparkSession, table: String,
+      ranges: Seq[(String, Long, Long)],
+      point: Option[(String, Column)] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(table, asOf)
-    val psRow = spark.range(1)
-      .select(bloomPosCols(value).zipWithIndex.map {
-        case (c, i) => c.as(s"p$i") }: _*).head
-    val ps = (0 until bloomHashes).map(psRow.getInt)
-    val keep = snap.files.filter { f =>
-      val sc = Paths.get(table, f + ".bloom")
-      if (!Files.exists(sc)) true
-      else {
-        val arr = Files.readAllBytes(sc)
-        ps.forall(p => (arr(p / 8) & (1 << (p % 8))) != 0)
-      }
+    // the k probe positions, evaluated once driver-side through the
+    // same native xxhash64 the build side used
+    val ps = point.map { case (_, value) =>
+      val row = spark.range(1)
+        .select(bloomPosCols(value).zipWithIndex.map {
+          case (c, i) => c.as(s"p$i") }: _*).head
+      (0 until bloomHashes).map(row.getInt)
     }
-    val base =
-      if (keep.nonEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(keep.map(f => s"$table/$f"): _*)
-      else Streams.readMergeTable(spark, table, asOf).limit(0)
-    base.filter(col(bloomCol) === value)
-  }
-
-  /** Range scan with FILE SKIPPING: prunes live files whose recorded
-    * (min, max) interval on `statsCol` misses [lo, hi] before the scan
-    * opens anything — the Delta data-skipping read path for
-    * time/sequence-partitioned ingest. Files without recorded stats
-    * (initial load, pre-stats appends) are always read: pruning is an
-    * optimization, never a correctness filter — the predicate is still
-    * applied to every surviving row. */
-  def scanRange(spark: SparkSession, table: String, statsCol: String,
-      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(table, asOf)
     val keep = snap.files.filter { f =>
-      snap.stats.get(f) match {
-        case Some((l, h)) => h >= lo && l <= hi
-        case None => true
+      val cols = snap.stats.getOrElse(f, Map.empty)
+      val rangesOk = ranges.forall { case (c, lo, hi) =>
+        cols.get(c) match {
+          case Some((l, h)) => h >= lo && l <= hi
+          case None => true // no interval for THIS column: must read
+        }
       }
+      val bloomOk = (point, ps) match {
+        case (Some((bloomCol, _)), Some(probe)) =>
+          readSidecar(table, f) match {
+            case Some((c, arr)) if c == bloomCol =>
+              probe.forall(p => (arr(p / 8) & (1 << (p % 8))) != 0)
+            case _ => true // absent, malformed, or foreign-column sidecar
+          }
+        case _ => true
+      }
+      rangesOk && bloomOk
     }
     val base =
       if (keep.nonEmpty)
@@ -330,8 +372,30 @@ object MergeTable {
           .parquet(keep.map(f => s"$table/$f"): _*)
       else // every file pruned: empty relation with the table's schema
         Streams.readMergeTable(spark, table, asOf).limit(0)
-    base.filter(col(statsCol).cast("long").between(lo, hi))
+    val ranged = ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).cast("long").between(lo, hi))
+    }
+    point.fold(ranged) { case (c, v) => ranged.filter(col(c) === v) }
   }
+
+  /** Point scan on the bloom column: opens only live files whose
+    * sidecar might contain `value` (files without a valid same-column
+    * sidecar are always read — skipping is an optimization, never a
+    * correctness filter), then applies the real predicate. `value`
+    * must be a literal-like Column. */
+  def scanPoint(spark: SparkSession, table: String, bloomCol: String,
+      value: Column, asOf: Option[Long] = None): DataFrame =
+    scanWhere(spark, table, Seq.empty, Some((bloomCol, value)), asOf)
+
+  /** Range scan with FILE SKIPPING: prunes live files whose recorded
+    * (min, max) interval on `statsCol` misses [lo, hi] before the scan
+    * opens anything — the Delta data-skipping read path for
+    * time/sequence-partitioned ingest. Files without recorded stats
+    * FOR THIS COLUMN (initial load, pre-stats appends, foreign-column
+    * intervals) are always read. */
+  def scanRange(spark: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
+    scanWhere(spark, table, Seq((statsCol, lo, hi)), None, asOf)
 
   /** OPTIMIZE / compaction (VERDICT r7 item 4): every bucket that has
     * accumulated >= `minFiles` live files is rewritten into ONE file,
@@ -370,33 +434,26 @@ object MergeTable {
           // dir; it still needs one schema-bearing file for lookup()
           writeBucket(spark, table,
             df.filter(pmod(col(keyCol), lit(buckets)) === k), k, next)))
-        // folded stats: the union interval of a bucket's constituent
-        // files — only when ALL constituents carry stats (a stat-less
-        // file's contents are unbounded, so the fold must stay so)
+        // folded stats, PER COLUMN: a column's union interval survives
+        // the fold only when ALL constituents carry an interval for
+        // that column (a file without one is unbounded on it, so the
+        // fold must stay so); columns fold independently
         val stats = adds.flatMap { f =>
-          val k = bucketOfFile(f)
-          val parts = byBucket(k).map(snap.stats.get)
-          if (parts.nonEmpty && parts.forall(_.isDefined))
-            Some(f -> (parts.flatten.map(_._1).min, parts.flatten.map(_._2).max))
-          else None
+          val parts = byBucket(bucketOfFile(f))
+            .map(p => snap.stats.getOrElse(p, Map.empty[String, (Long, Long)]))
+          val commonCols =
+            if (parts.isEmpty) Set.empty[String]
+            else parts.map(_.keySet).reduce(_ intersect _)
+          if (commonCols.isEmpty) None
+          else Some(f -> commonCols.map { c =>
+            val ivs = parts.map(_(c))
+            c -> (ivs.map(_._1).min, ivs.map(_._2).max)
+          }.toMap)
         }.toMap
         TxLog.commit(table, adds, oldFiles, expectedCurrent = snap.version,
             primitive = primitive, stats = stats) match {
           case Some(v) =>
-            // fold bloom sidecars like the stats: the compacted file's
-            // filter is the bitwise OR of its constituents' — only when
-            // ALL constituents carry one (a sidecar-less part's
-            // contents are unbounded, so the fold must stay so)
-            adds.foreach { f =>
-              val parts = byBucket(bucketOfFile(f))
-                .map(p => Paths.get(table, p + ".bloom"))
-              if (parts.nonEmpty && parts.forall(Files.exists(_))) {
-                val folded = parts.map(Files.readAllBytes).reduce { (a, b) =>
-                  a.zip(b).map { case (x, y) => (x | y).toByte }
-                }
-                Files.write(Paths.get(table, f + ".bloom"), folded)
-              }
-            }
+            adds.foreach(f => foldSidecars(table, f, byBucket(bucketOfFile(f))))
             result = Some(Some((v, todo)))
           case None => // lost to a concurrent merge: orphan ours, retry
             adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
@@ -406,20 +463,37 @@ object MergeTable {
     result.get
   }
 
+  /** The stats-map key a z-order rewrite records its curve interval
+    * under: encoding the COLUMN PAIR AND BIT WIDTH in the key means a
+    * scan can only ever prune against the exact curve it asks for — a
+    * table z-ordered with different columns or more bits simply has no
+    * matching interval and is read unskipped (the mirror of the
+    * stat-less always-read rule). */
+  private[streaming] def zStatsKey(xCol: String, yCol: String, bits: Int): String =
+    s"__z:$xCol:$yCol:$bits"
+
   /** OPTIMIZE ZORDER BY (xCol, yCol): rewrite every bucket's live rows
     * into `chunks` files clustered by the MORTON CODE of the two
-    * columns, recording each file's (min z, max z) in the commit entry —
+    * columns, recording per file the (min z, max z) curve interval
+    * (under [[zStatsKey]]) PLUS the plain per-column (min, max) of
+    * xCol and yCol — so a later [[scanBox]] prunes through the exact
+    * quadtree interval-vs-box test AND ordinary [[scanRange]]s on
+    * either column keep pruning on the same rewritten files. This is
     * the multi-dimensional half of the maintenance pair next to
-    * [[compact]]'s bin-packing. A later [[scanBox]] for a 2-D predicate
-    * box prunes files through [[Zorder.intervalIntersectsBox]], which is
-    * exact, so ONE long interval per file skips on BOTH columns at once
-    * without widening the log format. Content is identical across the
-    * commit (pure rewrite); time travel and vacuum behave as for
-    * compact. Coordinates must lie in [0, 2^bits); rows are chunked by
-    * per-bucket z-rank (a bucket is already one write task in every
-    * writer here, so the per-bucket rank window sits inside the same
-    * task-size envelope the table's bucket count declares). Loses races
-    * like mergeInto and retries. Returns (version, rewritten buckets). */
+    * [[compact]]'s bin-packing. Content is identical across the commit
+    * (pure rewrite); time travel and vacuum behave as for compact;
+    * bloom sidecars fold per bucket like compact's (OR over the
+    * bucket's constituents — a chunk's rows are a subset of its
+    * bucket's union). Coordinates are VERIFIED to lie in [0, 2^bits)
+    * in the same pass that computes the stats — out-of-range values
+    * alias under the interleave's masks and would record intervals
+    * that describe the aliased curve, so the rewrite fails loudly
+    * instead of committing misleading metadata (ADVICE r8). Rows are
+    * chunked by per-bucket z-rank (a bucket is already one write task
+    * in every writer here, so the per-bucket rank window sits inside
+    * the same task-size envelope the table's bucket count declares).
+    * Loses races like mergeInto and retries. Returns (version,
+    * rewritten buckets). */
   def optimizeZorder(spark: SparkSession, table: String, keyCol: String,
       buckets: Int, xCol: String, yCol: String, bits: Int, chunks: Int,
       primitive: CommitPrimitive = TxLog.LocalFs): (Long, Seq[Int]) = {
@@ -446,20 +520,49 @@ object MergeTable {
         todo.filterNot(k => written.keys.exists(_._1 == k)).map(k =>
           writeBucket(spark, table, df.limit(0), k, next))
       // stats from the WRITTEN bytes (one job over the new files), so the
-      // recorded interval provably covers what the file holds — immune to
-      // any nondeterminism in the rank's tie-breaking between passes
-      val stats: Map[String, (Long, Long)] =
+      // recorded intervals provably cover what each file holds — immune to
+      // any nondeterminism in the rank's tie-breaking between passes. The
+      // same pass carries the coordinate-domain check: zvalue()'s masks
+      // silently alias out-of-range coords, so fail loudly BEFORE the
+      // commit rather than record intervals of the aliased curve.
+      val stats: Map[String, Map[String, (Long, Long)]] =
         if (written.isEmpty) Map.empty
-        else spark.read.parquet(written.values.toSeq.map(f => s"$table/$f"): _*)
-          .withColumn("__z", Zorder.zvalue(col(xCol), col(yCol), bits))
-          .groupBy(input_file_name().as("__f"))
-          .agg(min("__z").as("lo"), max("__z").as("hi"))
-          .collect().map { r =>
-            r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))
+        else {
+          val zk = zStatsKey(xCol, yCol, bits)
+          val rows = spark.read.parquet(written.values.toSeq.map(f => s"$table/$f"): _*)
+            .withColumn("__z", Zorder.zvalue(col(xCol), col(yCol), bits))
+            .groupBy(input_file_name().as("__f"))
+            .agg(min("__z").as("zlo"), max("__z").as("zhi"),
+              min(col(xCol).cast("long")).as("xlo"), max(col(xCol).cast("long")).as("xhi"),
+              min(col(yCol).cast("long")).as("ylo"), max(col(yCol).cast("long")).as("yhi"))
+            .collect()
+          val lim = 1L << bits
+          rows.find(r => !(r.getLong(3) >= 0 && r.getLong(4) < lim &&
+              r.getLong(5) >= 0 && r.getLong(6) < lim)).foreach { r =>
+            // orphan the staged files (vacuum-sweepable) before failing:
+            // nothing is committed, the table is untouched
+            adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+            sys.error(
+              s"optimizeZorder: $xCol/$yCol values outside [0, $lim) — " +
+                s"x[${r.getLong(3)},${r.getLong(4)}] y[${r.getLong(5)},${r.getLong(6)}] " +
+                "would alias on the curve; widen `bits` or pre-clamp")
+          }
+          rows.map { r =>
+            r.getString(0).split('/').last -> Map(
+              zk -> (r.getLong(1), r.getLong(2)),
+              xCol -> (r.getLong(3), r.getLong(4)),
+              yCol -> (r.getLong(5), r.getLong(6)))
           }.toMap
+        }
       TxLog.commit(table, adds, snap.files, expectedCurrent = snap.version,
           primitive = primitive, stats = stats) match {
-        case Some(v) => result = Some((v, todo))
+        case Some(v) =>
+          // fold bloom sidecars per bucket (buckets are key-disjoint, so
+          // a chunk's rows come only from its own bucket's files)
+          written.foreach { case ((k, _), f) =>
+            foldSidecars(table, f, byBucket.getOrElse(k, Seq.empty))
+          }
+          result = Some((v, todo))
         case None =>
           adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
       }
@@ -470,26 +573,30 @@ object MergeTable {
   /** 2-D box scan with Z-ORDER FILE SKIPPING: prunes live files whose
     * recorded z-interval provably contains no point of
     * `[xlo, xhi] × [ylo, yhi]` (exact quadtree test — see [[Zorder]]),
-    * then applies the real predicate to every surviving row. Files
-    * without stats are always read: pruning is an optimization, never a
-    * correctness filter. `bits` must match the value the table was
-    * z-ordered with. */
+    * AND whose plain per-column intervals (when recorded) miss the box
+    * — the two tests compose because every interval is keyed by the
+    * column (or curve) it describes, so a table z-ordered with other
+    * columns or a different bit width simply contributes no z-interval
+    * here and falls back to the per-column prunes. Files without any
+    * matching stats are always read: pruning is an optimization, never
+    * a correctness filter. */
   def scanBox(spark: SparkSession, table: String, xCol: String, yCol: String,
       xlo: Long, xhi: Long, ylo: Long, yhi: Long, bits: Int,
       asOf: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(table, asOf)
-    val zMax = (1L << (2 * bits)) - 1
+    val zk = zStatsKey(xCol, yCol, bits)
     val keep = snap.files.filter { f =>
-      snap.stats.get(f) match {
-        // an interval past the addressable range means the table was
-        // z-ordered with MORE bits than this scan assumes — pruning
-        // against the wrong curve could lose rows, so keep the file
-        // (the mirror of the stat-less always-read rule)
-        case Some((zlo, zhi)) if zhi > zMax || zlo < 0 => true
+      val cols = snap.stats.getOrElse(f, Map.empty)
+      val zOk = cols.get(zk) match {
         case Some((zlo, zhi)) =>
           Zorder.intervalIntersectsBox(zlo, zhi, xlo, xhi, ylo, yhi, bits)
+        case None => true // no interval for THIS curve: must read
+      }
+      def colOk(c: String, lo: Long, hi: Long) = cols.get(c) match {
+        case Some((l, h)) => h >= lo && l <= hi
         case None => true
       }
+      zOk && colOk(xCol, xlo, xhi) && colOk(yCol, ylo, yhi)
     }
     val base =
       if (keep.nonEmpty)
@@ -511,6 +618,28 @@ object MergeTable {
     require(files.nonEmpty, s"no file for bucket $b in $table")
     spark.read.parquet(files.map(f => s"$table/$f"): _*)
       .filter(col(keyCol) === key)
+  }
+
+  /** Fold a rewrite's constituent sidecars onto `newFile`: the new
+    * filter is the bitwise OR of the constituents' — valid because the
+    * rewritten file's rows are a subset of the constituents' union, so
+    * the OR covers every value (false positives only, never negatives).
+    * Folds ONLY when every constituent carries a valid sidecar for the
+    * SAME column (a sidecar-less or foreign-column part is unbounded,
+    * so the fold must stay so — the new file gets no sidecar and is
+    * always read). */
+  private def foldSidecars(table: String, newFile: String,
+      constituents: Seq[String]): Unit = {
+    val parts = constituents.map(readSidecar(table, _))
+    if (parts.nonEmpty && parts.forall(_.isDefined)) {
+      val cols = parts.flatten.map(_._1).distinct
+      if (cols.length == 1) {
+        val folded = parts.flatten.map(_._2).reduce { (a, b) =>
+          a.zip(b).map { case (x, y) => (x | y).toByte }
+        }
+        writeSidecar(table, newFile, cols.head, folded)
+      }
+    }
   }
 
   private def bucketOfFile(name: String): Int =

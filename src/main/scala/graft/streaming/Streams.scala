@@ -495,7 +495,7 @@ object Streams {
           MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
         else
           MergeTable.append(spark, tableDir, batch, "user_id", buckets,
-            statsCol = Some("hr")): Unit
+            statsCols = Seq("hr")): Unit
         val v = TxLog.snapshot(tableDir).version
         if (compactEvery > 0 && v > 0 && v % compactEvery == 0)
           MergeTable.compact(spark, tableDir, "user_id", buckets): Unit

@@ -51,13 +51,19 @@ trait CommitPrimitive {
   */
 object TxLog {
 
-  /** `stats` maps a live file to the (min, max) of its declared stats
-    * column, when the committing writer recorded them — the Delta-style
-    * file-skipping metadata: a range scan prunes files whose interval
-    * misses the predicate, and a file WITHOUT stats is always kept
-    * (safe degradation for pre-stats files and expired entries). */
+  /** `stats` maps a live file to PER-COLUMN (min, max) intervals the
+    * committing writer recorded — the Delta/Iceberg-style file-skipping
+    * metadata. Keying intervals by COLUMN NAME (not one anonymous slot
+    * per file) is what lets appends with different stats columns,
+    * Z-ORDER's curve intervals, and plain column intervals coexist in
+    * one table's commits without a reader ever interpreting an interval
+    * against the wrong column (ADVICE r8: a (0,23) hour interval read
+    * as a z-interval can prune a file whose rows match — silent row
+    * loss). A scan prunes only on intervals recorded FOR ITS column; a
+    * file without a matching interval is always kept (safe degradation
+    * for pre-stats files, expired entries, and foreign columns). */
   final case class Snapshot(version: Long, files: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   /** POSIX-local [[CommitPrimitive]]: stage a temp file beside the
     * target, then HARD-LINK it in — link creation is atomic and fails if
@@ -126,7 +132,7 @@ object TxLog {
       s"no committed version <= ${asOf.get} in $table")
     val fromV = base.getOrElse(-1L)
     var files = base.fold(Vector.empty[String])(v => readCheckpoint(table, v).toVector)
-    var stats = base.fold(Map.empty[String, (Long, Long)])(
+    var stats = base.fold(Map.empty[String, Map[String, (Long, Long)]])(
       v => readStats(table, s"$v.checkpoint.json"))
     val replay = upTo.filter(_ > fromV)
     // versions are always committed consecutively, so the replayed
@@ -167,18 +173,30 @@ object TxLog {
     else None
   }
 
-  /** `,"stats":{"f":[lo,hi],…}` — empty string when no stats. Placed
-    * LAST in the entry so the adds/removes array regexes (which stop at
-    * the first `]`) never see the stats brackets. */
-  private def statsJson(stats: Map[String, (Long, Long)]): String =
-    if (stats.isEmpty) ""
-    else stats.toSeq.sortBy(_._1)
-      .map { case (f, (lo, hi)) => s""""$f":[$lo,$hi]""" }
+  /** `,"stats":{"f|col":[lo,hi],…}` — empty string when no stats. The
+    * nested file→column→interval map is FLATTENED to `file|col` keys so
+    * the object stays brace-free inside and the regex replay stays
+    * exact (file and column names are validated at commit time to
+    * contain no `"`, `,`, or `|`). Placed LAST in the entry so the
+    * adds/removes array regexes (which stop at the first `]`) never see
+    * the stats brackets. */
+  private def statsJson(stats: Map[String, Map[String, (Long, Long)]]): String = {
+    val flat = for ((f, cols) <- stats.toSeq; (c, (lo, hi)) <- cols.toSeq)
+      yield (s"$f|$c", lo, hi)
+    if (flat.isEmpty) ""
+    else flat.sortBy(_._1)
+      .map { case (k, lo, hi) => s""""$k":[$lo,$hi]""" }
       .mkString(""","stats":{""", ",", "}")
+  }
 
   /** Parse the `stats` object of a log/checkpoint file (empty when the
-    * field is absent — pre-stats entries stay readable). */
-  private def readStats(table: String, fileName: String): Map[String, (Long, Long)] = {
+    * field is absent — pre-stats entries stay readable). A key without
+    * the `|` column separator (the pre-multi-column format) is DROPPED:
+    * an interval whose column is unknown cannot be safely matched to
+    * any scan, and a stat-less file is always read — safe degradation
+    * in the only direction the contract allows. */
+  private def readStats(table: String,
+      fileName: String): Map[String, Map[String, (Long, Long)]] = {
     val p = logDir(table).resolve(fileName)
     if (!Files.exists(p)) return Map.empty
     val txt = new String(Files.readAllBytes(p), "UTF-8")
@@ -186,7 +204,14 @@ object TxLog {
       case None => Map.empty
       case Some(m) =>
         """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
-          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
+          .flatMap { g =>
+            val k = g.group(1)
+            val cut = k.lastIndexOf('|')
+            if (cut < 0) None // legacy single-interval key: column unknown
+            else Some((k.substring(0, cut), k.substring(cut + 1),
+              (g.group(2).toLong, g.group(3).toLong)))
+          }.toSeq.groupBy(_._1)
+          .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
     }
   }
 
@@ -236,10 +261,14 @@ object TxLog {
     * write time, instead of corrupting every later read. */
   def commit(table: String, adds: Seq[String], removes: Seq[String],
       expectedCurrent: Long, primitive: CommitPrimitive = LocalFs,
-      stats: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Option[Long] = {
     (adds ++ removes).foreach { n =>
-      require(!n.contains('"') && !n.contains(','),
-        s"file name must not contain '\"' or ',': $n")
+      require(!n.contains('"') && !n.contains(',') && !n.contains('|'),
+        s"file name must not contain '\"', ',' or '|': $n")
+    }
+    stats.valuesIterator.flatMap(_.keysIterator).foreach { c =>
+      require(!c.contains('"') && !c.contains(',') && !c.contains('|'),
+        s"stats column name must not contain '\"', ',' or '|': $c")
     }
     require(stats.keySet.subsetOf(adds.toSet),
       s"stats may only cover this commit's adds: ${stats.keySet -- adds.toSet}")
@@ -318,13 +347,16 @@ object TxLog {
           p.toString.stripSuffix(".bloom"))))
         .toSeq
     }.foreach(p => Files.deleteIfExists(p))
-    val d = logDir(table)
-    if (Files.exists(d)) Using.resource(Files.list(d)) { st =>
-      st.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .toSeq
-    }.foreach(p => Files.deleteIfExists(p))
+    // stale staged files: commit-entry temps in _txlog, sidecar temps in
+    // the table root (a crash between stage and ATOMIC_MOVE orphans one)
+    (Seq(logDir(table)).filter(Files.exists(_)) :+ root).foreach { dir =>
+      Using.resource(Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toSeq
+      }.foreach(p => Files.deleteIfExists(p))
+    }
     orphans
   }
 }

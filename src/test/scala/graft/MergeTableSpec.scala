@@ -159,7 +159,7 @@ class MergeTableSpec extends AnyFunSuite {
     for (i <- 0 until 3)
       MergeTable.append(spark, table,
         Seq((5L + i * 4, 100L * (i + 1))).toDF("k", "t"),
-        "k", buckets = 4, statsCol = Some("t"))
+        "k", buckets = 4, statsCols = Seq("t"))
     val snap = TxLog.snapshot(table)
     assert(snap.stats.size === 3, "three appended files carry stats")
 
@@ -187,14 +187,14 @@ class MergeTableSpec extends AnyFunSuite {
     val s0 = TxLog.snapshot(t2)
     val baseF = s0.files.head
     assert(TxLog.commit(t2, Seq(baseF), Seq(baseF), s0.version,
-      stats = Map(baseF -> (5L, 5L))).isDefined)
+      stats = Map(baseF -> Map("t" -> (5L, 5L)))).isDefined)
     MergeTable.append(spark, t2, Seq((1L, 10L)).toDF("k", "t"),
-      "k", buckets = 1, statsCol = Some("t"))
+      "k", buckets = 1, statsCols = Seq("t"))
     MergeTable.append(spark, t2, Seq((2L, 30L)).toDF("k", "t"),
-      "k", buckets = 1, statsCol = Some("t"))
+      "k", buckets = 1, statsCols = Seq("t"))
     assert(TxLog.snapshot(t2).stats.size === 3)
     val Some((_, _)) = MergeTable.compact(spark, t2, "k", buckets = 1)
-    assert(TxLog.snapshot(t2).stats.values.toSeq === Seq((5L, 30L)),
+    assert(TxLog.snapshot(t2).stats.values.toSeq === Seq(Map("t" -> (5L, 30L))),
       "folded file must carry the union interval of its constituents")
     assert(MergeTable.read(spark, t2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
@@ -206,12 +206,12 @@ class MergeTableSpec extends AnyFunSuite {
     val t3 = GraftSession.tempDirCleanedOnExit("spec-mergetbl-stats3").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t3))
     assert(TxLog.commit(t3, adds, Seq.empty, -1L,
-      stats = Map("bx.parquet" -> (3L, 9L))) === Some(0L))
-    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> (3L, 9L)))
+      stats = Map("bx.parquet" -> Map("t" -> (3L, 9L)))) === Some(0L))
+    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> Map("t" -> (3L, 9L))))
     // checkpoint carries stats through replay truncation
     assert(TxLog.writeCheckpoint(t3) === Some(0L))
     TxLog.expireEntriesBelowCheckpoint(t3)
-    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> (3L, 9L)),
+    assert(TxLog.snapshot(t3).stats === Map("bx.parquet" -> Map("t" -> (3L, 9L))),
       "stats must survive checkpoint + entry retention")
   }
 
