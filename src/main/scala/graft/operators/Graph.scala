@@ -251,28 +251,33 @@ object Graph extends QueryModule {
   /** vertex state for the typed-Pregel PageRank parity run */
   case class PrV(rank: Double, adj: Seq[Long])
 
-  /** Uninterrupted declarative PageRank, memoized per (dir, iters) — the
-    * thetaCache/ppjoinCache pattern: `_parity` and `_resume` both compare
-    * against the SAME run, which used to execute twice per bench suite
-    * (~10 s at sf0.1, VERDICT r7 item 5). O(V) driver rows, capped; the
-    * rounded ranks make the replayed relation bit-identical to a rerun. */
+  /** Uninterrupted declarative PageRank, memoized per (corpus
+    * fingerprint, iters) — the thetaCache/ppjoinCache pattern:
+    * `_parity` and `_resume` both compare against the SAME run, which
+    * used to execute twice per bench suite (~10 s at sf0.1, VERDICT r7
+    * item 5). Keyed by Tables.fingerprint so a regenerated dataset at
+    * the same path misses instead of replaying stale ranks, and capped:
+    * a graph too big to pin on the driver is returned DISTRIBUTED
+    * (localCheckpointed — consumers join it twice) instead of
+    * round-tripping every row through driver memory for nothing
+    * (ADVICE r8). The rounded ranks make the replayed relation
+    * bit-identical to a rerun. */
   private val prCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
   private val prCacheCap = 200000
 
   private def pagerankShared(s: SparkSession, d: String, iters: Int): DataFrame = {
     import s.implicits._
-    val key = s"$d#$iters"
+    val key = s"${Tables.fingerprint(d, "orders")}#$iters"
     val cached = prCache.get(key)
-    val rows =
-      if (cached != null) cached
-      else {
-        val r = pagerank(s, d, iters).select("v", "rank")
-          .as[(Long, Double)].collect().toSeq
-        if (r.length <= prCacheCap) prCache.put(key, r)
-        r
-      }
-    rows.toDF("v", "rank")
+    if (cached != null) return cached.toDF("v", "rank")
+    val pr = pagerank(s, d, iters).select("v", "rank").localCheckpoint()
+    val head = pr.head(prCacheCap + 1)
+    if (head.length <= prCacheCap) {
+      val rows = head.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      prCache.put(key, rows)
+      rows.toDF("v", "rank")
+    } else pr // too large to pin: stay distributed
   }
 
   /** ENGINE-PARITY check: the same PageRank (fixed supersteps, damping
@@ -491,23 +496,27 @@ object Graph extends QueryModule {
   private def sccTrim(s: SparkSession, d: String): DataFrame =
     sccTrimOn(edges(s, d).select("src", "dst"))
 
-  /** Level-synchronous all-sources BFS with path counting: returns
+  /** Level-synchronous multi-source BFS with path counting: returns
     * (reached, perLevelFrontiers) where `reached` holds one row
     * (s, v, d, sigma) per source-reachable pair — d the shortest
     * distance, sigma the NUMBER of shortest s→v paths. State is
-    * O(sources × V); the declared 100 TB shape samples the source set
-    * (the standard Brandes estimator) — here sources = all vertices so
-    * the oracle can be exact. One join + one partial-combined aggregate
-    * per level; levels = graph diameter. */
-  private def bfsSigma(e0: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    * O(|sources| × V): with `sources = None` every vertex is a source
+    * (exact, oracle-checkable, O(V²) state — fine at gate scale, the
+    * classic quadratic blow-up at 100×); passing a SAMPLED source
+    * relation is the declared 100 TB shape (the standard Brandes
+    * estimator — `q_graph_betweenness_sampled` ships it, and
+    * CentralityScale measures the bound). One join + one
+    * partial-combined aggregate per level; levels = graph diameter. */
+  private[graft] def bfsSigma(e0: DataFrame,
+      sources: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val s = e0.sparkSession
     def pin(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       s.createDataFrame(ck.rdd, ck.schema)
     }
     val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
-    val ns = pin(nodes(e))
-    var reached = pin(ns.select(col("v").as("s"), col("v"),
+    val srcs = sources.map(df => pin(df.select("v"))).getOrElse(pin(nodes(e)))
+    var reached = pin(srcs.select(col("v").as("s"), col("v"),
       lit(0).as("d"), lit(1L).as("sigma")))
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](reached)
     var frontier = reached
@@ -537,19 +546,24 @@ object Graph extends QueryModule {
     * bc(v) = Σ_{s≠v} δ_s(v). Each backward level is one edge join + one
     * aggregate over the level's pairs — no per-source sequential state,
     * which is what makes the textbook stack-based Brandes distributable.
-    * Exact here (all sources); at corpus scale the source set samples
-    * and bc rescales by V/|S| — the standard estimator, same dataflow. */
-  private[graft] def betweennessOn(e0: DataFrame): DataFrame = {
+    * With `sources = None` this is EXACT (all sources, O(V²) forward
+    * state); with a sampled source relation it is the standard Brandes
+    * ESTIMATOR — bc rescaled by `scale` = V/|S|, SAME dataflow, forward
+    * state bounded by |S|·V — the declared 100 TB shape
+    * (`q_graph_betweenness_sampled`; CentralityScale measures both). */
+  private[graft] def betweennessOn(e0: DataFrame,
+      sources: Option[DataFrame] = None, scale: Double = 1.0,
+      outCol: String = "bc"): DataFrame = {
     val s = e0.sparkSession
     def pin(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       s.createDataFrame(ck.rdd, ck.schema)
     }
     val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
-    val (reached, levels) = bfsSigma(e)
+    val (reached, levels) = bfsSigma(e, sources)
     val ns = nodes(e)
     val maxLvl = levels.length - 1
-    if (maxLvl == 0) return ns.select(col("v"), lit(0.0).as("bc")).orderBy("v")
+    if (maxLvl == 0) return ns.select(col("v"), lit(0.0).as(outCol)).orderBy("v")
     var curDelta = pin(levels(maxLvl).select(col("s"), col("v"), lit(0.0).as("delta")))
     var acc = curDelta
     for (l <- maxLvl to 1 by -1) {
@@ -570,7 +584,8 @@ object Graph extends QueryModule {
     // NOT part of bc — Brandes sums δ_s(v) only over v ≠ s
     ns.join(acc.filter(col("s") =!= col("v"))
         .groupBy("v").agg(sum("delta").as("bc0")), Seq("v"), "left")
-      .select(col("v"), round(coalesce(col("bc0"), lit(0.0)), 4).as("bc"))
+      .select(col("v"),
+        round(coalesce(col("bc0"), lit(0.0)) * scale, 4).as(outCol))
       .orderBy("v")
   }
 
@@ -1079,6 +1094,41 @@ object Graph extends QueryModule {
                  WHERE a.d > 0
                  GROUP BY a.v)
                SELECT n.v, ROUND(COALESCE(bcs.bc, 0), 4) AS bc
+               FROM bnodes n LEFT JOIN bcs ON bcs.v = n.v ORDER BY n.v""")),
+
+    // SAMPLED-SOURCE BETWEENNESS — the declared 100 TB shape of the
+    // exact row above (VERDICT r8 item 1): the Brandes ESTIMATOR over a
+    // deterministic md5-hash-drawn source set S (~1/4 of vertices, the
+    // q_text_sample draw pattern), bc rescaled by V/|S| — forward BFS
+    // state is bounded by |S|·V instead of V² (CentralityScale measures
+    // the bound at 10⁵ vertices), and |S| is the accuracy/cost knob.
+    // SAME dataflow as the exact row — only the source relation and the
+    // rescale differ. Oracle: the identical pairwise-identity SQL
+    // restricted to s ∈ S, rescaled by the same data-derived factor.
+    Q("q_graph_betweenness_sampled",
+      (s, d) => {
+        val ed = edges(s, d).select("src", "dst")
+          .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+        val vs = nodes(ed).localCheckpoint()
+        val samp = vs.filter(
+          substring(md5(col("v").cast("string")), 1, 1).isin("0", "1", "2", "3"))
+        val nV = vs.count().toDouble
+        val nS = samp.count().toDouble
+        betweennessOn(ed, Some(samp), nV / nS, "bc_est")
+      },
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)},
+               samp AS (SELECT v FROM bnodes
+                 WHERE substr(md5(CAST(v AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+               sc AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM bnodes) /
+                 (SELECT COUNT(*) FROM samp) AS f),
+               bcs AS (SELECT a.v, SUM(CAST(a.sigma AS DOUBLE) * b.sigma / c.sigma) AS bc
+                 FROM r a
+                 JOIN samp ON samp.v = a.s
+                 JOIN r b ON b.s = a.v AND b.d > 0
+                 JOIN r c ON c.s = a.s AND c.v = b.v AND c.d = a.d + b.d
+                 WHERE a.d > 0
+                 GROUP BY a.v)
+               SELECT n.v, ROUND(COALESCE(bcs.bc, 0) * (SELECT f FROM sc), 4) AS bc_est
                FROM bnodes n LEFT JOIN bcs ON bcs.v = n.v ORDER BY n.v""")),
 
     // ECCENTRICITY per vertex (max shortest-path distance to any
