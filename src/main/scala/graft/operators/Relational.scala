@@ -361,6 +361,142 @@ object Relational extends QueryModule {
               GROUP BY 1, 2, 3, 4
               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q4 shape (order priority checking) — the first of three
+    // rows exercising Catalyst's SUBQUERY REWRITE machinery (VERDICT r8
+    // item 2): a correlated EXISTS whose inner predicate references the
+    // OUTER row's o_orderdate (not just the key), which
+    // RewritePredicateSubquery turns into a left-semi hash join with
+    // the non-equi lateness condition as a join predicate. The testdata
+    // carries no l_commitdate/l_receiptdate, so "late" is shipment >60
+    // days after the order date — same shape, same rewrite. The plan is
+    // AUDITED in the gate: a LeftSemi join present, no cross join.
+    Q("q_rel_tpch_q4",
+      (s, d) => {
+        Seq("orders", "lineitem").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1997-04-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LeftSemi"),
+          "the correlated EXISTS must rewrite to a left-semi join")
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q4 plan")
+        df
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-04-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the 4-way
+    // join with BOTH polarities of the correlated quantifier over the
+    // SAME fact table — EXISTS (another supplier shipped on this order)
+    // AND NOT EXISTS (another supplier was ALSO late on it), each
+    // correlated on the order key plus a non-equality supplier cut, the
+    // NOT EXISTS additionally referencing the outer o_orderdate. The
+    // optimizer must stack a left-semi AND a left-anti join on the same
+    // lineitem scan — audited in the gate. Late = shipped >45 days
+    // after the order date (no receipt/commit dates in the testdata).
+    Q("q_rel_tpch_q21",
+      (s, d) => {
+        Seq("orders", "lineitem", "supplier", "nation").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             FROM supplier, lineitem l1, orders, nation
+             WHERE s_suppkey = l1.l_suppkey
+               AND o_orderkey = l1.l_orderkey
+               AND o_orderstatus = 'F'
+               AND l1.l_shipdate > o_orderdate + INTERVAL '45' DAY
+               AND EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL '45' DAY)
+               AND s_nationkey = n_nationkey
+               AND n_name IN ('NATION_3', 'NATION_5', 'NATION_7')
+             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+          "Q21 must rewrite EXISTS to semi and NOT EXISTS to anti join")
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q21 plan")
+        df
+      },
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+              FROM supplier, lineitem l1, orders, nation
+              WHERE s_suppkey = l1.l_suppkey
+                AND o_orderkey = l1.l_orderkey
+                AND o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+                AND s_nationkey = n_nationkey
+                AND n_name IN ('NATION_3', 'NATION_5', 'NATION_7')
+              GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""")),
+
+    // TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    // SCALAR subquery (the global average balance) in the WHERE plus a
+    // correlated NOT EXISTS against orders — the remaining subquery
+    // form beside Q4/Q21's quantifiers. The testdata has no c_phone, so
+    // country codes derive from c_nationkey; "no orders" tightens to
+    // "no urgent order since 1997" (every synthetic customer has SOME
+    // order). Audited: anti join present, no cartesian.
+    Q("q_rel_tpch_q22",
+      (s, d) => {
+        Seq("orders", "customer").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+                    ROUND(SUM(c_acctbal), 2) AS totacctbal
+             FROM (SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
+                          c_acctbal, c_custkey FROM customer
+                   WHERE c_nationkey % 7 IN (0, 2, 3, 5)) c
+             WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                                WHERE c_acctbal > 0.0)
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderpriority = '1-URGENT'
+                                 AND o_orderdate >= TIMESTAMP '1997-01-01')
+             GROUP BY cntrycode ORDER BY cntrycode""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LeftAnti"),
+          "Q22's NOT EXISTS must rewrite to a left-anti join")
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q22 plan")
+        df
+      },
+      Some("""SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+                     ROUND(SUM(c_acctbal), 2) AS totacctbal
+              FROM (SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
+                           c_acctbal, c_custkey FROM customer
+                    WHERE c_nationkey % 7 IN (0, 2, 3, 5)) c
+              WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0.0)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT'
+                                  AND o_orderdate >= TIMESTAMP '1997-01-01')
+              GROUP BY cntrycode ORDER BY cntrycode""")),
+
     // PURE-SQL end-to-end: the engine driven entirely through
     // `spark.sql` over registered views — the surface a SQL-first user
     // works in (GraftExtensions' native kernels are registered into the
