@@ -1265,33 +1265,10 @@ object Graph extends QueryModule {
     // state is one label per vertex, no driver materialization.
     Q("q_graph_lpa",
       (s, d) => {
-        val eu = undirected(edges(s, d)).cache()
-        val vs = nodes(eu).cache()
-        val init = vs.select(col("v"), col("v").as("lbl"))
-        // checkpoint EVERY round: lbl is referenced twice per round (the
-        // argmax input and the keep-own-label fallback), so an
-        // un-truncated lineage recomputes all prior rounds 2^t-fold
-        // (measured: 23 s → ~3 s at sf0.1)
-        val out = Iterate(init, LpaRounds, checkpointEvery = 1) { (lbl, _) =>
-          val msg = eu
-            .join(lbl.withColumnRenamed("v", "dst").withColumnRenamed("lbl", "nlbl"),
-              Seq("dst"))
-            .groupBy(col("src").as("v"), col("nlbl"))
-            .agg(count(lit(1)).as("c"))
-          // argmax by (count DESC, label ASC) as ONE hash aggregate —
-          // not a per-vertex max window: a celebrity vertex's label
-          // group is O(degree) and a window partition is single-task,
-          // while max_by partial-combines map-side (the nearestCell
-          // pattern); also one aggregate instead of window+filter+agg
-          val best = msg
-            .groupBy("v")
-            .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("newl"))
-          vs.join(best, Seq("v"), "left").join(lbl, Seq("v"))
-            .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"))
-        }
-        out.orderBy("v")
+        val (out, iters) = lpaFixpoint(undirected(edges(s, d)))
+        out.withColumn("rounds", lit(iters.toLong)).orderBy("v")
       },
-      Some(lpaSql(LpaRounds))),
+      Some(lpaSql(lpaOracleUnroll))),
 
     // Triangle counting. Each undirected edge is oriented from its
     // lower-degree endpoint to the higher (ties by id), so the wedge join
@@ -1411,29 +1388,33 @@ object Graph extends QueryModule {
                WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = sc.u AND adj.v = sc.v)
                ORDER BY score DESC, u, v LIMIT 20""")),
 
-    // K-truss decomposition (k = 4): iteratively delete edges supported by
-    // fewer than k-2 = 2 triangles until (approximately) stable — the
-    // cohesive-subgraph operator one level up from triangle counting.
-    // Each round is one triangle enumeration + a per-edge support count +
-    // a semi-join filter, all shuffle-parallel on the oriented edge list;
-    // `trussRounds` fixed rounds unroll into the exact SQL oracle (the
-    // LPA/k-core determinism pattern; TrussSpec pins that the testdata
-    // graph reaches its fixpoint within the budget). Output is the
-    // surviving edge list with its final-graph support — integers only,
-    // no FP anywhere.
+    // K-truss decomposition (k = 4): iteratively delete edges supported
+    // by fewer than k-2 = 2 triangles until STABLE — the cohesive-
+    // subgraph operator one level up from triangle counting. Each round
+    // is one triangle enumeration + a per-edge support count + a
+    // semi-join filter, all shuffle-parallel on the oriented edge list.
+    // The round count is DISCOVERED (VERDICT r8 item 3): the peel halts
+    // when a round deletes nothing (edge deletion is monotone, so a
+    // count delta IS set equality) and fails loudly on guard exhaustion
+    // instead of silently returning a pre-fixpoint state at a scale the
+    // old unrolled budget didn't anticipate. The discovered count is
+    // emitted as a CHECKED column: the oracle unrolls past convergence
+    // and derives the same number as the first round whose edge count
+    // repeats — two independent derivations of the halt itself
+    // (TrussSpec proves the halt fires late on a slow-converging chain
+    // fixture). Output: surviving edges with final-graph support —
+    // integers only, no FP anywhere.
     Q("q_graph_ktruss",
       (s, d) => {
         val ori = undirected(edges(s, d)).filter(col("src") < col("dst"))
           .select(col("src").as("a"), col("dst").as("b"))
-        val fin = Iterate(ori, trussRounds, checkpointEvery = 1) { (ed, _) =>
-          ed.join(trussSupport(ed), Seq("a", "b"))
-            .filter(col("supp") >= 2).select("a", "b")
-        }
+        val (fin, iters) = ktrussFixpoint(ori)
         fin.join(trussSupport(fin), Seq("a", "b"), "left")
-          .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("supp"))
+          .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("supp"),
+            lit(iters.toLong).as("rounds"))
           .orderBy("a", "b")
       },
-      Some(ktrussSql(trussRounds)))
+      Some(ktrussSql(trussOracleUnroll)))
   ,
 
     // Maximal independent set via DETERMINISTIC Luby rounds: priorities
@@ -1519,7 +1500,7 @@ object Graph extends QueryModule {
               (col("dc") * 1.0 / lit(tot)) * (col("dc") * 1.0 / lit(tot)), 6).as("contrib"))
           .orderBy("lbl")
       },
-      Some(modularitySql(LpaRounds)))
+      Some(modularitySql(lpaOracleUnroll)))
   ,
 
     // WEIGHTED PageRank: contributions split by edge weight w/W(u)
@@ -1587,18 +1568,95 @@ object Graph extends QueryModule {
       Some(hitsSql(hitsIters)))
   )
 
-  // a def, not a val: referenced from defs's initializer above
-  private def LpaRounds: Int = 4
+  // The LPA oracle's unroll budget (a def: referenced from defs's
+  // initializer above) — must exceed the Spark loop's discovered round
+  // count at oracle scale so the chain's first stable round derives the
+  // same number (the fixpoint is absorbing: extra rounds are no-ops).
+  // Too small fails loudly as a rounds-column mismatch.
+  private def lpaOracleUnroll: Int = 8
 
-  // defs (not vals): referenced from defs's initializer above.
-  // 6 rounds reaches the fixpoint on every testdata scale (sf0.001 needs
-  // 6, the denser graphs converge in 1; extra rounds are no-ops) —
-  // TrussSpec's fixpoint check guards the budget.
-  private def trussRounds: Int = 6
+  // The ORACLE's unroll budget (a def: referenced from defs's
+  // initializer above). The Spark side discovers its round count
+  // (ktrussFixpoint); the oracle must unroll PAST the discovered count
+  // so its first repeated edge count derives the same number — 8
+  // comfortably exceeds every testdata scale's convergence (sf0.001
+  // peels 6 rounds + 1 confirming; denser graphs confirm at round 1).
+  // Unrolling too little fails loudly as a rounds-column mismatch.
+  private def trussOracleUnroll: Int = 8
 
   /** per-edge triangle support within the CURRENT oriented (a<b) edge
     * set: enumerate triangles (a<b<c triple join), explode each onto its
     * three edges, count per edge. */
+  /** Synchronous label propagation to the DISCOVERED fixpoint
+    * (VERDICT r8 item 3): labels start as vertex ids; each round every
+    * vertex adopts the most frequent label among its undirected
+    * neighbors (ties → smallest label, isolated vertices keep theirs)
+    * — deterministic by construction. The loop halts when NO label
+    * changed (counted by a full next-vs-prev join — labels are not
+    * monotone, so a count delta would not do) and fails LOUDLY on
+    * guard exhaustion: synchronous LPA can 2-cycle on bipartite-ish
+    * structures, and returning a mid-oscillation state as if converged
+    * would be a silent wrong answer. Each round: one join + count +
+    * max_by argmax hash aggregate (partial-combined map-side — a
+    * celebrity vertex's label group never serializes through one
+    * window task), one label per vertex of state, next checkpointed
+    * and the predecessor released (the ssspFixpoint hygiene). Returns
+    * (labels, rounds) with `rounds` counting the confirming round —
+    * the number the oracle re-derives from its unrolled chain. */
+  private[graft] def lpaFixpoint(eu0: DataFrame,
+      maxIter: Int = 32): (DataFrame, Int) = {
+    val eu = eu0.localCheckpoint()
+    val vs = nodes(eu).localCheckpoint()
+    val init = vs.select(col("v"), col("v").as("lbl"))
+    val (out, iters) = Iterate.untilFixpoint(init, maxIter = maxIter,
+      checkpointEvery = 0) { (lbl, _) =>
+      val msg = eu
+        .join(lbl.withColumnRenamed("v", "dst").withColumnRenamed("lbl", "nlbl"),
+          Seq("dst"))
+        .groupBy(col("src").as("v"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = msg
+        .groupBy("v")
+        .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("newl"))
+      val next = vs.join(best, Seq("v"), "left").join(lbl, Seq("v"))
+        .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(lbl.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      Iterate.release(lbl)
+      (next, changed)
+    }
+    require(iters < maxIter,
+      s"lpaFixpoint: guard exhausted after $iters rounds — oscillation or " +
+        "slow convergence; raise maxIter or break the cycle asynchronously")
+    (out, iters)
+  }
+
+  /** K-truss peel to the DISCOVERED fixpoint: delete edges with < 2
+    * supporting triangles until a round deletes nothing (deletion is
+    * monotone, so the count delta is exact set equality — no row
+    * comparison needed). Returns (surviving edges, rounds), where
+    * `rounds` counts through the confirming no-change round — the same
+    * number the oracle derives from its unrolled edge counts. Fails
+    * loudly on guard exhaustion: convergence is a theorem (≤ |E|
+    * deleting rounds) but a budget bug must never return a pre-fixpoint
+    * state as if converged. */
+  private[graft] def ktrussFixpoint(ori: DataFrame,
+      maxIter: Int = 64): (DataFrame, Int) = {
+    val (fin, iters) = Iterate.untilFixpoint(ori, maxIter = maxIter,
+      checkpointEvery = 0) { (ed, _) =>
+      val next = ed.join(trussSupport(ed), Seq("a", "b"))
+        .filter(col("supp") >= 2).select("a", "b").localCheckpoint()
+      val changed = ed.count() - next.count()
+      Iterate.release(ed)
+      (next, changed)
+    }
+    require(iters < maxIter,
+      s"ktrussFixpoint: guard exhausted after $iters rounds without convergence")
+    (fin, iters)
+  }
+
   private def trussSupport(ed: DataFrame): DataFrame = {
     val tri = ed.as("e1").join(ed.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
@@ -1643,8 +1701,13 @@ object Graph extends QueryModule {
        ORDER BY a.v"""
   }
 
-  /** unrolled k-truss rounds: tri_r/sup_r/t_{r+1} CTE chain, then the
-    * final edge list with its final-graph support. */
+  /** unrolled k-truss rounds: tri_r/sup_r/t_{r+1} CTE chain past
+    * convergence, then the final edge list with its final-graph support
+    * PLUS the independently-derived `rounds` — the first round whose
+    * edge count repeats its predecessor's (deletion is monotone, so the
+    * count delta is set equality — the exact halt the Spark peel
+    * discovers). NULL (→ loud mismatch) if the unroll budget never
+    * converged. */
   private def ktrussSql(rounds: Int): String = {
     val steps = (0 until rounds).map { r =>
       s"""tri$r AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
@@ -1656,17 +1719,23 @@ object Graph extends QueryModule {
          t${r + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t$r t
            JOIN sup$r s ON s.a = t.a AND s.b = t.b WHERE s.supp >= 2)"""
     }.mkString(",\n")
+    val cnts = (0 to rounds).map(r => s"SELECT $r AS t, COUNT(*) AS c FROM t$r")
+      .mkString(" UNION ALL ")
     s"""WITH $edgesSql,
        $undirectedSql,
        t0 AS (SELECT src AS a, dst AS b FROM eu WHERE src < dst),
        $steps,
+       cnt AS MATERIALIZED ($cnts),
+       rnds AS (SELECT MIN(a.t) AS rounds FROM cnt a
+         JOIN cnt b ON b.t = a.t - 1 AND b.c = a.c),
        trif AS (SELECT e1.a, e1.b, e2.b AS c
          FROM t$rounds e1 JOIN t$rounds e2 ON e2.a = e1.b
          JOIN t$rounds e3 ON e3.a = e1.a AND e3.b = e2.b),
        supf AS (SELECT a, b, COUNT(*) AS supp FROM (
          SELECT a, b FROM trif UNION ALL SELECT a, c AS b FROM trif
          UNION ALL SELECT b AS a, c AS b FROM trif) x GROUP BY a, b)
-       SELECT t.a, t.b, CAST(COALESCE(s.supp, 0) AS BIGINT) AS supp
+       SELECT t.a, t.b, CAST(COALESCE(s.supp, 0) AS BIGINT) AS supp,
+         CAST((SELECT rounds FROM rnds) AS BIGINT) AS rounds
        FROM t$rounds t LEFT JOIN supf s ON s.a = t.a AND s.b = t.b
        ORDER BY t.a, t.b"""
   }
@@ -1693,9 +1762,26 @@ object Graph extends QueryModule {
        $steps"""
   }
 
+  /** diff-count + first-stable-round CTEs over an [[lpaChainSql]] chain:
+    * d_t counts vertices whose label changed between rounds t-1 and t
+    * (full row comparison — labels are not monotone), `rnds` is the
+    * first t with d_t = 0 — the same confirming-round number the Spark
+    * loop discovers. NULL (→ loud mismatch) if the unroll never
+    * converged. */
+  private def lpaRoundsCtes(rounds: Int): String = {
+    val diffs = (1 to rounds).map { t =>
+      s"""SELECT $t AS t, (SELECT COUNT(*) FROM l$t a
+           JOIN l${t - 1} b ON b.v = a.v AND b.lbl <> a.lbl) AS c"""
+    }.mkString(" UNION ALL ")
+    s"""dif AS MATERIALIZED ($diffs),
+       rnds AS (SELECT MIN(t) AS rounds FROM dif WHERE c = 0)"""
+  }
+
   private def lpaSql(rounds: Int): String =
-    s"""${lpaChainSql(rounds)}
-       SELECT v, lbl FROM l$rounds ORDER BY v"""
+    s"""${lpaChainSql(rounds)},
+       ${lpaRoundsCtes(rounds)}
+       SELECT v, lbl, CAST((SELECT rounds FROM rnds) AS BIGINT) AS rounds
+       FROM l$rounds ORDER BY v"""
 
   /** per-community modularity contributions over the LPA labels:
     * contrib_c = intra_c/|eu| − (deg_c/|eu|)², where |eu| = 2m counts
