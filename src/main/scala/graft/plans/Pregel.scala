@@ -113,7 +113,15 @@ object Pregel {
       activeVertices: Long,
       added: Long,
       removed: Long,
-      seconds: Double)
+      seconds: Double,
+      /** messages DELIVERED this superstep, i.e. after the per-
+        * destination combiner ran (map-side reduce): under a combiner
+        * this is the distinct-destination count, so sent − delivered is
+        * exactly the shuffle volume the combiner removed — the
+        * reference's Combiner contract made measurable
+        * (`graph/.../GraphJobRunner.java:733-760`). Equal to the
+        * PREVIOUS superstep's sends when no combiner is set. */
+      messagesDelivered: Long = 0L)
 
   type SuperstepHook = SuperstepStats => Unit
   val noHook: SuperstepHook = _ => ()
@@ -259,6 +267,7 @@ object Pregel {
       // A hypothetical block-loss recompute could only inflate the counts,
       // which can delay the msgs==0 && active==0 halt but never fake it.
       val accMsgs = sc.longAccumulator("pregel.messagesSent")
+      val accDelivered = sc.longAccumulator("pregel.messagesDelivered")
       val accActive = sc.longAccumulator("pregel.active")
       val accAdded = sc.longAccumulator("pregel.added")
       val accRemoved = sc.longAccumulator("pregel.removed")
@@ -269,6 +278,7 @@ object Pregel {
         materialize(verts.leftOuterJoin(inbox, part).mapPartitions(iter =>
           iter.map { case (id, ((value, halted), in)) =>
             val delivered: Seq[M] = in.getOrElse(Nil)
+            accDelivered.add(delivered.size.toLong)
             val out = if (delivered.nonEmpty || !halted || step == 0) {
               val r = fn(id, value, delivered, step, aggIn)
               // unconsumed inbox → self-addressed redelivery next superstep
@@ -322,7 +332,8 @@ object Pregel {
       }
       done = (stats._1 == 0 && stats._2 == 0 && stats._3 == 0) || aggHalt
       onSuperstep(SuperstepStats(superstep, stats._1, stats._2, stats._3, stats._4,
-        (System.nanoTime() - tStep) / 1e9))
+        (System.nanoTime() - tStep) / 1e9,
+        messagesDelivered = accDelivered.value.toLong))
       superstep += 1
 
       checkpointing.foreach { cp =>
