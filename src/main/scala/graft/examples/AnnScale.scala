@@ -57,14 +57,17 @@ object AnnScale {
     // c < 77 (the single-lattice form collides at c ≡ c' mod 11), norm
     // ~26, far above the noise's ~5.4; noise is xxhash64-derived per
     // (salt, id, pos), continuous enough that exact top-k has no tie
-    // plateaus
+    // plateaus. Noise quantum 1/500000: real embeddings have full-
+    // entropy mantissas, and a coarse lattice would let the columnar
+    // codec compress float64 to float32 size, hiding the storage ratio
+    // the float32 segment below exists to measure.
     def centerExpr(cCol: String): String =
       s"CAST((p*7 + ($cCol)*13) % 11 - 5 AS DOUBLE) + " +
         s"CAST(((($cCol)*31 + p*3) % 7 - 3) * 1.5 AS DOUBLE)"
     def vecExpr(idCol: String, salt: Long): String =
       s"transform(sequence(0, ${DIM - 1}), p -> " +
         s"${centerExpr(s"$idCol % $CELLS")} + " +
-        s"CAST(pmod(xxhash64($salt, $idCol, p), 1000) AS DOUBLE) / 500.0 - 1.0)"
+        s"CAST(pmod(xxhash64($salt, $idCol, p), 1000000) AS DOUBLE) / 500000.0 - 1.0)"
 
     val dir = GraftSession.tempDirCleanedOnExit("ann-scale").toString
     val rawDir = s"$dir/raw"; val idxDir = s"$dir/idx"; val cbDir = s"$dir/cb"
@@ -238,6 +241,66 @@ object AnnScale {
       "speedup_vs_brute" -> (tBrute / tSearch),
       "recall_at_10_adc" -> (adcHits.toDouble / (nq * TOPK)),
       "recall_at_10_reranked" -> (hits.toDouble / (nq * TOPK)))
+
+    // ---- FLOAT32 serving artifacts (VERDICT r8 item 4): the reference
+    // carries a full float family (commons/.../math/DenseFloatVector
+    // .java:34, FloatVectorWritable.java) — at serving scale float64
+    // vectors double the rerank read and the codebook broadcast for
+    // precision ANN never uses. Persist the rerank store AND the
+    // codebook as array<float>, run the SAME two-stage search reading
+    // only float32 artifacts (VecDot reads float elements natively —
+    // no up-cast copy, the VecDotCastElision seam), and require
+    // recall@10 unchanged. The gate rows stay float64 because their
+    // oracles recompute integer-unit LUTs from doubles; this segment
+    // is the declared 100 TB deployment shape. ---------------------------
+    t0 = System.nanoTime()
+    val raw32Dir = s"$dir/raw32"; val cb32Dir = s"$dir/cb32"
+    emb.select(col("vec_id"), col("v").cast("array<float>").as("v"))
+      .write.mode("overwrite").parquet(raw32Dir)
+    cbLoaded.select(col("k"), col("m"), col("cbv").cast("array<float>").as("cbv"))
+      .write.mode("overwrite").parquet(cb32Dir)
+    val raw32Bytes = duBytes(raw32Dir)
+    val emb32 = spark.read.parquet(raw32Dir)
+    val cb32 = spark.read.parquet(cb32Dir)
+    // float32 LUT: double queries against the float32 codebook — VecDot
+    // takes mixed element types without a cast node
+    val lut32 = queries.select(col("q_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> " +
+          s"struct(m AS m, slice(qv, m * $SUB + 1, $SUB) AS qs))")).as("s"))
+      .select(col("q_id").as("lq"), col("s.m").as("lm"), col("s.qs").as("qs"))
+      .join(broadcast(cb32), col("lm") === col("m"))
+      .select(col("lq"), col("lm"), col("k"), vecDot(col("qs"), col("cbv")).as("lv"))
+      .groupBy("lq", "lm")
+      .agg(expr("transform(array_sort(collect_list(struct(k, lv))), x -> x.lv)").as("krow"))
+      .groupBy("lq")
+      .agg(expr("transform(array_sort(collect_list(struct(lm, krow))), x -> x.krow)").as("lut"))
+      .localCheckpoint()
+    val short32 = idx
+      .join(broadcast(lut32), col("lq") === col("q_id"))
+      .withColumn("adc", col("qcdot") + expr(
+        s"aggregate(sequence(0, ${M - 1}), 0D, (acc, m) -> acc + lut[m][codes[m]])"))
+      .select("q_id", "vec_id", "adc")
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= SHORTLIST)
+      .select("q_id", "vec_id").localCheckpoint()
+    val rerank32 = short32.join(emb32, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("xdot", vecDot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("xdot"), asc("vec_id"))))
+      .filter(col("rn") <= TOPK)
+      .select("q_id", "vec_id").localCheckpoint()
+    val tSearch32 = (System.nanoTime() - t0) / 1e9
+    val hits32 = brute.join(rerank32, Seq("q_id", "vec_id")).count()
+    val recall64 = hits.toDouble / (nq * TOPK)
+    val recall32 = hits32.toDouble / (nq * TOPK)
+    emit("float32", "rerank_bytes_f64" -> rawBytes,
+      "rerank_bytes_f32" -> raw32Bytes,
+      "bytes_ratio" -> (rawBytes.toDouble / raw32Bytes),
+      "search_secs" -> tSearch32,
+      "recall_at_10_f64" -> recall64, "recall_at_10_f32" -> recall32)
+    require(recall32 >= recall64 - 0.005,
+      s"float32 serving path lost recall: $recall32 vs $recall64")
     spark.stop()
   }
 
