@@ -202,14 +202,21 @@ object MergeTable {
     val bucketStats: Map[Int, Map[String, (Long, Long)]] =
       if (statsCols.isEmpty) Map.empty
       else {
+        // try_cast, not cast: under ANSI a malformed value must mean
+        // "no interval for this column" (always read), never a failed
+        // ingest batch
         val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"lo_$c"),
-          max(col(c).cast("long")).as(s"hi_$c")))
+          min(expr(s"try_cast(`$c` AS BIGINT)")).as(s"lo_$c"),
+          max(expr(s"try_cast(`$c` AS BIGINT)")).as(s"hi_$c")))
         rows.groupBy(pmod(col(keyCol), lit(buckets)).cast("int").as("__b"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          r.getInt(0) -> statsCols.zipWithIndex.map { case (c, i) =>
-            c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+          // a column whose long-cast produced only nulls (non-numeric
+          // strings, all-null batch) records NO interval — the file is
+          // then always read for that column, never wrongly pruned
+          r.getInt(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
           }.toMap
         }.toMap
       }
@@ -373,7 +380,9 @@ object MergeTable {
       else // every file pruned: empty relation with the table's schema
         Streams.readMergeTable(spark, table, asOf).limit(0)
     val ranged = ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.filter(col(c).cast("long").between(lo, hi))
+      // try_cast: a malformed value is NULL → excluded by the range
+      // predicate, matching the stats side's no-interval degradation
+      df.filter(expr(s"try_cast(`$c` AS BIGINT)").between(lo, hi))
     }
     point.fold(ranged) { case (c, v) => ranged.filter(col(c) === v) }
   }

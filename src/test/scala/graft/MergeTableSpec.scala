@@ -215,6 +215,22 @@ class MergeTableSpec extends AnyFunSuite {
       "stats must survive checkpoint + entry retention")
   }
 
+  test("stats on a non-numeric column record no interval and never prune") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-nullstats").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    // "tag" casts to long as NULL: the append must record no interval
+    // for it (instead of NPE-ing or writing a garbage one), keep the
+    // numeric column's interval, and a tag-range scan must READ the file
+    MergeTable.append(spark, table,
+      Seq((1L, "abc", 7L), (5L, "def", 9L)).toDF("k", "tag", "t"),
+      "k", buckets = 2, statsCols = Seq("tag", "t"))
+    val st = TxLog.snapshot(table).stats
+    assert(st.nonEmpty && st.values.forall(m => m.keySet === Set("t")),
+      s"non-castable column must record no interval: $st")
+    val scan = MergeTable.scanRange(spark, table, "t", 8L, 20L)
+    assert(scan.collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("change data feed: inserts, updates, deletes, and an empty feed across compaction") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-cdf").toString
     val base = (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
