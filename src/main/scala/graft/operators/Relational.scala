@@ -497,6 +497,92 @@ object Relational extends QueryModule {
                                   AND o_orderdate >= TIMESTAMP '1997-01-01')
               GROUP BY cntrycode ORDER BY cntrycode""")),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    // SCALAR subquery per group — the remaining Catalyst subquery
+    // rewrite beside Q4/Q21/Q22's quantifiers and uncorrelated scalar:
+    // RewriteCorrelatedScalarSubquery turns the per-partkey average
+    // into an aggregate joined back on the correlation key, so the
+    // fact table is scanned twice but never nested-looped. l_quantity
+    // is integral, so the 0.5*AVG comparison boundary is exact in both
+    // engines (integer sums are exact in double; the division is IEEE-
+    // deterministic). Audited: no cartesian, an aggregate-feeding join.
+    Q("q_rel_tpch_q17",
+      (s, d) => {
+        Seq("lineitem", "part").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+             FROM lineitem JOIN part ON p_partkey = l_partkey
+             WHERE p_brand = 'Brand#4' AND p_type = 'SMALL'
+               AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                                 FROM lineitem WHERE l_partkey = p_partkey)""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q17 plan")
+        df
+      },
+      Some("""SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#4' AND p_type = 'SMALL'
+                AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                                  FROM lineitem WHERE l_partkey = p_partkey)""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): the OUTER-
+    // join aggregate histogram — the join condition carries a non-key
+    // predicate (priority cut) so zero-order customers survive with
+    // count 0, then a second aggregate over the first's output. The
+    // one TPC-H shape where the OUTER side is the small one: customer
+    // broadcasts INTO orders and COUNT(o_orderkey) (not COUNT(*))
+    // counts only matched rows.
+    Q("q_rel_tpch_q13",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) t
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // the OR-of-ANDs predicate spanning BOTH join sides — the filter
+    // cannot push below the join as a whole, but each disjunct's
+    // single-table conjuncts do (Catalyst factors p_brand/p_size terms
+    // onto the part scan); the join itself stays a broadcast hash join
+    // on the key with the residual disjunction as a post-join filter.
+    Q("q_rel_tpch_q19",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        val picked = li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+        picked.agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      },
+      Some("""SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
     // PURE-SQL end-to-end: the engine driven entirely through
     // `spark.sql` over registered views — the surface a SQL-first user
     // works in (GraftExtensions' native kernels are registered into the
