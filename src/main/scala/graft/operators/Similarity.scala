@@ -1282,7 +1282,65 @@ object Similarity extends QueryModule {
                 CAST(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                 ROUND(SUM(CASE WHEN ivf.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
               FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
-              GROUP BY bf.q_id ORDER BY bf.q_id"""))
+              GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
+    // DIMENSION-TRUNCATION retrieval eval (the Matryoshka/MRL
+    // deployment question): recall@5 of cosine search over the first
+    // d' embedding components vs the full-dimension truth, for d' ∈
+    // {8, 16, 32} — the measurement that decides how short a prefix a
+    // coarse first-stage search can run on. At corpus scale the payoff
+    // is the same shape as PQ's: a d'=8 prefix scan reads 1/8 of the
+    // vector bytes (or an 8-dim IVF probes cheaper cells) and the full
+    // vector only reranks a shortlist; this row measures what that
+    // truncation costs in recall, per dim, oracle-checked. Sims round
+    // at 6 with cand_id tie-break (the family's determinism contract).
+    Q("q_sim_truncated_recall",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
+        def top5(dp: Int): DataFrame = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(slice(col("cv"), 1, dp), slice(col("qv"), 1, dp)), 6).as("sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("q_id"), col("cand_id"))
+        val truth = top5(64)
+          .select(col("q_id").as("tq"), col("cand_id").as("tc"))
+          .localCheckpoint()
+        Seq(8, 16, 32).map { dp =>
+          top5(dp)
+            .join(truth, col("q_id") === col("tq") && col("cand_id") === col("tc"),
+              "left")
+            .agg(lit(dp.toLong).as("dim"),
+              sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+              round(sum(when(col("tc").isNotNull, 1L).otherwise(0L)) * 1.0 /
+                count(lit(1)), 6).as("recall"))
+        }.reduce(_ unionAll _).orderBy("dim")
+      },
+      Some(s"""WITH $eSql,
+              qe AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+              ce AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
+              dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+              sims AS (SELECT dim, q_id, cand_id,
+                  ROUND(SUM(qv * cv) /
+                    (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+                FROM qe JOIN ce USING (pos) CROSS JOIN dims
+                WHERE pos < dim GROUP BY dim, q_id, cand_id),
+              top AS (SELECT dim, q_id, cand_id FROM (
+                  SELECT dim, q_id, cand_id, ROW_NUMBER() OVER (
+                    PARTITION BY dim, q_id ORDER BY sim DESC, cand_id) AS rn
+                  FROM sims) t WHERE rn <= 5),
+              truth AS (SELECT q_id, cand_id FROM top WHERE dim = 64)
+              SELECT CAST(t.dim AS BIGINT) AS dim,
+                CAST(SUM(CASE WHEN tr.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                ROUND(SUM(CASE WHEN tr.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                  / COUNT(*), 6) AS recall
+              FROM top t LEFT JOIN truth tr
+                ON tr.q_id = t.q_id AND tr.cand_id = t.cand_id
+              WHERE t.dim < 64 GROUP BY t.dim ORDER BY dim"""))
   )
 
   /** unrolled MMR oracle: candidate pool + pairwise-sim matrix, then 5
