@@ -1284,6 +1284,61 @@ object Similarity extends QueryModule {
               FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
               GROUP BY bf.q_id ORDER BY bf.q_id""")),
 
+    // TWO-STAGE TRUNCATED-PREFIX search (the operator the eval row
+    // below measures the knob of): coarse top-20 by cosine over the
+    // first 16 components — at corpus scale a scan of 1/4 of the
+    // vector bytes, or a 16-dim index — then exact full-dimension
+    // rerank of only that shortlist to the final top-5. Candidates
+    // never meet the full vectors except through the shortlist join,
+    // which is the entire point. Output is the reranked top-5 with
+    // full-precision sims, hash-checked against the oracle running the
+    // same two stages.
+    Q("q_sim_truncated_rerank",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("cand_id"))
+        val coarse = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(slice(col("cv"), 1, 16), slice(col("qv"), 1, 16)), 6).as("sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+          .select(col("q_id").as("sq"), col("cand_id").as("sc"))
+        coarse
+          .join(c, col("sc") === col("cand_id"))
+          .join(broadcast(q), col("sq") === col("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("cv"), col("qv")), 6).as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql,
+              qe AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 5),
+              ce AS (SELECT vec_id AS cand_id, pos, ev AS cv FROM e WHERE vec_id >= 5),
+              coarse AS (SELECT q_id, cand_id,
+                  ROUND(SUM(qv * cv) /
+                    (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+                FROM qe JOIN ce USING (pos) WHERE pos < 16 GROUP BY q_id, cand_id),
+              short AS (SELECT q_id, cand_id FROM (
+                  SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, cand_id) AS rn FROM coarse) t
+                WHERE rn <= 20),
+              fullsim AS (SELECT s.q_id, s.cand_id,
+                  ROUND(SUM(qv * cv) /
+                    (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+                FROM short s JOIN qe ON qe.q_id = s.q_id
+                JOIN ce ON ce.cand_id = s.cand_id AND ce.pos = qe.pos
+                GROUP BY s.q_id, s.cand_id)
+              SELECT q_id, rank, cand_id, sim FROM (
+                SELECT q_id, cand_id, sim, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                FROM fullsim) t
+              WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // DIMENSION-TRUNCATION retrieval eval (the Matryoshka/MRL
     // deployment question): recall@5 of cosine search over the first
     // d' embedding components vs the full-dimension truth, for d' ∈

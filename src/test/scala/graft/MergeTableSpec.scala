@@ -215,6 +215,32 @@ class MergeTableSpec extends AnyFunSuite {
       "stats must survive checkpoint + entry retention")
   }
 
+  test("scanWhere composes two range predicates: prune is the intersection") {
+    val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-tworange").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    // 4 appends on a (day, region) grid: day and region intervals are
+    // independent per file, so each predicate prunes its own dimension
+    var k = 0L
+    for (day <- Seq(1L, 2L); region <- Seq(10L, 20L)) {
+      val rows = (0 until 5).map { i =>
+        k += 1; (k, day, region, i.toDouble) }.toDF("k", "day", "region", "v")
+      MergeTable.append(spark, table, rows, "k", buckets = 1,
+        statsCols = Seq("day", "region"))
+    }
+    val full = MergeTable.read(spark, table).inputFiles.length
+    assert(full === 4)
+    val dayOnly = MergeTable.scanWhere(spark, table, Seq(("day", 2L, 2L)))
+    val regOnly = MergeTable.scanWhere(spark, table, Seq(("region", 10L, 10L)))
+    val both = MergeTable.scanWhere(spark, table,
+      Seq(("day", 2L, 2L), ("region", 10L, 10L)))
+    assert(dayOnly.inputFiles.length === 2 && regOnly.inputFiles.length === 2)
+    assert(both.inputFiles.length === 1,
+      "two predicates must prune to the single intersecting file")
+    assert(both.count() === 5L &&
+      both.select("day", "region").distinct().collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))) === Seq((2L, 10L)))
+  }
+
   test("stats on a non-numeric column record no interval and never prune") {
     val table = GraftSession.tempDirCleanedOnExit("spec-mergetbl-nullstats").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
