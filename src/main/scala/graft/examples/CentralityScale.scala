@@ -60,6 +60,16 @@ object CentralityScale {
     // extrapolation is exactly V/|S| — the quadratic term made visible
     val blowup = bigV.toDouble / sCount
 
+    // the WHOLE estimator end-to-end at 10^5 (forward σ-BFS + backward
+    // per-level dependency joins + V/|S| rescale) — the bound above is
+    // the state claim, this is the operator running at that scale
+    val tBc = System.nanoTime()
+    val bcEst = Graph.betweennessOn(e, Some(srcs),
+      bigV.toDouble / sCount, "bc")
+    val bcRows = bcEst.count()
+    val bcTop = bcEst.agg(org.apache.spark.sql.functions.max("bc")).head.getDouble(0)
+    val bcSec = (System.nanoTime() - tBc) / 1e9
+
     // ---- 2. all-sources runnable only at toy scale --------------------
     val smallV = 2000L
     val eS = randGraph(smallV, 6).localCheckpoint()
@@ -91,6 +101,7 @@ object CentralityScale {
       f""""sources":$sCount,"sampled_state_rows":$totalRows,""" +
       f""""state_bound":$bound,"max_frontier_rows":$maxFrontier,""" +
       f""""sampled_sec":$sampledSec%.1f,"allsources_blowup_x":$blowup%.0f,""" +
+      f""""bc_end_to_end_sec":$bcSec%.1f,"bc_rows":$bcRows,"bc_max":$bcTop%.1f,""" +
       f""""small_v":$smallV,"small_exact_rows":$exactRows,""" +
       f""""small_exact_sec":$exactSec%.1f,"small_sources":$sCountS,""" +
       f""""small_sampled_rows":$sampledRowsS,"small_sampled_sec":$sampledSecS%.1f,""" +
