@@ -197,9 +197,14 @@ object Graph extends QueryModule {
        SELECT v, lbl FROM c$rounds ORDER BY v"""
   }
 
+  /** unrolled h-operator rounds PAST convergence, plus the
+    * independently-derived `rounds` column (first round whose estimate
+    * set repeats — see [[stableRoundCtes]], mirroring the Spark loop's
+    * discovered halt). The k_t CTEs are MATERIALIZED: each is read by
+    * k_{t+1} AND by its diff count. */
   private def kcoreSql(iters: Int): String = {
     val steps = (0 until iters).map { i =>
-      s"""k${i + 1} AS (
+      s"""k${i + 1} AS MATERIALIZED (
          SELECT t.v, LEAST(MAX(own.est), MAX(LEAST(t.nb_est, t.rn))) AS est FROM (
            SELECT eu.src AS v, k$i.est AS nb_est,
                   CAST(ROW_NUMBER() OVER (PARTITION BY eu.src
@@ -210,9 +215,11 @@ object Graph extends QueryModule {
     }.mkString(",\n")
     s"""WITH $edgesSql,
        $undirectedSql,
-       k0 AS (SELECT src AS v, COUNT(*) AS est FROM eu GROUP BY src),
-       $steps
-       SELECT v, est FROM k$iters ORDER BY v"""
+       k0 AS MATERIALIZED (SELECT src AS v, COUNT(*) AS est FROM eu GROUP BY src),
+       $steps,
+       ${stableRoundCtes("k", "est", iters)}
+       SELECT v, est, CAST((SELECT rounds FROM rnds) AS BIGINT) AS rounds
+       FROM k$iters ORDER BY v"""
   }
 
   // ---- Spark implementations --------------------------------------------
@@ -1017,25 +1024,57 @@ object Graph extends QueryModule {
     * the largest k with ≥ k neighbors whose estimate ≥ k, never above its
     * previous value (`ml/src/main/java/org/apache/hama/ml/kcore/
     * KCoreVertex.java:137-226`). */
-  private def kcore(s: SparkSession, d: String, iters: Int = 3): DataFrame =
-    kcoreLoop(edges(s, d), iters)
-
   /** k-core estimate over an arbitrary (src, dst) edge list — see
-    * [[ccLoop]] for why this is graph-parameterized. */
+    * [[ccLoop]] for why this is graph-parameterized; the reference's
+    * own fixture drives it (ReferenceFixturesSpec), while the gate row
+    * runs [[kcoreFixpoint]]. */
   private[graft] def kcoreLoop(e: DataFrame, iters: Int): DataFrame = {
     val eu = undirected(e).cache()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
     val out = Iterate(init, iters, checkpointEvery = 2) { (k, _) =>
-      val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
-      val nb = eu.join(k, eu("dst") === k("v"))
-        .select(eu("src").as("vv"), k("est").as("nb_est"), eu("dst"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .groupBy(col("vv"))
-        .agg(max(least(col("nb_est"), col("rn"))).as("cand"))
-      k.join(nb, k("v") === nb("vv"))
-        .select(k("v"), least(k("est"), col("cand")).as("est"))
+      kcoreStep(eu, k)
     }
     out.orderBy("v")
+  }
+
+  /** one h-operator round: est'(v) = min(est(v), H({est(u) : u ~ v}))
+    * where H is the h-index of the neighbor estimates. */
+  private def kcoreStep(eu: DataFrame, k: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
+    val nb = eu.join(k, eu("dst") === k("v"))
+      .select(eu("src").as("vv"), k("est").as("nb_est"), eu("dst"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("vv"))
+      .agg(max(least(col("nb_est"), col("rn"))).as("cand"))
+    k.join(nb, k("v") === nb("vv"))
+      .select(k("v"), least(k("est"), col("cand")).as("est"))
+  }
+
+  /** k-core run to the DISCOVERED fixpoint — where the h-index
+    * iteration's estimate IS the exact coreness (Lü et al.: the
+    * h-operator converges to coreness from the degree start). The
+    * declared-rounds form above remains the reference-fixture shape;
+    * the gate row uses this one so a 100×-deeper graph can never
+    * silently ship a pre-convergence estimate (the ktruss/LPA
+    * discipline). est is monotone non-increasing per vertex, but the
+    * halt still compares rows (the per-vertex value can plateau while
+    * others move). Returns (coreness, rounds) with `rounds` counting
+    * the confirming round, re-derived independently by the oracle. */
+  private[graft] def kcoreFixpoint(e: DataFrame,
+      maxIter: Int = 64): (DataFrame, Int) = {
+    val eu = undirected(e).localCheckpoint()
+    val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
+    val (out, iters) = Iterate.untilFixpoint(init, maxIter = maxIter,
+      checkpointEvery = 0) { (k, _) =>
+      val next = kcoreStep(eu, k).localCheckpoint()
+      val changed = next.as("n").join(k.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.est") =!= col("o.est")).count()
+      Iterate.release(k)
+      (next, changed)
+    }
+    require(iters < maxIter,
+      s"kcoreFixpoint: guard exhausted after $iters rounds without convergence")
+    (out, iters)
   }
 
   override val defs: Seq[Q] = Seq(
@@ -1294,7 +1333,13 @@ object Graph extends QueryModule {
                SELECT k, COUNT(*) AS n_vertices FROM deg
                GROUP BY k ORDER BY k""")),
 
-    Q("q_graph_kcore", (s, d) => kcore(s, d), Some(kcoreSql(3))),
+    // coreness via the h-operator run to its DISCOVERED fixpoint (at
+    // which the estimate IS the exact coreness) — rounds halt-checked
+    // and emitted as an oracle-re-derived column, like ktruss/LPA.
+    Q("q_graph_kcore", (s, d) => {
+      val (out, iters) = kcoreFixpoint(edges(s, d))
+      out.withColumn("rounds", lit(iters.toLong)).orderBy("v")
+    }, Some(kcoreSql(10))),
 
     // COMPONENT SIZE DISTRIBUTION: the connected-components labels rolled
     // up twice (label → size, size → how many components) — the shape of
@@ -1894,16 +1939,17 @@ object Graph extends QueryModule {
        $steps"""
   }
 
-  /** diff-count + first-stable-round CTEs over an [[lpaChainSql]] chain:
-    * d_t counts vertices whose label changed between rounds t-1 and t
-    * (full row comparison — labels are not monotone), `rnds` is the
-    * first t with d_t = 0 — the same confirming-round number the Spark
-    * loop discovers. NULL (→ loud mismatch) if the unroll never
-    * converged. */
-  private def lpaRoundsCtes(rounds: Int): String = {
+  /** diff-count + first-stable-round CTEs over an unrolled per-vertex
+    * chain `<prefix>0 … <prefix>rounds` with value column `valCol`:
+    * d_t counts vertices whose value changed between rounds t-1 and t
+    * (full row comparison — values need not be count-monotone), `rnds`
+    * is the first t with d_t = 0 — the same confirming-round number
+    * the Spark loop discovers. NULL (→ loud mismatch) if the unroll
+    * never converged. */
+  private def stableRoundCtes(prefix: String, valCol: String, rounds: Int): String = {
     val diffs = (1 to rounds).map { t =>
-      s"""SELECT $t AS t, (SELECT COUNT(*) FROM l$t a
-           JOIN l${t - 1} b ON b.v = a.v AND b.lbl <> a.lbl) AS c"""
+      s"""SELECT $t AS t, (SELECT COUNT(*) FROM $prefix$t a
+           JOIN $prefix${t - 1} b ON b.v = a.v AND b.$valCol <> a.$valCol) AS c"""
     }.mkString(" UNION ALL ")
     s"""dif AS MATERIALIZED ($diffs),
        rnds AS (SELECT MIN(t) AS rounds FROM dif WHERE c = 0)"""
@@ -1911,7 +1957,7 @@ object Graph extends QueryModule {
 
   private def lpaSql(rounds: Int): String =
     s"""${lpaChainSql(rounds)},
-       ${lpaRoundsCtes(rounds)}
+       ${stableRoundCtes("l", "lbl", rounds)}
        SELECT v, lbl, CAST((SELECT rounds FROM rnds) AS BIGINT) AS rounds
        FROM l$rounds ORDER BY v"""
 
