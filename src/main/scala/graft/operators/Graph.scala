@@ -1590,9 +1590,16 @@ object Graph extends QueryModule {
         var active = all
         var mis: DataFrame = null
         // superseded loop checkpoints are released as soon as their
-        // successor materializes (the Iterate hygiene pattern)
+        // successor materializes (the Iterate hygiene pattern).
+        // Rounds are DISCOVERED: Luby retires winners + neighborhoods
+        // until the active set EMPTIES (which is what MisSpec's
+        // maximality proof certifies) — a declared round budget on a
+        // 100×-deeper graph would silently return a non-maximal set.
+        // Loud guard failure; discovered count re-derived by the oracle.
         val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        for (_ <- 1 to misRounds) {
+        var rounds = 0
+        while (active.limit(1).count() > 0 && rounds < 16) {
+          rounds += 1
           val act = active
           val nbMin = eu.join(act.withColumnRenamed("v", "src"), Seq("src"))
             .join(act.select(col("v").as("dst")), Seq("dst"))
@@ -1612,14 +1619,17 @@ object Graph extends QueryModule {
           if (act ne all) spent += act
           active = actNext
         }
+        require(active.limit(1).count() == 0,
+          s"MIS guard exhausted after $rounds Luby rounds with active vertices left")
         val out = all.join(mis.withColumn("in_mis", lit(true)), Seq("v"), "left")
-          .select(col("v"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+          .select(col("v"), coalesce(col("in_mis"), lit(false)).as("in_mis"),
+            lit(rounds.toLong).as("rounds"))
           .orderBy("v")
           .localCheckpoint()
         (spent ++ Seq(mis, active, all, eu)).foreach(graft.plans.Iterate.release)
         out
       },
-      Some(misSql(misRounds)))
+      Some(misSql(misOracleUnroll)))
   ,
 
     // MODULARITY scoring of the LPA communities — the standard "are these
@@ -1847,7 +1857,10 @@ object Graph extends QueryModule {
       .groupBy("a", "b").agg(count(lit(1)).as("supp"))
   }
 
-  private def misRounds: Int = 4
+  // the MIS oracle's unroll budget — must exceed the discovered Luby
+  // round count at oracle scale (observed ≤ 3; extra rounds are empty
+  // no-ops since the active set is already drained)
+  private def misOracleUnroll: Int = 6
 
   /** unrolled Luby rounds: nb_r (active-neighbor min priority), m_r (new
     * MIS members), a_{r+1} (survivors) — MATERIALIZED, each is referenced
@@ -1866,13 +1879,21 @@ object Graph extends QueryModule {
            AND v NOT IN (SELECT e.dst FROM eu2 e JOIN m$r m ON m.v = e.src))"""
     }.mkString(",\n")
     val misUnion = (0 until rounds).map(r => s"SELECT v FROM m$r").mkString(" UNION ALL ")
+    // rounds = the first Luby round whose post-retirement active set is
+    // empty — the Spark loop's discovered halt, independently re-derived
+    val actCounts = (1 to rounds)
+      .map(r => s"SELECT $r AS r, (SELECT COUNT(*) FROM a$r) AS c")
+      .mkString(" UNION ALL ")
     s"""WITH $edgesSql,
        $undirectedSql,
        eu2 AS (SELECT src, dst FROM eu WHERE src <> dst),
        a0 AS (SELECT DISTINCT src AS v FROM eu2),
        $steps,
-       mis AS (SELECT DISTINCT v FROM ($misUnion) u)
-       SELECT a.v, (mis.v IS NOT NULL) AS in_mis
+       mis AS (SELECT DISTINCT v FROM ($misUnion) u),
+       actc AS MATERIALIZED ($actCounts),
+       rnds AS (SELECT MIN(r) AS rounds FROM actc WHERE c = 0)
+       SELECT a.v, (mis.v IS NOT NULL) AS in_mis,
+         CAST((SELECT rounds FROM rnds) AS BIGINT) AS rounds
        FROM (SELECT DISTINCT src AS v FROM eu2) a
        LEFT JOIN mis ON mis.v = a.v
        ORDER BY a.v"""
