@@ -1346,6 +1346,33 @@ object Graph extends QueryModule {
                  CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
                FROM r GROUP BY s ORDER BY v""")),
 
+    // DIAMETER / RADIUS / average path length — the graph-summary
+    // scalars read directly off the SAME memoized all-sources BFS
+    // relation as eccentricity/harmonic/betweenness (reachable pairs
+    // only, the standard convention for digraphs with unreachable
+    // pairs). One aggregate over the shared relation: the fourth view
+    // of one BFS.
+    Q("q_graph_diameter",
+      (s, d) => {
+        val reached = bfsSigmaShared(s, d)
+        val ecc = reached.groupBy("s").agg(max("d").as("ecc"))
+        val paths = reached.filter(col("d") > 0)
+          .agg(count(lit(1)).as("n_pairs"), avg("d").as("apl"))
+        ecc.agg(max(col("ecc")).cast("long").as("diameter"),
+            min(col("ecc")).cast("long").as("radius"))
+          .crossJoin(paths)
+          .select(col("diameter"), col("radius"), col("n_pairs"),
+            round(col("apl"), 6).as("avg_path_len"))
+      },
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)},
+               ecc AS (SELECT s, MAX(d) AS ecc FROM r GROUP BY s),
+               paths AS (SELECT COUNT(*) AS n_pairs, AVG(d) AS apl
+                         FROM r WHERE d > 0)
+               SELECT CAST((SELECT MAX(ecc) FROM ecc) AS BIGINT) AS diameter,
+                 CAST((SELECT MIN(ecc) FROM ecc) AS BIGINT) AS radius,
+                 (SELECT n_pairs FROM paths) AS n_pairs,
+                 ROUND((SELECT apl FROM paths), 6) AS avg_path_len""")),
+
     // HARMONIC CENTRALITY, all-sources exact: Σ 1/d(v,t) over
     // reachable t ≠ v — the disconnected-robust closeness variant
     // (Boldi-Vigna), read directly off the betweenness family's BFS
