@@ -1078,18 +1078,29 @@ object Graph extends QueryModule {
     val eu = undirected(e).cache()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
     val out = Iterate(init, iters, checkpointEvery = 2) { (k, _) =>
-      kcoreStep(eu, k)
+      kcoreStep(eu, k, sharded = false)
     }
     out.orderBy("v")
   }
 
   /** one h-operator round: est'(v) = min(est(v), H({est(u) : u ~ v}))
-    * where H is the h-index of the neighbor estimates. */
-  private def kcoreStep(eu: DataFrame, k: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
-    val nb = eu.join(k, eu("dst") === k("v"))
+    * where H is the h-index of the neighbor estimates. The per-vertex
+    * neighbor rank is SKEW-ADAPTIVE (the SNM/phash guard pattern): a
+    * celebrity vertex's neighbor group is O(degree) and a window
+    * partition is single-task, so above the task-size bound the rank
+    * runs through RangedRank's range-sharded plan — exact for longs,
+    * ordered by (-est, dst) ≡ (est DESC, dst ASC). */
+  private def kcoreStep(eu: DataFrame, k: DataFrame, sharded: Boolean): DataFrame = {
+    val joined = eu.join(k, eu("dst") === k("v"))
       .select(eu("src").as("vv"), k("est").as("nb_est"), eu("dst"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val ranked =
+      if (!sharded) {
+        val w = Window.partitionBy(col("vv")).orderBy(desc("nb_est"), asc("dst"))
+        joined.withColumn("rn", row_number().over(w).cast("long"))
+      } else
+        RangedRank.withRank(joined.withColumn("__negest", -col("nb_est")),
+          Seq("vv"), Seq("__negest", "dst"), "rn").drop("__negest")
+    val nb = ranked
       .groupBy(col("vv"))
       .agg(max(least(col("nb_est"), col("rn"))).as("cand"))
     k.join(nb, k("v") === nb("vv"))
@@ -1107,12 +1118,16 @@ object Graph extends QueryModule {
     * others move). Returns (coreness, rounds) with `rounds` counting
     * the confirming round, re-derived independently by the oracle. */
   private[graft] def kcoreFixpoint(e: DataFrame,
-      maxIter: Int = 64): (DataFrame, Int) = {
+      maxIter: Int = 64, shardBound: Long = 65536L): (DataFrame, Int) = {
     val eu = undirected(e).localCheckpoint()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
+      .localCheckpoint()
+    // ONE cheap degree probe decides the rank plan for every round:
+    // the neighbor-group size is the degree, constant across rounds
+    val sharded = init.agg(max("est")).head.getLong(0) > shardBound
     val (out, iters) = Iterate.untilFixpoint(init, maxIter = maxIter,
       checkpointEvery = 0) { (k, _) =>
-      val next = kcoreStep(eu, k).localCheckpoint()
+      val next = kcoreStep(eu, k, sharded).localCheckpoint()
       val changed = next.as("n").join(k.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.est") =!= col("o.est")).count()
       Iterate.release(k)

@@ -62,6 +62,19 @@ class FixpointHaltSpec extends AnyFunSuite {
     assert(changed === 0L, "the halt must only fire at a true fixpoint")
   }
 
+  test("kcore: the sharded rank path (forced) equals the window path exactly") {
+    // two overlapping 5-cliques + a pendant path — varied coreness
+    val cliqueA = for (a <- 0L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val cliqueB = for (a <- 3L to 7L; b <- a + 1 to 7L) yield (a, b)
+    val path = Seq((7L, 20L), (20L, 21L), (21L, 22L))
+    val e = (cliqueA ++ cliqueB ++ path).distinct.toDF("src", "dst")
+    val (win, itW) = operators.Graph.kcoreFixpoint(e) // degrees ≤ 8: window
+    val (shd, itS) = operators.Graph.kcoreFixpoint(e, shardBound = 1L) // forced
+    assert(itW === itS)
+    assert(win.orderBy("v").collect().toSeq === shd.orderBy("v").collect().toSeq,
+      "sharded h-index rank must be bit-identical to the window rank")
+  }
+
   test("lpa: bipartite 2-cycle oscillation exhausts the guard LOUDLY") {
     // a star is bipartite: synchronous LPA flips hub/leaf labels forever
     val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
