@@ -848,6 +848,43 @@ object StreamingOps extends QueryModule {
                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
               FROM events ORDER BY event_id""")),
 
+    // STREAMING INGEST WITH FULL SKIP METADATA in the gate: three
+    // micro-batches land as blind appendWithBloom commits, so the table
+    // the stream builds is point-lookup-prunable the moment each batch
+    // commits — no separate indexing pass. Asserted in-row: one commit
+    // per batch, EVERY live file carries a bloom sidecar, a scan for an
+    // ABSENT value opens ZERO files (every sidecar excludes it — the
+    // pruning-works proof that batch composition can't dilute), and the
+    // present-value scan returns exactly the plain filter's aggregate
+    // (no false negatives — the contract streaming-built sidecars must
+    // keep). Oracle: the plain purchase aggregate.
+    Q("q_stream_live_append_bloom",
+      (s, d) => {
+        val table = graft.GraftSession.tempDirCleanedOnExit("graft-appendbloom").toString
+        graft.streaming.Streams.runAppendBloom(s, stagedModSplit(s, d), table,
+          buckets = 2, bloomCol = "event_type",
+          options = Map("maxFilesPerTrigger" -> "1"))
+        val vs = graft.streaming.TxLog.versions(table)
+        require(vs == Seq(0L, 1L, 2L),
+          s"expected one append commit per micro-batch, got ${vs.mkString(",")}")
+        val files = graft.streaming.TxLog.snapshot(table).files
+        require(files.forall(f => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(table, f + ".bloom"))),
+          "every streamed file must carry a bloom sidecar")
+        val absent = graft.streaming.MergeTable.scanPoint(
+          s, table, "event_type", lit("no_such_type"))
+        require(absent.inputFiles.isEmpty && absent.count() == 0L,
+          s"an absent value must open zero files, opened ${absent.inputFiles.length}")
+        graft.streaming.MergeTable.scanPoint(s, table, "event_type", lit("purchase"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id ORDER BY user_id""")),
+
     // CHANGE DATA FEED in the gate: merge a batch of updates + one
     // brand-new key into the bucketed table, then read the row-level
     // changes between the two versions from the LOG's file diff alone —

@@ -473,6 +473,30 @@ object Streams {
     readMergeTable(spark, tableDir)
   }
 
+  /** APPEND-ONLY streaming ingest with FULL skip metadata: every
+    * micro-batch lands as a blind [[MergeTable.appendWithBloom]] commit
+    * carrying per-file hour intervals AND an atomically-written bloom
+    * sidecar over `bloomCol` — so the table a stream builds is
+    * point-lookup- and range-prunable the moment each batch commits,
+    * with no separate indexing pass. A batch is a deterministic file
+    * chunk (the appendWithBloom two-scan contract holds). */
+  def runAppendBloom(spark: SparkSession, eventsPath: String,
+      tableDir: String, buckets: Int = 4, bloomCol: String = "event_type",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val src = events(spark, eventsPath, options)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        hour(col("ts")).cast("long").as("hr"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    val q = src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        MergeTable.appendWithBloom(spark, tableDir, batch, "user_id", buckets,
+          bloomCol, statsCols = Seq("hr")): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readMergeTable(spark, tableDir)
+  }
+
   /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse
     * fact-table loop (append + periodic OPTIMIZE) as one
     * self-maintaining sink: batch 0 bucket-loads the table, every later
