@@ -1284,6 +1284,50 @@ object Similarity extends QueryModule {
               FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.cand_id = bf.cand_id
               GROUP BY bf.q_id ORDER BY bf.q_id""")),
 
+    // FILTERED vector search — THE production ANN feature beside plain
+    // top-k: per query, the top-3 among only the candidates sharing the
+    // query's label (metadata predicate ∧ vector similarity). The
+    // filter applies BEFORE ranking (post-filtering a fixed top-k can
+    // return < k survivors — the classic filtered-search bug), and at
+    // corpus scale it is a partition/index predicate: the persisted
+    // layouts here already partition by cell, and a label-partitioned
+    // variant prunes the same way. Candidates join the query's label
+    // through a broadcast of the tiny query relation.
+    Q("q_sim_filtered_topk",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+            col("label").as("qlab"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"),
+            col("label"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        c.join(broadcast(q), col("label") === col("qlab"))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb")), 6).as("sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql,
+              lab AS (SELECT vec_id, label FROM embeddings),
+              qe AS (SELECT e.vec_id AS q_id, pos, ev AS qv, lab.label AS qlab
+                     FROM e JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id < 5),
+              ce AS (SELECT e.vec_id AS cand_id, pos, ev AS cv, lab.label AS clab
+                     FROM e JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id >= 5),
+              fsims AS (SELECT q_id, cand_id,
+                  ROUND(SUM(qv * cv) /
+                    (SQRT(SUM(qv * qv)) * SQRT(SUM(cv * cv))), 6) AS sim
+                FROM qe JOIN ce ON qe.pos = ce.pos AND qe.qlab = ce.clab
+                GROUP BY q_id, cand_id)
+              SELECT q_id, rank, cand_id, sim FROM (
+                SELECT q_id, cand_id, sim, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                FROM fsims) t
+              WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // TWO-STAGE TRUNCATED-PREFIX search (the operator the eval row
     // below measures the knob of): coarse top-20 by cosine over the
     // first 16 components — at corpus scale a scan of 1/4 of the
