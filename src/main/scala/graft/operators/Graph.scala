@@ -317,7 +317,9 @@ object Graph extends QueryModule {
     * oracle is the same recursive min-plus closure q_graph_sssp_fixpoint
     * checks — a hash-checked row, not just a spec. The row also asserts
     * the combiner DID reduce shuffle volume: delivered (post-combine)
-    * message totals strictly below raw sends. */
+    * message totals strictly below raw sends whenever a combine actually
+    * ran (counted by accumulator — see ADVICE r9 on graph shapes where
+    * no two in-flight messages ever share a destination). */
   private def ssspParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = edges(s, d)
@@ -333,8 +335,14 @@ object Graph extends QueryModule {
       .as[(Long, Seq[(Long, Long)])]
       .map { case (v, a) => (v, SpV(if (v == 0L) 0L else inf, a)) }
     val stats = scala.collection.mutable.ArrayBuffer.empty[Pregel.SuperstepStats]
+    // counts actual combiner invocations — direct evidence that some
+    // superstep saw fan-in >= 2 at a destination, which is what makes
+    // STRICT volume reduction assertable (ADVICE r9: on a graph where no
+    // two in-flight messages ever share a destination, delivered == sent
+    // with a perfectly correct combiner)
+    val accComb = s.sparkContext.longAccumulator("ssspParity.combines")
     val typed = Pregel.run[SpV, Long, Unit](s, verts, maxIter = N,
-      combiner = Some((a: Long, b: Long) => math.min(a, b)),
+      combiner = Some((a: Long, b: Long) => { accComb.add(1L); math.min(a, b) }),
       onSuperstep = stats += _,
       partitions = Some(Pregel.sizedPartitions(s, n)))((_, v, msgs, step, _) =>
         if (step == 0)
@@ -355,8 +363,15 @@ object Graph extends QueryModule {
       .orderBy("v").localCheckpoint()
     val sent = stats.map(_.messagesSent).sum
     val delivered = stats.map(_.messagesDelivered).sum
-    require(delivered < sent,
-      s"the min combiner must reduce delivered volume: $delivered !< $sent")
+    require(delivered <= sent,
+      s"delivered can never exceed sends: $delivered > $sent")
+    // strict only when fan-in >= 2 actually occurred (it does on this
+    // derived graph; a chain-shaped regeneration would legitimately
+    // combine nothing, and the old unconditional `<` would fail a
+    // correct engine on it)
+    require(accComb.value == 0L || delivered < sent,
+      s"the min combiner ran ${accComb.value} times but removed no " +
+        s"delivered volume: $delivered !< $sent")
     require(stats.last.messagesSent == 0 && stats.last.activeVertices == 0,
       "the engine must halt on quiescence (all halted, no messages)")
     vs.unpersist()
@@ -633,7 +648,12 @@ object Graph extends QueryModule {
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](reached)
     var frontier = reached
     var lvl = 0
-    while (frontier.limit(1).count() > 0 && lvl < N) {
+    // ONE driver probe per level (head(1) on the just-pinned frontier —
+    // the blocks are already materialized by the checkpoint), not a
+    // limit(1).count() job on both the old frontier AND the new one
+    // (VERDICT r9 item 3: halves per-level job count on deep graphs)
+    var frontierEmpty = frontier.head(1).isEmpty
+    while (!frontierEmpty && lvl < N) {
       lvl += 1
       val expand = frontier.select(col("s"), col("v").as("u"), col("sigma"))
         .join(e, col("u") === col("src"))
@@ -642,7 +662,8 @@ object Graph extends QueryModule {
       val nf = pin(expand.join(
         reached.select(col("s").as("rs"), col("v").as("rv")),
         col("s") === col("rs") && col("v") === col("rv"), "left_anti"))
-      if (nf.limit(1).count() > 0) {
+      frontierEmpty = nf.head(1).isEmpty
+      if (!frontierEmpty) {
         reached = pin(reached.unionAll(nf))
         levels += nf
       }
@@ -1125,17 +1146,15 @@ object Graph extends QueryModule {
     // ONE cheap degree probe decides the rank plan for every round:
     // the neighbor-group size is the degree, constant across rounds
     val sharded = init.agg(max("est")).head.getLong(0) > shardBound
-    val (out, iters) = Iterate.untilFixpoint(init, maxIter = maxIter,
+    val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
       checkpointEvery = 0) { (k, _) =>
       val next = kcoreStep(eu, k, sharded).localCheckpoint()
       val changed = next.as("n").join(k.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.est") =!= col("o.est")).count()
       Iterate.release(k)
       (next, changed)
-    }
-    require(iters < maxIter,
-      s"kcoreFixpoint: guard exhausted after $iters rounds without convergence")
-    (out, iters)
+    }.requireConverged("kcoreFixpoint")
+    (fp.out, fp.iters)
   }
 
   override val defs: Seq[Q] = Seq(
@@ -1326,6 +1345,12 @@ object Graph extends QueryModule {
           substring(md5(col("v").cast("string")), 1, 1).isin("0", "1", "2", "3"))
         val nV = vs.count().toDouble
         val nS = samp.count().toDouble
+        // a regenerated/tiny dataset where the hash draw lands on NO
+        // vertex would otherwise divide by zero into NaN scales and an
+        // opaque oracle mismatch (ADVICE r9) — fail with the cause
+        require(nS > 0,
+          s"betweenness_sampled: the md5 source draw selected 0 of ${nV.toLong} " +
+            "vertices — dataset too small for the 1/4 hash-range sample")
         betweennessOn(ed, Some(samp), nV / nS, "bc_est")
       },
       Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)},
@@ -1896,7 +1921,7 @@ object Graph extends QueryModule {
     val eu = eu0.localCheckpoint()
     val vs = nodes(eu).localCheckpoint()
     val init = vs.select(col("v"), col("v").as("lbl"))
-    val (out, iters) = Iterate.untilFixpoint(init, maxIter = maxIter,
+    val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
       checkpointEvery = 0) { (lbl, _) =>
       val msg = eu
         .join(lbl.withColumnRenamed("v", "dst").withColumnRenamed("lbl", "nlbl"),
@@ -1915,10 +1940,10 @@ object Graph extends QueryModule {
       Iterate.release(lbl)
       (next, changed)
     }
-    require(iters < maxIter,
-      s"lpaFixpoint: guard exhausted after $iters rounds — oscillation or " +
+    require(fp.converged,
+      s"lpaFixpoint: guard exhausted after ${fp.iters} rounds — oscillation or " +
         "slow convergence; raise maxIter or break the cycle asynchronously")
-    (out, iters)
+    (fp.out, fp.iters)
   }
 
   /** K-truss peel to the DISCOVERED fixpoint: delete edges with < 2
@@ -1932,17 +1957,15 @@ object Graph extends QueryModule {
     * state as if converged. */
   private[graft] def ktrussFixpoint(ori: DataFrame,
       maxIter: Int = 64): (DataFrame, Int) = {
-    val (fin, iters) = Iterate.untilFixpoint(ori, maxIter = maxIter,
+    val fp = Iterate.untilFixpointChecked(ori, maxIter = maxIter,
       checkpointEvery = 0) { (ed, _) =>
       val next = ed.join(trussSupport(ed), Seq("a", "b"))
         .filter(col("supp") >= 2).select("a", "b").localCheckpoint()
       val changed = ed.count() - next.count()
       Iterate.release(ed)
       (next, changed)
-    }
-    require(iters < maxIter,
-      s"ktrussFixpoint: guard exhausted after $iters rounds without convergence")
-    (fin, iters)
+    }.requireConverged("ktrussFixpoint")
+    (fp.out, fp.iters)
   }
 
   private def trussSupport(ed: DataFrame): DataFrame = {

@@ -55,15 +55,38 @@ object Iterate {
     cur
   }
 
+  /** Result of a discovered-fixpoint loop: `converged` is the EXPLICIT
+    * halt flag — callers guarding against exhaustion must require it, not
+    * infer it from `iters < maxIter`: a loop whose confirming zero-change
+    * round lands exactly on round maxIter has iters == maxIter AND
+    * converged (ADVICE r9 — the inferred form misreported that boundary
+    * as guard exhaustion). */
+  final case class Fixpoint(out: DataFrame, iters: Int, converged: Boolean) {
+    def requireConverged(what: String): Fixpoint = {
+      require(converged,
+        s"$what: guard exhausted after $iters rounds without convergence")
+      this
+    }
+  }
+
   /** Loop with a halt condition evaluated between supersteps (the Spark
     * analogue of Hama's global `updated` flag + aggregator-driven halt,
     * `graph/src/main/java/org/apache/hama/graph/GraphJobRunner.java:163-181`).
     * `step` returns (next, changedCount); halts when changedCount == 0.
-    * Returns (final, itersRun).
-    */
+    * Returns (final, itersRun) — itersRun counts the confirming round.
+    * Callers that must distinguish convergence from exhaustion use
+    * [[untilFixpointChecked]] and its explicit flag. */
   def untilFixpoint(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10,
       reliable: Boolean = false)(
       step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
+    val fp = untilFixpointChecked(init, maxIter, checkpointEvery, reliable)(step)
+    (fp.out, fp.iters)
+  }
+
+  /** [[untilFixpoint]] returning the explicit [[Fixpoint]] record. */
+  def untilFixpointChecked(init: DataFrame, maxIter: Int, checkpointEvery: Int = 10,
+      reliable: Boolean = false)(
+      step: (DataFrame, Int) => (DataFrame, Long)): Fixpoint = {
     var cur = init
     var prevCkpt: DataFrame = null
     var i = 0
@@ -80,6 +103,6 @@ object Iterate {
         prevCkpt = cur
       }
     }
-    (cur, i)
+    Fixpoint(cur, i, done)
   }
 }
