@@ -280,11 +280,45 @@ object Multimodal extends QueryModule {
       require(dataOff + dataBytes <= bytes.length, "truncated data chunk")
       (riff, ch, rate, bits, dataBytes, dataOff)
     }
+
+    /** PERMISSIVE BMP decode — the binary front door's analogue of the
+      * CSV quarantine (`q_scan_csv_corrupt`): a real crawl batch is full
+      * of truncated/mislabeled blobs, and a strict decoder would fail
+      * the whole partition on the first one (VERDICT r9 item 5). Checks
+      * run in LAYOUT order (length → magic → DIB → offsets → pixel
+      * array), each returning a typed category instead of throwing, so
+      * the error column is deterministic — a function of the bytes, not
+      * of which JVM require tripped first. Right = the strict decoder's
+      * tuple; a payload that passes here cannot throw in [[decodeBmp]]. */
+    def decodeBmpPermissive(bytes: Array[Byte]): Either[String, (String, Long, Long, Long, Int)] = {
+      if (bytes.length < 54) return Left("truncated_header")
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new String(Array(b.get(), b.get()))
+      if (magic != "BM") return Left("bad_magic")
+      b.getInt; b.getInt // file size, reserved
+      val pxOff = b.getInt
+      if (b.getInt != 40) return Left("bad_dib")
+      val w = b.getInt
+      val h = b.getInt
+      b.getShort // planes
+      val bpp = b.getShort.toLong
+      if (w <= 0 || h <= 0) return Left("bad_dimensions")
+      if (pxOff < 54 || pxOff > bytes.length) return Left("bad_pixel_offset")
+      val rowSize = ((3L * w + 3) / 4) * 4
+      if (pxOff + rowSize * h > bytes.length) return Left("truncated_pixels")
+      Right((magic, w.toLong, h.toLong, bpp, pxOff))
+    }
   }
 
   /** Typed row produced by the image transform stage. */
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
       n_bytes: Long, px_sum: Long)
+
+  /** Typed row of the PERMISSIVE decode stage: `status` is "ok" or the
+    * decoder's error category; bad rows carry zeroed metadata instead of
+    * killing the batch. */
+  final case class PermissiveMeta(doc_id: Long, status: String,
+      width: Long, height: Long)
 
   /** Typed row produced by the perceptual-hash stage. */
   final case class PHashMeta(doc_id: Long, width: Long, height: Long,
@@ -511,6 +545,45 @@ object Multimodal extends QueryModule {
       .map(id => (id, MediaFixture.bmp(id))).toDF("doc_id", "payload")
   }
 
+  /** [[imagePayloads]] with DETERMINISTIC corruption injected — the test
+    * feed for the permissive decode path: doc_id % 14 == 3 truncates the
+    * file to 10 bytes (inside the header), doc_id % 14 == 10 stomps the
+    * magic; everything else passes through intact. Both corruptions are
+    * pure functions of the id, so the oracle classifies every row
+    * arithmetically. */
+  def corruptImagePayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val clean = MediaFixture.bmp(id)
+        val payload =
+          if (id % 14 == 3) clean.take(10)
+          else if (id % 14 == 10) { clean(0) = 'X'.toByte; clean(1) = 'X'.toByte; clean }
+          else clean
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Batched per-partition PERMISSIVE image decode: same batch loop as
+    * [[decodeImages]], but a malformed payload becomes a typed error row
+    * instead of a task failure — the whole batch survives one bad blob. */
+  def decodeImagesPermissive(s: SparkSession, payloads: DataFrame,
+      batchSize: Int = 64): Dataset[PermissiveMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            MediaCodec.decodeBmpPermissive(bytes) match {
+              case Right((_, w, h, _, _)) => PermissiveMeta(id, "ok", w, h)
+              case Left(err) => PermissiveMeta(id, err, 0L, 0L)
+            }
+          }
+        }
+      }
+  }
+
   /** binary audio payloads: one real WAV per document */
   def audioPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -625,6 +698,35 @@ object Multimodal extends QueryModule {
                  CAST(24 AS BIGINT) AS bpp,
                  CAST((n_bytes + $chunkBytes - 1) // $chunkBytes AS BIGINT) AS n_chunks
                FROM sz ORDER BY doc_id""")),
+
+    // CORRUPT-BLOB TOLERANCE — the binary decode loop's PERMISSIVE mode
+    // (VERDICT r9 item 5): deterministic corruptions (header truncation,
+    // magic stomp) injected into the payload stream, decoded through the
+    // batched permissive codec. Bad rows land in a typed error column
+    // with exact counts; good rows aggregate to the SAME width/height
+    // sums as the clean fixture arithmetic — one bad blob quarantines
+    // itself, never its batch (the q_scan_csv_corrupt contract, applied
+    // to the binary front door).
+    Q("q_mm_corrupt",
+      (s, d) => decodeImagesPermissive(s, corruptImagePayloads(s, d)).toDF()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"))
+        .orderBy("status"),
+      Some("""WITH cls AS (SELECT doc_id,
+                CASE WHEN doc_id % 14 = 3 THEN 'truncated_header'
+                     WHEN doc_id % 14 = 10 THEN 'bad_magic'
+                     ELSE 'ok' END AS status,
+                CASE WHEN doc_id % 14 IN (3, 10) THEN 0
+                     ELSE 1 + doc_id % 64 END AS w,
+                CASE WHEN doc_id % 14 IN (3, 10) THEN 0
+                     ELSE 1 + (doc_id * 7) % 48 END AS h
+                FROM documents)
+              SELECT status, COUNT(*) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS sum_width,
+                CAST(SUM(h) AS BIGINT) AS sum_height
+              FROM cls GROUP BY status ORDER BY status""")),
 
     // image transform: 2× nearest-neighbor downsample, re-encoded and
     // re-decoded; the oracle recomputes output dims, re-encoded size, AND

@@ -44,6 +44,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("permissive decode: typed category per corruption layer, ok == strict") {
+    val clean = MediaFixture.bmp(7L)
+    // a clean payload decodes Right with the strict decoder's tuple
+    assert(MediaCodec.decodeBmpPermissive(clean) ===
+      Right(MediaCodec.decodeBmp(clean)))
+    // layered corruptions hit their own category, not a JVM throw
+    assert(MediaCodec.decodeBmpPermissive(clean.take(10)) === Left("truncated_header"))
+    val badMagic = clean.clone(); badMagic(0) = 'X'.toByte
+    assert(MediaCodec.decodeBmpPermissive(badMagic) === Left("bad_magic"))
+    val badDib = clean.clone(); badDib(14) = 99.toByte
+    assert(MediaCodec.decodeBmpPermissive(badDib) === Left("bad_dib"))
+    val badOff = clean.clone(); badOff(10) = 1.toByte // bfOffBits < 54
+    assert(MediaCodec.decodeBmpPermissive(badOff) === Left("bad_pixel_offset"))
+    // valid header, pixel array cut short
+    assert(MediaCodec.decodeBmpPermissive(clean.dropRight(1)) ===
+      Left("truncated_pixels"))
+    // one bad blob must not take down its batch
+    import spark.implicits._
+    val rows = Multimodal.decodeImagesPermissive(spark,
+        Seq((1L, clean), (2L, clean.take(10)), (3L, badMagic))
+          .toDF("doc_id", "payload")).collect().sortBy(_.doc_id)
+    assert(rows.map(_.status).toSeq === Seq("ok", "truncated_header", "bad_magic"))
+    assert(rows.head.width === MediaFixture.bmpWidth(7L).toLong)
+  }
+
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
