@@ -70,6 +70,22 @@ object CentralityScale {
     val bcTop = bcEst.agg(org.apache.spark.sql.functions.max("bc")).head.getDouble(0)
     val bcSec = (System.nanoTime() - tBc) / 1e9
 
+    // ---- 1b. the ANF register sketch at 10^5 (VERDICT r9 item 1) ------
+    // the graph-SUMMARY analogue of the sampled-source bound: per-vertex
+    // reach / effective diameter / NF(r) from O(V·K) register state where
+    // the exact all-sources relation is one row per reachable PAIR —
+    // NF(fixpoint) estimates exactly that row count, so the blow-up the
+    // sketch avoids is measured by the sketch itself
+    val tAnf = System.nanoTime()
+    val (anfMasks, anfRounds, anfNf) = Graph.anfSketch(e)
+    val anfRows = anfMasks.count()
+    val anfSec = (System.nanoTime() - tAnf) / 1e9
+    require(anfRows <= bigV * 8,
+      s"ANF register state $anfRows exceeded the V*K bound ${bigV * 8}")
+    val nfFinal = anfNf.last
+    val anfEffD = anfNf.indexWhere(_ >= 0.9 * nfFinal)
+    val exactPairBlowup = nfFinal / anfRows
+
     // ---- 2. all-sources runnable only at toy scale --------------------
     val smallV = 2000L
     val eS = randGraph(smallV, 6).localCheckpoint()
@@ -102,6 +118,10 @@ object CentralityScale {
       f""""state_bound":$bound,"max_frontier_rows":$maxFrontier,""" +
       f""""sampled_sec":$sampledSec%.1f,"allsources_blowup_x":$blowup%.0f,""" +
       f""""bc_end_to_end_sec":$bcSec%.1f,"bc_rows":$bcRows,"bc_max":$bcTop%.1f,""" +
+      f""""anf_register_rows":$anfRows,"anf_state_bound":${bigV * 8},""" +
+      f""""anf_rounds":$anfRounds,"anf_sec":$anfSec%.1f,""" +
+      f""""anf_nf_final":$nfFinal%.0f,"anf_eff_diameter":$anfEffD,""" +
+      f""""anf_exact_pair_rows_avoided_x":$exactPairBlowup%.0f,""" +
       f""""small_v":$smallV,"small_exact_rows":$exactRows,""" +
       f""""small_exact_sec":$exactSec%.1f,"small_sources":$sCountS,""" +
       f""""small_sampled_rows":$sampledRowsS,"small_sampled_sec":$sampledSecS%.1f,""" +

@@ -791,6 +791,147 @@ object Graph extends QueryModule {
        r AS (SELECT * FROM r$levels)"""
   }
 
+  // ---- ANF / HyperANF neighborhood-function sketch -----------------------
+
+  /** Number of Flajolet-Martin registers per vertex. Standard error of
+    * the FM mean-of-registers estimate is ~0.78/√K ≈ 28% at K = 8 —
+    * the knob a production run turns up (the eval row measures what the
+    * gate value buys). Kept at 8 so the longhand oracle stays cheap. */
+  private val anfK = 8
+  private val anfPhi = 0.77351 // Flajolet-Martin bias correction constant
+
+  /** Portable FM register init: one md5 per (vertex, register), the first
+    * 8 hex digits as a 32-bit draw, register bit = number of trailing
+    * zeros (geometric, P(p) = 2^-(p+1)), stated with the same longhand
+    * arithmetic on both engines (the q_agg_countmin recipe): trailing
+    * zeros of h = log2(h & -h), exact in double for powers of two. */
+  private val anfInitExpr =
+    "shiftleft(CAST(1 AS BIGINT), CASE WHEN h = 0 THEN 31 " +
+      "ELSE least(CAST(round(log2(h & -h)) AS INT), 31) END)"
+
+  /** FM estimate per vertex from OR-merged registers: b_k = position of
+    * the least-significant ZERO bit of mask k ((mask+1) & ~mask isolates
+    * it), reach ≈ 2^(avg_k b_k) / φ. */
+  private[graft] def anfEstimate(masks: DataFrame): DataFrame =
+    masks
+      .withColumn("b", expr("CAST(round(log2((mask + 1) & ~mask)) AS DOUBLE)"))
+      .groupBy("v")
+      .agg(expr(s"round(pow(2.0, avg(b)) / $anfPhi, 4)").as("reach_est"))
+
+  /** neighborhood function at one radius: Σ_v reach_est(v), the expected
+    * number of reachable PAIRS within r hops — rounded per vertex then
+    * per sum so both engines compare the identical scalar */
+  private def anfNf(masks: DataFrame): Double =
+    anfEstimate(masks).agg(round(sum("reach_est"), 2)).head.getDouble(0)
+
+  /** ANF (Palmer-Gibbons-Faloutsos; register OR-merge per round =
+    * HyperANF's dataflow with FM bitmasks for oracle portability): each
+    * vertex carries K fixed-size registers, one round ORs every vertex's
+    * registers with its out-neighbors', run to the DISCOVERED fixpoint —
+    * at which point register k of v sketches the full reachable set
+    * N(v,∞). State is O(V·K) TOTAL and each round is one join + one
+    * bit_or hash-aggregate — the scale-safe shape for diameter/average-
+    * path-length summaries where the exact all-sources BFS relation is
+    * O(V²) rows (VERDICT r9 item 1; the reference's per-superstep
+    * aggregator merge is this exact merge,
+    * `graph/src/main/java/org/apache/hama/graph/GraphJobRunner.java:393-424`).
+    * Returns (final (v, k, mask) registers, rounds, NF(r) for r=0..rounds). */
+  private[graft] def anfSketch(e0: DataFrame, maxIter: Int = 64)
+      : (DataFrame, Int, Seq[Double]) = {
+    val s = e0.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
+    val vs = pin(nodes(e))
+    val init = pin(vs
+      .select(col("v"), explode(expr(s"sequence(0, ${anfK - 1})")).as("k"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(v AS STRING), '#', " +
+          "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("v"), col("k"), expr(anfInitExpr).as("mask")))
+    val nf = scala.collection.mutable.ArrayBuffer[Double](anfNf(init))
+    val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
+      checkpointEvery = 0) { (m, _) =>
+      val nbr = e.join(m, e("dst") === m("v"))
+        .select(e("src").as("v"), m("k").as("k"), m("mask").as("mask"))
+      val next = pin(m.unionAll(nbr).groupBy("v", "k")
+        .agg(expr("bit_or(mask)").as("mask")))
+      // OR-merge is monotone, so changed rows = strict mask growth
+      val changed = next.as("n")
+        .join(m.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
+        .filter(col("n.mask") =!= col("o.mask")).count()
+      nf += anfNf(next)
+      Iterate.release(m)
+      (next, changed)
+    }.requireConverged("anfSketch")
+    (fp.out, fp.iters, nf.toSeq)
+  }
+
+  /** converged ANF registers over the derived orders graph, memoized per
+    * corpus fingerprint (the bfsSigmaShared pattern — three declared
+    * rows read this one relation). V·K = 1,600 rows at gate scale. */
+  private val anfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Int, Long)], Int, Seq[Double])]()
+  private val anfCacheCap = 500000
+
+  private def anfShared(s: SparkSession, d: String)
+      : (DataFrame, Int, Seq[Double]) = {
+    import s.implicits._
+    val key = Tables.fingerprint(d, "orders")
+    val cached = anfCache.get(key)
+    if (cached != null)
+      return (cached._1.toDF("v", "k", "mask"), cached._2, cached._3)
+    val (m, rounds, nf) = anfSketch(edges(s, d).select("src", "dst"))
+    val head = m.head(anfCacheCap + 1)
+    if (head.length <= anfCacheCap) {
+      val rows = head.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      anfCache.put(key, (rows, rounds, nf))
+      (rows.toDF("v", "k", "mask"), rounds, nf)
+    } else (m, rounds, nf) // too large to pin: stay distributed
+  }
+
+  /** first two CTEs of [[bfsSigmaSql]] (simple directed edge relation +
+    * its vertex set) for ANF oracles that don't need the BFS chain */
+  private val anfEdgeCtes =
+    """ed AS (SELECT src, dst FROM e WHERE src <> dst GROUP BY src, dst),
+       bnodes AS (SELECT DISTINCT src AS v FROM ed UNION SELECT DISTINCT dst FROM ed)"""
+
+  /** unrolled register OR-merge rounds PAST convergence (requires `ed` +
+    * `bnodes`), plus the independently-derived `arnds` round count — the
+    * kcoreSql/stableRoundCtes discipline keyed on (v, k). */
+  private def anfCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""m${i + 1} AS MATERIALIZED (SELECT v, k, bit_or(mask) AS mask FROM (
+           SELECT v, k, mask FROM m$i
+           UNION ALL
+           SELECT ed.src AS v, m.k, m.mask FROM ed JOIN m$i m ON m.v = ed.dst) t
+         GROUP BY v, k)"""
+    }.mkString(",\n")
+    val diffs = (1 to rounds).map { t =>
+      s"""SELECT $t AS t, (SELECT COUNT(*) FROM m$t a
+           JOIN m${t - 1} b ON b.v = a.v AND b.k = a.k AND b.mask <> a.mask) AS c"""
+    }.mkString(" UNION ALL ")
+    s"""ks AS (SELECT unnest(generate_series(0, ${anfK - 1})) AS k),
+       hx AS (SELECT v, k, CAST('0x' || substring(md5(CAST(v AS VARCHAR) || '#' ||
+           CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         FROM bnodes CROSS JOIN ks),
+       m0 AS MATERIALIZED (SELECT v, k,
+         CAST(1 AS BIGINT) << (CASE WHEN h = 0 THEN 31
+           ELSE LEAST(CAST(round(log2(h & (-h))) AS INT), 31) END) AS mask
+         FROM hx),
+       $steps,
+       adif AS MATERIALIZED ($diffs),
+       arnds AS (SELECT MIN(t) AS rounds FROM adif WHERE c = 0)"""
+  }
+
+  /** per-vertex FM estimate over an unrolled register table `m` —
+    * identical arithmetic to [[anfEstimate]] */
+  private def anfEstSql(m: String): String =
+    s"""SELECT v, round(pow(2.0, AVG(CAST(round(log2((mask + 1) & (~mask)))
+        AS DOUBLE))) / $anfPhi, 4) AS reach_est FROM $m GROUP BY v"""
+
   private[graft] def sccTrimOn(edgesDf: DataFrame): DataFrame = {
     val s = edgesDf.sparkSession
     // materialize AND mint fresh attribute ids: the peel loop repeatedly
@@ -1412,6 +1553,97 @@ object Graph extends QueryModule {
                  CAST((SELECT MIN(ecc) FROM ecc) AS BIGINT) AS radius,
                  (SELECT n_pairs FROM paths) AS n_pairs,
                  ROUND((SELECT apl FROM paths), 6) AS avg_path_len""")),
+
+    // ANF — the SCALE-SAFE graph summary (VERDICT r9 item 1): per-vertex
+    // reachable-set size estimated from K OR-merged FM registers run to
+    // the discovered fixpoint. O(V·K) state and one hash-agg per round
+    // where the exact diameter/APL relation above is O(V²) rows — the
+    // declared 100 TB shape of the q_graph_diameter family, exactly as
+    // q_graph_betweenness_sampled is for betweenness. The oracle
+    // rebuilds the identical registers longhand (portable md5 draws,
+    // trailing zeros via log2 of the isolated low bit) and re-derives
+    // the round count from consecutive unrolled rounds — estimates
+    // match EXACTLY because both engines compute the same bits.
+    Q("q_graph_anf",
+      (s, d) => {
+        val (masks, rounds, _) = anfShared(s, d)
+        anfEstimate(masks)
+          .withColumn("rounds", lit(rounds.toLong))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
+               est AS (${anfEstSql("m8")})
+               SELECT v, reach_est,
+                 CAST((SELECT rounds FROM arnds) AS BIGINT) AS rounds
+               FROM est ORDER BY v""")),
+
+    // the NEIGHBORHOOD FUNCTION NF(r) = Σ_v |N(v, r)| estimated per
+    // radius from the same sketch, plus the EFFECTIVE DIAMETER (smallest
+    // r reaching 90% of the final pair count — the robust diameter
+    // statistic HyperANF reports; the exact max-eccentricity diameter is
+    // one outlier path long). NF comes from the per-round register
+    // states the fixpoint loop already produces; the oracle recomputes
+    // every round's estimate from its unrolled register table and cuts
+    // at its own independently-derived round count.
+    Q("q_graph_anf_nf",
+      (s, d) => {
+        import s.implicits._
+        val (_, rounds, nf) = anfShared(s, d)
+        val nfFinal = nf.last
+        val eff = nf.indexWhere(_ >= 0.9 * nfFinal)
+        nf.zipWithIndex
+          .map { case (v, r) => (r.toLong, v, eff.toLong) }
+          .toDF("r", "nf_est", "eff_diameter")
+          .orderBy("r")
+      },
+      Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
+               nfr AS (${(0 to 8).map(t =>
+                 s"""SELECT $t AS r, (SELECT round(SUM(reach_est), 2)
+                     FROM (${anfEstSql(s"m$t")}) e$t) AS nf_est""")
+                 .mkString(" UNION ALL ")}),
+               sel AS (SELECT r, nf_est FROM nfr
+                       WHERE r <= (SELECT rounds FROM arnds)),
+               fin AS (SELECT nf_est AS nf_fin FROM sel
+                       WHERE r = (SELECT rounds FROM arnds)),
+               eff AS (SELECT MIN(r) AS ed FROM sel
+                       WHERE nf_est >= 0.9 * (SELECT nf_fin FROM fin))
+               SELECT CAST(r AS BIGINT) AS r, nf_est,
+                 CAST((SELECT ed FROM eff) AS BIGINT) AS eff_diameter
+               FROM sel ORDER BY r""")),
+
+    // EST-VS-EXACT eval: the sketch's fixpoint estimates against the
+    // exact reachable-set sizes off the shared all-sources BFS relation
+    // — the honest-accuracy row beside the estimator (K = 8 registers
+    // buy ~28% standard error; this measures what actually landed on
+    // this graph). Both sides derive both relations independently.
+    Q("q_graph_anf_eval",
+      (s, d) => {
+        val (masks, _, _) = anfShared(s, d)
+        val est = anfEstimate(masks)
+        val exact = bfsSigmaShared(s, d).groupBy("s")
+          .agg(count(lit(1)).cast("double").as("reach"))
+          .withColumnRenamed("s", "v")
+        exact.join(est, "v")
+          .select(col("v"),
+            (abs(col("reach_est") - col("reach")) / col("reach")).as("rel_err"))
+          .agg(count(lit(1)).as("n_vertices"),
+            round(avg("rel_err"), 4).as("mean_rel_err"),
+            round(max("rel_err"), 4).as("max_rel_err"),
+            sum(when(col("rel_err") <= 0.5, 1L).otherwise(0L))
+              .as("n_within_50pct"))
+      },
+      Some(s"""WITH $edgesSql, ${bfsSigmaSql(6)}, ${anfCtes(8)},
+               est AS (${anfEstSql("m8")}),
+               exact AS (SELECT s AS v, CAST(COUNT(*) AS DOUBLE) AS reach
+                         FROM r GROUP BY s),
+               err AS (SELECT e.v, ABS(est.reach_est - e.reach) / e.reach AS rel_err
+                       FROM exact e JOIN est ON est.v = e.v)
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                 ROUND(AVG(rel_err), 4) AS mean_rel_err,
+                 ROUND(MAX(rel_err), 4) AS max_rel_err,
+                 CAST(SUM(CASE WHEN rel_err <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_50pct
+               FROM err""")),
 
     // HARMONIC CENTRALITY, all-sources exact: Σ 1/d(v,t) over
     // reachable t ≠ v — the disconnected-robust closeness variant

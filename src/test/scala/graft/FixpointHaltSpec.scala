@@ -75,6 +75,48 @@ class FixpointHaltSpec extends AnyFunSuite {
       "sharded h-index rank must be bit-identical to the window rank")
   }
 
+  test("convergence exactly on round maxIter is convergence, not exhaustion") {
+    // ADVICE r9: the old iters < maxIter inference misreported a run
+    // whose confirming zero-change round lands ON the boundary. A
+    // 5-clique confirms its own truss in round 1 — run with maxIter = 1
+    // so the confirming round IS the guard boundary.
+    val k = 5
+    val clique = (for (a <- 0 until k; b <- a + 1 until k)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val (fin, iters) = operators.Graph.ktrussFixpoint(clique, maxIter = 1)
+    assert(iters === 1 && fin.count() === (k * (k - 1) / 2).toLong,
+      "a run converging on the boundary round must return, not throw")
+    // and the raw record carries the explicit flag both ways
+    val init = Seq((0L, 0L)).toDF("v", "x")
+    val conv = plans.Iterate.untilFixpointChecked(init, maxIter = 1,
+      checkpointEvery = 0) { (df, _) => (df, 0L) }
+    assert(conv.converged && conv.iters === 1)
+    val exhausted = plans.Iterate.untilFixpointChecked(init, maxIter = 2,
+      checkpointEvery = 0) { (df, _) => (df, 1L) }
+    assert(!exhausted.converged && exhausted.iters === 2)
+  }
+
+  test("anf: registers hit the OR fixpoint; estimates are per-component constants") {
+    // two disjoint directed 3-cycles: every vertex reaches exactly its
+    // own cycle, so the merged registers — and hence the estimate — are
+    // IDENTICAL within a component; rounds = cycle length (2 propagating
+    // + 1 confirming = 3 on a 3-cycle from each start)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val (masks, rounds, nf) = operators.Graph.anfSketch(e)
+    assert(masks.count() === 6L * 8L, "state must be exactly V*K rows")
+    assert(rounds === 3)
+    assert(nf.size === rounds + 1)
+    assert(nf.zip(nf.tail).forall { case (a, b) => a <= b },
+      "the neighborhood function is monotone non-decreasing")
+    val ests = operators.Graph.anfEstimate(masks).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ests.size === 6 && ests.values.forall(_ > 0.0))
+    assert(Seq(0L, 1L, 2L).map(ests).distinct.size === 1,
+      "same reachable set => same merged registers => same estimate")
+    assert(Seq(10L, 11L, 12L).map(ests).distinct.size === 1)
+  }
+
   test("lpa: bipartite 2-cycle oscillation exhausts the guard LOUDLY") {
     // a star is bipartite: synchronous LPA flips hub/leaf labels forever
     val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
