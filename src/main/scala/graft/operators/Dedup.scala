@@ -63,6 +63,14 @@ object Dedup extends QueryModule {
     * shuffle. The oracle states the identical computation longhand in SQL
     * (explode shingles → md5 → per-family MIN → band md5). */
   private[graft] def bands(s: SparkSession, d: String,
+      numHashes: Int = defaultNumHashes, bandRows: Int = defaultBandRows): DataFrame =
+    bandsOf(docs(s, d), numHashes, bandRows)
+
+  /** [[bands]] over an ARBITRARY (doc_id, text) relation — the signature
+    * projection is input-agnostic, which is what lets a streaming
+    * micro-batch compute its own signatures with the exact arithmetic
+    * the batch corpus store used (Streams.runNearDupIngest). */
+  private[graft] def bandsOf(docsDf: DataFrame,
       numHashes: Int = defaultNumHashes, bandRows: Int = defaultBandRows): DataFrame = {
     // a leftover (numHashes % bandRows != 0) would silently drop hash
     // values from the banding — reduced recall with no signal (ADVICE r3)
@@ -74,12 +82,29 @@ object Dedup extends QueryModule {
       val slice = (0 until bandRows).map(r => col("sig")(b * bandRows + r))
       struct(lit(b.toLong).as("band"), md5(concat_ws(",", slice: _*)).as("band_sig"))
     }
-    docs(s, d)
+    docsDf
       .select(col("doc_id"), sig.as("sig"))
       .filter(col("sig").isNotNull) // docs with fewer than `shingleWords` tokens have no shingles
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
   }
+
+  /** The incremental-dedup oracle (delta = doc_id % 10 == 7 probing the
+    * rest-of-corpus band store) — shared verbatim by q_dedup_incremental
+    * and q_stream_live_neardup: the streaming ingest must reproduce the
+    * batch incremental result exactly, batch by batch. */
+  private[graft] lazy val incrementalOracleSql: String =
+    s"""WITH $minhashSql, $bandsSql,
+        m AS (SELECT n.doc_id AS doc_id,
+          COUNT(DISTINCT c.doc_id) AS n_corpus_matches,
+          MIN(c.doc_id) AS first_match
+          FROM bands n JOIN bands c
+          ON n.band = c.band AND n.band_sig = c.band_sig AND c.doc_id % 10 != 7
+          WHERE n.doc_id % 10 = 7 GROUP BY n.doc_id)
+        SELECT d.doc_id, COALESCE(m.n_corpus_matches, 0) AS n_corpus_matches,
+          m.first_match, m.first_match IS NOT NULL AS is_dup
+        FROM documents d LEFT JOIN m USING (doc_id)
+        WHERE d.doc_id % 10 = 7 ORDER BY doc_id"""
 
   /** Corpus + staged byte-level reformats (every 10th doc upcased with
     * doubled spacing) for the canonicalize-then-dedup queries — the
@@ -382,6 +407,7 @@ object Dedup extends QueryModule {
     // delta→verdict output is O(delta), never O(corpus).
     Q("q_dedup_incremental",
       (s, d) => {
+        // (oracle shared with q_stream_live_neardup — incrementalOracleSql)
         val b = bands(s, d).persist()
         val delta = b.filter(col("doc_id") % 10 === 7)
         val corpus = b.filter(col("doc_id") % 10 =!= 7)
@@ -402,17 +428,7 @@ object Dedup extends QueryModule {
         b.unpersist()
         out
       },
-      Some(s"""WITH $minhashSql, $bandsSql,
-               m AS (SELECT n.doc_id AS doc_id,
-                 COUNT(DISTINCT c.doc_id) AS n_corpus_matches,
-                 MIN(c.doc_id) AS first_match
-                 FROM bands n JOIN bands c
-                 ON n.band = c.band AND n.band_sig = c.band_sig AND c.doc_id % 10 != 7
-                 WHERE n.doc_id % 10 = 7 GROUP BY n.doc_id)
-               SELECT d.doc_id, COALESCE(m.n_corpus_matches, 0) AS n_corpus_matches,
-                 m.first_match, m.first_match IS NOT NULL AS is_dup
-               FROM documents d LEFT JOIN m USING (doc_id)
-               WHERE d.doc_id % 10 = 7 ORDER BY doc_id""")),
+      Some(incrementalOracleSql)),
 
     // BLOOM-pre-filtered incremental exact dedup — the membership-test
     // scale pattern: against a 100 TB corpus you don't join the delta to

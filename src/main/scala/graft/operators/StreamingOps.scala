@@ -110,6 +110,35 @@ object StreamingOps extends QueryModule {
       stage
     })
 
+  /** documents staged ONCE per data dir as the incremental-dedup split:
+    * batch 0 = the corpus (doc_id % 10 != 7), batch 1 = the delta
+    * (doc_id % 10 == 7), ascending mtimes under maxFilesPerTrigger=1 —
+    * so the near-dup ingest stream probes a store that holds exactly
+    * the corpus when the delta arrives, reproducing
+    * q_dedup_incremental's relation batch-by-batch. */
+  private val nearDupSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedNearDupSplit(s: SparkSession, d: String): String =
+    nearDupSplitCache.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths}
+      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-ndsplit-raw").toString
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-ndsplit-in").toString
+      val docs = Tables(s, dir, "documents")
+      for ((isDelta, m) <- Seq(false -> 0, true -> 1)) {
+        val part =
+          if (isDelta) docs.filter(col("doc_id") % 10 === 7)
+          else docs.filter(col("doc_id") % 10 =!= 7)
+        part.coalesce(1).write.parquet(s"$scratch/b$m")
+        val f = new java.io.File(s"$scratch/b$m").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+        new java.io.File(f"$stage/part$m%02d.parquet")
+          .setLastModified(1000000L * (m + 1)): Unit
+      }
+      stage
+    })
+
   /** events staged ONCE per data dir in EVENT-TIME ORDER (3 ts-range
     * files, ascending mtimes) plus a far-future sentinel batch (user
     * 10000001 at max ts + 20 h) — the replay shape event-time TIMERS
@@ -884,6 +913,41 @@ object StreamingOps extends QueryModule {
                      ROUND(SUM(value), 2) AS total
               FROM events WHERE event_type = 'purchase'
               GROUP BY user_id ORDER BY user_id""")),
+
+    // STREAMING NEAR-DUP INGEST in the gate (VERDICT r9 missing #2): a
+    // live documents stream maintains the MinHash band-signature store
+    // — each micro-batch probes the store for near-dup candidates among
+    // everything ingested before it, emits per-doc verdicts, THEN
+    // appends its own signatures (probe-before-append = the batch never
+    // matches itself). Staged corpus→delta batches make the delta's
+    // store exactly the corpus signatures, so the stream's delta
+    // verdicts must reproduce the batch incremental-dedup relation —
+    // oracled by the SAME SQL as q_dedup_incremental. ≥2 micro-batches
+    // and store carry-over are asserted in-row.
+    Q("q_stream_live_neardup",
+      (s, d) => {
+        val store = graft.GraftSession
+          .tempDirCleanedOnExit("graft-neardup-store").toString + "/sigs"
+        val out = graft.GraftSession
+          .tempDirCleanedOnExit("graft-neardup-out").toString + "/res"
+        val batches = graft.streaming.Streams.runNearDupIngest(
+          s, stagedNearDupSplit(s, d), store, out)
+        require(batches >= 2L,
+          s"the staged replay must deliver >= 2 micro-batches, got $batches")
+        // the store must carry BOTH batches' signatures after the run —
+        // i.e. the append side of the loop is live, not just the probe
+        val storeDocs = s.read.parquet(store).select("doc_id").distinct()
+        val corpusDocs = storeDocs.filter(col("doc_id") % 10 =!= 7).count()
+        val deltaDocs = storeDocs.filter(col("doc_id") % 10 === 7).count()
+        require(corpusDocs > 0 && deltaDocs > 0,
+          s"the band store must accumulate across batches ($corpusDocs corpus, $deltaDocs delta)")
+        s.read.parquet(out)
+          .filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), col("n_corpus_matches"),
+            col("first_match"), col("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some(Dedup.incrementalOracleSql)),
 
     // CHANGE DATA FEED in the gate: merge a batch of updates + one
     // brand-new key into the bucketed table, then read the row-level
