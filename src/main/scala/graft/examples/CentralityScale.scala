@@ -77,7 +77,7 @@ object CentralityScale {
     // NF(fixpoint) estimates exactly that row count, so the blow-up the
     // sketch avoids is measured by the sketch itself
     val tAnf = System.nanoTime()
-    val (anfMasks, anfRounds, anfNf) = Graph.anfSketch(e)
+    val (anfMasks, anfRounds, anfNf, _) = Graph.anfSketch(e)
     val anfRows = anfMasks.count()
     val anfSec = (System.nanoTime() - tAnf) / 1e9
     require(anfRows <= bigV * 8,

@@ -824,6 +824,15 @@ object Graph extends QueryModule {
   private def anfNf(masks: DataFrame): Double =
     anfEstimate(masks).agg(round(sum("reach_est"), 2)).head.getDouble(0)
 
+  /** fresh FM registers for a vertex relation — the portable init both
+    * the cold start and a warm start's NEW vertices use */
+  private def anfInit(vs: DataFrame): DataFrame =
+    vs.select(col("v"), explode(expr(s"sequence(0, ${anfK - 1})")).as("k"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(v AS STRING), '#', " +
+          "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("v"), col("k"), expr(anfInitExpr).as("mask"))
+
   /** ANF (Palmer-Gibbons-Faloutsos; register OR-merge per round =
     * HyperANF's dataflow with FM bitmasks for oracle portability): each
     * vertex carries K fixed-size registers, one round ORs every vertex's
@@ -835,25 +844,36 @@ object Graph extends QueryModule {
     * O(V²) rows (VERDICT r9 item 1; the reference's per-superstep
     * aggregator merge is this exact merge,
     * `graph/src/main/java/org/apache/hama/graph/GraphJobRunner.java:393-424`).
-    * Returns (final (v, k, mask) registers, rounds, NF(r) for r=0..rounds). */
-  private[graft] def anfSketch(e0: DataFrame, maxIter: Int = 64)
-      : (DataFrame, Int, Seq[Double]) = {
+    *
+    * `warm` seeds the loop from EXISTING registers (must cover every
+    * vertex of e0): because the OR-merge is monotone and any state
+    * between the fresh init and the fixpoint has the same fixpoint, a
+    * run warm-started from an earlier graph's converged registers lands
+    * on bit-identical output in no more rounds than a cold run — the
+    * incremental path for a growing graph (q_graph_anf_incremental).
+    *
+    * Returns (final (v, k, mask) registers, rounds, NF(r) for
+    * r=0..rounds, per-round curve (v, reach_est, r)). */
+  private[graft] def anfSketch(e0: DataFrame, maxIter: Int = 64,
+      warm: Option[DataFrame] = None)
+      : (DataFrame, Int, Seq[Double], DataFrame) = {
     val s = e0.sparkSession
     def pin(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       s.createDataFrame(ck.rdd, ck.schema)
     }
     val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
-    val vs = pin(nodes(e))
-    val init = pin(vs
-      .select(col("v"), explode(expr(s"sequence(0, ${anfK - 1})")).as("k"))
-      .withColumn("h", expr(
-        "CAST(conv(substring(md5(concat(CAST(v AS STRING), '#', " +
-          "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
-      .select(col("v"), col("k"), expr(anfInitExpr).as("mask")))
-    val nf = scala.collection.mutable.ArrayBuffer[Double](anfNf(init))
+    val init = pin(warm.getOrElse(anfInit(nodes(e))))
+    val nf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var curve: DataFrame = null
+    def record(masks: DataFrame, r: Int): Unit = {
+      val est = pin(anfEstimate(masks).withColumn("r", lit(r.toLong)))
+      nf += est.agg(round(sum("reach_est"), 2)).head.getDouble(0)
+      curve = if (curve == null) est else pin(curve.unionAll(est))
+    }
+    record(init, 0)
     val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
-      checkpointEvery = 0) { (m, _) =>
+      checkpointEvery = 0) { (m, i) =>
       val nbr = e.join(m, e("dst") === m("v"))
         .select(e("src").as("v"), m("k").as("k"), m("mask").as("mask"))
       val next = pin(m.unionAll(nbr).groupBy("v", "k")
@@ -862,34 +882,39 @@ object Graph extends QueryModule {
       val changed = next.as("n")
         .join(m.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
         .filter(col("n.mask") =!= col("o.mask")).count()
-      nf += anfNf(next)
+      record(next, i + 1)
       Iterate.release(m)
       (next, changed)
     }.requireConverged("anfSketch")
-    (fp.out, fp.iters, nf.toSeq)
+    (fp.out, fp.iters, nf.toSeq, curve)
   }
 
-  /** converged ANF registers over the derived orders graph, memoized per
-    * corpus fingerprint (the bfsSigmaShared pattern — three declared
-    * rows read this one relation). V·K = 1,600 rows at gate scale. */
+  /** converged ANF registers + per-round curve over the derived orders
+    * graph, memoized per corpus fingerprint (the bfsSigmaShared pattern
+    * — five declared rows read this one relation). V·K = 1,600 register
+    * rows and V·(rounds+1) curve rows at gate scale. */
   private val anfCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Long, Int, Long)], Int, Seq[Double])]()
+    String, (Seq[(Long, Int, Long)], Int, Seq[Double], Seq[(Long, Double, Long)])]()
   private val anfCacheCap = 500000
 
   private def anfShared(s: SparkSession, d: String)
-      : (DataFrame, Int, Seq[Double]) = {
+      : (DataFrame, Int, Seq[Double], DataFrame) = {
     import s.implicits._
     val key = Tables.fingerprint(d, "orders")
     val cached = anfCache.get(key)
     if (cached != null)
-      return (cached._1.toDF("v", "k", "mask"), cached._2, cached._3)
-    val (m, rounds, nf) = anfSketch(edges(s, d).select("src", "dst"))
+      return (cached._1.toDF("v", "k", "mask"), cached._2, cached._3,
+        cached._4.toDF("v", "reach_est", "r"))
+    val (m, rounds, nf, curve) = anfSketch(edges(s, d).select("src", "dst"))
     val head = m.head(anfCacheCap + 1)
-    if (head.length <= anfCacheCap) {
+    val curveHead = curve.head(anfCacheCap + 1)
+    if (head.length <= anfCacheCap && curveHead.length <= anfCacheCap) {
       val rows = head.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-      anfCache.put(key, (rows, rounds, nf))
-      (rows.toDF("v", "k", "mask"), rounds, nf)
-    } else (m, rounds, nf) // too large to pin: stay distributed
+      val cRows = curveHead.map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      anfCache.put(key, (rows, rounds, nf, cRows))
+      (rows.toDF("v", "k", "mask"), rounds, nf, cRows.toDF("v", "reach_est", "r"))
+    } else (m, rounds, nf, curve) // too large to pin: stay distributed
   }
 
   /** first two CTEs of [[bfsSigmaSql]] (simple directed edge relation +
@@ -1566,7 +1591,7 @@ object Graph extends QueryModule {
     // match EXACTLY because both engines compute the same bits.
     Q("q_graph_anf",
       (s, d) => {
-        val (masks, rounds, _) = anfShared(s, d)
+        val (masks, rounds, _, _) = anfShared(s, d)
         anfEstimate(masks)
           .withColumn("rounds", lit(rounds.toLong))
           .orderBy("v")
@@ -1588,7 +1613,7 @@ object Graph extends QueryModule {
     Q("q_graph_anf_nf",
       (s, d) => {
         import s.implicits._
-        val (_, rounds, nf) = anfShared(s, d)
+        val (_, rounds, nf, _) = anfShared(s, d)
         val nfFinal = nf.last
         val eff = nf.indexWhere(_ >= 0.9 * nfFinal)
         nf.zipWithIndex
@@ -1618,7 +1643,7 @@ object Graph extends QueryModule {
     // this graph). Both sides derive both relations independently.
     Q("q_graph_anf_eval",
       (s, d) => {
-        val (masks, _, _) = anfShared(s, d)
+        val (masks, _, _, _) = anfShared(s, d)
         val est = anfEstimate(masks)
         val exact = bfsSigmaShared(s, d).groupBy("s")
           .agg(count(lit(1)).cast("double").as("reach"))
@@ -1644,6 +1669,79 @@ object Graph extends QueryModule {
                  CAST(SUM(CASE WHEN rel_err <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_within_50pct
                FROM err""")),
+
+    // SKETCHED PER-VERTEX EFFECTIVE ECCENTRICITY: smallest radius at
+    // which a vertex's estimated reach hits 90% of its fixpoint reach —
+    // the per-vertex view of the effective diameter, read off the SAME
+    // per-round register curve (ANF's individual neighborhood functions;
+    // q_graph_eccentricity's exact max-distance form needs the O(V²)
+    // BFS relation, this needs O(V·rounds) curve rows). Both engines
+    // compare identically-rounded estimates, so the 90% cut is exact.
+    Q("q_graph_anf_ecc",
+      (s, d) => {
+        val (_, rounds, _, curve) = anfShared(s, d)
+        val fin = curve.filter(col("r") === rounds.toLong)
+          .select(col("v"), col("reach_est").as("fin"))
+        curve.join(fin, "v")
+          .filter(col("reach_est") >= lit(0.9) * col("fin"))
+          .groupBy("v").agg(min("r").as("eff_ecc"))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
+               curve AS (${(0 to 8).map(t =>
+                 s"SELECT $t AS r, e$t.* FROM (${anfEstSql(s"m$t")}) e$t")
+                 .mkString(" UNION ALL ")}),
+               sel AS (SELECT r, v, reach_est FROM curve
+                       WHERE r <= (SELECT rounds FROM arnds)),
+               fin AS (SELECT v, reach_est AS fe FROM sel
+                       WHERE r = (SELECT rounds FROM arnds))
+               SELECT s.v, CAST(MIN(s.r) AS BIGINT) AS eff_ecc
+               FROM sel s JOIN fin f ON f.v = s.v
+               WHERE s.reach_est >= 0.9 * f.fe
+               GROUP BY s.v ORDER BY s.v""")),
+
+    // INCREMENTAL ANF — the growing-graph path: converge on the BASE
+    // edge set, then when the delta edges arrive, warm-start the loop
+    // from the converged registers (plus fresh init rows for vertices
+    // the delta introduces). The OR-merge is monotone with a unique
+    // fixpoint above any state between init and fixpoint, so the warm
+    // run must land on BIT-IDENTICAL registers to the cold full-graph
+    // run — asserted in-row against the memoized cold registers, in no
+    // more rounds (also asserted). At 100 TB this is summary
+    // maintenance without recompute: each ingest batch pays rounds
+    // proportional to how far its edges move the horizon, not the full
+    // graph diameter from scratch.
+    Q("q_graph_anf_incremental",
+      (s, d) => {
+        val full = edges(s, d).select("src", "dst").localCheckpoint()
+        val isDelta = pmod(col("src") * 31 + col("dst"), lit(10)) === 7
+        val base = full.filter(!isDelta)
+        val (baseMasks, _, _, _) = anfSketch(base)
+        // warm state must cover the FULL graph's vertex set: vertices
+        // only the delta edges introduce enter with fresh init registers
+        val warm = baseMasks.unionAll(
+          anfInit(nodes(full)).join(baseMasks.select("v").distinct(),
+            Seq("v"), "left_anti"))
+        val (warmMasks, warmRounds, _, _) = anfSketch(full, warm = Some(warm))
+        val (coldMasks, coldRounds, _, _) = anfShared(s, d)
+        require(warmRounds <= coldRounds,
+          s"monotone warm start must not exceed the cold round count: " +
+            s"$warmRounds > $coldRounds")
+        val drift = warmMasks.as("w")
+          .join(coldMasks.as("c"),
+            col("w.v") === col("c.v") && col("w.k") === col("c.k"), "full")
+          .filter(col("w.mask").isNull || col("c.mask").isNull ||
+            col("w.mask") =!= col("c.mask")).count()
+        require(drift == 0L,
+          s"warm-started registers must be bit-identical to the cold fixpoint, $drift differ")
+        anfEstimate(warmMasks)
+          .withColumn("warm_equals_cold", lit(true))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
+               est AS (${anfEstSql("m8")})
+               SELECT v, reach_est, true AS warm_equals_cold
+               FROM est ORDER BY v""")),
 
     // HARMONIC CENTRALITY, all-sources exact: Σ 1/d(v,t) over
     // reachable t ≠ v — the disconnected-robust closeness variant

@@ -103,7 +103,9 @@ class FixpointHaltSpec extends AnyFunSuite {
     // + 1 confirming = 3 on a 3-cycle from each start)
     val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
-    val (masks, rounds, nf) = operators.Graph.anfSketch(e)
+    val (masks, rounds, nf, curve) = operators.Graph.anfSketch(e)
+    assert(curve.count() === 6L * (rounds + 1),
+      "the per-round curve holds one estimate per vertex per round")
     assert(masks.count() === 6L * 8L, "state must be exactly V*K rows")
     assert(rounds === 3)
     assert(nf.size === rounds + 1)
