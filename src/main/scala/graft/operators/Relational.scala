@@ -637,6 +637,168 @@ object Relational extends QueryModule {
                 AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
               ORDER BY s_name""")),
 
+    // TPC-H Q15 shape (top supplier): the REVENUE VIEW consumed twice —
+    // once as the join input and once inside an uncorrelated scalar MAX
+    // — the "aggregate of an aggregate" selection TPC-H expresses as a
+    // CREATE VIEW. Per-supplier revenue is rounded BEFORE the equality
+    // against the max, so the tie surface is identical in both engines.
+    Q("q_rel_tpch_q15",
+      (s, d) => {
+        Seq("lineitem", "supplier").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                  FROM lineitem
+                  WHERE l_shipdate >= DATE '1997-01-01'
+                    AND l_shipdate < DATE '1997-04-01'
+                  GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, total_revenue
+             FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+             ORDER BY s_suppkey""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q15 plan")
+        df
+      },
+      Some("""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                  FROM lineitem
+                  WHERE l_shipdate >= DATE '1997-01-01'
+                    AND l_shipdate < DATE '1997-04-01'
+                  GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, total_revenue
+              FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q18 shape (large-volume customers): IN over a HAVING
+    // subquery on the SAME fact table the outer query aggregates — the
+    // semi join must land BELOW the 3-way join and the outer GROUP BY
+    // re-aggregates the surviving lineitems. (o_orderkey is unique per
+    // output row, so ORDER BY qty DESC, key + LIMIT is a total order.)
+    Q("q_rel_tpch_q18",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
+             FROM customer, orders, lineitem
+             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  GROUP BY l_orderkey
+                                  HAVING SUM(l_quantity) > 220)
+               AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             GROUP BY c_custkey, o_orderkey
+             ORDER BY total_qty DESC, o_orderkey LIMIT 100""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LeftSemi"),
+          "Q18's IN-over-HAVING must rewrite to a left-semi join")
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q18 plan")
+        df
+      },
+      Some("""SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
+              FROM customer, orders, lineitem
+              WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                   GROUP BY l_orderkey
+                                   HAVING SUM(l_quantity) > 220)
+                AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              GROUP BY c_custkey, o_orderkey
+              ORDER BY total_qty DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q11 shape (important stock identification): GROUP BY +
+    // HAVING against an UNCORRELATED scalar over the same 3-way join —
+    // the fact join is planned twice and the threshold is one broadcast
+    // scalar. TPC-H's fixed fraction shrinks per-part shares as the
+    // corpus grows (0 rows at 100× with any constant), so the cut is
+    // stated SCALE-FREE: parts whose value exceeds 1.4× the average
+    // part value — same SQL at every SF, same rewrite shape.
+    Q("q_rel_tpch_q11",
+      (s, d) => {
+        Seq("lineitem", "supplier", "nation").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    MIN(l_extendedprice) AS ps_supplycost,
+                    SUM(l_quantity) AS ps_availqty
+                  FROM lineitem GROUP BY 1, 2),
+                psn AS (SELECT ps_partkey, ps_supplycost, ps_availqty
+                  FROM ps, supplier, nation
+                  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                    AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                                   'NATION_4', 'NATION_5'))
+             SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS value
+             FROM psn
+             GROUP BY ps_partkey
+             HAVING SUM(ps_supplycost * ps_availqty) > (
+               SELECT SUM(ps_supplycost * ps_availqty) * 1.4
+                 / COUNT(DISTINCT ps_partkey) FROM psn)
+             ORDER BY value DESC, ps_partkey LIMIT 100""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q11 plan")
+        df
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    MIN(l_extendedprice) AS ps_supplycost,
+                    SUM(l_quantity) AS ps_availqty
+                  FROM lineitem GROUP BY 1, 2),
+                psn AS (SELECT ps_partkey, ps_supplycost, ps_availqty
+                  FROM ps, supplier, nation
+                  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                    AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                                   'NATION_4', 'NATION_5'))
+              SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS value
+              FROM psn
+              GROUP BY ps_partkey
+              HAVING SUM(ps_supplycost * ps_availqty) > (
+                SELECT SUM(ps_supplycost * ps_availqty) * 1.4
+                  / COUNT(DISTINCT ps_partkey) FROM psn)
+              ORDER BY value DESC, ps_partkey LIMIT 100""")),
+
+    // TPC-H Q16 shape (parts/supplier relationship): NOT IN against a
+    // subquery (null-free key, so the null-aware anti join degenerates
+    // to a plain one) + COUNT(DISTINCT) over the surviving pairs, with
+    // multi-predicate dimension cuts. "Complaints" surrogate: suppliers
+    // with negative balances.
+    Q("q_rel_tpch_q16",
+      (s, d) => {
+        Seq("lineitem", "part", "supplier").foreach(tn =>
+          Tables(s, d, tn).createOrReplaceTempView(tn))
+        val df = s.sql(
+          """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                    l_suppkey AS ps_suppkey FROM lineitem)
+             SELECT p_brand, p_type, p_size,
+                    CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+             FROM ps, part
+             WHERE p_partkey = ps_partkey
+               AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+               AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+               AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+             GROUP BY p_brand, p_type, p_size
+             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LeftAnti"),
+          "Q16's NOT IN must rewrite to an anti join")
+        require(!plan.contains("Cross") && !plan.contains("Cartesian"),
+          s"no cartesian product allowed in the Q16 plan")
+        df
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                    l_suppkey AS ps_suppkey FROM lineitem)
+              SELECT p_brand, p_type, p_size,
+                     CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+              FROM ps, part
+              WHERE p_partkey = ps_partkey
+                AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+                AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+                AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_type, p_size
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""")),
+
     // TPC-H Q13 shape (customer order-count distribution): the OUTER-
     // join aggregate histogram — the join condition carries a non-key
     // predicate (priority cut) so zero-order customers survive with
