@@ -923,10 +923,10 @@ object Graph extends QueryModule {
     """ed AS (SELECT src, dst FROM e WHERE src <> dst GROUP BY src, dst),
        bnodes AS (SELECT DISTINCT src AS v FROM ed UNION SELECT DISTINCT dst FROM ed)"""
 
-  /** unrolled register OR-merge rounds PAST convergence (requires `ed` +
-    * `bnodes`), plus the independently-derived `arnds` round count — the
-    * kcoreSql/stableRoundCtes discipline keyed on (v, k). */
-  private def anfCtes(rounds: Int): String = {
+  /** unrolled register OR-merge chain m0..m`rounds` (requires `ed` +
+    * `bnodes`) — the shared oracle spine; [[anfCtes]] adds the
+    * fixpoint-discovery CTEs on top. */
+  private def anfChainCtes(rounds: Int): String = {
     val steps = (0 until rounds).map { i =>
       s"""m${i + 1} AS MATERIALIZED (SELECT v, k, bit_or(mask) AS mask FROM (
            SELECT v, k, mask FROM m$i
@@ -934,10 +934,6 @@ object Graph extends QueryModule {
            SELECT ed.src AS v, m.k, m.mask FROM ed JOIN m$i m ON m.v = ed.dst) t
          GROUP BY v, k)"""
     }.mkString(",\n")
-    val diffs = (1 to rounds).map { t =>
-      s"""SELECT $t AS t, (SELECT COUNT(*) FROM m$t a
-           JOIN m${t - 1} b ON b.v = a.v AND b.k = a.k AND b.mask <> a.mask) AS c"""
-    }.mkString(" UNION ALL ")
     s"""ks AS (SELECT unnest(generate_series(0, ${anfK - 1})) AS k),
        hx AS (SELECT v, k, CAST('0x' || substring(md5(CAST(v AS VARCHAR) || '#' ||
            CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
@@ -946,7 +942,18 @@ object Graph extends QueryModule {
          CAST(1 AS BIGINT) << (CASE WHEN h = 0 THEN 31
            ELSE LEAST(CAST(round(log2(h & (-h))) AS INT), 31) END) AS mask
          FROM hx),
-       $steps,
+       $steps"""
+  }
+
+  /** [[anfChainCtes]] PAST convergence, plus the independently-derived
+    * `arnds` round count — the kcoreSql/stableRoundCtes discipline
+    * keyed on (v, k). */
+  private def anfCtes(rounds: Int): String = {
+    val diffs = (1 to rounds).map { t =>
+      s"""SELECT $t AS t, (SELECT COUNT(*) FROM m$t a
+           JOIN m${t - 1} b ON b.v = a.v AND b.k = a.k AND b.mask <> a.mask) AS c"""
+    }.mkString(" UNION ALL ")
+    s"""${anfChainCtes(rounds)},
        adif AS MATERIALIZED ($diffs),
        arnds AS (SELECT MIN(t) AS rounds FROM adif WHERE c = 0)"""
   }
@@ -1742,6 +1749,45 @@ object Graph extends QueryModule {
                est AS (${anfEstSql("m8")})
                SELECT v, reach_est, true AS warm_equals_cold
                FROM est ORDER BY v""")),
+
+    // MID-SIZE fixed-RADIUS neighborhood function (the pagerank_mid
+    // discipline applied to the sketch): N(v, 4) estimated on the
+    // N=5000 derived graph — 25× the vertices, so the gate times a
+    // DATA-BOUND register merge. Radius 4 is part of the SEMANTICS
+    // (the NF curve evaluated at r=4 — "reach within 4 hops"), not a
+    // round budget standing in for a fixpoint: the sparse sf0.001 mid
+    // graph takes 31+ rounds to full convergence, which is exactly the
+    // case where a production pipeline asks for bounded-radius reach.
+    Q("q_graph_anf_mid",
+      (s, d) => {
+        val e0 = Tables(s, d, "orders")
+          .select((col("o_orderkey") % midN).as("src"),
+            (col("o_custkey") % midN).as("dst"))
+          .distinct()
+        val s2 = e0.sparkSession
+        def pin(df: DataFrame): DataFrame = {
+          val ck = df.localCheckpoint()
+          s2.createDataFrame(ck.rdd, ck.schema)
+        }
+        val e = pin(e0.filter(col("src") =!= col("dst")))
+        val init = pin(anfInit(nodes(e)))
+        // fixed 4 rounds: each references the loop state twice (self ∪
+        // neighbor pull), so pin per round to keep plan growth linear
+        val out = Iterate(init, 4, checkpointEvery = 1) { (m, _) =>
+          val nbr = e.join(m, e("dst") === m("v"))
+            .select(e("src").as("v"), m("k").as("k"), m("mask").as("mask"))
+          m.unionAll(nbr).groupBy("v", "k")
+            .agg(expr("bit_or(mask)").as("mask"))
+        }
+        anfEstimate(out)
+          .withColumnRenamed("reach_est", "reach4_est")
+          .orderBy("v")
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT o_orderkey % $midN AS src,
+                 o_custkey % $midN AS dst FROM orders),
+               $anfEdgeCtes, ${anfChainCtes(4)},
+               est AS (${anfEstSql("m4")})
+               SELECT v, reach_est AS reach4_est FROM est ORDER BY v""")),
 
     // HARMONIC CENTRALITY, all-sources exact: Σ 1/d(v,t) over
     // reachable t ≠ v — the disconnected-robust closeness variant

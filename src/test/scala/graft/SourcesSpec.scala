@@ -43,6 +43,31 @@ class SourcesSpec extends AnyFunSuite {
       s"no data filter should remain once lang prunes at listing:\n$plan")
   }
 
+  test("WorkerPool: one child per command, reused, respawned after death") {
+    import graft.operators.WorkerPool
+    val cmd = Seq("sed", "-u", "s/^/>/")
+    val w1 = WorkerPool.get(cmd)
+    assert(w1.call("abc") === ">abc")
+    // same command → the SAME live child (the per-peer lifetime)
+    assert(WorkerPool.get(cmd).pid === w1.pid)
+    // concurrent callers serialize through the synchronized pipe and
+    // each still gets its own 1:1 response
+    val results = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 8).map(i => new Thread(() => {
+      results.add(WorkerPool.get(cmd).call(s"line$i")): Unit
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet === (1 to 8).map(i => s">line$i").toSet)
+    // a dead child is respawned on next acquisition, not handed out
+    val killed = new ProcessBuilder("kill", w1.pid.toString).start()
+    killed.waitFor()
+    Thread.sleep(200)
+    val w2 = WorkerPool.get(cmd)
+    assert(w2.pid !== w1.pid, "a dead worker must be respawned")
+    assert(w2.call("xyz") === ">xyz")
+  }
+
   test("q_join_bucketed matches the unbucketed join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0).collect()
     val plain = Tables(spark, TestSpark.sf0, "orders")
