@@ -86,6 +86,16 @@ object CentralityScale {
     val anfEffD = anfNf.indexWhere(_ >= 0.9 * nfFinal)
     val exactPairBlowup = nfFinal / anfRows
 
+    // ---- 1c. ANF at production K (VERDICT r10 #5): the K knob buys
+    // accuracy at LINEAR cost — K = 64 at the same 10^5 graph must stay
+    // within the V·K state bound and roughly 8× the K = 8 register rows
+    val tAnf64 = System.nanoTime()
+    val (anf64Masks, anf64Rounds, _, _) = Graph.anfSketch(e, k = 64)
+    val anf64Rows = anf64Masks.count()
+    val anf64Sec = (System.nanoTime() - tAnf64) / 1e9
+    require(anf64Rows <= bigV * 64,
+      s"ANF K=64 register state $anf64Rows exceeded the V*K bound ${bigV * 64}")
+
     // ---- 2. all-sources runnable only at toy scale --------------------
     val smallV = 2000L
     val eS = randGraph(smallV, 6).localCheckpoint()
@@ -101,6 +111,24 @@ object CentralityScale {
     val (rSm, _) = Graph.bfsSigma(eS, Some(srcsS))
     val sampledRowsS = rSm.count()
     val sampledSecS = (System.nanoTime() - tSm) / 1e9
+
+    // ANF estimator quality vs K, against the EXACT per-vertex reach
+    // (computable on the toy graph from the all-sources closure): the
+    // FM theory says mean |rel err| ~ 0.78/√K, so 8 → 64 should cut it
+    // ~2.8× — measured, because this is the knob a production run turns
+    val exactReach = rEx.groupBy(col("s").as("v"))
+      .agg(count(lit(1)).cast("double").as("reach"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def anfRelErr(k: Int): Double = {
+      val (m, _, _, _) = Graph.anfSketch(eS, k = k)
+      val est = Graph.anfEstimate(m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val errs = exactReach.collect { case (v, ex) if ex > 0 =>
+        math.abs(est.getOrElse(v, 0.0) - ex) / ex }
+      errs.sum / errs.size
+    }
+    val anfErr8 = anfRelErr(8)
+    val anfErr64 = anfRelErr(64)
 
     // estimator quality: exact bc vs V/|S|-rescaled sampled bc
     val exact = Graph.betweennessOn(eS)
@@ -122,6 +150,9 @@ object CentralityScale {
       f""""anf_rounds":$anfRounds,"anf_sec":$anfSec%.1f,""" +
       f""""anf_nf_final":$nfFinal%.0f,"anf_eff_diameter":$anfEffD,""" +
       f""""anf_exact_pair_rows_avoided_x":$exactPairBlowup%.0f,""" +
+      f""""anf64_register_rows":$anf64Rows,"anf64_state_bound":${bigV * 64},""" +
+      f""""anf64_rounds":$anf64Rounds,"anf64_sec":$anf64Sec%.1f,""" +
+      f""""anf_rel_err_k8":$anfErr8%.4f,"anf_rel_err_k64":$anfErr64%.4f,""" +
       f""""small_v":$smallV,"small_exact_rows":$exactRows,""" +
       f""""small_exact_sec":$exactSec%.1f,"small_sources":$sCountS,""" +
       f""""small_sampled_rows":$sampledRowsS,"small_sampled_sec":$sampledSecS%.1f,""" +

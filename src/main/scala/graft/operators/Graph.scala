@@ -793,10 +793,14 @@ object Graph extends QueryModule {
 
   // ---- ANF / HyperANF neighborhood-function sketch -----------------------
 
-  /** Number of Flajolet-Martin registers per vertex. Standard error of
-    * the FM mean-of-registers estimate is ~0.78/√K ≈ 28% at K = 8 —
-    * the knob a production run turns up (the eval row measures what the
-    * gate value buys). Kept at 8 so the longhand oracle stays cheap. */
+  /** DEFAULT number of Flajolet-Martin registers per vertex. Standard
+    * error of the FM mean-of-registers estimate is ~0.78/√K ≈ 28% at
+    * K = 8 — kept at 8 for the declared rows so the longhand oracle
+    * stays cheap. K is a parameter of [[anfInit]]/[[anfSketch]] (the
+    * LSH numHashes precedent, VERDICT r10 #5): a production run turns
+    * it up for linear cost in state and per-round work —
+    * examples/CentralityScale measures K = 64 cutting the reach error
+    * ~√8-fold at the expected ~8× register rows. */
   private val anfK = 8
   private val anfPhi = 0.77351 // Flajolet-Martin bias correction constant
 
@@ -826,8 +830,8 @@ object Graph extends QueryModule {
 
   /** fresh FM registers for a vertex relation — the portable init both
     * the cold start and a warm start's NEW vertices use */
-  private def anfInit(vs: DataFrame): DataFrame =
-    vs.select(col("v"), explode(expr(s"sequence(0, ${anfK - 1})")).as("k"))
+  private def anfInit(vs: DataFrame, k: Int = anfK): DataFrame =
+    vs.select(col("v"), explode(expr(s"sequence(0, ${k - 1})")).as("k"))
       .withColumn("h", expr(
         "CAST(conv(substring(md5(concat(CAST(v AS STRING), '#', " +
           "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
@@ -855,7 +859,7 @@ object Graph extends QueryModule {
     * Returns (final (v, k, mask) registers, rounds, NF(r) for
     * r=0..rounds, per-round curve (v, reach_est, r)). */
   private[graft] def anfSketch(e0: DataFrame, maxIter: Int = 64,
-      warm: Option[DataFrame] = None)
+      warm: Option[DataFrame] = None, k: Int = anfK)
       : (DataFrame, Int, Seq[Double], DataFrame) = {
     val s = e0.sparkSession
     def pin(df: DataFrame): DataFrame = {
@@ -863,7 +867,7 @@ object Graph extends QueryModule {
       s.createDataFrame(ck.rdd, ck.schema)
     }
     val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
-    val init = pin(warm.getOrElse(anfInit(nodes(e))))
+    val init = pin(warm.getOrElse(anfInit(nodes(e), k)))
     val nf = scala.collection.mutable.ArrayBuffer.empty[Double]
     var curve: DataFrame = null
     def record(masks: DataFrame, r: Int): Unit = {

@@ -302,7 +302,14 @@ object Multimodal extends QueryModule {
       val h = b.getInt
       b.getShort // planes
       val bpp = b.getShort.toLong
-      if (w <= 0 || h <= 0) return Left("bad_dimensions")
+      // upper cap too (ADVICE r10): adversarial headers with w,h near
+      // 2^31 overflow the Long size math below (3·w rounded ×h ≈ 1.4e19
+      // > Long.Max), flipping the bound negative so a truncated blob
+      // would classify "ok" with garbage dimensions — exactly the
+      // untrusted-crawl bytes this path exists for. 2^20 px per side
+      // (≈3 TB of pixels) is far beyond any real BMP.
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20))
+        return Left("bad_dimensions")
       if (pxOff < 54 || pxOff > bytes.length) return Left("bad_pixel_offset")
       val rowSize = ((3L * w + 3) / 4) * 4
       if (pxOff + rowSize * h > bytes.length) return Left("truncated_pixels")

@@ -60,6 +60,13 @@ class MultimodalSpec extends AnyFunSuite {
     // valid header, pixel array cut short
     assert(MediaCodec.decodeBmpPermissive(clean.dropRight(1)) ===
       Left("truncated_pixels"))
+    // adversarial dimensions near 2^31: the Long size math would
+    // overflow negative and mis-classify a truncated blob as "ok"
+    // (ADVICE r10) — must be bad_dimensions, not ok
+    val huge = clean.clone()
+    val hb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(18, 0x7FFF0000); hb.putInt(22, 0x7FFF0000)
+    assert(MediaCodec.decodeBmpPermissive(huge) === Left("bad_dimensions"))
     // one bad blob must not take down its batch
     import spark.implicits._
     val rows = Multimodal.decodeImagesPermissive(spark,

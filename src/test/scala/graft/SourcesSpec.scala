@@ -68,6 +68,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(w2.call("xyz") === ">xyz")
   }
 
+  test("WorkerPool framed protocol round-trips binary payloads with newlines") {
+    import graft.operators.WorkerPool
+    val w = WorkerPool.get(graft.operators.Sources.framedChildCmd)
+    val vals = Array(1.5, -2.25, 4.0e-3, 10.0, 1.0 / 3.0)
+    val bb = java.nio.ByteBuffer.allocate(8 * vals.length)
+    vals.foreach(bb.putDouble)
+    val payload = bb.array()
+    val resp = w.callFrame(payload)
+    assert(resp.length === 8)
+    assert(java.nio.ByteBuffer.wrap(resp).getDouble === vals.sum)
+    // repeated frames through the SAME child must stay in sync
+    val again = w.callFrame(payload)
+    assert(java.nio.ByteBuffer.wrap(again).getDouble === vals.sum)
+    assert(WorkerPool.get(graft.operators.Sources.framedChildCmd).pid === w.pid,
+      "the framed child is pooled like any worker")
+    // a payload that CONTAINS the line terminator must round-trip intact
+    val nlVals = Array(java.lang.Double.longBitsToDouble(0x0A0A0A0A0A0A0A0AL), 2.0)
+    val nb = java.nio.ByteBuffer.allocate(16)
+    nlVals.foreach(nb.putDouble)
+    assert(nb.array().count(_ == '\n'.toByte) === 8)
+    val nresp = w.callFrame(nb.array())
+    assert(java.nio.ByteBuffer.wrap(nresp).getDouble === nlVals.sum)
+  }
+
   test("q_join_bucketed matches the unbucketed join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0).collect()
     val plain = Tables(spark, TestSpark.sf0, "orders")
