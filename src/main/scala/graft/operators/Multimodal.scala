@@ -315,6 +315,39 @@ object Multimodal extends QueryModule {
       if (pxOff + rowSize * h > bytes.length) return Left("truncated_pixels")
       Right((magic, w.toLong, h.toLong, bpp, pxOff))
     }
+
+    /** PERMISSIVE WAV decode — the audio front door's quarantine,
+      * mirroring [[decodeBmpPermissive]]: checks in LAYOUT order
+      * (length → RIFF → WAVE → fmt chunk → PCM tag → field sanity →
+      * data chunk → data length), each returning a typed category
+      * instead of throwing, with the BMP lesson applied up front — a
+      * field-sanity cap rejects adversarial channel/rate/bit claims
+      * before any size arithmetic. Right = (channels, rate, bits,
+      * dataBytes); a payload that passes here cannot throw in
+      * [[decodeWav]]. */
+    def decodeWavPermissive(bytes: Array[Byte])
+        : Either[String, (Long, Long, Long, Long)] = {
+      if (bytes.length < 44) return Left("truncated_header")
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def four() = new String(Array(b.get(), b.get(), b.get(), b.get()))
+      if (four() != "RIFF") return Left("bad_riff")
+      b.getInt // riff size (advisory; the data chunk is bounds-checked)
+      if (four() != "WAVE") return Left("bad_wave")
+      if (four() != "fmt ") return Left("missing_fmt")
+      if (b.getInt != 16) return Left("bad_fmt_size")
+      if (b.getShort != 1) return Left("not_pcm")
+      val ch = b.getShort.toLong
+      val rate = b.getInt.toLong
+      b.getInt; b.getShort // byte rate, block align
+      val bits = b.getShort.toLong
+      if (ch <= 0 || ch > 64 || rate <= 0 || rate > 10000000L ||
+          bits <= 0 || bits > 64) return Left("bad_format")
+      if (four() != "data") return Left("missing_data")
+      val dataBytes = b.getInt.toLong
+      if (dataBytes < 0 || b.position() + dataBytes > bytes.length)
+        return Left("truncated_data")
+      Right((ch, rate, bits, dataBytes))
+    }
   }
 
   /** Typed row produced by the image transform stage. */
@@ -591,6 +624,50 @@ object Multimodal extends QueryModule {
       }
   }
 
+  /** Typed row of the PERMISSIVE audio decode stage. */
+  final case class PermissiveAudioMeta(doc_id: Long, status: String,
+      channels: Long, data_bytes: Long)
+
+  /** [[audioPayloads]] with DETERMINISTIC corruption injected, the WAV
+    * counterpart of [[corruptImagePayloads]]: % 14 == 3 truncates
+    * inside the header, == 10 stomps the RIFF magic, == 5 flips the
+    * PCM tag to a compressed format id, == 7 drops the final data byte
+    * — four distinct layers of the decoder, all pure functions of the
+    * id so the oracle classifies arithmetically. */
+  def corruptAudioPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val clean = MediaFixture.wav(id)
+        val payload =
+          if (id % 14 == 3) clean.take(10)
+          else if (id % 14 == 10) { clean(0) = 'X'.toByte; clean }
+          else if (id % 14 == 5) { clean(20) = 2.toByte; clean }
+          else if (id % 14 == 7) clean.dropRight(1)
+          else clean
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Batched per-partition PERMISSIVE audio decode — one malformed blob
+    * becomes a typed error row, never a task failure. */
+  def decodeAudioPermissive(s: SparkSession, payloads: DataFrame,
+      batchSize: Int = 64): Dataset[PermissiveAudioMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            MediaCodec.decodeWavPermissive(bytes) match {
+              case Right((ch, _, _, db)) => PermissiveAudioMeta(id, "ok", ch, db)
+              case Left(err) => PermissiveAudioMeta(id, err, 0L, 0L)
+            }
+          }
+        }
+      }
+  }
+
   /** binary audio payloads: one real WAV per document */
   def audioPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -733,6 +810,35 @@ object Multimodal extends QueryModule {
               SELECT status, COUNT(*) AS n_docs,
                 CAST(SUM(w) AS BIGINT) AS sum_width,
                 CAST(SUM(h) AS BIGINT) AS sum_height
+              FROM cls GROUP BY status ORDER BY status""")),
+
+    // CORRUPT-BLOB TOLERANCE, audio: the WAV quarantine beside the BMP
+    // one — four corruption layers (header truncation, RIFF stomp,
+    // non-PCM format tag, final-byte truncation) each land in their own
+    // typed category with exact counts, and the surviving rows
+    // aggregate to the clean fixture arithmetic (channels and PCM byte
+    // counts). One bad blob quarantines itself, never its batch.
+    Q("q_mm_corrupt_wav",
+      (s, d) => decodeAudioPermissive(s, corruptAudioPayloads(s, d)).toDF()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("channels")).as("sum_channels"),
+          sum(col("data_bytes")).as("sum_data_bytes"))
+        .orderBy("status"),
+      Some("""WITH cls AS (SELECT doc_id,
+                CASE WHEN doc_id % 14 = 3 THEN 'truncated_header'
+                     WHEN doc_id % 14 = 10 THEN 'bad_riff'
+                     WHEN doc_id % 14 = 5 THEN 'not_pcm'
+                     WHEN doc_id % 14 = 7 THEN 'truncated_data'
+                     ELSE 'ok' END AS status,
+                CASE WHEN doc_id % 14 IN (3, 10, 5, 7) THEN 0
+                     ELSE 1 + doc_id % 2 END AS ch,
+                CASE WHEN doc_id % 14 IN (3, 10, 5, 7) THEN 0
+                     ELSE (100 + doc_id % 400) * (1 + doc_id % 2) * 2 END AS db
+                FROM documents)
+              SELECT status, COUNT(*) AS n_docs,
+                CAST(SUM(ch) AS BIGINT) AS sum_channels,
+                CAST(SUM(db) AS BIGINT) AS sum_data_bytes
               FROM cls GROUP BY status ORDER BY status""")),
 
     // image transform: 2× nearest-neighbor downsample, re-encoded and

@@ -1050,6 +1050,109 @@ object TextAnalysis extends QueryModule {
                    * 1.0 / GREATEST(n_before, 1), 6) AS compression
                FROM ap ORDER BY doc_id""")),
 
+    // BPE ITERATIVE TRAINING — the full trainer loop q_text_bpe_encode's
+    // one-shot application sits inside: pick the most frequent pair,
+    // MERGE IT EVERYWHERE, RECOUNT pairs on the re-encoded corpus (the
+    // second round's counts see first-round merged tokens — the step a
+    // single-pass ranking cannot express), repeat. Two rounds unrolled
+    // (the GD-loop precedent); each round = one corpus-wide pair count
+    // (hash agg), one O(1) driver collect of the argmax, one projection
+    // applying the merge with the chr(31)/chr(30) two-pass replace.
+    // Output: per round, the chosen pair (chr(30) shown as '+'), its
+    // corpus count AT SELECTION TIME, and corpus tokens after applying —
+    // the numbers a tokenizer-training dashboard plots.
+    Q("q_text_bpe_train",
+      (s, d) => {
+        val D = "\u001f"; val J = "\u001e"
+        val tk0 = TextExprs.toks(col("text"))
+        val ts0 = when(size(tk0) === 0, lit(null))
+          .otherwise(concat(lit(D), concat_ws(D, tk0), lit(D)))
+        val base = docs(s, d).select(col("doc_id"), ts0.as("ts"))
+          .localCheckpoint()
+        def pairCounts(enc: DataFrame): DataFrame =
+          enc.filter(col("ts").isNotNull)
+            .selectExpr(s"slice(split(ts, '$D'), 2, size(split(ts, '$D')) - 2) AS tk")
+            .filter(size(col("tk")) >= 2)
+            .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
+              "i -> named_struct('t1', tk[i], 't2', tk[i+1]))) AS p")
+            .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+            .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        def top1(pc: DataFrame): (String, String, Long) = {
+          val r = pc.orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(1)
+            .collect().head
+          (r.getString(0), r.getString(1), r.getLong(2))
+        }
+        def applyMerge(enc: DataFrame, t1: String, t2: String): DataFrame = {
+          val p = lit(D + t1 + D + t2 + D); val r = lit(D + t1 + J + t2 + D)
+          enc.select(col("doc_id"), call_function("replace",
+            call_function("replace", col("ts"), p, r), p, r).as("ts"))
+        }
+        def corpusToks(enc: DataFrame): Long = enc.agg(sum(
+            when(col("ts").isNull, lit(0L)).otherwise(
+              length(col("ts")) -
+                length(call_function("replace", col("ts"), lit(D), lit(""))) - 1L)
+          )).head.getLong(0)
+        val (a1, b1, c1) = top1(pairCounts(base))
+        val enc1 = applyMerge(base, a1, b1).localCheckpoint()
+        val n1 = corpusToks(enc1)
+        val (a2, b2, c2) = top1(pairCounts(enc1))
+        val n2 = corpusToks(applyMerge(enc1, a2, b2))
+        def show(t: String) = t.replace(J, "+")
+        import s.implicits._
+        Seq((1L, show(a1) + "+" + show(b1), c1, n1),
+            (2L, show(a2) + "+" + show(b2), c2, n2))
+          .toDF("round", "pair", "cnt", "corpus_tokens_after")
+          .orderBy("round")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+                   CASE WHEN len(${TextExprs.toksSql("text")}) = 0 THEN NULL
+                     ELSE chr(31) || array_to_string(${TextExprs.toksSql("text")}, chr(31)) || chr(31)
+                   END AS ts
+                 FROM documents),
+               bg1 AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
+                 FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                       FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
+                             FROM base WHERE ts IS NOT NULL) q) x
+                 GROUP BY 1, 2),
+               r1 AS (SELECT t1, t2, cnt FROM bg1
+                      ORDER BY cnt DESC, t1, t2 LIMIT 1),
+               enc1 AS (SELECT doc_id, replace(replace(ts,
+                     chr(31)||r1.t1||chr(31)||r1.t2||chr(31),
+                     chr(31)||r1.t1||chr(30)||r1.t2||chr(31)),
+                     chr(31)||r1.t1||chr(31)||r1.t2||chr(31),
+                     chr(31)||r1.t1||chr(30)||r1.t2||chr(31)) AS ts
+                 FROM base CROSS JOIN r1),
+               bg2 AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
+                 FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                       FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
+                             FROM enc1 WHERE ts IS NOT NULL) q) x
+                 GROUP BY 1, 2),
+               r2 AS (SELECT t1, t2, cnt FROM bg2
+                      ORDER BY cnt DESC, t1, t2 LIMIT 1),
+               enc2 AS (SELECT doc_id, replace(replace(enc1.ts,
+                     chr(31)||r2.t1||chr(31)||r2.t2||chr(31),
+                     chr(31)||r2.t1||chr(30)||r2.t2||chr(31)),
+                     chr(31)||r2.t1||chr(31)||r2.t2||chr(31),
+                     chr(31)||r2.t1||chr(30)||r2.t2||chr(31)) AS ts
+                 FROM enc1 CROSS JOIN r2),
+               nt AS (SELECT
+                   (SELECT SUM(CASE WHEN ts IS NULL THEN 0 ELSE
+                      length(ts) - length(replace(ts, chr(31), '')) - 1 END) FROM enc1) AS n1,
+                   (SELECT SUM(CASE WHEN ts IS NULL THEN 0 ELSE
+                      length(ts) - length(replace(ts, chr(31), '')) - 1 END) FROM enc2) AS n2)
+               SELECT * FROM (
+                 SELECT CAST(1 AS BIGINT) AS round,
+                   replace(r1.t1, chr(30), '+') || '+' || replace(r1.t2, chr(30), '+') AS pair,
+                   CAST(r1.cnt AS BIGINT) AS cnt,
+                   CAST(nt.n1 AS BIGINT) AS corpus_tokens_after
+                 FROM r1 CROSS JOIN nt
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT),
+                   replace(r2.t1, chr(30), '+') || '+' || replace(r2.t2, chr(30), '+'),
+                   CAST(r2.cnt AS BIGINT), CAST(nt.n2 AS BIGINT)
+                 FROM r2 CROSS JOIN nt) z
+               ORDER BY round""")),
+
     // Interpolated BIGRAM-LM perplexity — the step up from the unigram
     // CCNet filter (q_text_perplexity): P(t2|t1) = λ·c(t1,t2)/c(t1·)
     // + (1−λ)·P1(t2) with the SAME add-one unigram as backoff, scored

@@ -76,6 +76,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.width === MediaFixture.bmpWidth(7L).toLong)
   }
 
+  test("permissive WAV decode: typed category per corruption layer, ok == strict") {
+    val clean = MediaFixture.wav(9L)
+    val strict = MediaCodec.decodeWav(clean)
+    assert(MediaCodec.decodeWavPermissive(clean) ===
+      Right((strict._2, strict._3, strict._4, strict._5)))
+    assert(MediaCodec.decodeWavPermissive(clean.take(10)) === Left("truncated_header"))
+    val badRiff = clean.clone(); badRiff(0) = 'X'.toByte
+    assert(MediaCodec.decodeWavPermissive(badRiff) === Left("bad_riff"))
+    val badWave = clean.clone(); badWave(8) = 'X'.toByte
+    assert(MediaCodec.decodeWavPermissive(badWave) === Left("bad_wave"))
+    val notPcm = clean.clone(); notPcm(20) = 2.toByte
+    assert(MediaCodec.decodeWavPermissive(notPcm) === Left("not_pcm"))
+    assert(MediaCodec.decodeWavPermissive(clean.dropRight(1)) === Left("truncated_data"))
+    // adversarial field claims are rejected BEFORE any size math
+    val badCh = clean.clone()
+    java.nio.ByteBuffer.wrap(badCh).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 0x7FFF.toShort)
+    assert(MediaCodec.decodeWavPermissive(badCh) === Left("bad_format"))
+    // one bad blob must not take down its batch
+    import spark.implicits._
+    val rows = Multimodal.decodeAudioPermissive(spark,
+        Seq((1L, clean), (2L, clean.take(10)), (3L, notPcm))
+          .toDF("doc_id", "payload")).collect().sortBy(_.doc_id)
+    assert(rows.map(_.status).toSeq === Seq("ok", "truncated_header", "not_pcm"))
+    assert(rows.head.channels === MediaFixture.wavChannels(9L).toLong)
+  }
+
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
