@@ -98,7 +98,7 @@ object NearDupIngestScale {
     val ratios = (1 to 20).map { i =>
       val one = docsAll.filter(col("doc_id") === i * 97L)
       val sigs = Streams.nearDupSigs(one, sigBuckets)
-      val (m, probedF, storeF) = Streams.probeNearDupStore(
+      val (m, probedF, storeF, _) = Streams.probeNearDupStore(
         spark, store, sigs, excludeBatch = Long.MaxValue)
       m.count(): Unit // execute the pruned join
       probedF.toDouble / storeF

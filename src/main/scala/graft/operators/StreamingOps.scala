@@ -936,8 +936,15 @@ object StreamingOps extends QueryModule {
           .tempDirCleanedOnExit("graft-neardup-store").toString + "/sigs"
         val out = graft.GraftSession
           .tempDirCleanedOnExit("graft-neardup-out").toString + "/res"
+        // gate batches are corpus-sized (sigs >> cells at ANY bucket
+        // width), so a narrow store keeps the file count — and the
+        // local-FS write churn this row pays — proportional to what the
+        // pruning can actually use; production sizes sigBuckets to its
+        // batch signature count (see runNearDupIngest's doc)
+        val sigBuckets = 8
         val stats = graft.streaming.Streams.runNearDupIngest(
-          s, stagedNearDupSplit(s, d), store, out, compactEvery = 2)
+          s, stagedNearDupSplit(s, d), store, out,
+          sigBuckets = sigBuckets, compactEvery = 2)
         require(stats.size >= 2,
           s"the staged replay must deliver >= 2 micro-batches, got ${stats.size}")
         stats.filter(_.batchId > 0).foreach { st =>
@@ -953,9 +960,10 @@ object StreamingOps extends QueryModule {
             s"got ${subtrees.map(_.getName).mkString(",")}")
         // the store must carry BOTH batches' signatures after the run —
         // i.e. the append side of the loop is live, not just the probe
-        val storeDocs = s.read.parquet(store).select("doc_id").distinct()
-        val corpusDocs = storeDocs.filter(col("doc_id") % 10 =!= 7).count()
-        val deltaDocs = storeDocs.filter(col("doc_id") % 10 === 7).count()
+        val carryRow = s.read.parquet(store).select("doc_id").distinct()
+          .agg(sum(when(col("doc_id") % 10 =!= 7, 1L).otherwise(0L)),
+            sum(when(col("doc_id") % 10 === 7, 1L).otherwise(0L))).head
+        val (corpusDocs, deltaDocs) = (carryRow.getLong(0), carryRow.getLong(1))
         require(corpusDocs > 0 && deltaDocs > 0,
           s"the band store must accumulate across batches ($corpusDocs corpus, $deltaDocs delta)")
         // STRICT-subset pruning proof, deterministic at any scale: one
@@ -970,8 +978,8 @@ object StreamingOps extends QueryModule {
           else s.read.parquet(out).orderBy("doc_id").limit(1)
             .collect().head.getLong(0)
         val oneDoc = Tables(s, d, "documents").filter(col("doc_id") === probeId)
-        val oneSigs = graft.streaming.Streams.nearDupSigs(oneDoc)
-        val (m1, probed1, store1) = graft.streaming.Streams
+        val oneSigs = graft.streaming.Streams.nearDupSigs(oneDoc, sigBuckets)
+        val (m1, probed1, store1, _) = graft.streaming.Streams
           .probeNearDupStore(s, store, oneSigs, excludeBatch = Long.MaxValue)
         require(probed1 > 0 && probed1 < store1,
           s"single-doc probe must open a strict subset ($probed1 of $store1 files)")

@@ -548,9 +548,10 @@ object Streams {
     * probe opened, files the store holds) — the pruned ⊂ store
     * evidence the caller asserts. Duplicate signature rows (a crashed
     * compaction's window) are harmless by construction: the aggregate
-    * is countDistinct/min over corpus doc ids. */
+    * is countDistinct/min over corpus doc ids. Returns (matches,
+    * probeFiles, storeFiles, distinct cells probed). */
   def probeNearDupStore(spark: SparkSession, storeDir: String,
-      sigs: DataFrame, excludeBatch: Long): (DataFrame, Long, Long) = {
+      sigs: DataFrame, excludeBatch: Long): (DataFrame, Long, Long, Long) = {
     val batchDirs = nearDupBatchDirs(storeDir)
       .filterNot(_.getName == s"ingest_batch=$excludeBatch")
     val storeFiles = batchDirs.map(parquetFilesUnder).sum
@@ -566,7 +567,7 @@ object Streams {
     val empty = sigs.sparkSession.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit(0L).as("n_corpus_matches"),
         lit(null).cast("long").as("first_match"))
-    if (leafDirs.isEmpty) (empty, 0L, storeFiles)
+    if (leafDirs.isEmpty) (empty, 0L, storeFiles, cells.length.toLong)
     else {
       val pruned = spark.read.option("basePath", storeDir)
         .parquet(leafDirs.toIndexedSeq: _*)
@@ -576,7 +577,7 @@ object Streams {
         .groupBy(col("n.doc_id").as("doc_id"))
         .agg(countDistinct(col("c.doc_id")).as("n_corpus_matches"),
           min(col("c.doc_id")).as("first_match"))
-      (matches, pruned.inputFiles.length.toLong, storeFiles)
+      (matches, pruned.inputFiles.length.toLong, storeFiles, cells.length.toLong)
     }
   }
 
@@ -622,7 +623,7 @@ object Streams {
         val marker = new java.io.File(storeDir, s"_committed_$batchId")
         if (!marker.exists()) { // retry of a fully-committed batch: skip
           val sigs = nearDupSigs(batch, sigBuckets).localCheckpoint()
-          val (matches, probeFiles, storeFiles) =
+          val (matches, probeFiles, storeFiles, cells) =
             probeNearDupStore(spark, storeDir, sigs, batchId)
           batch.select(col("doc_id"))
             .join(matches, Seq("doc_id"), "left")
@@ -644,7 +645,6 @@ object Streams {
             .partitionBy("band", "sig_bucket")
             .parquet(s"$storeDir/ingest_batch=$batchId")
           marker.createNewFile()
-          val cells = sigs.select("band", "sig_bucket").distinct().count()
           stats.put(batchId,
             NearDupBatchStat(batchId, storeFiles, probeFiles, cells)): Unit
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {

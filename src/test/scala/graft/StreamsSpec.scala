@@ -354,7 +354,7 @@ class StreamsSpec extends AnyFunSuite {
     val probeDocId = oneDelta.collect().head.getLong(0)
     val sigs = Streams.nearDupSigs(oneDelta)
     def nMatches(exclude: Long): Long = {
-      val (m, _, _) = Streams.probeNearDupStore(spark, store2, sigs, exclude)
+      val (m, _, _, _) = Streams.probeNearDupStore(spark, store2, sigs, exclude)
       m.filter(col("doc_id") === probeDocId).collect()
         .headOption.map(_.getAs[Long]("n_corpus_matches")).getOrElse(0L)
     }
