@@ -348,6 +348,52 @@ object Multimodal extends QueryModule {
         return Left("truncated_data")
       Right((ch, rate, bits, dataBytes))
     }
+
+    /** PERMISSIVE AVI decode — completing the quarantine trio
+      * (BMP/WAV/AVI, one per binary front door): layout-ordered typed
+      * categories through the RIFF → AVI → hdrl → avih → dimension
+      * sanity → movi → chunk-walk layers; the walk bound-checks every
+      * declared chunk size before seeking (the strict parser's
+      * position() call throws on an adversarial size — here it is a
+      * category). Right = (frames, width, height, microsPerFrame); a
+      * payload that passes here cannot throw in [[decodeAviSampled]]. */
+    def decodeAviPermissive(bytes: Array[Byte])
+        : Either[String, (Long, Long, Long, Long)] = {
+      if (bytes.length < 100) return Left("truncated_header")
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def four() = new String(Array(b.get(), b.get(), b.get(), b.get()))
+      if (four() != "RIFF") return Left("bad_riff")
+      b.getInt // riff size (advisory; the chunk walk is bounds-checked)
+      if (four() != "AVI ") return Left("bad_avi")
+      if (four() != "LIST") return Left("missing_hdrl")
+      b.getInt
+      if (four() != "hdrl") return Left("missing_hdrl")
+      if (four() != "avih") return Left("missing_avih")
+      if (b.getInt != 56) return Left("bad_avih_size")
+      val mspf = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt // maxBps, padding, flags
+      val frames = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt // initial, streams, sugBufSize
+      val w = b.getInt.toLong
+      val h = b.getInt.toLong
+      b.getInt; b.getInt; b.getInt; b.getInt // dwReserved
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+          frames < 0 || frames > (1 << 30)) return Left("bad_dimensions")
+      if (four() != "LIST") return Left("missing_movi")
+      b.getInt
+      if (four() != "movi") return Left("missing_movi")
+      var f = 0L
+      while (b.remaining() >= 8) {
+        if (four() != "00db") return Left("bad_chunk")
+        val sz = b.getInt.toLong
+        if (sz < 0 || b.position() + sz + (sz & 1) > bytes.length)
+          return Left("truncated_frame")
+        b.position((b.position() + sz + (sz & 1)).toInt)
+        f += 1
+      }
+      if (f != frames) return Left("frame_count_mismatch")
+      Right((frames, w, h, mspf))
+    }
   }
 
   /** Typed row produced by the image transform stage. */
@@ -675,6 +721,48 @@ object Multimodal extends QueryModule {
       .map(id => (id, MediaFixture.wav(id))).toDF("doc_id", "payload")
   }
 
+  /** Typed row of the PERMISSIVE video decode stage. */
+  final case class PermissiveVideoMeta(doc_id: Long, status: String,
+      n_frames: Long, width: Long)
+
+  /** [[videoPayloads]] with DETERMINISTIC corruption injected — the AVI
+    * counterpart of [[corruptImagePayloads]]: % 14 == 3 truncates
+    * inside the header, == 10 stomps the RIFF magic, == 5 stomps the
+    * first movi chunk's fourcc (byte 100 in the fixture layout), == 7
+    * drops the final frame byte. */
+  def corruptVideoPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val clean = MediaFixture.avi(id)
+        val payload =
+          if (id % 14 == 3) clean.take(10)
+          else if (id % 14 == 10) { clean(0) = 'X'.toByte; clean }
+          else if (id % 14 == 5) { clean(100) = 'X'.toByte; clean }
+          else if (id % 14 == 7) clean.dropRight(1)
+          else clean
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Batched per-partition PERMISSIVE video decode. */
+  def decodeVideoPermissive(s: SparkSession, payloads: DataFrame,
+      batchSize: Int = 64): Dataset[PermissiveVideoMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            MediaCodec.decodeAviPermissive(bytes) match {
+              case Right((nf, w, _, _)) => PermissiveVideoMeta(id, "ok", nf, w)
+              case Left(err) => PermissiveVideoMeta(id, err, 0L, 0L)
+            }
+          }
+        }
+      }
+  }
+
   /** binary video payloads: one real uncompressed AVI per document */
   def videoPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -839,6 +927,34 @@ object Multimodal extends QueryModule {
               SELECT status, COUNT(*) AS n_docs,
                 CAST(SUM(ch) AS BIGINT) AS sum_channels,
                 CAST(SUM(db) AS BIGINT) AS sum_data_bytes
+              FROM cls GROUP BY status ORDER BY status""")),
+
+    // CORRUPT-BLOB TOLERANCE, video: the AVI quarantine completes the
+    // trio — the chunk-walk layer (a stomped movi fourcc, a truncated
+    // final frame) lands in its own category where the strict parser
+    // would throw mid-seek. Survivors aggregate to the fixture's frame
+    // and width arithmetic.
+    Q("q_mm_corrupt_avi",
+      (s, d) => decodeVideoPermissive(s, corruptVideoPayloads(s, d)).toDF()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("sum_frames"),
+          sum(col("width")).as("sum_width"))
+        .orderBy("status"),
+      Some("""WITH cls AS (SELECT doc_id,
+                CASE WHEN doc_id % 14 = 3 THEN 'truncated_header'
+                     WHEN doc_id % 14 = 10 THEN 'bad_riff'
+                     WHEN doc_id % 14 = 5 THEN 'bad_chunk'
+                     WHEN doc_id % 14 = 7 THEN 'truncated_frame'
+                     ELSE 'ok' END AS status,
+                CASE WHEN doc_id % 14 IN (3, 10, 5, 7) THEN 0
+                     ELSE 2 + doc_id % 7 END AS nf,
+                CASE WHEN doc_id % 14 IN (3, 10, 5, 7) THEN 0
+                     ELSE 8 + doc_id % 8 END AS w
+                FROM documents)
+              SELECT status, COUNT(*) AS n_docs,
+                CAST(SUM(nf) AS BIGINT) AS sum_frames,
+                CAST(SUM(w) AS BIGINT) AS sum_width
               FROM cls GROUP BY status ORDER BY status""")),
 
     // image transform: 2× nearest-neighbor downsample, re-encoded and

@@ -103,6 +103,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.channels === MediaFixture.wavChannels(9L).toLong)
   }
 
+  test("permissive AVI decode: typed category per corruption layer, ok == strict") {
+    val clean = MediaFixture.avi(11L)
+    val strict = MediaCodec.decodeAviSampled(clean)
+    assert(MediaCodec.decodeAviPermissive(clean) ===
+      Right((strict._1, strict._2, strict._3, strict._4)))
+    assert(MediaCodec.decodeAviPermissive(clean.take(10)) === Left("truncated_header"))
+    val badRiff = clean.clone(); badRiff(0) = 'X'.toByte
+    assert(MediaCodec.decodeAviPermissive(badRiff) === Left("bad_riff"))
+    val badChunk = clean.clone(); badChunk(100) = 'X'.toByte
+    assert(MediaCodec.decodeAviPermissive(badChunk) === Left("bad_chunk"))
+    assert(MediaCodec.decodeAviPermissive(clean.dropRight(1)) === Left("truncated_frame"))
+    // an adversarial chunk size must be a category, not a throw from
+    // the buffer seek (the strict parser's failure mode)
+    val badSz = clean.clone()
+    java.nio.ByteBuffer.wrap(badSz).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(104, Int.MaxValue)
+    assert(MediaCodec.decodeAviPermissive(badSz) === Left("truncated_frame"))
+    // a header that over-declares frames: the walk ends clean but short
+    val overFrames = clean.clone()
+    java.nio.ByteBuffer.wrap(overFrames).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(48, 99)
+    assert(MediaCodec.decodeAviPermissive(overFrames) === Left("frame_count_mismatch"))
+  }
+
   test("BMP round-trip: the parser recovers exactly what the builder encoded") {
     for (id <- Seq(0L, 1L, 63L, 64L, 127L, 9999L)) {
       val bytes = MediaFixture.bmp(id)
