@@ -901,7 +901,15 @@ object Graph extends QueryModule {
     String, (Seq[(Long, Int, Long)], Int, Seq[Double], Seq[(Long, Double, Long)])]()
   private val anfCacheCap = 500000
 
-  private def anfShared(s: SparkSession, d: String)
+  /** Warm register state covering e's FULL vertex set: the existing
+    * masks plus fresh init rows for vertices they don't cover — the
+    * entry point both incremental (q_graph_anf_incremental) and
+    * STREAMING (q_stream_live_anf) summary maintenance share. */
+  private[graft] def anfWarm(masks: DataFrame, e: DataFrame): DataFrame =
+    masks.unionAll(
+      anfInit(nodes(e)).join(masks.select("v").distinct(), Seq("v"), "left_anti"))
+
+  private[graft] def anfShared(s: SparkSession, d: String)
       : (DataFrame, Int, Seq[Double], DataFrame) = {
     import s.implicits._
     val key = Tables.fingerprint(d, "orders")
@@ -1730,9 +1738,7 @@ object Graph extends QueryModule {
         val (baseMasks, _, _, _) = anfSketch(base)
         // warm state must cover the FULL graph's vertex set: vertices
         // only the delta edges introduce enter with fresh init registers
-        val warm = baseMasks.unionAll(
-          anfInit(nodes(full)).join(baseMasks.select("v").distinct(),
-            Seq("v"), "left_anti"))
+        val warm = anfWarm(baseMasks, full)
         val (warmMasks, warmRounds, _, _) = anfSketch(full, warm = Some(warm))
         val (coldMasks, coldRounds, _, _) = anfShared(s, d)
         require(warmRounds <= coldRounds,
@@ -1752,6 +1758,58 @@ object Graph extends QueryModule {
       Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
                est AS (${anfEstSql("m8")})
                SELECT v, reach_est, true AS warm_equals_cold
+               FROM est ORDER BY v""")),
+
+    // STREAMING ANF MAINTENANCE in the gate (declared here, beside the
+    // family's oracle spine): the base/delta split of
+    // q_graph_anf_incremental REPLAYED AS A LIVE EDGE STREAM — two
+    // staged micro-batches through Streams.runAnfMaintain, registers
+    // warm-started batch to batch. Asserted in-row: exactly 2 batches,
+    // the warm batch converged in no more rounds than the memoized cold
+    // run, and the streamed final registers are BIT-IDENTICAL to the
+    // cold fixpoint (zero drift) — the summary a crawl's edge ingest
+    // serves is exactly the one a batch recompute would produce.
+    // Oracle: the same unrolled register chain as the incremental row.
+    Q("q_stream_live_anf",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val full = edges(s, d).select("src", "dst").localCheckpoint()
+        val isDelta = pmod(col("src") * 31 + col("dst"), lit(10)) === 7
+        val scratch = graft.GraftSession
+          .tempDirCleanedOnExit("graft-anfstream-raw").toString
+        val stage = graft.GraftSession
+          .tempDirCleanedOnExit("graft-anfstream-in").toString
+        for ((delta, m) <- Seq(false -> 0, true -> 1)) {
+          val part = if (delta) full.filter(isDelta) else full.filter(!isDelta)
+          part.coalesce(1).write.parquet(s"$scratch/b$m")
+          val f = new java.io.File(s"$scratch/b$m").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+          new java.io.File(f"$stage/part$m%02d.parquet")
+            .setLastModified(1000000L * (m + 1)): Unit
+        }
+        val (streamMasks, rounds) =
+          graft.streaming.Streams.runAnfMaintain(s, stage)
+        require(rounds.size == 2,
+          s"the staged replay must deliver exactly 2 micro-batches, got ${rounds.size}")
+        val (coldMasks, coldRounds, _, _) = anfShared(s, d)
+        require(rounds(1) <= coldRounds,
+          s"warm maintenance must not exceed the cold round count: " +
+            s"${rounds(1)} > $coldRounds")
+        val drift = streamMasks.as("w")
+          .join(coldMasks.as("c"),
+            col("w.v") === col("c.v") && col("w.k") === col("c.k"), "full")
+          .filter(col("w.mask").isNull || col("c.mask").isNull ||
+            col("w.mask") =!= col("c.mask")).count()
+        require(drift == 0L,
+          s"streamed registers must be bit-identical to the cold fixpoint, $drift differ")
+        anfEstimate(streamMasks)
+          .withColumn("stream_equals_cold", lit(true))
+          .orderBy("v")
+      },
+      Some(s"""WITH $edgesSql, $anfEdgeCtes, ${anfCtes(8)},
+               est AS (${anfEstSql("m8")})
+               SELECT v, reach_est, true AS stream_equals_cold
                FROM est ORDER BY v""")),
 
     // MID-SIZE fixed-RADIUS neighborhood function (the pagerank_mid

@@ -692,6 +692,48 @@ object Streams {
     stats.values.asScala.toSeq.sortBy(_.batchId)
   }
 
+  /** STREAMING ANF MAINTENANCE — the graph summary kept current over a
+    * live edge stream: each micro-batch of (src, dst) edges joins the
+    * accumulated edge relation, and the Flajolet-Martin registers
+    * WARM-START from the previous batch's converged state
+    * ([[graft.operators.Graph.anfWarm]] covers newly-introduced
+    * vertices with fresh init rows). The OR-merge's monotone unique
+    * fixpoint makes every batch's output bit-identical to a cold run
+    * on the edges seen so far, in rounds proportional to how far the
+    * batch's edges MOVE the horizon — not the graph diameter from
+    * scratch (the q_graph_anf_incremental contract, held per
+    * micro-batch). Returns the final registers and each batch's round
+    * count; at 100 TB the register state is O(V·K) and each round one
+    * join + one bit_or hash-aggregate, whatever the stream's length. */
+  def runAnfMaintain(spark: SparkSession, edgesPath: String,
+      options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
+      : (DataFrame, Seq[Int]) = {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val f = new java.io.File(edgesPath)
+    val reader = spark.readStream.schema(schema).options(options)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(edgesPath)
+    var masks: Option[DataFrame] = None
+    var acc: Option[DataFrame] = None
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = src.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val e = batch.select("src", "dst")
+        val all = acc.map(_.unionAll(e)).getOrElse(e)
+          .distinct().localCheckpoint()
+        acc = Some(all)
+        val warm = masks.map(m => graft.operators.Graph.anfWarm(m, all))
+        val (m2, r, _, _) = graft.operators.Graph.anfSketch(all, warm = warm)
+        masks = Some(m2)
+        rounds += r: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (masks.getOrElse(spark.emptyDataFrame), rounds.toSeq)
+  }
+
   /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse
     * fact-table loop (append + periodic OPTIMIZE) as one
     * self-maintaining sink: batch 0 bucket-loads the table, every later
