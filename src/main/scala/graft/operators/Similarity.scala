@@ -735,6 +735,65 @@ object Similarity extends QueryModule {
                  FROM c JOIN q USING (pos) GROUP BY q_id, cand_id)
                ${rankSql("sims", topK)}""")),
 
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION — the dimensionality-
+    // reduction leg of the compression family (int8 shrinks the
+    // ELEMENTS, PQ the CODES; JL shrinks the DIMENSION): 64-dim
+    // embeddings × a deterministic ±1 Rademacher matrix / √k → 16-dim,
+    // norms preserved in expectation (Achlioptas 2003 — sign matrices
+    // suffice; no Gaussian needed). The matrix derives from the SAME
+    // md5 draw both engines state longhand (the ANF register recipe),
+    // computed ONCE (1,024 rows collected to the driver) and folded
+    // into k codegen'd VecDot literals — per row the projection is 16
+    // native dot products, no explode, no shuffle. Output: exact vs
+    // projected norm per vector, the distortion a JL consumer monitors.
+    Q("q_sim_jl_projection",
+      (s, d) => {
+        val kOut = 16; val dIn = 64
+        val signs = s.range(dIn.toLong * kOut)
+          .selectExpr(s"id DIV $kOut AS i", s"id % $kOut AS j",
+            s"""CAST(CASE WHEN CAST(conv(substring(md5(concat(
+                  CAST(id DIV $kOut AS STRING), '_',
+                  CAST(id % $kOut AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE) AS sgn""")
+          .collect()
+          .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+          .toMap
+        val rowsJ: Seq[Array[Double]] =
+          (0 until kOut).map(j => (0 until dIn).map(i => signs((i, j))).toArray)
+        val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val withP = rowsJ.zipWithIndex.foldLeft(emb) { case (df, (row, j)) =>
+          df.withColumn(s"p$j",
+            vecDot(col("embedding"), typedLit(row)) / math.sqrt(kOut.toDouble))
+        }
+        val normJl = sqrt((0 until kOut).map(j => col(s"p$j") * col(s"p$j"))
+          .reduce(_ + _))
+        val normEx = sqrt(vecDot(col("embedding"), col("embedding")))
+        withP.select(col("vec_id"),
+            round(normEx, 6).as("norm_exact"),
+            round(normJl, 6).as("norm_jl"),
+            round(when(normEx === 0, 1.0).otherwise(normJl / normEx), 6)
+              .as("norm_ratio"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH pr AS (SELECT vec_id,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS ne,
+                  list_transform(generate_series(0, 15), j ->
+                    list_aggregate(list_transform(generate_series(1, 64), i ->
+                      CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN CAST('0x' || substring(md5(
+                          CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                          1, 8) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0)) AS ps
+                FROM embeddings)
+              SELECT vec_id, ROUND(ne, 6) AS norm_exact,
+                ROUND(sqrt(list_aggregate(list_transform(ps, p -> p * p), 'sum')), 6)
+                  AS norm_jl,
+                ROUND(CASE WHEN ne = 0 THEN 1.0 ELSE
+                  sqrt(list_aggregate(list_transform(ps, p -> p * p), 'sum')) / ne
+                  END, 6) AS norm_ratio
+              FROM pr ORDER BY vec_id""")),
+
     // PRODUCT-QUANTIZED ANN (PQ + asymmetric distance): the compression
     // scale path past int8 — each candidate vector is stored as pqM=4
     // one-byte codes (16× smaller than float32), and search never touches
