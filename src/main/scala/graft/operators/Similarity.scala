@@ -524,6 +524,48 @@ object Similarity extends QueryModule {
       .orderBy("q_id")
   }
 
+  /** JL projection shared by q_sim_jl_projection / q_sim_jl_recall:
+    * (vec_id, embedding, pv = 16-dim ±1-projected vector / √16). The
+    * sign matrix derives from the md5 draw stated longhand in the
+    * oracle ([[jlPrSql]]), computed once and folded into codegen'd
+    * VecDot literals. */
+  private val jlK = 16
+  private val jlD = 64
+  private def jlProjected(s: SparkSession, d: String): DataFrame = {
+    val signs = s.range(jlD.toLong * jlK)
+      .selectExpr(s"id DIV $jlK AS i", s"id % $jlK AS j",
+        s"""CAST(CASE WHEN CAST(conv(substring(md5(concat(
+              CAST(id DIV $jlK AS STRING), '_',
+              CAST(id % $jlK AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE) AS sgn""")
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val rowsJ: Seq[Array[Double]] =
+      (0 until jlK).map(j => (0 until jlD).map(i => signs((i, j))).toArray)
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val withP = rowsJ.zipWithIndex.foldLeft(emb) { case (df, (row, j)) =>
+      df.withColumn(s"p$j",
+        vecDot(col("embedding"), typedLit(row)) / math.sqrt(jlK.toDouble))
+    }
+    withP.select(col("vec_id"), col("embedding"),
+      array((0 until jlK).map(j => col(s"p$j")): _*).as("pv"))
+  }
+
+  /** the same projection as a DuckDB CTE `pr(vec_id, ne, ps)` */
+  private val jlPrSql =
+    s"""pr AS (SELECT vec_id,
+         sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS ne,
+         list_transform(generate_series(0, ${jlK - 1}), j ->
+           list_aggregate(list_transform(generate_series(1, $jlD), i ->
+             CAST(embedding[i] AS DOUBLE) *
+             (CASE WHEN CAST('0x' || substring(md5(
+                 CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                 1, 8) AS BIGINT) % 2 = 0
+               THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt($jlK.0)) AS ps
+       FROM embeddings)"""
+
   /** rank a sims CTE per q_id by (sim DESC, cand_id) and keep the top k. */
   private def rankSql(simsCte: String, k: Int): String =
     s"""SELECT q_id, rank, cand_id, sim FROM (
@@ -748,44 +790,17 @@ object Similarity extends QueryModule {
     // projected norm per vector, the distortion a JL consumer monitors.
     Q("q_sim_jl_projection",
       (s, d) => {
-        val kOut = 16; val dIn = 64
-        val signs = s.range(dIn.toLong * kOut)
-          .selectExpr(s"id DIV $kOut AS i", s"id % $kOut AS j",
-            s"""CAST(CASE WHEN CAST(conv(substring(md5(concat(
-                  CAST(id DIV $kOut AS STRING), '_',
-                  CAST(id % $kOut AS STRING))), 1, 8), 16, 10) AS BIGINT)
-                % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE) AS sgn""")
-          .collect()
-          .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
-          .toMap
-        val rowsJ: Seq[Array[Double]] =
-          (0 until kOut).map(j => (0 until dIn).map(i => signs((i, j))).toArray)
-        val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val withP = rowsJ.zipWithIndex.foldLeft(emb) { case (df, (row, j)) =>
-          df.withColumn(s"p$j",
-            vecDot(col("embedding"), typedLit(row)) / math.sqrt(kOut.toDouble))
-        }
-        val normJl = sqrt((0 until kOut).map(j => col(s"p$j") * col(s"p$j"))
-          .reduce(_ + _))
+        val pr = jlProjected(s, d)
+        val normJl = sqrt(vecDot(col("pv"), col("pv")))
         val normEx = sqrt(vecDot(col("embedding"), col("embedding")))
-        withP.select(col("vec_id"),
+        pr.select(col("vec_id"),
             round(normEx, 6).as("norm_exact"),
             round(normJl, 6).as("norm_jl"),
             round(when(normEx === 0, 1.0).otherwise(normJl / normEx), 6)
               .as("norm_ratio"))
           .orderBy("vec_id")
       },
-      Some("""WITH pr AS (SELECT vec_id,
-                  sqrt(list_aggregate(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS ne,
-                  list_transform(generate_series(0, 15), j ->
-                    list_aggregate(list_transform(generate_series(1, 64), i ->
-                      CAST(embedding[i] AS DOUBLE) *
-                      (CASE WHEN CAST('0x' || substring(md5(
-                          CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
-                          1, 8) AS BIGINT) % 2 = 0
-                        THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0)) AS ps
-                FROM embeddings)
+      Some(s"""WITH $jlPrSql
               SELECT vec_id, ROUND(ne, 6) AS norm_exact,
                 ROUND(sqrt(list_aggregate(list_transform(ps, p -> p * p), 'sum')), 6)
                   AS norm_jl,
@@ -793,6 +808,68 @@ object Similarity extends QueryModule {
                   sqrt(list_aggregate(list_transform(ps, p -> p * p), 'sum')) / ne
                   END, 6) AS norm_ratio
               FROM pr ORDER BY vec_id""")),
+
+    // JL RECALL — what the projection BUYS as an ANN pre-filter:
+    // cosine top-10 ranked in the 16-dim JL space vs the exact 64-dim
+    // top-10 (q_sim_topk's relation), recall@10 per query. The search
+    // itself runs 4× less arithmetic and 4× less candidate IO per pair;
+    // this row measures the accuracy that costs — the
+    // distortion-vs-speed dial a 100 TB embedding sweep tunes (project
+    // once, shortlist in JL space at a widened k', exact-rerank the
+    // shortlist). The isotropic testdata is the ADVERSARIAL case
+    // (near-uniform cosines scramble under any distortion), so the
+    // measured recall is the floor a clustered real corpus improves on.
+    Q("q_sim_jl_recall",
+      (s, d) => {
+        val pr = jlProjected(s, d).select(col("vec_id"), col("pv"))
+        val q = pr.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("pv").as("qp"))
+        val c = pr.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("pv").as("cp"))
+        val sims = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("cand_id"),
+            round(vecDot(col("qp"), col("cp")) /
+              greatest(sqrt(vecDot(col("qp"), col("qp"))) *
+                sqrt(vecDot(col("cp"), col("cp"))), lit(1e-12)), 6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val jlTop = sims.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("q_id").as("jq"), col("cand_id").as("jc"))
+        val wx = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val truth = bruteSims(s, d).withColumn("rank", row_number().over(wx))
+          .filter(col("rank") <= topK).select(col("q_id"), col("cand_id"))
+        truth.join(jlTop,
+            col("q_id") === col("jq") && col("cand_id") === col("jc"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("jq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $jlPrSql, $eSql, $bruteSimsSql,
+               jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
+               jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
+               jsims AS (SELECT q_id, cand_id,
+                 ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
+                     t -> qp[t] * cp[t]), 'sum') /
+                   GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
+                     sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
+                     1e-12), 6) AS sim
+                 FROM jc CROSS JOIN jq),
+               jltop AS (SELECT q_id, cand_id FROM (
+                   SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+                   FROM jsims) t WHERE rank <= $topK),
+               truth AS (SELECT q_id, cand_id FROM (
+                   SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+                   FROM bsims) t WHERE rank <= $topK)
+               SELECT t.q_id, CAST(COUNT(j.cand_id) AS BIGINT) AS n_hits,
+                 ROUND(COUNT(j.cand_id) * 1.0 / COUNT(*), 6) AS recall
+               FROM truth t LEFT JOIN jltop j
+                 ON j.q_id = t.q_id AND j.cand_id = t.cand_id
+               GROUP BY t.q_id ORDER BY t.q_id""")),
 
     // PRODUCT-QUANTIZED ANN (PQ + asymmetric distance): the compression
     // scale path past int8 — each candidate vector is stored as pqM=4
