@@ -336,6 +336,12 @@ object Relational extends QueryModule {
     // TPC-H Q9 (product-type profit — VERDICT r10 missing #1): the
     // LIKE-filtered part set exploded through lineitem with the supply
     // cost joined back per (part, supplier) — profit by nation × year.
+    // The per-group profit reaches 1e8 over ~2k double terms, so a plain
+    // double SUM's low bits are partition-order-dependent and can straddle
+    // a half-cent rounding boundary between engines (observed once at
+    // sf0.01): amounts carry at most 4 exact decimals, so both engines
+    // accumulate DECIMAL(18,4) — order-independent, exact — and round the
+    // final cast once.
     // The testdata has no partsupp, so ps_supplycost derives from
     // lineitem exactly as Q2's ps CTE does (MIN extendedprice per part/
     // supplier — shared shape, same derivation both engines). The scan
@@ -351,11 +357,13 @@ object Relational extends QueryModule {
           """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                     MIN(l_extendedprice) AS ps_supplycost
                   FROM lineitem GROUP BY 1, 2)
-             SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+             SELECT nation, o_year,
+                    ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
              FROM (SELECT n_name AS nation,
                           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                          l_extendedprice * (1 - l_discount)
-                            - ps_supplycost * l_quantity AS amount
+                          CAST(ROUND(l_extendedprice * (1 - l_discount)
+                            - ps_supplycost * l_quantity, 4)
+                            AS DECIMAL(18, 4)) AS amount
                    FROM part, supplier, lineitem, ps, orders, nation
                    WHERE s_suppkey = l_suppkey
                      AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
@@ -371,11 +379,13 @@ object Relational extends QueryModule {
       Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                     MIN(l_extendedprice) AS ps_supplycost
                   FROM lineitem GROUP BY 1, 2)
-              SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+              SELECT nation, o_year,
+                     ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
               FROM (SELECT n_name AS nation,
                            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                           l_extendedprice * (1 - l_discount)
-                             - ps_supplycost * l_quantity AS amount
+                           CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             - ps_supplycost * l_quantity, 4)
+                             AS DECIMAL(18, 4)) AS amount
                     FROM part, supplier, lineitem, ps, orders, nation
                     WHERE s_suppkey = l_suppkey
                       AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
