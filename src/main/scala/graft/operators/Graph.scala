@@ -873,7 +873,17 @@ object Graph extends QueryModule {
     def record(masks: DataFrame, r: Int): Unit = {
       val est = pin(anfEstimate(masks).withColumn("r", lit(r.toLong)))
       nf += est.agg(round(sum("reach_est"), 2)).head.getDouble(0)
-      curve = if (curve == null) est else pin(curve.unionAll(est))
+      // fold est into the running curve and DROP the superseded pins:
+      // a caller invoking the sketch repeatedly (streaming maintenance,
+      // q_stream_live_anf) would otherwise accumulate one dead curve
+      // checkpoint per round per call
+      curve =
+        if (curve == null) est
+        else {
+          val merged = pin(curve.unionAll(est))
+          Iterate.release(curve); Iterate.release(est)
+          merged
+        }
     }
     record(init, 0)
     val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
@@ -890,6 +900,7 @@ object Graph extends QueryModule {
       Iterate.release(m)
       (next, changed)
     }.requireConverged("anfSketch")
+    Iterate.release(e) // dead once the fixpoint's final pin exists
     (fp.out, fp.iters, nf.toSeq, curve)
   }
 
