@@ -974,10 +974,15 @@ object TextAnalysis extends QueryModule {
     // total tie-break) and re-encode every document, reporting
     // tokens/doc before and after. The merge applies as a two-pass
     // delimiter replace over the chr(31)-joined token string — pass 1's
-    // left-to-right replace consumes the shared boundary of back-to-back
-    // pairs, pass 2 catches exactly those (skipped pairs are always
-    // isolated between merged neighbors, so two passes reach the
-    // fixpoint); merged tokens join with chr(30) so they can never
+    // left-to-right replace consumes the shared boundary pipe of
+    // back-to-back matches, pass 2 catches the skipped ones. For
+    // t1 ≠ t2 this is EXACT canonical greedy: two matches can only be
+    // boundary-ADJACENT, never overlap (overlap needs t1 = t2), and a
+    // pass-1-skipped match is always flanked by merged neighbors whose
+    // delimiters pass 2 sees. For a SELF-pair merge (t1 = t2) on a run
+    // of ≥ 6 repeated tokens, the pairing differs from canonical greedy
+    // — both engines identically, so the output stays deterministic and
+    // shared. Merged tokens join with chr(30) so they can never
     // re-match a later pattern. One projection per merge — no explode,
     // no shuffle; the 3 merge pairs are an O(1) driver collect off the
     // ranking aggregate, exactly the training row's output. The oracle
@@ -1057,8 +1062,10 @@ object TextAnalysis extends QueryModule {
     // single-pass ranking cannot express), repeat. Two rounds unrolled
     // (the GD-loop precedent); each round = one corpus-wide pair count
     // (hash agg), one O(1) driver collect of the argmax, one projection
-    // applying the merge with the chr(31)/chr(30) two-pass replace.
-    // Output: per round, the chosen pair (chr(30) shown as '+'), its
+    // applying the merge with the chr(31)/chr(30) two-pass replace
+    // (exact greedy for t1 ≠ t2 — see q_text_bpe_encode's note on the
+    // self-pair run case). Output: per round, the chosen pair (chr(30)
+    // shown as '+'), its
     // corpus count AT SELECTION TIME, and corpus tokens after applying —
     // the numbers a tokenizer-training dashboard plots.
     Q("q_text_bpe_train",

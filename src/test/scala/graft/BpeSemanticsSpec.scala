@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the semantics claim q_text_bpe_encode/train's comment makes
+  * about the two-pass chr(31)/chr(30) delimiter replace: EXACT
+  * canonical greedy merging for t1 != t2, with the documented
+  * deviation window for self-pair merges on long repeated runs.
+  * java.lang.String.replace, Spark's StringReplace and DuckDB's
+  * replace all share the same contract (literal, left-to-right,
+  * non-overlapping, scanning the SOURCE), so the reference here
+  * models all three. */
+class BpeSemanticsSpec extends AnyFunSuite {
+  private val D = "\u001f"
+  private val J = "\u001e"
+
+  /** the rows' algebra: join on chr(31), replace twice, split back */
+  private def stringMerge(tk: Seq[String], t1: String, t2: String): Seq[String] = {
+    if (tk.isEmpty) return tk
+    val ts = D + tk.mkString(D) + D
+    val p = D + t1 + D + t2 + D
+    val r = D + t1 + J + t2 + D
+    ts.replace(p, r).replace(p, r).split(D).filter(_.nonEmpty).toSeq
+  }
+
+  /** canonical greedy: scan left to right, merge eagerly, resume after
+    * the merged token */
+  private def greedyMerge(tk: Seq[String], t1: String, t2: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < tk.length) {
+      if (i + 1 < tk.length && tk(i) == t1 && tk(i + 1) == t2) {
+        out += (t1 + J + t2); i += 2
+      } else { out += tk(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def allSeqs(alphabet: Seq[String], n: Int): Iterator[Seq[String]] =
+    if (n == 0) Iterator(Seq.empty)
+    else allSeqs(alphabet, n - 1).flatMap(s => alphabet.map(s :+ _))
+
+  test("two-pass replace == canonical greedy for every t1 != t2 sequence (exhaustive, n <= 8)") {
+    for (n <- 0 to 8; seq <- allSeqs(Seq("a", "b", "c"), n)) {
+      assert(stringMerge(seq, "a", "b") === greedyMerge(seq, "a", "b"),
+        s"diverged on $seq")
+    }
+  }
+
+  test("self-pair merge: sequences agree up to runs of 4, counts up to runs of 5") {
+    def maxRun(seq: Seq[String]): Int = {
+      var best = 0; var cur = 0
+      seq.foreach { t => if (t == "a") { cur += 1; best = math.max(best, cur) } else cur = 0 }
+      best
+    }
+    for (n <- 0 to 8; seq <- allSeqs(Seq("a", "b"), n)) {
+      val sm = stringMerge(seq, "a", "a"); val gm = greedyMerge(seq, "a", "a")
+      if (maxRun(seq) <= 4) assert(sm === gm, s"sequence diverged on $seq")
+      if (maxRun(seq) <= 5) assert(sm.length === gm.length, s"count diverged on $seq")
+    }
+    // the documented deviation: a run of 6 under-merges by one vs greedy
+    val six = Seq.fill(6)("a")
+    assert(greedyMerge(six, "a", "a").length === 3)
+    assert(stringMerge(six, "a", "a").length === 4)
+  }
+}
