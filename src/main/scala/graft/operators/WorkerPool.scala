@@ -55,7 +55,8 @@ object WorkerPool {
       val buf = new java.io.ByteArrayOutputStream(64)
       var b = fromChild.read()
       require(b != -1,
-        s"worker '${cmd.mkString(" ")}' (pid $pid) closed its pipe mid-protocol")
+        s"worker '${cmd.mkString(" ")}' (pid $pid) closed its pipe mid-protocol" +
+          " — the failed task's retry acquires a respawned child")
       while (b != -1 && b != '\n') { buf.write(b); b = fromChild.read() }
       new String(buf.toByteArray, "UTF-8")
     }
