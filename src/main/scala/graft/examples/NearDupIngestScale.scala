@@ -82,6 +82,14 @@ object NearDupIngestScale {
       .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
     val verdicts = spark.read.parquet(out).count()
     val dups = spark.read.parquet(out).filter(col("is_dup")).count()
+    // the injection is deterministic: every dupEvery-th doc from the
+    // dupSpan boundary on reuses an earlier batch's body, so the probe's
+    // RECALL at scale is checkable exactly — any shortfall means the
+    // pruned probe lost candidates
+    val expectedDups = (dupSpan until nBatches * docsPerBatch)
+      .count(_ % dupEvery == 0)
+    require(dups == expectedDups,
+      s"pruned probe must find every injected cross-batch dup: $dups of $expectedDups")
     println(f"""{"metric":"neardup_ingest_scale","batches":${stats.size},""" +
       f""""docs_per_batch":$docsPerBatch,"sig_buckets":$sigBuckets,""" +
       f""""compact_every":$compactEvery,"dup_every":$dupEvery,""" +
