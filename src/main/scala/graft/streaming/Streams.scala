@@ -665,16 +665,24 @@ object Streams {
               else if (singles.length > 1) singles
               else Array.empty[java.io.File]
             if (toFold.length > 1) {
-              // fold ids are -(batchId+1): unique, and never collide
-              // with a real (non-negative) batch's exclude filter
-              val foldDir = s"$storeDir/ingest_batch=${-(batchId + 1)}"
-              spark.read.option("basePath", storeDir)
-                .parquet(toFold.map(_.getPath).toIndexedSeq: _*)
-                .select("doc_id", "band_sig", "band", "sig_bucket")
-                .distinct()
-                .repartition(col("band"), col("sig_bucket"))
-                .write.mode(SaveMode.Overwrite)
-                .partitionBy("band", "sig_bucket").parquet(foldDir)
+              // a batch of all-too-short docs leaves a DATALESS subtree
+              // (its Overwrite wrote only _SUCCESS); reading a source
+              // list with no parquet files at all would throw on schema
+              // inference — fold only the subtrees carrying data, but
+              // drop every folded-away dir either way
+              val withData = toFold.filter(parquetFilesUnder(_) > 0)
+              if (withData.nonEmpty) {
+                // fold ids are -(batchId+1): unique, and never collide
+                // with a real (non-negative) batch's exclude filter
+                val foldDir = s"$storeDir/ingest_batch=${-(batchId + 1)}"
+                spark.read.option("basePath", storeDir)
+                  .parquet(withData.map(_.getPath).toIndexedSeq: _*)
+                  .select("doc_id", "band_sig", "band", "sig_bucket")
+                  .distinct()
+                  .repartition(col("band"), col("sig_bucket"))
+                  .write.mode(SaveMode.Overwrite)
+                  .partitionBy("band", "sig_bucket").parquet(foldDir)
+              }
               toFold.foreach { d => // fold committed: drop the sources
                 def rm(f: java.io.File): Unit = {
                   if (f.isDirectory) f.listFiles().foreach(rm)

@@ -364,4 +364,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(nMatches(Long.MaxValue) >= nMatches(1L) + 1,
       "excluding the doc's own batch must hide at least its self-match")
   }
+
+  test("near-dup ingest survives a signatureless batch and still folds") {
+    import org.apache.spark.sql.functions._
+    // batch 1 holds only a doc too short to shingle: its store subtree
+    // has NO parquet files, which the compaction fold must tolerate
+    val stage = Files.createTempDirectory("graft-ndempty-in").toString
+    val docs = Tables(spark, TestSpark.sf0, "documents").limit(20)
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val shorty = spark.sql(
+      """SELECT CAST(999999 AS BIGINT) AS doc_id, 'x' AS text,
+           'en' AS lang, 's0' AS source, CAST(1 AS BIGINT) AS n_chars""")
+    for ((part, m) <- Seq(docs -> 0, shorty -> 1, docs -> 2)) {
+      val scratch = Files.createTempDirectory("graft-ndempty-raw").toString
+      part.coalesce(1).write.parquet(s"$scratch/b")
+      val f = new java.io.File(s"$scratch/b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+      new java.io.File(f"$stage/part$m%02d.parquet")
+        .setLastModified(1000000L * (m + 1)): Unit
+    }
+    val store = Files.createTempDirectory("graft-ndempty-store").toString + "/sigs"
+    val out = Files.createTempDirectory("graft-ndempty-out").toString + "/res"
+    val stats = Streams.runNearDupIngest(spark, stage, store, out, compactEvery = 3)
+    assert(stats.size === 3)
+    // the short doc got a verdict (zero matches), the stream completed,
+    // and the fold collapsed all three subtrees — including the dataless
+    // one — into a single fold
+    val verdicts = spark.read.parquet(out)
+    assert(verdicts.filter(col("doc_id") === 999999L).count() === 1)
+    assert(verdicts.filter(col("doc_id") === 999999L && col("is_dup")).count() === 0)
+    val subtrees = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    assert(subtrees.length === 1 &&
+      subtrees.head.getName.stripPrefix("ingest_batch=").toLong < 0)
+    // batch 3 (a replay of batch 1's docs) must have matched batch 1's
+    // stored signatures through the store
+    assert(spark.read.parquet(out)
+      .filter(col("is_dup")).count() >= docs.count())
+  }
 }
