@@ -975,8 +975,10 @@ object StreamingOps extends QueryModule {
           .orderBy("doc_id").limit(1).collect()
         val probeId =
           if (dupRow.nonEmpty) dupRow.head.getLong(0)
-          else s.read.parquet(out).orderBy("doc_id").limit(1)
-            .collect().head.getLong(0)
+          // fallback must pick a doc the STORE holds signatures for —
+          // a verdict row alone could be a too-short-to-shingle doc
+          else s.read.parquet(store).select("doc_id").orderBy("doc_id")
+            .limit(1).collect().head.getLong(0)
         val oneDoc = Tables(s, d, "documents").filter(col("doc_id") === probeId)
         val oneSigs = graft.streaming.Streams.nearDupSigs(oneDoc, sigBuckets)
         val (m1, probed1, store1, _) = graft.streaming.Streams

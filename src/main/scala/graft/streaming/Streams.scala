@@ -731,19 +731,25 @@ object Streams {
         val e = batch.select("src", "dst")
         val all = acc.map(_.unionAll(e)).getOrElse(e)
           .distinct().localCheckpoint()
-        val warm = masks.map(m => graft.operators.Graph.anfWarm(m, all))
-        val (m2, r, _, _) = graft.operators.Graph.anfSketch(all, warm = warm)
-        // release the SUPERSEDED pins before replacing them: a crawl
-        // running thousands of batches would otherwise hold every
-        // batch's full edge-relation and register checkpoint blocks —
-        // O(E) executor storage PER BATCH, the quiet leak that kills a
-        // long-running stream (anfSketch reads its inputs eagerly into
-        // its own pins, so the old blocks are dead the moment it returns)
-        acc.foreach(graft.plans.Iterate.release)
-        masks.foreach(graft.plans.Iterate.release)
-        acc = Some(all)
-        masks = Some(m2)
-        rounds += r: Unit
+        if (all.head(1).isEmpty) { // no edges yet: nothing to sketch
+          acc.foreach(graft.plans.Iterate.release)
+          acc = Some(all)
+          rounds += 0: Unit
+        } else {
+          val warm = masks.map(m => graft.operators.Graph.anfWarm(m, all))
+          val (m2, r, _, _) = graft.operators.Graph.anfSketch(all, warm = warm)
+          // release the SUPERSEDED pins before replacing them: a crawl
+          // running thousands of batches would otherwise hold every
+          // batch's full edge-relation and register checkpoint blocks —
+          // O(E) executor storage PER BATCH, the quiet leak that kills a
+          // long-running stream (anfSketch reads its inputs eagerly into
+          // its own pins, so the old blocks are dead the moment it returns)
+          acc.foreach(graft.plans.Iterate.release)
+          masks.foreach(graft.plans.Iterate.release)
+          acc = Some(all)
+          masks = Some(m2)
+          rounds += r: Unit
+        }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
