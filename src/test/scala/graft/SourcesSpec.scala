@@ -92,6 +92,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(java.nio.ByteBuffer.wrap(nresp).getDouble === nlVals.sum)
   }
 
+  test("callFrame rejects an implausible frame length instead of allocating for it") {
+    import graft.operators.WorkerPool
+    // a desynced child (here: one that answers with 0xFFFFFFFF) must
+    // surface as a protocol error, not an OOM-sized allocation
+    val w = WorkerPool.get(Seq("bash", "-c",
+      "printf '\\xff\\xff\\xff\\xff'; exec cat > /dev/null"))
+    val ex = intercept[IllegalArgumentException] {
+      w.callFrame(Array[Byte](1, 2, 3))
+    }
+    assert(ex.getMessage.contains("desync"))
+  }
+
   test("q_join_bucketed matches the unbucketed join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0).collect()
     val plain = Tables(spark, TestSpark.sf0, "orders")
