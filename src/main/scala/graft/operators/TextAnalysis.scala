@@ -951,6 +951,38 @@ object TextAnalysis extends QueryModule {
                  ROUND(POWER(2.0, bits), 4) AS perplexity
                FROM agg ORDER BY doc_id""")),
 
+    // FEATURE HASHING (the Weinberger/vowpal hashing trick): tokens map
+    // to a FIXED 16-bucket feature space by hash, with a second
+    // independent hash bit choosing the sign so collisions cancel in
+    // expectation instead of biasing upward — the O(1)-memory
+    // vectorizer that replaces a vocabulary dictionary at corpus scale
+    // (no vocab build pass, no OOV, new tokens never resize anything).
+    // One scan + one (doc, bucket) hash aggregate; both hashes are the
+    // portable md5 recipe (bucket from hex chars 1-8, sign parity from
+    // 9-16) stated longhand in the oracle.
+    Q("q_text_feature_hash",
+      (s, d) => {
+        toks(s, d)
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 16"))
+          .withColumn("sgn", expr(
+            "CASE WHEN CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) % 2 = 0 " +
+              "THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "bucket")
+          .agg(sum(col("sgn")).cast("long").as("val"),
+            count(lit(1)).as("n_toks"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""WITH $toksSql,
+               h AS (SELECT doc_id,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 16 AS bucket,
+                   CASE WHEN CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+                 FROM toks)
+               SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val,
+                 COUNT(*) AS n_toks
+               FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
     // BPE merge-candidate counting — the inner loop of tokenizer TRAINING:
     // corpus-wide counts of adjacent token pairs, top-20 by frequency
     // (full tie-break so the ranking is total). Pairs come from a bounded
