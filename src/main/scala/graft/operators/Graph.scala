@@ -116,6 +116,51 @@ object Graph extends QueryModule {
        SELECT v, ROUND(rank, 9) AS rank FROM r$iters ORDER BY v"""
   }
 
+  /** Katz centrality: katz(v) = Σ_{k=1..K} αᵏ · (#paths of length k ending
+    * at v) — the attenuated-path score that, unlike PageRank, does NOT
+    * dilute a vertex's contribution by its out-degree, so prolific linkers
+    * count in full. Computed by the linear recurrence x_k = α·Aᵀx_{k-1},
+    * x_0 = 1, accumulating Σx_k: one edge join + one hash aggregate per
+    * round, O(V) state, K bounded — the identical superstep shape (and
+    * 100 TB posture) as [[ppr]]. Completes the centrality family beside
+    * degree/closeness/harmonic/betweenness/eccentricity/PPR/HITS. */
+  private def katz(s: SparkSession, d: String, iters: Int, alpha: Double): DataFrame = {
+    val e = edges(s, d).select("src", "dst").localCheckpoint()
+    val vs = nodes(e).cache()
+    val init = vs.select(col("v"), lit(1.0).as("x"), lit(0.0).as("acc"))
+    val out = Iterate(init, iters, checkpointEvery = 5) { (st, _) =>
+      val contrib = e.as("ee").join(st.as("ss"), col("ee.src") === col("ss.v"))
+        .groupBy(col("ee.dst").as("v")).agg(sum(col("ss.x")).as("msum"))
+      st.as("ss").join(contrib.as("mm"), col("ss.v") === col("mm.v"), "left")
+        .select(col("ss.v").as("v"),
+          (lit(alpha) * coalesce(col("mm.msum"), lit(0.0))).as("x"),
+          (col("ss.acc") +
+            lit(alpha) * coalesce(col("mm.msum"), lit(0.0))).as("acc"))
+    }
+    val res = out.select(col("v"), round(col("acc"), 9).as("katz")).orderBy("v")
+      .localCheckpoint()
+    vs.unpersist()
+    res
+  }
+
+  private def katzSql(iters: Int, alpha: Double): String = {
+    val steps = (0 until iters).map { i =>
+      s"""x${i + 1} AS (SELECT nodes.v,
+         $alpha * COALESCE(m.msum, 0) AS x,
+         xs.acc + $alpha * COALESCE(m.msum, 0) AS acc
+         FROM nodes JOIN x$i xs ON xs.v = nodes.v
+         LEFT JOIN (
+           SELECT e.dst AS v, SUM(xp.x) AS msum
+           FROM x$i xp JOIN e ON e.src = xp.v
+           GROUP BY e.dst) m ON m.v = nodes.v)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       x0 AS (SELECT v, 1.0 AS x, 0.0 AS acc FROM nodes),
+       $steps
+       SELECT v, ROUND(acc, 9) AS katz FROM x$iters ORDER BY v"""
+  }
+
   private def pagerankWeightedSql(iters: Int): String = {
     val steps = (0 until iters).map { i =>
       s"""r${i + 1} AS (SELECT nodes.v,
@@ -1401,6 +1446,11 @@ object Graph extends QueryModule {
     // personalized PageRank: teleport to seed 0, 6 unrolled supersteps
     Q("q_graph_ppr", (s, d) => ppr(s, d, iters = 6, seed = 0L),
       Some(pprSql(6, 0L))),
+
+    // Katz centrality: 4 attenuated path-counting rounds at α=0.05 —
+    // the non-degree-diluted cousin of PageRank (see [[katz]])
+    Q("q_graph_katz", (s, d) => katz(s, d, iters = 4, alpha = 0.05),
+      Some(katzSql(4, 0.05))),
 
     Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(4))),
 
