@@ -1319,6 +1319,63 @@ object TextAnalysis extends QueryModule {
     // one bigram extraction + two broadcast-scalar joins; top-20 by the
     // ROUNDED score with a (t1, t2) tie-break so both engines order
     // identically.
+    // TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — vertices are tokens, undirected
+    // edges join adjacent tokens, edge weight = corpus-wide adjacency
+    // count (floor 2 bounds the graph to recurring collocations). Three
+    // unrolled weighted-PageRank rounds, top-20 keywords. Reuses the
+    // bounded in-row bigram transform (no self-join over tokens) and the
+    // graph family's one-join-one-agg superstep, so the whole pipeline is
+    // two hash aggregates to build the graph + 3 bounded rounds — the
+    // corpus-keyword summary a curation dashboard runs at 100 TB.
+    Q("q_text_textrank",
+      (s, d) => {
+        val bgc = bigrams(s, d).filter(col("t1") =!= col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+        val und = bgc.select(col("t1").as("u"), col("t2").as("v"), col("c"))
+          .unionAll(bgc.select(col("t2").as("u"), col("t1").as("v"), col("c")))
+          .groupBy("u", "v").agg(sum("c").as("w"))
+          .filter(col("w") >= 2)
+          .localCheckpoint()
+        val wd = und.groupBy("u").agg(sum("w").cast("double").as("wdeg"))
+        val e2 = und.join(wd, "u").localCheckpoint()
+        val words = und.select("u").distinct().localCheckpoint()
+        var r = words.select(col("u"), lit(1.0).as("score"))
+        for (_ <- 1 to 3) {
+          val m = e2.as("ee").join(r.as("rr"), col("ee.u") === col("rr.u"))
+            .groupBy(col("ee.v").as("u"))
+            .agg(sum(col("rr.score") * col("ee.w") / col("ee.wdeg")).as("msum"))
+          r = words.as("ww").join(m.as("mm"), col("ww.u") === col("mm.u"), "left")
+            .select(col("ww.u").as("u"),
+              (lit(0.15) + lit(0.85) * coalesce(col("mm.msum"), lit(0.0))).as("score"))
+        }
+        r.select(col("u").as("word"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), asc("word")).limit(20)
+      },
+      Some {
+        val steps = (0 until 3).map { i =>
+          s"""r${i + 1} AS (SELECT words.u,
+               0.15 + 0.85 * COALESCE(m.msum, 0) AS score
+             FROM words LEFT JOIN (
+               SELECT und.v AS u, SUM(r$i.score * und.w / wd.wdeg) AS msum
+               FROM r$i JOIN und ON und.u = r$i.u JOIN wd ON wd.u = und.u
+               GROUP BY und.v) m ON m.u = words.u)"""
+        }.mkString(",\n")
+        s"""WITH $bigramsSql,
+            bgc AS (SELECT t1, t2, COUNT(*) AS c FROM bg
+                    WHERE t1 <> t2 GROUP BY 1, 2),
+            und AS (SELECT u, v, SUM(c) AS w FROM (
+                SELECT t1 AS u, t2 AS v, c FROM bgc
+                UNION ALL SELECT t2 AS u, t1 AS v, c FROM bgc) t
+              GROUP BY u, v HAVING SUM(c) >= 2),
+            wd AS (SELECT u, CAST(SUM(w) AS DOUBLE) AS wdeg FROM und GROUP BY u),
+            words AS (SELECT DISTINCT u FROM und),
+            r0 AS (SELECT u, 1.0 AS score FROM words),
+            $steps
+            SELECT u AS word, ROUND(score, 6) AS score FROM r3
+            ORDER BY score DESC, word LIMIT 20"""
+      }),
+
     Q("q_text_pmi",
       (s, d) => {
         val bg = bigrams(s, d).groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
