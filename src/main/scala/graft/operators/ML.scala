@@ -329,6 +329,90 @@ object ML extends QueryModule {
        FROM d CROSS JOIN t3 GROUP BY th0, th1"""
   }
 
+  /** Two-component 1-D GAUSSIAN MIXTURE fit by EM — the soft-assignment
+    * counterpart of [[kmeans]]'s hard Lloyd loop, over the log document
+    * length (the classic bimodal curation feature). Each EM round is ONE
+    * aggregation job: the E-step responsibilities are a row-local
+    * expression (two Gaussian densities + a ratio), the M-step collects
+    * the six weighted sums (O(1) driver data, the [[linregThetas]]
+    * discipline), and parameters re-enter the next round through the
+    * round-9 lattice so both engines walk the identical parameter
+    * sequence. Variances use the E[x²]−E[x]² identity so mean and
+    * variance come from the same pass. 2 rounds unrolled in the oracle. */
+  private def gmm(s: SparkSession, d: String): DataFrame = {
+    val xs = Tables(s, d, "documents")
+      .select(log(lit(1.0) + length(col("text")).cast("double")).as("x"))
+      .cache()
+    var (p, mu1, v1, mu2, v2) = (0.5, 3.0, 1.0, 6.0, 1.0)
+    // N(x; mu, v) with the exact operation order the oracle SQL uses
+    def pdf(mu: Double, v: Double) =
+      exp(-((col("x") - mu) * (col("x") - mu)) / lit(2 * v)) /
+        lit(math.sqrt(2 * math.Pi * v))
+    def weighted = xs.select(col("x"),
+      (lit(p) * pdf(mu1, v1)).as("w1"),
+      (lit(1 - p) * pdf(mu2, v2)).as("w2"))
+    for (_ <- 1 to 2) {
+      val r = weighted
+        .select(col("x"), (col("w1") / (col("w1") + col("w2"))).as("g"))
+        .agg(sum("g").as("sg"), sum(col("g") * col("x")).as("sgx"),
+          sum(col("g") * col("x") * col("x")).as("sgx2"),
+          sum(lit(1.0) - col("g")).as("sh"),
+          sum((lit(1.0) - col("g")) * col("x")).as("shx"),
+          sum((lit(1.0) - col("g")) * col("x") * col("x")).as("shx2"),
+          count(lit(1)).cast("double").as("n"))
+        .collect()(0)
+      val (sg, sgx, sgx2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val (sh, shx, shx2, n) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      p = r9(sg / n)
+      mu1 = r9(sgx / sg); v1 = r9(sgx2 / sg - (sgx / sg) * (sgx / sg))
+      mu2 = r9(shx / sh); v2 = r9(shx2 / sh - (shx / sh) * (shx / sh))
+    }
+    val out = weighted
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(avg(log(col("w1") + col("w2"))), 6).as("avg_ll"))
+      .select(col("n_docs"), round(lit(p), 6).as("pi1"),
+        round(lit(mu1), 6).as("mu1"), round(lit(v1), 6).as("v1"),
+        round(lit(mu2), 6).as("mu2"), round(lit(v2), 6).as("v2"),
+        col("avg_ll"))
+      .localCheckpoint() // eager 1-row result; frees the doc-length cache
+    xs.unpersist()
+    out
+  }
+
+  private val gmmSql: String = {
+    def eStep(k: Int, params: String) =
+      s"""e$k AS (SELECT x,
+           pi1 * (exp(-((x - mu1) * (x - mu1)) / (2 * v1)) / sqrt(2 * pi() * v1)) AS w1,
+           (1 - pi1) * (exp(-((x - mu2) * (x - mu2)) / (2 * v2)) / sqrt(2 * pi() * v2)) AS w2
+         FROM x CROSS JOIN $params)"""
+    val steps = (0 until 2).map { i =>
+      s"""${eStep(i + 1, s"p$i")},
+         g${i + 1} AS (SELECT x, w1 / (w1 + w2) AS g FROM e${i + 1}),
+         a${i + 1} AS (SELECT SUM(g) AS sg, SUM(g * x) AS sgx,
+             SUM(g * x * x) AS sgx2, SUM(1.0 - g) AS sh,
+             SUM((1.0 - g) * x) AS shx, SUM((1.0 - g) * x * x) AS shx2,
+             CAST(COUNT(*) AS DOUBLE) AS n FROM g${i + 1}),
+         p${i + 1} AS (SELECT ROUND(sg / n, 9) AS pi1,
+             ROUND(sgx / sg, 9) AS mu1,
+             ROUND(sgx2 / sg - (sgx / sg) * (sgx / sg), 9) AS v1,
+             ROUND(shx / sh, 9) AS mu2,
+             ROUND(shx2 / sh - (shx / sh) * (shx / sh), 9) AS v2
+           FROM a${i + 1})"""
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT ln(1.0 + CAST(length(text) AS DOUBLE)) AS x
+         FROM documents),
+       p0 AS (SELECT 0.5 AS pi1, 3.0 AS mu1, 1.0 AS v1, 6.0 AS mu2, 1.0 AS v2),
+       $steps,
+       ${eStep(3, "p2")}
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(MIN(pi1), 6) AS pi1, ROUND(MIN(mu1), 6) AS mu1,
+         ROUND(MIN(v1), 6) AS v1, ROUND(MIN(mu2), 6) AS mu2,
+         ROUND(MIN(v2), 6) AS v2,
+         ROUND(AVG(ln(w1 + w2)), 6) AS avg_ll
+       FROM e3 CROSS JOIN p2"""
+  }
+
   // Logistic regression: sigmoid hypothesis + same GD loop
   // (ml/.../regression/LogisticRegressionModel.java:28-96)
   private def logregData(s: SparkSession, d: String): DataFrame =
@@ -724,6 +808,10 @@ object ML extends QueryModule {
     Q("q_ml_linreg_metrics", (s, d) => linregMetrics(s, d), Some(linregMetricsSql)),
 
     Q("q_ml_logreg", (s, d) => logreg(s, d), Some(logregSql)),
+
+    // two-component Gaussian mixture by EM over log doc length — the
+    // soft-assignment counterpart of the Lloyd rows (see [[gmm]])
+    Q("q_ml_gmm", (s, d) => gmm(s, d), Some(gmmSql)),
 
     // SpMV u = M·v: sparse rows × vector as exploded (i,j,v) equi-join + agg
     // (examples/src/main/java/org/apache/hama/examples/SpMV.java:91-137)
