@@ -161,6 +161,56 @@ object Graph extends QueryModule {
        SELECT v, ROUND(acc, 9) AS katz FROM x$iters ORDER BY v"""
   }
 
+  /** Eigenvector centrality by POWER ITERATION: x ← Aᵀx / ‖Aᵀx‖₂ — the
+    * fixpoint PageRank approximates without damping or degree division.
+    * The L2 norm is an O(1) driver scalar re-entering through the round-9
+    * lattice (the [[graft.operators.ML]] GD-loop discipline), so both
+    * engines walk the identical normalized sequence. One edge join + one
+    * hash aggregate + one scalar collect per round — the same bounded
+    * superstep as [[katz]]; each round's state is checkpointed because the
+    * norm already materialized it. */
+  private def eigenvector(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = edges(s, d).select("src", "dst").localCheckpoint()
+    val vs = nodes(e).cache()
+    var x = vs.select(col("v"), lit(1.0).as("x"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val y = vs.as("nn").join(
+          e.as("ee").join(x.as("xx"), col("ee.src") === col("xx.v"))
+            .groupBy(col("ee.dst").as("v")).agg(sum(col("xx.x")).as("m")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("m"), lit(0.0)).as("y"))
+        .localCheckpoint()
+      if (prev != null) Iterate.release(prev)
+      prev = y
+      val nrm = r9g(math.sqrt(
+        y.agg(sum(col("y") * col("y"))).head.getDouble(0)))
+      x = y.select(col("v"), (col("y") / nrm).as("x"))
+    }
+    x.select(col("v"), round(col("x"), 9).as("score")).orderBy("v")
+  }
+
+  /** round half-up like SQL ROUND — the ML.r9 lattice, local copy */
+  private def r9g(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def eigenvectorSql(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""y${i + 1} AS (SELECT nodes.v, COALESCE(m.msum, 0) AS y
+           FROM nodes LEFT JOIN (
+             SELECT e.dst AS v, SUM(xp.x) AS msum
+             FROM x$i xp JOIN e ON e.src = xp.v
+             GROUP BY e.dst) m ON m.v = nodes.v),
+         n${i + 1} AS (SELECT ROUND(sqrt(SUM(y * y)), 9) AS nrm FROM y${i + 1}),
+         x${i + 1} AS (SELECT v, y / nrm AS x FROM y${i + 1} CROSS JOIN n${i + 1})"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       $nodesSql,
+       x0 AS (SELECT v, 1.0 AS x FROM nodes),
+       $steps
+       SELECT v, ROUND(x, 9) AS score FROM x$iters ORDER BY v"""
+  }
+
   private def pagerankWeightedSql(iters: Int): String = {
     val steps = (0 until iters).map { i =>
       s"""r${i + 1} AS (SELECT nodes.v,
@@ -1451,6 +1501,11 @@ object Graph extends QueryModule {
     // the non-degree-diluted cousin of PageRank (see [[katz]])
     Q("q_graph_katz", (s, d) => katz(s, d, iters = 4, alpha = 0.05),
       Some(katzSql(4, 0.05))),
+
+    // eigenvector centrality: 4 normalized power-iteration rounds —
+    // completes the spectral centrality quartet (see [[eigenvector]])
+    Q("q_graph_eigenvector", (s, d) => eigenvector(s, d, iters = 4),
+      Some(eigenvectorSql(4))),
 
     Q("q_graph_cc", (s, d) => cc(s, d), Some(ccSql(4))),
 
