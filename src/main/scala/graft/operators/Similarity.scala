@@ -642,6 +642,64 @@ object Similarity extends QueryModule {
                SELECT q_id, cand_id, sim FROM bsims WHERE sim >= 0.3
                ORDER BY q_id, cand_id""")),
 
+    // GREEDY K-CENTER coreset selection (Gonzalez farthest-point): seed
+    // at vec_id 0, then 5 rounds of "pick the point farthest from every
+    // selected center" under rounded cosine distance — the diversity
+    // subset selector training-data pipelines run to cover an embedding
+    // space with a budget (the k-center objective bounds the covering
+    // radius within 2× of optimal). Each round is ONE broadcast join of
+    // the single new center against the corpus + a LEAST fold of the
+    // running min-distance + an O(1) argmax collect: O(k·N·dim) total
+    // work, O(N) state, k constant — the shape that survives 100×.
+    // Output = the 5 expansion picks with the covering radius of the
+    // previously-selected set at pick time (monotonically shrinking).
+    // Distances round at 6 on both engines so every argmax tie-break
+    // (DESC dist, ASC vec_id) is decided identically.
+    Q("q_sim_kcenter",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding")).cache()
+        def distTo(centerId: Long): DataFrame = emb.crossJoin(broadcast(
+            emb.filter(col("vec_id") === centerId)
+              .select(col("embedding").as("cemb"))))
+          .select(col("vec_id"),
+            round(lit(1.0) - cosine(col("embedding"), col("cemb")), 6).as("dd"))
+        var mind = distTo(0L).withColumnRenamed("dd", "mind")
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        for (t <- 2L to 6L) {
+          val p = mind.orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
+          picks += ((t, p.getLong(0), p.getDouble(1)))
+          mind = mind.join(distTo(p.getLong(0)), "vec_id")
+            .select(col("vec_id"), least(col("mind"), col("dd")).as("mind"))
+            .localCheckpoint() // bounded rounds; the argmax materialized it
+        }
+        emb.unpersist()
+        picks.toSeq.toDF("rank", "vec_id", "radius").orderBy("rank")
+      },
+      Some {
+        def dist(k: Int, centerSel: String) =
+          s"""d$k AS (SELECT a.vec_id,
+               ROUND(1 - SUM(a.ev * b.ev) /
+                 (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS dd
+             FROM e a JOIN ($centerSel) b USING (pos) GROUP BY a.vec_id)"""
+        val rounds = (2 to 6).map { t =>
+          s"""p$t AS (SELECT vec_id, mind FROM m${t - 1}
+               ORDER BY mind DESC, vec_id LIMIT 1),
+             ${dist(t, s"SELECT e.pos, e.ev FROM e JOIN p$t ON e.vec_id = p$t.vec_id")},
+             m$t AS (SELECT m${t - 1}.vec_id, LEAST(m${t - 1}.mind, d$t.dd) AS mind
+               FROM m${t - 1} JOIN d$t USING (vec_id))"""
+        }.mkString(",\n")
+        val out = (2 to 6).map(t =>
+          s"SELECT CAST($t AS BIGINT) AS rank, vec_id, mind AS radius FROM p$t")
+          .mkString(" UNION ALL ")
+        s"""WITH $eSql,
+            ${dist(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
+            m1 AS (SELECT vec_id, dd AS mind FROM d1),
+            $rounds
+            $out ORDER BY rank"""
+      }),
+
     // MMR DIVERSIFIED re-ranking (maximal marginal relevance, λ = 0.7):
     // from each query's top-10 cosine candidates, greedily pick 5 that
     // balance relevance against redundancy — score = 0.7·sim(q,c) −
