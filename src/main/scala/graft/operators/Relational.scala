@@ -25,6 +25,18 @@ object Relational extends QueryModule {
 
   private val ts1997 = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
 
+  /** λ=1 Poisson CDF as a CASE ladder over a uniform expression — ONE
+    * string used verbatim by both engines (q_agg_bootstrap) so every
+    * weight decision is bit-identical. Cumulative e⁻¹·Σ1/k! at 9
+    * decimals; mass beyond 6 is 6e-8 and folds into the ELSE. */
+  private def poissonCaseSql(uExpr: String): String = {
+    val cum = Seq(0.367879441, 0.735758882, 0.919698603,
+      0.981011843, 0.996340153, 0.999405815)
+    "CASE " + cum.zipWithIndex
+      .map { case (c, i) => s"WHEN ($uExpr) < $c THEN $i" }
+      .mkString(" ") + " ELSE 6 END"
+  }
+
   /** (purchases, clicks) sides shared by the two as-of join queries. */
   private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = t(s, d, "events")
@@ -2350,6 +2362,54 @@ object Relational extends QueryModule {
                                / COUNT(*) FILTER (l_returnflag = 'R'), 2)
                        / (COUNT(*) FILTER (l_returnflag = 'R') - 1)), 4) AS df
               FROM lineitem WHERE l_returnflag IN ('A', 'R')""")),
+
+    // POISSON BOOTSTRAP confidence interval (the one-pass resampling
+    // method that works at scale: instead of materializing B resamples,
+    // each row draws B independent Poisson(1) weights — here a seeded
+    // md5-uniform pushed through the λ=1 CDF as a CASE ladder stated
+    // byte-identically in both engines — so the whole bootstrap is ONE
+    // explode + ONE per-replica hash aggregate with map-side combine,
+    // no data movement proportional to B·N beyond the weighted sums).
+    // B=32 replicas of the mean of l_extendedprice/1e5; the read-out is
+    // the bootstrap standard error and the rank-2/rank-31 replica means
+    // as a ~90% percentile interval. Replica means round at 6 BEFORE
+    // ranking so interval endpoints are decided identically.
+    Q("q_agg_bootstrap",
+      (s, d) => {
+        val mb = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") / 100000.0).as("x"))
+          .withColumn("b", explode(sequence(lit(0), lit(31))))
+          .withColumn("w", expr(poissonCaseSql(
+            "CAST(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
+          .groupBy("b")
+          .agg(round(sum(col("w") * col("x")) / sum(col("w")), 6).as("mb"))
+        val ranked = mb.withColumn("rk",
+          row_number().over(Window.orderBy(asc("mb"))))
+        val ci = ranked.agg(
+          min(when(col("rk") === 2, col("mb"))).as("ci_lo"),
+          min(when(col("rk") === 31, col("mb"))).as("ci_hi"),
+          round(stddev_samp(col("mb")), 6).as("se_boot"))
+        t(s, d, "lineitem")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("l_extendedprice") / 100000.0), 6).as("mean"))
+          .crossJoin(ci)
+          .select(col("n"), col("mean"), col("se_boot"),
+            col("ci_lo"), col("ci_hi"))
+      },
+      Some(s"""WITH d AS (SELECT l_orderkey, l_linenumber,
+                 l_extendedprice / 100000.0 AS x FROM lineitem),
+              rep AS (SELECT x, b,
+                ${poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+                FROM d CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb),
+              mb AS (SELECT b, ROUND(SUM(w * x) / SUM(w), 6) AS mb
+                FROM rep GROUP BY b),
+              rk AS (SELECT mb, ROW_NUMBER() OVER (ORDER BY mb) AS rk FROM mb)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+                (SELECT ROUND(AVG(x), 6) FROM d) AS mean,
+                (SELECT ROUND(STDDEV_SAMP(mb), 6) FROM mb) AS se_boot,
+                (SELECT mb FROM rk WHERE rk = 2) AS ci_lo,
+                (SELECT mb FROM rk WHERE rk = 31) AS ci_hi""")),
 
     // EXACT distinct counting with bitmap state (graft.functions
     // .BitsetDistinct): where q_agg_hll_merge trades exactness for O(kB)
