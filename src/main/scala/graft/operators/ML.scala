@@ -1396,6 +1396,83 @@ object ML extends QueryModule {
            FROM u ORDER BY feature, threshold"""
       }),
 
+    // BAGGED RANDOM FOREST of stumps: 5 trees, each trained on a
+    // Poisson(1)-weighted bootstrap of the event stream (the
+    // q_agg_bootstrap weight trick — no resample materialization), each
+    // picking its best (feature, threshold) split by weighted info gain
+    // with the q_ml_stump cumulative-window scan. Bagging is the
+    // variance-reduction ensemble beside q_ml_gbt's bias-reduction
+    // boosting; at scale the whole forest is ONE explode + ONE windowed
+    // aggregate — trees never train sequentially. Gains round at 6
+    // before the per-tree argmax (ln may differ by an ulp across
+    // engines); ties break (feature, threshold). Output = the trained
+    // model: per tree its split and the majority class of each side.
+    Q("q_ml_forest",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(
+            col("event_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").as("hour"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+          .withColumn("tree", explode(sequence(lit(0), lit(4))))
+          .withColumn("w", expr(Relational.poissonCaseSql(
+            "CAST(conv(substring(md5(concat_ws('-', event_id, tree)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
+        val perFeature = Seq("hour", "dow").map { f =>
+          val cnt = ev.groupBy(col("tree"), col(f).as("v"))
+            .agg(sum(col("w") * col("y")).as("pos"),
+              sum(col("w") * (lit(1L) - col("y"))).as("neg"))
+          val wOrd = Window.partitionBy("tree").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy("tree")
+          cnt.select(col("tree"), col("v"),
+              sum("pos").over(wOrd).as("pl"), sum("neg").over(wOrd).as("nl"),
+              sum("pos").over(wAll).as("pt"), sum("neg").over(wAll).as("nt"))
+            .selectExpr("tree", s"'$f' AS feature", "v AS threshold",
+              "pl", "nl", "pt - pl AS pr", "nt - nl AS nr", "pt", "nt")
+        }.reduce(_ unionAll _)
+        perFeature.selectExpr("tree", "feature", "threshold",
+            s"ROUND((${stumpH("pt", "nt")}) - " +
+              s"((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) - " +
+              s"((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain",
+            "CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class",
+            "CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class")
+          .withColumn("rk", row_number().over(Window.partitionBy("tree")
+            .orderBy(desc("gain"), asc("feature"), asc("threshold"))))
+          .filter(col("rk") === 1).drop("rk")
+          .orderBy("tree")
+      },
+      Some {
+        def feat(f: String, expr: String) =
+          s"""SELECT tree, '$f' AS feature, v AS threshold, pl, nl,
+              pt - pl AS pr, nt - nl AS nr, pt, nt FROM (
+                SELECT tree, v,
+                  SUM(pos) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+                  SUM(neg) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+                  SUM(pos) OVER (PARTITION BY tree) AS pt,
+                  SUM(neg) OVER (PARTITION BY tree) AS nt
+                FROM (SELECT tree, $expr AS v,
+                        SUM(w * CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+                        SUM(w * CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+                      FROM rep GROUP BY 1, 2) c) x"""
+        s"""WITH rep AS (SELECT event_id, ts, event_type, b AS tree,
+              ${Relational.poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', event_id, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+              FROM events CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b) bb),
+            u AS (
+              ${feat("hour", "CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24")}
+              UNION ALL
+              ${feat("dow", "CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7")})
+            SELECT tree, feature, threshold,
+              ROUND((${stumpH("pt", "nt")}) -
+                ((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) -
+                ((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain,
+              CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class,
+              CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class
+            FROM u
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY tree
+              ORDER BY gain DESC, feature, threshold) = 1
+            ORDER BY tree"""
+      }),
+
     // Multinomial Naive Bayes language classifier: train token
     // distributions per lang on even doc_ids (Laplace +1 over the train
     // vocabulary), predict the held-out odd docs. The model is the

@@ -29,7 +29,7 @@ object Relational extends QueryModule {
     * string used verbatim by both engines (q_agg_bootstrap) so every
     * weight decision is bit-identical. Cumulative e⁻¹·Σ1/k! at 9
     * decimals; mass beyond 6 is 6e-8 and folds into the ELSE. */
-  private def poissonCaseSql(uExpr: String): String = {
+  private[operators] def poissonCaseSql(uExpr: String): String = {
     val cum = Seq(0.367879441, 0.735758882, 0.919698603,
       0.981011843, 0.996340153, 0.999405815)
     "CASE " + cum.zipWithIndex
