@@ -1408,70 +1408,50 @@ object ML extends QueryModule {
     // engines); ties break (feature, threshold). Output = the trained
     // model: per tree its split and the majority class of each side.
     Q("q_ml_forest",
+      (s, d) => forestModel(s, d).orderBy("tree"),
+      Some(s"""WITH $forestCtesSql
+              SELECT * FROM model ORDER BY tree""")),
+
+    // FOREST INFERENCE: apply the 5 bagged stumps to every event and
+    // majority-vote (>=3 of 5) — the serving half of q_ml_forest. One
+    // broadcast of the O(trees) model against the stream + one
+    // aggregate: accuracy and the full confusion counts.
+    Q("q_ml_forest_acc",
       (s, d) => {
-        val ev = Tables(s, d, "events").select(
-            col("event_id"),
-            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").as("hour"),
-            expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-          .withColumn("tree", explode(sequence(lit(0), lit(4))))
-          .withColumn("w", expr(Relational.poissonCaseSql(
-            "CAST(conv(substring(md5(concat_ws('-', event_id, tree)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
-        val perFeature = Seq("hour", "dow").map { f =>
-          val cnt = ev.groupBy(col("tree"), col(f).as("v"))
-            .agg(sum(col("w") * col("y")).as("pos"),
-              sum(col("w") * (lit(1L) - col("y"))).as("neg"))
-          val wOrd = Window.partitionBy("tree").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wAll = Window.partitionBy("tree")
-          cnt.select(col("tree"), col("v"),
-              sum("pos").over(wOrd).as("pl"), sum("neg").over(wOrd).as("nl"),
-              sum("pos").over(wAll).as("pt"), sum("neg").over(wAll).as("nt"))
-            .selectExpr("tree", s"'$f' AS feature", "v AS threshold",
-              "pl", "nl", "pt - pl AS pr", "nt - nl AS nr", "pt", "nt")
-        }.reduce(_ unionAll _)
-        perFeature.selectExpr("tree", "feature", "threshold",
-            s"ROUND((${stumpH("pt", "nt")}) - " +
-              s"((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) - " +
-              s"((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain",
-            "CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class",
-            "CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class")
-          .withColumn("rk", row_number().over(Window.partitionBy("tree")
-            .orderBy(desc("gain"), asc("feature"), asc("threshold"))))
-          .filter(col("rk") === 1).drop("rk")
-          .orderBy("tree")
+        val votes = forestFeatures(s, d)
+          .crossJoin(broadcast(forestModel(s, d)))
+          .select(col("event_id"), col("y"),
+            when(when(col("feature") === "hour", col("hour"))
+                .otherwise(col("dow")) <= col("threshold"),
+              col("left_class")).otherwise(col("right_class")).as("vote"))
+          .groupBy("event_id", "y")
+          .agg((sum("vote") >= 3).cast("long").as("pred"))
+        votes.agg(count(lit(1)).as("n"),
+          round(avg((col("pred") === col("y")).cast("double")), 6).as("accuracy"),
+          sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
       },
-      Some {
-        def feat(f: String, expr: String) =
-          s"""SELECT tree, '$f' AS feature, v AS threshold, pl, nl,
-              pt - pl AS pr, nt - nl AS nr, pt, nt FROM (
-                SELECT tree, v,
-                  SUM(pos) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
-                  SUM(neg) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
-                  SUM(pos) OVER (PARTITION BY tree) AS pt,
-                  SUM(neg) OVER (PARTITION BY tree) AS nt
-                FROM (SELECT tree, $expr AS v,
-                        SUM(w * CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
-                        SUM(w * CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
-                      FROM rep GROUP BY 1, 2) c) x"""
-        s"""WITH rep AS (SELECT event_id, ts, event_type, b AS tree,
-              ${Relational.poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', event_id, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
-              FROM events CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b) bb),
-            u AS (
-              ${feat("hour", "CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24")}
-              UNION ALL
-              ${feat("dow", "CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7")})
-            SELECT tree, feature, threshold,
-              ROUND((${stumpH("pt", "nt")}) -
-                ((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) -
-                ((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain,
-              CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class,
-              CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class
-            FROM u
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY tree
-              ORDER BY gain DESC, feature, threshold) = 1
-            ORDER BY tree"""
-      }),
+      Some(s"""WITH $forestCtesSql,
+              fev AS (SELECT event_id,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour,
+                CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+              votes AS (SELECT fev.event_id, fev.y,
+                CAST(SUM(CASE WHEN (CASE WHEN m.feature = 'hour' THEN fev.hour
+                                         ELSE fev.dow END) <= m.threshold
+                              THEN m.left_class ELSE m.right_class END) >= 3
+                     AS BIGINT) AS pred
+                FROM fev CROSS JOIN model m GROUP BY 1, 2)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM votes""")),
 
     // Multinomial Naive Bayes language classifier: train token
     // distributions per lang on even doc_ids (Laplace +1 over the train
@@ -1685,6 +1665,82 @@ object ML extends QueryModule {
   private def stumpH(a: String, b: String): String =
     s"CASE WHEN $a = 0 OR $b = 0 THEN 0.0" +
       s" ELSE ln($a + $b) - ($a * ln($a) + $b * ln($b)) / ($a + $b) END"
+
+  /** (event_id, hour, dow, y) — the stump/forest feature relation. */
+  private def forestFeatures(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events").select(
+      col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").as("hour"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+
+  /** Bagged stump forest TRAINING (shared by q_ml_forest and its
+    * inference row): 5 Poisson(1)-bootstrap replicas (the q_agg_bootstrap
+    * weight trick) × the q_ml_stump cumulative-window split scan, best
+    * split per tree by round-6 weighted info gain. One explode + one
+    * windowed aggregate — trees train in the same jobs, never
+    * sequentially. */
+  private def forestModel(s: SparkSession, d: String): DataFrame = {
+    val ev = forestFeatures(s, d)
+      .withColumn("tree", explode(sequence(lit(0), lit(4))))
+      .withColumn("w", expr(Relational.poissonCaseSql(
+        "CAST(conv(substring(md5(concat_ws('-', event_id, tree)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
+    val perFeature = Seq("hour", "dow").map { f =>
+      val cnt = ev.groupBy(col("tree"), col(f).as("v"))
+        .agg(sum(col("w") * col("y")).as("pos"),
+          sum(col("w") * (lit(1L) - col("y"))).as("neg"))
+      val wOrd = Window.partitionBy("tree").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("tree")
+      cnt.select(col("tree"), col("v"),
+          sum("pos").over(wOrd).as("pl"), sum("neg").over(wOrd).as("nl"),
+          sum("pos").over(wAll).as("pt"), sum("neg").over(wAll).as("nt"))
+        .selectExpr("tree", s"'$f' AS feature", "v AS threshold",
+          "pl", "nl", "pt - pl AS pr", "nt - nl AS nr", "pt", "nt")
+    }.reduce(_ unionAll _)
+    perFeature.selectExpr("tree", "feature", "threshold",
+        s"ROUND((${stumpH("pt", "nt")}) - " +
+          s"((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) - " +
+          s"((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain",
+        "CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class",
+        "CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class")
+      .withColumn("rk", row_number().over(Window.partitionBy("tree")
+        .orderBy(desc("gain"), asc("feature"), asc("threshold"))))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  /** DuckDB twin of [[forestModel]] as composable CTEs ending in `model`. */
+  // lazy: declared after the Q list, which interpolates it at build time
+  private lazy val forestCtesSql: String = {
+    def feat(f: String, expr: String) =
+      s"""SELECT tree, '$f' AS feature, v AS threshold, pl, nl,
+          pt - pl AS pr, nt - nl AS nr, pt, nt FROM (
+            SELECT tree, v,
+              SUM(pos) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+              SUM(neg) OVER (PARTITION BY tree ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+              SUM(pos) OVER (PARTITION BY tree) AS pt,
+              SUM(neg) OVER (PARTITION BY tree) AS nt
+            FROM (SELECT tree, $expr AS v,
+                    SUM(w * CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+                    SUM(w * CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+                  FROM rep GROUP BY 1, 2) c) x"""
+    s"""rep AS (SELECT event_id, ts, event_type, b AS tree,
+          ${Relational.poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', event_id, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+          FROM events CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b) bb),
+        u AS (
+          ${feat("hour", "CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24")}
+          UNION ALL
+          ${feat("dow", "CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7")}),
+        model AS (SELECT tree, feature, threshold,
+          ROUND((${stumpH("pt", "nt")}) -
+            ((pl + nl) * 1.0 / (pt + nt)) * (${stumpH("pl", "nl")}) -
+            ((pr + nr) * 1.0 / (pt + nt)) * (${stumpH("pr", "nr")}), 6) AS gain,
+          CAST(CASE WHEN pl >= nl THEN 1 ELSE 0 END AS BIGINT) AS left_class,
+          CAST(CASE WHEN pr >= nr THEN 1 ELSE 0 END AS BIGINT) AS right_class
+          FROM u
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY tree
+            ORDER BY gain DESC, feature, threshold) = 1)"""
+  }
 
   private def ridgeLambdas = Seq("0.01", "0.1", "1.0", "10.0")
   private def ridgeSumCols = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
