@@ -215,6 +215,55 @@ object TextAnalysis extends QueryModule {
                   ELSE 0.0 END AS avg_sentence_words
               FROM documents ORDER BY doc_id""")),
 
+    // EXTRACTIVE SUMMARY (tf-idf density): each document's single most
+    // informative sentence — sentences scored by the MEAN corpus IDF of
+    // their distinct tokens (density, not sum, so long sentences don't
+    // win by length), ties broken by position. The classic one-sentence
+    // summarization baseline a curation pipeline runs to preview/label
+    // documents at scale: one corpus DF aggregate (shared shape with
+    // tf-idf), one sentence explode bounded by the document, one
+    // (doc, sentence) hash aggregate — no pairwise sentence work.
+    Q("q_text_summary",
+      (s, d) => {
+        val sents = docs(s, d).select(col("doc_id"), posexplode(expr(
+            "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')")))
+          .select(col("doc_id"), col("pos").cast("long").as("sent_pos"),
+            col("col").as("sentence"))
+        val stoks = sents.select(col("doc_id"), col("sent_pos"), col("sentence"),
+          explode(array_distinct(TextExprs.toks(col("sentence")))).as("tok"))
+        val nd = docs(s, d).agg(count(lit(1)).cast("double").as("nd"))
+        val dfRel = toks(s, d).select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        stoks.join(dfRel, "tok")
+          .crossJoin(broadcast(nd))
+          .groupBy("doc_id", "sent_pos", "sentence")
+          .agg(round(avg(log(col("nd") / col("df"))), 6).as("score"))
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(desc("score"), asc("sent_pos"))))
+          .filter(col("rk") === 1).drop("rk")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+              nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+              dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                FROM toks GROUP BY tok),
+              sents AS (SELECT doc_id,
+                  CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS sent_pos,
+                  unnest(l) AS sentence
+                FROM (SELECT doc_id, list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                    x -> x <> '') AS l FROM documents) t),
+              stoks AS (SELECT DISTINCT * FROM (
+                SELECT doc_id, sent_pos, sentence,
+                  unnest(${TextExprs.toksSql("sentence")}) AS tok FROM sents) u)
+              SELECT doc_id, sent_pos, sentence,
+                ROUND(AVG(ln(nd / df)), 6) AS score
+              FROM stoks JOIN dfr USING (tok) CROSS JOIN nd
+              GROUP BY 1, 2, 3
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, sent_pos) = 1
+              ORDER BY doc_id""")),
+
     // quality scoring: character-class ratios. Denominators are
     // greatest(len, 1) — Spark 4's default ANSI mode would otherwise
     // throw DIVIDE_BY_ZERO on an empty document (see TextExprs).
