@@ -1666,7 +1666,10 @@ object ML extends QueryModule {
     s"CASE WHEN $a = 0 OR $b = 0 THEN 0.0" +
       s" ELSE ln($a + $b) - ($a * ln($a) + $b * ln($b)) / ($a + $b) END"
 
-  /** (event_id, hour, dow, y) — the stump/forest feature relation. */
+  /** (event_id, hour, dow, y) — the stump/forest feature relation.
+    * (No cpuPartitioned here: at 5 replicas the md5 work is lighter
+    * than the repartition shuffle it would buy — measured both ways;
+    * q_agg_bootstrap at 32 replicas is the opposite case.) */
   private def forestFeatures(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "events").select(
       col("event_id"),
@@ -1683,8 +1686,10 @@ object ML extends QueryModule {
   private def forestModel(s: SparkSession, d: String): DataFrame = {
     val ev = forestFeatures(s, d)
       .withColumn("tree", explode(sequence(lit(0), lit(4))))
-      .withColumn("w", expr(Relational.poissonCaseSql(
-        "CAST(conv(substring(md5(concat_ws('-', event_id, tree)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
+      // u as its own column: one md5 per row, not one per CASE branch
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat_ws('-', event_id, tree)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+      .withColumn("w", expr(Relational.poissonCaseSql("u")))
     val perFeature = Seq("hour", "dow").map { f =>
       val cnt = ev.groupBy(col("tree"), col(f).as("v"))
         .agg(sum(col("w") * col("y")).as("pos"),
@@ -1724,9 +1729,11 @@ object ML extends QueryModule {
                     SUM(w * CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
                     SUM(w * CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
                   FROM rep GROUP BY 1, 2) c) x"""
-    s"""rep AS (SELECT event_id, ts, event_type, b AS tree,
-          ${Relational.poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', event_id, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+    s"""funi AS (SELECT event_id, ts, event_type, b AS tree,
+          CAST('0x' || substring(md5(concat_ws('-', event_id, b)), 1, 8) AS BIGINT) / 4294967296.0 AS u
           FROM events CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b) bb),
+        rep AS (SELECT event_id, ts, event_type, tree,
+          ${Relational.poissonCaseSql("u")} AS w FROM funi),
         u AS (
           ${feat("hour", "CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24")}
           UNION ALL

@@ -2376,12 +2376,18 @@ object Relational extends QueryModule {
     // ranking so interval endpoints are decided identically.
     Q("q_agg_bootstrap",
       (s, d) => {
-        val mb = t(s, d, "lineitem")
+        // cpuPartitioned: the 32 replicas' md5 draws are CPU-bound and a
+        // single parquet file would otherwise run them in ONE task
+        val mb = Tables.cpuPartitioned(s, d, "lineitem", "l_orderkey")
           .select(col("l_orderkey"), col("l_linenumber"),
             (col("l_extendedprice") / 100000.0).as("x"))
           .withColumn("b", explode(sequence(lit(0), lit(31))))
-          .withColumn("w", expr(poissonCaseSql(
-            "CAST(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0")))
+          // u materializes as its own column so the 6-branch CASE ladder
+          // tests ONE md5, not six (the inlined form re-evaluated the
+          // hash per branch: 6× the row's dominant cost)
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+          .withColumn("w", expr(poissonCaseSql("u")))
           .groupBy("b")
           .agg(round(sum(col("w") * col("x")) / sum(col("w")), 6).as("mb"))
         val ranked = mb.withColumn("rk",
@@ -2399,9 +2405,10 @@ object Relational extends QueryModule {
       },
       Some(s"""WITH d AS (SELECT l_orderkey, l_linenumber,
                  l_extendedprice / 100000.0 AS x FROM lineitem),
-              rep AS (SELECT x, b,
-                ${poissonCaseSql("CAST('0x' || substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+              uni AS (SELECT x, b,
+                CAST('0x' || substring(md5(concat_ws('-', l_orderkey, l_linenumber, b)), 1, 8) AS BIGINT) / 4294967296.0 AS u
                 FROM d CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb),
+              rep AS (SELECT x, b, ${poissonCaseSql("u")} AS w FROM uni),
               mb AS (SELECT b, ROUND(SUM(w * x) / SUM(w), 6) AS mb
                 FROM rep GROUP BY b),
               rk AS (SELECT mb, ROW_NUMBER() OVER (ORDER BY mb) AS rk FROM mb)

@@ -101,6 +101,38 @@ object Similarity extends QueryModule {
     * candidate codes (per (cand, subspace): nearest codeword by dot) and
     * per-query LUT (subspace dots vs every codeword, exact micro-units),
     * plus the ADC score join. Codebook = subvectors of vec_id < pqK. */
+  /** Greedy k-center (Gonzalez) shared by q_sim_kcenter and its coverage
+    * readout: returns the 5 expansion picks (rank, vec_id, radius at pick
+    * time) and the (vec_id, center, dd) distance relation to ALL 6
+    * selected centers for downstream assignment. Each round: one
+    * broadcast join of the new center against the corpus + a LEAST fold
+    * + an O(1) argmax collect — O(k·N·dim) work, O(N) state. */
+  private def kcenterGreedy(s: SparkSession, d: String)
+      : (Seq[(Long, Long, Double)], DataFrame) = {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    def distTo(centerId: Long): DataFrame = emb.crossJoin(broadcast(
+        emb.filter(col("vec_id") === centerId)
+          .select(col("embedding").as("cemb"))))
+      .select(col("vec_id"),
+        round(lit(1.0) - cosine(col("embedding"), col("cemb")), 6).as("dd"))
+    var mind = distTo(0L).withColumnRenamed("dd", "mind")
+    var allD = distTo(0L).select(col("vec_id"), lit(0L).as("center"), col("dd"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (t <- 2L to 6L) {
+      val p = mind.orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
+      picks += ((t, p.getLong(0), p.getDouble(1)))
+      val dNew = distTo(p.getLong(0))
+      allD = allD.unionByName(
+        dNew.select(col("vec_id"), lit(p.getLong(0)).as("center"), col("dd")))
+      mind = mind.join(dNew, "vec_id")
+        .select(col("vec_id"), least(col("mind"), col("dd")).as("mind"))
+        .localCheckpoint() // bounded rounds; the argmax materialized it
+    }
+    emb.unpersist()
+    (picks.toSeq, allD)
+  }
+
   /** (vec_id, v: array<double>) relation the PQ chains consume. */
   private def embOf(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
@@ -658,24 +690,7 @@ object Similarity extends QueryModule {
     Q("q_sim_kcenter",
       (s, d) => {
         import s.implicits._
-        val emb = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding")).cache()
-        def distTo(centerId: Long): DataFrame = emb.crossJoin(broadcast(
-            emb.filter(col("vec_id") === centerId)
-              .select(col("embedding").as("cemb"))))
-          .select(col("vec_id"),
-            round(lit(1.0) - cosine(col("embedding"), col("cemb")), 6).as("dd"))
-        var mind = distTo(0L).withColumnRenamed("dd", "mind")
-        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        for (t <- 2L to 6L) {
-          val p = mind.orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
-          picks += ((t, p.getLong(0), p.getDouble(1)))
-          mind = mind.join(distTo(p.getLong(0)), "vec_id")
-            .select(col("vec_id"), least(col("mind"), col("dd")).as("mind"))
-            .localCheckpoint() // bounded rounds; the argmax materialized it
-        }
-        emb.unpersist()
-        picks.toSeq.toDF("rank", "vec_id", "radius").orderBy("rank")
+        kcenterGreedy(s, d)._1.toDF("rank", "vec_id", "radius").orderBy("rank")
       },
       Some {
         def dist(k: Int, centerSel: String) =
@@ -698,6 +713,55 @@ object Similarity extends QueryModule {
             m1 AS (SELECT vec_id, dd AS mind FROM d1),
             $rounds
             $out ORDER BY rank"""
+      }),
+
+    // K-CENTER COVERAGE readout: assign every vector to its nearest of
+    // the 6 selected centers and report per-center population and
+    // mean/max distance — the balance-and-coverage audit run after a
+    // diversity selection (a center owning half the corpus or a max
+    // distance near the pick-time radius both read directly off this).
+    // Same greedy as q_sim_kcenter; assignment is an argmin window over
+    // the O(k·N) distance relation the greedy already computed.
+    Q("q_sim_kcenter_assign",
+      (s, d) => {
+        val allD = kcenterGreedy(s, d)._2
+        allD.withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(asc("dd"), asc("center"))))
+          .filter(col("rk") === 1)
+          .groupBy("center")
+          .agg(count(lit(1)).as("n"),
+            round(avg("dd"), 6).as("avg_dist"),
+            round(max("dd"), 6).as("max_dist"))
+          .orderBy("center")
+      },
+      Some {
+        def dist(k: Int, centerSel: String) =
+          s"""d$k AS (SELECT a.vec_id,
+               ROUND(1 - SUM(a.ev * b.ev) /
+                 (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS dd
+             FROM e a JOIN ($centerSel) b USING (pos) GROUP BY a.vec_id)"""
+        val rounds = (2 to 6).map { t =>
+          s"""p$t AS (SELECT vec_id, mind FROM m${t - 1}
+               ORDER BY mind DESC, vec_id LIMIT 1),
+             ${dist(t, s"SELECT e.pos, e.ev FROM e JOIN p$t ON e.vec_id = p$t.vec_id")},
+             m$t AS (SELECT m${t - 1}.vec_id, LEAST(m${t - 1}.mind, d$t.dd) AS mind
+               FROM m${t - 1} JOIN d$t USING (vec_id))"""
+        }.mkString(",\n")
+        val unioned = (2 to 6).map(t =>
+          s"SELECT d$t.vec_id, p$t.vec_id AS center, dd FROM d$t CROSS JOIN p$t")
+          .mkString(" UNION ALL ")
+        s"""WITH $eSql,
+            ${dist(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
+            m1 AS (SELECT vec_id, dd AS mind FROM d1),
+            $rounds,
+            ad AS (SELECT vec_id, CAST(0 AS BIGINT) AS center, dd FROM d1
+              UNION ALL $unioned),
+            assigned AS (SELECT vec_id, center, dd FROM ad
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dd, center) = 1)
+            SELECT center, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(AVG(dd), 6) AS avg_dist, ROUND(MAX(dd), 6) AS max_dist
+            FROM assigned GROUP BY center ORDER BY center"""
       }),
 
     // MMR DIVERSIFIED re-ranking (maximal marginal relevance, λ = 0.7):

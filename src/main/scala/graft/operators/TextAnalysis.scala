@@ -1292,6 +1292,68 @@ object TextAnalysis extends QueryModule {
                  ROUND(bits, 6) AS bits_per_transition
                FROM agg ORDER BY doc_id""")),
 
+    // DOCUMENT CLUSTERING by tf-idf cosine to SEED documents (topic
+    // bucketing): every doc with id >= 4 is assigned to the most
+    // similar of the four seed docs (id 0..3) under sparse tf-idf
+    // cosine — one k-means-style assignment round over the lexical
+    // space, the corpus-partitioning step a curation pipeline runs to
+    // split a crawl into topical buckets before per-bucket mixing.
+    // The join is term-keyed against the SEEDS' vocabulary only (a
+    // broadcast — O(seeds·vocab_seed), never corpus×corpus); weights
+    // round at 6 before the dot so both engines accumulate identical
+    // terms; ties break toward the lower seed id. Docs sharing no term
+    // with any seed drop out (both engines, inner-join semantics).
+    Q("q_text_cluster_assign",
+      (s, d) => {
+        val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        val nDf = Tables(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
+        val wRel = tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(col("nd") / col("df")), 6).as("w"))
+          .localCheckpoint()
+        graft.plans.Iterate.release(tf)
+        val nrm = wRel.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        val seeds = wRel.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("seed"), col("tok"), col("w").as("ws"))
+        val seedNrm = nrm.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("seed"), col("nrm").as("ns"))
+        wRel.filter(col("doc_id") >= 4)
+          .join(broadcast(seeds), "tok")
+          .groupBy("doc_id", "seed").agg(sum(col("w") * col("ws")).as("dot"))
+          .join(nrm, "doc_id").join(broadcast(seedNrm), "seed")
+          .select(col("doc_id"), col("seed"),
+            round(col("dot") / (col("nrm") * col("ns")), 6).as("sim"))
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(desc("sim"), asc("seed"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("seed").as("cluster"), col("sim"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksSql,
+              tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                GROUP BY doc_id, tok),
+              dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM tf GROUP BY tok),
+              nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+              wrel AS (SELECT doc_id, tok, ROUND(tf * LN(nd.nd / df), 6) AS w
+                FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+              nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm
+                FROM wrel GROUP BY doc_id),
+              sims AS (SELECT c.doc_id, sd.doc_id AS seed, SUM(c.w * sd.w) AS dot
+                FROM wrel c JOIN wrel sd ON sd.tok = c.tok
+                WHERE sd.doc_id < 4 AND c.doc_id >= 4
+                GROUP BY 1, 2),
+              scored AS (SELECT sims.doc_id, seed,
+                  ROUND(dot / (n1.nrm * n2.nrm), 6) AS sim
+                FROM sims JOIN nrm n1 ON n1.doc_id = sims.doc_id
+                JOIN nrm n2 ON n2.doc_id = sims.seed)
+              SELECT doc_id, seed AS cluster, sim FROM scored
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY sim DESC, seed) = 1
+              ORDER BY doc_id""")),
+
     // TF-IDF COSINE k-NN over documents: for the 5 lowest-id docs, the
     // 3 most similar other docs by sparse tf-idf cosine — the classic
     // lexical retrieval ranking beside the embedding ANN rows. The dot
