@@ -659,6 +659,54 @@ object Similarity extends QueryModule {
       Some(s"""WITH $eSql, $bruteSimsSql
                ${rankSql("bsims", topK)}""")),
 
+    // LATE-INTERACTION retrieval (ColBERT-style MaxSim): treat each
+    // vector's 4 subspace slices as its "token embeddings" and score a
+    // (query, candidate) pair as Σ over query slices of the MAX dot
+    // against any candidate slice — the multi-vector ranking that
+    // preserves per-token matching where single-vector cosine averages
+    // it away. Shares the PQ chain's subvector projection; dots are
+    // codegen'd VecDot over 16-dim slices, rounded at 6 before the max
+    // so every argmax is decided identically. The query side is an
+    // O(queries·slices) broadcast; at corpus scale the candidate set
+    // comes from a first-stage retriever (the IVF/PQ rows) exactly as
+    // the rerank rows stage it.
+    Q("q_sim_late_interaction",
+      (s, d) => {
+        val qsubs = pqSubs(s, d)("q_id").filter(col("q_id") < 5)
+          .select(col("q_id"), col("m").as("mq"), col("sv").as("qv"))
+        val csubs = pqSubs(s, d)("cand_id").filter(col("cand_id") >= 5)
+          .select(col("cand_id"), col("m").as("mc"), col("sv").as("cv"))
+        csubs.crossJoin(broadcast(qsubs))
+          .withColumn("dot", round(vecDot(col("qv"), col("cv")), 6))
+          .groupBy("q_id", "cand_id", "mq").agg(max("dot").as("best"))
+          .groupBy("q_id", "cand_id").agg(round(sum("best"), 6).as("score"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("score"), asc("cand_id"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("cand_id"), col("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $eSql,
+              sub AS (SELECT vec_id, pos // $pqSub AS m, pos % $pqSub AS sp, ev
+                FROM e),
+              qs AS (SELECT vec_id AS q_id, m AS mq, sp, ev AS qv FROM sub
+                WHERE vec_id < 5),
+              cs AS (SELECT vec_id AS cand_id, m AS mc, sp, ev AS cv FROM sub
+                WHERE vec_id >= 5),
+              dots AS (SELECT q_id, cand_id, mq, mc,
+                  ROUND(SUM(qv * cv), 6) AS dot
+                FROM cs JOIN qs USING (sp) GROUP BY 1, 2, 3, 4),
+              best AS (SELECT q_id, cand_id, mq, MAX(dot) AS best
+                FROM dots GROUP BY 1, 2, 3),
+              sc AS (SELECT q_id, cand_id, ROUND(SUM(best), 6) AS score
+                FROM best GROUP BY 1, 2)
+              SELECT q_id, rank, cand_id, score FROM (
+                SELECT q_id, cand_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+                FROM sc) r
+              WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // RANGE (fixed-radius) search: every candidate within cosine >= 0.3
     // of each query — the radius API beside top-k (vector stores expose
     // both; dedup-by-similarity wants radius, retrieval wants top-k).
