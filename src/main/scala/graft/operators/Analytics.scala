@@ -232,6 +232,51 @@ object Analytics extends QueryModule {
               FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
               ORDER BY 1, 2""")),
 
+    // SEASONAL-NAIVE FORECAST BACKTEST: predict each hour's corpus total
+    // as the total 24 hours earlier and score MAE/RMSE/bias over the
+    // lagged span — the baseline every forecasting model must beat, and
+    // the backtest harness shape (build series → lag → score) that any
+    // real model slots into. Hourly totals round at 4 BEFORE the lag so
+    // both engines difference identical series; the zero-filled grid
+    // makes the lag well-defined across silent hours. The global
+    // ORDER BY window is over the O(hours) aggregated series, not raw
+    // events — at 100 TB the series per forecast key stays tiny and the
+    // window partitions by key.
+    Q("q_events_forecast_naive",
+      (s, d) => {
+        val e = ev(s, d).select(
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          col("value"))
+        val hourly = e.groupBy("h").agg(round(sum("value"), 4).as("total"))
+        val grid = e.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+        val series = grid.join(hourly, Seq("h"), "left")
+          .select(col("h"), coalesce(col("total"), lit(0.0)).as("total"))
+        series
+          .withColumn("pred", lag("total", 24).over(Window.orderBy("h")))
+          .filter(col("pred").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            round(avg(abs(col("total") - col("pred"))), 4).as("mae"),
+            round(sqrt(avg((col("total") - col("pred")) *
+              (col("total") - col("pred")))), 4).as("rmse"),
+            round(avg(col("total") - col("pred")), 4).as("bias"))
+      },
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                value FROM events),
+              hourly AS (SELECT h, ROUND(SUM(value), 4) AS total
+                FROM e GROUP BY 1),
+              grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM
+                (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e) s),
+              series AS (SELECT g.h, COALESCE(hr.total, 0.0) AS total
+                FROM grid g LEFT JOIN hourly hr ON g.h = hr.h),
+              lagged AS (SELECT h, total,
+                LAG(total, 24) OVER (ORDER BY h) AS pred FROM series)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(ABS(total - pred)), 4) AS mae,
+                ROUND(SQRT(AVG((total - pred) * (total - pred))), 4) AS rmse,
+                ROUND(AVG(total - pred), 4) AS bias
+              FROM lagged WHERE pred IS NOT NULL""")),
+
     // Explicit gap-based sessionization: per user in event-time order, a
     // >30-minute gap opens a new session (lag + running sum of
     // new-session flags — the classic two-window assignment), then one
