@@ -162,6 +162,54 @@ object Analytics extends QueryModule {
               FROM nxt WHERE to_type IS NOT NULL
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // MARKOV NEXT-EVENT PREDICTION BACKTEST: the transition matrix above,
+    // turned into an evaluated model. Transitions split 80/20 by event_id
+    // hash (pair-level, so train and test share no observation); the
+    // model predicts argmax train-count per source type (ties to the
+    // lexicographically smaller type — max_by on (cnt, reversed type)),
+    // and the row reports per-source accuracy on held-out transitions.
+    // The model is O(types²) and rides a broadcast; scoring is one pass
+    // over test pairs — the same LEAD window as q_events_transitions, so
+    // nothing new shuffles at any corpus size.
+    Q("q_events_markov_acc",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = ev(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .withColumn("is_test", pmod(col("event_id"), lit(5)) === 0)
+        val model = pairs.filter(!col("is_test"))
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("from_type")
+          // ties to the SMALLER type: order by (cnt asc, type desc) inverted
+          .agg(min_by(col("to_type"),
+            struct(-col("cnt"), col("to_type"))).as("predicted"))
+        pairs.filter(col("is_test"))
+          .join(broadcast(model), col("event_type") === col("from_type"))
+          .groupBy("from_type", "predicted")
+          .agg(count(lit(1)).as("n_test"),
+            round(avg(when(col("next_type") === col("predicted"), 1.0)
+              .otherwise(0.0)), 6).as("accuracy"))
+          .orderBy("from_type")
+      },
+      Some("""WITH nxt AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+                event_id % 5 = 0 AS is_test
+                FROM events),
+              trn AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM nxt
+                WHERE to_type IS NOT NULL AND NOT is_test GROUP BY 1, 2),
+              model AS (SELECT from_type, to_type AS predicted FROM trn
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY from_type
+                  ORDER BY cnt DESC, to_type) = 1)
+              SELECT n.from_type, m.predicted, COUNT(*) AS n_test,
+                ROUND(AVG(CASE WHEN n.to_type = m.predicted THEN 1.0 ELSE 0.0 END), 6)
+                  AS accuracy
+              FROM nxt n JOIN model m USING (from_type)
+              WHERE n.to_type IS NOT NULL AND n.is_test
+              GROUP BY 1, 2 ORDER BY 1""")),
+
     // Per-user EWMA of `value` over the last 10 events (alpha = 0.3),
     // weights renormalized over the rows actually present at the head of
     // each series. A FIXED frame of lags — not a recursive running state —
@@ -276,6 +324,124 @@ object Analytics extends QueryModule {
                 ROUND(SQRT(AVG((total - pred) * (total - pred))), 4) AS rmse,
                 ROUND(AVG(total - pred), 4) AS bias
               FROM lagged WHERE pred IS NOT NULL""")),
+
+    // SEASONAL-EWMA FORECAST: the first model that has to BEAT the naive
+    // baseline above — predict hour t as the exponentially-weighted mean
+    // of the SAME hour on the 3 prior days (weights 1, 1−α, (1−α)², the
+    // truncated-kernel Holt-Winters seasonal smoother), scored on the
+    // exact span where all three seasonal lags exist so the naive
+    // comparison inside the row is apples-to-apples. Averaging across
+    // days cancels the day-to-day noise the single-lag naive copies
+    // verbatim, which is where the skill comes from. Same scale shape as
+    // the baseline row: the windows run over the O(hours) aggregated
+    // series, and at 100 TB the series per forecast key stays tiny with
+    // the window partitioned by key.
+    Q("q_events_forecast_sewma",
+      (s, d) => {
+        val e = ev(s, d).select(
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          col("value"))
+        val hourly = e.groupBy("h").agg(round(sum("value"), 4).as("total"))
+        val grid = e.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+        val series = grid.join(hourly, Seq("h"), "left")
+          .select(col("h"), coalesce(col("total"), lit(0.0)).as("total"))
+        val w = Window.orderBy("h")
+        val (w1, w2, w3) = (1.0, 0.5, 0.25) // (1−α)^k, α = 0.5
+        val scored = series
+          .withColumn("l24", lag("total", 24).over(w))
+          .withColumn("l48", lag("total", 48).over(w))
+          .withColumn("l72", lag("total", 72).over(w))
+          .filter(col("l72").isNotNull) // all 3 lags present ⇒ fair span
+          .withColumn("pred", round((col("l24") * w1 + col("l48") * w2 +
+            col("l72") * w3) / (w1 + w2 + w3), 6))
+        scored.agg(count(lit(1)).as("n"),
+            round(avg(abs(col("total") - col("pred"))), 4).as("mae_sewma"),
+            round(avg(abs(col("total") - col("l24"))), 4).as("mae_naive"),
+            round(sqrt(avg((col("total") - col("pred")) *
+              (col("total") - col("pred")))), 4).as("rmse_sewma"))
+          .withColumn("skill",
+            round(lit(1.0) - col("mae_sewma") / col("mae_naive"), 4))
+      },
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                value FROM events),
+              hourly AS (SELECT h, ROUND(SUM(value), 4) AS total
+                FROM e GROUP BY 1),
+              grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM
+                (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e) s),
+              series AS (SELECT g.h, COALESCE(hr.total, 0.0) AS total
+                FROM grid g LEFT JOIN hourly hr ON g.h = hr.h),
+              lagged AS (SELECT h, total,
+                LAG(total, 24) OVER (ORDER BY h) AS l24,
+                LAG(total, 48) OVER (ORDER BY h) AS l48,
+                LAG(total, 72) OVER (ORDER BY h) AS l72 FROM series),
+              scored AS (SELECT total, l24,
+                ROUND((l24 * 1.0 + l48 * 0.5 + l72 * 0.25) / 1.75, 6) AS pred
+                FROM lagged WHERE l72 IS NOT NULL),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(ABS(total - pred)), 4) AS mae_sewma,
+                ROUND(AVG(ABS(total - l24)), 4) AS mae_naive,
+                ROUND(SQRT(AVG((total - pred) * (total - pred))), 4) AS rmse_sewma
+                FROM scored)
+              SELECT n, mae_sewma, mae_naive, rmse_sewma,
+                ROUND(1.0 - mae_sewma / mae_naive, 4) AS skill FROM m""")),
+
+    // PER-KEY FORECAST BACKTEST: the sewma-vs-naive comparison above, run
+    // per event_type with the window PARTITIONED BY KEY — the exact shape
+    // the corpus-total rows claim for 100 TB ("the series per forecast
+    // key stays tiny and the window partitions by key"), demonstrated
+    // rather than asserted. One hash exchange on (event_type), per-key
+    // hourly grids bounded by the time span, and every downstream window
+    // rides the same clustering; a million forecast keys parallelize
+    // across executors with no global sort anywhere.
+    Q("q_events_forecast_by_type",
+      (s, d) => {
+        val e = ev(s, d).select(col("event_type").as("k"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          col("value"))
+        val hourly = e.groupBy("k", "h").agg(round(sum("value"), 4).as("total"))
+        val grid = e.groupBy("k").agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("k"), explode(expr("sequence(h0, h1)")).as("h"))
+        val series = grid.join(hourly, Seq("k", "h"), "left")
+          .select(col("k"), col("h"), coalesce(col("total"), lit(0.0)).as("total"))
+        val w = Window.partitionBy("k").orderBy("h")
+        val scored = series
+          .withColumn("l24", lag("total", 24).over(w))
+          .withColumn("l48", lag("total", 48).over(w))
+          .withColumn("l72", lag("total", 72).over(w))
+          .filter(col("l72").isNotNull)
+          .withColumn("pred", round((col("l24") * 1.0 + col("l48") * 0.5 +
+            col("l72") * 0.25) / 1.75, 6))
+        scored.groupBy(col("k").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(abs(col("total") - col("pred"))), 4).as("mae_sewma"),
+            round(avg(abs(col("total") - col("l24"))), 4).as("mae_naive"))
+          .withColumn("skill",
+            round(lit(1.0) - col("mae_sewma") / col("mae_naive"), 4))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS k,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, value FROM events),
+              hourly AS (SELECT k, h, ROUND(SUM(value), 4) AS total
+                FROM e GROUP BY 1, 2),
+              grid AS (SELECT k, unnest(generate_series(h0, h1)) AS h FROM
+                (SELECT k, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1) s),
+              series AS (SELECT g.k, g.h, COALESCE(hr.total, 0.0) AS total
+                FROM grid g LEFT JOIN hourly hr ON g.k = hr.k AND g.h = hr.h),
+              lagged AS (SELECT k, total,
+                LAG(total, 24) OVER (PARTITION BY k ORDER BY h) AS l24,
+                LAG(total, 48) OVER (PARTITION BY k ORDER BY h) AS l48,
+                LAG(total, 72) OVER (PARTITION BY k ORDER BY h) AS l72 FROM series),
+              scored AS (SELECT k, total, l24,
+                ROUND((l24 * 1.0 + l48 * 0.5 + l72 * 0.25) / 1.75, 6) AS pred
+                FROM lagged WHERE l72 IS NOT NULL),
+              m AS (SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(ABS(total - pred)), 4) AS mae_sewma,
+                ROUND(AVG(ABS(total - l24)), 4) AS mae_naive
+                FROM scored GROUP BY 1)
+              SELECT event_type, n, mae_sewma, mae_naive,
+                ROUND(1.0 - mae_sewma / mae_naive, 4) AS skill
+              FROM m ORDER BY event_type""")),
 
     // Explicit gap-based sessionization: per user in event-time order, a
     // >30-minute gap opens a new session (lag + running sum of

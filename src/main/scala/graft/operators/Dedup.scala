@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import graft.functions.TextHash
+import graft.functions.VecOps.cosine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -791,6 +792,46 @@ object Dedup extends QueryModule {
               FROM g JOIN ev USING (gram) WHERE g.doc_id <> ev.eval_id
               GROUP BY g.doc_id, ev.eval_id HAVING COUNT(*) >= 2
               ORDER BY doc_id, eval_id""")),
+
+    // SEMANTIC decontamination: the embedding-space twin of the n-gram
+    // scan above — flag training vectors whose cosine to ANY eval vector
+    // crosses the contamination floor, catching the paraphrased leakage
+    // lexical grams miss (the second hygiene pass modern pre-training
+    // runs). Same scale shape as its sibling: the eval set (vec_id < 50,
+    // the testdata's held-out convention) is tiny and BROADCAST; the
+    // corpus side is ONE scan with a per-vector max_by argmax — exact by
+    // construction, no recall knob, because a decontamination scan that
+    // can miss is not hygiene. At 100 TB: still one pass, the eval side
+    // stays the broadcast, and the argmax partial-combines map-side.
+    Q("q_dedup_decontaminate_semantic",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val ev = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eemb"))
+        emb.filter(col("vec_id") >= 50)
+          .crossJoin(broadcast(ev))
+          .select(col("vec_id"), col("eval_id"),
+            round(cosine(col("embedding"), col("eemb")), 6).as("sim"))
+          .groupBy("vec_id")
+          .agg(max(col("sim")).as("max_sim"),
+            max_by(col("eval_id"), struct(col("sim"), -col("eval_id")))
+              .as("nearest_eval"))
+          .select(col("vec_id"), col("max_sim"), col("nearest_eval"),
+            (col("max_sim") >= 0.30).as("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${graft.operators.Similarity.eSql},
+              ev AS (SELECT vec_id AS eval_id, pos, ev AS qv FROM e WHERE vec_id < 50),
+              tr AS (SELECT vec_id, pos, ev AS cv FROM e WHERE vec_id >= 50),
+              sims AS (SELECT tr.vec_id, ev.eval_id,
+                ROUND(SUM(tr.cv * ev.qv) /
+                  (SQRT(SUM(tr.cv * tr.cv)) * SQRT(SUM(ev.qv * ev.qv))), 6) AS sim
+                FROM tr JOIN ev USING (pos) GROUP BY 1, 2),
+              best AS (SELECT vec_id, sim AS max_sim, eval_id AS nearest_eval
+                FROM sims QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, eval_id) = 1)
+              SELECT vec_id, max_sim, nearest_eval, max_sim >= 0.30 AS contaminated
+              FROM best ORDER BY vec_id""")),
 
     // SUBSTRING-level dedup — the "dedup repeated spans, not whole docs"
     // operator (suffix-array dedup in the single-node literature),

@@ -1986,6 +1986,71 @@ object Relational extends QueryModule {
                   / ROUND(n.n * log10(1.0 + 1.0 / digit), 4), 6) AS chi2_term
               FROM obs CROSS JOIN n ORDER BY digit""")),
 
+    // MARKET-BASKET ASSOCIATION RULES (Apriori-pruned frequent pairs):
+    // baskets are orders, items the brands they contain; mine
+    // {ante} ⇒ {cons} rules with support/confidence/lift, top-20 by lift.
+    // The scale discipline IS the Apriori prune: items below min-support
+    // are dropped BEFORE any pairing (downward closure — no frequent pair
+    // contains an infrequent item), so the within-basket self-join pairs
+    // only frequent items and the frequent-item list rides a broadcast.
+    // Pair generation shuffles once on the basket key and is bounded by
+    // basket_size² per order — never corpus²; pair counts partial-combine
+    // map-side like any hash aggregate. At 100 TB the same plan holds:
+    // the prune keeps the pair space proportional to baskets, not to the
+    // item vocabulary squared.
+    Q("q_agg_assoc_rules",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+          .distinct()
+        val isup = items.groupBy("item").agg(count(lit(1)).as("sup"))
+        val freq = isup.filter(col("sup") >= 200) // Apriori min-support
+        val fitems = items.join(broadcast(freq), "item")
+        val pairs = fitems.as("a").join(fitems.as("b"),
+            col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
+          .agg(count(lit(1)).as("pair_sup"),
+            min(col("a.sup")).as("sup_a"), min(col("b.sup")).as("sup_b"))
+          .filter(col("pair_sup") >= 40)
+        val rules = pairs.select(col("ante"), col("cons"), col("pair_sup"),
+            col("sup_a").as("sup_ante"), col("sup_b").as("sup_cons"))
+          .unionByName(pairs.select(col("cons").as("ante"),
+            col("ante").as("cons"), col("pair_sup"),
+            col("sup_b").as("sup_ante"), col("sup_a").as("sup_cons")))
+        rules.crossJoin(broadcast(
+            items.agg(countDistinct("o").as("total")))) // 1-row scalar
+          .select(col("ante"), col("cons"), col("pair_sup"),
+            round(col("pair_sup") * lit(1.0) / col("sup_ante"), 6)
+              .as("confidence"),
+            round(col("pair_sup") * lit(1.0) * col("total") /
+              (col("sup_ante") * col("sup_cons")), 6).as("lift"))
+          .orderBy(desc("lift"), asc("ante"), asc("cons"))
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS item
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+              n AS (SELECT COUNT(DISTINCT o) AS total FROM items),
+              isup AS (SELECT item, COUNT(*) AS sup FROM items GROUP BY item),
+              freq AS (SELECT item, sup FROM isup WHERE sup >= 200),
+              fitems AS (SELECT i.o, i.item, f.sup
+                FROM items i JOIN freq f USING (item)),
+              pairs AS (SELECT a.item AS ante, b.item AS cons,
+                  COUNT(*) AS pair_sup, MIN(a.sup) AS sup_a, MIN(b.sup) AS sup_b
+                FROM fitems a JOIN fitems b ON a.o = b.o AND a.item < b.item
+                GROUP BY 1, 2 HAVING COUNT(*) >= 40),
+              rules AS (
+                SELECT ante, cons, pair_sup, sup_a AS sup_ante, sup_b AS sup_cons
+                FROM pairs
+                UNION ALL
+                SELECT cons, ante, pair_sup, sup_b, sup_a FROM pairs)
+              SELECT ante, cons, pair_sup,
+                ROUND(pair_sup * 1.0 / sup_ante, 6) AS confidence,
+                ROUND(pair_sup * 1.0 * total / (sup_ante * sup_cons), 6) AS lift
+              FROM rules CROSS JOIN n
+              ORDER BY lift DESC, ante, cons LIMIT 20""")),
+
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",
       (s, d) => t(s, d, "customer")

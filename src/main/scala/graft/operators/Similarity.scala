@@ -32,6 +32,58 @@ object Similarity extends QueryModule {
   private val pqSub = 16
   private val pqK = 8
 
+  // cell-blocked DBSCAN: ε as a cosine floor, minPts counting the point
+  // itself (so core ⇔ ≥ minPts−1 neighbors), and the unroll depth of the
+  // oracle's min-label propagation — the engine side runs to fixpoint and
+  // ASSERTS it converged within this many rounds (measured 8 at gate data)
+  private val dbscanEps = 0.30
+  private val dbscanMinPts = 4
+  private val dbscanCcRounds = 10
+
+  /** l1..l{dbscanCcRounds} min-label CTEs over `cedges` (the oracle half
+    * of the q_ml_dbscan fixpoint loop; Dedup.clustersSqlCtes shape,
+    * MATERIALIZED so DuckDB evaluates each round once, not re-inlined). */
+  private val dbscanCcSql: String = (1 to dbscanCcRounds).map { i =>
+    s"""l$i AS MATERIALIZED (SELECT v, MIN(lab) AS lab FROM (
+         SELECT v, lab FROM l${i - 1}
+         UNION ALL SELECT ce.v, l.lab FROM cedges ce JOIN l${i - 1} l ON ce.n = l.v) u
+       GROUP BY v)"""
+  }.mkString(",\n")
+
+  /** Full DBSCAN oracle chain ending in roles(vec_id, role, cluster) —
+    * shared by q_ml_dbscan and its per-cluster size readout so the two
+    * can never drift. */
+  private lazy val dbscanSqlCtes: String =
+    s"""$eSql, $ivfCellsSql,
+       el AS (SELECT e.vec_id, e.pos, e.ev, c.cell
+         FROM e JOIN cells c USING (vec_id)),
+       dpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND(SUM(a.ev * b.ev) /
+             (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS sim
+         FROM el a JOIN el b ON a.cell = b.cell AND a.pos = b.pos
+           AND a.vec_id < b.vec_id
+         GROUP BY 1, 2 HAVING sim >= $dbscanEps),
+       dedges AS MATERIALIZED (SELECT va AS v, vb AS n FROM dpairs
+         UNION ALL SELECT vb, va FROM dpairs),
+       score AS (SELECT v, COUNT(*) AS nb FROM dedges GROUP BY v),
+       score_core AS MATERIALIZED (SELECT v FROM score
+         WHERE nb >= ${dbscanMinPts - 1}),
+       cedges AS MATERIALIZED (SELECT e.v, e.n FROM dedges e
+         JOIN score_core a ON e.v = a.v JOIN score_core b ON e.n = b.v),
+       l0 AS (SELECT v, v AS lab FROM score_core),
+       $dbscanCcSql,
+       brd AS (SELECT e.v, MIN(l.lab) AS blab FROM dedges e
+         JOIN l$dbscanCcRounds l ON e.n = l.v
+         WHERE e.v NOT IN (SELECT v FROM score_core) GROUP BY e.v),
+       roles AS (SELECT c.vec_id,
+           CASE WHEN l.lab IS NOT NULL THEN 'core'
+                WHEN b.blab IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(l.lab, b.blab) AS cluster
+         FROM cells c
+         LEFT JOIN l$dbscanCcRounds l ON l.v = c.vec_id
+         LEFT JOIN brd b ON b.v = c.vec_id)"""
+
   /** per-JVM scratch for the persisted IVF index (overwrite mode, removed
     * on exit — the Sources scratch pattern) */
   private lazy val ivfIndexDir: String =
@@ -1666,6 +1718,106 @@ object Similarity extends QueryModule {
               $lshBucketSql,
               $neardupSimsSql
               SELECT id_a, id_b, sim FROM nsims WHERE sim > 0.2 ORDER BY id_a, id_b""")),
+
+    // DENSITY-BASED CLUSTERING (cell-blocked DBSCAN): every vector gets a
+    // role — core (≥ minPts−1 ε-neighbors), border (non-core touching a
+    // core), or noise — plus a cluster id (min core vec_id of its
+    // density-connected component). ε-edges are exact cosine ≥ 0.30 but
+    // computed only WITHIN an IVF cell (the q_sim_ivf seed-centroid
+    // assignment, oracle CTEs shared verbatim): the cell block is what
+    // keeps the neighbor search linear-per-cell instead of corpus² — the
+    // same blocked-exactness recipe as SemDeDup's cluster-then-pair, and
+    // at 100 TB the cell count simply grows with the corpus while the
+    // per-cell pairing stays bounded. Cluster labels are min-label
+    // propagation over core-core edges run to FIXPOINT on the engine
+    // side, with an in-row guard that convergence fit inside the
+    // oracle's 10 unrolled rounds — a depth change fails loudly rather
+    // than hash-mismatching. Degrees, roles, and the border attachment
+    // are one hash aggregate each over the O(ε-edges) relation.
+    Q("q_ml_dbscan",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cen = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+        val cells = nearestCell(cen,
+          emb.select(col("vec_id"), col("embedding").as("vemb")),
+          "vec_id", "vemb").localCheckpoint() // reused by pairs + assembly
+        val pairs = cells.as("a").join(cells.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            round(cosine(col("a.vemb"), col("b.vemb")), 6).as("sim"))
+          .filter(col("sim") >= dbscanEps)
+        val edges = pairs.select(col("va").as("v"), col("vb").as("n"))
+          .unionByName(pairs.select(col("vb").as("v"), col("va").as("n")))
+          .localCheckpoint()
+        val core = edges.groupBy("v").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= dbscanMinPts - 1).select("v")
+          .localCheckpoint()
+        val cedges = edges
+          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"))
+          .join(core.withColumnRenamed("v", "cn"), col("n") === col("cn"))
+          .select("v", "n").localCheckpoint()
+        // min-label fixpoint over the core-core graph (clusterLabels shape)
+        var lab = core.select(col("v"), col("v").as("lab")).localCheckpoint()
+        var rounds = 0
+        var changed = 1L
+        while (changed > 0) {
+          rounds += 1
+          require(rounds <= dbscanCcRounds,
+            s"DBSCAN label propagation needs > $dbscanCcRounds rounds; " +
+              "the oracle unrolls exactly that many — raise both together")
+          val next = lab.unionByName(
+              cedges.join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
+                .select(col("v"), col("lab")))
+            .groupBy("v").agg(min("lab").as("lab"))
+            .localCheckpoint()
+          changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
+            .filter(col("lab") =!= col("old")).count()
+          graft.plans.Iterate.release(lab)
+          lab = next
+        }
+        val border = edges
+          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"), "left_anti")
+          .join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
+          .groupBy("v").agg(min("lab").as("blab"))
+        val out = cells.select(col("vec_id"))
+          .join(lab.withColumnRenamed("v", "vid").withColumnRenamed("lab", "clab"),
+            col("vec_id") === col("vid"), "left")
+          .join(border.withColumnRenamed("v", "bid"),
+            col("vec_id") === col("bid"), "left")
+          .select(col("vec_id"),
+            when(col("clab").isNotNull, "core")
+              .when(col("blab").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("clab"), col("blab")).as("cluster"))
+          .orderBy("vec_id")
+          .localCheckpoint()
+        Seq(cells, edges, core, cedges, lab).foreach(graft.plans.Iterate.release)
+        out
+      },
+      Some(s"""WITH $dbscanSqlCtes
+              SELECT vec_id, role, cluster FROM roles ORDER BY vec_id""")),
+
+    // Per-cluster DBSCAN readout: size and composition of every density
+    // cluster — the triage table an operator actually reads (which
+    // pockets are big, how much of each is core mass vs attached border).
+    // Composes the DECLARED q_ml_dbscan output (one aggregate over its
+    // O(N) role relation), so the readout can never drift from the
+    // clustering it summarizes.
+    Q("q_ml_dbscan_sizes",
+      (s, d) => graft.SparkEntry.queries("q_ml_dbscan")(s, d)
+        .filter(col("cluster").isNotNull)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"))
+        .orderBy(desc("n_total"), asc("cluster")),
+      Some(s"""WITH $dbscanSqlCtes
+              SELECT cluster, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+                CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT) AS n_border
+              FROM roles WHERE cluster IS NOT NULL
+              GROUP BY cluster ORDER BY n_total DESC, cluster""")),
 
     // ANN quality EVALUATION: recall@5 of the single-probe IVF search
     // against the brute-force ground truth — the measurement loop any

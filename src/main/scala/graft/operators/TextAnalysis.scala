@@ -215,6 +215,51 @@ object TextAnalysis extends QueryModule {
                   ELSE 0.0 END AS avg_sentence_words
               FROM documents ORDER BY doc_id""")),
 
+    // READABILITY SCORING (Flesch reading-ease + Flesch-Kincaid grade):
+    // the classic length-free complexity signal a curation pipeline ranks
+    // beside the quality score — a corpus skewed toward degenerate
+    // grade-20 text is as suspect as one full of boilerplate. Words reuse
+    // the module's token convention, sentences the shared [.!?]+ split,
+    // and syllables are approximated as vowel GROUPS ([aeiouy]+ runs over
+    // the lowercased text) — the standard regex proxy, identical pattern
+    // on both engines. Denominators clamp at 1 (greatest) so empty docs
+    // score instead of raising ANSI division errors. Pure per-row
+    // projection: zero shuffles beyond the final presentation sort.
+    Q("q_text_readability",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          size(TextExprs.toks(col("text"))).cast("long").as("n_words"),
+          expr("size(filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != ''))")
+            .cast("long").as("n_sentences"),
+          expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+            .cast("long").as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words") * lit(1.0) / greatest(col("n_sentences"), lit(1L))) -
+            lit(84.6) * (col("n_syllables") * lit(1.0) / greatest(col("n_words"), lit(1L))), 4)
+            .as("flesch"),
+          round(lit(0.39) * (col("n_words") * lit(1.0) / greatest(col("n_sentences"), lit(1L))) +
+            lit(11.8) * (col("n_syllables") * lit(1.0) / greatest(col("n_words"), lit(1L))) -
+            lit(15.59), 4).as("fk_grade"))
+        .orderBy("doc_id"),
+      Some(s"""WITH m AS (SELECT doc_id,
+                CAST(len(${TextExprs.toksSql("text")}) AS BIGINT) AS n_words,
+                CAST(len(list_filter(list_transform(
+                  string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                  x -> x <> '')) AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                  AS n_syllables
+                FROM documents)
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                ROUND(206.835
+                  - 1.015 * (n_words * 1.0 / GREATEST(n_sentences, 1))
+                  - 84.6 * (n_syllables * 1.0 / GREATEST(n_words, 1)), 4) AS flesch,
+                ROUND(0.39 * (n_words * 1.0 / GREATEST(n_sentences, 1))
+                  + 11.8 * (n_syllables * 1.0 / GREATEST(n_words, 1))
+                  - 15.59, 4) AS fk_grade
+              FROM m ORDER BY doc_id""")),
+
     // EXTRACTIVE SUMMARY (tf-idf density): each document's single most
     // informative sentence — sentences scored by the MEAN corpus IDF of
     // their distinct tokens (density, not sum, so long sentences don't
