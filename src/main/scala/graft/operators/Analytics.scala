@@ -443,6 +443,74 @@ object Analytics extends QueryModule {
                 ROUND(1.0 - mae_sewma / mae_naive, 4) AS skill
               FROM m ORDER BY event_type""")),
 
+    // SEASONAL DECOMPOSITION (two-way ANOVA over the hourly grid): the
+    // corpus series split into grand mean + hour-of-day effect +
+    // day-index-mod-7 effect + residual, reporting each component's
+    // variance share — the diagnostic that says WHY the seasonal
+    // forecasters above work (how much of the signal is daily rhythm vs
+    // weekly rhythm vs noise). Effects are per-bucket means over the
+    // zero-filled grid, so the whole decomposition is three O(hours)
+    // aggregates and two broadcast joins back; at 100 TB the grid per
+    // series stays bounded by the time span and the shape is unchanged.
+    Q("q_events_seasonal_decomp",
+      (s, d) => {
+        val e = ev(s, d).select(
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          col("value"))
+        val hourly = e.groupBy("h").agg(round(sum("value"), 4).as("total"))
+        val grid = e.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+        val series = grid.join(hourly, Seq("h"), "left")
+          .select(col("h"), pmod(col("h"), lit(24L)).as("hod"),
+            pmod(expr("h DIV 24"), lit(7L)).as("dow"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .localCheckpoint() // reused by 3 aggregates + the final join
+        val mu = series.agg(avg("total").as("mu"))
+        val hodEff = series.groupBy("hod").agg(avg("total").as("hod_mean"))
+        val dowEff = series.groupBy("dow").agg(avg("total").as("dow_mean"))
+        val dec = series.crossJoin(broadcast(mu))
+          .join(broadcast(hodEff), "hod")
+          .join(broadcast(dowEff), "dow")
+          .select(col("total"), col("mu"),
+            (col("hod_mean") - col("mu")).as("he"),
+            (col("dow_mean") - col("mu")).as("de"))
+          .withColumn("resid",
+            col("total") - col("mu") - col("he") - col("de"))
+        dec.agg(count(lit(1)).as("n_hours"),
+            round(avg((col("total") - col("mu")) * (col("total") - col("mu"))), 4)
+              .as("var_total"),
+            round(avg(col("he") * col("he")), 4).as("var_hod"),
+            round(avg(col("de") * col("de")), 4).as("var_dow"),
+            round(avg(col("resid") * col("resid")), 4).as("var_resid"))
+          .withColumn("seasonal_r2",
+            round(lit(1.0) - col("var_resid") / col("var_total"), 4))
+      },
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                value FROM events),
+              hourly AS (SELECT h, ROUND(SUM(value), 4) AS total
+                FROM e GROUP BY 1),
+              grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM
+                (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e) s),
+              series AS (SELECT g.h, g.h % 24 AS hod, (g.h // 24) % 7 AS dow,
+                COALESCE(hr.total, 0.0) AS total
+                FROM grid g LEFT JOIN hourly hr ON g.h = hr.h),
+              mu AS (SELECT AVG(total) AS mu FROM series),
+              hodeff AS (SELECT hod, AVG(total) AS hod_mean FROM series GROUP BY 1),
+              doweff AS (SELECT dow, AVG(total) AS dow_mean FROM series GROUP BY 1),
+              dec AS (SELECT total, mu.mu,
+                  hod_mean - mu.mu AS he, dow_mean - mu.mu AS de,
+                  total - mu.mu - (hod_mean - mu.mu) - (dow_mean - mu.mu) AS resid
+                FROM series JOIN hodeff USING (hod) JOIN doweff USING (dow)
+                CROSS JOIN mu),
+              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+                ROUND(AVG((total - mu) * (total - mu)), 4) AS var_total,
+                ROUND(AVG(he * he), 4) AS var_hod,
+                ROUND(AVG(de * de), 4) AS var_dow,
+                ROUND(AVG(resid * resid), 4) AS var_resid
+                FROM dec)
+              SELECT n_hours, var_total, var_hod, var_dow, var_resid,
+                ROUND(1.0 - var_resid / var_total, 4) AS seasonal_r2 FROM m""")),
+
     // Explicit gap-based sessionization: per user in event-time order, a
     // >30-minute gap opens a new session (lag + running sum of
     // new-session flags — the classic two-window assignment), then one

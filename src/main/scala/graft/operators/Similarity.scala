@@ -1819,6 +1819,49 @@ object Similarity extends QueryModule {
               FROM roles WHERE cluster IS NOT NULL
               GROUP BY cluster ORDER BY n_total DESC, cluster""")),
 
+    // DBSCAN quality EVALUATION against the corpus labels: per-cluster
+    // majority label and purity, plus the member count — the measurement
+    // loop beside silhouette (k-means) and recall@k (ANN): density
+    // clusters are only useful if they track real structure, and the
+    // label column is the ground truth this testdata carries. Composes
+    // the DECLARED q_ml_dbscan output with one broadcast label join and
+    // one two-level aggregate; ties in the majority vote break to the
+    // smaller label on both engines.
+    Q("q_ml_dbscan_eval",
+      (s, d) => {
+        val lbl = Tables(s, d, "embeddings").select("vec_id", "label")
+        val mem = graft.SparkEntry.queries("q_ml_dbscan")(s, d)
+          .filter(col("cluster").isNotNull)
+          .join(lbl, "vec_id")
+        val byLab = mem.groupBy("cluster", "label")
+          .agg(count(lit(1)).as("cnt"))
+        byLab.groupBy("cluster")
+          .agg(sum("cnt").as("n_members"),
+            min_by(col("label"), struct(-col("cnt"), col("label")))
+              .as("majority_label"),
+            max("cnt").as("majority_cnt"))
+          .select(col("cluster"), col("n_members"),
+            col("majority_label").cast("int").as("majority_label"),
+            round(col("majority_cnt") * lit(1.0) / col("n_members"), 6)
+              .as("purity"))
+          .orderBy(desc("n_members"), asc("cluster"))
+      },
+      Some(s"""WITH $dbscanSqlCtes,
+              mem AS (SELECT r.cluster, emb.label FROM roles r
+                JOIN embeddings emb ON emb.vec_id = r.vec_id
+                WHERE r.cluster IS NOT NULL),
+              bylab AS (SELECT cluster, label, COUNT(*) AS cnt
+                FROM mem GROUP BY 1, 2),
+              top AS (SELECT cluster, label AS majority_label, cnt
+                FROM bylab QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY cnt DESC, label) = 1)
+              SELECT b.cluster, CAST(SUM(b.cnt) AS BIGINT) AS n_members,
+                MIN(t.majority_label) AS majority_label,
+                ROUND(MIN(t.cnt) * 1.0 / SUM(b.cnt), 6) AS purity
+              FROM bylab b JOIN top t USING (cluster)
+              GROUP BY b.cluster
+              ORDER BY n_members DESC, cluster""")),
+
     // ANN quality EVALUATION: recall@5 of the single-probe IVF search
     // against the brute-force ground truth — the measurement loop any
     // production ANN deployment runs before trading accuracy for cost.

@@ -122,6 +122,34 @@ class DensityAssocSpec extends AnyFunSuite {
     }
   }
 
+  test("DBSCAN purity eval conserves members and bounds purity") {
+    val roles = q("q_ml_dbscan").collect()
+    val ev = q("q_ml_dbscan_eval").collect()
+    assert(ev.map(_.getLong(1)).sum == roles.count(!_.isNullAt(2)),
+      "eval members must equal the clustered population")
+    ev.foreach { r =>
+      val purity = r.getDouble(3)
+      assert(purity > 0.0 && purity <= 1.0)
+      // majority fraction can never fall below 1/members (purity is
+      // rounded at 6, so allow half an ulp of that grid)
+      assert(purity >= 1.0 / r.getLong(1) - 5e-7)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 9, "label outside testdata range")
+    }
+  }
+
+  test("seasonal decomposition: non-negative components, r2 identity, grid ties out") {
+    val r = q("q_events_seasonal_decomp").collect()(0)
+    val (nh, vt, vh, vd, vr, r2) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(Seq(vt, vh, vd, vr).forall(_ >= 0.0))
+    assert(math.abs(r2 - (1.0 - vr / vt)) < 1e-3)
+    // ANOVA effects cannot explain more variance than exists
+    assert(vh + vd <= vt + 1e-6)
+    // the decomposition grid is the naive backtest's span plus its lag
+    val n = q("q_events_forecast_naive").collect()(0).getLong(0)
+    assert(nh == n + 24, s"grid $nh vs naive span $n + 24")
+  }
+
   test("seasonal-EWMA backtest scores the same span as its in-row naive") {
     val r = q("q_events_forecast_sewma").collect()(0)
     val (n, maeS, maeN, rmse, skill) = (r.getLong(0), r.getDouble(1),
