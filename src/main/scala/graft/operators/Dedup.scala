@@ -279,6 +279,24 @@ object Dedup extends QueryModule {
        $rounds"""
   }
 
+  /** Embedding-space decontamination oracle — shared VERBATIM by the
+    * batch row (q_dedup_decontaminate_semantic) and the streaming-ingest
+    * row (q_stream_live_decontam), which must produce the identical
+    * verdict relation batch-by-batch. */
+  private[operators] val decontamSemSql: String =
+    s"""WITH ${graft.operators.Similarity.eSql},
+        ev AS (SELECT vec_id AS eval_id, pos, ev AS qv FROM e WHERE vec_id < 50),
+        tr AS (SELECT vec_id, pos, ev AS cv FROM e WHERE vec_id >= 50),
+        sims AS (SELECT tr.vec_id, ev.eval_id,
+          ROUND(SUM(tr.cv * ev.qv) /
+            (SQRT(SUM(tr.cv * tr.cv)) * SQRT(SUM(ev.qv * ev.qv))), 6) AS sim
+          FROM tr JOIN ev USING (pos) GROUP BY 1, 2),
+        best AS (SELECT vec_id, sim AS max_sim, eval_id AS nearest_eval
+          FROM sims QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, eval_id) = 1)
+        SELECT vec_id, max_sim, nearest_eval, max_sim >= 0.30 AS contaminated
+        FROM best ORDER BY vec_id"""
+
   override val defs: Seq[Q] = Seq(
 
     // exact dedup: content-hash groupBy per source
@@ -820,18 +838,7 @@ object Dedup extends QueryModule {
             (col("max_sim") >= 0.30).as("contaminated"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH ${graft.operators.Similarity.eSql},
-              ev AS (SELECT vec_id AS eval_id, pos, ev AS qv FROM e WHERE vec_id < 50),
-              tr AS (SELECT vec_id, pos, ev AS cv FROM e WHERE vec_id >= 50),
-              sims AS (SELECT tr.vec_id, ev.eval_id,
-                ROUND(SUM(tr.cv * ev.qv) /
-                  (SQRT(SUM(tr.cv * tr.cv)) * SQRT(SUM(ev.qv * ev.qv))), 6) AS sim
-                FROM tr JOIN ev USING (pos) GROUP BY 1, 2),
-              best AS (SELECT vec_id, sim AS max_sim, eval_id AS nearest_eval
-                FROM sims QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                  ORDER BY sim DESC, eval_id) = 1)
-              SELECT vec_id, max_sim, nearest_eval, max_sim >= 0.30 AS contaminated
-              FROM best ORDER BY vec_id""")),
+      Some(decontamSemSql)),
 
     // SUBSTRING-level dedup — the "dedup repeated spans, not whole docs"
     // operator (suffix-array dedup in the single-node literature),

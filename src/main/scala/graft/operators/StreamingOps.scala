@@ -119,6 +119,31 @@ object StreamingOps extends QueryModule {
   private val nearDupSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** TRAIN embeddings (vec_id >= 50, the eval set excluded at the
+    * source) staged as two mtime-ordered parquet files (vec_id parity
+    * split) — two micro-batches under maxFilesPerTrigger=1 for the
+    * decontamination ingest row. */
+  private val vecSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedVecSplit(s: SparkSession, d: String): String =
+    vecSplitCache.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths}
+      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-vecsplit-raw").toString
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-vecsplit-in").toString
+      val train = Tables(s, dir, "embeddings").filter(col("vec_id") >= 50)
+      for (m <- Seq(0, 1)) {
+        train.filter(col("vec_id") % 2 === m)
+          .coalesce(1).write.parquet(s"$scratch/b$m")
+        val f = new java.io.File(s"$scratch/b$m").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+        new java.io.File(f"$stage/part$m%02d.parquet")
+          .setLastModified(1000000L * (m + 1)): Unit
+      }
+      stage
+    })
+
   private def stagedNearDupSplit(s: SparkSession, d: String): String =
     nearDupSplitCache.computeIfAbsent(d, dir => {
       import java.nio.file.{Files, Paths}
@@ -996,6 +1021,39 @@ object StreamingOps extends QueryModule {
           .orderBy("doc_id")
       },
       Some(Dedup.incrementalOracleSql)),
+
+    // LIVE decontamination at ingest: the embedding-space hygiene scan
+    // (q_dedup_decontaminate_semantic) run as a STREAM — train vectors
+    // arrive in micro-batches, each batch is scored against the broadcast
+    // eval set and its verdicts land as an idempotent ingest_batch
+    // subtree. No cross-batch state by construction (the eval side is
+    // static, every batch self-contained), so this is the one streaming
+    // row whose state size is ZERO at any corpus scale — the shape a
+    // crawl ingest wants for its eval-leakage gate. Declared checks: ≥ 2
+    // micro-batches, disjoint verdict sets covering the train corpus
+    // exactly once, and the unioned verdicts equal the batch row's
+    // relation (the oracle is shared VERBATIM).
+    Q("q_stream_live_decontam",
+      (s, d) => {
+        val out = graft.GraftSession
+          .tempDirCleanedOnExit("graft-decontam-out").toString + "/res"
+        val eval = Tables(s, d, "embeddings").filter(col("vec_id") < 50)
+        val batches = graft.streaming.Streams.runDecontamIngest(
+          s, stagedVecSplit(s, d), eval, out)
+        require(batches.size >= 2,
+          s"the staged replay must deliver >= 2 micro-batches, got ${batches.size}")
+        val total = Tables(s, d, "embeddings")
+          .filter(col("vec_id") >= 50).count()
+        require(batches.map(_._2).sum == total,
+          s"batches must cover the train corpus exactly once: " +
+            s"${batches.map(_._2).sum} verdicts vs $total train vectors")
+        val verdicts = s.read.parquet(out)
+          .select("vec_id", "max_sim", "nearest_eval", "contaminated")
+        require(verdicts.select("vec_id").distinct().count() == total,
+          "a vector must get exactly one verdict across all batches")
+        verdicts.orderBy("vec_id")
+      },
+      Some(Dedup.decontamSemSql)),
 
     // CHANGE DATA FEED in the gate: merge a batch of updates + one
     // brand-new key into the bucketed table, then read the row-level

@@ -121,15 +121,66 @@ object Streams {
 
   /** Stream of embedding vectors from a parquet landing path — the write
     * side of a vector-index ingest. */
-  def embeddings(spark: SparkSession, path: String): DataFrame = {
+  def embeddings(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val f = new java.io.File(path)
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val reader = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema).options(options)
     if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
     else reader.parquet(path)
+  }
+
+  /** Streaming DECONTAMINATION at ingest: every arriving train vector is
+    * scored against the BROADCAST eval set (exact per-vector argmax — a
+    * hygiene scan that can miss is not hygiene), and the batch's verdicts
+    * land as an `ingest_batch=<id>` parquet subtree. No cross-batch
+    * state: the eval set is static driver-side input and each batch is
+    * self-contained, so a crawl ingest runs this forever at O(batch ×
+    * eval) per trigger. Idempotent under foreachBatch's at-least-once
+    * contract (the runNearDupIngest recipe): batchId-named Overwrite
+    * subtrees + commit markers, so a retried batch rewrites its own
+    * subtree and re-counts nothing. Returns (batchId, rows) per committed
+    * batch. */
+  def runDecontamIngest(spark: SparkSession, vecsPath: String,
+      evalVecs: DataFrame, outDir: String,
+      simThr: Double = 0.30): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.SaveMode
+    val stats = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val ev = evalVecs
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eemb"))
+      .localCheckpoint()
+    val q = embeddings(spark, vecsPath, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(outDir, s"_committed_$batchId")
+        if (!marker.exists()) {
+          val verdicts = batch.crossJoin(broadcast(ev))
+            .select(col("vec_id"), col("eval_id"),
+              round(graft.functions.VecOps.cosine(col("embedding"), col("eemb")), 6)
+                .as("sim"))
+            .groupBy("vec_id")
+            .agg(max(col("sim")).as("max_sim"),
+              max_by(col("eval_id"), struct(col("sim"), -col("eval_id")))
+                .as("nearest_eval"))
+            .select(col("vec_id"), col("max_sim"), col("nearest_eval"),
+              (col("max_sim") >= simThr).as("contaminated"))
+            .localCheckpoint()
+          verdicts.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/ingest_batch=$batchId")
+          marker.createNewFile()
+          stats.put(batchId, verdicts.count()): Unit
+          graft.plans.Iterate.release(verdicts)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.plans.Iterate.release(ev)
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toSeq.sortBy(_._1)
   }
 
   /** Live vector-index ingest: assign each arriving embedding to its

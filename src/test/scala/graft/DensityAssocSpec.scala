@@ -150,6 +150,24 @@ class DensityAssocSpec extends AnyFunSuite {
     assert(nh == n + 24, s"grid $nh vs naive span $n + 24")
   }
 
+  test("decontamination ingest is idempotent under replay") {
+    val out = GraftSession.tempDirCleanedOnExit("decontam-spec").toString + "/res"
+    val eval = Tables(spark, TestSpark.sf0, "embeddings")
+      .filter(col("vec_id") < 50)
+    val staged = GraftSession.tempDirCleanedOnExit("decontam-spec-in").toString
+    Tables(spark, TestSpark.sf0, "embeddings").filter(col("vec_id") >= 50)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val first = graft.streaming.Streams.runDecontamIngest(spark, staged, eval, out)
+    assert(first.nonEmpty && first.map(_._2).sum == 450)
+    val before = spark.read.parquet(out).orderBy("vec_id").collect()
+    // a full replay (fresh stream, same out dir) must skip every
+    // committed batch: zero new stats, byte-identical verdicts
+    val second = graft.streaming.Streams.runDecontamIngest(spark, staged, eval, out)
+    assert(second.isEmpty, s"replay re-committed batches: $second")
+    val after = spark.read.parquet(out).orderBy("vec_id").collect()
+    assert(before.sameElements(after), "replay changed the verdict relation")
+  }
+
   test("seasonal-EWMA backtest scores the same span as its in-row naive") {
     val r = q("q_events_forecast_sewma").collect()(0)
     val (n, maeS, maeN, rmse, skill) = (r.getLong(0), r.getDouble(1),
