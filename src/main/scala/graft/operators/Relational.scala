@@ -23,6 +23,30 @@ object Relational extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Market-basket input shared by the pair- and triple-mining rows:
+    * (order, brand) baskets and the Apriori-pruned frequent-item side
+    * (min-support 200) with each item's support attached. */
+  private def assocFitems(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val items = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+      .distinct()
+    val isup = items.groupBy("item").agg(count(lit(1)).as("sup"))
+    val freq = isup.filter(col("sup") >= 200) // Apriori min-support
+    (items, items.join(broadcast(freq), "item"))
+  }
+
+  /** items/fitems CTEs — the oracle half of [[assocFitems]]. */
+  private val assocFitemsSql =
+    """items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS item
+         FROM lineitem JOIN part ON p_partkey = l_partkey),
+       n AS (SELECT COUNT(DISTINCT o) AS total FROM items),
+       isup AS (SELECT item, COUNT(*) AS sup FROM items GROUP BY item),
+       freq AS (SELECT item, sup FROM isup WHERE sup >= 200),
+       fitems AS (SELECT i.o, i.item, f.sup
+         FROM items i JOIN freq f USING (item))"""
+
   private val ts1997 = lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
 
   /** λ=1 Poisson CDF as a CASE ladder over a uniform expression — ONE
@@ -2000,14 +2024,7 @@ object Relational extends QueryModule {
     // item vocabulary squared.
     Q("q_agg_assoc_rules",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
-            col("p_partkey") === col("l_partkey"))
-          .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
-          .distinct()
-        val isup = items.groupBy("item").agg(count(lit(1)).as("sup"))
-        val freq = isup.filter(col("sup") >= 200) // Apriori min-support
-        val fitems = items.join(broadcast(freq), "item")
+        val (items, fitems) = assocFitems(s, d)
         val pairs = fitems.as("a").join(fitems.as("b"),
             col("a.o") === col("b.o") && col("a.item") < col("b.item"))
           .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
@@ -2029,13 +2046,7 @@ object Relational extends QueryModule {
           .orderBy(desc("lift"), asc("ante"), asc("cons"))
           .limit(20)
       },
-      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS item
-                FROM lineitem JOIN part ON p_partkey = l_partkey),
-              n AS (SELECT COUNT(DISTINCT o) AS total FROM items),
-              isup AS (SELECT item, COUNT(*) AS sup FROM items GROUP BY item),
-              freq AS (SELECT item, sup FROM isup WHERE sup >= 200),
-              fitems AS (SELECT i.o, i.item, f.sup
-                FROM items i JOIN freq f USING (item)),
+      Some(s"""WITH $assocFitemsSql,
               pairs AS (SELECT a.item AS ante, b.item AS cons,
                   COUNT(*) AS pair_sup, MIN(a.sup) AS sup_a, MIN(b.sup) AS sup_b
                 FROM fitems a JOIN fitems b ON a.o = b.o AND a.item < b.item
@@ -2050,6 +2061,65 @@ object Relational extends QueryModule {
                 ROUND(pair_sup * 1.0 * total / (sup_ante * sup_cons), 6) AS lift
               FROM rules CROSS JOIN n
               ORDER BY lift DESC, ante, cons LIMIT 20""")),
+
+    // LEVEL-3 Apriori: frequent TRIPLES mined level-wise — candidate
+    // 3-itemsets are generated only where ALL THREE sub-pairs passed the
+    // pair threshold (downward closure applied at level 2, not just
+    // level 1), then counted within baskets and kept at the triple
+    // threshold. The pair relation is tiny after pruning and rides
+    // broadcast semijoins against the basket self-join, so level 3 costs
+    // one more within-basket join, never |items|³. This is the general
+    // level-wise shape: level k prunes on level k−1's survivors.
+    Q("q_agg_assoc_triples",
+      (s, d) => {
+        val (items, fitems) = assocFitems(s, d)
+        val fpairs = fitems.as("a").join(fitems.as("b"),
+            col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+          .agg(count(lit(1)).as("ps")).filter(col("ps") >= 40)
+          .select("i1", "i2").localCheckpoint() // tiny; 3 broadcast probes
+        def pairOk(tag: String) =
+          broadcast(fpairs.withColumnRenamed("i1", s"${tag}_1")
+            .withColumnRenamed("i2", s"${tag}_2"))
+        val trip = fitems.as("a")
+          .join(fitems.as("b"), col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+          .join(fitems.as("c"), col("b.o") === col("c.o") && col("b.item") < col("c.item"))
+          .join(pairOk("p12"),
+            col("a.item") === col("p12_1") && col("b.item") === col("p12_2"))
+          .join(pairOk("p13"),
+            col("a.item") === col("p13_1") && col("c.item") === col("p13_2"))
+          .join(pairOk("p23"),
+            col("b.item") === col("p23_1") && col("c.item") === col("p23_2"))
+          .groupBy(col("a.item").as("i1"), col("b.item").as("i2"),
+            col("c.item").as("i3"))
+          .agg(count(lit(1)).as("sup3"),
+            min(col("a.sup")).as("s1"), min(col("b.sup")).as("s2"),
+            min(col("c.sup")).as("s3"))
+          .filter(col("sup3") >= 15)
+        trip.crossJoin(broadcast(items.agg(countDistinct("o").as("total"))))
+          .select(col("i1"), col("i2"), col("i3"), col("sup3"),
+            round(col("sup3") * lit(1.0) * col("total") * col("total") /
+              (col("s1") * col("s2") * col("s3")), 6).as("lift3"))
+          .orderBy(desc("sup3"), asc("i1"), asc("i2"), asc("i3"))
+          .limit(15)
+      },
+      Some(s"""WITH $assocFitemsSql,
+              fpairs AS (SELECT a.item AS i1, b.item AS i2
+                FROM fitems a JOIN fitems b ON a.o = b.o AND a.item < b.item
+                GROUP BY 1, 2 HAVING COUNT(*) >= 40),
+              trip AS (SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+                  COUNT(*) AS sup3,
+                  MIN(a.sup) AS s1, MIN(b.sup) AS s2, MIN(c.sup) AS s3
+                FROM fitems a JOIN fitems b ON a.o = b.o AND a.item < b.item
+                     JOIN fitems c ON b.o = c.o AND b.item < c.item
+                     JOIN fpairs p12 ON p12.i1 = a.item AND p12.i2 = b.item
+                     JOIN fpairs p13 ON p13.i1 = a.item AND p13.i2 = c.item
+                     JOIN fpairs p23 ON p23.i1 = b.item AND p23.i2 = c.item
+                GROUP BY 1, 2, 3 HAVING COUNT(*) >= 15)
+              SELECT i1, i2, i3, sup3,
+                ROUND(sup3 * 1.0 * total * total / (s1 * s2 * s3), 6) AS lift3
+              FROM trip CROSS JOIN n
+              ORDER BY sup3 DESC, i1, i2, i3 LIMIT 15""")),
 
     // ---- §2.7 sorts / top-k / set ops ------------------------------------
     Q("q_sort_topk",

@@ -57,6 +57,21 @@ class DensityAssocSpec extends AnyFunSuite {
     }
   }
 
+  test("triple mining: ordered itemsets above both level thresholds") {
+    val rows = q("q_agg_assoc_triples").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (i1, i2, i3) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(i1 < i2 && i2 < i3, "canonical itemset order")
+      assert(r.getLong(3) >= 15, "triple support below the declared floor")
+      assert(r.getDouble(4) > 0.0)
+    }
+    // support is sorted descending with deterministic tie-break
+    rows.map(_.getLong(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("readability formulas reproduce hand-computed scores") {
     import spark.implicits._
     val df = Seq((0L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
