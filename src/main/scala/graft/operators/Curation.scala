@@ -24,6 +24,141 @@ object Curation extends QueryModule {
   private val sampleHex = "c0" // 0xc0/0x100 = 75% keep rate after quality
 
   override val defs: Seq[Q] = Seq(
+
+    // DATA-QUALITY AUDIT: a constraint report over the warehouse — key
+    // uniqueness, referential integrity (anti-join counts), and range
+    // rules — one (check, violations, pass) row per rule, the gate a
+    // pipeline runs before trusting an upstream drop. Each check is one
+    // scan + one aggregate (FKs are broadcast anti-joins against the
+    // parent's key projection); the report is a UNION ALL of 1-row
+    // relations, so the audit parallelizes per-check and adds no
+    // cross-check shuffle at any scale.
+    Q("q_pipeline_dq_audit",
+      (s, d) => {
+        def check(name: String, violations: org.apache.spark.sql.DataFrame) =
+          violations.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"),
+              (col("n_violations") === 0L).as("pass"))
+        val cust = Tables(s, d, "customer")
+        val ord = Tables(s, d, "orders")
+        val li = Tables(s, d, "lineitem")
+        val evs = Tables(s, d, "events")
+        val dupKeys = cust.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+        check("customer_key_unique", dupKeys)
+          .unionByName(check("orders_custkey_fk",
+            ord.join(broadcast(cust.select("c_custkey")),
+              col("o_custkey") === col("c_custkey"), "left_anti")))
+          .unionByName(check("lineitem_orderkey_fk",
+            li.join(ord.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")))
+          .unionByName(check("lineitem_qty_positive",
+            li.filter(col("l_quantity") <= 0)))
+          .unionByName(check("lineitem_discount_range",
+            li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+          .unionByName(check("events_value_valid",
+            evs.filter(col("value").isNull || col("value") < 0)))
+          .orderBy("check")
+      },
+      Some("""SELECT * FROM (
+              SELECT 'customer_key_unique' AS check,
+                CAST(COUNT(*) AS BIGINT) AS n_violations, COUNT(*) = 0 AS pass
+              FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+              UNION ALL
+              SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+              FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              UNION ALL
+              SELECT 'lineitem_orderkey_fk', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+              FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'lineitem_qty_positive', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+              FROM lineitem WHERE l_quantity <= 0
+              UNION ALL
+              SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+              FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+              UNION ALL
+              SELECT 'events_value_valid', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+              FROM events WHERE value IS NULL OR value < 0)
+              ORDER BY "check" """)),
+
+    // POPULATION-STABILITY drift monitor (PSI): per event_type, the
+    // value distribution of the FIRST half of the time range (reference
+    // window) vs the SECOND half (current), over 10 fixed value bands,
+    // with Laplace-smoothed shares so an empty band cannot blow up the
+    // log — PSI = Σ (p−q)·ln(p/q), the standard feature-drift gate
+    // (> 0.1 = investigate). Two scans collapse to one: the window flag
+    // is a projection, and the per-(type, window, band) counts are one
+    // hash aggregate; the PSI fold runs on O(types × bands) rows. At
+    // 100 TB the same plan holds — drift monitoring is a partial-agg
+    // pass, never a sort.
+    Q("q_agg_psi_drift",
+      (s, d) => {
+        val e = Tables(s, d, "events").select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("band"))
+        // integer midpoint both sides: DuckDB CAST(double AS BIGINT)
+        // rounds while Spark truncates, so the halving must stay integral
+        val mid = e.agg(expr("(MIN(h) + MAX(h)) DIV 2").as("hmid"))
+        val counts = e.crossJoin(broadcast(mid))
+          .withColumn("win", when(col("h") < col("hmid"), "ref").otherwise("cur"))
+          .groupBy("event_type", "win", "band")
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy("event_type", "win").agg(sum("c").as("n"))
+        val grid = counts.select("event_type").distinct()
+          .crossJoin(s.range(10).select(col("id").as("band")))
+        def share(w: String) = grid
+          .join(counts.filter(col("win") === w).select(col("event_type"),
+            col("band"), col("c")), Seq("event_type", "band"), "left")
+          .join(tot.filter(col("win") === w).select(col("event_type"),
+            col("n")), "event_type")
+          .select(col("event_type"), col("band"),
+            ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as(s"p_$w"),
+            col("n").as(s"n_$w"))
+        share("ref").join(share("cur"), Seq("event_type", "band"))
+          .groupBy("event_type")
+          .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+            round(sum((col("p_ref") - col("p_cur")) *
+              log(col("p_ref") / col("p_cur"))), 6).as("psi"))
+          .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
+            (col("psi") > 0.1).as("drifted"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS band
+                FROM events),
+              mid AS (SELECT (MIN(h) + MAX(h)) // 2 AS hmid FROM e),
+              winl AS (SELECT event_type, band,
+                CASE WHEN h < hmid THEN 'ref' ELSE 'cur' END AS win
+                FROM e CROSS JOIN mid),
+              counts AS (SELECT event_type, win, band, COUNT(*) AS c
+                FROM winl GROUP BY 1, 2, 3),
+              tot AS (SELECT event_type, win, SUM(c) AS n
+                FROM counts GROUP BY 1, 2),
+              grid AS (SELECT DISTINCT event_type, b.band FROM counts
+                CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS band) b),
+              sref AS (SELECT g.event_type, g.band,
+                  (COALESCE(c.c, 0) + 0.5) / (t.n + 5.0) AS p_ref, t.n AS n_ref
+                FROM grid g
+                LEFT JOIN counts c ON c.event_type = g.event_type
+                  AND c.band = g.band AND c.win = 'ref'
+                JOIN tot t ON t.event_type = g.event_type AND t.win = 'ref'),
+              scur AS (SELECT g.event_type, g.band,
+                  (COALESCE(c.c, 0) + 0.5) / (t.n + 5.0) AS p_cur, t.n AS n_cur
+                FROM grid g
+                LEFT JOIN counts c ON c.event_type = g.event_type
+                  AND c.band = g.band AND c.win = 'cur'
+                JOIN tot t ON t.event_type = g.event_type AND t.win = 'cur'),
+              m AS (SELECT s1.event_type,
+                  CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+                  CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+                  ROUND(SUM((p_ref - p_cur) * LN(p_ref / p_cur)), 6) AS psi
+                FROM sref s1 JOIN scur s2
+                  ON s1.event_type = s2.event_type AND s1.band = s2.band
+                GROUP BY 1)
+              SELECT event_type, n_ref, n_cur, psi, psi > 0.1 AS drifted
+              FROM m ORDER BY event_type""")),
+
     Q("q_pipeline_curate",
       (s, d) => {
         val labels = Dedup.clusterLabels(s, d)

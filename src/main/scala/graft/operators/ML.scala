@@ -615,17 +615,31 @@ object ML extends QueryModule {
               COUNT(*) AS n
        FROM r JOIN u2 ON r.u = u2.u JOIN v2 ON r.i = v2.i WHERE r.is_test"""
 
-  private val cfRecommendSql: String =
-    s"""WITH $cfFactorsSql,
+  /** factor chain + top-3 recommendation CTEs ending in recs(u, i,
+    * score, rec_rank) — shared by the recommend row and its held-out
+    * hit-rate eval so the two cannot drift. */
+  private val cfRecommendCtes: String =
+    s"""$cfFactorsSql,
        scored AS (SELECT u2.u, v2.i,
            ROUND(u2.f1 * v2.f1 + u2.f2 * v2.f2, 6) AS score
          FROM u2 CROSS JOIN v2
          WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.u = u2.u AND t.i = v2.i)),
        ranked AS (SELECT u, i, score,
            CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, i) AS BIGINT) AS rec_rank
-         FROM scored)
-       SELECT u, i, score, rec_rank FROM ranked WHERE rec_rank <= 3
-       ORDER BY u, rec_rank"""
+         FROM scored),
+       recs AS (SELECT u, i, score, rec_rank FROM ranked WHERE rec_rank <= 3)"""
+
+  private val cfRecommendSql: String =
+    s"""WITH $cfRecommendCtes
+       SELECT u, i, score, rec_rank FROM recs ORDER BY u, rec_rank"""
+
+  private val cfHitrateSql: String =
+    s"""WITH $cfRecommendCtes,
+       test AS (SELECT u, i FROM r WHERE is_test)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN recs.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         ROUND(AVG(CASE WHEN recs.i IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+       FROM test LEFT JOIN recs ON test.u = recs.u AND test.i = recs.i"""
 
   private val cfItemSimSql: String =
     s"""WITH $cfRatingsSql,
@@ -799,6 +813,24 @@ object ML extends QueryModule {
     Q("q_ml_cf", (s, d) => cf(s, d), Some(cfSql)),
 
     Q("q_ml_cf_recommend", (s, d) => cfRecommend(s, d), Some(cfRecommendSql)),
+
+    // RANKING eval of the recommender: hit-rate@3 on the held-out split —
+    // did the held-out interaction appear in their top-3? The
+    // measurement the MAE row cannot give (pointwise error says nothing
+    // about ranking), composing the DECLARED recommend output against the
+    // test ratings with one broadcast join + one 1-row aggregate.
+    Q("q_ml_cf_hitrate",
+      (s, d) => {
+        val recs = graft.SparkEntry.queries("q_ml_cf_recommend")(s, d)
+          .select(col("u"), col("i"), lit(1).as("rec_hit"))
+        cfRatings(s, d).filter(col("is_test")).select("u", "i")
+          .join(broadcast(recs), Seq("u", "i"), "left")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("rec_hit").isNotNull, 1L).otherwise(0L)).as("hits"),
+            round(avg(when(col("rec_hit").isNotNull, 1.0).otherwise(0.0)), 6)
+              .as("hit_rate"))
+      },
+      Some(cfHitrateSql)),
 
     Q("q_ml_cf_item_sim", (s, d) => cfItemSim(s, d), Some(cfItemSimSql)),
 

@@ -25,16 +25,22 @@ object Relational extends QueryModule {
 
   /** Market-basket input shared by the pair- and triple-mining rows:
     * (order, brand) baskets and the Apriori-pruned frequent-item side
-    * (min-support 200) with each item's support attached. */
+    * (min-support 200) with each item's support attached. Both relations
+    * are EAGERLY checkpointed — the basket build (scan + broadcast join +
+    * distinct) is referenced by the support count, the frequent filter,
+    * the basket self-join (2-3 sides) and the total, and without the
+    * checkpoint each reference re-expands to its own scan (plan audit:
+    * 18 FileScans for the pair row, 5 after). Callers release both. */
   private def assocFitems(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val items = t(s, d, "lineitem")
       .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
         col("p_partkey") === col("l_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
       .distinct()
+      .localCheckpoint() // O(baskets x basket-width), small at any SF
     val isup = items.groupBy("item").agg(count(lit(1)).as("sup"))
     val freq = isup.filter(col("sup") >= 200) // Apriori min-support
-    (items, items.join(broadcast(freq), "item"))
+    (items, items.join(broadcast(freq), "item").localCheckpoint())
   }
 
   /** items/fitems CTEs — the oracle half of [[assocFitems]]. */
@@ -2036,7 +2042,7 @@ object Relational extends QueryModule {
           .unionByName(pairs.select(col("cons").as("ante"),
             col("ante").as("cons"), col("pair_sup"),
             col("sup_b").as("sup_ante"), col("sup_a").as("sup_cons")))
-        rules.crossJoin(broadcast(
+        val out = rules.crossJoin(broadcast(
             items.agg(countDistinct("o").as("total")))) // 1-row scalar
           .select(col("ante"), col("cons"), col("pair_sup"),
             round(col("pair_sup") * lit(1.0) / col("sup_ante"), 6)
@@ -2045,6 +2051,9 @@ object Relational extends QueryModule {
               (col("sup_ante") * col("sup_cons")), 6).as("lift"))
           .orderBy(desc("lift"), asc("ante"), asc("cons"))
           .limit(20)
+          .localCheckpoint()
+        Seq(items, fitems).foreach(graft.plans.Iterate.release)
+        out
       },
       Some(s"""WITH $assocFitemsSql,
               pairs AS (SELECT a.item AS ante, b.item AS cons,
@@ -2096,12 +2105,16 @@ object Relational extends QueryModule {
             min(col("a.sup")).as("s1"), min(col("b.sup")).as("s2"),
             min(col("c.sup")).as("s3"))
           .filter(col("sup3") >= 15)
-        trip.crossJoin(broadcast(items.agg(countDistinct("o").as("total"))))
+        val out = trip
+          .crossJoin(broadcast(items.agg(countDistinct("o").as("total"))))
           .select(col("i1"), col("i2"), col("i3"), col("sup3"),
             round(col("sup3") * lit(1.0) * col("total") * col("total") /
               (col("s1") * col("s2") * col("s3")), 6).as("lift3"))
           .orderBy(desc("sup3"), asc("i1"), asc("i2"), asc("i3"))
           .limit(15)
+          .localCheckpoint()
+        Seq(items, fitems, fpairs).foreach(graft.plans.Iterate.release)
+        out
       },
       Some(s"""WITH $assocFitemsSql,
               fpairs AS (SELECT a.item AS i1, b.item AS i2

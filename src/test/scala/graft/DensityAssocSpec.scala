@@ -165,6 +165,37 @@ class DensityAssocSpec extends AnyFunSuite {
     assert(nh == n + 24, s"grid $nh vs naive span $n + 24")
   }
 
+  test("DQ audit: six checks, clean warehouse passes them all") {
+    val rows = q("q_pipeline_dq_audit").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) == 0L),
+        "pass flag must mirror the violation count")
+      assert(r.getBoolean(2), s"testdata violates ${r.getString(0)}")
+    }
+  }
+
+  test("PSI drift: non-negative by construction, windows populated") {
+    val rows = q("q_agg_psi_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // each PSI term (p-q)ln(p/q) is >= 0, so the sum must be too
+      assert(r.getDouble(3) >= -1e-9, s"negative PSI for ${r.getString(0)}")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "empty drift window")
+      assert(r.getBoolean(4) == (r.getDouble(3) > 0.1))
+    }
+  }
+
+  test("CF hit-rate: bounded and consistent with its own counts") {
+    val r = q("q_ml_cf_hitrate").collect()(0)
+    val (n, hits, rate) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n > 0 && hits >= 0 && hits <= n)
+    assert(math.abs(rate - hits.toDouble / n) < 1e-5)
+    // top-3 of a 20-item catalog: random guessing scores ~0.15, the
+    // factor model must clear it decisively on the gate data
+    assert(rate > 0.3, s"recommender no better than chance: $rate")
+  }
+
   test("decontamination ingest is idempotent under replay") {
     val out = GraftSession.tempDirCleanedOnExit("decontam-spec").toString + "/res"
     val eval = Tables(spark, TestSpark.sf0, "embeddings")
