@@ -99,10 +99,15 @@ object Curation extends QueryModule {
         // integer midpoint both sides: DuckDB CAST(double AS BIGINT)
         // rounds while Spark truncates, so the halving must stay integral
         val mid = e.agg(expr("(MIN(h) + MAX(h)) DIV 2").as("hmid"))
+        // O(types x 2 x bands) rows, referenced 5 times below (totals,
+        // type grid, both window shares) - checkpoint once or every
+        // reference re-expands to its own events scan (plan audit: 12
+        // FileScans / 30 exchanges before the checkpoints)
         val counts = e.crossJoin(broadcast(mid))
           .withColumn("win", when(col("h") < col("hmid"), "ref").otherwise("cur"))
           .groupBy("event_type", "win", "band")
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val tot = counts.groupBy("event_type", "win").agg(sum("c").as("n"))
         val grid = counts.select("event_type").distinct()
           .crossJoin(s.range(10).select(col("id").as("band")))
@@ -114,7 +119,7 @@ object Curation extends QueryModule {
           .select(col("event_type"), col("band"),
             ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as(s"p_$w"),
             col("n").as(s"n_$w"))
-        share("ref").join(share("cur"), Seq("event_type", "band"))
+        val out = share("ref").join(share("cur"), Seq("event_type", "band"))
           .groupBy("event_type")
           .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
             round(sum((col("p_ref") - col("p_cur")) *
@@ -122,6 +127,9 @@ object Curation extends QueryModule {
           .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
             (col("psi") > 0.1).as("drifted"))
           .orderBy("event_type")
+          .localCheckpoint()
+        graft.plans.Iterate.release(counts)
+        out
       },
       Some("""WITH e AS (SELECT event_type,
                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
