@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends QueryModule {
 
+  /** PSI value-band expression — ONE string, valid in both Spark SQL and
+    * DuckDB, shared by the batch drift row and the streaming drift
+    * monitor so the banding can never diverge between them. */
+  private[operators] val psiBandSql =
+    "LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)"
+
   private val qualityMin = 0.82 // ~median of the corpus quality score
   private val sampleHex = "c0" // 0xc0/0x100 = 75% keep rate after quality
 
@@ -95,7 +101,7 @@ object Curation extends QueryModule {
       (s, d) => {
         val e = Tables(s, d, "events").select(col("event_type"),
           expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
-          least(floor(col("value") / 50).cast("long"), lit(9L)).as("band"))
+          expr(psiBandSql).as("band"))
         // integer midpoint both sides: DuckDB CAST(double AS BIGINT)
         // rounds while Spark truncates, so the halving must stay integral
         val mid = e.agg(expr("(MIN(h) + MAX(h)) DIV 2").as("hmid"))
@@ -131,9 +137,9 @@ object Curation extends QueryModule {
         graft.plans.Iterate.release(counts)
         out
       },
-      Some("""WITH e AS (SELECT event_type,
+      Some(s"""WITH e AS (SELECT event_type,
                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
-                LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS band
+                $psiBandSql AS band
                 FROM events),
               mid AS (SELECT (MIN(h) + MAX(h)) // 2 AS hmid FROM e),
               winl AS (SELECT event_type, band,

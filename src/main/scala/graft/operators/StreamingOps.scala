@@ -126,6 +126,30 @@ object StreamingOps extends QueryModule {
   private val vecSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** events staged as THREE mod-split shipments (event_id % 3,
+    * mtime-ordered) — EXPLICIT batch boundaries an oracle can restate,
+    * unlike the range-sampled time split above. */
+  private val shipmentSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedShipmentSplit(s: SparkSession, d: String): String =
+    shipmentSplitCache.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths}
+      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-shipsplit-raw").toString
+      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-shipsplit-in").toString
+      val ev = Tables(s, dir, "events")
+      for (m <- 0 to 2) {
+        ev.filter(col("event_id") % 3 === m)
+          .coalesce(1).write.parquet(s"$scratch/b$m")
+        val f = new java.io.File(s"$scratch/b$m").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+        new java.io.File(f"$stage/part$m%02d.parquet")
+          .setLastModified(1000000L * (m + 1)): Unit
+      }
+      stage
+    })
+
   private def stagedVecSplit(s: SparkSession, d: String): String =
     vecSplitCache.computeIfAbsent(d, dir => {
       import java.nio.file.{Files, Paths}
@@ -1054,6 +1078,70 @@ object StreamingOps extends QueryModule {
         verdicts.orderBy("vec_id")
       },
       Some(Dedup.decontamSemSql)),
+
+    // LIVE drift monitor in the gate: three event "shipments" stream
+    // through Streams.runDriftMonitor and each is PSI-scored on arrival
+    // against the broadcast full-corpus reference profile — the
+    // distribution gate that fires the batch an upstream break lands.
+    // Zero cross-batch state (reference static, batches self-contained);
+    // the staged mod-3 split gives the oracle explicit batch boundaries
+    // to restate, and the band expression is Curation.psiBandSql shared
+    // VERBATIM with the batch drift row.
+    Q("q_stream_live_drift",
+      (s, d) => {
+        val out = graft.GraftSession
+          .tempDirCleanedOnExit("graft-drift-out").toString + "/res"
+        // full-corpus reference profile on the complete (type × band) grid
+        val e = Tables(s, d, "events")
+          .select(col("event_type"), expr(Curation.psiBandSql).as("band"))
+        val counts = e.groupBy("event_type", "band").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val tot = counts.groupBy("event_type").agg(sum("c").as("n"))
+        val ref = counts.select("event_type").distinct()
+          .crossJoin(s.range(10).select(col("id").as("band")))
+          .join(counts, Seq("event_type", "band"), "left")
+          .join(tot, "event_type")
+          .select(col("event_type"), col("band"),
+            ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("p_ref"))
+        val batches = graft.streaming.Streams.runDriftMonitor(
+          s, stagedShipmentSplit(s, d), ref, out, Curation.psiBandSql)
+        require(batches.size >= 3,
+          s"the staged replay must deliver 3 shipments, got ${batches.size}")
+        graft.plans.Iterate.release(counts)
+        s.read.parquet(out)
+          .select("batch_id", "event_type", "n_batch", "psi", "drifted")
+          .orderBy("batch_id", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_id % 3 AS batch_id, event_type,
+                ${Curation.psiBandSql} AS band FROM events),
+              rcounts AS (SELECT event_type, band, COUNT(*) AS c
+                FROM e GROUP BY 1, 2),
+              rtot AS (SELECT event_type, SUM(c) AS n FROM rcounts GROUP BY 1),
+              grid AS (SELECT DISTINCT event_type, b.band FROM rcounts
+                CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS band) b),
+              ref AS (SELECT g.event_type, g.band,
+                  (COALESCE(rc.c, 0) + 0.5) / (rt.n + 5.0) AS p_ref
+                FROM grid g
+                LEFT JOIN rcounts rc ON rc.event_type = g.event_type
+                  AND rc.band = g.band
+                JOIN rtot rt ON rt.event_type = g.event_type),
+              bcounts AS (SELECT batch_id, event_type, band, COUNT(*) AS c
+                FROM e GROUP BY 1, 2, 3),
+              btot AS (SELECT batch_id, event_type, SUM(c) AS n
+                FROM bcounts GROUP BY 1, 2),
+              scored AS (SELECT bt.batch_id, r.event_type, bt.n,
+                  r.p_ref,
+                  (COALESCE(bc.c, 0) + 0.5) / (bt.n + 5.0) AS p_cur
+                FROM ref r
+                JOIN btot bt ON bt.event_type = r.event_type
+                LEFT JOIN bcounts bc ON bc.batch_id = bt.batch_id
+                  AND bc.event_type = r.event_type AND bc.band = r.band)
+              SELECT batch_id, event_type,
+                CAST(MIN(n) AS BIGINT) AS n_batch,
+                ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) AS psi,
+                ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) > 0.1 AS drifted
+              FROM scored GROUP BY 1, 2
+              ORDER BY batch_id, event_type""")),
 
     // CHANGE DATA FEED in the gate: merge a batch of updates + one
     // brand-new key into the bucketed table, then read the row-level

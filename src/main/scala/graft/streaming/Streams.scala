@@ -133,6 +133,61 @@ object Streams {
     else reader.parquet(path)
   }
 
+  /** Streaming DRIFT MONITOR: every arriving shipment (micro-batch) of
+    * events is profiled per event_type over fixed value bands and scored
+    * against a BROADCAST reference profile with Laplace-smoothed PSI —
+    * the gate that catches an upstream distribution break the batch it
+    * lands, not at the next offline audit. The reference is static
+    * driver-side state (the training-time profile) and each batch is
+    * self-contained, so cross-batch state is ZERO and a feed runs this
+    * forever at O(batch + types × bands) per trigger. Idempotent
+    * batchId-subtree writes (the runDecontamIngest recipe). Emits one
+    * (batch_id, event_type, n_batch, psi, drifted) row per type PRESENT
+    * in the batch. */
+  def runDriftMonitor(spark: SparkSession, eventsPath: String,
+      refShares: DataFrame, outDir: String,
+      bandSql: String, psiThreshold: Double = 0.1): Seq[Long] = {
+    import org.apache.spark.sql.SaveMode
+    val stats = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val ref = refShares.localCheckpoint() // (event_type, band, p_ref) grid
+    val q = events(spark, eventsPath, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(outDir, s"_committed_$batchId")
+        if (!marker.exists()) {
+          val counts = batch
+            .select(col("event_type"), expr(bandSql).as("band"))
+            .groupBy("event_type", "band").agg(count(lit(1)).as("c"))
+            .localCheckpoint()
+          val tot = counts.groupBy("event_type").agg(sum("c").as("n"))
+          val scored = ref
+            .join(broadcast(tot), "event_type") // types present in batch
+            .join(counts, Seq("event_type", "band"), "left")
+            .select(col("event_type"), col("n"), col("p_ref"),
+              ((coalesce(col("c"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("p_cur"))
+            .groupBy("event_type")
+            .agg(min("n").as("n_batch"),
+              round(sum((col("p_cur") - col("p_ref")) *
+                log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+            .select(lit(batchId).as("batch_id"), col("event_type"),
+              col("n_batch"), col("psi"),
+              (col("psi") > psiThreshold).as("drifted"))
+            .localCheckpoint()
+          scored.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/ingest_batch=$batchId")
+          marker.createNewFile()
+          stats.put(batchId, scored.count()): Unit
+          Seq(counts, scored).foreach(graft.plans.Iterate.release)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.plans.Iterate.release(ref)
+    import scala.jdk.CollectionConverters._
+    stats.keySet().asScala.toSeq.sorted
+  }
+
   /** Streaming DECONTAMINATION at ingest: every arriving train vector is
     * scored against the BROADCAST eval set (exact per-vector argmax — a
     * hygiene scan that can miss is not hygiene), and the batch's verdicts

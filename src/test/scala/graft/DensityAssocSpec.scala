@@ -196,6 +196,23 @@ class DensityAssocSpec extends AnyFunSuite {
     assert(rate > 0.3, s"recommender no better than chance: $rate")
   }
 
+  test("streaming drift monitor: uniform shipments do not drift, mass ties out") {
+    val rows = q("q_stream_live_drift").collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, TestSpark.sf0, "events").count()
+    val perBatch = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.groupBy(_.getString(1)).map(_._2.head.getLong(2)).sum)
+    assert(perBatch.values.sum == total,
+      s"shipment sizes must sum to the corpus: ${perBatch.toMap}")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1e-9, "PSI is non-negative by construction")
+      // a uniform mod-3 split of one distribution must NOT trip the gate
+      assert(!r.getBoolean(4),
+        s"false drift alarm: batch ${r.getLong(0)} type ${r.getString(1)} " +
+          s"psi ${r.getDouble(3)}")
+    }
+  }
+
   test("decontamination ingest is idempotent under replay") {
     val out = GraftSession.tempDirCleanedOnExit("decontam-spec").toString + "/res"
     val eval = Tables(spark, TestSpark.sf0, "embeddings")
