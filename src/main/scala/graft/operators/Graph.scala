@@ -1011,9 +1011,17 @@ object Graph extends QueryModule {
     * masks plus fresh init rows for vertices they don't cover — the
     * entry point both incremental (q_graph_anf_incremental) and
     * STREAMING (q_stream_live_anf) summary maintenance share. */
-  private[graft] def anfWarm(masks: DataFrame, e: DataFrame): DataFrame =
+  /** Carry-over masks plus fresh registers for vertices the sketch has
+    * not seen. `k` MUST match the width the carried masks were built at —
+    * a production sketch maintained at K=64 that warm-started new
+    * vertices at the default 8 would silently mix register widths and
+    * skew every downstream estimate, so the width is a parameter here
+    * (same knob as anfInit/anfSketch, VERDICT r10 #5). */
+  private[graft] def anfWarm(masks: DataFrame, e: DataFrame,
+      k: Int = anfK): DataFrame =
     masks.unionAll(
-      anfInit(nodes(e)).join(masks.select("v").distinct(), Seq("v"), "left_anti"))
+      anfInit(nodes(e), k)
+        .join(masks.select("v").distinct(), Seq("v"), "left_anti"))
 
   private[graft] def anfShared(s: SparkSession, d: String)
       : (DataFrame, Int, Seq[Double], DataFrame) = {

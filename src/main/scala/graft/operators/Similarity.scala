@@ -159,6 +159,42 @@ object Similarity extends QueryModule {
     * selected centers for downstream assignment. Each round: one
     * broadcast join of the new center against the corpus + a LEAST fold
     * + an O(1) argmax collect — O(k·N·dim) work, O(N) state. */
+  /** JL projected-space sims + 50-wide shortlist CTEs (expects prior
+    * `pr` from [[jlPrSql]]) — shared by q_sim_jl_rerank and its recall
+    * eval so the shortlist definition cannot drift between them. */
+  private lazy val jlShortSql: String =
+    s"""jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
+       jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
+       jsims AS (SELECT q_id, cand_id,
+         ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
+             t -> qp[t] * cp[t]), 'sum') /
+           GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
+             sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
+             1e-12), 6) AS sim
+         FROM jc CROSS JOIN jq),
+       jshort AS (SELECT q_id, cand_id FROM (
+           SELECT q_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r0
+           FROM jsims) t WHERE r0 <= 50)"""
+
+  /** k-center greedy oracle scaffolding, shared by q_sim_kcenter and
+    * q_sim_kcenter_assign (one definition of the recurrence — a tweak to
+    * the distance rounding or the argmax tie-break cannot leave one row
+    * scoring against a stale formulation). */
+  private def kcenterDistSql(k: Int, centerSel: String): String =
+    s"""d$k AS (SELECT a.vec_id,
+         ROUND(1 - SUM(a.ev * b.ev) /
+           (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS dd
+       FROM e a JOIN ($centerSel) b USING (pos) GROUP BY a.vec_id)"""
+
+  private val kcenterRoundsSql: String = (2 to 6).map { t =>
+    s"""p$t AS (SELECT vec_id, mind FROM m${t - 1}
+         ORDER BY mind DESC, vec_id LIMIT 1),
+       ${kcenterDistSql(t, s"SELECT e.pos, e.ev FROM e JOIN p$t ON e.vec_id = p$t.vec_id")},
+       m$t AS (SELECT m${t - 1}.vec_id, LEAST(m${t - 1}.mind, d$t.dd) AS mind
+         FROM m${t - 1} JOIN d$t USING (vec_id))"""
+  }.mkString(",\n")
+
   private def kcenterGreedy(s: SparkSession, d: String)
       : (Seq[(Long, Long, Double)], DataFrame) = {
     val emb = Tables(s, d, "embeddings")
@@ -168,21 +204,37 @@ object Similarity extends QueryModule {
           .select(col("embedding").as("cemb"))))
       .select(col("vec_id"),
         round(lit(1.0) - cosine(col("embedding"), col("cemb")), 6).as("dd"))
-    var mind = distTo(0L).withColumnRenamed("dd", "mind")
-    var allD = distTo(0L).select(col("vec_id"), lit(0L).as("center"), col("dd"))
+    // one corpus pass per center: the seed relation is checkpointed and
+    // reused for BOTH the running minimum and the assignment output
+    // (two separate distTo(0) calls used to run the pass twice), and
+    // each round's relation likewise computes once for both consumers
+    val d0 = distTo(0L).localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer[DataFrame](d0)
+    var mind = d0.withColumnRenamed("dd", "mind")
+    var allD = d0.select(col("vec_id"), lit(0L).as("center"), col("dd"))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     for (t <- 2L to 6L) {
       val p = mind.orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
       picks += ((t, p.getLong(0), p.getDouble(1)))
-      val dNew = distTo(p.getLong(0))
+      val dNew = distTo(p.getLong(0)).localCheckpoint()
+      spent += dNew
       allD = allD.unionByName(
         dNew.select(col("vec_id"), lit(p.getLong(0)).as("center"), col("dd")))
-      mind = mind.join(dNew, "vec_id")
+      val nextMind = mind.join(dNew, "vec_id")
         .select(col("vec_id"), least(col("mind"), col("dd")).as("mind"))
         .localCheckpoint() // bounded rounds; the argmax materialized it
+      if (t > 2L) spent += mind // t == 2's mind IS d0, already tracked
+      mind = nextMind
     }
+    spent += mind
+    // materialize the assignment relation BEFORE dropping the cache —
+    // unpersisting first made the later consumer recompute all six
+    // distance passes against the cold table — then free the per-round
+    // pins it was built from
+    val out = allD.localCheckpoint()
     emb.unpersist()
-    (picks.toSeq, allD)
+    spent.foreach(graft.plans.Iterate.release)
+    (picks.toSeq, out)
   }
 
   /** (vec_id, v: array<double>) relation the PQ chains consume. */
@@ -793,25 +845,13 @@ object Similarity extends QueryModule {
         kcenterGreedy(s, d)._1.toDF("rank", "vec_id", "radius").orderBy("rank")
       },
       Some {
-        def dist(k: Int, centerSel: String) =
-          s"""d$k AS (SELECT a.vec_id,
-               ROUND(1 - SUM(a.ev * b.ev) /
-                 (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS dd
-             FROM e a JOIN ($centerSel) b USING (pos) GROUP BY a.vec_id)"""
-        val rounds = (2 to 6).map { t =>
-          s"""p$t AS (SELECT vec_id, mind FROM m${t - 1}
-               ORDER BY mind DESC, vec_id LIMIT 1),
-             ${dist(t, s"SELECT e.pos, e.ev FROM e JOIN p$t ON e.vec_id = p$t.vec_id")},
-             m$t AS (SELECT m${t - 1}.vec_id, LEAST(m${t - 1}.mind, d$t.dd) AS mind
-               FROM m${t - 1} JOIN d$t USING (vec_id))"""
-        }.mkString(",\n")
         val out = (2 to 6).map(t =>
           s"SELECT CAST($t AS BIGINT) AS rank, vec_id, mind AS radius FROM p$t")
           .mkString(" UNION ALL ")
         s"""WITH $eSql,
-            ${dist(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
+            ${kcenterDistSql(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
             m1 AS (SELECT vec_id, dd AS mind FROM d1),
-            $rounds
+            $kcenterRoundsSql
             $out ORDER BY rank"""
       }),
 
@@ -835,25 +875,13 @@ object Similarity extends QueryModule {
           .orderBy("center")
       },
       Some {
-        def dist(k: Int, centerSel: String) =
-          s"""d$k AS (SELECT a.vec_id,
-               ROUND(1 - SUM(a.ev * b.ev) /
-                 (SQRT(SUM(a.ev * a.ev)) * SQRT(SUM(b.ev * b.ev))), 6) AS dd
-             FROM e a JOIN ($centerSel) b USING (pos) GROUP BY a.vec_id)"""
-        val rounds = (2 to 6).map { t =>
-          s"""p$t AS (SELECT vec_id, mind FROM m${t - 1}
-               ORDER BY mind DESC, vec_id LIMIT 1),
-             ${dist(t, s"SELECT e.pos, e.ev FROM e JOIN p$t ON e.vec_id = p$t.vec_id")},
-             m$t AS (SELECT m${t - 1}.vec_id, LEAST(m${t - 1}.mind, d$t.dd) AS mind
-               FROM m${t - 1} JOIN d$t USING (vec_id))"""
-        }.mkString(",\n")
         val unioned = (2 to 6).map(t =>
           s"SELECT d$t.vec_id, p$t.vec_id AS center, dd FROM d$t CROSS JOIN p$t")
           .mkString(" UNION ALL ")
         s"""WITH $eSql,
-            ${dist(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
+            ${kcenterDistSql(1, "SELECT pos, ev FROM e WHERE vec_id = 0")},
             m1 AS (SELECT vec_id, dd AS mind FROM d1),
-            $rounds,
+            $kcenterRoundsSql,
             ad AS (SELECT vec_id, CAST(0 AS BIGINT) AS center, dd FROM d1
               UNION ALL $unioned),
             assigned AS (SELECT vec_id, center, dd FROM ad
@@ -1133,19 +1161,7 @@ object Similarity extends QueryModule {
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH $jlPrSql, $eSql, $bruteSimsSql,
-               jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
-               jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
-               jsims AS (SELECT q_id, cand_id,
-                 ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
-                     t -> qp[t] * cp[t]), 'sum') /
-                   GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
-                     sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
-                     1e-12), 6) AS sim
-                 FROM jc CROSS JOIN jq),
-               jshort AS (SELECT q_id, cand_id FROM (
-                   SELECT q_id, cand_id,
-                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r0
-                   FROM jsims) t WHERE r0 <= 50),
+               $jlShortSql,
                rr AS (SELECT b.q_id, b.cand_id, b.sim
                  FROM bsims b JOIN jshort s2
                    ON s2.q_id = b.q_id AND s2.cand_id = b.cand_id)
@@ -1171,19 +1187,7 @@ object Similarity extends QueryModule {
           .orderBy("q_id")
       },
       Some(s"""WITH $jlPrSql, $eSql, $bruteSimsSql,
-               jq AS (SELECT vec_id AS q_id, ps AS qp FROM pr WHERE vec_id < 5),
-               jc AS (SELECT vec_id AS cand_id, ps AS cp FROM pr WHERE vec_id >= 5),
-               jsims AS (SELECT q_id, cand_id,
-                 ROUND(list_aggregate(list_transform(generate_series(1, $jlK),
-                     t -> qp[t] * cp[t]), 'sum') /
-                   GREATEST(sqrt(list_aggregate(list_transform(qp, p -> p * p), 'sum')) *
-                     sqrt(list_aggregate(list_transform(cp, p -> p * p), 'sum')),
-                     1e-12), 6) AS sim
-                 FROM jc CROSS JOIN jq),
-               jshort AS (SELECT q_id, cand_id FROM (
-                   SELECT q_id, cand_id,
-                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS r0
-                   FROM jsims) t WHERE r0 <= 50),
+               $jlShortSql,
                rrt AS (SELECT q_id, cand_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
@@ -1763,7 +1767,11 @@ object Similarity extends QueryModule {
         var changed = 1L
         while (changed > 0) {
           rounds += 1
-          require(rounds <= dbscanCcRounds,
+          // +1: the final iteration only CONFIRMS changed == 0 — data
+          // needing exactly dbscanCcRounds productive rounds still
+          // matches the oracle's unroll (propagation is idempotent at
+          // the fixpoint), and must not trip the guard
+          require(rounds <= dbscanCcRounds + 1,
             s"DBSCAN label propagation needs > $dbscanCcRounds rounds; " +
               "the oracle unrolls exactly that many — raise both together")
           val next = lab.unionByName(

@@ -126,6 +126,27 @@ object StreamingOps extends QueryModule {
   private val vecSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stage a sequence of finite batches as mtime-ordered single parquet
+    * files — the deterministic replay input every staged live row feeds
+    * through maxFilesPerTrigger=1. ONE implementation of the
+    * write-coalesce/copy/setLastModified ritual (it appeared per-split
+    * before; an mtime-granularity fix now lands once). */
+  private def stageOrderedParts(scratchTag: String, stageTag: String,
+      parts: Seq[DataFrame]): String = {
+    import java.nio.file.{Files, Paths}
+    val scratch = graft.GraftSession.tempDirCleanedOnExit(scratchTag).toString
+    val stage = graft.GraftSession.tempDirCleanedOnExit(stageTag).toString
+    parts.zipWithIndex.foreach { case (df, m) =>
+      df.coalesce(1).write.parquet(s"$scratch/b$m")
+      val f = new java.io.File(s"$scratch/b$m").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
+      new java.io.File(f"$stage/part$m%02d.parquet")
+        .setLastModified(1000000L * (m + 1)): Unit
+    }
+    stage
+  }
+
   /** events staged as THREE mod-split shipments (event_id % 3,
     * mtime-ordered) — EXPLICIT batch boundaries an oracle can restate,
     * unlike the range-sampled time split above. */
@@ -134,58 +155,24 @@ object StreamingOps extends QueryModule {
 
   private def stagedShipmentSplit(s: SparkSession, d: String): String =
     shipmentSplitCache.computeIfAbsent(d, dir => {
-      import java.nio.file.{Files, Paths}
-      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-shipsplit-raw").toString
-      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-shipsplit-in").toString
       val ev = Tables(s, dir, "events")
-      for (m <- 0 to 2) {
-        ev.filter(col("event_id") % 3 === m)
-          .coalesce(1).write.parquet(s"$scratch/b$m")
-        val f = new java.io.File(s"$scratch/b$m").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
-        new java.io.File(f"$stage/part$m%02d.parquet")
-          .setLastModified(1000000L * (m + 1)): Unit
-      }
-      stage
+      stageOrderedParts("graft-shipsplit-raw", "graft-shipsplit-in",
+        (0 to 2).map(m => ev.filter(col("event_id") % 3 === m)))
     })
 
   private def stagedVecSplit(s: SparkSession, d: String): String =
     vecSplitCache.computeIfAbsent(d, dir => {
-      import java.nio.file.{Files, Paths}
-      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-vecsplit-raw").toString
-      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-vecsplit-in").toString
       val train = Tables(s, dir, "embeddings").filter(col("vec_id") >= 50)
-      for (m <- Seq(0, 1)) {
-        train.filter(col("vec_id") % 2 === m)
-          .coalesce(1).write.parquet(s"$scratch/b$m")
-        val f = new java.io.File(s"$scratch/b$m").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
-        new java.io.File(f"$stage/part$m%02d.parquet")
-          .setLastModified(1000000L * (m + 1)): Unit
-      }
-      stage
+      stageOrderedParts("graft-vecsplit-raw", "graft-vecsplit-in",
+        Seq(0, 1).map(m => train.filter(col("vec_id") % 2 === m)))
     })
 
   private def stagedNearDupSplit(s: SparkSession, d: String): String =
     nearDupSplitCache.computeIfAbsent(d, dir => {
-      import java.nio.file.{Files, Paths}
-      val scratch = graft.GraftSession.tempDirCleanedOnExit("graft-ndsplit-raw").toString
-      val stage = graft.GraftSession.tempDirCleanedOnExit("graft-ndsplit-in").toString
       val docs = Tables(s, dir, "documents")
-      for ((isDelta, m) <- Seq(false -> 0, true -> 1)) {
-        val part =
-          if (isDelta) docs.filter(col("doc_id") % 10 === 7)
-          else docs.filter(col("doc_id") % 10 =!= 7)
-        part.coalesce(1).write.parquet(s"$scratch/b$m")
-        val f = new java.io.File(s"$scratch/b$m").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(f.toPath, Paths.get(f"$stage/part$m%02d.parquet"))
-        new java.io.File(f"$stage/part$m%02d.parquet")
-          .setLastModified(1000000L * (m + 1)): Unit
-      }
-      stage
+      stageOrderedParts("graft-ndsplit-raw", "graft-ndsplit-in", Seq(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7)))
     })
 
   /** events staged ONCE per data dir in EVENT-TIME ORDER (3 ts-range
@@ -1029,6 +1016,9 @@ object StreamingOps extends QueryModule {
           else s.read.parquet(store).select("doc_id").orderBy("doc_id")
             .limit(1).collect().head.getLong(0)
         val oneDoc = Tables(s, d, "documents").filter(col("doc_id") === probeId)
+        // the layout metadata pins the width a prober must use
+        require(graft.streaming.Streams.storedSigBuckets(store) == Some(sigBuckets),
+          s"store layout must record sigBuckets=$sigBuckets")
         val oneSigs = graft.streaming.Streams.nearDupSigs(oneDoc, sigBuckets)
         val (m1, probed1, store1, _) = graft.streaming.Streams
           .probeNearDupStore(s, store, oneSigs, excludeBatch = Long.MaxValue)

@@ -630,6 +630,36 @@ object Streams {
       .withColumn("sig_bucket",
         pmod(xxhash64(col("band_sig")), lit(sigBuckets.toLong)))
 
+  /** The store's bucket width is LAYOUT, not a per-call knob: a probe
+    * built at a different width addresses cells that mostly don't exist
+    * and silently returns zero matches. The width is therefore persisted
+    * beside the data on first write and every later writer/prober must
+    * agree — a mismatch fails loudly instead of declaring dups unique. */
+  private def sigBucketsMetaFile(storeDir: String) =
+    new java.io.File(storeDir, "_sig_buckets")
+
+  private[streaming] def pinSigBuckets(storeDir: String, sigBuckets: Int): Unit = {
+    val f = sigBucketsMetaFile(storeDir)
+    if (f.exists()) {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt
+      require(stored == sigBuckets,
+        s"band store $storeDir was built with sigBuckets=$stored; " +
+          s"refusing to operate on it at width $sigBuckets — probes " +
+          "across widths silently miss every match")
+    } else
+      java.nio.file.Files.write(f.toPath,
+        sigBuckets.toString.getBytes): Unit
+  }
+
+  /** Width recorded in the store's layout metadata (probe-side lookup). */
+  def storedSigBuckets(storeDir: String): Option[Int] = {
+    val f = sigBucketsMetaFile(storeDir)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt)
+    else None
+  }
+
   private def parquetFilesUnder(dir: java.io.File): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(walk).sum
@@ -723,6 +753,7 @@ object Streams {
     import org.apache.spark.sql.SaveMode
     val stats = new java.util.concurrent.ConcurrentHashMap[Long, NearDupBatchStat]()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    pinSigBuckets(storeDir, sigBuckets) // layout contract: fail loudly on width drift
     val q = documents(spark, docsPath, Map("maxFilesPerTrigger" -> "1"))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -843,7 +874,12 @@ object Streams {
           rounds += 0: Unit
         } else {
           val warm = masks.map(m => graft.operators.Graph.anfWarm(m, all))
-          val (m2, r, _, _) = graft.operators.Graph.anfSketch(all, warm = warm)
+          val (m2, r, _, curve) = graft.operators.Graph.anfSketch(all, warm = warm)
+          // the per-round curve is pinned state too — dropping the tuple
+          // element without releasing it would leak one V×(rounds+1)
+          // checkpoint PER BATCH, exactly the growth this block exists
+          // to prevent
+          graft.plans.Iterate.release(curve)
           // release the SUPERSEDED pins before replacing them: a crawl
           // running thousands of batches would otherwise hold every
           // batch's full edge-relation and register checkpoint blocks —
