@@ -50,6 +50,36 @@ object Graph extends QueryModule {
   private def nodes(e: DataFrame): DataFrame =
     e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
 
+  /** Link-prediction scaffolding shared by q_graph_adamic and
+    * q_graph_jaccard_linkpred: the simple undirected graph (self-loops
+    * excluded, as in q_graph_mis/q_graph_ktruss — a vertex's own loop
+    * must not inflate neighborhood degrees), per-vertex degrees, the
+    * wedge relation (u < v through a common neighbor w), and the
+    * existing-edge adjacency for the anti-join. The caller releases the
+    * checkpointed edge relation. */
+  private def linkPredParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val eu = undirected(edges(s, d))
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val deg = eu.groupBy(col("src").as("w")).agg(count(lit(1)).as("dg"))
+    val wedges = eu.select(col("src").as("w"), col("dst").as("u"))
+      .join(eu.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val adj = eu.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    (eu, deg, wedges, adj)
+  }
+
+  /** Oracle half of [[linkPredParts]] — eus/deg/wed/adj CTEs. */
+  private lazy val linkPredCtes: String =
+    s"""$edgesSql,
+       $undirectedSql,
+       eus AS (SELECT src, dst FROM eu WHERE src <> dst),
+       deg AS (SELECT src AS w, COUNT(*) AS dg FROM eus GROUP BY src),
+       wed AS (SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+               FROM eus e1 JOIN eus e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+       adj AS (SELECT src AS u, dst AS v FROM eu WHERE src < dst)"""
+
   private val nodesSql =
     """nodes AS (SELECT DISTINCT v FROM
        (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) t)"""
@@ -2252,38 +2282,58 @@ object Graph extends QueryModule {
     // both engines.
     Q("q_graph_adamic",
       (s, d) => {
-        // self-loops excluded (as in q_graph_mis/q_graph_ktruss): a
-        // vertex's own loop must not inflate deg(w) in the 1/ln(deg)
-        // weight — textbook Adamic-Adar is over the simple graph
-        val eu = undirected(edges(s, d))
-          .filter(col("src") =!= col("dst")).localCheckpoint()
-        val deg = eu.groupBy(col("src").as("w")).agg(count(lit(1)).as("dg"))
-        val wedges = eu.select(col("src").as("w"), col("dst").as("u"))
-          .join(eu.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-          .filter(col("u") < col("v"))
+        val (eu, deg, wedges, adj) = linkPredParts(s, d)
         val scores = wedges.join(deg, Seq("w"))
           .groupBy("u", "v")
           .agg(round(sum(lit(1.0) / log(col("dg"))), 6).as("score"),
             count(lit(1)).as("common"))
-        val adj = eu.filter(col("src") < col("dst"))
-          .select(col("src").as("u"), col("dst").as("v"))
-        scores.join(adj, Seq("u", "v"), "left_anti")
+        val out = scores.join(adj, Seq("u", "v"), "left_anti")
           .orderBy(desc("score"), asc("u"), asc("v"))
-          .limit(20)
+          .limit(20).localCheckpoint()
+        graft.plans.Iterate.release(eu)
+        out
       },
-      Some(s"""WITH $edgesSql,
-               $undirectedSql,
-               eus AS (SELECT src, dst FROM eu WHERE src <> dst),
-               deg AS (SELECT src AS w, COUNT(*) AS dg FROM eus GROUP BY src),
-               wed AS (SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
-                       FROM eus e1 JOIN eus e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+      Some(s"""WITH $linkPredCtes,
                sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(dg)), 6) AS score,
                         COUNT(*) AS common
-                      FROM wed JOIN deg USING (w) GROUP BY u, v),
-               adj AS (SELECT src AS u, dst AS v FROM eu WHERE src < dst)
+                      FROM wed JOIN deg USING (w) GROUP BY u, v)
                SELECT u, v, score, common FROM sc
                WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = sc.u AND adj.v = sc.v)
                ORDER BY score DESC, u, v LIMIT 20""")),
+
+    // JACCARD link prediction: the normalized companion of Adamic-Adar —
+    // |N(u)∩N(v)| / |N(u)∪N(v)| over the SAME wedge/degree/adjacency
+    // relations (one shared definition, Spark and oracle both), ranking
+    // non-adjacent pairs by neighborhood overlap instead of rare-hub
+    // weighting. Adamic-Adar rewards sharing a low-degree neighbor;
+    // Jaccard penalizes large disjoint neighborhoods — running both is
+    // the standard link-prediction ensemble baseline.
+    Q("q_graph_jaccard_linkpred",
+      (s, d) => {
+        val (eu, deg, wedges, adj) = linkPredParts(s, d)
+        val common = wedges.groupBy("u", "v").agg(count(lit(1)).as("common"))
+        val du = deg.select(col("w").as("u"), col("dg").as("du"))
+        val dv = deg.select(col("w").as("v"), col("dg").as("dv"))
+        val out = common.join(du, "u").join(dv, "v")
+          .select(col("u"), col("v"), col("common"),
+            round(col("common") * lit(1.0) /
+              (col("du") + col("dv") - col("common")), 6).as("jaccard"))
+          .join(adj, Seq("u", "v"), "left_anti")
+          .orderBy(desc("jaccard"), asc("u"), asc("v"))
+          .limit(20).localCheckpoint()
+        graft.plans.Iterate.release(eu)
+        out
+      },
+      Some(s"""WITH $linkPredCtes,
+               cm AS (SELECT u, v, COUNT(*) AS common FROM wed GROUP BY u, v),
+               sc AS (SELECT cm.u, cm.v, cm.common,
+                        ROUND(cm.common * 1.0 / (du.dg + dv.dg - cm.common), 6)
+                          AS jaccard
+                      FROM cm JOIN deg du ON du.w = cm.u
+                              JOIN deg dv ON dv.w = cm.v)
+               SELECT u, v, common, jaccard FROM sc
+               WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = sc.u AND adj.v = sc.v)
+               ORDER BY jaccard DESC, u, v LIMIT 20""")),
 
     // K-truss decomposition (k = 4): iteratively delete edges supported
     // by fewer than k-2 = 2 triangles until STABLE — the cohesive-

@@ -832,6 +832,7 @@ object ML extends QueryModule {
       },
       Some(cfHitrateSql)),
 
+
     Q("q_ml_cf_item_sim", (s, d) => cfItemSim(s, d), Some(cfItemSimSql)),
 
     Q("q_ml_cf_user_sim", (s, d) => cfUserSim(s, d), Some(cfUserSimSql)),

@@ -186,6 +186,20 @@ class DensityAssocSpec extends AnyFunSuite {
     }
   }
 
+  test("Jaccard link prediction: bounded scores over non-edges only") {
+    val rows = q("q_graph_jaccard_linkpred").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(r.getLong(2) >= 1, "a ranked pair must share a neighbor")
+    }
+    rows.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("CF hit-rate: bounded and consistent with its own counts") {
     val r = q("q_ml_cf_hitrate").collect()(0)
     val (n, hits, rate) = (r.getLong(0), r.getLong(1), r.getDouble(2))
