@@ -23,7 +23,14 @@ object SparkEntry {
     operators.Analytics,
     operators.Generators)
 
-  private lazy val all: Seq[Q] = modules.flatMap(_.defs)
+  private lazy val all: Seq[Q] = {
+    val qs = modules.flatMap(_.defs)
+    // `.toMap` below keeps the LAST duplicate silently — a shadowed
+    // declaration would sit dead and unchecked while the row count holds.
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query declarations: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

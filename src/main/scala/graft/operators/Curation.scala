@@ -22,9 +22,12 @@ object Curation extends QueryModule {
 
   /** PSI value-band expression — ONE string, valid in both Spark SQL and
     * DuckDB, shared by the batch drift row and the streaming drift
-    * monitor so the banding can never diverge between them. */
+    * monitor so the banding can never diverge between them. Clamped at
+    * BOTH ends: an unclamped negative value would land outside the 0-9
+    * grid, inflating totals while appearing in no band share — shares
+    * would no longer sum to 1 and PSI would silently distort. */
   private[operators] val psiBandSql =
-    "LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)"
+    "LEAST(GREATEST(CAST(FLOOR(value / 50) AS BIGINT), 0), 9)"
 
   private val qualityMin = 0.82 // ~median of the corpus quality score
   private val sampleHex = "c0" // 0xc0/0x100 = 75% keep rate after quality

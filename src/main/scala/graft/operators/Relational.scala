@@ -234,13 +234,15 @@ object Relational extends QueryModule {
                 AND o_orderdate < TIMESTAMP '1998-01-01'
               GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
-    // TPC-H Q18 (large-volume customers): the aggregate-HAVING semi-join
-    // shape — the qualifying order keys come from a grouped HAVING over
-    // the fact table, then semi-join back before the 3-way join +
+    // TPC-H Q18 (large-volume customers), explicit-broadcast variant:
+    // the qualifying order keys come from a grouped HAVING over the fact
+    // table, then broadcast-semi-join back before the 3-way join +
     // re-aggregate. The qualifier set is tiny (heavy-tail orders), so it
     // broadcasts; lineitem is scanned twice by construction (the classic
     // plan) but never carries non-qualifying orders past the semi-join.
-    Q("q_rel_tpch_q18",
+    // (Sibling of q_rel_tpch_q18, which exercises the IN-over-HAVING →
+    // LeftSemi rewrite; this one pins the hand-planned broadcast shape.)
+    Q("q_rel_tpch_q18_having",
       (s, d) => {
         val qual = t(s, d, "lineitem").groupBy("l_orderkey")
           .agg(sum("l_quantity").as("qty"))

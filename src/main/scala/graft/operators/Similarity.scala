@@ -195,7 +195,11 @@ object Similarity extends QueryModule {
          FROM m${t - 1} JOIN d$t USING (vec_id))"""
   }.mkString(",\n")
 
-  private def kcenterGreedy(s: SparkSession, d: String)
+  /** When `withAssign`, also materializes and returns the (vec_id,
+    * center, dd) relation to ALL 6 centers — the CALLER owns that
+    * checkpoint and must `Iterate.release` it after consuming (the
+    * picks-only path skips the O(6N) materialization entirely). */
+  private def kcenterGreedy(s: SparkSession, d: String, withAssign: Boolean)
       : (Seq[(Long, Long, Double)], DataFrame) = {
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding")).cache()
@@ -227,11 +231,11 @@ object Similarity extends QueryModule {
       mind = nextMind
     }
     spent += mind
-    // materialize the assignment relation BEFORE dropping the cache —
-    // unpersisting first made the later consumer recompute all six
-    // distance passes against the cold table — then free the per-round
-    // pins it was built from
-    val out = allD.localCheckpoint()
+    // when requested, materialize the assignment relation BEFORE
+    // dropping the cache — unpersisting first made the later consumer
+    // recompute all six distance passes against the cold table — then
+    // free the per-round pins it was built from
+    val out = if (withAssign) allD.localCheckpoint() else null
     emb.unpersist()
     spent.foreach(graft.plans.Iterate.release)
     (picks.toSeq, out)
@@ -842,7 +846,8 @@ object Similarity extends QueryModule {
     Q("q_sim_kcenter",
       (s, d) => {
         import s.implicits._
-        kcenterGreedy(s, d)._1.toDF("rank", "vec_id", "radius").orderBy("rank")
+        kcenterGreedy(s, d, withAssign = false)._1
+          .toDF("rank", "vec_id", "radius").orderBy("rank")
       },
       Some {
         val out = (2 to 6).map(t =>
@@ -864,15 +869,21 @@ object Similarity extends QueryModule {
     // the O(k·N) distance relation the greedy already computed.
     Q("q_sim_kcenter_assign",
       (s, d) => {
-        val allD = kcenterGreedy(s, d)._2
-        allD.withColumn("rk", row_number().over(Window.partitionBy("vec_id")
-            .orderBy(asc("dd"), asc("center"))))
+        val allD = kcenterGreedy(s, d, withAssign = true)._2
+        // checkpoint the O(k) aggregate, then release the O(6N)
+        // assignment relation it folded from — nothing stays pinned
+        val out = allD.withColumn("rk",
+            row_number().over(Window.partitionBy("vec_id")
+              .orderBy(asc("dd"), asc("center"))))
           .filter(col("rk") === 1)
           .groupBy("center")
           .agg(count(lit(1)).as("n"),
             round(avg("dd"), 6).as("avg_dist"),
             round(max("dd"), 6).as("max_dist"))
           .orderBy("center")
+          .localCheckpoint()
+        graft.plans.Iterate.release(allD)
+        out
       },
       Some {
         val unioned = (2 to 6).map(t =>
@@ -1813,13 +1824,21 @@ object Similarity extends QueryModule {
     // O(N) role relation), so the readout can never drift from the
     // clustering it summarizes.
     Q("q_ml_dbscan_sizes",
-      (s, d) => graft.SparkEntry.queries("q_ml_dbscan")(s, d)
-        .filter(col("cluster").isNotNull)
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
-          sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"))
-        .orderBy(desc("n_total"), asc("cluster")),
+      (s, d) => {
+        // the declared row ends in an eager checkpoint: materialize our
+        // own O(clusters) aggregate, then release the interior roles pin
+        // (checkpoint-then-release, the linkPredParts caller pattern)
+        val roles = graft.SparkEntry.queries("q_ml_dbscan")(s, d)
+        val out = roles.filter(col("cluster").isNotNull)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+            sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"))
+          .orderBy(desc("n_total"), asc("cluster"))
+          .localCheckpoint()
+        graft.plans.Iterate.release(roles)
+        out
+      },
       Some(s"""WITH $dbscanSqlCtes
               SELECT cluster, COUNT(*) AS n_total,
                 CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
@@ -1838,12 +1857,13 @@ object Similarity extends QueryModule {
     Q("q_ml_dbscan_eval",
       (s, d) => {
         val lbl = Tables(s, d, "embeddings").select("vec_id", "label")
-        val mem = graft.SparkEntry.queries("q_ml_dbscan")(s, d)
-          .filter(col("cluster").isNotNull)
+        val roles = graft.SparkEntry.queries("q_ml_dbscan")(s, d)
+        val mem = roles.filter(col("cluster").isNotNull)
           .join(lbl, "vec_id")
         val byLab = mem.groupBy("cluster", "label")
           .agg(count(lit(1)).as("cnt"))
-        byLab.groupBy("cluster")
+        // checkpoint the O(clusters) readout, release the interior pin
+        val out = byLab.groupBy("cluster")
           .agg(sum("cnt").as("n_members"),
             min_by(col("label"), struct(-col("cnt"), col("label")))
               .as("majority_label"),
@@ -1853,6 +1873,9 @@ object Similarity extends QueryModule {
             round(col("majority_cnt") * lit(1.0) / col("n_members"), 6)
               .as("purity"))
           .orderBy(desc("n_members"), asc("cluster"))
+          .localCheckpoint()
+        graft.plans.Iterate.release(roles)
+        out
       },
       Some(s"""WITH $dbscanSqlCtes,
               mem AS (SELECT r.cluster, emb.label FROM roles r

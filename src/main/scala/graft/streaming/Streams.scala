@@ -143,7 +143,10 @@ object Streams {
     * forever at O(batch + types × bands) per trigger. Idempotent
     * batchId-subtree writes (the runDecontamIngest recipe). Emits one
     * (batch_id, event_type, n_batch, psi, drifted) row per type PRESENT
-    * in the batch. */
+    * in the batch — including types ABSENT from the reference profile (a
+    * brand-new upstream type is the clearest distribution break the
+    * monitor exists to catch): those emit with psi = NULL and
+    * drifted = true instead of being silently dropped by the join. */
   def runDriftMonitor(spark: SparkSession, eventsPath: String,
       refShares: DataFrame, outDir: String,
       bandSql: String, psiThreshold: Double = 0.1): Seq[Long] = {
@@ -161,7 +164,7 @@ object Streams {
             .groupBy("event_type", "band").agg(count(lit(1)).as("c"))
             .localCheckpoint()
           val tot = counts.groupBy("event_type").agg(sum("c").as("n"))
-          val scored = ref
+          val known = ref
             .join(broadcast(tot), "event_type") // types present in batch
             .join(counts, Seq("event_type", "band"), "left")
             .select(col("event_type"), col("n"), col("p_ref"),
@@ -173,7 +176,16 @@ object Streams {
             .select(lit(batchId).as("batch_id"), col("event_type"),
               col("n_batch"), col("psi"),
               (col("psi") > psiThreshold).as("drifted"))
-            .localCheckpoint()
+          // batch types with NO reference profile: PSI is undefined
+          // against an absent distribution, but the break is certain —
+          // emit (psi = NULL, drifted = true) rather than drop the row
+          val novel = tot
+            .join(broadcast(ref.select("event_type").distinct()),
+              Seq("event_type"), "left_anti")
+            .select(lit(batchId).as("batch_id"), col("event_type"),
+              col("n").as("n_batch"),
+              lit(null).cast("double").as("psi"), lit(true).as("drifted"))
+          val scored = known.unionByName(novel).localCheckpoint()
           scored.write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/ingest_batch=$batchId")
           marker.createNewFile()
@@ -838,21 +850,33 @@ object Streams {
   }
 
   /** STREAMING ANF MAINTENANCE — the graph summary kept current over a
-    * live edge stream: each micro-batch of (src, dst) edges joins the
-    * accumulated edge relation, and the Flajolet-Martin registers
-    * WARM-START from the previous batch's converged state
-    * ([[graft.operators.Graph.anfWarm]] covers newly-introduced
-    * vertices with fresh init rows). The OR-merge's monotone unique
-    * fixpoint makes every batch's output bit-identical to a cold run
-    * on the edges seen so far, in rounds proportional to how far the
-    * batch's edges MOVE the horizon — not the graph diameter from
-    * scratch (the q_graph_anf_incremental contract, held per
-    * micro-batch). Returns the final registers and each batch's round
-    * count; at 100 TB the register state is O(V·K) and each round one
-    * join + one bit_or hash-aggregate, whatever the stream's length. */
+    * live edge stream, DELTA-FRONTIER shape (VERDICT r11 #1; the
+    * reference's active-set superstep contract,
+    * `graph/.../GraphJobRunner.java:256-313`):
+    *
+    *   - the accumulated edge relation is an APPEND-ONLY parquet store
+    *     partitioned by dst bucket (`db = pmod(hash(dst), nB)`) — each
+    *     batch writes only its OWN edges (deduped Δ-side, never a
+    *     re-distinct of the full relation), and the propagation probe
+    *     prunes to the frontier's buckets (the near-dup band-store
+    *     recipe);
+    *   - the first non-empty batch converges cold
+    *     ([[graft.operators.Graph.anfSketch]]); every later batch runs
+    *     [[graft.operators.Graph.anfDelta]] — frontier seeded from the
+    *     NEW edges' endpoints, each round joining edges only against
+    *     registers that CHANGED last round, the untouched state unioned
+    *     back once at the end.
+    *
+    * The OR-merge's monotone unique fixpoint makes every batch's output
+    * bit-identical to a cold run on the edges seen so far; steady-state
+    * per-batch work is O(Δ · affected in-degree), not O(E) — measured
+    * by examples/AnfMaintainScale. Returns the final registers, each
+    * batch's round count, and each batch's per-round frontier/joined
+    * row counts. */
   def runAnfMaintain(spark: SparkSession, edgesPath: String,
       options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
-      : (DataFrame, Seq[Int]) = {
+      : (DataFrame, Seq[Int], Seq[Seq[graft.operators.Graph.AnfDeltaRound]]) = {
+    import org.apache.spark.sql.SaveMode
     val schema = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType)))
     val f = new java.io.File(edgesPath)
@@ -860,42 +884,55 @@ object Streams {
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(edgesPath)
+    val storeDir = graft.GraftSession
+      .tempDirCleanedOnExit("graft-anf-edgestore").toString
+    val nB = graft.operators.Graph.anfDstBuckets
     var masks: Option[DataFrame] = None
-    var acc: Option[DataFrame] = None
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val roundStats =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[graft.operators.Graph.AnfDeltaRound]]
     val q = src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val e = batch.select("src", "dst")
-        val all = acc.map(_.unionAll(e)).getOrElse(e)
-          .distinct().localCheckpoint()
-        if (all.head(1).isEmpty) { // no edges yet: nothing to sketch
-          acc.foreach(graft.plans.Iterate.release)
-          acc = Some(all)
-          rounds += 0: Unit
+        // Δ-side hygiene only: dedup THIS batch's edges, drop self-loops
+        // (bit_or makes cross-batch duplicates harmless, so the full
+        // relation is never re-distincted)
+        val dE = batch.select("src", "dst")
+          .filter(col("src") =!= col("dst")).distinct()
+          .localCheckpoint()
+        if (dE.head(1).isEmpty) {
+          graft.plans.Iterate.release(dE)
+          rounds += 0
+          roundStats += Seq.empty: Unit
         } else {
-          val warm = masks.map(m => graft.operators.Graph.anfWarm(m, all))
-          val (m2, r, _, curve) = graft.operators.Graph.anfSketch(all, warm = warm)
-          // the per-round curve is pinned state too — dropping the tuple
-          // element without releasing it would leak one V×(rounds+1)
-          // checkpoint PER BATCH, exactly the growth this block exists
-          // to prevent
-          graft.plans.Iterate.release(curve)
-          // release the SUPERSEDED pins before replacing them: a crawl
-          // running thousands of batches would otherwise hold every
-          // batch's full edge-relation and register checkpoint blocks —
-          // O(E) executor storage PER BATCH, the quiet leak that kills a
-          // long-running stream (anfSketch reads its inputs eagerly into
-          // its own pins, so the old blocks are dead the moment it returns)
-          acc.foreach(graft.plans.Iterate.release)
-          masks.foreach(graft.plans.Iterate.release)
-          acc = Some(all)
-          masks = Some(m2)
-          rounds += r: Unit
+          dE.withColumn("db", pmod(hash(col("dst")), lit(nB)))
+            .write.mode(SaveMode.Append).partitionBy("db").parquet(storeDir)
+          masks match {
+            case None => // cold start on the first batch's own edges
+              val (m0, r, _, curve) = graft.operators.Graph.anfSketch(dE)
+              // the per-round curve is pinned state too — dropping the
+              // tuple element without releasing it would leak one
+              // V×(rounds+1) checkpoint per cold start
+              graft.plans.Iterate.release(curve)
+              masks = Some(m0)
+              rounds += r
+              roundStats += Seq.empty: Unit
+            case Some(m) =>
+              val acc = spark.read.parquet(storeDir)
+              val (m2, r, st) = graft.operators.Graph.anfDelta(m, acc, dE)
+              // release the SUPERSEDED register pins before replacing
+              // them: a crawl running thousands of batches would
+              // otherwise hold every batch's checkpoint blocks
+              graft.plans.Iterate.release(m)
+              masks = Some(m2)
+              rounds += r
+              roundStats += st: Unit
+          }
+          graft.plans.Iterate.release(dE)
         }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    (masks.getOrElse(spark.emptyDataFrame), rounds.toSeq)
+    (masks.getOrElse(spark.emptyDataFrame), rounds.toSeq, roundStats.toSeq)
   }
 
   /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse
