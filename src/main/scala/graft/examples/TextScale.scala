@@ -1,0 +1,75 @@
+package graft.examples
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the production-shape BPE encode kernel
+  * (VERDICT r11 #5 acceptance): encode the same synthetic corpus under
+  * merge tables of 10 / 100 / 1,000 / 10,000 entries through the
+  * declared row's exact dataflow (broadcast table → one mapPartitions
+  * pass → [[graft.functions.BpeKernel]] priority scan per doc) and
+  * report tokens/sec per table size. The kernel's per-pair cost is one
+  * hash lookup whatever the table holds, so throughput must stay FLAT
+  * in table size — the property the column-algebra encoder
+  * (q_text_bpe_encode, one plan node per merge) structurally lacks.
+  * Every table applies the SAME 5 live merges; the rest of its entries
+  * are pairs the corpus never produces — so the measured axis is
+  * exactly table size, not merge volume.
+  *
+  * Run: TEXT_DOCS=20000 sbt "runMain graft.examples.TextScale"
+  */
+object TextScale {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("TEXT_DOCS", "20000").toLong
+    val tokPerDoc = sys.env.getOrElse("TEXT_TOK_PER_DOC", "200").toInt
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    // deterministic 50-word vocabulary corpus, md5-drawn per position
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        expr(s"""transform(sequence(1, $tokPerDoc), i ->
+          concat('w', CAST(conv(substring(md5(concat(id, '-', i)), 1, 6), 16, 10)
+            AS BIGINT) % 50))""").as("tk"))
+      .as[(Long, Array[String])]
+      .localCheckpoint() // the corpus is identical (and hot) for every run
+
+    val totalTokens = nDocs * tokPerDoc
+    val live = Array.tabulate(5)(i => (s"w$i", s"w${i + 1}"))
+    def run(tableSize: Int): (Double, Long) = {
+      val table = live ++
+        Array.tabulate(tableSize - live.length)(i => (s"p$i", s"q$i"))
+      val bm = spark.sparkContext.broadcast(table)
+      val t0 = System.nanoTime()
+      val after = docs.mapPartitions { it =>
+        val t = new graft.functions.BpeKernel.Table(bm.value)
+        it.map { case (_, tk) =>
+          graft.functions.BpeKernel.encode(tk, t).length.toLong
+        }
+      }.reduce(_ + _)
+      val secs = (System.nanoTime() - t0) / 1e9
+      bm.destroy()
+      (totalTokens / secs, after)
+    }
+
+    run(10) // JIT + codegen warm-up
+    val sizes = Seq(10, 100, 1000, 10000)
+    val results = sizes.map(sz => sz -> run(sz))
+    results.foreach { case (sz, (tput, after)) =>
+      println(f"""{"metric":"bpe_kernel_tput","table_size":$sz,""" +
+        f""""tokens_per_sec":$tput%.0f,"tokens_after":$after}""")
+    }
+    // FLAT in table size: the applied merge set is identical at every
+    // size and lookups are O(1), so a 1,000× bigger table may cost the
+    // constant-factor cache penalty of a bigger hash map (measured
+    // ~1.9×) but NEVER the ~1,000× an O(merges)-per-pair scan — or a
+    // per-merge plan node — would pay. Gate at 2.5× headroom.
+    val t10 = results.head._2._1
+    val t10k = results.last._2._1
+    require(t10k >= 0.4 * t10,
+      f"throughput must be flat in table size: $t10k%.0f vs $t10%.0f tokens/sec")
+    println(f"""{"metric":"bpe_kernel_flatness","tput_10":$t10%.0f,""" +
+      f""""tput_10000":$t10k%.0f,"ratio":${t10k / t10}%.3f}""")
+    spark.stop()
+  }
+}

@@ -52,9 +52,11 @@ object Similarity extends QueryModule {
 
   /** Full DBSCAN oracle chain ending in roles(vec_id, role, cluster) —
     * shared by q_ml_dbscan and its per-cluster size readout so the two
-    * can never drift. */
-  private lazy val dbscanSqlCtes: String =
-    s"""$eSql, $ivfCellsSql,
+    * can never drift. Parameterized on the cell-assignment CTEs (which
+    * must end in cells(vec_id, cell)): the declared row blocks by the
+    * seed quantizer, q_ml_dbscan_trained by the TRAINED one. */
+  private def dbscanChain(cellsCtes: String): String =
+    s"""$eSql, $cellsCtes,
        el AS (SELECT e.vec_id, e.pos, e.ev, c.cell
          FROM e JOIN cells c USING (vec_id)),
        dpairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -83,6 +85,9 @@ object Similarity extends QueryModule {
          FROM cells c
          LEFT JOIN l$dbscanCcRounds l ON l.v = c.vec_id
          LEFT JOIN brd b ON b.v = c.vec_id)"""
+
+  private lazy val dbscanSqlCtes: String = dbscanChain(ivfCellsSql)
+  private lazy val dbscanTrainedSqlCtes: String = dbscanChain(trainedCellsSql)
 
   /** per-JVM scratch for the persisted IVF index (overwrite mode, removed
     * on exit — the Sources scratch pattern) */
@@ -134,6 +139,31 @@ object Similarity extends QueryModule {
        dots AS (SELECT e.vec_id, cen.c_id, ROUND(SUM(e.ev * cen.cv), 6) AS cdot
          FROM e JOIN cen USING (pos) GROUP BY e.vec_id, cen.c_id),
        cells AS (SELECT vec_id, c_id AS cell FROM dots
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cdot DESC, c_id) = 1)"""
+
+  /** TRAINED-quantizer oracle chain (the SQL half of
+    * [[trainedCentroids]]) ending in td2(vec_id, c_id, cdot) — shared
+    * verbatim by q_sim_ivf_trained and q_ml_dbscan_trained so the two
+    * rows can never score against different quantizers. */
+  private[operators] val trainedQuantSql =
+    """tseeds AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
+       td1 AS (SELECT e.vec_id, s.c_id, ROUND(SUM(e.ev * s.cv), 6) AS cdot
+         FROM e JOIN tseeds s USING (pos) GROUP BY e.vec_id, s.c_id),
+       tcells1 AS (SELECT vec_id, c_id AS cell FROM td1
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cdot DESC, c_id) = 1),
+       tcent AS (SELECT c.cell AS c_id, e.pos, ROUND(AVG(e.ev), 4) AS cv
+         FROM e JOIN tcells1 c USING (vec_id) GROUP BY c.cell, e.pos),
+       td2 AS MATERIALIZED (SELECT e.vec_id, tcent.c_id,
+           ROUND(SUM(e.ev * tcent.cv), 6) AS cdot
+         FROM e JOIN tcent USING (pos) GROUP BY e.vec_id, tcent.c_id)"""
+
+  /** trained-quantizer assignment of EVERY vector, as a `cells` CTE —
+    * the drop-in replacement for ivfCellsSql's seed assignment. */
+  private val trainedCellsSql =
+    s"""$trainedQuantSql,
+       cells AS (SELECT vec_id, c_id AS cell FROM td2
          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
            ORDER BY cdot DESC, c_id) = 1)"""
 
@@ -752,6 +782,39 @@ object Similarity extends QueryModule {
       .agg(first(col(embCol)).as(embCol), // constant within each id group
         max_by(col("c_id"), struct(col("cdot"), -col("c_id"))).as("cell"))
       .select(col(idCol), col(embCol), col("cell"))
+
+  /** TRAINED coarse quantizer — one Lloyd refinement of the 4 seed
+    * centroids over the full corpus, shared by q_sim_ivf_trained and
+    * q_ml_dbscan_trained (one definition; the gate's density clustering
+    * exercises the SAME quantizer the search row certifies).
+    * Centroid means round at 4 decimals (not the usual 6): this value
+    * feeds ANOTHER rounded-compare layer (the second assignment pass),
+    * and the coarser grid keeps the engines' ~1-ulp summation-order
+    * differences far from any rounding boundary.
+    * Residual risk (ADVICE r2, accepted + documented): a mean landing
+    * within ~1 ulp of a 1e-4 grid line could still round differently
+    * per engine and flip a second-pass assignment — data-dependent,
+    * not eliminated by any finite grid. Sized: cell means over ≥100s
+    * of uniform draws land on a grid line with probability ~1e-12 per
+    * (cell, pos); at 4×64 positions that is ~1e-9 per run, and a flip
+    * additionally needs the two nearest centroids within the same ulp.
+    * The bit-exact check is kept (it pins the full quantizer math,
+    * which a recall-invariant would not); if a future SF ever trips
+    * the boundary, demote to a recall-vs-brute-force invariant row. */
+  private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val seeds0 = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
+    val a1 = nearestCell(seeds0, emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    a1.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col")), 4).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cemb"))
+      .select(col("cell").as("c_id"), col("cemb"))
+  }
 
   override val defs: Seq[Q] = Seq(
 
@@ -1588,31 +1651,7 @@ object Similarity extends QueryModule {
     Q("q_sim_ivf_trained",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val seeds0 = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
-        val a1 = nearestCell(seeds0, emb.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding")
-        // centroid means round at 4 decimals (not the usual 6): this value
-        // feeds ANOTHER rounded-compare layer (the second assignment pass),
-        // and the coarser grid keeps the engines' ~1-ulp summation-order
-        // differences far from any rounding boundary.
-        // Residual risk (ADVICE r2, accepted + documented): a mean landing
-        // within ~1 ulp of a 1e-4 grid line could still round differently
-        // per engine and flip a second-pass assignment — data-dependent,
-        // not eliminated by any finite grid. Sized: cell means over ≥100s
-        // of uniform draws land on a grid line with probability ~1e-12 per
-        // (cell, pos); at 4×64 positions that is ~1e-9 per run, and a flip
-        // additionally needs the two nearest centroids within the same ulp.
-        // The bit-exact check is kept (it pins the full quantizer math,
-        // which a recall-invariant would not); if a future SF ever trips
-        // the boundary, demote to a recall-vs-brute-force invariant row.
-        val trained = a1.select(col("cell"), posexplode(col("embedding")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(round(avg(col("col")), 4).as("m"))
-          .groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cemb"))
-          .select(col("cell").as("c_id"), col("cemb"))
+        val trained = trainedCentroids(s, d)
         val q = nearestCell(trained, emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qemb")), "q_id", "qemb")
         val c = nearestCell(trained, emb.filter(col("vec_id") >= 5)
@@ -1626,21 +1665,11 @@ object Similarity extends QueryModule {
           .select(col("q_id"), col("rank"), col("cand_id"), col("sim"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH $eSql,
-              seeds AS (SELECT vec_id AS c_id, pos, ev AS cv FROM e WHERE vec_id < 4),
-              d1 AS (SELECT e.vec_id, s.c_id, ROUND(SUM(e.ev * s.cv), 6) AS cdot
-                FROM e JOIN seeds s USING (pos) GROUP BY e.vec_id, s.c_id),
-              cells1 AS (SELECT vec_id, c_id AS cell FROM d1
+      Some(s"""WITH $eSql, $trainedQuantSql,
+              qcells AS (SELECT vec_id, c_id AS cell FROM td2 WHERE vec_id < 5
                 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                   ORDER BY cdot DESC, c_id) = 1),
-              cent AS (SELECT c.cell AS c_id, e.pos, ROUND(AVG(e.ev), 4) AS cv
-                FROM e JOIN cells1 c USING (vec_id) GROUP BY c.cell, e.pos),
-              d2 AS (SELECT e.vec_id, cent.c_id, ROUND(SUM(e.ev * cent.cv), 6) AS cdot
-                FROM e JOIN cent USING (pos) GROUP BY e.vec_id, cent.c_id),
-              qcells AS (SELECT vec_id, c_id AS cell FROM d2 WHERE vec_id < 5
-                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                  ORDER BY cdot DESC, c_id) = 1),
-              ccells AS (SELECT vec_id, c_id AS cell FROM d2 WHERE vec_id >= 5
+              ccells AS (SELECT vec_id, c_id AS cell FROM td2 WHERE vec_id >= 5
                 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                   ORDER BY cdot DESC, c_id) = 1),
               q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, qcells.cell
@@ -1754,68 +1783,24 @@ object Similarity extends QueryModule {
         val emb = Tables(s, d, "embeddings")
         val cen = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("c_id"), col("embedding").as("cemb"))
-        val cells = nearestCell(cen,
-          emb.select(col("vec_id"), col("embedding").as("vemb")),
-          "vec_id", "vemb").localCheckpoint() // reused by pairs + assembly
-        val pairs = cells.as("a").join(cells.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            round(cosine(col("a.vemb"), col("b.vemb")), 6).as("sim"))
-          .filter(col("sim") >= dbscanEps)
-        val edges = pairs.select(col("va").as("v"), col("vb").as("n"))
-          .unionByName(pairs.select(col("vb").as("v"), col("va").as("n")))
-          .localCheckpoint()
-        val core = edges.groupBy("v").agg(count(lit(1)).as("nb"))
-          .filter(col("nb") >= dbscanMinPts - 1).select("v")
-          .localCheckpoint()
-        val cedges = edges
-          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"))
-          .join(core.withColumnRenamed("v", "cn"), col("n") === col("cn"))
-          .select("v", "n").localCheckpoint()
-        // min-label fixpoint over the core-core graph (clusterLabels shape)
-        var lab = core.select(col("v"), col("v").as("lab")).localCheckpoint()
-        var rounds = 0
-        var changed = 1L
-        while (changed > 0) {
-          rounds += 1
-          // +1: the final iteration only CONFIRMS changed == 0 — data
-          // needing exactly dbscanCcRounds productive rounds still
-          // matches the oracle's unroll (propagation is idempotent at
-          // the fixpoint), and must not trip the guard
-          require(rounds <= dbscanCcRounds + 1,
-            s"DBSCAN label propagation needs > $dbscanCcRounds rounds; " +
-              "the oracle unrolls exactly that many — raise both together")
-          val next = lab.unionByName(
-              cedges.join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
-                .select(col("v"), col("lab")))
-            .groupBy("v").agg(min("lab").as("lab"))
-            .localCheckpoint()
-          changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
-            .filter(col("lab") =!= col("old")).count()
-          graft.plans.Iterate.release(lab)
-          lab = next
-        }
-        val border = edges
-          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"), "left_anti")
-          .join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
-          .groupBy("v").agg(min("lab").as("blab"))
-        val out = cells.select(col("vec_id"))
-          .join(lab.withColumnRenamed("v", "vid").withColumnRenamed("lab", "clab"),
-            col("vec_id") === col("vid"), "left")
-          .join(border.withColumnRenamed("v", "bid"),
-            col("vec_id") === col("bid"), "left")
-          .select(col("vec_id"),
-            when(col("clab").isNotNull, "core")
-              .when(col("blab").isNotNull, "border")
-              .otherwise("noise").as("role"),
-            coalesce(col("clab"), col("blab")).as("cluster"))
-          .orderBy("vec_id")
-          .localCheckpoint()
-        Seq(cells, edges, core, cedges, lab).foreach(graft.plans.Iterate.release)
-        out
+        dbscanRun(s, d, cen)
       },
       Some(s"""WITH $dbscanSqlCtes
               SELECT vec_id, role, cluster FROM roles ORDER BY vec_id""")),
+
+    // DBSCAN over the TRAINED quantizer's cells (VERDICT r11 #6): the
+    // same density clustering, blocked by the one-Lloyd-round centroids
+    // q_sim_ivf_trained searches with — and the same two-level-quantizer
+    // shape examples/DbscanScale certifies at 200k vectors — instead of
+    // the 4 raw seed vectors. The centroid relation is ONE shared
+    // definition ([[trainedCentroids]] / $trainedQuantSql) on each side,
+    // so the gate's clustering and search rows can never quantize
+    // differently.
+    Q("q_ml_dbscan_trained",
+      (s, d) => dbscanRun(s, d, trainedCentroids(s, d)),
+      Some(s"""WITH $dbscanTrainedSqlCtes
+              SELECT vec_id, role, cluster FROM roles ORDER BY vec_id""")),
+
 
     // Per-cluster DBSCAN readout: size and composition of every density
     // cluster — the triage table an operator actually reads (which
@@ -2081,6 +2066,74 @@ object Similarity extends QueryModule {
                 ON tr.q_id = t.q_id AND tr.cand_id = t.cand_id
               WHERE t.dim < 64 GROUP BY t.dim ORDER BY dim"""))
   )
+
+  /** Cell-blocked DBSCAN dataflow shared by q_ml_dbscan (seed centroids)
+    * and q_ml_dbscan_trained (trained centroids): ε-edges are exact
+    * cosine ≥ dbscanEps computed only WITHIN a cell of `cen`'s argmax
+    * assignment, roles/labels per the declared row's contract. */
+  private def dbscanRun(s: SparkSession, d: String,
+      cen: DataFrame): DataFrame = {
+        val emb = Tables(s, d, "embeddings")
+        val cells = nearestCell(cen,
+          emb.select(col("vec_id"), col("embedding").as("vemb")),
+          "vec_id", "vemb").localCheckpoint() // reused by pairs + assembly
+        val pairs = cells.as("a").join(cells.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            round(cosine(col("a.vemb"), col("b.vemb")), 6).as("sim"))
+          .filter(col("sim") >= dbscanEps)
+        val edges = pairs.select(col("va").as("v"), col("vb").as("n"))
+          .unionByName(pairs.select(col("vb").as("v"), col("va").as("n")))
+          .localCheckpoint()
+        val core = edges.groupBy("v").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= dbscanMinPts - 1).select("v")
+          .localCheckpoint()
+        val cedges = edges
+          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"))
+          .join(core.withColumnRenamed("v", "cn"), col("n") === col("cn"))
+          .select("v", "n").localCheckpoint()
+        // min-label fixpoint over the core-core graph (clusterLabels shape)
+        var lab = core.select(col("v"), col("v").as("lab")).localCheckpoint()
+        var rounds = 0
+        var changed = 1L
+        while (changed > 0) {
+          rounds += 1
+          // +1: the final iteration only CONFIRMS changed == 0 — data
+          // needing exactly dbscanCcRounds productive rounds still
+          // matches the oracle's unroll (propagation is idempotent at
+          // the fixpoint), and must not trip the guard
+          require(rounds <= dbscanCcRounds + 1,
+            s"DBSCAN label propagation needs > $dbscanCcRounds rounds; " +
+              "the oracle unrolls exactly that many — raise both together")
+          val next = lab.unionByName(
+              cedges.join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
+                .select(col("v"), col("lab")))
+            .groupBy("v").agg(min("lab").as("lab"))
+            .localCheckpoint()
+          changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
+            .filter(col("lab") =!= col("old")).count()
+          graft.plans.Iterate.release(lab)
+          lab = next
+        }
+        val border = edges
+          .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"), "left_anti")
+          .join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
+          .groupBy("v").agg(min("lab").as("blab"))
+        val out = cells.select(col("vec_id"))
+          .join(lab.withColumnRenamed("v", "vid").withColumnRenamed("lab", "clab"),
+            col("vec_id") === col("vid"), "left")
+          .join(border.withColumnRenamed("v", "bid"),
+            col("vec_id") === col("bid"), "left")
+          .select(col("vec_id"),
+            when(col("clab").isNotNull, "core")
+              .when(col("blab").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("clab"), col("blab")).as("cluster"))
+          .orderBy("vec_id")
+          .localCheckpoint()
+        Seq(cells, edges, core, cedges, lab).foreach(graft.plans.Iterate.release)
+        out
+  }
 
   /** unrolled MMR oracle: candidate pool + pairwise-sim matrix, then 5
     * greedy selection steps as CTEs (scored_t excludes selu_{t-1},

@@ -1181,6 +1181,79 @@ object TextAnalysis extends QueryModule {
                    * 1.0 / GREATEST(n_before, 1), 6) AS compression
                FROM ap ORDER BY doc_id""")),
 
+    // PRODUCTION-SHAPE BPE encode kernel (VERDICT r11 #5): the same
+    // trainer→encoder round trip as q_text_bpe_encode, but applied by
+    // [[graft.functions.BpeKernel]] — ONE mapPartitions pass per corpus
+    // carrying the whole ranked merge table as a broadcast, each doc
+    // encoded by an in-memory priority scan (O(tokens) per applied
+    // merge, O(1) hash lookups) — where the column-algebra row pays one
+    // plan node per merge. A 30k-merge production table is the same
+    // plan; examples/TextScale measures tokens/sec FLAT in table size.
+    // Merge table: top-6 ranked pairs with t1 ≠ t2 (self-pairs excluded
+    // on BOTH engines, which makes the two-pass-replace oracle EXACT
+    // canonical greedy — BpeSemanticsSpec — with no self-pair deviation
+    // window); tokens never contain chr(30), and a merge never creates
+    // a new plain-plain adjacency, so the kernel's priority loop equals
+    // the oracle's rank-order unroll exactly (see BpeKernel's note).
+    Q("q_text_bpe_encode_kernel",
+      (s, d) => {
+        import s.implicits._
+        val merges = bigrams(s, d)
+          .filter(col("t1") =!= col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("t1"), asc("t2"))
+          .limit(6).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val bm = s.sparkContext.broadcast(merges)
+        docs(s, d).select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
+          .as[(Long, Array[String])]
+          .mapPartitions { it =>
+            // table prepared ONCE per partition (hash-map build is
+            // O(table); per-doc cost must not carry it)
+            val table = new graft.functions.BpeKernel.Table(bm.value)
+            it.map { case (id, tk) =>
+              (id, tk.length.toLong,
+                graft.functions.BpeKernel.encode(tk, table).length.toLong)
+            }
+          }
+          .toDF("doc_id", "n_tokens_before", "n_tokens_after")
+          .withColumn("compression",
+            round(col("n_tokens_after") * 1.0 /
+              greatest(col("n_tokens_before"), lit(1L)), 6))
+          .orderBy("doc_id")
+      },
+      Some {
+        val enc = (1 to 6).foldLeft("ts") { (acc, i) =>
+          val p = s"chr(31)||a$i||chr(31)||b$i||chr(31)"
+          val r = s"chr(31)||a$i||chr(30)||b$i||chr(31)"
+          s"replace(replace($acc, $p, $r), $p, $r)"
+        }
+        val m = (1 to 6).map(i =>
+          s"""(SELECT t1 FROM ranked WHERE rn = $i) AS a$i,
+              (SELECT t2 FROM ranked WHERE rn = $i) AS b$i""").mkString(",\n")
+        s"""WITH $bigramsSql,
+            ranked AS (SELECT t1, t2, ROW_NUMBER() OVER
+                (ORDER BY COUNT(*) DESC, t1, t2) AS rn
+              FROM bg WHERE t1 <> t2 GROUP BY t1, t2
+              ORDER BY COUNT(*) DESC, t1, t2 LIMIT 6),
+            enc AS (SELECT doc_id, len(tk) AS n_before,
+                CASE WHEN len(tk) = 0 THEN NULL ELSE
+                  chr(31) || array_to_string(tk, chr(31)) || chr(31)
+                END AS ts
+              FROM base),
+            m AS (SELECT $m),
+            ap AS (SELECT doc_id, n_before, $enc AS ts
+              FROM enc CROSS JOIN m)
+            SELECT doc_id, CAST(n_before AS BIGINT) AS n_tokens_before,
+              CAST(CASE WHEN ts IS NULL THEN 0 ELSE
+                length(ts) - length(replace(ts, chr(31), '')) - 1 END
+                AS BIGINT) AS n_tokens_after,
+              ROUND(CASE WHEN ts IS NULL THEN 0 ELSE
+                  length(ts) - length(replace(ts, chr(31), '')) - 1 END
+                * 1.0 / GREATEST(n_before, 1), 6) AS compression
+            FROM ap ORDER BY doc_id"""
+      }),
+
     // BPE ITERATIVE TRAINING — the full trainer loop q_text_bpe_encode's
     // one-shot application sits inside: pick the most frequent pair,
     // MERGE IT EVERYWHERE, RECOUNT pairs on the re-encoded corpus (the

@@ -37,6 +37,14 @@ object WorkerPool {
     * yields a garbage length, not an OOM */
   private val MaxFrameBytes: Int = 64 << 20
 
+  /** Child→parent opcodes for [[Worker.callFrameOps]] — the engine's
+    * rendering of the reference's child-initiated message surface
+    * (`MessageType.java:25-32`): the child terminates each exchange
+    * with RESPONSE and may interleave counter/log traffic before it. */
+  val OpResponse: Byte = 0
+  val OpIncrCounter: Byte = 1
+  val OpLog: Byte = 2
+
   final class Worker private[WorkerPool] (cmd: Seq[String]) {
     private val proc = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
@@ -68,6 +76,47 @@ object WorkerPool {
     def callFrame(payload: Array[Byte]): Array[Byte] = synchronized {
       val hdr = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
       toChild.write(hdr); toChild.write(payload); toChild.flush()
+      readFrame()
+    }
+
+    /** CHILD-INITIATED opcodes (the reference's pipes children drive
+      * their own side of the protocol — INCR_COUNTER, LOG and friends,
+      * `core/.../pipes/protocol/MessageType.java:25-32` — not just
+      * answer): the request goes out as a plain frame, and the child
+      * replies with a SEQUENCE of opcode frames (first payload byte =
+      * opcode) — any number of
+      *   [[WorkerPool.OpIncrCounter]] (8-byte big-endian delta + UTF-8
+      *   counter name) and [[WorkerPool.OpLog]] (UTF-8 message) frames,
+      * terminated by exactly one [[WorkerPool.OpResponse]] carrying the
+      * result. Counter increments surface through `onCounter` — the
+      * caller wires them to a Spark accumulator, the engine analogue of
+      * the reference's counter RPC. An unknown opcode is a protocol
+      * desync and fails the task loudly. */
+    def callFrameOps(payload: Array[Byte])(
+        onCounter: (String, Long) => Unit,
+        onLog: String => Unit = _ => ()): Array[Byte] = synchronized {
+      val hdr = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
+      toChild.write(hdr); toChild.write(payload); toChild.flush()
+      var resp: Array[Byte] = null
+      while (resp == null) {
+        val f = readFrame()
+        require(f.nonEmpty, s"worker (pid $pid) sent an empty opcode frame")
+        f(0) match {
+          case OpResponse => resp = java.util.Arrays.copyOfRange(f, 1, f.length)
+          case OpIncrCounter =>
+            require(f.length >= 9,
+              s"worker (pid $pid) sent a ${f.length}-byte INCR_COUNTER frame")
+            val delta = java.nio.ByteBuffer.wrap(f, 1, 8).getLong
+            onCounter(new String(f, 9, f.length - 9, "UTF-8"), delta)
+          case OpLog => onLog(new String(f, 1, f.length - 1, "UTF-8"))
+          case x => sys.error(
+            s"worker (pid $pid) sent unknown opcode $x — protocol desync")
+        }
+      }
+      resp
+    }
+
+    private def readFrame(): Array[Byte] = {
       val respHdr = fromChild.readNBytes(4)
       require(respHdr.length == 4,
         s"worker '${cmd.mkString(" ")}' (pid $pid) closed its pipe mid-frame")

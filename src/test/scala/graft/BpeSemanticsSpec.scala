@@ -63,4 +63,56 @@ class BpeSemanticsSpec extends AnyFunSuite {
     assert(greedyMerge(six, "a", "a").length === 3)
     assert(stringMerge(six, "a", "a").length === 4)
   }
+
+  /** rank-order sequential application — the unrolled-oracle form the
+    * kernel must equal for base-tokenization tables (no self-pairs) */
+  private def sequential(tk: Seq[String], pairs: Seq[(String, String)]): Seq[String] =
+    pairs.foldLeft(tk) { case (acc, (t1, t2)) => greedyMerge(acc, t1, t2) }
+
+  test("BpeKernel: single t1 != t2 merge == canonical greedy (exhaustive, n <= 8)") {
+    for (n <- 0 to 8; seq <- allSeqs(Seq("a", "b", "c"), n)) {
+      val k = functions.BpeKernel.encode(seq.toArray, Array(("a", "b"))).toSeq
+      assert(k === greedyMerge(seq, "a", "b"), s"kernel diverged on $seq")
+    }
+  }
+
+  test("BpeKernel: multi-merge priority scan == rank-order sequential (exhaustive, n <= 7)") {
+    // tables whose pairs come from the plain alphabet (the
+    // base-tokenization shape the declared row feeds it): the kernel's
+    // min-rank loop must equal the oracle's rank-order unroll exactly —
+    // including tables where a later merge's pair overlaps an earlier
+    // merge's tokens ((a,b) then (b,c), (b,c) then (a,b), chained (a,b)
+    // + (c,a))
+    val tables = Seq(
+      Seq(("a", "b"), ("b", "c")),
+      Seq(("b", "c"), ("a", "b")),
+      Seq(("a", "b"), ("c", "a")),
+      Seq(("c", "b"), ("b", "a"), ("a", "c")))
+    for (table <- tables; n <- 0 to 7; seq <- allSeqs(Seq("a", "b", "c"), n)) {
+      val k = functions.BpeKernel.encode(seq.toArray, table.toArray).toSeq
+      assert(k === sequential(seq, table), s"kernel diverged on $seq with $table")
+    }
+  }
+
+  test("BpeKernel: throughput is flat in table size (unmatched entries are free)") {
+    // a large table of never-matching pairs must not slow the scan:
+    // per-pair cost is one hash lookup regardless of table size
+    val doc = Array.tabulate(5000)(i => s"t${i % 50}")
+    val small = Array(("t1", "t2"))
+    val big = small ++ Array.tabulate(2000)(i => (s"x$i", s"y$i"))
+    def time(table: Array[(String, String)]): (Long, Seq[String]) = {
+      val t0 = System.nanoTime()
+      var out: Array[String] = null
+      for (_ <- 1 to 20) out = functions.BpeKernel.encode(doc, table)
+      (System.nanoTime() - t0, out.toSeq)
+    }
+    time(big) // JIT warm-up for both shapes
+    time(small)
+    val (tSmall, oSmall) = time(small)
+    val (tBig, oBig) = time(big)
+    assert(oSmall === oBig, "unmatched entries must not change the encoding")
+    assert(tBig < tSmall * 5,
+      s"2001-entry table must not cost ~2000x the 1-entry table: " +
+        s"${tBig / 1e6}ms vs ${tSmall / 1e6}ms")
+  }
 }
