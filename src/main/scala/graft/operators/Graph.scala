@@ -1062,14 +1062,17 @@ object Graph extends QueryModule {
     // curve, and fixpoint) are bit-identical to the full join. Round 1's
     // frontier is the whole init (a cold start changes everything);
     // converging rounds then pay O(frontier in-degree) joined rows, not
-    // O(E·K). The frontier broadcasts (it only shrinks); at cluster
-    // scale the edge relation stays hash-partitioned on dst and is never
-    // shuffled by these rounds.
+    // O(E·K). From round 2 on the frontier broadcasts (it only
+    // shrinks) — round 1's frontier is the FULL V·K state, so it keeps
+    // the un-hinted join (forcing a broadcast there would collect the
+    // whole register relation to the driver at production scale); at
+    // cluster scale the edge relation stays hash-partitioned on dst and
+    // is never shuffled by these rounds.
     var frontier = init
     val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
       checkpointEvery = 0) { (m, i) =>
-      val nbr = e.join(
-          broadcast(frontier.select(col("v").as("fv"), col("k"), col("mask"))),
+      val fsel = frontier.select(col("v").as("fv"), col("k"), col("mask"))
+      val nbr = e.join(if (i == 0) fsel else broadcast(fsel),
           e("dst") === col("fv"))
         .select(e("src").as("v"), col("k"), col("mask"))
       val targets = nbr.select("v").distinct()
@@ -1125,6 +1128,12 @@ object Graph extends QueryModule {
     * so the two `pmod(hash(dst), nB)` expressions can never diverge. */
   private[graft] val anfDstBuckets = 16
 
+  /** v-bucket count for the file-backed REGISTER store (partitionBy
+    * ("vb")) — shared by runAnfMaintain's writer/bucket-rewrite and
+    * [[anfDeltaRows]]'s pruned state reads, same discipline as
+    * [[anfDstBuckets]]. */
+  private[graft] val anfRegBuckets = 16
+
   /** One round of a delta-frontier ANF batch: (frontier register rows,
     * edge-join output rows) — the instrumentation AnfMaintainScale
     * asserts on (joined rows bounded by the frontier's in-degree, not
@@ -1162,7 +1171,19 @@ object Graph extends QueryModule {
     *
     * Returns (final pinned registers — caller releases, rounds run,
     * per-round frontier/joined row counts). */
-  private[graft] def anfDelta(baseMasks: DataFrame, accEdges: DataFrame,
+  /** Core of [[anfDelta]] returning the UPSERT OVERLAY instead of the
+    * folded state: the register rows that are NEW (fresh-vertex inits)
+    * or CHANGED (each superseding its base row bit-for-bit) — possibly
+    * empty — plus rounds and per-round stats. When `baseMasks` carries a
+    * `vb` partition column (`pmod(hash(v), anfRegBuckets)` — the
+    * file-backed register store), EVERY state read in here prunes to
+    * the touched vertices' buckets, so a round opens O(frontier
+    * buckets) of the store and never scans the full V·K relation; the
+    * caller then rewrites only the upserts' buckets (runAnfMaintain's
+    * dynamic-partition overwrite). Without `vb` (an in-memory base) the
+    * semi-joins scan the base pin — the small-state convenience path
+    * [[anfDelta]] wraps for specs. */
+  private[graft] def anfDeltaRows(baseMasks: DataFrame, accEdges: DataFrame,
       newEdges: DataFrame, maxIter: Int = 64, k: Int = anfK)
       : (DataFrame, Int, Seq[AnfDeltaRound]) = {
     val s = baseMasks.sparkSession
@@ -1172,20 +1193,34 @@ object Graph extends QueryModule {
     }
     val dE = pin(newEdges.select("src", "dst")
       .filter(col("src") =!= col("dst")).distinct()) // Δ-sized, not O(E)
-    val buckets = if (accEdges.columns.contains("db")) anfDstBuckets else 0
-    // carried registers plus fresh init rows for vertices only the
-    // delta introduces (one O(V·K) vertex-set pass per BATCH — state
-    // size, not edge size; no per-round full-state work below)
-    val base = pin(baseMasks.unionAll(
-      anfInit(nodes(dE), k)
-        .join(baseMasks.select("v").distinct(), Seq("v"), "left_anti")))
+    val eBuckets = if (accEdges.columns.contains("db")) anfDstBuckets else 0
+    val rBuckets = if (baseMasks.columns.contains("vb")) anfRegBuckets else 0
+    def bksOf(vs: DataFrame): Seq[Int] =
+      vs.select(pmod(hash(col("v")), lit(anfRegBuckets)).as("vb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    // base rows for a (small) vertex set — partition-pruned to the
+    // set's buckets when the state is the file-backed store
+    def baseFor(targets: DataFrame): DataFrame = {
+      val b = if (rBuckets == 0) baseMasks
+        else baseMasks.filter(col("vb").isin(bksOf(targets): _*))
+      b.select("v", "k", "mask").join(targets, Seq("v"), "left_semi")
+    }
+    // fresh init rows for vertices only the delta introduces: every
+    // edge touching a brand-new vertex IS a dE edge, so nodes(dE)
+    // covers them — and only dE's buckets of the store need consulting
+    val dEv = pin(nodes(dE))
+    val known = (if (rBuckets == 0) baseMasks
+        else baseMasks.filter(col("vb").isin(bksOf(dEv): _*)))
+      .select("v").distinct()
+    val fresh = pin(anfInit(dEv, k).join(known, Seq("v"), "left_anti"))
     val stats = scala.collection.mutable.ArrayBuffer.empty[AnfDeltaRound]
     var delta: DataFrame = null // changed registers, Δ-overlay over base
-    // current registers of a (small) vertex set: base overlaid by the
-    // delta rows — a changed row carries a superset of its base bits,
-    // so bit_or collapses the overlay exactly
+    // current registers of a (small) vertex set: base ∪ fresh overlaid
+    // by the delta rows — a changed row carries a superset of its base
+    // bits, so bit_or collapses the overlay exactly
     def curFor(targets: DataFrame): DataFrame = {
-      val b = base.join(targets, Seq("v"), "left_semi")
+      val b = baseFor(targets)
+        .unionAll(fresh.join(targets, Seq("v"), "left_semi"))
       val merged = if (delta == null) b
         else b.unionAll(delta.join(targets, Seq("v"), "left_semi"))
       merged.groupBy("v", "k").agg(expr("bit_or(mask)").as("mask"))
@@ -1198,20 +1233,24 @@ object Graph extends QueryModule {
           rel("dst") === col("fv"))
         .select(rel("src").as("v"), col("k"), col("mask")))
       val targets = nbr.select("v").distinct()
-      val curT = curFor(targets)
+      // pinned: referenced twice below (merge + change diff) — one
+      // pruned store read per round, not two
+      val curT = pin(curFor(targets))
       val changed = pin(curT.unionAll(nbr).groupBy("v", "k")
         .agg(expr("bit_or(mask)").as("mask")).as("n")
         .join(curT.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
         .filter(col("n.mask") =!= col("o.mask"))
         .select(col("n.v").as("v"), col("n.k").as("k"), col("n.mask").as("mask")))
       stats += AnfDeltaRound(pushed.count(), nbr.count())
-      Iterate.release(nbr)
+      Seq(nbr, curT).foreach(Iterate.release)
       changed
     }
     // seed: round 0 pulls across the NEW edges only — the masks pushed
     // are the current registers of ΔE's destinations
     val dstT = dE.select(col("dst").as("v")).distinct()
-    var frontier = step(dE, curFor(dstT))
+    val seedPush = pin(curFor(dstT))
+    var frontier = step(dE, seedPush)
+    Iterate.release(seedPush)
     var rounds = 1
     while (frontier.head(1).nonEmpty) {
       require(rounds < maxIter,
@@ -1223,10 +1262,10 @@ object Graph extends QueryModule {
       if (delta != null) Iterate.release(delta)
       delta = nextDelta
       val fbks = // partition-pruned probe: only the frontier's buckets
-        if (buckets == 0) accEdges
+        if (eBuckets == 0) accEdges
         else {
           val bs = frontier
-            .select(pmod(hash(col("v")), lit(buckets)).as("db")).distinct()
+            .select(pmod(hash(col("v")), lit(eBuckets)).as("db")).distinct()
             .collect().map(_.getInt(0)).toSeq
           accEdges.filter(col("db").isin(bs: _*))
         }
@@ -1236,18 +1275,38 @@ object Graph extends QueryModule {
       rounds += 1
     }
     Iterate.release(frontier)
-    // fold the overlay back into the carried state ONCE per batch
-    val fin =
-      if (delta == null) base
+    // upserts = fresh rows not superseded by a change, plus the changes
+    val upserts =
+      if (delta == null) fresh
       else {
-        val f = pin(base.join(delta.select("v", "k"), Seq("v", "k"), "left_anti")
+        val u = pin(fresh.join(delta.select("v", "k"), Seq("v", "k"), "left_anti")
           .unionAll(delta))
-        Iterate.release(base)
-        Iterate.release(delta)
-        f
+        Seq(fresh, delta).foreach(Iterate.release)
+        u
       }
-    Iterate.release(dE)
-    (fin, rounds, stats.toSeq)
+    Seq(dE, dEv).foreach(Iterate.release)
+    (upserts, rounds, stats.toSeq)
+  }
+
+  /** [[anfDeltaRows]] with the overlay folded back into the carried
+    * state in memory — the spec-facing convenience for in-memory bases
+    * (the streaming maintainer instead rewrites only the upserts'
+    * buckets of its file-backed store). Returns a fresh pin the caller
+    * releases. */
+  private[graft] def anfDelta(baseMasks: DataFrame, accEdges: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 64, k: Int = anfK)
+      : (DataFrame, Int, Seq[AnfDeltaRound]) = {
+    val s = baseMasks.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val (up, rounds, stats) = anfDeltaRows(baseMasks, accEdges, newEdges, maxIter, k)
+    val fin = pin(baseMasks.select("v", "k", "mask")
+      .join(up.select("v", "k"), Seq("v", "k"), "left_anti")
+      .unionAll(up))
+    Iterate.release(up)
+    (fin, rounds, stats)
   }
 
   private[graft] def anfShared(s: SparkSession, d: String)

@@ -344,21 +344,39 @@ object Sources extends QueryModule {
     Q("q_udf_pipe_counters",
       (s, d) => {
         import s.implicits._
+        import scala.jdk.CollectionConverters._
         val cmd = statsChildCmd
-        val comp = s.sparkContext.longAccumulator("pipeChildComponents")
+        // transformation-stage accumulators apply AT LEAST once (a
+        // retried or speculative task re-adds), so the child's credits
+        // fold as ONE deterministic total per partition id — duplicate
+        // attempts of a partition report the identical total and dedup
+        // away, keeping the equality assert honest off local mode
+        val pidTotals =
+          s.sparkContext.collectionAccumulator[(Int, Long)]("pipeChildComponents")
         val sums = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])]
           .mapPartitions { it =>
             val w = WorkerPool.get(cmd)
-            it.map { case (id, emb) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var local = 0L
+            var flushed = false
+            val mapped = it.map { case (id, emb) =>
               val bb = java.nio.ByteBuffer.allocate(8 * emb.length)
               var i = 0
               while (i < emb.length) { bb.putDouble(emb(i).toDouble); i += 1 }
               val resp = w.callFrameOps(bb.array()) { (name, delta) =>
-                if (name == "components") comp.add(delta)
+                if (name == "components") local += delta
               }
               (id, java.nio.ByteBuffer.wrap(resp).getDouble)
+            }
+            new Iterator[(Long, Double)] {
+              def hasNext: Boolean = {
+                val h = mapped.hasNext
+                if (!h && !flushed) { pidTotals.add((pid, local)); flushed = true }
+                h
+              }
+              def next(): (Long, Double) = mapped.next()
             }
           }
           .toDF("vec_id", "emb_sum")
@@ -369,11 +387,13 @@ object Sources extends QueryModule {
           .localCheckpoint()
           .select(col("vec_id"), round(col("emb_sum"), 6).as("emb_sum"))
           .orderBy("vec_id")
+        val credited = pidTotals.value.asScala.toSeq
+          .groupBy(_._1).values.map(_.head._2).sum
         val expected = Tables(s, d, "embeddings")
           .agg(sum(size(col("embedding")))).head.getLong(0)
-        require(comp.value == expected,
+        require(credited == expected,
           s"child-credited counter must equal the true component count: " +
-            s"${comp.value} != $expected")
+            s"$credited != $expected")
         sums.withColumn("counter_exact", lit(true))
       },
       Some("""SELECT vec_id, ROUND(list_aggregate(list_transform(embedding,

@@ -860,19 +860,25 @@ object Streams {
     *     re-distinct of the full relation), and the propagation probe
     *     prunes to the frontier's buckets (the near-dup band-store
     *     recipe);
+    *   - the REGISTER state is likewise a parquet store partitioned by
+    *     v bucket: each delta round's state reads prune to the touched
+    *     vertices' buckets, and each batch rewrites ONLY the buckets
+    *     its upserts land in (dynamic-partition overwrite) — per-batch
+    *     state IO is O(changed buckets), never a V·K scan or rewrite;
     *   - the first non-empty batch converges cold
     *     ([[graft.operators.Graph.anfSketch]]); every later batch runs
-    *     [[graft.operators.Graph.anfDelta]] — frontier seeded from the
-    *     NEW edges' endpoints, each round joining edges only against
-    *     registers that CHANGED last round, the untouched state unioned
-    *     back once at the end.
+    *     [[graft.operators.Graph.anfDeltaRows]] — frontier seeded from
+    *     the NEW edges' endpoints, each round joining edges only
+    *     against registers that CHANGED last round, returning the
+    *     new-or-changed rows for the bucket rewrite.
     *
     * The OR-merge's monotone unique fixpoint makes every batch's output
     * bit-identical to a cold run on the edges seen so far; steady-state
-    * per-batch work is O(Δ · affected in-degree), not O(E) — measured
-    * by examples/AnfMaintainScale. Returns the final registers, each
-    * batch's round count, and each batch's per-round frontier/joined
-    * row counts. */
+    * per-batch work is O(Δ · affected in-degree + changed-bucket
+    * state), not O(E) or O(V·K) — measured by examples/AnfMaintainScale.
+    * Returns the final registers (read off the store), each batch's
+    * round count, and each batch's per-round frontier/joined row
+    * counts. */
   def runAnfMaintain(spark: SparkSession, edgesPath: String,
       options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
       : (DataFrame, Seq[Int], Seq[Seq[graft.operators.Graph.AnfDeltaRound]]) = {
@@ -886,8 +892,11 @@ object Streams {
       else reader.parquet(edgesPath)
     val storeDir = graft.GraftSession
       .tempDirCleanedOnExit("graft-anf-edgestore").toString
+    val regDir = graft.GraftSession
+      .tempDirCleanedOnExit("graft-anf-regstore").toString
     val nB = graft.operators.Graph.anfDstBuckets
-    var masks: Option[DataFrame] = None
+    val rB = graft.operators.Graph.anfRegBuckets
+    var seeded = false
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
     val roundStats =
       scala.collection.mutable.ArrayBuffer.empty[Seq[graft.operators.Graph.AnfDeltaRound]]
@@ -906,33 +915,53 @@ object Streams {
         } else {
           dE.withColumn("db", pmod(hash(col("dst")), lit(nB)))
             .write.mode(SaveMode.Append).partitionBy("db").parquet(storeDir)
-          masks match {
-            case None => // cold start on the first batch's own edges
-              val (m0, r, _, curve) = graft.operators.Graph.anfSketch(dE)
-              // the per-round curve is pinned state too — dropping the
-              // tuple element without releasing it would leak one
-              // V×(rounds+1) checkpoint per cold start
-              graft.plans.Iterate.release(curve)
-              masks = Some(m0)
-              rounds += r
-              roundStats += Seq.empty: Unit
-            case Some(m) =>
-              val acc = spark.read.parquet(storeDir)
-              val (m2, r, st) = graft.operators.Graph.anfDelta(m, acc, dE)
-              // release the SUPERSEDED register pins before replacing
-              // them: a crawl running thousands of batches would
-              // otherwise hold every batch's checkpoint blocks
-              graft.plans.Iterate.release(m)
-              masks = Some(m2)
-              rounds += r
-              roundStats += st: Unit
+          if (!seeded) { // cold start on the first batch's own edges
+            val (m0, r, _, curve) = graft.operators.Graph.anfSketch(dE)
+            // Overwrite: tempDirCleanedOnExit pre-creates the path (and
+            // a replayed cold batch must land idempotently)
+            m0.withColumn("vb", pmod(hash(col("v")), lit(rB)))
+              .write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(regDir)
+            // pinned returns are dead once the store holds them — the
+            // per-round curve included (one V×(rounds+1) checkpoint)
+            Seq(m0, curve).foreach(graft.plans.Iterate.release)
+            seeded = true
+            rounds += r
+            roundStats += Seq.empty: Unit
+          } else {
+            val base = spark.read.parquet(regDir)
+            val acc = spark.read.parquet(storeDir)
+            val (up, r, st) = graft.operators.Graph.anfDeltaRows(base, acc, dE)
+            if (up.head(1).nonEmpty) {
+              // rewrite ONLY the buckets the upserts land in: merge the
+              // affected buckets' survivors with the new rows,
+              // MATERIALIZE the merge before the write replaces the very
+              // files it reads, then dynamic-partition overwrite
+              val bks = up.select(pmod(hash(col("v")), lit(rB)).as("vb"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              val merged = base.filter(col("vb").isin(bks: _*))
+                .select("v", "k", "mask")
+                .join(up.select("v", "k"), Seq("v", "k"), "left_anti")
+                .unionAll(up)
+                .withColumn("vb", pmod(hash(col("v")), lit(rB)))
+                .localCheckpoint()
+              merged.write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("vb").parquet(regDir)
+              graft.plans.Iterate.release(merged)
+            }
+            graft.plans.Iterate.release(up)
+            rounds += r
+            roundStats += st: Unit
           }
           graft.plans.Iterate.release(dE)
         }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    (masks.getOrElse(spark.emptyDataFrame), rounds.toSeq, roundStats.toSeq)
+    val masks =
+      if (seeded) spark.read.parquet(regDir).select("v", "k", "mask")
+      else spark.emptyDataFrame
+    (masks, rounds.toSeq, roundStats.toSeq)
   }
 
   /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse
