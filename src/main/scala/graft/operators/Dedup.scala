@@ -840,6 +840,49 @@ object Dedup extends QueryModule {
       },
       Some(decontamSemSql)),
 
+    // N-GRAM DECONTAMINATION — the classic eval-overlap hygiene scan
+    // (GPT-3 appendix C's 13-gram collision test, here at the corpus's
+    // 3-word shingles): every training doc reports how many of its
+    // shingles collide with ANY shingle of the eval split, as a share —
+    // the lexical complement of q_dedup_decontaminate_semantic's
+    // embedding scan (a paraphrase evades n-grams, a verbatim quote
+    // evades nothing). Eval split is scale-free (doc_id % 20). The eval
+    // shingle set BROADCASTS (eval sets are small by construction), so
+    // the corpus pays one scan + one hash join at any size; per-doc
+    // aggregation is a partial-agg groupBy on the doc's own shingles.
+    Q("q_dedup_decontaminate_ngram",
+      (s, d) => {
+        val sh = docs(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), explode(when(size(col("tk")) >= shingleWords,
+            expr(s"transform(sequence(0, size(tk) - $shingleWords), " +
+              s"i -> array_join(slice(tk, i + 1, $shingleWords), ' '))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("sh"))
+        val ev = sh.filter(col("doc_id") % 20 === 0)
+          .select("sh").distinct().withColumn("hit", lit(1L))
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(ev), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+            round(col("n_hits") * 1.0 / col("n_shingles"), 6).as("overlap"),
+            (col("n_hits") * 2 >= col("n_shingles")).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shinglesSql,
+              ev AS (SELECT DISTINCT sh AS esh FROM sh WHERE doc_id % 20 = 0),
+              tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN ev.esh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+                ROUND(SUM(CASE WHEN ev.esh IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1.0 / COUNT(*), 6) AS overlap,
+                SUM(CASE WHEN ev.esh IS NOT NULL THEN 1 ELSE 0 END) * 2
+                  >= COUNT(*) AS contaminated
+              FROM tr LEFT JOIN ev ON tr.sh = ev.esh
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // SUBSTRING-level dedup — the "dedup repeated spans, not whole docs"
     // operator (suffix-array dedup in the single-node literature),
     // re-shaped for a shuffle engine: hash overlapping W-token windows at

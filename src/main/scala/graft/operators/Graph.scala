@@ -761,6 +761,77 @@ object Graph extends QueryModule {
     out.orderBy("v")
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — the alternating-contraction algorithm, re-expressed as
+    * two hash aggregates + a distinct per round): large-star hangs every
+    * larger neighbor of u under min(Γ(u) ∪ {u}); small-star re-keys each
+    * edge at its larger endpoint and hangs that vertex and its smaller
+    * neighbors under their minimum. Alternating the two preserves
+    * connectivity and converges in O(log² V) rounds to a star forest
+    * pointing every vertex at its component MINIMUM — where label
+    * propagation (ccFixpoint) pays one round per hop of the diameter.
+    * THE shape for 100 TB graphs with long chains (web graphs, road
+    * networks): no growing state relation, no diameter dependence.
+    * Oracle shared VERBATIM with q_graph_cc_fixpoint — both algorithms
+    * must land on identical component minima. */
+  private def ccStar(s: SparkSession, d: String): DataFrame =
+    ccStarOn(edges(s, d))
+
+  /** [[ccStar]] over an arbitrary (src, dst) relation — the spec entry. */
+  private[graft] def ccStarOn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    val vs = pin(nodes(e0))
+    var cur = pin(e0.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nb.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      nb.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = nb.groupBy("u").agg(min(col("v")).as("m")) // Γ⁻(u) ≤ u, so min(Γ⁻)
+      nb.join(m, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionAll(m.select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(col("a").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      rounds += 1
+      require(rounds <= 50, // O(log² V) with huge headroom at any gate SF
+        s"ccStar: star contraction did not stabilize in 50 LS+SS rounds")
+      val next = pin(smallStar(largeStar(cur)))
+      val diff = next.as("n").join(cur.as("o"),
+          col("n.u") === col("o.u") && col("n.v") === col("o.v"), "full")
+        .filter(col("n.u").isNull || col("o.u").isNull).count()
+      if (diff == 0L) { stable = true; Iterate.release(next) }
+      else { Iterate.release(cur); cur = next }
+    }
+    // terminal star forest: one parent per non-minimum vertex (min-fold
+    // defensively, though convergence guarantees uniqueness)
+    val out = vs.join(cur.groupBy("u").agg(min(col("v")).as("p")),
+        vs("v") === col("u"), "left")
+      .select(vs("v"), coalesce(col("p"), vs("v")).as("lbl"))
+      .orderBy("v")
+      .localCheckpoint()
+    Seq(cur, vs).foreach(Iterate.release)
+    out
+  }
+
   private val ccFixpointSql =
     s"""WITH RECURSIVE $edgesSql,
        $undirectedSql,
@@ -1809,6 +1880,7 @@ object Graph extends QueryModule {
     Q("q_graph_sssp_fixpoint", (s, d) => ssspFixpoint(s, d), Some(ssspFixpointSql)),
     Q("q_graph_sssp_parity", (s, d) => ssspParity(s, d), Some(ssspFixpointSql)),
     Q("q_graph_cc_fixpoint", (s, d) => ccFixpoint(s, d), Some(ccFixpointSql)),
+    Q("q_graph_cc_star", (s, d) => ccStar(s, d), Some(ccFixpointSql)),
     Q("q_graph_cc_parity", (s, d) => ccAggParity(s, d), Some(ccFixpointSql)),
     // DETERMINISTIC RANDOM WALKS (the node2vec/DeepWalk sampling
     // primitive): 3 walks from each of the 10 lowest-id vertices, 4

@@ -2173,6 +2173,34 @@ object Relational extends QueryModule {
                 FROM part) t
               WHERE rn <= 3 ORDER BY p_brand, rn""")),
 
+    // DETERMINISTIC per-group RESERVOIR sample: k uniform-without-
+    // replacement picks per group as the k SMALLEST salted hashes — the
+    // distributed equivalent of reservoir sampling (hash order is a
+    // uniform random permutation, fixed by the salt so both engines and
+    // every re-run agree). The inspection primitive every corpus triage
+    // starts with ("show me 3 random docs per source"). Same
+    // WindowGroupLimit shape as q_topk_window: each mapper ships ≤k rows
+    // per group, so the sample never rides a hot group through the
+    // shuffle whole.
+    Q("q_agg_reservoir",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(asc("hk"), asc("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            md5(concat(lit("rs1-"), col("doc_id"))).as("hk"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("rn").cast("long").as("rank"), col("doc_id"))
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY md5('rs1-' || doc_id), doc_id) AS rn
+                FROM documents) t
+              WHERE rn <= 3 ORDER BY source, rank""")),
+
     Q("q_set_ops",
       (s, d) => {
         val a = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey").as("k"))
