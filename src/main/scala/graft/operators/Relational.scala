@@ -23,6 +23,19 @@ object Relational extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Per-group reservoir oracle — ONE string shared by the batch row
+    * (q_agg_reservoir) and its streaming-maintenance twin
+    * (q_stream_live_reservoir): the k-min-hash reservoir is mergeable,
+    * so the streamed final state must equal the batch computation
+    * exactly. */
+  private[operators] val reservoirSql =
+    """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+         SELECT source, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5('rs1-' || doc_id), doc_id) AS rn
+         FROM documents) t
+       WHERE rn <= 3 ORDER BY source, rank"""
+
   /** Market-basket input shared by the pair- and triple-mining rows:
     * (order, brand) baskets and the Apriori-pruned frequent-item side
     * (min-support 200) with each item's support attached. Both relations
@@ -2194,12 +2207,7 @@ object Relational extends QueryModule {
           .select(col("source"), col("rn").cast("long").as("rank"), col("doc_id"))
           .orderBy("source", "rank")
       },
-      Some("""SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
-                SELECT source, doc_id,
-                       ROW_NUMBER() OVER (PARTITION BY source
-                         ORDER BY md5('rs1-' || doc_id), doc_id) AS rn
-                FROM documents) t
-              WHERE rn <= 3 ORDER BY source, rank""")),
+      Some(Relational.reservoirSql)),
 
     Q("q_set_ops",
       (s, d) => {

@@ -175,6 +175,18 @@ object StreamingOps extends QueryModule {
         docs.filter(col("doc_id") % 10 === 7)))
     })
 
+  /** documents staged as THREE mod-split shipments (doc_id % 3,
+    * mtime-ordered) — the crawl-drop replay the reservoir row streams. */
+  private val docModSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedDocModSplit(s: SparkSession, d: String): String =
+    docModSplitCache.computeIfAbsent(d, dir => {
+      val docs = Tables(s, dir, "documents")
+      stageOrderedParts("graft-docmod-raw", "graft-docmod-in",
+        (0 to 2).map(m => docs.filter(col("doc_id") % 3 === m)))
+    })
+
   /** events staged ONCE per data dir in EVENT-TIME ORDER (3 ts-range
     * files, ascending mtimes) plus a far-future sentinel batch (user
     * 10000001 at max ts + 20 h) — the replay shape event-time TIMERS
@@ -1068,6 +1080,34 @@ object StreamingOps extends QueryModule {
         verdicts.orderBy("vec_id")
       },
       Some(Dedup.decontamSemSql)),
+
+    // STREAMING per-group RESERVOIR in the gate: three crawl drops
+    // stream through Streams.runReservoir, the k-min-hash sample
+    // re-folded per batch — mergeability (min-k of a union = min-k of
+    // per-part min-k's) keeps the carried state at O(groups × k) rows
+    // FOREVER, asserted per batch in-row. The deterministic salt makes
+    // the maintained sample bit-identical to the batch computation:
+    // oracle shared VERBATIM with q_agg_reservoir.
+    Q("q_stream_live_reservoir",
+      (s, d) => {
+        val (st, sizes) = graft.streaming.Streams.runReservoir(
+          s, stagedDocModSplit(s, d))
+        require(sizes.size == 3,
+          s"the staged replay must deliver exactly 3 micro-batches, got ${sizes.size}")
+        val nGroups = Tables(s, d, "documents")
+          .select("source").distinct().count()
+        sizes.foreach(n => require(n <= nGroups * 3,
+          s"reservoir state must stay at O(groups x k): $n rows for $nGroups groups"))
+        val out = st.withColumn("rank", row_number().over(
+            Window.partitionBy("source").orderBy(asc("hk"), asc("doc_id")))
+            .cast("long"))
+          .select(col("source"), col("rank"), col("doc_id"))
+          .orderBy("source", "rank")
+          .localCheckpoint()
+        graft.plans.Iterate.release(st)
+        out
+      },
+      Some(Relational.reservoirSql)),
 
     // LIVE drift monitor in the gate: three event "shipments" stream
     // through Streams.runDriftMonitor and each is PSI-scored on arrival

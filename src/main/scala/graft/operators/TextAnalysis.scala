@@ -225,6 +225,43 @@ object TextAnalysis extends QueryModule {
     // on both engines. Denominators clamp at 1 (greatest) so empty docs
     // score instead of raising ANSI division errors. Pure per-row
     // projection: zero shuffles beyond the final presentation sort.
+    // ENCODING-QUALITY gate (mojibake filter): replacement-character
+    // (U+FFFD) density per document — the scan that catches a feed whose
+    // decoder already destroyed the bytes (a corrupted doc is
+    // unfilterable downstream: the damage IS the replacement chars). The
+    // testdata carries clean text, so the row STAGES its own casualties
+    // (the q_dedup_normalized recipe): every 15th doc re-enters with its
+    // 'e's decoded to U+FFFD, id-offset so both populations are scored
+    // side by side. Pure projection — scan-local at any corpus size.
+    Q("q_text_mojibake",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val staged = base.unionByName(
+          base.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              expr("replace(text, 'e', chr(65533))").as("text")))
+        staged.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            (length(col("text")) -
+              length(expr("replace(text, chr(65533), '')"))).cast("long").as("n_repl"))
+          .withColumn("repl_density",
+            round(col("n_repl") * 1.0 / greatest(col("n_chars"), lit(1L)), 6))
+          .withColumn("mojibake", col("n_repl") * 100 > col("n_chars")) // > 1%
+          .orderBy("doc_id")
+      },
+      Some("""WITH staged AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, replace(text, 'e', chr(65533))
+                FROM documents WHERE doc_id % 15 = 0)
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(text) - length(replace(text, chr(65533), ''))
+                  AS BIGINT) AS n_repl,
+                ROUND((length(text) - length(replace(text, chr(65533), '')))
+                  * 1.0 / GREATEST(length(text), 1), 6) AS repl_density,
+                (length(text) - length(replace(text, chr(65533), ''))) * 100
+                  > length(text) AS mojibake
+              FROM staged ORDER BY doc_id""")),
+
     Q("q_text_readability",
       (s, d) => docs(s, d)
         .select(col("doc_id"),

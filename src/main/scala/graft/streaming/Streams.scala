@@ -107,6 +107,40 @@ object Streams {
     else reader.parquet(path)
   }
 
+  /** STREAMING per-group RESERVOIR maintenance: the k-min-hash sample
+    * is MERGEABLE — min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — so the
+    * carried state is O(groups × k) whatever the stream's length: each
+    * micro-batch unions the carried reservoir with its own candidates
+    * and re-takes the k smallest salted hashes per group. The salt
+    * makes the "random" permutation deterministic, so the maintained
+    * sample is BIT-IDENTICAL to a batch computation over everything
+    * seen (q_agg_reservoir's oracle, shared verbatim). Returns the
+    * final (source, doc_id, hk) state and per-batch state row counts
+    * (each ≤ groups × k — asserted by the declared row). */
+  def runReservoir(spark: SparkSession, docsPath: String, k: Int = 3,
+      options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
+      : (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    var state: Option[DataFrame] = None
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = documents(spark, docsPath, options)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cand = batch.select(col("source"), col("doc_id"),
+          md5(concat(lit("rs1-"), col("doc_id"))).as("hk"))
+        val merged = state.map(_.unionByName(cand)).getOrElse(cand)
+        val w = Window.partitionBy("source").orderBy(asc("hk"), asc("doc_id"))
+        val next = merged.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn").localCheckpoint()
+        state.foreach(graft.plans.Iterate.release)
+        state = Some(next)
+        sizes += next.count(): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (state.getOrElse(spark.emptyDataFrame), sizes.toSeq)
+  }
+
   /** Live crawl-ingest dedup: fingerprint each arriving document
     * (md5 of text) and keep first-seen fingerprints — the streaming
     * front-door of the batch exact-dedup stage (`Dedup`/`q_dedup_exact`).
