@@ -44,6 +44,8 @@ object WorkerPool {
   val OpResponse: Byte = 0
   val OpIncrCounter: Byte = 1
   val OpLog: Byte = 2
+  val OpReadNext: Byte = 3 // child PULLS its next input record
+  val OpWrite: Byte = 4 // child EMITS an output record (0..n per input)
 
   final class Worker private[WorkerPool] (cmd: Seq[String]) {
     private val proc = new ProcessBuilder(cmd: _*)
@@ -114,6 +116,57 @@ object WorkerPool {
         }
       }
       resp
+    }
+
+    /** CHILD-DRIVEN record loop — the reference's READ_KEYVALUE /
+      * WRITE_KEYVALUE surface (`MessageType.java:25-32`), where the
+      * child OWNS the IO loop instead of answering one request at a
+      * time: the parent opens the exchange with one start frame, then
+      * SERVES the child — each [[WorkerPool.OpReadNext]] is answered
+      * with `[1][record]` or `[0]` at end-of-input, each
+      * [[WorkerPool.OpWrite]] surfaces through `onWrite` (a child may
+      * emit zero or many outputs per input), counters/logs interleave
+      * as usual — until the child closes the exchange with RESPONSE.
+      * One call = one barrier-delimited chunk (the SYNC analogue: a
+      * caller streams a partition as bounded chunks, each exchange a
+      * superstep, so parent-side memory is O(chunk), not O(partition)). */
+    def driveLoop(records: Iterator[Array[Byte]])(
+        onWrite: Array[Byte] => Unit,
+        onCounter: (String, Long) => Unit = (_, _) => (),
+        onLog: String => Unit = _ => ()): Array[Byte] = synchronized {
+      writeFrame(Array.emptyByteArray) // start-of-chunk
+      var resp: Array[Byte] = null
+      while (resp == null) {
+        val f = readFrame()
+        require(f.nonEmpty, s"worker (pid $pid) sent an empty opcode frame")
+        f(0) match {
+          case OpResponse => resp = java.util.Arrays.copyOfRange(f, 1, f.length)
+          case OpReadNext =>
+            if (records.hasNext) {
+              val r = records.next()
+              val buf = new Array[Byte](r.length + 1)
+              buf(0) = 1
+              System.arraycopy(r, 0, buf, 1, r.length)
+              writeFrame(buf)
+            } else writeFrame(Array[Byte](0))
+          case OpWrite => onWrite(java.util.Arrays.copyOfRange(f, 1, f.length))
+          case OpIncrCounter =>
+            require(f.length >= 9,
+              s"worker (pid $pid) sent a ${f.length}-byte INCR_COUNTER frame")
+            val delta = java.nio.ByteBuffer.wrap(f, 1, 8).getLong
+            onCounter(new String(f, 9, f.length - 9, "UTF-8"), delta)
+          case OpLog => onLog(new String(f, 1, f.length - 1, "UTF-8"))
+          case x => sys.error(
+            s"worker (pid $pid) sent unknown opcode $x — protocol desync")
+        }
+      }
+      resp
+    }
+
+    private def writeFrame(payload: Array[Byte]): Unit = {
+      toChild.write(java.nio.ByteBuffer.allocate(4).putInt(payload.length).array())
+      toChild.write(payload)
+      toChild.flush()
     }
 
     private def readFrame(): Array[Byte] = {
