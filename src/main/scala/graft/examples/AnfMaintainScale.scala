@@ -109,6 +109,41 @@ object AnfMaintainScale {
       f""""max_steady_frontier_rows":$maxFrontier,""" +
       f""""register_rows":${masks.count()},"drift":$drift,"secs":$secs%.1f}""")
     graft.plans.Iterate.release(curve)
+
+    // POINT-delta workload (the near-dup point-probe symmetry): the
+    // same base graph followed by 5 SINGLE-EDGE batches — the "one
+    // update arrives" maintenance path. Here the register-store
+    // partition pruning is visible: a one-edge frontier touches a few
+    // v-buckets, so each round's state read opens a FRACTION of the
+    // store's partitions (reported; the batch workload above touches
+    // most buckets, which is correct for its frontier sizes).
+    val pstage = GraftSession.tempDirCleanedOnExit("anfscale-pt-in").toString
+    endpoints(0L, baseEdges).coalesce(1).write.parquet(s"$scratch/pb0")
+    val pf0 = new java.io.File(s"$scratch/pb0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf0.toPath,
+      java.nio.file.Paths.get(f"$pstage/part0000.parquet"))
+    new java.io.File(f"$pstage/part0000.parquet").setLastModified(1000000L): Unit
+    for (b <- 1 to 5) {
+      endpoints(baseEdges + nBatches * deltaEdges + b,
+        baseEdges + nBatches * deltaEdges + b + 1)
+        .coalesce(1).write.parquet(s"$scratch/pb$b")
+      val f = new java.io.File(s"$scratch/pb$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(f"$pstage/part$b%04d.parquet"))
+      new java.io.File(f"$pstage/part$b%04d.parquet")
+        .setLastModified(1000000L * (b + 1)): Unit
+    }
+    val (pmasks, _, pstats) = Streams.runAnfMaintain(spark, pstage)
+    val ptRounds = pstats.drop(1).flatten
+    val meanBk = ptRounds.map(_.stateBuckets).sum.toDouble / ptRounds.size
+    val totalBk = graft.operators.Graph.anfRegBuckets
+    require(ptRounds.forall(r => r.stateBuckets >= 0 && r.stateBuckets <= totalBk))
+    println(f"""{"metric":"anf_point_delta","point_batches":5,""" +
+      f""""mean_state_buckets":$meanBk%.1f,"total_buckets":$totalBk,""" +
+      f""""mean_state_fraction":${meanBk / totalBk}%.3f,""" +
+      f""""register_rows":${pmasks.count()}}""")
     spark.stop()
   }
 }

@@ -1206,10 +1206,13 @@ object Graph extends QueryModule {
   private[graft] val anfRegBuckets = 16
 
   /** One round of a delta-frontier ANF batch: (frontier register rows,
-    * edge-join output rows) — the instrumentation AnfMaintainScale
-    * asserts on (joined rows bounded by the frontier's in-degree, not
-    * V·K or E·K). */
-  final case class AnfDeltaRound(frontierRows: Long, joinedRows: Long)
+    * edge-join output rows, register-store buckets opened for the
+    * round's state read — −1 when the base is in-memory/unpruned) —
+    * the instrumentation AnfMaintainScale asserts on (joined rows
+    * bounded by the frontier's in-degree, not V·K or E·K; state reads
+    * bounded by the frontier's buckets, not the whole store). */
+  final case class AnfDeltaRound(frontierRows: Long, joinedRows: Long,
+      stateBuckets: Long = -1L)
 
   /** DELTA-FRONTIER ANF maintenance (the reference's active-set
     * superstep contract, `GraphJobRunner.java:256-313`, applied to a
@@ -1270,10 +1273,10 @@ object Graph extends QueryModule {
       vs.select(pmod(hash(col("v")), lit(anfRegBuckets)).as("vb")).distinct()
         .collect().map(_.getInt(0)).toSeq
     // base rows for a (small) vertex set — partition-pruned to the
-    // set's buckets when the state is the file-backed store
-    def baseFor(targets: DataFrame): DataFrame = {
-      val b = if (rBuckets == 0) baseMasks
-        else baseMasks.filter(col("vb").isin(bksOf(targets): _*))
+    // set's (precomputed) buckets when the state is the file-backed store
+    def baseFor(targets: DataFrame, tBks: Seq[Int]): DataFrame = {
+      val b = if (tBks == null) baseMasks
+        else baseMasks.filter(col("vb").isin(tBks: _*))
       b.select("v", "k", "mask").join(targets, Seq("v"), "left_semi")
     }
     // fresh init rows for vertices only the delta introduces: every
@@ -1289,8 +1292,8 @@ object Graph extends QueryModule {
     // current registers of a (small) vertex set: base ∪ fresh overlaid
     // by the delta rows — a changed row carries a superset of its base
     // bits, so bit_or collapses the overlay exactly
-    def curFor(targets: DataFrame): DataFrame = {
-      val b = baseFor(targets)
+    def curFor(targets: DataFrame, tBks: Seq[Int]): DataFrame = {
+      val b = baseFor(targets, tBks)
         .unionAll(fresh.join(targets, Seq("v"), "left_semi"))
       val merged = if (delta == null) b
         else b.unionAll(delta.join(targets, Seq("v"), "left_semi"))
@@ -1304,22 +1307,24 @@ object Graph extends QueryModule {
           rel("dst") === col("fv"))
         .select(rel("src").as("v"), col("k"), col("mask")))
       val targets = nbr.select("v").distinct()
+      val tBks = if (rBuckets == 0) null else bksOf(targets)
       // pinned: referenced twice below (merge + change diff) — one
       // pruned store read per round, not two
-      val curT = pin(curFor(targets))
+      val curT = pin(curFor(targets, tBks))
       val changed = pin(curT.unionAll(nbr).groupBy("v", "k")
         .agg(expr("bit_or(mask)").as("mask")).as("n")
         .join(curT.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
         .filter(col("n.mask") =!= col("o.mask"))
         .select(col("n.v").as("v"), col("n.k").as("k"), col("n.mask").as("mask")))
-      stats += AnfDeltaRound(pushed.count(), nbr.count())
+      stats += AnfDeltaRound(pushed.count(), nbr.count(),
+        if (tBks == null) -1L else tBks.size.toLong)
       Seq(nbr, curT).foreach(Iterate.release)
       changed
     }
     // seed: round 0 pulls across the NEW edges only — the masks pushed
     // are the current registers of ΔE's destinations
     val dstT = dE.select(col("dst").as("v")).distinct()
-    val seedPush = pin(curFor(dstT))
+    val seedPush = pin(curFor(dstT, if (rBuckets == 0) null else bksOf(dstT)))
     var frontier = step(dE, seedPush)
     Iterate.release(seedPush)
     var rounds = 1

@@ -2209,6 +2209,39 @@ object Relational extends QueryModule {
       },
       Some(Relational.reservoirSql)),
 
+    // WEIGHTED reservoir (Efraimidis–Spirakis A-Res): k picks per group
+    // with inclusion probability ∝ weight (doc length here — the
+    // token-budget-aware inspection sample), as the k LARGEST keys
+    // u^(1/w) where u is a deterministic salted-hash draw in (0,1).
+    // u is integer-exact on both engines (48 hash bits < 2^53, divided
+    // by 2^48 — a power of two, so the quotient is bit-identical); the
+    // pow() key rounds at 9 before ranking (the q_sim_ivf_trained
+    // rounded-compare-layer discipline: libm vs JDK pow may differ in
+    // the last ulp, and the 1e-9 grid keeps that ~7 orders of magnitude
+    // from any rank boundary), ties to doc_id. Same WindowGroupLimit
+    // shape as the unweighted row.
+    Q("q_agg_reservoir_weighted",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(desc("key"), asc("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            expr("round(pow(CAST(conv(substring(md5(concat('wrs1-', doc_id)), 1, 12), 16, 10) AS DOUBLE) / 281474976710656.0, 1.0 / n_chars), 9)")
+              .as("key"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("rn").cast("long").as("rank"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                    round(pow(CAST(CAST('0x' || substring(md5('wrs1-' || doc_id), 1, 12) AS UBIGINT) AS DOUBLE) / 281474976710656.0, 1.0 / n_chars), 9) DESC,
+                    doc_id) AS rn
+                FROM documents) t
+              WHERE rn <= 3 ORDER BY source, rank""")),
+
     Q("q_set_ops",
       (s, d) => {
         val a = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey").as("k"))
