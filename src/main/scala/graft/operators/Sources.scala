@@ -504,7 +504,7 @@ object Sources extends QueryModule {
   private[graft] def statsChildCmd: Seq[String] =
     childJvmCmd("graft.operators.FrameStatsChild")
 
-  private def childJvmCmd(mainClass: String): Seq[String] = {
+  private[graft] def childJvmCmd(mainClass: String): Seq[String] = {
     def src(c: Class[_]): String =
       new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
     val javaBin = ProcessHandle.current().info().command()
