@@ -37,8 +37,10 @@ object AnfMaintainScale {
 
     // one parquet FILE per micro-batch, mtimes ascending so the file
     // source replays them in arrival order; endpoints are md5 draws
-    // keyed by a global edge index, so the graph is deterministic and
-    // every batch is disjoint-by-construction from the others
+    // keyed by a global edge index, so the graph is deterministic —
+    // distinct INDICES, not distinct edges: (src,dst) pairs can
+    // collide across batches, which is exactly the duplicate-tolerant
+    // contract the append-only store claims (bit_or no-ops)
     val stage = GraftSession.tempDirCleanedOnExit("anfscale-in").toString
     val scratch = GraftSession.tempDirCleanedOnExit("anfscale-raw").toString
     def endpoints(lo: Long, hi: Long) = spark.range(lo, hi)
@@ -60,13 +62,20 @@ object AnfMaintainScale {
     }
 
     val t0 = System.nanoTime()
-    val (masks, rounds, roundStats) = Streams.runAnfMaintain(spark, stage)
+    val (masks, rounds, roundStats, batchStoreFiles) =
+      Streams.runAnfMaintain(spark, stage)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val allEdges = spark.read.parquet(stage)
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val eCount = allEdges.count()
-    val maxInDeg = allEdges.groupBy("dst").count()
+    // the frontier ceiling must be the RAW store's in-degree: the
+    // maintainer's edge store is append-only and never re-distincted,
+    // so a frontier register pulls across every stored copy of an edge
+    // (md5-drawn endpoints CAN collide across batches — ~10 expected
+    // duplicate pairs at these sizes, ADVICE r12), and a distinct()-ed
+    // in-degree would make the per-round require flake
+    val maxInDeg = spark.read.parquet(stage).groupBy("dst").count()
       .agg(max("count")).head.getLong(0)
 
     // REQUIRED: every delta round's join output within the frontier's
@@ -135,15 +144,76 @@ object AnfMaintainScale {
       new java.io.File(f"$pstage/part$b%04d.parquet")
         .setLastModified(1000000L * (b + 1)): Unit
     }
-    val (pmasks, _, pstats) = Streams.runAnfMaintain(spark, pstage)
-    val ptRounds = pstats.drop(1).flatten
-    val meanBk = ptRounds.map(_.stateBuckets).sum.toDouble / ptRounds.size
-    val totalBk = graft.operators.Graph.anfRegBuckets
-    require(ptRounds.forall(r => r.stateBuckets >= 0 && r.stateBuckets <= totalBk))
-    println(f"""{"metric":"anf_point_delta","point_batches":5,""" +
-      f""""mean_state_buckets":$meanBk%.1f,"total_buckets":$totalBk,""" +
-      f""""mean_state_fraction":${meanBk / totalBk}%.3f,""" +
-      f""""register_rows":${pmasks.count()}}""")
+    // BUCKET-WIDTH AXIS (VERDICT r12 #5): the register-bucket count is
+    // a store-creation knob, not a constant — run the identical point
+    // workload at the default width and at 16× it. The frontier touches
+    // the same near-constant number of buckets either way, so the
+    // FRACTION of the store a point delta opens should shrink ~16× —
+    // the evidence that at production V the layout knob, not the code,
+    // sets the probe cost.
+    for (rBk <- Seq(graft.operators.Graph.anfRegBuckets, 256)) {
+      val (pmasks, _, pstats, _) =
+        Streams.runAnfMaintain(spark, pstage, regBuckets = rBk)
+      val ptRounds = pstats.drop(1).flatten
+      val meanBk = ptRounds.map(_.stateBuckets).sum.toDouble / ptRounds.size
+      require(ptRounds.forall(r => r.stateBuckets >= 0 && r.stateBuckets <= rBk))
+      println(f"""{"metric":"anf_point_delta","point_batches":5,""" +
+        f""""mean_state_buckets":$meanBk%.1f,"total_buckets":$rBk,""" +
+        f""""mean_state_fraction":${meanBk / rBk}%.4f,""" +
+        f""""register_rows":${pmasks.count()}}""")
+    }
+
+    // FOLD-BOUND segment (VERDICT r12 missing #2 acceptance): ≥50
+    // micro-batches against ONE store with tiered folds on — the edge
+    // store's parquet file count, measured after every batch, must stay
+    // bounded by the fold geometry (live subtrees ≤ compactEvery
+    // singles + maxFolds folds + 1, each ≤ dstBuckets files after its
+    // bucket-keyed repartition), while an unfolded store would grow one
+    // subtree per batch forever. The maintained registers must still
+    // land bit-identical to the cold fixpoint — folding is storage
+    // maintenance, never semantics.
+    val fBatches = sys.env.getOrElse("ANF_FOLD_BATCHES", "56").toInt
+    val fEvery = 8
+    val fMax = 4
+    val fstage = GraftSession.tempDirCleanedOnExit("anfscale-fold-in").toString
+    for (b <- 0 until fBatches) {
+      val off = 2 * (baseEdges + nBatches * deltaEdges) // disjoint index range
+      val lo = if (b == 0) off else off + baseEdges + (b - 1) * deltaEdges
+      val hi = if (b == 0) off + baseEdges else lo + deltaEdges
+      endpoints(lo, hi).coalesce(1).write.parquet(s"$scratch/fb$b")
+      val f = new java.io.File(s"$scratch/fb$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(f"$fstage/part$b%04d.parquet"))
+      new java.io.File(f"$fstage/part$b%04d.parquet")
+        .setLastModified(1000000L * (b + 1)): Unit
+    }
+    val fstore = GraftSession.tempDirCleanedOnExit("anfscale-fold-store").toString
+    val (fmasks, _, _, fFiles) = Streams.runAnfMaintain(spark, fstage,
+      storeDir0 = Some(fstore), compactEvery = fEvery, maxFolds = fMax)
+    require(fFiles.size == fBatches)
+    val nDb = graft.operators.Graph.anfDstBuckets
+    val fBound = (fEvery + fMax + 1).toLong * nDb
+    require(fFiles.max <= fBound,
+      s"edge-store files must stay fold-bounded: max ${fFiles.max} > $fBound")
+    val (fcold, _, _, fcurve) = graft.operators.Graph.anfSketch(
+      spark.read.option("basePath", fstore)
+        .parquet(new java.io.File(fstore).listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith("ingest_batch="))
+          .map(_.getPath).toIndexedSeq: _*)
+        .select("src", "dst"))
+    val fdrift = fmasks.as("w").join(fcold.as("c"),
+        col("w.v") === col("c.v") && col("w.k") === col("c.k"), "full")
+      .filter(col("w.mask").isNull || col("c.mask").isNull ||
+        col("w.mask") =!= col("c.mask")).count()
+    require(fdrift == 0L,
+      s"folded-store registers must equal the cold fixpoint, $fdrift differ")
+    println(f"""{"metric":"anf_fold_bound","batches":$fBatches,""" +
+      f""""compact_every":$fEvery,"max_folds":$fMax,""" +
+      f""""max_store_files":${fFiles.max},"final_store_files":${fFiles.last},""" +
+      f""""bound":$fBound,"unfolded_files_would_be":${fBatches.toLong * nDb},""" +
+      f""""drift":$fdrift}""")
+    graft.plans.Iterate.release(fcurve)
     spark.stop()
   }
 }

@@ -28,13 +28,23 @@ object Relational extends QueryModule {
     * (q_stream_live_reservoir): the k-min-hash reservoir is mergeable,
     * so the streamed final state must equal the batch computation
     * exactly. */
-  private[operators] val reservoirSql =
-    """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+  /** The reservoir's salt, k, and Spark-side salted-hash key — ONE
+    * definition referenced by q_agg_reservoir, [[reservoirSql]], and
+    * the streaming maintainer `Streams.runReservoir` (ADVICE r12): the
+    * streamed final state is contractually BIT-IDENTICAL to the batch
+    * computation, so the permutation must have exactly one spelling
+    * per engine side. */
+  private[graft] val reservoirSalt = "rs1-"
+  private[graft] val reservoirK = 3
+  private[graft] def reservoirHk: org.apache.spark.sql.Column =
+    md5(concat(lit(reservoirSalt), col("doc_id")))
+  private[graft] val reservoirSql =
+    s"""SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
          SELECT source, doc_id,
                 ROW_NUMBER() OVER (PARTITION BY source
-                  ORDER BY md5('rs1-' || doc_id), doc_id) AS rn
+                  ORDER BY md5('$reservoirSalt' || doc_id), doc_id) AS rn
          FROM documents) t
-       WHERE rn <= 3 ORDER BY source, rank"""
+       WHERE rn <= $reservoirK ORDER BY source, rank"""
 
   /** Market-basket input shared by the pair- and triple-mining rows:
     * (order, brand) baskets and the Apriori-pruned frequent-item side
@@ -2201,9 +2211,9 @@ object Relational extends QueryModule {
           .orderBy(asc("hk"), asc("doc_id"))
         Tables(s, d, "documents")
           .select(col("source"), col("doc_id"),
-            md5(concat(lit("rs1-"), col("doc_id"))).as("hk"))
+            Relational.reservoirHk.as("hk"))
           .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
+          .filter(col("rn") <= Relational.reservoirK)
           .select(col("source"), col("rn").cast("long").as("rank"), col("doc_id"))
           .orderBy("source", "rank")
       },

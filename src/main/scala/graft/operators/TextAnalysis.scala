@@ -233,17 +233,24 @@ object TextAnalysis extends QueryModule {
     // (the q_dedup_normalized recipe): every 15th doc re-enters with its
     // 'e's decoded to U+FFFD, id-offset so both populations are scored
     // side by side. Pure projection — scan-local at any corpus size.
+    // The Spark side builds U+FFFD from a Scala literal: Spark's
+    // chr(65533) is mod-256 (= 253, 'ý'), so a chr-based scan would
+    // stage and count the WRONG character and never detect real
+    // replacement-char mojibake (ADVICE r12); DuckDB's chr(65533) is
+    // the true codepoint, so the oracle keeps it.
     Q("q_text_mojibake",
       (s, d) => {
+        val repl = "\uFFFD" // U+FFFD REPLACEMENT CHARACTER
         val base = docs(s, d).select(col("doc_id"), col("text"))
         val staged = base.unionByName(
           base.filter(col("doc_id") % 15 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"),
-              expr("replace(text, 'e', chr(65533))").as("text")))
+              translate(col("text"), "e", repl).as("text")))
         staged.select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
             (length(col("text")) -
-              length(expr("replace(text, chr(65533), '')"))).cast("long").as("n_repl"))
+              length(translate(col("text"), repl, "")))
+              .cast("long").as("n_repl"))
           .withColumn("repl_density",
             round(col("n_repl") * 1.0 / greatest(col("n_chars"), lit(1L)), 6))
           .withColumn("mojibake", col("n_repl") * 100 > col("n_chars")) // > 1%

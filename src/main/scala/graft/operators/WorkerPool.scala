@@ -46,6 +46,17 @@ object WorkerPool {
   val OpLog: Byte = 2
   val OpReadNext: Byte = 3 // child PULLS its next input record
   val OpWrite: Byte = 4 // child EMITS an output record (0..n per input)
+  // PEER-MESSAGING opcodes — the reference's SEND_MSG / GET_MSG /
+  // GET_MSG_COUNT surface (`MessageType.java:26-28`) plus the peer
+  // introspection pair GET_PEER_INDEX / GET_PEER_COUNT (`:28-29`): a
+  // communicating pipes BSP program addresses output to a PEER, the
+  // engine shuffles the emissions between chunk barriers (the SYNC
+  // analogue), and the next superstep's exchange delivers them to the
+  // target peer's child.
+  val OpSendMsg: Byte = 5 // child EMITS [8B dst peer][payload] (one-way)
+  val OpGetMsg: Byte = 6 // child PULLS next inbox message ([1][msg] / [0])
+  val OpGetMsgCount: Byte = 7 // parent answers [8B remaining-inbox count]
+  val OpPeerInfo: Byte = 8 // parent answers [4B peer index][4B peer count]
 
   final class Worker private[WorkerPool] (cmd: Seq[String]) {
     private val proc = new ProcessBuilder(cmd: _*)
@@ -129,12 +140,35 @@ object WorkerPool {
       * as usual — until the child closes the exchange with RESPONSE.
       * One call = one barrier-delimited chunk (the SYNC analogue: a
       * caller streams a partition as bounded chunks, each exchange a
-      * superstep, so parent-side memory is O(chunk), not O(partition)). */
-    def driveLoop(records: Iterator[Array[Byte]])(
+      * superstep, so parent-side memory is O(chunk), not O(partition)).
+      *
+      * PEER MESSAGING (the reference's communicating-BSP surface,
+      * `MessageType.java:26-29`): `inbox` is the peer's messages from
+      * the PREVIOUS superstep — the child drains them with
+      * [[WorkerPool.OpGetMsg]] (and may size them first with
+      * [[WorkerPool.OpGetMsgCount]], Hama's `getNumCurrentMessages`);
+      * each [[WorkerPool.OpSendMsg]] the child emits surfaces through
+      * `onSend(dstPeer, payload)` — the CALLER shuffles those by
+      * destination between exchanges and feeds them to the target
+      * peer's next `inbox` (the `plans.Bsp` engine is the natural
+      * host). [[WorkerPool.OpPeerInfo]] answers `peer` — the child's
+      * (index, count) in the exchange topology, Hama's
+      * GET_PEER_INDEX / GET_PEER_COUNT. `onSend`'s default fails
+      * loudly: a child that messages peers its caller never wired is
+      * a lost message, not a no-op. */
+    def driveLoop(records: Iterator[Array[Byte]],
+        inbox: Seq[Array[Byte]] = Nil,
+        peer: (Int, Int) = (-1, -1),
+        start: Array[Byte] = Array.emptyByteArray)(
         onWrite: Array[Byte] => Unit,
         onCounter: (String, Long) => Unit = (_, _) => (),
-        onLog: String => Unit = _ => ()): Array[Byte] = synchronized {
-      writeFrame(Array.emptyByteArray) // start-of-chunk
+        onLog: String => Unit = _ => (),
+        onSend: (Long, Array[Byte]) => Unit = (dst, _) => sys.error(
+          s"child sent a peer message (dst $dst) but the caller wired no onSend")
+        ): Array[Byte] = synchronized {
+      writeFrame(start) // start-of-chunk
+      val msgs = inbox.iterator
+      var remaining = inbox.size.toLong
       var resp: Array[Byte] = null
       while (resp == null) {
         val f = readFrame()
@@ -150,6 +184,25 @@ object WorkerPool {
               writeFrame(buf)
             } else writeFrame(Array[Byte](0))
           case OpWrite => onWrite(java.util.Arrays.copyOfRange(f, 1, f.length))
+          case OpSendMsg =>
+            require(f.length >= 9,
+              s"worker (pid $pid) sent a ${f.length}-byte SEND_MSG frame")
+            onSend(java.nio.ByteBuffer.wrap(f, 1, 8).getLong,
+              java.util.Arrays.copyOfRange(f, 9, f.length))
+          case OpGetMsg =>
+            if (msgs.hasNext) {
+              val m = msgs.next()
+              remaining -= 1
+              val buf = new Array[Byte](m.length + 1)
+              buf(0) = 1
+              System.arraycopy(m, 0, buf, 1, m.length)
+              writeFrame(buf)
+            } else writeFrame(Array[Byte](0))
+          case OpGetMsgCount =>
+            writeFrame(java.nio.ByteBuffer.allocate(8).putLong(remaining).array())
+          case OpPeerInfo =>
+            writeFrame(java.nio.ByteBuffer.allocate(8)
+              .putInt(peer._1).putInt(peer._2).array())
           case OpIncrCounter =>
             require(f.length >= 9,
               s"worker (pid $pid) sent a ${f.length}-byte INCR_COUNTER frame")

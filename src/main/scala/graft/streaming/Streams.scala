@@ -117,7 +117,8 @@ object Streams {
     * seen (q_agg_reservoir's oracle, shared verbatim). Returns the
     * final (source, doc_id, hk) state and per-batch state row counts
     * (each ≤ groups × k — asserted by the declared row). */
-  def runReservoir(spark: SparkSession, docsPath: String, k: Int = 3,
+  def runReservoir(spark: SparkSession, docsPath: String,
+      k: Int = graft.operators.Relational.reservoirK,
       options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
       : (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.expressions.Window
@@ -126,8 +127,10 @@ object Streams {
     val q = documents(spark, docsPath, options)
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch contract's salted permutation, spelled ONCE
+        // (Relational.reservoirHk — ADVICE r12)
         val cand = batch.select(col("source"), col("doc_id"),
-          md5(concat(lit("rs1-"), col("doc_id"))).as("hk"))
+          graft.operators.Relational.reservoirHk.as("hk"))
         val merged = state.map(_.unionByName(cand)).getOrElse(cand)
         val w = Window.partitionBy("source").orderBy(asc("hk"), asc("doc_id"))
         val next = merged.withColumn("rn", row_number().over(w))
@@ -913,9 +916,115 @@ object Streams {
     * Returns the final registers (read off the store), each batch's
     * round count, and each batch's per-round frontier/joined row
     * counts. */
+  /** Edge-store subtrees (ingest batches + folds) under `storeDir`. */
+  private def anfEdgeDirs(storeDir: String): Seq[java.io.File] =
+    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .toSeq
+
+  /** Register-store LIVE leaf dirs: for every `vb` bucket, the NEWEST
+    * COMMITTED `commit=<id>` subtree carrying it — the reader view of
+    * the versioned bucket rewrites below. Superseded leaves are GC'd at
+    * batch end, so the listing here stays O(buckets), not O(batches). */
+  private def anfRegLeafDirs(regDir: String): Seq[java.io.File] = {
+    val root = new java.io.File(regDir)
+    val commits = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("commit="))
+      .filter(f => new java.io.File(root,
+        s"_committed_${f.getName.stripPrefix("commit=")}").exists())
+    val newest = scala.collection.mutable.Map.empty[String, (Long, java.io.File)]
+    for {
+      c <- commits
+      id = c.getName.stripPrefix("commit=").toLong
+      vb <- Option(c.listFiles()).getOrElse(Array.empty)
+      if vb.isDirectory && vb.getName.startsWith("vb=")
+      if newest.get(vb.getName).forall(_._1 < id)
+    } newest(vb.getName) = (id, vb)
+    newest.values.map(_._2).toSeq
+  }
+
+  /** The register store's committed view — (v, k, mask, vb), vb a real
+    * partition column so the delta rounds' bucket filters prune files. */
+  private[graft] def anfRegView(spark: SparkSession, regDir: String): DataFrame =
+    spark.read.option("basePath", regDir)
+      .parquet(anfRegLeafDirs(regDir).map(_.getPath): _*)
+      .select("v", "k", "mask", "vb")
+
+  /** Layout metadata pinned at store creation (the near-dup
+    * `pinSigBuckets` discipline, VERDICT r12 #5): bucket counts are a
+    * LAYOUT property of the store — a maintainer reopening the stores
+    * at a different width would write probes and partitions that
+    * silently miss each other, so reopen validates against the pin. */
+  private def pinAnfLayout(storeDir: String, dstBuckets: Int,
+      regBuckets: Int): Unit = {
+    val f = new java.io.File(storeDir, "_layout")
+    if (f.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
+      require(stored == s"db=$dstBuckets,vb=$regBuckets",
+        s"ANF store layout mismatch: store pinned '$stored', caller asked " +
+          s"'db=$dstBuckets,vb=$regBuckets' — bucket widths are fixed at creation")
+    } else
+      java.nio.file.Files.write(f.toPath,
+        s"db=$dstBuckets,vb=$regBuckets".getBytes): Unit
+  }
+
+  /** STREAMING ANF MAINTENANCE — the graph summary kept current over a
+    * live edge stream, DELTA-FRONTIER shape (VERDICT r11 #1; the
+    * reference's active-set superstep contract,
+    * `graph/.../GraphJobRunner.java:256-313`):
+    *
+    *   - the accumulated edge relation is an APPEND-ONLY parquet store:
+    *     each batch writes its OWN deduped edges as an
+    *     `ingest_batch=<id>` subtree partitioned by dst bucket
+    *     (`db = pmod(hash(dst), nB)`), and the propagation probe prunes
+    *     to the frontier's buckets (the near-dup band-store recipe);
+    *     every `compactEvery` batches the per-batch subtrees FOLD,
+    *     tiered LSM-style (`ingest_batch=-(id+1)` folds; full merge
+    *     once the fold chain passes `maxFolds`) — bounding the
+    *     per-round file listing a thousand-batch crawl would otherwise
+    *     accrue (VERDICT r12 missing #2) without rewriting the corpus
+    *     each fold;
+    *   - the REGISTER state is a VERSIONED bucket store: each batch
+    *     writes the merged content of only the buckets its upserts
+    *     touch as a fresh `commit=<batchId>` subtree (never overwriting
+    *     the files it read), then makes it visible with a
+    *     `_committed_<batchId>` marker written LAST — the TxLog
+    *     commit discipline, so a crash anywhere in the window leaves
+    *     the previous committed view intact; superseded bucket leaves
+    *     are GC'd after the marker lands, keeping the reader listing
+    *     O(buckets);
+    *   - a REPLAYED batch (foreachBatch's at-least-once contract) whose
+    *     marker exists is skipped whole; one crashed mid-window
+    *     reproduces — the edge subtree and the commit subtree both
+    *     rewrite byte-identically from the same inputs (asserted by
+    *     AnfStoreSpec's crash-window tests);
+    *   - the first non-empty batch converges cold
+    *     ([[graft.operators.Graph.anfSketch]]); every later batch runs
+    *     [[graft.operators.Graph.anfDeltaRows]] — frontier seeded from
+    *     the NEW edges' endpoints, each round joining edges only
+    *     against registers that CHANGED last round.
+    *
+    * The OR-merge's monotone unique fixpoint makes every batch's output
+    * bit-identical to a cold run on the edges seen so far; steady-state
+    * per-batch work is O(Δ · affected in-degree + changed-bucket
+    * state), not O(E) or O(V·K) — measured by examples/AnfMaintainScale.
+    * `storeDir`/`regDir` default to fresh temp dirs; passing them
+    * explicitly makes the stores inspectable and RESUMABLE (a new call
+    * over the same dirs skips committed batches and carries on — the
+    * crash-recovery path). Bucket counts are pinned into the store's
+    * `_layout` at creation and validated on reopen. Returns (final
+    * committed registers, per-batch round counts, per-batch round
+    * stats, per-batch edge-store parquet file counts measured AFTER
+    * that batch's fold — the listing-cost series the scale probe
+    * asserts stays bounded). */
   def runAnfMaintain(spark: SparkSession, edgesPath: String,
-      options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
-      : (DataFrame, Seq[Int], Seq[Seq[graft.operators.Graph.AnfDeltaRound]]) = {
+      options: Map[String, String] = Map("maxFilesPerTrigger" -> "1"),
+      storeDir0: Option[String] = None, regDir0: Option[String] = None,
+      dstBuckets: Int = graft.operators.Graph.anfDstBuckets,
+      regBuckets: Int = graft.operators.Graph.anfRegBuckets,
+      compactEvery: Int = 8, maxFolds: Int = 8)
+      : (DataFrame, Seq[Int], Seq[Seq[graft.operators.Graph.AnfDeltaRound]],
+         Seq[Long]) = {
     import org.apache.spark.sql.SaveMode
     val schema = StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType)))
@@ -924,18 +1033,40 @@ object Streams {
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(edgesPath)
-    val storeDir = graft.GraftSession
-      .tempDirCleanedOnExit("graft-anf-edgestore").toString
-    val regDir = graft.GraftSession
-      .tempDirCleanedOnExit("graft-anf-regstore").toString
-    val nB = graft.operators.Graph.anfDstBuckets
-    val rB = graft.operators.Graph.anfRegBuckets
-    var seeded = false
+    val storeDir = storeDir0.getOrElse(graft.GraftSession
+      .tempDirCleanedOnExit("graft-anf-edgestore").toString)
+    val regDir = regDir0.getOrElse(graft.GraftSession
+      .tempDirCleanedOnExit("graft-anf-regstore").toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(regDir))
+    pinAnfLayout(storeDir, dstBuckets, regBuckets)
+    val nB = dstBuckets
+    val rB = regBuckets
+    def parquetFiles(dir: java.io.File): Long = {
+      def walk(g: java.io.File): Long =
+        if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (g.getName.endsWith(".parquet")) 1L else 0L
+      walk(dir)
+    }
+    def rmTree(g: java.io.File): Unit = {
+      if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      g.delete(): Unit
+    }
+    // resume: the store already holds a committed view iff any marker
+    // exists (the restart path — committed batches will replay and skip)
+    var seeded = anfRegLeafDirs(regDir).nonEmpty
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
     val roundStats =
       scala.collection.mutable.ArrayBuffer.empty[Seq[graft.operators.Graph.AnfDeltaRound]]
+    val storeFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = src.writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(regDir, s"_committed_$batchId")
+        if (marker.exists()) { // replay of a fully-committed batch: skip
+          rounds += 0
+          roundStats += Seq.empty
+          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
+        } else {
         // Δ-side hygiene only: dedup THIS batch's edges, drop self-loops
         // (bit_or makes cross-batch duplicates harmless, so the full
         // relation is never re-distincted)
@@ -945,16 +1076,23 @@ object Streams {
         if (dE.head(1).isEmpty) {
           graft.plans.Iterate.release(dE)
           rounds += 0
-          roundStats += Seq.empty: Unit
+          roundStats += Seq.empty
+          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
         } else {
+          // per-batch subtree, Overwrite: a replayed crashed batch lands
+          // byte-identically instead of Append-doubling its edges.
+          // Repartition on the bucket key first — one file per touched
+          // bucket per subtree, not one per (bucket × writing task)
           dE.withColumn("db", pmod(hash(col("dst")), lit(nB)))
-            .write.mode(SaveMode.Append).partitionBy("db").parquet(storeDir)
+            .repartition(col("db"))
+            .write.mode(SaveMode.Overwrite).partitionBy("db")
+            .parquet(s"$storeDir/ingest_batch=$batchId")
           if (!seeded) { // cold start on the first batch's own edges
             val (m0, r, _, curve) = graft.operators.Graph.anfSketch(dE)
-            // Overwrite: tempDirCleanedOnExit pre-creates the path (and
-            // a replayed cold batch must land idempotently)
             m0.withColumn("vb", pmod(hash(col("v")), lit(rB)))
-              .write.mode(SaveMode.Overwrite).partitionBy("vb").parquet(regDir)
+              .repartition(col("vb"))
+              .write.mode(SaveMode.Overwrite).partitionBy("vb")
+              .parquet(s"$regDir/commit=$batchId")
             // pinned returns are dead once the store holds them — the
             // per-round curve included (one V×(rounds+1) checkpoint)
             Seq(m0, curve).foreach(graft.plans.Iterate.release)
@@ -962,40 +1100,101 @@ object Streams {
             rounds += r
             roundStats += Seq.empty: Unit
           } else {
-            val base = spark.read.parquet(regDir)
-            val acc = spark.read.parquet(storeDir)
-            val (up, r, st) = graft.operators.Graph.anfDeltaRows(base, acc, dE)
+            val base = anfRegView(spark, regDir)
+            val acc = spark.read.option("basePath", storeDir)
+              .parquet(anfEdgeDirs(storeDir).map(_.getPath): _*)
+              .select("src", "dst", "db")
+            val (up, r, st) = graft.operators.Graph.anfDeltaRows(base, acc, dE,
+              dstBuckets = nB, regBuckets = rB)
             if (up.head(1).nonEmpty) {
-              // rewrite ONLY the buckets the upserts land in: merge the
-              // affected buckets' survivors with the new rows,
-              // MATERIALIZE the merge before the write replaces the very
-              // files it reads, then dynamic-partition overwrite
+              // versioned bucket rewrite: merge the touched buckets'
+              // survivors with the new rows into a FRESH commit subtree
+              // — the write never replaces the files it reads, so no
+              // defensive materialization and no crash window over the
+              // committed view
               val bks = up.select(pmod(hash(col("v")), lit(rB)).as("vb"))
                 .distinct().collect().map(_.getInt(0)).toSeq
-              val merged = base.filter(col("vb").isin(bks: _*))
+              base.filter(col("vb").isin(bks: _*))
                 .select("v", "k", "mask")
                 .join(up.select("v", "k"), Seq("v", "k"), "left_anti")
                 .unionAll(up)
                 .withColumn("vb", pmod(hash(col("v")), lit(rB)))
-                .localCheckpoint()
-              merged.write.mode(SaveMode.Overwrite)
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("vb").parquet(regDir)
-              graft.plans.Iterate.release(merged)
+                .repartition(col("vb"))
+                .write.mode(SaveMode.Overwrite).partitionBy("vb")
+                .parquet(s"$regDir/commit=$batchId")
             }
             graft.plans.Iterate.release(up)
             rounds += r
             roundStats += st: Unit
           }
           graft.plans.Iterate.release(dE)
+          marker.createNewFile(): Unit // commit point: the batch is visible
+          // GC superseded register leaves (marker is down, so readers
+          // already prefer this commit's buckets); drop commit dirs
+          // left empty so the listing stays O(buckets)
+          val thisCommit = new java.io.File(regDir, s"commit=$batchId")
+          val mine = Option(thisCommit.listFiles()).getOrElse(Array.empty)
+            .filter(g => g.isDirectory && g.getName.startsWith("vb="))
+            .map(_.getName).toSet
+          for {
+            c <- Option(new java.io.File(regDir).listFiles()).getOrElse(Array.empty)
+            if c.isDirectory && c.getName.startsWith("commit=")
+            if c.getName.stripPrefix("commit=").toLong < batchId
+            vb <- Option(c.listFiles()).getOrElse(Array.empty)
+            if vb.isDirectory && mine.contains(vb.getName)
+          } rmTree(vb)
+          // an emptied commit DIR goes; its marker STAYS — the marker is
+          // also the batch's processed-record, and deleting it would
+          // make a replay recompute a fully-committed batch
+          for {
+            c <- Option(new java.io.File(regDir).listFiles()).getOrElse(Array.empty)
+            if c.isDirectory && c.getName.startsWith("commit=")
+            if !Option(c.listFiles()).getOrElse(Array.empty)
+              .exists(g => g.isDirectory && g.getName.startsWith("vb="))
+          } rmTree(c)
+          // TIERED edge-store fold (the near-dup LSM shape): normally
+          // fold only the single-batch subtrees into ONE new fold — an
+          // O(recent batches) rewrite, NOT O(corpus); once the fold
+          // chain exceeds maxFolds, merge everything (amortized
+          // O(corpus / (compactEvery × maxFolds)) per batch). distinct()
+          // here is the one place cross-batch duplicate edges retire.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            val live = anfEdgeDirs(storeDir)
+            val folds = live.filter(
+              _.getName.stripPrefix("ingest_batch=").toLong < 0)
+            val singles = live.filterNot(folds.contains)
+            val toFold =
+              if (folds.length >= maxFolds) live
+              else if (singles.length > 1) singles
+              else Seq.empty[java.io.File]
+            if (toFold.length > 1) {
+              val withData = toFold.filter(parquetFiles(_) > 0)
+              if (withData.nonEmpty) {
+                // fold ids are -(batchId+1): unique, negative, never a
+                // replayed batch's own subtree
+                spark.read.option("basePath", storeDir)
+                  .parquet(withData.map(_.getPath): _*)
+                  .select("src", "dst", "db").distinct()
+                  .repartition(col("db"))
+                  .write.mode(SaveMode.Overwrite).partitionBy("db")
+                  .parquet(s"$storeDir/ingest_batch=${-(batchId + 1)}")
+              }
+              // fold committed: drop the sources (a crash HERE leaves
+              // duplicate edges, which bit_or absorbs and the next
+              // full merge's distinct retires)
+              toFold.foreach(rmTree)
+            }
+          }
+          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
+        }
         }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     val masks =
-      if (seeded) spark.read.parquet(regDir).select("v", "k", "mask")
+      if (seeded) anfRegView(spark, regDir).select("v", "k", "mask")
       else spark.emptyDataFrame
-    (masks, rounds.toSeq, roundStats.toSeq)
+    (masks, rounds.toSeq, roundStats.toSeq, storeFiles.toSeq)
   }
 
   /** APPEND-ONLY streaming ingest with AUTO-COMPACTION — the lakehouse

@@ -62,6 +62,37 @@ class AnfDeltaSpec extends AnyFunSuite {
     Seq(c, fin, baseMasks).foreach(plans.Iterate.release)
   }
 
+  test("over-bound frontiers take the un-hinted join and stay bit-identical") {
+    // VERDICT r12 #1: the frontier broadcast is a HINT gated on the
+    // measured frontier size, never a semantic step — broadcastBound=0
+    // forces EVERY round of both the cold sketch and the delta path
+    // down the plain-shuffle join (the 100 TB plan, where the frontier
+    // can be V*K rows and a forced broadcast is a driver collect), and
+    // the fixpoints must not move by a bit
+    val base = (0L to 6L).map(i => (i, i + 1)) :+ (7L, 0L)
+    val delta = Seq((3L, 9L), (9L, 10L), (10L, 2L))
+    val fullDf = (base ++ delta).toDF("src", "dst")
+    val (hinted, hr, _, c1) = operators.Graph.anfSketch(fullDf)
+    val (plain, pr, _, c2) =
+      operators.Graph.anfSketch(fullDf, broadcastBound = 0L)
+    assert(hr === pr, "the hint must not change the round count")
+    assert(drift(hinted, plain) === 0L,
+      "cold fixpoint must be identical with the broadcast hint disabled")
+    val (baseMasks, _, _, c3) =
+      operators.Graph.anfSketch(base.toDF("src", "dst"))
+    val (finH, rH, _) = operators.Graph.anfDelta(
+      baseMasks, fullDf, delta.toDF("src", "dst"))
+    val (finP, rP, _) = operators.Graph.anfDelta(
+      baseMasks, fullDf, delta.toDF("src", "dst"), broadcastBound = 0L)
+    assert(rH === rP)
+    assert(drift(finH, finP) === 0L,
+      "delta fixpoint must be identical with the broadcast hint disabled")
+    assert(drift(finP, hinted) === 0L,
+      "un-hinted delta must still land on the grown graph's cold fixpoint")
+    Seq(c1, c2, c3, hinted, plain, baseMasks, finH, finP)
+      .foreach(plans.Iterate.release)
+  }
+
   test("self-loops and cross-batch duplicate edges in the store are no-ops") {
     // the accumulated relation is append-only and never re-distincted:
     // duplicates and self-loops must not change the fixpoint or stall

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle contract of the streaming ANF maintainer's two stores
+  * (VERDICT r12 missing #2 — the TxLog/near-dup commit discipline
+  * applied to the edge append log and the versioned register buckets):
+  * a REPLAYED committed batch is skipped whole (at-least-once delivery
+  * never doubles the stores), a batch crashed INSIDE its commit window
+  * reproduces byte-for-byte on replay (the marker is written last, so
+  * the previous committed view is never damaged), bucket widths are
+  * pinned at store creation and a mismatched reopen fails loudly, and
+  * a crashed edge fold's duplicate rows are absorbed by the bit_or
+  * merge — storage maintenance never moves the fixpoint. */
+class AnfStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Stage one parquet FILE per micro-batch, mtimes ascending. */
+  private def stage(tag: String, batches: Seq[Seq[(Long, Long)]]): String = {
+    val raw = GraftSession.tempDirCleanedOnExit(s"spec-anfstore-raw-$tag").toString
+    val dir = GraftSession.tempDirCleanedOnExit(s"spec-anfstore-in-$tag").toString
+    for ((b, i) <- batches.zipWithIndex) {
+      b.toDF("src", "dst").coalesce(1).write.parquet(s"$raw/b$i")
+      val f = new java.io.File(s"$raw/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(f"$dir/part$i%02d.parquet"))
+      new java.io.File(f"$dir/part$i%02d.parquet")
+        .setLastModified(1000000L * (i + 1)): Unit
+    }
+    dir
+  }
+
+  private def drift(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Long =
+    a.as("w").join(b.as("c"),
+        col("w.v") === col("c.v") && col("w.k") === col("c.k"), "full")
+      .filter(col("w.mask").isNull || col("c.mask").isNull ||
+        col("w.mask") =!= col("c.mask")).count()
+
+  private val batches = Seq(
+    (0L to 5L).map(i => (i, i + 1)),
+    Seq((6L, 0L), (2L, 8L)),
+    Seq((8L, 9L), (9L, 3L)))
+  /** Cold fixpoint over `bs`, curve pin released. */
+  private def cold(bs: Seq[Seq[(Long, Long)]]): org.apache.spark.sql.DataFrame = {
+    val (m, _, _, curve) = graft.operators.Graph.anfSketch(
+      bs.flatten.toDF("src", "dst"))
+    plans.Iterate.release(curve)
+    m
+  }
+
+  test("a replayed committed batch is skipped: stores never double, registers hold") {
+    val in = stage("replay", batches)
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e1").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r1").toString
+    val (m1, r1, _, f1) = streaming.Streams.runAnfMaintain(spark, in,
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    assert(r1.size === 3 && r1.head > 0)
+    val want = cold(batches)
+    assert(drift(m1, want) === 0L)
+    // second pass over the SAME stage and stores: every batch redelivers,
+    // every marker exists, so all three skip — zero recompute rounds,
+    // identical store file census, identical registers
+    val (m2, r2, _, f2) = streaming.Streams.runAnfMaintain(spark, in,
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    assert(r2 === Seq(0, 0, 0), "committed batches must be skipped on replay")
+    assert(f2.last === f1.last, "a replay must not grow the edge store")
+    assert(drift(m2, want) === 0L)
+    Seq(m1, m2, want).foreach(plans.Iterate.release)
+  }
+
+  test("crash inside the commit window: the uncommitted batch reproduces on replay") {
+    // commit batches 0 and 1 for real, then FORGE batch 2's pre-marker
+    // window exactly as a crash leaves it: a (partial) edge subtree and
+    // an unmarked register commit on disk, marker absent, GC not run
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e2").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r2").toString
+    val (m1, _, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("crash2", batches.take(2)),
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    plans.Iterate.release(m1)
+    val nDb = graft.operators.Graph.anfDstBuckets
+    val nVb = graft.operators.Graph.anfRegBuckets
+    Seq((8L, 9L)).toDF("src", "dst") // half of the batch's edges made it
+      .withColumn("db", pmod(hash(col("dst")), lit(nDb)))
+      .write.partitionBy("db").parquet(s"$store/ingest_batch=2")
+    Seq((424242L, 0, 7L)).toDF("v", "k", "mask") // sentinel half-commit
+      .withColumn("vb", pmod(hash(col("v")), lit(nVb)))
+      .write.partitionBy("vb").parquet(s"$reg/commit=2")
+    val visible = streaming.Streams.anfRegView(spark, reg)
+    assert(visible.filter(col("v") === 424242L).count() === 0L,
+      "an unmarked commit must be invisible to readers")
+    // full replay: 0 and 1 skip on their markers, 2 recomputes — its
+    // Overwrites replace both halves of the forged window
+    val (m2, r2, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("crash3", batches),
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    assert(r2.take(2) === Seq(0, 0) && r2(2) > 0,
+      s"exactly the uncommitted batch must recompute, got $r2")
+    val want = cold(batches)
+    assert(drift(m2, want) === 0L,
+      "the replayed window must land on the same fixpoint")
+    assert(streaming.Streams.anfRegView(spark, reg)
+      .filter(col("v") === 424242L).count() === 0L,
+      "the forged half-commit must be overwritten, not merged")
+    Seq(m2, want).foreach(plans.Iterate.release)
+  }
+
+  test("bucket widths are pinned at creation: a mismatched reopen fails loudly") {
+    val in = stage("pin", batches.take(1))
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e3").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r3").toString
+    val (m1, _, _, _) = streaming.Streams.runAnfMaintain(spark, in,
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    plans.Iterate.release(m1)
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.runAnfMaintain(spark, in,
+        storeDir0 = Some(store), regDir0 = Some(reg), regBuckets = 256)
+    }
+    assert(e.getMessage.contains("layout"))
+  }
+
+  test("a crashed edge fold's duplicates are absorbed: the fixpoint never moves") {
+    val in = stage("foldcrash", batches)
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e4").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r4").toString
+    val (m1, _, _, _) = streaming.Streams.runAnfMaintain(spark, in,
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    plans.Iterate.release(m1)
+    // a fold that wrote its merged subtree but crashed before dropping
+    // the sources leaves every source row duplicated — fake that window
+    // by cloning a live subtree under a fold id, then deliver one more
+    // batch through the duplicated store
+    val src = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("ingest_batch="))
+      .head
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t): Unit
+        else java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+    copyTree(src.toPath,
+      java.nio.file.Paths.get(store, "ingest_batch=-999"))
+    val extra = Seq(Seq((3L, 6L), (9L, 0L)))
+    val in2 = stage("foldcrash2", batches ++ extra)
+    val (m2, _, _, _) = streaming.Streams.runAnfMaintain(spark, in2,
+      storeDir0 = Some(store), regDir0 = Some(reg))
+    val want = cold(batches ++ extra)
+    assert(drift(m2, want) === 0L,
+      "duplicate store rows from a crashed fold must be bit_or no-ops")
+    Seq(m2, want).foreach(plans.Iterate.release)
+  }
+}

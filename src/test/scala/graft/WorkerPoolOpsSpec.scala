@@ -56,4 +56,59 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
       (n, d) => if (n == "records") pulled = d): Unit
     assert(writes === 0 && pulled === 0L)
   }
+
+  private def longRec(x: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(x).array()
+
+  test("peer messaging: SEND_MSG surfaces with its destination and stamped payload") {
+    // the compute superstep: empty inbox, so MsgSumChild sums its
+    // records and SEND_MSGs the partial to peer 0, stamped with the
+    // OpPeerInfo index the parent served
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.MsgSumChild"))
+    val sends = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    w.driveLoop(Iterator(longRec(10), longRec(32)), peer = (5, 8))(
+      _ => fail("the compute superstep writes nothing"),
+      onSend = (dst, p) => sends += ((dst, p))): Unit
+    assert(sends.size === 1)
+    val (dst, payload) = sends.head
+    assert(dst === 0L, "the partial goes to the master peer")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    assert(bb.getLong === 42L, "the partial is the record sum")
+    assert(bb.getInt === 5, "the payload carries the child's OpPeerInfo index")
+  }
+
+  test("peer messaging: GET_MSG_COUNT/GET_MSG drain the inbox; idle peers stay silent") {
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.MsgSumChild"))
+    // master's collect superstep: 3 messages from distinct stamped peers
+    def msg(v: Long, src: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(12).putLong(v).putInt(src).array()
+    var written: Array[Byte] = null
+    w.driveLoop(Iterator.empty,
+        inbox = Seq(msg(7, 1), msg(8, 2), msg(9, 1)), peer = (0, 8))(
+      r => written = r,
+      onSend = (_, _) => fail("the collect superstep sends nothing")): Unit
+    val bb = java.nio.ByteBuffer.wrap(written)
+    assert(bb.getLong === 24L, "the total is the drained-inbox sum")
+    assert(bb.getInt === 2, "distinct sender stamps are counted")
+    assert(bb.getInt === 3, "every queued message is drained")
+    // an idle peer (no inbox, no records) must neither send nor write —
+    // the exchange quiesces instead of looping
+    w.driveLoop(Iterator.empty, peer = (3, 8))(
+      _ => fail("an idle peer writes nothing"),
+      onSend = (_, _) => fail("an idle peer sends nothing")): Unit
+  }
+
+  test("peer messaging: an unwired SEND_MSG fails loudly instead of dropping the message") {
+    // a DEDICATED child (distinct argv = distinct pool entry): failing
+    // mid-exchange leaves unread frames in ITS pipe, which must not
+    // desync the child the other tests and declared rows share
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.MsgSumChild") :+ "desync-probe")
+    val e = intercept[RuntimeException] {
+      w.driveLoop(Iterator(longRec(1)), peer = (2, 4))(_ => ()): Unit
+    }
+    assert(e.getMessage.contains("onSend"))
+  }
 }
