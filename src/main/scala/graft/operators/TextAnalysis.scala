@@ -1298,6 +1298,134 @@ object TextAnalysis extends QueryModule {
             FROM ap ORDER BY doc_id"""
       }),
 
+    // TRAINER→KERNEL COMPOSITION (VERDICT r12 #4) — the production
+    // tokenizer-training dataflow in one row: train a 20-merge table
+    // with the FULL iterative loop (pick the most frequent pair, merge
+    // it everywhere, RECOUNT on the re-encoded corpus — so later rounds
+    // select pairs of already-merged supertokens, the hierarchy a
+    // static top-k ranking cannot see), then hand the DISCOVERED table
+    // to [[graft.functions.BpeKernel]] and re-encode the corpus in ONE
+    // mapPartitions pass. The kernel's priority scan provably equals
+    // applying the merges sequentially in training order — a merge
+    // never creates an occurrence of an earlier-rank pair (its output
+    // token joins with chr(30), which no earlier operand can equal,
+    // and no new plain-plain adjacency appears) — and the row REQUIRES
+    // that equality: the kernel's corpus token count must equal the
+    // unrolled chain's, or the composition is broken. Self-pairs are
+    // excluded each round (the kernel row's exactness seam: two-pass
+    // replace is canonical greedy only for t1 ≠ t2 — both engines
+    // share the filter). Per round: one pair-count hash agg, one O(1)
+    // argmax collect, one projection — each round's encoding is
+    // checkpointed so the plan stays linear, and superseded pins are
+    // released. Oracle: the same 20 rounds unrolled as MATERIALIZED
+    // CTEs (the GD-loop discipline), sharing q_text_bigram_merges'
+    // ranking ORDER BY verbatim.
+    Q("q_text_bpe_train_kernel",
+      (s, d) => {
+        import s.implicits._
+        val D = "\u001f"; val J = "\u001e"
+        val R = 20
+        val tk0 = TextExprs.toks(col("text"))
+        val ts0 = when(size(tk0) === 0, lit(null))
+          .otherwise(concat(lit(D), concat_ws(D, tk0), lit(D)))
+        val base = docs(s, d).select(col("doc_id"), ts0.as("ts"))
+          .localCheckpoint()
+        def pairCounts(enc: DataFrame): DataFrame =
+          enc.filter(col("ts").isNotNull)
+            .selectExpr(s"slice(split(ts, '$D'), 2, size(split(ts, '$D')) - 2) AS tk")
+            .filter(size(col("tk")) >= 2)
+            .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
+              "i -> named_struct('t1', tk[i], 't2', tk[i+1]))) AS p")
+            .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+            .filter(col("t1") =!= col("t2"))
+            .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        def corpusToks(enc: DataFrame): Long = enc.agg(sum(
+            when(col("ts").isNull, lit(0L)).otherwise(
+              length(col("ts")) -
+                length(call_function("replace", col("ts"), lit(D), lit(""))) - 1L)
+          )).head.getLong(0)
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var enc = base
+        for (_ <- 1 to R) {
+          val top = pairCounts(enc)
+            .orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(1)
+            .collect().head
+          val (a, b) = (top.getString(0), top.getString(1))
+          merges += ((a, b))
+          val p = lit(D + a + D + b + D); val r = lit(D + a + J + b + D)
+          val next = enc.select(col("doc_id"), call_function("replace",
+              call_function("replace", col("ts"), p, r), p, r).as("ts"))
+            .localCheckpoint()
+          if (!(enc eq base)) graft.plans.Iterate.release(enc)
+          enc = next
+        }
+        val totBefore = corpusToks(base)
+        val totChain = corpusToks(enc)
+        val nDocs = base.count()
+        graft.plans.Iterate.release(enc)
+        graft.plans.Iterate.release(base)
+        // the composition: the trained table drives the kernel encoder
+        val bm = s.sparkContext.broadcast(merges.toArray)
+        val totKernel = docs(s, d)
+          .select(col("doc_id"), TextExprs.toks(col("text")).as("tk"))
+          .as[(Long, Array[String])]
+          .mapPartitions { it =>
+            val table = new graft.functions.BpeKernel.Table(bm.value)
+            it.map { case (_, tk) =>
+              graft.functions.BpeKernel.encode(tk, table).length.toLong }
+          }
+          .toDF("n").agg(sum("n")).head.getLong(0)
+        require(totKernel == totChain,
+          s"kernel encode with the trained table must equal the sequential " +
+            s"merge chain: $totKernel != $totChain")
+        val (lA, lB) = merges.last
+        def show(t: String) = t.replace(J, "+")
+        Seq((R.toLong, totBefore, totChain, show(lA) + "+" + show(lB)))
+          .toDF("n_merges", "corpus_tokens_before", "corpus_tokens_after",
+            "last_merge")
+          .withColumn("tokens_per_doc_after",
+            round(col("corpus_tokens_after") * 1.0 / lit(nDocs), 6))
+          .withColumn("kernel_equals_unroll", lit(true))
+          .select("n_merges", "corpus_tokens_before", "corpus_tokens_after",
+            "tokens_per_doc_after", "last_merge", "kernel_equals_unroll")
+      },
+      Some {
+        val R = 20
+        def nt(src: String) =
+          s"""(SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 0 ELSE
+              length(ts) - length(replace(ts, chr(31), '')) - 1 END) AS BIGINT)
+              FROM $src)"""
+        val rounds = (1 to R).map { i =>
+          s"""bg$i AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
+               FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                     FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
+                           FROM enc${i - 1} WHERE ts IS NOT NULL) q) x
+               WHERE tk[p] <> tk[p + 1] GROUP BY 1, 2),
+             r$i AS MATERIALIZED (SELECT t1, t2 FROM bg$i
+               ORDER BY cnt DESC, t1, t2 LIMIT 1),
+             enc$i AS MATERIALIZED (SELECT doc_id, replace(replace(enc${i - 1}.ts,
+                 chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
+                 chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)),
+                 chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
+                 chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)) AS ts
+               FROM enc${i - 1} CROSS JOIN r$i)"""
+        }.mkString(",\n")
+        s"""WITH enc0 AS MATERIALIZED (SELECT doc_id,
+               CASE WHEN len(${TextExprs.toksSql("text")}) = 0 THEN NULL
+                 ELSE chr(31) || array_to_string(${TextExprs.toksSql("text")}, chr(31)) || chr(31)
+               END AS ts
+             FROM documents),
+           $rounds
+           SELECT CAST($R AS BIGINT) AS n_merges,
+             ${nt("enc0")} AS corpus_tokens_before,
+             ${nt(s"enc$R")} AS corpus_tokens_after,
+             ROUND(${nt(s"enc$R")} * 1.0 / (SELECT COUNT(*) FROM enc0), 6)
+               AS tokens_per_doc_after,
+             (SELECT replace(t1, chr(30), '+') || '+' || replace(t2, chr(30), '+')
+              FROM r$R) AS last_merge,
+             true AS kernel_equals_unroll"""
+      }),
+
     // BPE ITERATIVE TRAINING — the full trainer loop q_text_bpe_encode's
     // one-shot application sits inside: pick the most frequent pair,
     // MERGE IT EVERYWHERE, RECOUNT pairs on the re-encoded corpus (the

@@ -94,6 +94,26 @@ class BpeSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("BpeKernel: HIERARCHICAL trained tables == training-order sequential (exhaustive, n <= 7)") {
+    // the q_text_bpe_train_kernel shape: later merges reference EARLIER
+    // merges' output supertokens (operands containing chr(30)) — the
+    // table an iterative trainer actually discovers. The kernel's
+    // min-rank loop must still equal sequential application in training
+    // order: rank i's operands only exist after ranks < i apply, and a
+    // merge never creates an occurrence of an earlier-rank pair.
+    val ab = "a" + J + "b"
+    val tables = Seq(
+      Seq(("a", "b"), (ab, "c")), // (ab) then ((ab)c)
+      Seq(("a", "b"), ("c", ab)), // (ab) then (c(ab))
+      Seq(("a", "b"), (ab, ab)), // self-pair of a SUPERtoken
+      Seq(("a", "b"), (ab, "c"), (ab + J + "c", "a")), // 3-deep chain
+      Seq(("b", "c"), ("a", "b" + J + "c"), ("a" + J + "b" + J + "c", "c")))
+    for (table <- tables; n <- 0 to 7; seq <- allSeqs(Seq("a", "b", "c"), n)) {
+      val k = functions.BpeKernel.encode(seq.toArray, table.toArray).toSeq
+      assert(k === sequential(seq, table), s"kernel diverged on $seq with $table")
+    }
+  }
+
   test("BpeKernel: throughput is flat in table size (unmatched entries are free)") {
     // a large table of never-matching pairs must not slow the scan:
     // per-pair cost is one hash lookup regardless of table size
