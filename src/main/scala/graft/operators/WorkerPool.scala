@@ -57,6 +57,35 @@ object WorkerPool {
   val OpGetMsg: Byte = 6 // child PULLS next inbox message ([1][msg] / [0])
   val OpGetMsgCount: Byte = 7 // parent answers [8B remaining-inbox count]
   val OpPeerInfo: Byte = 8 // parent answers [4B peer index][4B peer count]
+  // SIDE-FILE opcodes — the reference's SEQFILE_OPEN / SEQFILE_READNEXT
+  // / SEQFILE_APPEND / SEQFILE_CLOSE (`MessageType.java:25-28` codes
+  // 25-28): a pipes child reads and writes record side files through
+  // the parent instead of touching the filesystem itself. The engine's
+  // side-file format is a flat stream of 4-byte big-endian
+  // length-prefixed records ([[readFramedRecords]] parses one back),
+  // so a child-written side file is directly loadable as a DataFrame
+  // via a binaryFile scan. Handles are per-child and close with it.
+  val OpSeqOpen: Byte = 9 // [1B mode 'r'|'w'][UTF-8 path] → [4B handle]
+  val OpSeqRead: Byte = 10 // [4B handle] → [1][record] / [0] at EOF
+  val OpSeqAppend: Byte = 11 // [4B handle][record] (one-way)
+  val OpSeqClose: Byte = 12 // [4B handle] → empty ack
+
+  /** Parse one framed side file (the SEQFILE analogue's on-disk form)
+    * back into its records — the read half of the contract, used by the
+    * declared row's Spark-side load of child-written side files. */
+  def readFramedRecords(bytes: Array[Byte]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var off = 0
+      def hasNext: Boolean = off + 4 <= bytes.length
+      def next(): Array[Byte] = {
+        val n = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+        require(n >= 0 && off + 4 + n <= bytes.length,
+          s"corrupt framed side file: record length $n at offset $off")
+        val r = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + n)
+        off += 4 + n
+        r
+      }
+    }
 
   final class Worker private[WorkerPool] (cmd: Seq[String]) {
     private val proc = new ProcessBuilder(cmd: _*)
@@ -64,6 +93,67 @@ object WorkerPool {
     private val toChild = new java.io.BufferedOutputStream(proc.getOutputStream)
     private val fromChild = new java.io.BufferedInputStream(proc.getInputStream)
     val pid: Long = proc.pid()
+
+    // SEQFILE side-file handles (the reference keeps them per task,
+    // `BinaryProtocol.java` seqFile maps): per-child, guarded by the
+    // call monitor, all closed when the worker dies
+    private var nextSeqHandle = 0
+    private val seqReaders =
+      scala.collection.mutable.Map.empty[Int, java.io.DataInputStream]
+    private val seqWriters =
+      scala.collection.mutable.Map.empty[Int, java.io.DataOutputStream]
+
+    /** serve one SEQFILE opcode frame; false if `f` is not one */
+    private def serveSeqOp(f: Array[Byte]): Boolean = f(0) match {
+      case OpSeqOpen =>
+        require(f.length >= 2, s"worker (pid $pid) sent a bare SEQFILE_OPEN")
+        val path = new String(f, 2, f.length - 2, "UTF-8")
+        val h = nextSeqHandle
+        nextSeqHandle += 1
+        f(1).toChar match {
+          case 'r' => seqReaders(h) = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+          case 'w' =>
+            Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+            seqWriters(h) = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+          case m => sys.error(s"worker (pid $pid) sent SEQFILE_OPEN mode '$m'")
+        }
+        writeFrame(java.nio.ByteBuffer.allocate(4).putInt(h).array())
+        true
+      case OpSeqRead =>
+        val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
+        val in = seqReaders.getOrElse(h,
+          sys.error(s"worker (pid $pid) read from unknown seq handle $h"))
+        val lenBytes = in.readNBytes(4)
+        if (lenBytes.length < 4) writeFrame(Array[Byte](0)) // EOF
+        else {
+          val n = java.nio.ByteBuffer.wrap(lenBytes).getInt
+          require(n >= 0 && n <= MaxFrameBytes,
+            s"corrupt side file: record length $n on handle $h")
+          val rec = in.readNBytes(n)
+          require(rec.length == n, s"truncated side file on handle $h")
+          val buf = new Array[Byte](n + 1)
+          buf(0) = 1
+          System.arraycopy(rec, 0, buf, 1, n)
+          writeFrame(buf)
+        }
+        true
+      case OpSeqAppend =>
+        val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
+        val out = seqWriters.getOrElse(h,
+          sys.error(s"worker (pid $pid) appended to unknown seq handle $h"))
+        out.writeInt(f.length - 5)
+        out.write(f, 5, f.length - 5)
+        true
+      case OpSeqClose =>
+        val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
+        seqReaders.remove(h).foreach(_.close())
+        seqWriters.remove(h).foreach(_.close())
+        writeFrame(Array.emptyByteArray) // ack: the side file is durable
+        true
+      case _ => false
+    }
 
     private[WorkerPool] def alive: Boolean = proc.isAlive
 
@@ -209,6 +299,7 @@ object WorkerPool {
             val delta = java.nio.ByteBuffer.wrap(f, 1, 8).getLong
             onCounter(new String(f, 9, f.length - 9, "UTF-8"), delta)
           case OpLog => onLog(new String(f, 1, f.length - 1, "UTF-8"))
+          case _ if serveSeqOp(f) => // SEQFILE family, answered in place
           case x => sys.error(
             s"worker (pid $pid) sent unknown opcode $x — protocol desync")
         }
@@ -240,6 +331,10 @@ object WorkerPool {
       // replaced while dead would otherwise leak its fds until GC
       try toChild.close() catch { case _: java.io.IOException => }
       try fromChild.close() catch { case _: java.io.IOException => }
+      (seqReaders.values ++ seqWriters.values).foreach { s =>
+        try s.close() catch { case _: java.io.IOException => }
+      }
+      seqReaders.clear(); seqWriters.clear()
       proc.destroy()
     }
   }

@@ -100,6 +100,35 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
       onSend = (_, _) => fail("an idle peer sends nothing")): Unit
   }
 
+  test("seqfile opcodes: append through the parent, read back, binary-safe framing") {
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.SeqSideChild"))
+    val dir = GraftSession.tempDirCleanedOnExit("spec-seqside").toString
+    val path = s"$dir/side.seq"
+    def start(phase: Char) = phase.toByte +: path.getBytes("UTF-8")
+    var wrote = 0L
+    // produce phase: the child pulls 3 records and appends their
+    // upper-cased forms to the side file through SEQFILE_APPEND
+    w.driveLoop(Iterator("ab", "cd\nef", "g").map(_.getBytes("UTF-8")),
+        start = start('w'))(
+      _ => fail("produce phase emits only to the side file"),
+      (n, d) => if (n == "records") wrote += d): Unit
+    assert(wrote === 3L)
+    // the on-disk form is the engine's framed-record format — parseable
+    // without the child, newline byte intact (a line protocol would
+    // have split record 2)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val recs = operators.WorkerPool.readFramedRecords(bytes)
+      .map(new String(_, "UTF-8")).toSeq
+    assert(recs === Seq("AB", "CD\nEF", "G"))
+    // consume phase: SEQFILE_READNEXT replays every record to the child
+    var readBack = 0L
+    w.driveLoop(Iterator.empty, start = start('r'))(
+      _ => fail("consume phase only counts"),
+      (n, d) => if (n == "side_records") readBack += d): Unit
+    assert(readBack === 3L)
+  }
+
   test("peer messaging: an unwired SEND_MSG fails loudly instead of dropping the message") {
     // a DEDICATED child (distinct argv = distinct pool entry): failing
     // mid-exchange leaves unread frames in ITS pipe, which must not
