@@ -14,35 +14,18 @@ package graft.operators
   * EOF. */
 object FrameStatsChild {
   def main(args: Array[String]): Unit = {
-    val in = new java.io.BufferedInputStream(System.in)
-    val out = new java.io.BufferedOutputStream(System.out)
-    def frame(opcode: Byte, payload: Array[Byte]): Unit = {
-      out.write(java.nio.ByteBuffer.allocate(5)
-        .putInt(payload.length + 1).put(opcode).array())
-      out.write(payload)
-    }
     var first = true
-    var hdr = in.readNBytes(4)
-    while (hdr.length == 4) {
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      val payload = in.readNBytes(n)
-      if (payload.length != n) sys.error(s"truncated frame: ${payload.length} of $n")
+    ChildProtocol.foreachFrame { (conn, payload) =>
       val bb = java.nio.ByteBuffer.wrap(payload)
       var s = 0.0
       var c = 0L
       while (bb.remaining() >= 8) { s += bb.getDouble(); c += 1 }
       if (first) {
-        frame(WorkerPool.OpLog, s"stats child up, pid ${ProcessHandle.current().pid()}"
-          .getBytes("UTF-8"))
+        conn.log(s"stats child up, pid ${ProcessHandle.current().pid()}")
         first = false
       }
-      val name = "components".getBytes("UTF-8")
-      frame(WorkerPool.OpIncrCounter,
-        java.nio.ByteBuffer.allocate(8 + name.length).putLong(c).put(name).array())
-      frame(WorkerPool.OpResponse,
-        java.nio.ByteBuffer.allocate(8).putDouble(s).array())
-      out.flush()
-      hdr = in.readNBytes(4)
+      conn.counter("components", c)
+      conn.respond(java.nio.ByteBuffer.allocate(8).putDouble(s).array())
     }
   }
 }

@@ -10,20 +10,11 @@ package graft.operators
   * user binary (C++ in the reference) a pipes deployment runs. Exits
   * cleanly on EOF. */
 object FrameSumChild {
-  def main(args: Array[String]): Unit = {
-    val in = new java.io.BufferedInputStream(System.in)
-    val out = new java.io.BufferedOutputStream(System.out)
-    var hdr = in.readNBytes(4)
-    while (hdr.length == 4) {
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      val payload = in.readNBytes(n)
-      if (payload.length != n) sys.error(s"truncated frame: ${payload.length} of $n")
+  def main(args: Array[String]): Unit =
+    ChildProtocol.foreachFrame { (conn, payload) =>
       val bb = java.nio.ByteBuffer.wrap(payload)
       var s = 0.0
       while (bb.remaining() >= 8) s += bb.getDouble()
-      out.write(java.nio.ByteBuffer.allocate(12).putInt(8).putDouble(s).array())
-      out.flush()
-      hdr = in.readNBytes(4)
+      conn.sendRaw(java.nio.ByteBuffer.allocate(8).putDouble(s).array())
     }
-  }
 }

@@ -22,67 +22,42 @@ package graft.operators
   * Every exchange closes with an empty RESPONSE. Exits cleanly on EOF.
   */
 object MsgSumChild {
-  def main(args: Array[String]): Unit = {
-    val in = new java.io.BufferedInputStream(System.in)
-    val out = new java.io.BufferedOutputStream(System.out)
-    def send(opcode: Byte, payload: Array[Byte]): Unit = {
-      out.write(java.nio.ByteBuffer.allocate(5)
-        .putInt(payload.length + 1).put(opcode).array())
-      out.write(payload)
-      out.flush()
-    }
-    def recv(): Array[Byte] = {
-      val hdr = in.readNBytes(4)
-      if (hdr.length < 4) sys.exit(0) // parent closed mid-protocol
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      val p = in.readNBytes(n)
-      if (p.length != n) sys.error(s"truncated frame: ${p.length} of $n")
-      p
-    }
-    def ask(opcode: Byte): Array[Byte] = {
-      send(opcode, Array.emptyByteArray); recv()
-    }
-    var hdr = in.readNBytes(4)
-    while (hdr.length == 4) { // each parent frame opens one superstep
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      in.readNBytes(n): Unit // start-of-chunk payload (unused)
-      val info = java.nio.ByteBuffer.wrap(ask(WorkerPool.OpPeerInfo))
+  def main(args: Array[String]): Unit =
+    ChildProtocol.foreachFrame { (conn, _) => // each parent frame = one superstep
+      val info = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpPeerInfo))
       val myIdx = info.getInt
       info.getInt: Unit // peer count — available, unused by this program
-      val inboxN = java.nio.ByteBuffer.wrap(ask(WorkerPool.OpGetMsgCount)).getLong
+      val inboxN =
+        java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpGetMsgCount)).getLong
       if (inboxN == 0L) { // compute superstep: sum records, send to master
         var local = 0L
         var read = 0L
         var done = false
-        while (!done) {
-          val reply = ask(WorkerPool.OpReadNext)
-          if (reply.nonEmpty && reply(0) == 1) {
-            local += java.nio.ByteBuffer.wrap(reply, 1, 8).getLong
+        while (!done) conn.readNext() match {
+          case Some(rec) =>
+            local += java.nio.ByteBuffer.wrap(rec).getLong
             read += 1
-          } else done = true
+          case None => done = true
         }
         if (read > 0) // idle peers stay silent, so the exchange quiesces
-          send(WorkerPool.OpSendMsg, java.nio.ByteBuffer.allocate(20)
+          conn.send(WorkerPool.OpSendMsg, java.nio.ByteBuffer.allocate(20)
             .putLong(0L).putLong(local).putInt(myIdx).array())
       } else { // collect superstep: drain the inbox, write the total
         var total = 0L
         var got = 0L
         val senders = scala.collection.mutable.Set.empty[Int]
         var done = false
-        while (!done) {
-          val reply = ask(WorkerPool.OpGetMsg)
-          if (reply.nonEmpty && reply(0) == 1) {
-            val bb = java.nio.ByteBuffer.wrap(reply, 1, reply.length - 1)
+        while (!done) conn.getMsg() match {
+          case Some(msg) =>
+            val bb = java.nio.ByteBuffer.wrap(msg)
             total += bb.getLong
             senders += bb.getInt
             got += 1
-          } else done = true
+          case None => done = true
         }
-        send(WorkerPool.OpWrite, java.nio.ByteBuffer.allocate(16)
+        conn.send(WorkerPool.OpWrite, java.nio.ByteBuffer.allocate(16)
           .putLong(total).putInt(senders.size).putInt(got.toInt).array())
       }
-      send(WorkerPool.OpResponse, Array.emptyByteArray)
-      hdr = in.readNBytes(4)
+      conn.respond()
     }
-  }
 }

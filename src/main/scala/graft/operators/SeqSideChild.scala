@@ -16,81 +16,48 @@ package graft.operators
   *     credit the "side_records" counter and RESPOND.
   * Exits cleanly on EOF. */
 object SeqSideChild {
-  def main(args: Array[String]): Unit = {
-    val in = new java.io.BufferedInputStream(System.in)
-    val out = new java.io.BufferedOutputStream(System.out)
-    def send(opcode: Byte, payload: Array[Byte]): Unit = {
-      out.write(java.nio.ByteBuffer.allocate(5)
-        .putInt(payload.length + 1).put(opcode).array())
-      out.write(payload)
-      out.flush()
-    }
-    def recv(): Array[Byte] = {
-      val hdr = in.readNBytes(4)
-      if (hdr.length < 4) sys.exit(0) // parent closed mid-protocol
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      val p = in.readNBytes(n)
-      if (p.length != n) sys.error(s"truncated frame: ${p.length} of $n")
-      p
-    }
-    def counter(name: String, delta: Long): Unit = {
-      val nb = name.getBytes("UTF-8")
-      send(WorkerPool.OpIncrCounter,
-        java.nio.ByteBuffer.allocate(8 + nb.length).putLong(delta).put(nb).array())
-    }
-    var hdr = in.readNBytes(4)
-    while (hdr.length == 4) { // each parent frame opens one superstep
-      val n = java.nio.ByteBuffer.wrap(hdr).getInt
-      val start = in.readNBytes(n)
-      require(start.length == n && n >= 2, s"bad start frame ($n bytes)")
+  def main(args: Array[String]): Unit =
+    ChildProtocol.foreachFrame { (conn, start) => // one superstep per frame
+      require(start.length >= 2, s"bad start frame (${start.length} bytes)")
       val phase = start(0).toChar
       val path = java.util.Arrays.copyOfRange(start, 1, start.length)
       def seqOpen(mode: Char): Int = {
         val p = new Array[Byte](path.length + 1)
         p(0) = mode.toByte
         System.arraycopy(path, 0, p, 1, path.length)
-        send(WorkerPool.OpSeqOpen, p)
-        java.nio.ByteBuffer.wrap(recv()).getInt
+        java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpSeqOpen, p)).getInt
       }
-      def seqClose(h: Int): Unit = {
-        send(WorkerPool.OpSeqClose,
-          java.nio.ByteBuffer.allocate(4).putInt(h).array())
-        recv(): Unit // durability ack
-      }
-      val hb = (h: Int) => java.nio.ByteBuffer.allocate(4).putInt(h).array()
+      def hb(h: Int) = java.nio.ByteBuffer.allocate(4).putInt(h).array()
+      def seqClose(h: Int): Unit =
+        conn.ask(WorkerPool.OpSeqClose, hb(h)): Unit // durability ack
       if (phase == 'w') {
         val h = seqOpen('w')
         var records = 0L
         var done = false
-        while (!done) {
-          send(WorkerPool.OpReadNext, Array.emptyByteArray)
-          val reply = recv()
-          if (reply.nonEmpty && reply(0) == 1) {
+        while (!done) conn.readNext() match {
+          case Some(rec0) =>
             records += 1
-            val rec = new String(reply, 1, reply.length - 1, "UTF-8")
+            val rec = new String(rec0, "UTF-8")
               .toUpperCase(java.util.Locale.ROOT).getBytes("UTF-8")
             val p = new Array[Byte](rec.length + 4)
             System.arraycopy(hb(h), 0, p, 0, 4)
             System.arraycopy(rec, 0, p, 4, rec.length)
-            send(WorkerPool.OpSeqAppend, p)
-          } else done = true
+            conn.send(WorkerPool.OpSeqAppend, p)
+          case None => done = true
         }
         seqClose(h)
-        counter("records", records)
+        conn.counter("records", records)
       } else { // 'r': consume the side file back through the parent
         val h = seqOpen('r')
         var records = 0L
         var done = false
         while (!done) {
-          send(WorkerPool.OpSeqRead, hb(h))
-          val reply = recv()
+          val reply = conn.ask(WorkerPool.OpSeqRead, hb(h))
           if (reply.nonEmpty && reply(0) == 1) records += 1 else done = true
         }
         seqClose(h)
-        counter("side_records", records)
+        conn.counter("side_records", records)
       }
-      send(WorkerPool.OpResponse, Array.emptyByteArray)
-      hdr = in.readNBytes(4)
+      conn.respond()
     }
-  }
 }

@@ -562,9 +562,14 @@ object Sources extends QueryModule {
         val sp = sendParts.value.asScala.toSet
         require(sp.map(_._1).size == nPeers,
           s"every peer must have sent its partial, saw ${sp.map(_._1).size}")
-        require(sp.map(_._2).size >= 2,
-          s"the exchange must cross shuffle partitions, " +
-            s"saw ${sp.map(_._2).size} distinct partition ids")
+        // gated on the session's parallelism: a local[1] engine runs all
+        // peers in one partition, which is legal — the cross-partition
+        // claim is only checkable when partitions exist to cross
+        // (review r13 #3)
+        if (s.sparkContext.defaultParallelism > 1)
+          require(sp.map(_._2).size >= 2,
+            s"the exchange must cross shuffle partitions, " +
+              s"saw ${sp.map(_._2).size} distinct partition ids")
         val (mTotal, mSenders, mMsgs) = masterStats.value.asScala.toMap.apply(0L)
         require(mSenders == nPeers && mMsgs == nPeers,
           s"master must have drained $nPeers messages with $nPeers distinct " +

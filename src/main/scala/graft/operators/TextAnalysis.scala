@@ -50,6 +50,103 @@ object TextAnalysis extends QueryModule {
 
   private val lexiconSql = lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
+  /** Shared BPE TRAINER machinery — ONE definition for the 2-round
+    * dashboard row (q_text_bpe_train) and the 20-round kernel
+    * composition row (q_text_bpe_train_kernel), both sides of the
+    * engine (review r13 #6: two diverging trainer copies would let the
+    * rows' loops silently drift). The chr(31)/chr(30) string algebra is
+    * q_text_bpe_encode's: tokens join on chr(31), a merge is a two-pass
+    * delimiter replace (exact canonical greedy for t1 ≠ t2), merged
+    * tokens join with chr(30) so they can never re-match a pattern. */
+  private object BpeTrain {
+    val D = "\u001f"
+    val J = "\u001e"
+
+    /** chr(31)-joined token string per doc (NULL for empty docs). */
+    def ts0: org.apache.spark.sql.Column = {
+      val tk0 = TextExprs.toks(col("text"))
+      when(size(tk0) === 0, lit(null))
+        .otherwise(concat(lit(D), concat_ws(D, tk0), lit(D)))
+    }
+
+    /** adjacent-pair counts over the current encoding; `excludeSelf`
+      * keeps the two-pass replace in its exact-greedy regime (the
+      * kernel row's seam — the dashboard row keeps self-pairs, the
+      * reference trainer behavior). */
+    def pairCounts(enc: DataFrame, excludeSelf: Boolean): DataFrame = {
+      val bg = enc.filter(col("ts").isNotNull)
+        .selectExpr(s"slice(split(ts, '$D'), 2, size(split(ts, '$D')) - 2) AS tk")
+        .filter(size(col("tk")) >= 2)
+        .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
+          "i -> named_struct('t1', tk[i], 't2', tk[i+1]))) AS p")
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      (if (excludeSelf) bg.filter(col("t1") =!= col("t2")) else bg)
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+    }
+
+    /** the round's argmax (full total-order tie-break), failing LOUDLY
+      * when the corpus runs out of mergeable pairs (review r13 #4 — an
+      * unguarded head would throw NoSuchElementException and the oracle
+      * would fail differently). */
+    def top1(pc: DataFrame, round: Int): (String, String, Long) = {
+      val rows = pc.orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(1).collect()
+      require(rows.nonEmpty,
+        s"BPE trainer: no mergeable pair left at round $round — " +
+          "the corpus is exhausted, lower the merge count")
+      (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2))
+    }
+
+    def applyMerge(enc: DataFrame, t1: String, t2: String): DataFrame = {
+      val p = lit(D + t1 + D + t2 + D)
+      val r = lit(D + t1 + J + t2 + D)
+      enc.select(col("doc_id"), call_function("replace",
+        call_function("replace", col("ts"), p, r), p, r).as("ts"))
+    }
+
+    def corpusToks(enc: DataFrame): Long = enc.agg(sum(
+        when(col("ts").isNull, lit(0L)).otherwise(
+          length(col("ts")) -
+            length(call_function("replace", col("ts"), lit(D), lit(""))) - 1L)
+      )).head.getLong(0)
+
+    // ---- the DuckDB side of the same loop, one CTE template ----
+
+    /** the corpus encoding CTE (round 0). */
+    val baseSql: String =
+      s"""enc0 AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN len(${TextExprs.toksSql("text")}) = 0 THEN NULL
+             ELSE chr(31) || array_to_string(${TextExprs.toksSql("text")}, chr(31)) || chr(31)
+           END AS ts
+         FROM documents)"""
+
+    /** one training round: recount on enc(i-1), pick the argmax, apply
+      * the two-pass replace. r/enc are MATERIALIZED — each is referenced
+      * several times and DuckDB would otherwise re-inline the chain
+      * exponentially. */
+    def roundSql(i: Int, excludeSelf: Boolean): String = {
+      val selfF = if (excludeSelf) "WHERE tk[p] <> tk[p + 1]" else ""
+      s"""bg$i AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
+           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
+                 FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
+                       FROM enc${i - 1} WHERE ts IS NOT NULL) q) x
+           $selfF GROUP BY 1, 2),
+         r$i AS MATERIALIZED (SELECT t1, t2, cnt FROM bg$i
+           ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         enc$i AS MATERIALIZED (SELECT doc_id, replace(replace(enc${i - 1}.ts,
+             chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
+             chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)),
+             chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
+             chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)) AS ts
+           FROM enc${i - 1} CROSS JOIN r$i)"""
+    }
+
+    /** corpus token total of one encoding CTE. */
+    def ntSql(src: String): String =
+      s"""(SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 0 ELSE
+          length(ts) - length(replace(ts, chr(31), '')) - 1 END) AS BIGINT)
+          FROM $src)"""
+  }
+
   override val defs: Seq[Q] = Seq(
 
     // HEAVY HITTERS (vocabulary head) via Misra-Gries sketch + exact
@@ -1323,44 +1420,21 @@ object TextAnalysis extends QueryModule {
     Q("q_text_bpe_train_kernel",
       (s, d) => {
         import s.implicits._
-        val D = "\u001f"; val J = "\u001e"
         val R = 20
-        val tk0 = TextExprs.toks(col("text"))
-        val ts0 = when(size(tk0) === 0, lit(null))
-          .otherwise(concat(lit(D), concat_ws(D, tk0), lit(D)))
-        val base = docs(s, d).select(col("doc_id"), ts0.as("ts"))
+        val base = docs(s, d).select(col("doc_id"), BpeTrain.ts0.as("ts"))
           .localCheckpoint()
-        def pairCounts(enc: DataFrame): DataFrame =
-          enc.filter(col("ts").isNotNull)
-            .selectExpr(s"slice(split(ts, '$D'), 2, size(split(ts, '$D')) - 2) AS tk")
-            .filter(size(col("tk")) >= 2)
-            .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
-              "i -> named_struct('t1', tk[i], 't2', tk[i+1]))) AS p")
-            .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-            .filter(col("t1") =!= col("t2"))
-            .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
-        def corpusToks(enc: DataFrame): Long = enc.agg(sum(
-            when(col("ts").isNull, lit(0L)).otherwise(
-              length(col("ts")) -
-                length(call_function("replace", col("ts"), lit(D), lit(""))) - 1L)
-          )).head.getLong(0)
         val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var enc = base
-        for (_ <- 1 to R) {
-          val top = pairCounts(enc)
-            .orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(1)
-            .collect().head
-          val (a, b) = (top.getString(0), top.getString(1))
+        for (i <- 1 to R) {
+          val (a, b, _) =
+            BpeTrain.top1(BpeTrain.pairCounts(enc, excludeSelf = true), i)
           merges += ((a, b))
-          val p = lit(D + a + D + b + D); val r = lit(D + a + J + b + D)
-          val next = enc.select(col("doc_id"), call_function("replace",
-              call_function("replace", col("ts"), p, r), p, r).as("ts"))
-            .localCheckpoint()
+          val next = BpeTrain.applyMerge(enc, a, b).localCheckpoint()
           if (!(enc eq base)) graft.plans.Iterate.release(enc)
           enc = next
         }
-        val totBefore = corpusToks(base)
-        val totChain = corpusToks(enc)
+        val totBefore = BpeTrain.corpusToks(base)
+        val totChain = BpeTrain.corpusToks(enc)
         val nDocs = base.count()
         graft.plans.Iterate.release(enc)
         graft.plans.Iterate.release(base)
@@ -1379,7 +1453,7 @@ object TextAnalysis extends QueryModule {
           s"kernel encode with the trained table must equal the sequential " +
             s"merge chain: $totKernel != $totChain")
         val (lA, lB) = merges.last
-        def show(t: String) = t.replace(J, "+")
+        def show(t: String) = t.replace(BpeTrain.J, "+")
         Seq((R.toLong, totBefore, totChain, show(lA) + "+" + show(lB)))
           .toDF("n_merges", "corpus_tokens_before", "corpus_tokens_after",
             "last_merge")
@@ -1391,36 +1465,15 @@ object TextAnalysis extends QueryModule {
       },
       Some {
         val R = 20
-        def nt(src: String) =
-          s"""(SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 0 ELSE
-              length(ts) - length(replace(ts, chr(31), '')) - 1 END) AS BIGINT)
-              FROM $src)"""
-        val rounds = (1 to R).map { i =>
-          s"""bg$i AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
-               FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                     FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
-                           FROM enc${i - 1} WHERE ts IS NOT NULL) q) x
-               WHERE tk[p] <> tk[p + 1] GROUP BY 1, 2),
-             r$i AS MATERIALIZED (SELECT t1, t2 FROM bg$i
-               ORDER BY cnt DESC, t1, t2 LIMIT 1),
-             enc$i AS MATERIALIZED (SELECT doc_id, replace(replace(enc${i - 1}.ts,
-                 chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
-                 chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)),
-                 chr(31)||r$i.t1||chr(31)||r$i.t2||chr(31),
-                 chr(31)||r$i.t1||chr(30)||r$i.t2||chr(31)) AS ts
-               FROM enc${i - 1} CROSS JOIN r$i)"""
-        }.mkString(",\n")
-        s"""WITH enc0 AS MATERIALIZED (SELECT doc_id,
-               CASE WHEN len(${TextExprs.toksSql("text")}) = 0 THEN NULL
-                 ELSE chr(31) || array_to_string(${TextExprs.toksSql("text")}, chr(31)) || chr(31)
-               END AS ts
-             FROM documents),
+        val rounds =
+          (1 to R).map(BpeTrain.roundSql(_, excludeSelf = true)).mkString(",\n")
+        s"""WITH ${BpeTrain.baseSql},
            $rounds
            SELECT CAST($R AS BIGINT) AS n_merges,
-             ${nt("enc0")} AS corpus_tokens_before,
-             ${nt(s"enc$R")} AS corpus_tokens_after,
-             ROUND(${nt(s"enc$R")} * 1.0 / (SELECT COUNT(*) FROM enc0), 6)
-               AS tokens_per_doc_after,
+             ${BpeTrain.ntSql("enc0")} AS corpus_tokens_before,
+             ${BpeTrain.ntSql(s"enc$R")} AS corpus_tokens_after,
+             ROUND(${BpeTrain.ntSql(s"enc$R")} * 1.0
+               / (SELECT COUNT(*) FROM enc0), 6) AS tokens_per_doc_after,
              (SELECT replace(t1, chr(30), '+') || '+' || replace(t2, chr(30), '+')
               FROM r$R) AS last_merge,
              true AS kernel_equals_unroll"""
@@ -1441,94 +1494,36 @@ object TextAnalysis extends QueryModule {
     // the numbers a tokenizer-training dashboard plots.
     Q("q_text_bpe_train",
       (s, d) => {
-        val D = "\u001f"; val J = "\u001e"
-        val tk0 = TextExprs.toks(col("text"))
-        val ts0 = when(size(tk0) === 0, lit(null))
-          .otherwise(concat(lit(D), concat_ws(D, tk0), lit(D)))
-        val base = docs(s, d).select(col("doc_id"), ts0.as("ts"))
+        val base = docs(s, d).select(col("doc_id"), BpeTrain.ts0.as("ts"))
           .localCheckpoint()
-        def pairCounts(enc: DataFrame): DataFrame =
-          enc.filter(col("ts").isNotNull)
-            .selectExpr(s"slice(split(ts, '$D'), 2, size(split(ts, '$D')) - 2) AS tk")
-            .filter(size(col("tk")) >= 2)
-            .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
-              "i -> named_struct('t1', tk[i], 't2', tk[i+1]))) AS p")
-            .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-            .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
-        def top1(pc: DataFrame): (String, String, Long) = {
-          val r = pc.orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(1)
-            .collect().head
-          (r.getString(0), r.getString(1), r.getLong(2))
-        }
-        def applyMerge(enc: DataFrame, t1: String, t2: String): DataFrame = {
-          val p = lit(D + t1 + D + t2 + D); val r = lit(D + t1 + J + t2 + D)
-          enc.select(col("doc_id"), call_function("replace",
-            call_function("replace", col("ts"), p, r), p, r).as("ts"))
-        }
-        def corpusToks(enc: DataFrame): Long = enc.agg(sum(
-            when(col("ts").isNull, lit(0L)).otherwise(
-              length(col("ts")) -
-                length(call_function("replace", col("ts"), lit(D), lit(""))) - 1L)
-          )).head.getLong(0)
-        val (a1, b1, c1) = top1(pairCounts(base))
-        val enc1 = applyMerge(base, a1, b1).localCheckpoint()
-        val n1 = corpusToks(enc1)
-        val (a2, b2, c2) = top1(pairCounts(enc1))
-        val n2 = corpusToks(applyMerge(enc1, a2, b2))
-        def show(t: String) = t.replace(J, "+")
+        val (a1, b1, c1) =
+          BpeTrain.top1(BpeTrain.pairCounts(base, excludeSelf = false), 1)
+        val enc1 = BpeTrain.applyMerge(base, a1, b1).localCheckpoint()
+        val n1 = BpeTrain.corpusToks(enc1)
+        val (a2, b2, c2) =
+          BpeTrain.top1(BpeTrain.pairCounts(enc1, excludeSelf = false), 2)
+        val n2 = BpeTrain.corpusToks(BpeTrain.applyMerge(enc1, a2, b2))
+        def show(t: String) = t.replace(BpeTrain.J, "+")
         import s.implicits._
         Seq((1L, show(a1) + "+" + show(b1), c1, n1),
             (2L, show(a2) + "+" + show(b2), c2, n2))
           .toDF("round", "pair", "cnt", "corpus_tokens_after")
           .orderBy("round")
       },
-      Some(s"""WITH base AS (SELECT doc_id,
-                   CASE WHEN len(${TextExprs.toksSql("text")}) = 0 THEN NULL
-                     ELSE chr(31) || array_to_string(${TextExprs.toksSql("text")}, chr(31)) || chr(31)
-                   END AS ts
-                 FROM documents),
-               bg1 AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
-                 FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                       FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
-                             FROM base WHERE ts IS NOT NULL) q) x
-                 GROUP BY 1, 2),
-               r1 AS (SELECT t1, t2, cnt FROM bg1
-                      ORDER BY cnt DESC, t1, t2 LIMIT 1),
-               enc1 AS (SELECT doc_id, replace(replace(ts,
-                     chr(31)||r1.t1||chr(31)||r1.t2||chr(31),
-                     chr(31)||r1.t1||chr(30)||r1.t2||chr(31)),
-                     chr(31)||r1.t1||chr(31)||r1.t2||chr(31),
-                     chr(31)||r1.t1||chr(30)||r1.t2||chr(31)) AS ts
-                 FROM base CROSS JOIN r1),
-               bg2 AS (SELECT tk[p] AS t1, tk[p + 1] AS t2, COUNT(*) AS cnt
-                 FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS p
-                       FROM (SELECT string_split(ts, chr(31))[2:-2] AS tk
-                             FROM enc1 WHERE ts IS NOT NULL) q) x
-                 GROUP BY 1, 2),
-               r2 AS (SELECT t1, t2, cnt FROM bg2
-                      ORDER BY cnt DESC, t1, t2 LIMIT 1),
-               enc2 AS (SELECT doc_id, replace(replace(enc1.ts,
-                     chr(31)||r2.t1||chr(31)||r2.t2||chr(31),
-                     chr(31)||r2.t1||chr(30)||r2.t2||chr(31)),
-                     chr(31)||r2.t1||chr(31)||r2.t2||chr(31),
-                     chr(31)||r2.t1||chr(30)||r2.t2||chr(31)) AS ts
-                 FROM enc1 CROSS JOIN r2),
-               nt AS (SELECT
-                   (SELECT SUM(CASE WHEN ts IS NULL THEN 0 ELSE
-                      length(ts) - length(replace(ts, chr(31), '')) - 1 END) FROM enc1) AS n1,
-                   (SELECT SUM(CASE WHEN ts IS NULL THEN 0 ELSE
-                      length(ts) - length(replace(ts, chr(31), '')) - 1 END) FROM enc2) AS n2)
+      Some(s"""WITH ${BpeTrain.baseSql},
+               ${BpeTrain.roundSql(1, excludeSelf = false)},
+               ${BpeTrain.roundSql(2, excludeSelf = false)}
                SELECT * FROM (
                  SELECT CAST(1 AS BIGINT) AS round,
                    replace(r1.t1, chr(30), '+') || '+' || replace(r1.t2, chr(30), '+') AS pair,
                    CAST(r1.cnt AS BIGINT) AS cnt,
-                   CAST(nt.n1 AS BIGINT) AS corpus_tokens_after
-                 FROM r1 CROSS JOIN nt
+                   ${BpeTrain.ntSql("enc1")} AS corpus_tokens_after
+                 FROM r1
                  UNION ALL
                  SELECT CAST(2 AS BIGINT),
                    replace(r2.t1, chr(30), '+') || '+' || replace(r2.t2, chr(30), '+'),
-                   CAST(r2.cnt AS BIGINT), CAST(nt.n2 AS BIGINT)
-                 FROM r2 CROSS JOIN nt) z
+                   CAST(r2.cnt AS BIGINT), ${BpeTrain.ntSql("enc2")}
+                 FROM r2) z
                ORDER BY round""")),
 
     // Interpolated BIGRAM-LM perplexity — the step up from the unigram

@@ -122,6 +122,7 @@ object WorkerPool {
         writeFrame(java.nio.ByteBuffer.allocate(4).putInt(h).array())
         true
       case OpSeqRead =>
+        require(f.length >= 5, s"worker (pid $pid) sent a bare SEQFILE_READNEXT")
         val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
         val in = seqReaders.getOrElse(h,
           sys.error(s"worker (pid $pid) read from unknown seq handle $h"))
@@ -140,6 +141,9 @@ object WorkerPool {
         }
         true
       case OpSeqAppend =>
+        // validate BEFORE touching the file: a malformed frame must fail
+        // the exchange, never poison the side file with a bad header
+        require(f.length >= 5, s"worker (pid $pid) sent a bare SEQFILE_APPEND")
         val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
         val out = seqWriters.getOrElse(h,
           sys.error(s"worker (pid $pid) appended to unknown seq handle $h"))
@@ -147,6 +151,7 @@ object WorkerPool {
         out.write(f, 5, f.length - 5)
         true
       case OpSeqClose =>
+        require(f.length >= 5, s"worker (pid $pid) sent a bare SEQFILE_CLOSE")
         val h = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
         seqReaders.remove(h).foreach(_.close())
         seqWriters.remove(h).foreach(_.close())
@@ -155,12 +160,26 @@ object WorkerPool {
       case _ => false
     }
 
-    private[WorkerPool] def alive: Boolean = proc.isAlive
+    // destroy() is asynchronous (SIGTERM) — a pool lookup racing the
+    // kill could still see isAlive and hand out the poisoned child, so
+    // brokenness is tracked explicitly
+    @volatile private var broken = false
+    private[WorkerPool] def alive: Boolean = !broken && proc.isAlive
+
+    /** An exchange that dies mid-protocol (a require, a callback
+      * throwing, an unwired onSend) leaves unread frames in the pipe of
+      * a child that is still ALIVE — and `get` only respawns dead
+      * workers, so the failed task's RETRY would silently consume the
+      * aborted exchange's stale frames instead of its own. Any abnormal
+      * exit therefore kills the child: the retry acquires a respawned
+      * one and a clean protocol (review r13 #1). */
+    private def orDestroy[T](body: => T): T =
+      try body catch { case e: Throwable => destroy(); throw e }
 
     /** one request line → one response line; synchronized because every
       * task on this executor shares the single child (the per-peer
       * contract — see the scale-posture note above) */
-    def call(line: String): String = synchronized {
+    def call(line: String): String = synchronized { orDestroy {
       toChild.write(line.getBytes("UTF-8"))
       toChild.write('\n'); toChild.flush()
       val buf = new java.io.ByteArrayOutputStream(64)
@@ -170,17 +189,17 @@ object WorkerPool {
           " — the failed task's retry acquires a respawned child")
       while (b != -1 && b != '\n') { buf.write(b); b = fromChild.read() }
       new String(buf.toByteArray, "UTF-8")
-    }
+    } }
 
     /** one length-prefixed request frame → one length-prefixed response
       * frame (4-byte big-endian length + payload, both ways). The frame
       * and line protocols share the stream pair, so a worker may mix
       * them — each call holds the monitor for its full round trip. */
-    def callFrame(payload: Array[Byte]): Array[Byte] = synchronized {
+    def callFrame(payload: Array[Byte]): Array[Byte] = synchronized { orDestroy {
       val hdr = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
       toChild.write(hdr); toChild.write(payload); toChild.flush()
       readFrame()
-    }
+    } }
 
     /** CHILD-INITIATED opcodes (the reference's pipes children drive
       * their own side of the protocol — INCR_COUNTER, LOG and friends,
@@ -197,7 +216,7 @@ object WorkerPool {
       * desync and fails the task loudly. */
     def callFrameOps(payload: Array[Byte])(
         onCounter: (String, Long) => Unit,
-        onLog: String => Unit = _ => ()): Array[Byte] = synchronized {
+        onLog: String => Unit = _ => ()): Array[Byte] = synchronized { orDestroy {
       val hdr = java.nio.ByteBuffer.allocate(4).putInt(payload.length).array()
       toChild.write(hdr); toChild.write(payload); toChild.flush()
       var resp: Array[Byte] = null
@@ -217,7 +236,7 @@ object WorkerPool {
         }
       }
       resp
-    }
+    } }
 
     /** CHILD-DRIVEN record loop — the reference's READ_KEYVALUE /
       * WRITE_KEYVALUE surface (`MessageType.java:25-32`), where the
@@ -255,7 +274,7 @@ object WorkerPool {
         onLog: String => Unit = _ => (),
         onSend: (Long, Array[Byte]) => Unit = (dst, _) => sys.error(
           s"child sent a peer message (dst $dst) but the caller wired no onSend")
-        ): Array[Byte] = synchronized {
+        ): Array[Byte] = synchronized { orDestroy {
       writeFrame(start) // start-of-chunk
       val msgs = inbox.iterator
       var remaining = inbox.size.toLong
@@ -305,7 +324,7 @@ object WorkerPool {
         }
       }
       resp
-    }
+    } }
 
     private def writeFrame(payload: Array[Byte]): Unit = {
       toChild.write(java.nio.ByteBuffer.allocate(4).putInt(payload.length).array())
@@ -327,6 +346,7 @@ object WorkerPool {
     }
 
     private[WorkerPool] def destroy(): Unit = {
+      broken = true
       // close OUR ends of the pipes before killing the child: a worker
       // replaced while dead would otherwise leak its fds until GC
       try toChild.close() catch { case _: java.io.IOException => }

@@ -1059,13 +1059,49 @@ object Streams {
     val roundStats =
       scala.collection.mutable.ArrayBuffer.empty[Seq[graft.operators.Graph.AnfDeltaRound]]
     val storeFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // TIERED edge-store fold (the near-dup LSM shape), checked on EVERY
+    // batch — a fold-trigger batch that happens to be empty or
+    // replay-skipped must still compact (the fold depends only on the
+    // store, never on the batch's rows — review r13 #2): normally fold
+    // only the single-batch subtrees into ONE new fold — an O(recent
+    // batches) rewrite, NOT O(corpus); once the fold chain exceeds
+    // maxFolds, merge everything (amortized O(corpus / (compactEvery ×
+    // maxFolds)) per batch). distinct() here is the one place
+    // cross-batch duplicate edges retire.
+    def maybeFold(batchId: Long): Unit =
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        val live = anfEdgeDirs(storeDir)
+        val folds = live.filter(
+          _.getName.stripPrefix("ingest_batch=").toLong < 0)
+        val singles = live.filterNot(folds.contains)
+        val toFold =
+          if (folds.length >= maxFolds) live
+          else if (singles.length > 1) singles
+          else Seq.empty[java.io.File]
+        if (toFold.length > 1) {
+          val withData = toFold.filter(parquetFiles(_) > 0)
+          if (withData.nonEmpty) {
+            // fold ids are -(batchId+1): unique, negative, never a
+            // replayed batch's own subtree
+            spark.read.option("basePath", storeDir)
+              .parquet(withData.map(_.getPath): _*)
+              .select("src", "dst", "db").distinct()
+              .repartition(col("db"))
+              .write.mode(SaveMode.Overwrite).partitionBy("db")
+              .parquet(s"$storeDir/ingest_batch=${-(batchId + 1)}")
+          }
+          // fold committed: drop the sources (a crash HERE leaves
+          // duplicate edges, which bit_or absorbs and the next
+          // full merge's distinct retires)
+          toFold.foreach(rmTree)
+        }
+      }
     val q = src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = new java.io.File(regDir, s"_committed_$batchId")
         if (marker.exists()) { // replay of a fully-committed batch: skip
           rounds += 0
-          roundStats += Seq.empty
-          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
+          roundStats += Seq.empty: Unit
         } else {
         // Δ-side hygiene only: dedup THIS batch's edges, drop self-loops
         // (bit_or makes cross-batch duplicates harmless, so the full
@@ -1076,8 +1112,7 @@ object Streams {
         if (dE.head(1).isEmpty) {
           graft.plans.Iterate.release(dE)
           rounds += 0
-          roundStats += Seq.empty
-          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
+          roundStats += Seq.empty: Unit
         } else {
           // per-batch subtree, Overwrite: a replayed crashed batch lands
           // byte-identically instead of Append-doubling its edges.
@@ -1152,42 +1187,10 @@ object Streams {
             if !Option(c.listFiles()).getOrElse(Array.empty)
               .exists(g => g.isDirectory && g.getName.startsWith("vb="))
           } rmTree(c)
-          // TIERED edge-store fold (the near-dup LSM shape): normally
-          // fold only the single-batch subtrees into ONE new fold — an
-          // O(recent batches) rewrite, NOT O(corpus); once the fold
-          // chain exceeds maxFolds, merge everything (amortized
-          // O(corpus / (compactEvery × maxFolds)) per batch). distinct()
-          // here is the one place cross-batch duplicate edges retire.
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            val live = anfEdgeDirs(storeDir)
-            val folds = live.filter(
-              _.getName.stripPrefix("ingest_batch=").toLong < 0)
-            val singles = live.filterNot(folds.contains)
-            val toFold =
-              if (folds.length >= maxFolds) live
-              else if (singles.length > 1) singles
-              else Seq.empty[java.io.File]
-            if (toFold.length > 1) {
-              val withData = toFold.filter(parquetFiles(_) > 0)
-              if (withData.nonEmpty) {
-                // fold ids are -(batchId+1): unique, negative, never a
-                // replayed batch's own subtree
-                spark.read.option("basePath", storeDir)
-                  .parquet(withData.map(_.getPath): _*)
-                  .select("src", "dst", "db").distinct()
-                  .repartition(col("db"))
-                  .write.mode(SaveMode.Overwrite).partitionBy("db")
-                  .parquet(s"$storeDir/ingest_batch=${-(batchId + 1)}")
-              }
-              // fold committed: drop the sources (a crash HERE leaves
-              // duplicate edges, which bit_or absorbs and the next
-              // full merge's distinct retires)
-              toFold.foreach(rmTree)
-            }
-          }
-          storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
         }
         }
+        maybeFold(batchId)
+        storeFiles += parquetFiles(new java.io.File(storeDir)): Unit
       }
       .start()
     try q.processAllAvailable() finally q.stop()

@@ -129,15 +129,31 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(readBack === 3L)
   }
 
-  test("peer messaging: an unwired SEND_MSG fails loudly instead of dropping the message") {
-    // a DEDICATED child (distinct argv = distinct pool entry): failing
-    // mid-exchange leaves unread frames in ITS pipe, which must not
-    // desync the child the other tests and declared rows share
-    val w = operators.WorkerPool.get(
-      operators.Sources.childJvmCmd("graft.operators.MsgSumChild") :+ "desync-probe")
+  test("peer messaging: an unwired SEND_MSG fails loudly and kills the desynced child") {
+    // a DEDICATED child (distinct argv = distinct pool entry) so the
+    // staged failure can't interleave with the shared child's traffic
+    val cmd =
+      operators.Sources.childJvmCmd("graft.operators.MsgSumChild") :+ "desync-probe"
+    val w = operators.WorkerPool.get(cmd)
+    val deadPid = w.pid
     val e = intercept[RuntimeException] {
       w.driveLoop(Iterator(longRec(1)), peer = (2, 4))(_ => ()): Unit
     }
     assert(e.getMessage.contains("onSend"))
+    // the aborted exchange left unread frames in the pipe of a child
+    // that was still alive — the pool must NOT hand that child to the
+    // retry (it would silently consume stale frames): abnormal exits
+    // destroy the worker, so the next acquisition is a fresh respawn
+    // with a clean protocol (review r13 #1)
+    val w2 = operators.WorkerPool.get(cmd)
+    assert(w2.pid !== deadPid,
+      "a retry must acquire a respawned child, not the desynced one")
+    val sends = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    w2.driveLoop(Iterator(longRec(4), longRec(5)), peer = (1, 4))(
+      _ => fail("the compute superstep writes nothing"),
+      onSend = (dst, p) => sends += ((dst, p))): Unit
+    assert(sends.size === 1 &&
+      java.nio.ByteBuffer.wrap(sends.head._2).getLong === 9L,
+      "the respawned child must run a clean exchange")
   }
 }
