@@ -588,6 +588,64 @@ object Sources extends QueryModule {
               FROM customer"""))
     ,
 
+    // RING exchange — the GENERAL peer-to-peer shape beside
+    // q_udf_pipe_messaging's master-collect (the reference's TestPipes
+    // matrix programs communicate peer-to-peer, not hub-and-spoke):
+    // every [[RingShiftChild]] sends its partial to its RIGHT NEIGHBOR
+    // (idx + 1) % n — 8 distinct (src → dst) routes through the Bsp
+    // delivery shuffle, none to a single hub — and next superstep each
+    // peer WRITEs the one message it received, stamped with the sender
+    // index. The output is PER-PEER (8 rows), so the oracle checks the
+    // whole routing table value by value: peer p must hold exactly peer
+    // (p+7)%8's partial. Exact pennies again so the sums are
+    // order-independent.
+    Q("q_udf_pipe_ring",
+      (s, d) => {
+        import s.implicits._
+        val nPeers = 8
+        val cmd = childJvmCmd("graft.operators.RingShiftChild")
+        val peers = Tables(s, d, "customer")
+          .select(pmod(col("c_custkey"), lit(nPeers)).cast("long").as("peer"),
+            expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+          .groupBy("peer").agg(sum("cents").as("cents"))
+          .as[(Long, Long)]
+          .map { case (p, c) => (p, (c, -1L)) } // state: (held cents, from)
+        val fin = graft.plans.Bsp.run[(Long, Long), Array[Byte]](
+            s, peers, maxSupersteps = 4) { (idx, state, inbox, step) =>
+          val w = WorkerPool.get(cmd)
+          val sends = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+          var written: Option[Array[Byte]] = None
+          val records =
+            if (step == 0)
+              Iterator(java.nio.ByteBuffer.allocate(8).putLong(state._1).array())
+            else Iterator.empty
+          w.driveLoop(records, inbox = inbox, peer = (idx.toInt, nPeers))(
+            rec => written = Some(rec),
+            onSend = (dst, payload) => sends += ((dst, payload)))
+          val newState = written match {
+            case Some(b) => // [8B received partial][4B sender index]
+              val bb = java.nio.ByteBuffer.wrap(b)
+              (bb.getLong, bb.getInt.toLong)
+            case None => state
+          }
+          graft.plans.Bsp.PeerResult(newState, sends.toSeq, halt = true)
+        }
+        val rows = fin.collect().toSeq.sortBy(_._1)
+        require(rows.size == nPeers && rows.forall(_._2._2 >= 0L),
+          "every ring peer must have received exactly one neighbor message")
+        rows.map { case (p, (cents, from)) => (p, from, cents) }
+          .toDF("peer", "from_peer", "received_cents")
+          .orderBy("peer")
+      },
+      Some("""WITH part AS (SELECT c_custkey % 8 AS peer,
+                  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents
+                FROM customer GROUP BY 1)
+              SELECT CAST(p.peer AS BIGINT) AS peer,
+                CAST((p.peer + 7) % 8 AS BIGINT) AS from_peer,
+                CAST(l.cents AS BIGINT) AS received_cents
+              FROM part p JOIN part l ON l.peer = (p.peer + 7) % 8
+              ORDER BY peer""")),
+
     // SIDE-FILE pipes (VERDICT r12 missing #3 — the last uncovered
     // MessageType family): a reference pipes child does record-file IO
     // through the parent — SEQFILE_OPEN / SEQFILE_READNEXT /

@@ -123,6 +123,36 @@ class AnfStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("layout"))
   }
 
+  test("tiered folds fire on EVERY fold boundary, empty batches included") {
+    // 6 batches, compactEvery=3: boundaries at batches 2 and 5 — batch 5
+    // is EMPTY with TWO singles pending (3 and 4), which used to skip
+    // the fold entirely (review r13 #2: the check lived inside the
+    // non-empty branch); the store must still compact and the registers
+    // must still land on the cold fixpoint
+    val bs = Seq(
+      (0L to 4L).map(i => (i, i + 1)),
+      Seq((5L, 0L)),
+      Seq((2L, 6L)),
+      Seq((6L, 7L)),
+      Seq((7L, 2L)),
+      Seq.empty[(Long, Long)]) // the empty fold-boundary batch
+    val in = stage("foldfire", bs)
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e5").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r5").toString
+    val (m, _, _, files) = streaming.Streams.runAnfMaintain(spark, in,
+      storeDir0 = Some(store), regDir0 = Some(reg), compactEvery = 3)
+    // after the empty boundary batch, singles 3 and 4 must have folded:
+    // zero single-batch subtrees remain
+    val live = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("ingest_batch="))
+    assert(files.size === 6)
+    assert(live.count(_.getName.stripPrefix("ingest_batch=").toLong >= 0) === 0,
+      s"singles must fold at an empty boundary too, saw ${live.map(_.getName).toSeq}")
+    val want = cold(bs)
+    assert(drift(m, want) === 0L)
+    Seq(m, want).foreach(plans.Iterate.release)
+  }
+
   test("a crashed edge fold's duplicates are absorbed: the fixpoint never moves") {
     val in = stage("foldcrash", batches)
     val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e4").toString
