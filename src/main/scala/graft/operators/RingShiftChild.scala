@@ -7,12 +7,15 @@ package graft.operators
   * a DIFFERENT destination, so the delivery shuffle routes N distinct
   * (src → dst) pairs, none of them to a single hub.
   *
-  * Superstep semantics per chunk exchange:
-  *   - empty inbox (compute): read the input records (8-byte longs),
+  * Superstep semantics per chunk exchange — branched on the SUPERSTEP
+  * NUMBER ([[WorkerPool.OpSuperstep]], the reference's
+  * GET_SUPERSTEP_COUNT: a BSP algorithm's phases are a function of the
+  * superstep, not of whether mail happens to have arrived):
+  *   - superstep 0 (compute): read the input records (8-byte longs),
   *     sum them, SEND_MSG the partial to the RIGHT NEIGHBOR
   *     `(idx + 1) % count` (both from [[WorkerPool.OpPeerInfo]]),
   *     stamped with the sender index;
-  *   - non-empty inbox (receive): drain GET_MSG — exactly one message
+  *   - superstep ≥ 1 (receive): drain GET_MSG — exactly one message
   *     in a ring — and WRITE `[8B received partial][4B sender index]`.
   * Every exchange closes with an empty RESPONSE. Exits cleanly on EOF. */
 object RingShiftChild {
@@ -21,9 +24,9 @@ object RingShiftChild {
       val info = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpPeerInfo))
       val myIdx = info.getInt
       val count = info.getInt
-      val inboxN =
-        java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpGetMsgCount)).getLong
-      if (inboxN == 0L) { // compute superstep: sum records, send right
+      val step =
+        java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpSuperstep)).getLong
+      if (step == 0L) { // compute superstep: sum records, send right
         var local = 0L
         var read = 0L
         var done = false
@@ -46,7 +49,7 @@ object RingShiftChild {
             out = msg
           case None => done = true
         }
-        conn.send(WorkerPool.OpWrite, out)
+        if (out != null) conn.send(WorkerPool.OpWrite, out)
       }
       conn.respond()
     }

@@ -619,7 +619,9 @@ object Sources extends QueryModule {
             if (step == 0)
               Iterator(java.nio.ByteBuffer.allocate(8).putLong(state._1).array())
             else Iterator.empty
-          w.driveLoop(records, inbox = inbox, peer = (idx.toInt, nPeers))(
+          w.driveLoop(records, inbox = inbox, peer = (idx.toInt, nPeers),
+              superstep = step.toLong)( // the child BRANCHES on this —
+            // GET_SUPERSTEP_COUNT is load-bearing, not decorative
             rec => written = Some(rec),
             onSend = (dst, payload) => sends += ((dst, payload)))
           val newState = written match {

@@ -69,6 +69,11 @@ object WorkerPool {
   val OpSeqRead: Byte = 10 // [4B handle] → [1][record] / [0] at EOF
   val OpSeqAppend: Byte = 11 // [4B handle][record] (one-way)
   val OpSeqClose: Byte = 12 // [4B handle] → empty ack
+  // the reference's GET_SUPERSTEP_COUNT (`MessageType.java:25-32` code
+  // 16): a BSP program branches its ALGORITHM on the superstep — parent
+  // answers the exchange's superstep number as 8 bytes (-1 when the
+  // caller runs outside a superstep loop)
+  val OpSuperstep: Byte = 13
 
   /** Parse one framed side file (the SEQFILE analogue's on-disk form)
     * back into its records — the read half of the contract, used by the
@@ -268,6 +273,7 @@ object WorkerPool {
     def driveLoop(records: Iterator[Array[Byte]],
         inbox: Seq[Array[Byte]] = Nil,
         peer: (Int, Int) = (-1, -1),
+        superstep: Long = -1L,
         start: Array[Byte] = Array.emptyByteArray)(
         onWrite: Array[Byte] => Unit,
         onCounter: (String, Long) => Unit = (_, _) => (),
@@ -312,6 +318,8 @@ object WorkerPool {
           case OpPeerInfo =>
             writeFrame(java.nio.ByteBuffer.allocate(8)
               .putInt(peer._1).putInt(peer._2).array())
+          case OpSuperstep =>
+            writeFrame(java.nio.ByteBuffer.allocate(8).putLong(superstep).array())
           case OpIncrCounter =>
             require(f.length >= 9,
               s"worker (pid $pid) sent a ${f.length}-byte INCR_COUNTER frame")
