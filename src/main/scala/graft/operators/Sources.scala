@@ -648,6 +648,51 @@ object Sources extends QueryModule {
               FROM part p JOIN part l ON l.peer = (p.peer + 7) % 8
               ORDER BY peer""")),
 
+    // TWO-PASS pipes input (REOPEN_INPUT, `MessageType.java:25-32`
+    // code 17 — the last uncovered IO opcode): min-max normalization,
+    // count-then-sample and friends need the split TWICE, so the
+    // reference lets the child rewind its input. Engine mapping: the
+    // caller opts in with `reopenable = true` (the parent then buffers
+    // the exchange's served records — O(exchange) memory, the price of
+    // replay; un-opted exchanges stay O(1)-streaming and a child's
+    // REOPEN fails loudly). One exchange per DETERMINISTIC group
+    // (groupByKey → mapGroups), so the per-group output is
+    // partition-layout-independent and fully oracle-checkable:
+    // [[TwoPassSumChild]] sums the group's exact-penny records, REOPENs,
+    // re-sums and counts, and the row REQUIRES pass-1 == pass-2 — true
+    // only if the replay served the identical records.
+    Q("q_udf_pipe_reopen",
+      (s, d) => {
+        import s.implicits._
+        val nGrp = 8
+        val cmd = childJvmCmd("graft.operators.TwoPassSumChild")
+        Tables(s, d, "customer")
+          .select(pmod(col("c_custkey"), lit(nGrp)).cast("long").as("grp"),
+            expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (grp, it) =>
+            val w = WorkerPool.get(cmd)
+            var out: Array[Byte] = null
+            w.driveLoop(
+                it.map(t => java.nio.ByteBuffer.allocate(8).putLong(t._2).array()),
+                reopenable = true)(rec => out = rec): Unit
+            val bb = java.nio.ByteBuffer.wrap(out)
+            val (s1, s2, n) = (bb.getLong, bb.getLong, bb.getLong)
+            require(s1 == s2,
+              s"REOPEN replay must serve identical records: $s1 != $s2")
+            (grp, s1, n)
+          }
+          .toDF("grp", "total_cents", "n")
+          .withColumn("replay_exact", lit(true))
+          .orderBy("grp")
+      },
+      Some("""SELECT CAST(c_custkey % 8 AS BIGINT) AS grp,
+                CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+                COUNT(*) AS n, true AS replay_exact
+              FROM customer GROUP BY 1 ORDER BY grp""")),
+
     // SIDE-FILE pipes (VERDICT r12 missing #3 — the last uncovered
     // MessageType family): a reference pipes child does record-file IO
     // through the parent — SEQFILE_OPEN / SEQFILE_READNEXT /

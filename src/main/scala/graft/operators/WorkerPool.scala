@@ -74,6 +74,15 @@ object WorkerPool {
   // answers the exchange's superstep number as 8 bytes (-1 when the
   // caller runs outside a superstep loop)
   val OpSuperstep: Byte = 13
+  // the reference's REOPEN_INPUT (`MessageType.java:25-32` code 17): a
+  // TWO-PASS child re-reads its input split from the start (min-max
+  // then normalize, count then sample, ...). Parent acks with an empty
+  // frame and replays the exchange's records — ONLY when the caller
+  // opted in with `reopenable = true` (replay requires buffering the
+  // served records, O(chunk) parent memory; an un-opted caller streams
+  // in O(1) and a child's REOPEN fails loudly instead of silently
+  // serving nothing).
+  val OpReopen: Byte = 14
 
   /** Parse one framed side file (the SEQFILE analogue's on-disk form)
     * back into its records — the read half of the contract, used by the
@@ -274,6 +283,7 @@ object WorkerPool {
         inbox: Seq[Array[Byte]] = Nil,
         peer: (Int, Int) = (-1, -1),
         superstep: Long = -1L,
+        reopenable: Boolean = false,
         start: Array[Byte] = Array.emptyByteArray)(
         onWrite: Array[Byte] => Unit,
         onCounter: (String, Long) => Unit = (_, _) => (),
@@ -284,6 +294,12 @@ object WorkerPool {
       writeFrame(start) // start-of-chunk
       val msgs = inbox.iterator
       var remaining = inbox.size.toLong
+      // REOPEN support: served records buffer ONLY under the caller's
+      // opt-in, so a streaming caller keeps its O(1) parent memory
+      val seen =
+        if (reopenable) new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        else null
+      var pos = 0
       var resp: Array[Byte] = null
       while (resp == null) {
         val f = readFrame()
@@ -291,13 +307,25 @@ object WorkerPool {
         f(0) match {
           case OpResponse => resp = java.util.Arrays.copyOfRange(f, 1, f.length)
           case OpReadNext =>
-            if (records.hasNext) {
-              val r = records.next()
-              val buf = new Array[Byte](r.length + 1)
+            val rec: Array[Byte] =
+              if (seen != null && pos < seen.length) {
+                val r = seen(pos); pos += 1; r
+              } else if (records.hasNext) {
+                val r = records.next()
+                if (seen != null) { seen += r; pos += 1 }
+                r
+              } else null
+            if (rec != null) {
+              val buf = new Array[Byte](rec.length + 1)
               buf(0) = 1
-              System.arraycopy(r, 0, buf, 1, r.length)
+              System.arraycopy(rec, 0, buf, 1, rec.length)
               writeFrame(buf)
             } else writeFrame(Array[Byte](0))
+          case OpReopen =>
+            require(reopenable, s"worker (pid $pid) sent REOPEN_INPUT but " +
+              "the caller did not opt in with reopenable=true")
+            pos = 0
+            writeFrame(Array.emptyByteArray) // ack: next READ_NEXT replays
           case OpWrite => onWrite(java.util.Arrays.copyOfRange(f, 1, f.length))
           case OpSendMsg =>
             require(f.length >= 9,

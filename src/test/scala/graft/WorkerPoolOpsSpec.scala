@@ -129,6 +129,30 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(readBack === 3L)
   }
 
+  test("REOPEN_INPUT: an opted-in exchange replays its records identically") {
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.TwoPassSumChild"))
+    var out: Array[Byte] = null
+    w.driveLoop(Iterator(longRec(10), longRec(-3), longRec(35)),
+        reopenable = true)(rec => out = rec): Unit
+    val bb = java.nio.ByteBuffer.wrap(out)
+    assert(bb.getLong === 42L, "pass-1 sum")
+    assert(bb.getLong === 42L, "pass-2 sum must match — the replay is exact")
+    assert(bb.getLong === 3L, "pass-2 record count")
+  }
+
+  test("REOPEN_INPUT: without the caller's opt-in the child's rewind fails loudly") {
+    // dedicated argv: the staged failure poisons (and so respawns) only
+    // this pool entry
+    val cmd = operators.Sources
+      .childJvmCmd("graft.operators.TwoPassSumChild") :+ "no-reopen-probe"
+    val w = operators.WorkerPool.get(cmd)
+    val e = intercept[IllegalArgumentException] {
+      w.driveLoop(Iterator(longRec(1)))(_ => ()): Unit
+    }
+    assert(e.getMessage.contains("reopenable"))
+  }
+
   test("peer messaging: an unwired SEND_MSG fails loudly and kills the desynced child") {
     // a DEDICATED child (distinct argv = distinct pool entry) so the
     // staged failure can't interleave with the shared child's traffic
