@@ -524,11 +524,7 @@ object Sources extends QueryModule {
         // mapping: a Hama peer's input split summarizes into its
         // initial state), in exact pennies so double addition order
         // cannot move the total
-        val peers = Tables(s, d, "customer")
-          .select(pmod(col("c_custkey"), lit(nPeers)).cast("long").as("peer"),
-            expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
-          .groupBy("peer").agg(sum("cents").as("cents"))
-          .as[(Long, Long)]
+        val peers = peerPartials(s, d, nPeers)
         // at-least-once accumulators: keyed by peer, deduped driver-side
         val sendParts =
           s.sparkContext.collectionAccumulator[(Long, Int)]("msgSendPartitions")
@@ -604,11 +600,14 @@ object Sources extends QueryModule {
         import s.implicits._
         val nPeers = 8
         val cmd = childJvmCmd("graft.operators.RingShiftChild")
-        val peers = Tables(s, d, "customer")
-          .select(pmod(col("c_custkey"), lit(nPeers)).cast("long").as("peer"),
-            expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
-          .groupBy("peer").agg(sum("cents").as("cents"))
-          .as[(Long, Long)]
+        val partials = peerPartials(s, d, nPeers)
+        // a ring needs every seat occupied: an empty residue class would
+        // leave its right neighbor without a sender AND trip the
+        // routing-table require below — state the precondition up front
+        // (the gate corpora populate all 8 classes at every SF)
+        require(partials.count() == nPeers,
+          s"q_udf_pipe_ring needs all $nPeers c_custkey residue classes populated")
+        val peers = partials
           .map { case (p, c) => (p, (c, -1L)) } // state: (held cents, from)
         val fin = graft.plans.Bsp.run[(Long, Long), Array[Byte]](
             s, peers, maxSupersteps = 4) { (idx, state, inbox, step) =>
@@ -773,6 +772,21 @@ object Sources extends QueryModule {
                 true AS side_file_roundtrip
               FROM customer GROUP BY seg ORDER BY seg"""))
   )
+
+  /** Per-peer exact-penny customer partials — ONE derivation shared by
+    * the communicating-pipes rows (master-collect and ring) so the peer
+    * assignment and the cents rounding can never drift between them
+    * (and their oracle SQL mirrors this expression verbatim). Longs, so
+    * the downstream sums are addition-order-independent. */
+  private def peerPartials(s: SparkSession, d: String, nPeers: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import s.implicits._
+    Tables(s, d, "customer")
+      .select(pmod(col("c_custkey"), lit(nPeers)).cast("long").as("peer"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .groupBy("peer").agg(sum("cents").as("cents"))
+      .as[(Long, Long)]
+  }
 
   /** Command line for [[FrameSumChild]] as a child JVM: the current
     * JVM's own java binary, a classpath of just the engine classes and

@@ -312,7 +312,12 @@ object WorkerPool {
                 val r = seen(pos); pos += 1; r
               } else if (records.hasNext) {
                 val r = records.next()
-                if (seen != null) { seen += r; pos += 1 }
+                // defensive copy: iterators commonly refill ONE scratch
+                // buffer per next() — buffering the reference would make
+                // every replayed record alias the last one
+                if (seen != null) {
+                  seen += java.util.Arrays.copyOf(r, r.length); pos += 1
+                }
                 r
               } else null
             if (rec != null) {
