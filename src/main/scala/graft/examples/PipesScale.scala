@@ -1,0 +1,104 @@
+package graft.examples
+
+import graft.GraftSession
+import graft.operators.{Sources, WorkerPool}
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the pipes/WorkerPool family (11 declared rows):
+  * measures what the family's 100 TB posture actually claims —
+  *
+  *   - ONE persistent child per executor JVM serves every task of
+  *     every job (asserted structurally under a 32-task Spark job: the
+  *     distinct pid set is ≤ the JVM count — the reference's per-peer
+  *     child lifetime, `BinaryProtocol.java:50`);
+  *   - per-record framed round-trip cost and CHUNKED child-driven
+  *     throughput (driveLoop, 1024-record exchanges — the SYNC-barrier
+  *     amortization: per-exchange overhead divides across the chunk);
+  *   - the empty-exchange barrier floor (exchanges/sec at 0 records) —
+  *     what a superstep costs before any data moves.
+  *
+  * Numbers are REPORTED (JSON lines, the probe convention); the only
+  * hard asserts are structural — child lifetime, record conservation —
+  * because wall-clock gates flake on this host's documented stall
+  * windows.
+  *
+  * Run: sbt "runMain graft.examples.PipesScale"
+  */
+object PipesScale {
+  def main(args: Array[String]): Unit = {
+    val nRecords = sys.env.getOrElse("PIPES_RECORDS", "200000").toInt
+    val chunk = sys.env.getOrElse("PIPES_CHUNK", "1024").toInt
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    val cmd = Sources.childJvmCmd("graft.operators.LoopUpperChild")
+
+    // (1) child lifetime under a real 32-task job: every task acquires
+    // the pool's child and pipes its partition through one exchange
+    val pids = spark.sparkContext.collectionAccumulator[Long]("pipesScalePids")
+    val out = spark.range(0, nRecords.toLong)
+      .select(concat(lit("rec"), col("id")).as("v")).as[String]
+      .mapPartitions { it =>
+        val w = WorkerPool.get(cmd)
+        pids.add(w.pid)
+        it.grouped(chunk).flatMap { c =>
+          val outRows = scala.collection.mutable.ArrayBuffer.empty[String]
+          w.driveLoop(c.iterator.map(_.getBytes("UTF-8")))(
+            r => outRows += new String(r, "UTF-8")): Unit
+          outRows
+        }
+      }
+    val t0 = System.nanoTime()
+    val n = out.count()
+    val jobSecs = (System.nanoTime() - t0) / 1e9
+    require(n == nRecords.toLong, s"record conservation: $n != $nRecords")
+    import scala.jdk.CollectionConverters._
+    val distinctPids = pids.value.asScala.toSet
+    val nJvms = math.max(1,
+      spark.sparkContext.statusTracker.getExecutorInfos.length)
+    require(distinctPids.nonEmpty && distinctPids.size <= nJvms,
+      s"one child per executor JVM, saw ${distinctPids.size} across $nJvms")
+
+    // (2) single-threaded framed round-trip cost (callFrame, 1 record
+    // per frame — the UNAMORTIZED protocol floor)
+    val w = WorkerPool.get(Sources.childJvmCmd("graft.operators.FrameSumChild"))
+    val payload = java.nio.ByteBuffer.allocate(16).putDouble(1.5).putDouble(2.5).array()
+    (1 to 1000).foreach(_ => w.callFrame(payload)) // warm-up
+    val t1 = System.nanoTime()
+    val rt = 20000
+    (1 to rt).foreach(_ => w.callFrame(payload))
+    val rtSecs = (System.nanoTime() - t1) / 1e9
+
+    // (3) chunked child-driven throughput, single-threaded (driveLoop —
+    // the amortized shape the declared rows use)
+    val w2 = WorkerPool.get(cmd)
+    val recs = Array.tabulate(chunk)(i => s"record-$i".getBytes("UTF-8"))
+    (1 to 3).foreach { _ =>
+      w2.driveLoop(recs.iterator)(_ => ()): Unit // warm-up
+    }
+    val loops = math.max(1, 100000 / chunk)
+    val t2 = System.nanoTime()
+    var moved = 0L
+    (1 to loops).foreach { _ =>
+      var served = 0L
+      w2.driveLoop(recs.iterator)(_ => served += 1): Unit
+      moved += served
+    }
+    val dlSecs = (System.nanoTime() - t2) / 1e9
+    require(moved == loops.toLong * chunk)
+
+    // (4) the empty-exchange barrier floor
+    val t3 = System.nanoTime()
+    val barriers = 5000
+    (1 to barriers).foreach(_ => w2.driveLoop(Iterator.empty)(_ => ()): Unit)
+    val emptySecs = (System.nanoTime() - t3) / 1e9
+
+    println(f"""{"metric":"pipes_scale","records":$nRecords,"chunk":$chunk,""" +
+      f""""children":${distinctPids.size},"jvms":$nJvms,""" +
+      f""""job_records_per_sec":${n / jobSecs}%.0f,""" +
+      f""""framed_roundtrips_per_sec":${rt / rtSecs}%.0f,""" +
+      f""""driveloop_records_per_sec":${moved / dlSecs}%.0f,""" +
+      f""""empty_exchanges_per_sec":${barriers / emptySecs}%.0f}""")
+    spark.stop()
+  }
+}
