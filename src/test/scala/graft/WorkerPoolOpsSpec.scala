@@ -153,6 +153,43 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reopenable"))
   }
 
+  test("framed side-file format: encode/parse round-trips arbitrary binary records") {
+    // the parse side (readFramedRecords) against the format spec the
+    // writer implements (4-byte big-endian length + payload): property
+    // over adversarial shapes — empty records, single bytes, newline
+    // and NUL bytes, lengths near the 4-byte header boundary
+    val rnd = new scala.util.Random(20260816L)
+    val cases: Seq[Seq[Array[Byte]]] =
+      Seq(Seq.empty, Seq(Array.emptyByteArray), Seq(Array[Byte](0, 10, 13))) ++
+        (1 to 50).map { _ =>
+          (0 to rnd.nextInt(8)).map { _ =>
+            val b = new Array[Byte](rnd.nextInt(40))
+            rnd.nextBytes(b); b
+          }
+        }
+    for (recs <- cases) {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      recs.foreach { r => dos.writeInt(r.length); dos.write(r) }
+      val back = operators.WorkerPool.readFramedRecords(out.toByteArray).toSeq
+      assert(back.length === recs.length)
+      back.zip(recs).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    // a truncated trailing header (a crash mid-append) stops cleanly
+    // instead of over-reading: the final partial frame is not a record
+    val good = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(good)
+    dos.writeInt(2); dos.write(Array[Byte](7, 8)); dos.write(Array[Byte](0, 0))
+    assert(operators.WorkerPool.readFramedRecords(good.toByteArray)
+      .map(_.toSeq).toSeq === Seq(Seq[Byte](7, 8)))
+    // a poisoned length fails loudly, never allocates past the buffer
+    val bad = new java.io.ByteArrayOutputStream()
+    new java.io.DataOutputStream(bad).writeInt(999999)
+    intercept[IllegalArgumentException] {
+      operators.WorkerPool.readFramedRecords(bad.toByteArray).toSeq
+    }
+  }
+
   test("peer messaging: an unwired SEND_MSG fails loudly and kills the desynced child") {
     // a DEDICATED child (distinct argv = distinct pool entry) so the
     // staged failure can't interleave with the shared child's traffic
