@@ -214,6 +214,59 @@ object AnfMaintainScale {
       f""""bound":$fBound,"unfolded_files_would_be":${fBatches.toLong * nDb},""" +
       f""""drift":$fdrift}""")
     graft.plans.Iterate.release(fcurve)
+
+    // MARKER-CENSUS segment (VERDICT r13 #3 acceptance): ≥100
+    // micro-batches against ONE register store — the commit-marker
+    // listing must stay O(censusBound) via the _committed_upto
+    // watermark (an unfolded ledger holds one marker file per batch
+    // forever — the O(batches) directory scan the data-side folds just
+    // eliminated, reintroduced through the side door), and a FULL
+    // REPLAY of all batches must skip every one across the watermark
+    // with zero recompute rounds and zero drift.
+    val cBatches = sys.env.getOrElse("ANF_CENSUS_BATCHES", "104").toInt
+    val cstage = GraftSession.tempDirCleanedOnExit("anfscale-census-in").toString
+    val cOff = 4 * (baseEdges + nBatches * deltaEdges)
+    for (b <- 0 until cBatches) {
+      val lo = if (b == 0) cOff else cOff + 500 + (b - 1)
+      val hi = if (b == 0) cOff + 500 else lo + 1
+      endpoints(lo, hi).coalesce(1).write.parquet(s"$scratch/cb$b")
+      val f = new java.io.File(s"$scratch/cb$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(f"$cstage/part$b%04d.parquet"))
+      new java.io.File(f"$cstage/part$b%04d.parquet")
+        .setLastModified(1000000L * (b + 1)): Unit
+    }
+    val cstore = GraftSession.tempDirCleanedOnExit("anfscale-census-store").toString
+    val creg = GraftSession.tempDirCleanedOnExit("anfscale-census-reg").toString
+    val (cm1, cr1, _, _) = Streams.runAnfMaintain(spark, cstage,
+      storeDir0 = Some(cstore), regDir0 = Some(creg))
+    require(cr1.size == cBatches && cr1.head > 0)
+    graft.plans.Iterate.release(cm1)
+    def censusOf(dir: String): Int = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("_committed_"))
+    val census = censusOf(creg)
+    val cBound = graft.streaming.CommitMarkers.censusBound + 1
+    require(census <= cBound,
+      s"marker census must stay O(recent): $census files after $cBatches " +
+        s"batches, bound $cBound")
+    val (cm2, cr2, _, _) = Streams.runAnfMaintain(spark, cstage,
+      storeDir0 = Some(cstore), regDir0 = Some(creg))
+    require(cr2.size == cBatches && cr2.forall(_ == 0),
+      "a full replay must skip every batch across the watermark")
+    val (ccold, _, _, ccurve) = graft.operators.Graph.anfSketch(
+      spark.read.parquet(cstage).select("src", "dst"))
+    val cdrift = cm2.as("w").join(ccold.as("c"),
+        col("w.v") === col("c.v") && col("w.k") === col("c.k"), "full")
+      .filter(col("w.mask").isNull || col("c.mask").isNull ||
+        col("w.mask") =!= col("c.mask")).count()
+    require(cdrift == 0L,
+      s"watermark-skipped replay must hold the fixpoint, $cdrift differ")
+    println(f"""{"metric":"anf_marker_census","batches":$cBatches,""" +
+      f""""marker_files":$census,"bound":$cBound,""" +
+      f""""unfolded_would_be":$cBatches,"replay_rounds":${cr2.sum},""" +
+      f""""drift":$cdrift}""")
+    graft.plans.Iterate.release(ccurve)
     spark.stop()
   }
 }

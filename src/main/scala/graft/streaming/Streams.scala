@@ -194,8 +194,8 @@ object Streams {
     val q = events(spark, eventsPath, Map("maxFilesPerTrigger" -> "1"))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(outDir, s"_committed_$batchId")
-        if (!marker.exists()) {
+        val fp = CommitMarkers.fingerprint(batch)
+        if (!CommitMarkers.isCommitted(outDir, batchId, fp)) {
           val counts = batch
             .select(col("event_type"), expr(bandSql).as("band"))
             .groupBy("event_type", "band").agg(count(lit(1)).as("c"))
@@ -225,7 +225,7 @@ object Streams {
           val scored = known.unionByName(novel).localCheckpoint()
           scored.write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/ingest_batch=$batchId")
-          marker.createNewFile()
+          CommitMarkers.commit(outDir, batchId, fp)
           stats.put(batchId, scored.count()): Unit
           Seq(counts, scored).foreach(graft.plans.Iterate.release)
         }
@@ -260,8 +260,8 @@ object Streams {
     val q = embeddings(spark, vecsPath, Map("maxFilesPerTrigger" -> "1"))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(outDir, s"_committed_$batchId")
-        if (!marker.exists()) {
+        val fp = CommitMarkers.fingerprint(batch)
+        if (!CommitMarkers.isCommitted(outDir, batchId, fp)) {
           val verdicts = batch.crossJoin(broadcast(ev))
             .select(col("vec_id"), col("eval_id"),
               round(graft.functions.VecOps.cosine(col("embedding"), col("eemb")), 6)
@@ -275,7 +275,7 @@ object Streams {
             .localCheckpoint()
           verdicts.write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/ingest_batch=$batchId")
-          marker.createNewFile()
+          CommitMarkers.commit(outDir, batchId, fp)
           stats.put(batchId, verdicts.count()): Unit
           graft.plans.Iterate.release(verdicts)
         }
@@ -806,8 +806,9 @@ object Streams {
     val q = documents(spark, docsPath, Map("maxFilesPerTrigger" -> "1"))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(storeDir, s"_committed_$batchId")
-        if (!marker.exists()) { // retry of a fully-committed batch: skip
+        val fp = CommitMarkers.fingerprint(batch)
+        if (!CommitMarkers.isCommitted(storeDir, batchId, fp)) {
+          // retry of a fully-committed batch: skip
           val sigs = nearDupSigs(batch, sigBuckets).localCheckpoint()
           val (matches, probeFiles, storeFiles, cells) =
             probeNearDupStore(spark, storeDir, sigs, batchId)
@@ -830,7 +831,7 @@ object Streams {
             .write.mode(SaveMode.Overwrite)
             .partitionBy("band", "sig_bucket")
             .parquet(s"$storeDir/ingest_batch=$batchId")
-          marker.createNewFile()
+          CommitMarkers.commit(storeDir, batchId, fp)
           stats.put(batchId,
             NearDupBatchStat(batchId, storeFiles, probeFiles, cells)): Unit
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
@@ -858,9 +859,15 @@ object Streams {
               // drop every folded-away dir either way
               val withData = toFold.filter(parquetFilesUnder(_) > 0)
               if (withData.nonEmpty) {
-                // fold ids are -(batchId+1): unique, and never collide
-                // with a real (non-negative) batch's exclude filter
-                val foldDir = s"$storeDir/ingest_batch=${-(batchId + 1)}"
+                // store-derived fold id (ADVICE r13 high, same hazard
+                // as the ANF edge store): one below the smallest live
+                // fold id is fresh under any resume history, still
+                // negative so it never collides with a real
+                // (non-negative) batch's exclude filter
+                val nextFoldId = live
+                  .map(_.getName.stripPrefix("ingest_batch=").toLong)
+                  .filter(_ < 0).minOption.getOrElse(0L) - 1
+                val foldDir = s"$storeDir/ingest_batch=$nextFoldId"
                 spark.read.option("basePath", storeDir)
                   .parquet(withData.map(_.getPath).toIndexedSeq: _*)
                   .select("doc_id", "band_sig", "band", "sig_bucket")
@@ -928,10 +935,10 @@ object Streams {
     * batch end, so the listing here stays O(buckets), not O(batches). */
   private def anfRegLeafDirs(regDir: String): Seq[java.io.File] = {
     val root = new java.io.File(regDir)
+    val committed = CommitMarkers.committedIds(regDir)
     val commits = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("commit="))
-      .filter(f => new java.io.File(root,
-        s"_committed_${f.getName.stripPrefix("commit=")}").exists())
+      .filter(f => committed.contains(f.getName.stripPrefix("commit=").toLong))
     val newest = scala.collection.mutable.Map.empty[String, (Long, java.io.File)]
     for {
       c <- commits
@@ -992,7 +999,11 @@ object Streams {
     *     commit discipline, so a crash anywhere in the window leaves
     *     the previous committed view intact; superseded bucket leaves
     *     are GC'd after the marker lands, keeping the reader listing
-    *     O(buckets);
+    *     O(buckets); markers carry the batch's input fingerprint and
+    *     census-fold into a `_committed_upto` watermark past
+    *     `markerFoldAt` ([[CommitMarkers]]), so the marker listing is
+    *     O(recent), not O(batches), and a shifted file→batch mapping
+    *     on restart fails loudly instead of skipping the wrong data;
     *   - a REPLAYED batch (foreachBatch's at-least-once contract) whose
     *     marker exists is skipped whole; one crashed mid-window
     *     reproduces — the edge subtree and the commit subtree both
@@ -1022,7 +1033,8 @@ object Streams {
       storeDir0: Option[String] = None, regDir0: Option[String] = None,
       dstBuckets: Int = graft.operators.Graph.anfDstBuckets,
       regBuckets: Int = graft.operators.Graph.anfRegBuckets,
-      compactEvery: Int = 8, maxFolds: Int = 8)
+      compactEvery: Int = 8, maxFolds: Int = 8,
+      markerFoldAt: Int = CommitMarkers.censusBound)
       : (DataFrame, Seq[Int], Seq[Seq[graft.operators.Graph.AnfDeltaRound]],
          Seq[Long]) = {
     import org.apache.spark.sql.SaveMode
@@ -1081,14 +1093,25 @@ object Streams {
         if (toFold.length > 1) {
           val withData = toFold.filter(parquetFiles(_) > 0)
           if (withData.nonEmpty) {
-            // fold ids are -(batchId+1): unique, negative, never a
-            // replayed batch's own subtree
+            // the fold id comes from the STORE, not the batch counter
+            // (ADVICE r13 high): -(batchId+1) is unique only within one
+            // run — a restarted run's batch ids restart at 0, so its
+            // fold boundary N would Overwrite a prior run's
+            // ingest_batch=-(N+1) whose sources are long deleted
+            // (silent edge loss), and a full merge could select its own
+            // target among its read sources. One BELOW the smallest
+            // live fold id is fresh under any resume history — never a
+            // read source, never a prior fold, still negative so a
+            // replayed batch's own (non-negative) subtree can't collide
+            val nextFoldId = live
+              .map(_.getName.stripPrefix("ingest_batch=").toLong)
+              .filter(_ < 0).minOption.getOrElse(0L) - 1
             spark.read.option("basePath", storeDir)
               .parquet(withData.map(_.getPath): _*)
               .select("src", "dst", "db").distinct()
               .repartition(col("db"))
               .write.mode(SaveMode.Overwrite).partitionBy("db")
-              .parquet(s"$storeDir/ingest_batch=${-(batchId + 1)}")
+              .parquet(s"$storeDir/ingest_batch=$nextFoldId")
           }
           // fold committed: drop the sources (a crash HERE leaves
           // duplicate edges, which bit_or absorbs and the next
@@ -1098,8 +1121,9 @@ object Streams {
       }
     val q = src.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(regDir, s"_committed_$batchId")
-        if (marker.exists()) { // replay of a fully-committed batch: skip
+        val fp = CommitMarkers.fingerprint(batch)
+        if (CommitMarkers.isCommitted(regDir, batchId, fp)) {
+          // replay of a fully-committed batch: skip
           rounds += 0
           roundStats += Seq.empty: Unit
         } else {
@@ -1163,7 +1187,9 @@ object Streams {
             roundStats += st: Unit
           }
           graft.plans.Iterate.release(dE)
-          marker.createNewFile(): Unit // commit point: the batch is visible
+          // commit point: the batch is visible (census-folded past the
+          // bound — replay-skip consults markers AND watermark)
+          CommitMarkers.commit(regDir, batchId, fp, markerFoldAt)
           // GC superseded register leaves (marker is down, so readers
           // already prefer this commit's buckets); drop commit dirs
           // left empty so the listing stays O(buckets)

@@ -153,6 +153,85 @@ class AnfStoreSpec extends AnyFunSuite {
     Seq(m, want).foreach(plans.Iterate.release)
   }
 
+  test("resume across a fold boundary: store-derived fold ids never overwrite a prior fold") {
+    // run 1 folds b0+b1 into the store's first fold; run 2 (folding
+    // off) leaves b2 and b3 as LIVE SINGLES; run 3 replays everything
+    // with folding back on and hits fold boundary 1 with those leftover
+    // singles. Under batch-counter fold ids (-(batchId+1), ADVICE r13
+    // high) that fold lands on the SAME id run 1's boundary-1 fold
+    // took and Overwrites it — silently dropping b0+b1's edges, whose
+    // source subtrees are long deleted. Store-derived ids allocate
+    // below the live minimum instead, so the two folds coexist.
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e6").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r6").toString
+    val bs4 = batches :+ Seq((1L, 7L))
+    val (m1, _, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("fres1", batches.take(2)),
+      storeDir0 = Some(store), regDir0 = Some(reg), compactEvery = 2)
+    plans.Iterate.release(m1)
+    val (m2, _, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("fres2", bs4),
+      storeDir0 = Some(store), regDir0 = Some(reg), compactEvery = 0)
+    plans.Iterate.release(m2)
+    val (m3, r3, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("fres3", bs4),
+      storeDir0 = Some(store), regDir0 = Some(reg), compactEvery = 2)
+    plans.Iterate.release(m3)
+    assert(r3 === Seq(0, 0, 0, 0), "a full replay must skip every batch")
+    // the store still holds EVERY staged edge — the discriminator: a
+    // reused fold id would have dropped b0+b1 here
+    val dirs = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("ingest_batch="))
+    val stored = spark.read.option("basePath", store)
+      .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+      .select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === bs4.flatten.toSet,
+      "a resumed fold must never overwrite a prior run's fold")
+    // and a later delta batch over the (intact) store lands on the cold
+    // fixpoint — the downstream symptom the dropped edges would cause
+    val bs5 = bs4 :+ Seq((4L, 8L))
+    val (m4, _, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("fres4", bs5),
+      storeDir0 = Some(store), regDir0 = Some(reg), compactEvery = 2)
+    val want = cold(bs5)
+    assert(drift(m4, want) === 0L)
+    Seq(m4, want).foreach(plans.Iterate.release)
+  }
+
+  test("marker census folds into the watermark; replay-skip stays exact across it") {
+    // 5 batches with the fold bound forced to 2: the register store's
+    // commit markers must fold into ONE _committed_upto watermark
+    // (VERDICT r13 #3 — the marker listing is O(recent), not
+    // O(batches)), and a full replay must still skip every batch via
+    // the watermark with the committed registers intact
+    val bs5 = batches ++ Seq(Seq((3L, 6L)), Seq((7L, 1L)))
+    val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e7").toString
+    val reg = GraftSession.tempDirCleanedOnExit("spec-anfstore-r7").toString
+    val (m1, r1, _, _) = streaming.Streams.runAnfMaintain(spark,
+      stage("census1", bs5),
+      storeDir0 = Some(store), regDir0 = Some(reg), markerFoldAt = 2)
+    assert(r1.size === 5 && r1.head > 0)
+    plans.Iterate.release(m1)
+    val census = new java.io.File(reg).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("_committed_"))
+      .map(_.getName).toSeq.sorted
+    assert(census.contains("_committed_upto"),
+      s"5 commits past a fold bound of 2 must have written the watermark, saw $census")
+    assert(census.size <= 3,
+      s"marker census must stay O(bound), saw $census")
+    val (m2, r2, _, f2) = streaming.Streams.runAnfMaintain(spark,
+      stage("census2", bs5),
+      storeDir0 = Some(store), regDir0 = Some(reg), markerFoldAt = 2)
+    assert(r2 === Seq(0, 0, 0, 0, 0),
+      "watermark-subsumed batches must replay-skip exactly like markers")
+    assert(f2.nonEmpty)
+    val want = cold(bs5)
+    assert(drift(m2, want) === 0L,
+      "the committed view must stay readable across the watermark fold")
+    Seq(m2, want).foreach(plans.Iterate.release)
+  }
+
   test("a crashed edge fold's duplicates are absorbed: the fixpoint never moves") {
     val in = stage("foldcrash", batches)
     val store = GraftSession.tempDirCleanedOnExit("spec-anfstore-e4").toString
