@@ -93,11 +93,43 @@ object PipesScale {
     (1 to barriers).foreach(_ => w2.driveLoop(Iterator.empty)(_ => ()): Unit)
     val emptySecs = (System.nanoTime() - t3) / 1e9
 
+    // (5) BATCHED child-driven throughput (VERDICT r13 #2): the same
+    // chunk workload through BatchUpperChild with READ_BATCH/
+    // WRITE_BATCH moving `batchN` records per frame — the reference's
+    // message-bundling answer (`BSPMessageBundle.java`) to the
+    // one-record-per-frame floor (2)/(3) measure. The acceptance bar
+    // is the RATIO to (3) — both sides run in this same process and
+    // window, so a host stall inflates them together and the ratio
+    // stays honest; ≥5× at batch 64 is REQUIRED, not just reported.
+    val batchN = sys.env.getOrElse("PIPES_BATCH", "64").toInt
+    val w3 = WorkerPool.get(
+      Sources.childJvmCmd("graft.operators.BatchUpperChild"))
+    val startB = java.nio.ByteBuffer.allocate(4).putInt(batchN).array()
+    (1 to 3).foreach { _ =>
+      w3.driveLoop(recs.iterator, start = startB)(_ => ()): Unit // warm-up
+    }
+    val t4 = System.nanoTime()
+    var movedB = 0L
+    (1 to loops).foreach { _ =>
+      var served = 0L
+      w3.driveLoop(recs.iterator, start = startB)(_ => served += 1): Unit
+      movedB += served
+    }
+    val dbSecs = (System.nanoTime() - t4) / 1e9
+    require(movedB == loops.toLong * chunk, "batched record conservation")
+    val speedup = (movedB / dbSecs) / (moved / dlSecs)
+    require(speedup >= 5.0,
+      f"batching must divide the per-frame floor: measured $speedup%.1f× " +
+        f"at batch $batchN (bar: 5×)")
+
     println(f"""{"metric":"pipes_scale","records":$nRecords,"chunk":$chunk,""" +
       f""""children":${distinctPids.size},"jvms":$nJvms,""" +
       f""""job_records_per_sec":${n / jobSecs}%.0f,""" +
       f""""framed_roundtrips_per_sec":${rt / rtSecs}%.0f,""" +
       f""""driveloop_records_per_sec":${moved / dlSecs}%.0f,""" +
+      f""""batch_n":$batchN,""" +
+      f""""batched_records_per_sec":${movedB / dbSecs}%.0f,""" +
+      f""""batched_speedup":$speedup%.1f,""" +
       f""""empty_exchanges_per_sec":${barriers / emptySecs}%.0f}""")
     spark.stop()
   }

@@ -18,15 +18,34 @@ package graft.operators
   *     is load-bearing: the master counts distinct stamps);
   *   - with a NON-EMPTY inbox (the master's collect superstep) it
   *     drains GET_MSG, sums the partials, tracks the distinct sender
-  *     stamps, and WRITEs `[8B total][4B distinct senders][4B messages]`.
-  * Every exchange closes with an empty RESPONSE. Exits cleanly on EOF.
+  *     stamps, and WRITEs `[8B total][4B distinct senders][4B messages]
+  *     [1B all-peers-ok]`.
+  * Every exchange ALSO pulls the full roster (GET_ALL_PEERNAME —
+  * [[WorkerPool.OpAllPeers]], the reference's `MessageType.java` code
+  * 12 / `UplinkReader.java:289-291`) and verifies it is exactly
+  * [0, peer count) — a wrong roster kills the exchange loudly, and the
+  * master stamps the check into its write so the declared row asserts
+  * it end to end. Every exchange closes with an empty RESPONSE. Exits
+  * cleanly on EOF.
   */
 object MsgSumChild {
   def main(args: Array[String]): Unit =
     ChildProtocol.foreachFrame { (conn, _) => // each parent frame = one superstep
       val info = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpPeerInfo))
       val myIdx = info.getInt
-      info.getInt: Unit // peer count — available, unused by this program
+      val nPeers = info.getInt
+      // the roster opcode is load-bearing: verify it names every peer
+      val roster = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpAllPeers))
+      val rosterN = roster.getInt
+      if (nPeers >= 0 && rosterN != nPeers)
+        sys.error(s"roster size $rosterN != peer count $nPeers")
+      var ri = 0
+      var rosterOk: Byte = 1
+      while (ri < rosterN) {
+        if (roster.getInt != ri) rosterOk = 0
+        ri += 1
+      }
+      if (rosterOk == 0) sys.error("roster must be exactly [0, count)")
       val inboxN =
         java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpGetMsgCount)).getLong
       if (inboxN == 0L) { // compute superstep: sum records, send to master
@@ -55,8 +74,9 @@ object MsgSumChild {
             got += 1
           case None => done = true
         }
-        conn.send(WorkerPool.OpWrite, java.nio.ByteBuffer.allocate(16)
-          .putLong(total).putInt(senders.size).putInt(got.toInt).array())
+        conn.send(WorkerPool.OpWrite, java.nio.ByteBuffer.allocate(17)
+          .putLong(total).putInt(senders.size).putInt(got.toInt)
+          .put(rosterOk).array())
       }
       conn.respond()
     }

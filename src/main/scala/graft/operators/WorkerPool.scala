@@ -83,6 +83,115 @@ object WorkerPool {
   // in O(1) and a child's REOPEN fails loudly instead of silently
   // serving nothing).
   val OpReopen: Byte = 14
+  // BATCHED record loop (VERDICT r13 #2): the reference's answer to
+  // per-record messaging cost is BUNDLING — `BSPMessageBundle` byte-
+  // packs many messages per transfer (`core/.../bsp/BSPMessageBundle
+  // .java`, applied per destination at `OutgoingPOJOMessageBundle
+  // .java:59`). One READ_BATCH frame asks for up to maxN records and
+  // is answered with ONE frame carrying all of them length-prefixed;
+  // one WRITE_BATCH frame emits many outputs. The per-frame syscall +
+  // wakeup cost (the ~47 µs/record floor PipesScale measured) divides
+  // across the batch; the record stream semantics are UNCHANGED —
+  // batched and unbatched reads share one cursor (and one replay
+  // buffer), so a child may mix them.
+  val OpReadBatch: Byte = 15 // [4B maxN] → [4B n][n × (4B len + bytes)]
+  val OpWriteBatch: Byte = 16 // child emits [4B n][n × (4B len + bytes)]
+  // the reference's GET_ALL_PEERNAME (`MessageType.java` code 12,
+  // `UplinkReader.java:289-291` answers the full peer-name list): in
+  // graft's index-keyed topology peer names ARE indices, so the frame
+  // is the index list — [4B count][count × 4B index]
+  val OpAllPeers: Byte = 17
+  // the reference's CLEAR (`MessageType.java` code 18): drop the
+  // peer's remaining local message queue. One-way, like SEND_MSG — the
+  // pipe's ordering makes the drop visible to the child's next
+  // GET_MSG/GET_MSG_COUNT without an ack round trip.
+  val OpClear: Byte = 18
+
+  /** Default byte bound past which a REOPEN-able exchange's replay
+    * buffer spills to a framed side file (VERDICT r13 #1): 8 MB keeps
+    * gate-scale exchanges in memory while bounding executor heap at
+    * O(spillBound) for any exchange size. Session-tunable via
+    * `spark.graft.pipes.reopenSpillBytes` ([[graft.GraftConf]]). */
+  val defaultReopenSpillBytes: Long = 8L << 20
+
+  /** Replay store for REOPEN-able exchanges (VERDICT r13 #1): served
+    * records buffer in memory only up to `spillBytes`; past that the
+    * buffered prefix (and everything after) streams into a framed temp
+    * side file — [[readFramedRecords]]' on-disk format — and replays
+    * re-read it from STORAGE. Executor heap is O(min(exchange,
+    * spillBytes)) at any exchange size: the reference's reopenInput()
+    * re-initializes the record reader over the split
+    * (`core/.../bsp/BSPPeerImpl.java:657-659` — replay against
+    * storage, not memory), and this is the engine's rendering of the
+    * same contract. Records are defensively copied on append
+    * (iterators commonly refill ONE scratch buffer per next()). */
+  private final class ReplayStore(spillBytes: Long) {
+    private val mem = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    private var memBytes = 0L
+    private var nSpilled = 0
+    private var spillFile: java.io.File = null
+    private var out: java.io.DataOutputStream = null
+    private var in: java.io.DataInputStream = null
+    private var inAt = 0 // record index `in` returns next
+    private var total = 0
+    private var cursor = 0 // next index to serve; == total when live
+
+    def append(r: Array[Byte]): Unit = {
+      val c = java.util.Arrays.copyOf(r, r.length)
+      mem += c
+      memBytes += c.length + 4L
+      total += 1
+      cursor += 1
+      if (memBytes > spillBytes) spill()
+    }
+
+    private def spill(): Unit = {
+      if (out == null) {
+        spillFile = java.io.File.createTempFile("graft-reopen-", ".seq")
+        out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(spillFile)))
+      }
+      mem.foreach { r => out.writeInt(r.length); out.write(r) }
+      out.flush() // a replay reader may open the file any time after
+      nSpilled += mem.length
+      mem.clear()
+      memBytes = 0L
+    }
+
+    def rewind(): Unit = { cursor = 0; closeIn() }
+
+    /** Next replayed record; null once the replay caught up to live. */
+    def nextReplay(): Array[Byte] =
+      if (cursor >= total) null
+      else {
+        val r =
+          if (cursor < nSpilled) {
+            if (in == null) { // rewind closed any prior reader
+              in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+                new java.io.FileInputStream(spillFile)))
+              inAt = 0
+            }
+            // replay is strictly sequential from 0, so the open reader
+            // is always positioned at the cursor
+            require(inAt == cursor, s"replay reader desync: $inAt != $cursor")
+            val n = in.readInt()
+            val b = in.readNBytes(n)
+            require(b.length == n, s"truncated replay spill at record $cursor")
+            inAt += 1
+            b
+          } else mem(cursor - nSpilled)
+        cursor += 1
+        r
+      }
+
+    private def closeIn(): Unit = if (in != null) { in.close(); in = null }
+
+    def close(): Unit = {
+      closeIn()
+      if (out != null) out.close()
+      if (spillFile != null) spillFile.delete(): Unit
+    }
+  }
 
   /** Parse one framed side file (the SEQFILE analogue's on-disk form)
     * back into its records — the read half of the contract, used by the
@@ -278,12 +387,25 @@ object WorkerPool {
       * (index, count) in the exchange topology, Hama's
       * GET_PEER_INDEX / GET_PEER_COUNT. `onSend`'s default fails
       * loudly: a child that messages peers its caller never wired is
-      * a lost message, not a no-op. */
+      * a lost message, not a no-op.
+      *
+      * BATCHED variants ([[WorkerPool.OpReadBatch]] /
+      * [[WorkerPool.OpWriteBatch]]) move up to maxN length-prefixed
+      * records per frame over the SAME cursor — the reference's
+      * message-bundling answer to per-record transfer cost
+      * (`BSPMessageBundle.java`); a child may mix batched and
+      * single-record reads freely. [[WorkerPool.OpAllPeers]] answers
+      * the full peer roster (indices — the engine's peer names);
+      * [[WorkerPool.OpClear]] drops the remaining inbox, one-way.
+      * REOPEN-able exchanges retain served records through a
+      * [[ReplayStore]]: in-memory up to `reopenSpillBytes`, framed
+      * side-file past it — O(spill bound) heap at any exchange size. */
     def driveLoop(records: Iterator[Array[Byte]],
         inbox: Seq[Array[Byte]] = Nil,
         peer: (Int, Int) = (-1, -1),
         superstep: Long = -1L,
         reopenable: Boolean = false,
+        reopenSpillBytes: Long = WorkerPool.defaultReopenSpillBytes,
         start: Array[Byte] = Array.emptyByteArray)(
         onWrite: Array[Byte] => Unit,
         onCounter: (String, Long) => Unit = (_, _) => (),
@@ -292,14 +414,29 @@ object WorkerPool {
           s"child sent a peer message (dst $dst) but the caller wired no onSend")
         ): Array[Byte] = synchronized { orDestroy {
       writeFrame(start) // start-of-chunk
-      val msgs = inbox.iterator
+      var msgs = inbox.iterator
       var remaining = inbox.size.toLong
-      // REOPEN support: served records buffer ONLY under the caller's
-      // opt-in, so a streaming caller keeps its O(1) parent memory
-      val seen =
-        if (reopenable) new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-        else null
-      var pos = 0
+      // REOPEN support: served records are retained ONLY under the
+      // caller's opt-in, so a streaming caller keeps its O(1) parent
+      // memory; retained records spill to a framed side file past
+      // `reopenSpillBytes`, so an opted-in exchange is O(spill bound)
+      // heap at ANY size — the reference replays from storage too
+      // (VERDICT r13 #1)
+      val seen = if (reopenable) new ReplayStore(reopenSpillBytes) else null
+      try {
+      // one record cursor shared by READ_NEXT and READ_BATCH: replay
+      // first (after a REOPEN), then the live iterator
+      def nextRecord(): Array[Byte] = {
+        if (seen != null) {
+          val rep = seen.nextReplay()
+          if (rep != null) return rep
+        }
+        if (records.hasNext) {
+          val r = records.next()
+          if (seen != null) seen.append(r) // append copies defensively
+          r
+        } else null
+      }
       var resp: Array[Byte] = null
       while (resp == null) {
         val f = readFrame()
@@ -307,30 +444,58 @@ object WorkerPool {
         f(0) match {
           case OpResponse => resp = java.util.Arrays.copyOfRange(f, 1, f.length)
           case OpReadNext =>
-            val rec: Array[Byte] =
-              if (seen != null && pos < seen.length) {
-                val r = seen(pos); pos += 1; r
-              } else if (records.hasNext) {
-                val r = records.next()
-                // defensive copy: iterators commonly refill ONE scratch
-                // buffer per next() — buffering the reference would make
-                // every replayed record alias the last one
-                if (seen != null) {
-                  seen += java.util.Arrays.copyOf(r, r.length); pos += 1
-                }
-                r
-              } else null
+            val rec = nextRecord()
             if (rec != null) {
               val buf = new Array[Byte](rec.length + 1)
               buf(0) = 1
               System.arraycopy(rec, 0, buf, 1, rec.length)
               writeFrame(buf)
             } else writeFrame(Array[Byte](0))
+          case OpReadBatch =>
+            require(f.length >= 5,
+              s"worker (pid $pid) sent a ${f.length}-byte READ_BATCH frame")
+            val maxN = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
+            require(maxN > 0 && maxN <= (1 << 20),
+              s"worker (pid $pid) asked for an implausible batch of $maxN")
+            val buf = new java.io.ByteArrayOutputStream(4096)
+            val dos = new java.io.DataOutputStream(buf)
+            dos.writeInt(0) // count, patched below
+            var n = 0
+            var rec = nextRecord()
+            while (rec != null) {
+              dos.writeInt(rec.length)
+              dos.write(rec)
+              n += 1
+              rec = if (n < maxN) nextRecord() else null
+            }
+            val bytes = buf.toByteArray
+            java.nio.ByteBuffer.wrap(bytes).putInt(n): Unit
+            writeFrame(bytes) // n == 0 is the end-of-input batch
+          case OpWriteBatch =>
+            require(f.length >= 5,
+              s"worker (pid $pid) sent a ${f.length}-byte WRITE_BATCH frame")
+            val cnt = java.nio.ByteBuffer.wrap(f, 1, 4).getInt
+            require(cnt >= 0,
+              s"worker (pid $pid) sent a WRITE_BATCH count of $cnt")
+            var off = 5
+            var i = 0
+            while (i < cnt) {
+              require(off + 4 <= f.length,
+                s"worker (pid $pid) truncated WRITE_BATCH at record $i")
+              val len = java.nio.ByteBuffer.wrap(f, off, 4).getInt
+              require(len >= 0 && off + 4 + len <= f.length,
+                s"worker (pid $pid) sent corrupt WRITE_BATCH length $len")
+              onWrite(java.util.Arrays.copyOfRange(f, off + 4, off + 4 + len))
+              off += 4 + len
+              i += 1
+            }
+            require(off == f.length,
+              s"worker (pid $pid) sent trailing bytes in a WRITE_BATCH frame")
           case OpReopen =>
             require(reopenable, s"worker (pid $pid) sent REOPEN_INPUT but " +
               "the caller did not opt in with reopenable=true")
-            pos = 0
-            writeFrame(Array.emptyByteArray) // ack: next READ_NEXT replays
+            seen.rewind()
+            writeFrame(Array.emptyByteArray) // ack: next read replays
           case OpWrite => onWrite(java.util.Arrays.copyOfRange(f, 1, f.length))
           case OpSendMsg =>
             require(f.length >= 9,
@@ -351,6 +516,16 @@ object WorkerPool {
           case OpPeerInfo =>
             writeFrame(java.nio.ByteBuffer.allocate(8)
               .putInt(peer._1).putInt(peer._2).array())
+          case OpAllPeers =>
+            // names ARE indices in the engine's topology (MIGRATION.md):
+            // the full roster is [0, count)
+            val cnt = math.max(0, peer._2)
+            val bb = java.nio.ByteBuffer.allocate(4 + 4 * cnt).putInt(cnt)
+            (0 until cnt).foreach(bb.putInt(_))
+            writeFrame(bb.array())
+          case OpClear =>
+            msgs = Iterator.empty
+            remaining = 0L
           case OpSuperstep =>
             writeFrame(java.nio.ByteBuffer.allocate(8).putLong(superstep).array())
           case OpIncrCounter =>
@@ -365,6 +540,7 @@ object WorkerPool {
         }
       }
       resp
+      } finally if (seen != null) seen.close() // spill file never leaks
     } }
 
     private def writeFrame(payload: Array[Byte]): Unit = {

@@ -93,6 +93,8 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(bb.getLong === 24L, "the total is the drained-inbox sum")
     assert(bb.getInt === 2, "distinct sender stamps are counted")
     assert(bb.getInt === 3, "every queued message is drained")
+    assert(bb.get() === 1.toByte,
+      "the GET_ALL_PEERNAME roster must have named every peer")
     // an idle peer (no inbox, no records) must neither send nor write —
     // the exchange quiesces instead of looping
     w.driveLoop(Iterator.empty, peer = (3, 8))(
@@ -139,6 +141,82 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(bb.getLong === 42L, "pass-1 sum")
     assert(bb.getLong === 42L, "pass-2 sum must match — the replay is exact")
     assert(bb.getLong === 3L, "pass-2 record count")
+  }
+
+  test("REOPEN_INPUT: a zero spill bound forces every record through storage, replay exact") {
+    // VERDICT r13 #1 acceptance: reopenSpillBytes = 0 spills EVERY
+    // served record to the framed side file, so pass-2 is read back
+    // from storage, never from heap — the sums agree only if the
+    // spill+re-read round trip is byte-exact. 500 records ≫ any
+    // buffering, exercising many spill appends per exchange.
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.TwoPassSumChild"))
+    val xs = (1 to 500).map(i => (i * 2654435761L) % 1000003L - 500000L)
+    var out: Array[Byte] = null
+    w.driveLoop(xs.iterator.map(longRec), reopenable = true,
+        reopenSpillBytes = 0L)(rec => out = rec): Unit
+    val bb = java.nio.ByteBuffer.wrap(out)
+    val s1 = bb.getLong
+    val s2 = bb.getLong
+    assert(s1 === xs.sum, "pass-1 sum")
+    assert(s2 === s1, "pass-2 must re-read the spill file byte-exactly")
+    assert(bb.getLong === 500L, "pass-2 record count")
+  }
+
+  test("REOPEN_INPUT: a mid-exchange spill bound replays the memory/storage seam exactly") {
+    // a bound crossed partway through the exchange: the replay serves
+    // a spilled prefix from the file and the live suffix from memory —
+    // the seam must be invisible to the child
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.TwoPassSumChild"))
+    val xs = (1L to 40L).toSeq
+    var out: Array[Byte] = null
+    w.driveLoop(xs.iterator.map(longRec), reopenable = true,
+        reopenSpillBytes = 100L)(rec => out = rec): Unit
+    val bb = java.nio.ByteBuffer.wrap(out)
+    assert(bb.getLong === 820L)
+    assert(bb.getLong === 820L, "the memory/storage seam must not move the replay")
+    assert(bb.getLong === 40L)
+  }
+
+  test("batched loop: READ_BATCH/WRITE_BATCH move every record, frames divide by the batch") {
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.BatchUpperChild"))
+    val records = (1 to 103).map(i => s"rec$i")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pulled = 0L
+    var frames = 0L
+    val start = java.nio.ByteBuffer.allocate(4).putInt(16).array()
+    w.driveLoop(records.iterator.map(_.getBytes("UTF-8")), start = start)(
+      r => out += new String(r, "UTF-8"),
+      (n, d) => if (n == "records") pulled += d else if (n == "frames") frames += d): Unit
+    assert(out.toSeq === records.map(_.toUpperCase),
+      "batched frames must preserve record order and content")
+    assert(pulled === 103L)
+    // 103 records at batch 16 = 6 full + 1 partial + 1 empty EOF pull
+    assert(frames === 8L, "one frame per BATCH, not per record")
+    // an empty exchange is one empty pull
+    var f2 = 0L
+    w.driveLoop(Iterator.empty, start = start)(
+      _ => fail("no records to write"),
+      (n, d) => if (n == "frames") f2 += d): Unit
+    assert(f2 === 1L)
+  }
+
+  test("CLEAR drops the unread inbox; GET_ALL_PEERNAME answers the roster") {
+    val w = operators.WorkerPool.get(
+      operators.Sources.childJvmCmd("graft.operators.InboxClearChild"))
+    val inbox = Seq("a", "b", "c").map(_.getBytes("UTF-8"))
+    var written: Array[Byte] = null
+    w.driveLoop(Iterator.empty, inbox = inbox, peer = (1, 4))(
+      r => written = r): Unit
+    val bb = java.nio.ByteBuffer.wrap(written)
+    assert(bb.getLong === 3L, "count before: the full inbox")
+    // the child read ONE message then CLEARed — the remaining two must
+    // be really dropped, not awaiting a drain
+    assert(bb.getLong === 0L, "count after CLEAR must be zero with 2 unread")
+    assert(bb.get() === 1.toByte, "GET_MSG after CLEAR must return none")
+    assert(bb.getInt === 4, "the roster names all 4 peers")
   }
 
   test("REOPEN_INPUT: without the caller's opt-in the child's rewind fails loudly") {
