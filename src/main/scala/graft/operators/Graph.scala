@@ -1223,9 +1223,13 @@ object Graph extends QueryModule {
     * runs un-hinted against the dst-partitioned edge relation (the
     * reference's message-routing contract,
     * `graph/src/main/java/org/apache/hama/graph/GraphJobRunner.java:823-837`).
-    * 1M rows ≈ 24 MB of (v,k,mask) longs — comfortably inside Spark's
-    * broadcast limits with headroom for executor-side copies. */
-  private[graft] val anfBroadcastRows = 1000000L
+    * The default 1M rows ≈ 24 MB of (v,k,mask) longs — comfortably
+    * inside Spark's broadcast limits with headroom for executor-side
+    * copies. Session-tunable via `spark.graft.anf.broadcastRows`
+    * (VERDICT r13 #6 — a deployment with bigger/smaller executors
+    * moves the bound without a rebuild); read on the DRIVER at
+    * plan-build time, validated ≥ 0 ([[graft.GraftConf]]). */
+  private[graft] def anfBroadcastRows: Long = graft.GraftConf.anfBroadcastRows
 
   /** One round of a delta-frontier ANF batch: (frontier register rows,
     * edge-join output rows, register-store buckets opened for the
