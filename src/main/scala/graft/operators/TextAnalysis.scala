@@ -103,6 +103,37 @@ object TextAnalysis extends QueryModule {
         call_function("replace", col("ts"), p, r), p, r).as("ts"))
     }
 
+    /** The full training loop: `rounds` × (argmax → merge), returning
+      * the merge table and the FINAL encoding (pinned — caller
+      * releases). `checkpointEvery` is the materialization cadence
+      * (VERDICT r13 #5 — the measured headroom): at 1 every round's
+      * encoding pins (one extra Spark job per round); at k the
+      * applyMerge projections CHAIN and fuse into the next round's
+      * pair-count scan, so the intermediate jobs vanish — the merges
+      * are IDENTICAL by construction (the argmax reads the same
+      * relation either way; BpeSemanticsSpec pins it), and pin-release
+      * stays safe because a superseded checkpoint is dropped only
+      * AFTER the next eager localCheckpoint materialized. */
+    def trainLoop(base: DataFrame, rounds: Int, excludeSelf: Boolean,
+        checkpointEvery: Int = 2): (Seq[(String, String)], DataFrame) = {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var enc = base
+      var lastPin: DataFrame = null
+      for (i <- 1 to rounds) {
+        val (a, b, _) = top1(pairCounts(enc, excludeSelf), i)
+        merges += ((a, b))
+        val nxt = applyMerge(enc, a, b)
+        enc =
+          if (i % checkpointEvery == 0 || i == rounds) {
+            val pinned = nxt.localCheckpoint() // eager: materialized HERE
+            if (lastPin != null) graft.plans.Iterate.release(lastPin)
+            lastPin = pinned
+            pinned
+          } else nxt
+      }
+      (merges.toSeq, enc)
+    }
+
     def corpusToks(enc: DataFrame): Long = enc.agg(sum(
         when(col("ts").isNull, lit(0L)).otherwise(
           length(col("ts")) -
@@ -146,6 +177,16 @@ object TextAnalysis extends QueryModule {
           length(ts) - length(replace(ts, chr(31), '')) - 1 END) AS BIGINT)
           FROM $src)"""
   }
+
+  // spec access to the private trainer (BpeSemanticsSpec pins the
+  // checkpoint-cadence invariance the production row relies on)
+  private[graft] def bpeTs0ForSpec: org.apache.spark.sql.Column = BpeTrain.ts0
+  private[graft] def bpeTrainLoopForSpec(base: DataFrame, rounds: Int,
+      excludeSelf: Boolean, checkpointEvery: Int)
+      : (Seq[(String, String)], DataFrame) =
+    BpeTrain.trainLoop(base, rounds, excludeSelf, checkpointEvery)
+  private[graft] def bpeCorpusToksForSpec(enc: DataFrame): Long =
+    BpeTrain.corpusToks(enc)
 
   override val defs: Seq[Q] = Seq(
 
@@ -1412,9 +1453,13 @@ object TextAnalysis extends QueryModule {
     // excluded each round (the kernel row's exactness seam: two-pass
     // replace is canonical greedy only for t1 ≠ t2 — both engines
     // share the filter). Per round: one pair-count hash agg, one O(1)
-    // argmax collect, one projection — each round's encoding is
-    // checkpointed so the plan stays linear, and superseded pins are
-    // released. Oracle: the same 20 rounds unrolled as MATERIALIZED
+    // argmax collect, one projection; encodings MATERIALIZE every
+    // SECOND round (BpeTrain.trainLoop's checkpoint cadence, VERDICT
+    // r13 #5 — the in-between round's replace projection fuses into
+    // the next pair-count scan, halving the checkpoint jobs; the
+    // merges are identical at any cadence, BpeSemanticsSpec-pinned),
+    // superseded pins released only after the next pin materialized.
+    // Oracle: the same 20 rounds unrolled as MATERIALIZED
     // CTEs (the GD-loop discipline), sharing q_text_bigram_merges'
     // ranking ORDER BY verbatim.
     Q("q_text_bpe_train_kernel",
@@ -1423,16 +1468,8 @@ object TextAnalysis extends QueryModule {
         val R = 20
         val base = docs(s, d).select(col("doc_id"), BpeTrain.ts0.as("ts"))
           .localCheckpoint()
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        var enc = base
-        for (i <- 1 to R) {
-          val (a, b, _) =
-            BpeTrain.top1(BpeTrain.pairCounts(enc, excludeSelf = true), i)
-          merges += ((a, b))
-          val next = BpeTrain.applyMerge(enc, a, b).localCheckpoint()
-          if (!(enc eq base)) graft.plans.Iterate.release(enc)
-          enc = next
-        }
+        val (merges, enc) =
+          BpeTrain.trainLoop(base, R, excludeSelf = true)
         val totBefore = BpeTrain.corpusToks(base)
         val totChain = BpeTrain.corpusToks(enc)
         val nDocs = base.count()

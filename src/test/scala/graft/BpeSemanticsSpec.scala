@@ -142,4 +142,34 @@ class BpeSemanticsSpec extends AnyFunSuite {
       s"2001-entry table must not cost ~2000x the 1-entry table: " +
         s"${tBig / 1e6}ms vs ${tSmall / 1e6}ms")
   }
+
+  test("trainLoop merges are invariant under the checkpoint cadence") {
+    // VERDICT r13 #5: the lazy-checkpoint headroom is safe only if the
+    // cadence can NEVER move a merge decision — each round's argmax
+    // reads the same relation whether the previous encoding was
+    // materialized or left as a chained projection. Pin it on real
+    // documents across cadences 1 (the r13 eager shape), 2 (the
+    // production cadence) and 3 (chains of two projections).
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, TestSpark.sf0, "documents").limit(120)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTs0ForSpec.as("ts"))
+      .localCheckpoint()
+    val results = Seq(1, 2, 3).map { k =>
+      val (merges, enc) = graft.operators.TextAnalysis
+        .bpeTrainLoopForSpec(base, rounds = 6, excludeSelf = true,
+          checkpointEvery = k)
+      val toks = graft.operators.TextAnalysis.bpeCorpusToksForSpec(enc)
+      plans.Iterate.release(enc)
+      (merges, toks)
+    }
+    assert(results(0)._1 === results(1)._1,
+      "cadence 2 must pick the identical merge table")
+    assert(results(0)._1 === results(2)._1,
+      "cadence 3 must pick the identical merge table")
+    assert(results.map(_._2).distinct.size === 1,
+      "the final corpus token count must agree at every cadence")
+    plans.Iterate.release(base)
+  }
 }
