@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *   - the empty-exchange barrier floor (exchanges/sec at 0 records) —
   *     what a superstep costs before any data moves.
   *
-  * Numbers are REPORTED (JSON lines, the probe convention); the only
-  * hard asserts are structural — child lifetime, record conservation —
+  * Numbers are REPORTED (JSON lines, the probe convention); hard
+  * asserts are structural — child lifetime, record conservation —
   * because wall-clock gates flake on this host's documented stall
-  * windows.
+  * windows. The ONE ratio gate (batched ≥5× unbatched) is made
+  * stall-resistant by construction: three interleaved A/B passes,
+  * best rate per side.
   *
   * Run: sbt "runMain graft.examples.PipesScale"
   */
@@ -69,23 +71,46 @@ object PipesScale {
     (1 to rt).foreach(_ => w.callFrame(payload))
     val rtSecs = (System.nanoTime() - t1) / 1e9
 
-    // (3) chunked child-driven throughput, single-threaded (driveLoop —
-    // the amortized shape the declared rows use)
+    // (3)+(5) chunked child-driven throughput, one-record-per-frame vs
+    // BATCHED (VERDICT r13 #2 — READ_BATCH/WRITE_BATCH moving `batchN`
+    // records per frame, the reference's message-bundling answer,
+    // `BSPMessageBundle.java`). The two sides are measured as THREE
+    // INTERLEAVED A/B passes and the per-side BEST rate adjudicates: a
+    // host stall can only slow a pass, so max-rate-of-3 is the
+    // stall-resistant reading on each side, and interleaving keeps a
+    // stall window from landing on one side only (review r14 #3 — a
+    // sequential A-then-B layout let a stall deflate just the batched
+    // window and fail the bar spuriously). ≥5× at batch 64 is
+    // REQUIRED, not just reported — warm runs measure 28-32×.
     val w2 = WorkerPool.get(cmd)
+    val batchN = sys.env.getOrElse("PIPES_BATCH", "64").toInt
+    val w3 = WorkerPool.get(
+      Sources.childJvmCmd("graft.operators.BatchUpperChild"))
+    val startB = java.nio.ByteBuffer.allocate(4).putInt(batchN).array()
     val recs = Array.tabulate(chunk)(i => s"record-$i".getBytes("UTF-8"))
-    (1 to 3).foreach { _ =>
-      w2.driveLoop(recs.iterator)(_ => ()): Unit // warm-up
-    }
     val loops = math.max(1, 100000 / chunk)
-    val t2 = System.nanoTime()
-    var moved = 0L
-    (1 to loops).foreach { _ =>
+    def timeSide(w: WorkerPool.Worker, start: Array[Byte]): Double = {
+      val t0 = System.nanoTime()
       var served = 0L
-      w2.driveLoop(recs.iterator)(_ => served += 1): Unit
-      moved += served
+      (1 to loops).foreach { _ =>
+        w.driveLoop(recs.iterator, start = start)(_ => served += 1): Unit
+      }
+      require(served == loops.toLong * chunk, "record conservation")
+      (System.nanoTime() - t0) / 1e9
     }
-    val dlSecs = (System.nanoTime() - t2) / 1e9
-    require(moved == loops.toLong * chunk)
+    (1 to 3).foreach { _ => // warm-up both children
+      w2.driveLoop(recs.iterator)(_ => ()): Unit
+      w3.driveLoop(recs.iterator, start = startB)(_ => ()): Unit
+    }
+    val passes = (1 to 3).map { _ =>
+      (timeSide(w2, Array.emptyByteArray), timeSide(w3, startB))
+    }
+    val dlSecs = passes.map(_._1).min
+    val dbSecs = passes.map(_._2).min
+    val speedup = (loops.toLong * chunk / dbSecs) / (loops.toLong * chunk / dlSecs)
+    require(speedup >= 5.0,
+      f"batching must divide the per-frame floor: measured $speedup%.1f× " +
+        f"at batch $batchN (bar: 5×; best-of-3 interleaved per side)")
 
     // (4) the empty-exchange barrier floor
     val t3 = System.nanoTime()
@@ -93,42 +118,13 @@ object PipesScale {
     (1 to barriers).foreach(_ => w2.driveLoop(Iterator.empty)(_ => ()): Unit)
     val emptySecs = (System.nanoTime() - t3) / 1e9
 
-    // (5) BATCHED child-driven throughput (VERDICT r13 #2): the same
-    // chunk workload through BatchUpperChild with READ_BATCH/
-    // WRITE_BATCH moving `batchN` records per frame — the reference's
-    // message-bundling answer (`BSPMessageBundle.java`) to the
-    // one-record-per-frame floor (2)/(3) measure. The acceptance bar
-    // is the RATIO to (3) — both sides run in this same process and
-    // window, so a host stall inflates them together and the ratio
-    // stays honest; ≥5× at batch 64 is REQUIRED, not just reported.
-    val batchN = sys.env.getOrElse("PIPES_BATCH", "64").toInt
-    val w3 = WorkerPool.get(
-      Sources.childJvmCmd("graft.operators.BatchUpperChild"))
-    val startB = java.nio.ByteBuffer.allocate(4).putInt(batchN).array()
-    (1 to 3).foreach { _ =>
-      w3.driveLoop(recs.iterator, start = startB)(_ => ()): Unit // warm-up
-    }
-    val t4 = System.nanoTime()
-    var movedB = 0L
-    (1 to loops).foreach { _ =>
-      var served = 0L
-      w3.driveLoop(recs.iterator, start = startB)(_ => served += 1): Unit
-      movedB += served
-    }
-    val dbSecs = (System.nanoTime() - t4) / 1e9
-    require(movedB == loops.toLong * chunk, "batched record conservation")
-    val speedup = (movedB / dbSecs) / (moved / dlSecs)
-    require(speedup >= 5.0,
-      f"batching must divide the per-frame floor: measured $speedup%.1f× " +
-        f"at batch $batchN (bar: 5×)")
-
     println(f"""{"metric":"pipes_scale","records":$nRecords,"chunk":$chunk,""" +
       f""""children":${distinctPids.size},"jvms":$nJvms,""" +
       f""""job_records_per_sec":${n / jobSecs}%.0f,""" +
       f""""framed_roundtrips_per_sec":${rt / rtSecs}%.0f,""" +
-      f""""driveloop_records_per_sec":${moved / dlSecs}%.0f,""" +
+      f""""driveloop_records_per_sec":${loops.toLong * chunk / dlSecs}%.0f,""" +
       f""""batch_n":$batchN,""" +
-      f""""batched_records_per_sec":${movedB / dbSecs}%.0f,""" +
+      f""""batched_records_per_sec":${loops.toLong * chunk / dbSecs}%.0f,""" +
       f""""batched_speedup":$speedup%.1f,""" +
       f""""empty_exchanges_per_sec":${barriers / emptySecs}%.0f}""")
     spark.stop()

@@ -22,11 +22,12 @@ package graft.operators
   *     [1B all-peers-ok]`.
   * Every exchange ALSO pulls the full roster (GET_ALL_PEERNAME —
   * [[WorkerPool.OpAllPeers]], the reference's `MessageType.java` code
-  * 12 / `UplinkReader.java:289-291`) and verifies it is exactly
-  * [0, peer count) — a wrong roster kills the exchange loudly, and the
-  * master stamps the check into its write so the declared row asserts
-  * it end to end. Every exchange closes with an empty RESPONSE. Exits
-  * cleanly on EOF.
+  * 12 / `UplinkReader.java:289-291`) and checks it is exactly
+  * [0, peer count); the VERDICT of that check travels ONLY in the
+  * master's written stamp, so the declared row's `require` on the
+  * stamp is the load-bearing assert (a child-side kill would make the
+  * stamp a constant). Every exchange closes with an empty RESPONSE.
+  * Exits cleanly on EOF.
   */
 object MsgSumChild {
   def main(args: Array[String]): Unit =
@@ -34,18 +35,19 @@ object MsgSumChild {
       val info = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpPeerInfo))
       val myIdx = info.getInt
       val nPeers = info.getInt
-      // the roster opcode is load-bearing: verify it names every peer
+      // the roster check's VERDICT travels in the master's write (and
+      // only there — review r14 #5: a child-side kill would make the
+      // stamp a constant and the row's require decorative): the stamp
+      // is 1 iff the roster was exactly [0, peer count)
       val roster = java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpAllPeers))
       val rosterN = roster.getInt
-      if (nPeers >= 0 && rosterN != nPeers)
-        sys.error(s"roster size $rosterN != peer count $nPeers")
+      var rosterOk: Byte =
+        (if (nPeers < 0 || rosterN == nPeers) 1 else 0).toByte
       var ri = 0
-      var rosterOk: Byte = 1
       while (ri < rosterN) {
         if (roster.getInt != ri) rosterOk = 0
         ri += 1
       }
-      if (rosterOk == 0) sys.error("roster must be exactly [0, count)")
       val inboxN =
         java.nio.ByteBuffer.wrap(conn.ask(WorkerPool.OpGetMsgCount)).getLong
       if (inboxN == 0L) { // compute superstep: sum records, send to master

@@ -644,10 +644,9 @@ object Sources extends QueryModule {
         // (ADVICE r13 low)
         val crossOk = s.sparkContext.defaultParallelism == 1 ||
           sp.map(_._2).size >= 2
-        if (s.sparkContext.defaultParallelism > 1)
-          require(sp.map(_._2).size >= 2,
-            s"the exchange must cross shuffle partitions, " +
-              s"saw ${sp.map(_._2).size} distinct partition ids")
+        require(crossOk,
+          s"the exchange must cross shuffle partitions, " +
+            s"saw ${sp.map(_._2).size} distinct partition ids")
         val (mTotal, mSenders, mMsgs, mRoster) =
           masterStats.value.asScala.toMap.apply(0L)
         require(mSenders == nPeers && mMsgs == nPeers,

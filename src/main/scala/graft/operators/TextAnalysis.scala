@@ -116,6 +116,9 @@ object TextAnalysis extends QueryModule {
       * AFTER the next eager localCheckpoint materialized. */
     def trainLoop(base: DataFrame, rounds: Int, excludeSelf: Boolean,
         checkpointEvery: Int = 2): (Seq[(String, String)], DataFrame) = {
+      require(rounds >= 1, s"trainLoop needs >= 1 round, got $rounds")
+      require(checkpointEvery >= 1,
+        s"checkpointEvery must be >= 1, got $checkpointEvery")
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var enc = base
       var lastPin: DataFrame = null

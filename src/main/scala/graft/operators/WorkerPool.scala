@@ -128,13 +128,18 @@ object WorkerPool {
   private final class ReplayStore(spillBytes: Long) {
     private val mem = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     private var memBytes = 0L
-    private var nSpilled = 0
+    // Long counters: the spill path exists precisely so an exchange can
+    // exceed memory — at 100 TB it can exceed Int too (review r14 #1);
+    // only the in-memory suffix is Int-indexed, and that region is
+    // bounded by spillBytes/4 records (each append adds >= 4 tracked
+    // bytes), far inside Int range for any sane bound
+    private var nSpilled = 0L
     private var spillFile: java.io.File = null
     private var out: java.io.DataOutputStream = null
     private var in: java.io.DataInputStream = null
-    private var inAt = 0 // record index `in` returns next
-    private var total = 0
-    private var cursor = 0 // next index to serve; == total when live
+    private var inAt = 0L // record index `in` returns next
+    private var total = 0L
+    private var cursor = 0L // next index to serve; == total when live
 
     def append(r: Array[Byte]): Unit = {
       val c = java.util.Arrays.copyOf(r, r.length)
@@ -179,7 +184,7 @@ object WorkerPool {
             require(b.length == n, s"truncated replay spill at record $cursor")
             inAt += 1
             b
-          } else mem(cursor - nSpilled)
+          } else mem((cursor - nSpilled).toInt) // bounded: see counter note
         cursor += 1
         r
       }

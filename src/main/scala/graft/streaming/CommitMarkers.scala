@@ -23,11 +23,22 @@ package graft.streaming
   *     data-side folds eliminated. Past `censusBound` markers,
   *     [[commit]] folds them into ONE `_committed_upto` watermark file
   *     (one `id\tfingerprint` line per subsumed batch, so validation
-  *     survives subsumption), written tmp + atomic-rename BEFORE the
-  *     individual markers are removed — the marker-last discipline
-  *     applied to the watermark itself: a crash between the rename and
-  *     the deletes leaves harmless duplicate records, never a lost
-  *     commit. Census stays O(censusBound), replay-skip stays exact.
+  *     survives subsumption). Folds APPEND the new lines and force
+  *     them to disk BEFORE the individual markers are removed — the
+  *     marker-last discipline: a crash mid-append leaves the markers
+  *     in place and at worst a torn trailing line, which the parser
+  *     drops and the next fold re-appends; a crash after the sync and
+  *     before the deletes leaves harmless duplicate records, never a
+  *     lost commit. Appending (not rewriting) keeps each fold
+  *     O(censusBound) I/O — cumulative O(batches), not O(batches²) —
+  *     and a per-JVM parse cache keyed on the file length keeps the
+  *     per-batch lookup O(1) after one parse per run (review r14 #2).
+  *     The watermark file itself is O(batches) lines — that is the
+  *     TxLog one-log posture the census fold was prescribed from:
+  *     with no streaming checkpoint every batch can redeliver, so
+  *     every batch needs a durable replay-skip record somewhere; one
+  *     appended log line is the floor, and the DIRECTORY census stays
+  *     O(censusBound).
   *
   * The reference's pipes/BSP runtime has no streaming resume; the
   * discipline here is the repo's own TxLog (one log, snapshot
@@ -63,14 +74,34 @@ private[graft] object CommitMarkers {
   private def read(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
 
-  /** The watermark's subsumed (id → fingerprint) map; empty if none. */
+  /** Per-JVM parse cache: absolute path → (file length at parse, map).
+    * The file is append-only, so length identifies content; a replayed
+    * batch's lookup is then O(1) instead of an O(batches) re-parse. */
+  private val wmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[Long, String])]()
+
+  /** The watermark's subsumed (id → fingerprint) map; empty if none.
+    * Malformed lines (a torn tail from a crash mid-append) are dropped
+    * — their markers still exist, and the next fold re-appends them. */
   private def watermark(dir: java.io.File): Map[Long, String] = {
     val f = new java.io.File(dir, WatermarkName)
     if (!f.exists()) Map.empty
-    else read(f).linesIterator.filter(_.nonEmpty).map { l =>
-      val cut = l.indexOf('\t')
-      if (cut < 0) l.toLong -> "" else l.take(cut).toLong -> l.drop(cut + 1)
-    }.toMap
+    else {
+      val key = f.getAbsolutePath
+      val len = f.length()
+      val cached = wmCache.get(key)
+      if (cached != null && cached._1 == len) cached._2
+      else {
+        val m = read(f).linesIterator.filter(_.nonEmpty).flatMap { l =>
+          val cut = l.indexOf('\t')
+          val idStr = if (cut < 0) l else l.take(cut)
+          val fp = if (cut < 0) "" else l.drop(cut + 1)
+          idStr.toLongOption.map(_ -> fp)
+        }.toMap
+        wmCache.put(key, (len, m))
+        m
+      }
+    }
   }
 
   /** Every id with a live commit record — markers plus watermark lines
@@ -118,19 +149,34 @@ private[graft] object CommitMarkers {
 
   /** Commit point for `batchId`: the marker (with fingerprint) appears
     * atomically; past `foldAt` live markers the census folds into the
-    * watermark — watermark first, then the markers drop. */
+    * watermark — lines appended and synced first, then the markers
+    * drop. Each fold is O(foldAt) I/O, never a rewrite of the log. */
   def commit(dirPath: String, batchId: Long, fp: String,
       foldAt: Int = censusBound): Unit = {
     val dir = new java.io.File(dirPath)
     atomicWrite(dir, s"_committed_$batchId", fp)
     val markers = markerFiles(dir)
     if (markers.size > foldAt) {
-      val merged = watermark(dir) ++ markers.map { f =>
-        f.getName.stripPrefix("_committed_").toLong -> read(f)
+      val have = watermark(dir) // leftovers of a crashed fold dedup here
+      val lines = markers
+        .map(f => f.getName.stripPrefix("_committed_").toLong -> read(f))
+        .filterNot { case (id, _) => have.contains(id) }
+        .sortBy(_._1)
+        .map { case (id, h) => s"$id\t$h\n" }.mkString
+      val wm = new java.io.File(dir, WatermarkName)
+      // a foreign writer may have left the log without a trailing
+      // newline — start a fresh line, never glue onto the last one
+      val needsNl = wm.exists() && wm.length() > 0 && {
+        val raf = new java.io.RandomAccessFile(wm, "r")
+        try { raf.seek(wm.length() - 1); raf.read() != '\n' }
+        finally raf.close()
       }
-      atomicWrite(dir, WatermarkName,
-        merged.toSeq.sortBy(_._1)
-          .map { case (id, h) => s"$id\t$h" }.mkString("\n"))
+      val out = new java.io.FileOutputStream(wm, true) // append-only log
+      try {
+        out.write((if (needsNl) "\n" + lines else lines).getBytes("UTF-8"))
+        out.getFD.sync() // durable BEFORE any marker drops
+      } finally out.close()
+      wmCache.remove(wm.getAbsolutePath)
       // the watermark is durable: the individual markers are redundant
       // records now — a crash mid-delete leaves duplicates, not loss
       markers.foreach(_.delete())
