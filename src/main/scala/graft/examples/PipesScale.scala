@@ -118,6 +118,38 @@ object PipesScale {
     (1 to barriers).foreach(_ => w2.driveLoop(Iterator.empty)(_ => ()): Unit)
     val emptySecs = (System.nanoTime() - t3) / 1e9
 
+    // (6) REOPEN replay: in-memory buffer vs the forced framed spill
+    // file (bound 0 — every served record through storage). REPORTED
+    // only; the structural assert is the two-pass child's own
+    // pass-1 == pass-2 contract, checked per exchange — if the spill
+    // round trip dropped or reordered a byte, the sums would differ.
+    val w4 = WorkerPool.get(
+      Sources.childJvmCmd("graft.operators.TwoPassSumChild"))
+    val longRecs = Array.tabulate(chunk)(i =>
+      java.nio.ByteBuffer.allocate(8).putLong(i.toLong).array())
+    def twoPass(spill: Long): Double = {
+      val t = System.nanoTime()
+      var counted = 0L
+      (1 to loops).foreach { _ =>
+        var outB: Array[Byte] = null
+        w4.driveLoop(longRecs.iterator, reopenable = true,
+          reopenSpillBytes = spill)(r => outB = r): Unit
+        val bb = java.nio.ByteBuffer.wrap(outB)
+        val s1 = bb.getLong
+        val s2 = bb.getLong
+        require(s1 == s2, s"REOPEN replay must be exact: $s1 != $s2")
+        counted += bb.getLong
+      }
+      require(counted == loops.toLong * chunk, "replay record conservation")
+      (System.nanoTime() - t) / 1e9
+    }
+    twoPass(Long.MaxValue): Unit // warm-up
+    val memSecs = twoPass(Long.MaxValue)
+    val spillSecs = twoPass(0L)
+    // records served per second across BOTH passes (each exchange
+    // serves every record twice)
+    val served = 2L * loops * chunk
+
     println(f"""{"metric":"pipes_scale","records":$nRecords,"chunk":$chunk,""" +
       f""""children":${distinctPids.size},"jvms":$nJvms,""" +
       f""""job_records_per_sec":${n / jobSecs}%.0f,""" +
@@ -126,6 +158,8 @@ object PipesScale {
       f""""batch_n":$batchN,""" +
       f""""batched_records_per_sec":${loops.toLong * chunk / dbSecs}%.0f,""" +
       f""""batched_speedup":$speedup%.1f,""" +
+      f""""reopen_mem_records_per_sec":${served / memSecs}%.0f,""" +
+      f""""reopen_spill_records_per_sec":${served / spillSecs}%.0f,""" +
       f""""empty_exchanges_per_sec":${barriers / emptySecs}%.0f}""")
     spark.stop()
   }

@@ -563,6 +563,72 @@ object Sources extends QueryModule {
                 true AS frames_batched
               FROM customer GROUP BY seg ORDER BY seg""")),
 
+    // BATCHED frames from a FOREIGN-LANGUAGE child: the batched
+    // protocol is only a scale path if a non-JVM child can speak it —
+    // the reference's pipes surface exists precisely for C++/Python
+    // programs (`pipes/PipesBSP.java`, Hama Streaming's
+    // `python/BSPPeer.py:27-180`). This row drives the SAME
+    // READ_BATCH/WRITE_BATCH opcodes from a 25-line Python child
+    // (struct-packed 4-byte frames over stdin/stdout — the wire format
+    // is trivially portable), through the same WorkerPool and the same
+    // frame-arithmetic require as q_udf_pipe_batched. Oracle shared
+    // with q_udf_pipe.
+    Q("q_udf_pipe_python_batched",
+      (s, d) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val batchN = 256
+        val chunkN = 1024
+        val cmd = Seq("python3", "-u", "-c", pythonBatchChild)
+        val pidStats = s.sparkContext
+          .collectionAccumulator[(Int, (Long, Long, Long))]("pyBatchedStats")
+        val startFrame =
+          java.nio.ByteBuffer.allocate(4).putInt(batchN).array()
+        val counts = Tables(s, d, "customer")
+          .select(lower(col("c_mktsegment")).as("seg")).as[String]
+          .mapPartitions { it =>
+            val w = WorkerPool.get(cmd)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var recs = 0L
+            var frames = 0L
+            var expFrames = 0L
+            it.grouped(chunkN).flatMap { chunk =>
+              expFrames += (chunk.size + batchN - 1) / batchN + 1
+              val outRows = scala.collection.mutable.ArrayBuffer.empty[String]
+              w.driveLoop(chunk.iterator.map(_.getBytes("UTF-8")),
+                  start = startFrame)(
+                rec => outRows += new String(rec, "UTF-8"),
+                (name, dl) =>
+                  if (name == "records") recs += dl
+                  else if (name == "frames") frames += dl): Unit
+              outRows
+            } ++ {
+              pidStats.add((pid, (recs, frames, expFrames)))
+              Iterator.empty[String]
+            }
+          }
+          .toDF("seg")
+          .groupBy("seg").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // eager: the job runs, the accumulator fills
+        val perPid = pidStats.value.asScala.toSeq
+          .groupBy(_._1).values.map(_.head._2).toSeq
+        val recTotal = perPid.map(_._1).sum
+        val frameTotal = perPid.map(_._2).sum
+        val expTotal = perPid.map(_._3).sum
+        val expected = Tables(s, d, "customer").count()
+        require(recTotal == expected,
+          s"the Python child must have pulled every record: $recTotal != $expected")
+        require(frameTotal == expTotal,
+          s"READ_BATCH frames must match the batch arithmetic: " +
+            s"$frameTotal != $expTotal")
+        counts
+          .withColumn("frames_batched", lit(frameTotal < recTotal))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+                true AS frames_batched
+              FROM customer GROUP BY seg ORDER BY seg""")),
+
     // PEER-MESSAGING pipes (VERDICT r12 missing #1, the last uncovered
     // opcode class): a reference pipes child can address output to a
     // PEER — SEND_MSG / GET_MSG / GET_MSG_COUNT plus the introspection
@@ -890,6 +956,56 @@ object Sources extends QueryModule {
 
   private[graft] def statsChildCmd: Seq[String] =
     childJvmCmd("graft.operators.FrameStatsChild")
+
+  /** The Python batched-frames child (q_udf_pipe_python_batched): the
+    * full READ_BATCH/WRITE_BATCH + counter + response protocol in
+    * ~25 lines of struct-packed stdio — the wire format's portability
+    * IS the claim, so the whole foreign side sits here in plain view.
+    * Opcode bytes mirror [[WorkerPool]]: 15 READ_BATCH, 16
+    * WRITE_BATCH, 1 INCR_COUNTER, 0 RESPONSE. */
+  private[graft] val pythonBatchChild: String =
+    """import sys, struct
+      |inp = sys.stdin.buffer
+      |out = sys.stdout.buffer
+      |def recv():
+      |    hdr = inp.read(4)
+      |    if len(hdr) < 4:
+      |        sys.exit(0)
+      |    n = struct.unpack('>i', hdr)[0]
+      |    p = inp.read(n)
+      |    if len(p) != n:
+      |        raise IOError('truncated frame')
+      |    return p
+      |def send(op, payload):
+      |    out.write(struct.pack('>i', len(payload) + 1) + bytes([op]) + payload)
+      |    out.flush()
+      |while True:
+      |    start = recv()
+      |    bn = struct.unpack('>i', start[:4])[0] if len(start) >= 4 else 64
+      |    if bn <= 0:
+      |        bn = 64
+      |    recs = 0
+      |    frames = 0
+      |    while True:
+      |        send(15, struct.pack('>i', bn))
+      |        reply = recv()
+      |        frames += 1
+      |        n = struct.unpack('>i', reply[:4])[0]
+      |        if n == 0:
+      |            break
+      |        recs += n
+      |        parts = [struct.pack('>i', n)]
+      |        off = 4
+      |        for _ in range(n):
+      |            ln = struct.unpack('>i', reply[off:off+4])[0]
+      |            r = reply[off+4:off+4+ln].decode('utf-8').upper().encode('utf-8')
+      |            parts.append(struct.pack('>i', len(r)) + r)
+      |            off += 4 + ln
+      |        send(16, b''.join(parts))
+      |    send(1, struct.pack('>q', recs) + b'records')
+      |    send(1, struct.pack('>q', frames) + b'frames')
+      |    send(0, b'')
+      |""".stripMargin
 
   private[graft] def childJvmCmd(mainClass: String): Seq[String] = {
     def src(c: Class[_]): String =

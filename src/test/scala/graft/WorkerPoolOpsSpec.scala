@@ -203,6 +203,25 @@ class WorkerPoolOpsSpec extends AnyFunSuite {
     assert(f2 === 1L)
   }
 
+  test("batched loop from a Python child: the wire format is language-neutral") {
+    // the same READ_BATCH/WRITE_BATCH exchange as the JVM child, spoken
+    // by struct-packed Python stdio — order, content and the frame
+    // arithmetic must be identical
+    val w = operators.WorkerPool.get(
+      Seq("python3", "-u", "-c", operators.Sources.pythonBatchChild))
+    val records = (1 to 41).map(i => s"py$i")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pulled = 0L
+    var frames = 0L
+    val start = java.nio.ByteBuffer.allocate(4).putInt(8).array()
+    w.driveLoop(records.iterator.map(_.getBytes("UTF-8")), start = start)(
+      r => out += new String(r, "UTF-8"),
+      (n, d) => if (n == "records") pulled += d else if (n == "frames") frames += d): Unit
+    assert(out.toSeq === records.map(_.toUpperCase))
+    assert(pulled === 41L)
+    assert(frames === 7L, "5 full + 1 partial + 1 empty EOF pull at batch 8")
+  }
+
   test("CLEAR drops the unread inbox; GET_ALL_PEERNAME answers the roster") {
     val w = operators.WorkerPool.get(
       operators.Sources.childJvmCmd("graft.operators.InboxClearChild"))
