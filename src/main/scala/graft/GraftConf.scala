@@ -41,4 +41,23 @@ object GraftConf {
   def reopenSpillBytes: Long =
     long("spark.graft.pipes.reopenSpillBytes",
       operators.WorkerPool.defaultReopenSpillBytes, 0L)
+
+  /** Target input bytes per STATE-STORE partition for the live streaming
+    * rows ([[graft.streaming.Streams.statePartitions]]): a stateful
+    * streaming query pins one state store per shuffle partition per
+    * stateful operator for its whole lifetime, so the store count should
+    * follow the data, not the core count — `ceil(inputBytes / this)`,
+    * floored at [[streamStateMinPartitions]] and capped at the session's
+    * `spark.sql.shuffle.partitions` (at 100 TB the cap always wins; at
+    * gate scale the floor does, cutting per-micro-batch task-launch +
+    * store-commit rounds measured 2x on the stateful floor probe —
+    * StreamKnobProbe, optimization r14). */
+  def streamStateBytesPerPartition: Long =
+    long("spark.graft.stream.stateBytesPerPartition", 64L << 20, 1L)
+
+  /** Floor for [[streamStateBytesPerPartition]]'s derived partition
+    * count — keeps a minimum of parallelism headroom however small the
+    * staged gate inputs are. */
+  def streamStateMinPartitions: Int =
+    long("spark.graft.stream.stateMinPartitions", 8L, 1L).toInt
 }

@@ -27,19 +27,21 @@ object StreamingOps extends QueryModule {
     * type for the driver's hash compare). The view is dropped in a
     * finally so a failed run cannot leak it.
     */
-  private def runLive(s: SparkSession, stream: DataFrame, mode: String,
-                      sortCols: Seq[String], ntzCols: Seq[String] = Nil): DataFrame = {
-    val name = "live_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try {
-      try q.processAllAvailable() finally q.stop()
-      val cast = ntzCols.foldLeft(s.table(name)) { (df, c) =>
-        df.withColumn(c, col(c).cast("timestamp_ntz"))
-      }
-      cast.orderBy(sortCols.map(col): _*).localCheckpoint()
-    } finally { s.catalog.dropTempView(name): Unit }
-  }
+  private def runLive(s: SparkSession, stream: => DataFrame, mode: String,
+                      sortCols: Seq[String], ntzCols: Seq[String] = Nil,
+                      sizePaths: Seq[String] = Nil): DataFrame =
+    graft.streaming.Streams.withLiveTuning(s, sizePaths) {
+      val name = "live_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try {
+        try q.processAllAvailable() finally q.stop()
+        val cast = ntzCols.foldLeft(s.table(name)) { (df, c) =>
+          df.withColumn(c, col(c).cast("timestamp_ntz"))
+        }
+        cast.orderBy(sortCols.map(col): _*).localCheckpoint()
+      } finally { s.catalog.dropTempView(name): Unit }
+    }
 
   /** Staged finite replay for the outer-join live rows: the real events
     * as batch 1, then TWO sentinel batches, carefully shaped:
@@ -338,7 +340,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.tumblingCounts(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
-        "complete", Seq("wstart", "event_type"), ntzCols = Seq("wstart")),
+        "complete", Seq("wstart", "event_type"), ntzCols = Seq("wstart"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
@@ -351,7 +353,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.slidingCounts(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
-        "complete", Seq("wstart"), ntzCols = Seq("wstart")),
+        "complete", Seq("wstart"), ntzCols = Seq("wstart"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS wstart,
               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
@@ -370,7 +372,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.runningTotals(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
           .toDF("user_id", "n_events", "total"),
-        "append", Seq("user_id")),
+        "append", Seq("user_id"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
@@ -385,7 +387,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.sessions(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
         "complete", Seq("user_id", "session_start"),
-        ntzCols = Seq("session_start")),
+        ntzCols = Seq("session_start"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""WITH x AS (SELECT user_id, ts, value,
                 CASE WHEN LAG(ts) OVER w IS NULL
                      OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
@@ -411,7 +413,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.dedup(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
           .select(col("user_id"), col("event_type")),
-        "append", Seq("user_id", "event_type")),
+        "append", Seq("user_id", "event_type"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
@@ -427,7 +429,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.dedupEvicting(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
           .select(col("user_id"), col("event_type")),
-        "append", Seq("user_id", "event_type")),
+        "append", Seq("user_id", "event_type"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT DISTINCT user_id, event_type FROM events
               ORDER BY user_id, event_type""")),
 
@@ -441,7 +443,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.ingestDedup(
           graft.streaming.Streams.documents(s, s"$d/documents.parquet")),
-        "append", Seq("fp")),
+        "append", Seq("fp"), sizePaths = Seq(s"$d/documents.parquet")),
       Some("""SELECT DISTINCT md5(text) AS fp, lang FROM documents
               ORDER BY fp""")),
 
@@ -459,7 +461,7 @@ object StreamingOps extends QueryModule {
         runLive(s,
           graft.streaming.Streams.vecIngestCellCounts(
             graft.streaming.Streams.embeddings(s, s"$d/embeddings.parquet"), cens),
-          "complete", Seq("cell"))
+          "complete", Seq("cell"), sizePaths = Seq(s"$d/embeddings.parquet"))
       },
       Some(s"""WITH ${Similarity.eSql}, ${Similarity.ivfCellsSql}
                SELECT cell, COUNT(*) AS n_vectors FROM cells
@@ -478,7 +480,7 @@ object StreamingOps extends QueryModule {
           graft.streaming.Streams.events(s, s"$d/events.parquet")
             .groupBy(col("event_type"))
             .agg(approx_count_distinct(col("user_id")).as("adc")),
-          "complete", Seq("event_type"))
+          "complete", Seq("event_type"), sizePaths = Seq(s"$d/events.parquet"))
         ev(s, d).groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("exact_users"))
           .join(live, "event_type")
@@ -502,7 +504,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.asofMatches(
             graft.streaming.Streams.events(s, s"$d/events.parquet"))
           .toDF("user_id", "purchase_id", "asof_click_id"),
-        "append", Seq("user_id", "purchase_id")),
+        "append", Seq("user_id", "purchase_id"), sizePaths = Seq(s"$d/events.parquet")),
       Some(s"""WITH ${Relational.asofUnionSql}, w AS (
                 SELECT *,
                   LAST_VALUE(click_id IGNORE NULLS) OVER win AS asof_click_id
@@ -525,7 +527,7 @@ object StreamingOps extends QueryModule {
           graft.streaming.Streams.events(s, s"$d/events.parquet"),
           Tables(s, d, "customer")
             .select(col("c_custkey").as("user_id"), col("c_nationkey"))),
-        "complete", Seq("c_nationkey")),
+        "complete", Seq("c_nationkey"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT c_nationkey, COUNT(*) AS n_events,
                 ROUND(SUM(value), 2) AS total
               FROM events JOIN customer ON user_id = c_custkey
@@ -541,7 +543,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.intervalJoin(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
-        "append", Seq("user_id", "click_id", "purchase_id")),
+        "append", Seq("user_id", "click_id", "purchase_id"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
               ROUND(p.value, 2) AS amount
               FROM events c JOIN events p
@@ -562,7 +564,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.leftOuterIntervalJoin(
           graft.streaming.Streams.events(s, stagedOuterReplay(s, d),
             Map("maxFilesPerTrigger" -> "1"))),
-        "append", Seq("user_id", "click_id", "purchase_id")),
+        "append", Seq("user_id", "click_id", "purchase_id"), sizePaths = Seq(stagedOuterReplay(s, d))),
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
               ROUND(p.value, 2) AS amount
               FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -583,7 +585,7 @@ object StreamingOps extends QueryModule {
         graft.streaming.Streams.fullOuterIntervalJoin(
           graft.streaming.Streams.events(s, stagedOuterReplay(s, d),
             Map("maxFilesPerTrigger" -> "1"))),
-        "append", Seq("user_id", "click_id", "purchase_id")),
+        "append", Seq("user_id", "click_id", "purchase_id"), sizePaths = Seq(stagedOuterReplay(s, d))),
       Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
               c.event_id AS click_id, p.event_id AS purchase_id,
               ROUND(p.value, 2) AS amount
@@ -601,7 +603,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.topUsers(
           graft.streaming.Streams.events(s, s"$d/events.parquet"), 10),
-        "complete", Seq("user_id")),
+        "complete", Seq("user_id"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
               FROM events GROUP BY user_id
               ORDER BY total DESC, user_id LIMIT 10""")),
@@ -1418,7 +1420,7 @@ object StreamingOps extends QueryModule {
                 graft.streaming.Streams.events(s, stage,
                   Map("maxFilesPerTrigger" -> "1")))
               .toDF("user_id", "n_first_window"),
-            "append", Seq("user_id"))
+            "append", Seq("user_id"), sizePaths = Seq(stage))
         } finally {
           prev match {
             case Some(v) => s.conf.set(key, v)
@@ -1454,7 +1456,7 @@ object StreamingOps extends QueryModule {
                 graft.streaming.Streams.events(s, stage,
                   Map("maxFilesPerTrigger" -> "1")))
               .toDF("user_id", "n_events", "total"),
-            "update", Seq("user_id"))
+            "update", Seq("user_id"), sizePaths = Seq(stage))
           emitted.groupBy("user_id")
             .agg(max(col("n_events")).as("n_events"),
               max_by(col("total"), col("n_events")).as("t0"))
@@ -1491,7 +1493,7 @@ object StreamingOps extends QueryModule {
                 graft.streaming.Streams.events(s, stage,
                   Map("maxFilesPerTrigger" -> "1")))
               .toDF("user_id", "n_events", "n_types", "last3", "type_counts"),
-            "update", Seq("user_id"))
+            "update", Seq("user_id"), sizePaths = Seq(stage))
           emitted.groupBy("user_id")
             .agg(max(col("n_events")).as("n_events"),
               max_by(struct(col("n_types"), col("last3"), col("type_counts")),
@@ -1534,7 +1536,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.funnelMatches(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
-        "append", Seq("user_id", "view_id", "click_id", "purchase_id")),
+        "append", Seq("user_id", "view_id", "click_id", "purchase_id"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
               p.event_id AS purchase_id
               FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -1556,7 +1558,7 @@ object StreamingOps extends QueryModule {
       (s, d) => runLive(s,
         graft.streaming.Streams.tumblingDistinctUsers(
           graft.streaming.Streams.events(s, s"$d/events.parquet")),
-        "complete", Seq("wstart"), ntzCols = Seq("wstart")),
+        "complete", Seq("wstart"), ntzCols = Seq("wstart"), sizePaths = Seq(s"$d/events.parquet")),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
               CAST(COUNT(DISTINCT user_id % 1024) AS BIGINT) AS n_users,
               COUNT(*) AS n_events

@@ -13,6 +13,54 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Scale-adaptive state-store partition count (guide §2 — derive the
+    * partitioning from input size, not a constant): a stateful streaming
+    * query pins one state store per shuffle partition per stateful
+    * operator at its FIRST start, and every micro-batch then pays one
+    * task launch + store load/commit per store. The gate inputs are
+    * small, so a core-count store fleet is pure per-batch overhead
+    * (measured: the 3-batch stateful floor runs 2x faster at 8 stores
+    * than at 32 — `examples/StreamKnobProbe`); at 100 TB the byte-derived
+    * count saturates at the session's `spark.sql.shuffle.partitions`,
+    * so cluster behaviour is unchanged. Knobs: [[graft.GraftConf]]. */
+  def statePartitions(spark: SparkSession, paths: Seq[String]): Int = {
+    def bytesOf(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytesOf).sum).getOrElse(0L)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val per = graft.GraftConf.streamStateBytesPerPartition
+    val floor = graft.GraftConf.streamStateMinPartitions
+    val bytes = paths.map(p => bytesOf(new java.io.File(p))).sum
+    math.min(cap.toLong,
+      math.max(floor.toLong, (bytes + per - 1) / per)).toInt
+  }
+
+  /** Run `body` (construct + start + drain one live query) with the
+    * byte-derived state partitioning above, and without the trailing
+    * no-data micro-batch: every live gate row advances/evicts on DATA
+    * batches by design (the staged sentinel replays exist precisely
+    * because `processAllAvailable` does not guarantee a no-data batch),
+    * so the extra batch is one more full offset-log + state-commit round
+    * that buys nothing. Both confs restore in a finally; with empty
+    * `paths` the partition override is skipped (nothing to size from). */
+  def withLiveTuning[T](spark: SparkSession, paths: Seq[String])(body: => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.get(pKey)
+    val prevNd = spark.conf.getOption(ndKey)
+    if (paths.nonEmpty)
+      spark.conf.set(pKey, statePartitions(spark, paths).toString)
+    spark.conf.set(ndKey, "false")
+    try body
+    finally {
+      spark.conf.set(pKey, prevP)
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+    }
+  }
+
   /** events schema as streamed; `ts` is filled per the stored encoding
     * (see [[events]]). */
   def eventsFileSchema(tsType: DataType): StructType = StructType(Seq(
@@ -465,31 +513,33 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
     val cur = new java.io.File(stateDir, "current")
     recoverUpsertState(stateDir)
-    val q = agg.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        recoverUpsertState(stateDir)
-        val old =
-          if (cur.exists())
-            spark.read.parquet(cur.getPath)
-              .select(col("user_id"), col("n_events").as("old_n"))
-          else batch.select(col("user_id"), col("n_events").as("old_n")).limit(0)
-        batch.join(old, Seq("user_id"), "left")
-          .select(col("user_id"), col("old_n"), col("n_events").as("new_n"),
-            round(col("total"), 2).as("new_total"))
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(s"$stateDir/changes/v$batchId")
-        val merged =
-          if (cur.exists()) {
-            val state = spark.read.parquet(cur.getPath)
-            state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
-              .unionByName(batch)
-          } else batch
-        val next = new java.io.File(stateDir, s"v$batchId")
-        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
-        promote(new java.io.File(stateDir), cur, next, batchId)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          recoverUpsertState(stateDir)
+          val old =
+            if (cur.exists())
+              spark.read.parquet(cur.getPath)
+                .select(col("user_id"), col("n_events").as("old_n"))
+            else batch.select(col("user_id"), col("n_events").as("old_n")).limit(0)
+          batch.join(old, Seq("user_id"), "left")
+            .select(col("user_id"), col("old_n"), col("n_events").as("new_n"),
+              round(col("total"), 2).as("new_total"))
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$stateDir/changes/v$batchId")
+          val merged =
+            if (cur.exists()) {
+              val state = spark.read.parquet(cur.getPath)
+              state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                .unionByName(batch)
+            } else batch
+          val next = new java.io.File(stateDir, s"v$batchId")
+          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
+          promote(new java.io.File(stateDir), cur, next, batchId)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(cur.getPath)
   }
 
@@ -557,22 +607,24 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
     val cur = new java.io.File(stateDir, "current")
     recoverUpsertState(stateDir) // repair any interrupted swap before serving
-    val q = agg.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        recoverUpsertState(stateDir)
-        val merged =
-          if (cur.exists()) {
-            val state = spark.read.parquet(cur.getPath)
-            state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
-              .unionByName(batch)
-          } else batch
-        val next = new java.io.File(stateDir, s"v$batchId")
-        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
-        // atomic swap: retire old state, promote the new version (checked)
-        promote(new java.io.File(stateDir), cur, next, batchId)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          recoverUpsertState(stateDir)
+          val merged =
+            if (cur.exists()) {
+              val state = spark.read.parquet(cur.getPath)
+              state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                .unionByName(batch)
+            } else batch
+          val next = new java.io.File(stateDir, s"v$batchId")
+          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(next.getPath)
+          // atomic swap: retire old state, promote the new version (checked)
+          promote(new java.io.File(stateDir), cur, next, batchId)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(cur.getPath)
   }
 
@@ -595,37 +647,39 @@ object Streams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
     Files.createDirectories(Paths.get(tableDir))
-    val q = agg.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        var committed = false
-        var attempt = 0
-        while (!committed) {
-          val snap = TxLog.snapshot(tableDir)
-          val merged =
-            if (snap.files.nonEmpty) {
-              val state = spark.read.parquet(
-                snap.files.map(f => s"$tableDir/$f"): _*)
-              state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
-                .unionByName(batch)
-            } else batch
-          // stage the new part OUTSIDE the log, then move it in: until
-          // the commit entry lands, the file is an invisible orphan
-          val stage = Files.createTempDirectory("graft-merge-stage").toString
-          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val name = s"part-b$batchId-a$attempt-${part.getName.stripPrefix("part-")}"
-          Files.move(part.toPath, Paths.get(tableDir, name))
-          committed = TxLog.commit(tableDir, Seq(name), snap.files,
-            expectedCurrent = snap.version, primitive = primitive).isDefined
-          if (!committed) { // conflict: orphan our part, re-read, retry
-            Files.deleteIfExists(Paths.get(tableDir, name)): Unit
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          var committed = false
+          var attempt = 0
+          while (!committed) {
+            val snap = TxLog.snapshot(tableDir)
+            val merged =
+              if (snap.files.nonEmpty) {
+                val state = spark.read.parquet(
+                  snap.files.map(f => s"$tableDir/$f"): _*)
+                state.join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                  .unionByName(batch)
+              } else batch
+            // stage the new part OUTSIDE the log, then move it in: until
+            // the commit entry lands, the file is an invisible orphan
+            val stage = Files.createTempDirectory("graft-merge-stage").toString
+            merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val name = s"part-b$batchId-a$attempt-${part.getName.stripPrefix("part-")}"
+            Files.move(part.toPath, Paths.get(tableDir, name))
+            committed = TxLog.commit(tableDir, Seq(name), snap.files,
+              expectedCurrent = snap.version, primitive = primitive).isDefined
+            if (!committed) { // conflict: orphan our part, re-read, retry
+              Files.deleteIfExists(Paths.get(tableDir, name)): Unit
+            }
+            attempt += 1
           }
-          attempt += 1
         }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readMergeTable(spark, tableDir)
   }
 
@@ -643,13 +697,15 @@ object Streams {
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
         hour(col("ts")).cast("long").as("hr"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
-    val q = src.writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        MergeTable.appendWithBloom(spark, tableDir, batch, "user_id", buckets,
-          bloomCol, statsCols = Seq("hr")): Unit
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = src.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          MergeTable.appendWithBloom(spark, tableDir, batch, "user_id", buckets,
+            bloomCol, statsCols = Seq("hr")): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readMergeTable(spark, tableDir)
   }
 
@@ -1242,19 +1298,21 @@ object Streams {
       .select(col("user_id"), col("event_id"), col("value"),
         hour(col("ts")).cast("long").as("hr"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
-    val q = src.writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (TxLog.versions(tableDir).isEmpty)
-          MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
-        else
-          MergeTable.append(spark, tableDir, batch, "user_id", buckets,
-            statsCols = Seq("hr")): Unit
-        val v = TxLog.snapshot(tableDir).version
-        if (compactEvery > 0 && v > 0 && v % compactEvery == 0)
-          MergeTable.compact(spark, tableDir, "user_id", buckets): Unit
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = src.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (TxLog.versions(tableDir).isEmpty)
+            MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
+          else
+            MergeTable.append(spark, tableDir, batch, "user_id", buckets,
+              statsCols = Seq("hr")): Unit
+          val v = TxLog.snapshot(tableDir).version
+          if (compactEvery > 0 && v > 0 && v % compactEvery == 0)
+            MergeTable.compact(spark, tableDir, "user_id", buckets): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readMergeTable(spark, tableDir)
   }
 
@@ -1273,17 +1331,19 @@ object Streams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
-    val q = agg.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // update mode hands exactly the changed keys with their NEW
-        // cumulative values — precisely mergeInto's key-replacement input
-        if (TxLog.versions(tableDir).isEmpty)
-          MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
-        else
-          MergeTable.mergeInto(spark, tableDir, batch, "user_id", buckets): Unit
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withLiveTuning(spark, Seq(eventsPath)) {
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // update mode hands exactly the changed keys with their NEW
+          // cumulative values — precisely mergeInto's key-replacement input
+          if (TxLog.versions(tableDir).isEmpty)
+            MergeTable.load(spark, tableDir, batch, "user_id", buckets): Unit
+          else
+            MergeTable.mergeInto(spark, tableDir, batch, "user_id", buckets): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     readMergeTable(spark, tableDir)
   }
 
