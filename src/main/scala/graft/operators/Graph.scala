@@ -668,35 +668,36 @@ object Graph extends QueryModule {
     // round counts and output are identical to the full relaxation, and
     // a converging round costs O(frontier out-degree), not O(E).
     val e = edges(s, d).cache()
-    val init = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
-    // round 1's frontier IS the state it joins against — rewrap through
-    // the RDD so the two sides carry independent attribute sets
-    var frontier = s.createDataFrame(init.rdd, init.schema)
     // maxIter = N: a shortest path has < N hops, so convergence is a
-    // theorem, not a tuning choice; the loop halts far earlier in practice
-    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+    // theorem, not a tuning choice; the loop halts far earlier in practice.
+    // The changed flag rides IN the state row (optimization r14, guide
+    // §2.4): the frontier is a narrow filter over the previous round's
+    // checkpointed blocks and the min-merge lands in ONE materialized
+    // join per round — the separate improved-vs-state join, its extra
+    // checkpoint, and the anti-join+union rebuild all collapse into the
+    // full-outer merge, with the same unique min-plus fixpoint (an
+    // unchanged vertex's contribution was already min-merged the round
+    // it last improved).
+    val init = s.range(1)
+      .select(lit(0L).as("v"), lit(0L).as("dist"), lit(true).as("chg"))
+    val (outRaw, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
       (dist, _) =>
-        val cand = frontier.as("f").join(e.as("ee"), col("f.v") === col("ee.src"))
+        val cand = dist.filter(col("chg")).as("f")
+          .join(e.as("ee"), col("f.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v"))
           .agg(min(col("f.dist") + col("ee.w")).as("nd"))
-        val improved = {
-          val ck = cand.as("c")
-            .join(dist.as("o"), col("c.v") === col("o.v"), "left_outer")
-            .filter(col("o.v").isNull || col("c.nd") < col("o.dist"))
-            .select(col("c.v").as("v"), col("c.nd").as("dist"))
-            .localCheckpoint() // referenced by count, next state, frontier
-          s.createDataFrame(ck.rdd, ck.schema)
-        }
-        val next = dist.join(improved.select("v"), Seq("v"), "left_anti")
-          .unionAll(improved)
+        val next = dist.as("o").join(cand.as("c"), Seq("v"), "full_outer")
+          .select(col("v"),
+            least(coalesce(col("dist"), lit(Long.MaxValue)),
+              coalesce(col("nd"), lit(Long.MaxValue))).as("dist"),
+            (coalesce(col("nd"), lit(Long.MaxValue)) <
+              coalesce(col("dist"), lit(Long.MaxValue))).as("chg"))
           .localCheckpoint()
-        val changed = improved.count()
-        Iterate.release(dist) // no-op on round 0 (init isn't a checkpoint root)
-        Iterate.release(frontier) // no-op on round 0 (plain RDD wrapper)
-        frontier = improved
+        val changed = next.filter(col("chg")).count()
+        Iterate.release(dist)
         (next, changed)
     }
-    Iterate.release(frontier)
+    val out = outRaw.select(col("v"), col("dist"))
     e.unpersist()
     out.orderBy("v")
   }
@@ -731,32 +732,26 @@ object Graph extends QueryModule {
     val e = edges(s, d)
     val vs = nodes(e).cache()
     val eu = undirected(e).cache()
-    val init = vs.select(col("v"), col("v").as("lbl"))
-    // round 1's frontier IS the state it joins against — rewrap through
-    // the RDD so the two sides carry independent attribute sets
-    var frontier = s.createDataFrame(init.rdd, init.schema)
-    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+    // changed flag IN the state row, one materialized join per round
+    // (optimization r14, guide §2.4) — same unique min-label fixpoint as
+    // the previous improved-set bookkeeping, minus its extra checkpoint
+    // and the anti-join+union state rebuild per round.
+    val init = vs.select(col("v"), col("v").as("lbl"), lit(true).as("chg"))
+    val (outRaw, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
       (c, _) =>
-        val cand = frontier.as("f").join(eu.as("ee"), col("f.v") === col("ee.src"))
+        val cand = c.filter(col("chg")).as("f")
+          .join(eu.as("ee"), col("f.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v")).agg(min(col("f.lbl")).as("nl"))
-        val improved = {
-          val ck = cand.as("n")
-            .join(c.as("o"), col("n.v") === col("o.v"))
-            .filter(col("n.nl") < col("o.lbl"))
-            .select(col("n.v").as("v"), col("n.nl").as("lbl"))
-            .localCheckpoint()
-          s.createDataFrame(ck.rdd, ck.schema)
-        }
-        val next = c.join(improved.select("v"), Seq("v"), "left_anti")
-          .unionAll(improved)
+        val next = c.as("o").join(cand.as("n"), Seq("v"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nl"), lit(Long.MaxValue))).as("lbl"),
+            (coalesce(col("nl"), lit(Long.MaxValue)) < col("lbl")).as("chg"))
           .localCheckpoint()
-        val changed = improved.count()
+        val changed = next.filter(col("chg")).count()
         Iterate.release(c)
-        Iterate.release(frontier) // no-op on round 0 (plain RDD wrapper)
-        frontier = improved
         (next, changed)
     }
-    Iterate.release(frontier)
+    val out = outRaw.select(col("v"), col("lbl"))
     Seq(vs, eu).foreach(_.unpersist())
     out.orderBy("v")
   }
@@ -1107,21 +1102,16 @@ object Graph extends QueryModule {
     val e = pin(e0.select("src", "dst").filter(col("src") =!= col("dst")).distinct())
     val init = pin(warm.getOrElse(anfInit(nodes(e), k)))
     val nf = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var curve: DataFrame = null
+    // per-round estimates accumulate as PINS and union into the curve
+    // ONCE after the loop (optimization r14): the old per-round
+    // union-and-repin paid one extra checkpoint materialization per
+    // round for a relation only read after convergence. Each pin is
+    // O(V) rows; all are released once the final curve owns its blocks.
+    val curveParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def record(masks: DataFrame, r: Int): Unit = {
       val est = pin(anfEstimate(masks).withColumn("r", lit(r.toLong)))
       nf += est.agg(round(sum("reach_est"), 2)).head.getDouble(0)
-      // fold est into the running curve and DROP the superseded pins:
-      // a caller invoking the sketch repeatedly (streaming maintenance,
-      // q_stream_live_anf) would otherwise accumulate one dead curve
-      // checkpoint per round per call
-      curve =
-        if (curve == null) est
-        else {
-          val merged = pin(curve.unionAll(est))
-          Iterate.release(curve); Iterate.release(est)
-          merged
-        }
+      curveParts += est: Unit
     }
     record(init, 0)
     // ACTIVE-SET rounds (the reference's superstep contract — only
@@ -1144,38 +1134,42 @@ object Graph extends QueryModule {
     // plain shuffle against the edge relation, which at cluster scale
     // stays hash-partitioned on dst and is never re-shuffled by these
     // rounds. Round 1's frontier is the FULL V·K state — never hinted.
-    var frontier = init
+    // The changed flag rides IN the state row (optimization r14, guide
+    // §2.4): the frontier is a narrow filter over the previous round's
+    // pinned blocks, and the OR-merge + strict-growth test land in ONE
+    // materialized join per round — the old changedRows pin plus the
+    // anti-join+union state rebuild (two pinned multi-join plans per
+    // round) collapse into a single left join, with the identical
+    // monotone fixpoint: new mask = old | contributions, changed ⇔ the
+    // contribution carries a bit the old mask lacks.
     var lastChanged = Long.MaxValue // round-1 frontier = full init
-    val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
+    val initChg = pin(init.withColumn("chg", lit(true)))
+    Iterate.release(init) // initChg owns its blocks now
+    val fp = Iterate.untilFixpointChecked(initChg, maxIter = maxIter,
       checkpointEvery = 0) { (m, i) =>
-      val fsel = frontier.select(col("v").as("fv"), col("k"), col("mask"))
+      val fsel = m.filter(col("chg"))
+        .select(col("v").as("fv"), col("k"), col("mask"))
       val fHinted =
         if (i > 0 && lastChanged <= broadcastBound) broadcast(fsel) else fsel
       val nbr = e.join(fHinted, e("dst") === col("fv"))
         .select(e("src").as("v"), col("k"), col("mask"))
-      val targets = nbr.select("v").distinct()
-      // current registers of the touched vertices only — the rest of
-      // the state relation cannot change this round by construction
-      val curT = m.join(targets, Seq("v"), "left_semi")
-      // OR-merge is monotone, so changed rows = strict mask growth
-      val changedRows = pin(curT.unionAll(nbr).groupBy("v", "k")
-        .agg(expr("bit_or(mask)").as("mask")).as("n")
-        .join(m.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
-        .filter(col("n.mask") =!= col("o.mask"))
-        .select(col("n.v").as("v"), col("n.k").as("k"), col("n.mask").as("mask")))
-      val next = pin(m.join(changedRows.select("v", "k"), Seq("v", "k"), "left_anti")
-        .unionAll(changedRows))
-      val changed = changedRows.count()
+      val contrib = nbr.groupBy("v", "k")
+        .agg(expr("bit_or(mask)").as("cand"))
+      val next = pin(m.as("o").join(contrib.as("n"), Seq("v", "k"), "left")
+        .select(col("v"), col("k"),
+          col("mask").bitwiseOR(coalesce(col("cand"), lit(0L))).as("mask"),
+          (coalesce(col("cand"), lit(0L))
+            .bitwiseAND(bitwise_not(col("mask"))) =!= lit(0L)).as("chg")))
+      val changed = next.filter(col("chg")).count()
       record(next, i + 1)
       Iterate.release(m)
-      if (!(frontier eq init)) Iterate.release(frontier)
-      frontier = changedRows
       lastChanged = changed
       (next, changed)
     }.requireConverged("anfSketch")
-    if (!(frontier eq init)) Iterate.release(frontier)
     Iterate.release(e) // dead once the fixpoint's final pin exists
-    (fp.out, fp.iters, nf.toSeq, curve)
+    val curve = pin(curveParts.reduce(_ unionAll _))
+    curveParts.foreach(Iterate.release)
+    (fp.out.select("v", "k", "mask"), fp.iters, nf.toSeq, curve)
   }
 
   /** converged ANF registers + per-round curve over the derived orders
@@ -1542,20 +1536,33 @@ object Graph extends QueryModule {
       }
       val rn = residualNodes
       if (rn.limit(1).count() > 0) {
+      // FRONTIER min-propagation, one materialization per round
+      // (optimization r14, guide §2.4): labels are monotone
+      // non-increasing, so only a vertex whose label dropped last round
+      // can drop its in-neighbours' — relaxing from the changed set and
+      // least-merging into the carried state reaches the same unique
+      // fixpoint as the previous full re-relaxation over ed ∪ self-loops
+      // (the left join plays the self-loop's keep-own-label role), and
+      // the changed flag rides in the state row, so the old
+      // next-vs-previous join collapses into a narrow count over the
+      // just-checkpointed blocks.
       def minReach(ed: DataFrame): DataFrame = {
-        val edPlus = ed.unionAll(rn.select(col("v").as("src"), col("v").as("dst")))
-        val init = rn.select(col("v"), col("v").as("lbl"))
+        val init = rn.select(col("v"), col("v").as("lbl"), lit(true).as("chg"))
         val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
           (c, _) =>
-            val next = c.as("cc").join(edPlus.as("ee"), col("cc.v") === col("ee.dst"))
-              .groupBy(col("ee.src").as("v")).agg(min(col("cc.lbl")).as("lbl"))
+            val relax = c.filter(col("chg")).as("cc")
+              .join(ed.as("ee"), col("cc.v") === col("ee.dst"))
+              .groupBy(col("ee.src").as("v")).agg(min(col("cc.lbl")).as("cand"))
+            val next = c.as("o").join(relax.as("r"), Seq("v"), "left")
+              .select(col("v"),
+                least(col("lbl"), coalesce(col("cand"), lit(Long.MaxValue))).as("lbl"),
+                (coalesce(col("cand"), lit(Long.MaxValue)) < col("lbl")).as("chg"))
               .localCheckpoint()
-            val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
-              .filter(col("n.lbl") =!= col("o.lbl")).count()
+            val changed = next.filter(col("chg")).count()
             Iterate.release(c)
             (next, changed)
         }
-        out
+        out.select(col("v"), col("lbl"))
       }
       // Orzan coloring peel: F (forward min) partitions the residual
       // into classes that each CONTAIN their root's SCC (F is constant
@@ -1646,19 +1653,33 @@ object Graph extends QueryModule {
       .select(col("sa").as("src"), col("sb").as("dst")).distinct()
       .localCheckpoint()
     val comps = sccMap.select(col("scc").as("c")).distinct().localCheckpoint()
-    val init = comps.select(col("c"), lit(0L).as("lvl"))
-    val (out, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
+    // FRONTIER longest-path relaxation with ONE materialization per round
+    // (optimization r14, guide §2.4): levels are monotone non-decreasing
+    // on the DAG, so only components RAISED last round can raise their
+    // successors — relaxing from the changed set and max-merging into the
+    // carried state reaches the same unique fixpoint as the previous
+    // full-relation re-relaxation (x_{k+1}(c) = max over preds p of
+    // x_k(p)+1, which this computes incrementally), while each round
+    // joins O(frontier out-degree), not O(E). The changed flag rides IN
+    // the state row, so the old next-vs-previous join (a second full
+    // shuffle per round) collapses into a narrow count over the
+    // just-checkpointed blocks: 2 materialized joins/round -> 1.
+    val init = comps.select(col("c"), lit(0L).as("lvl"), lit(true).as("chg"))
+    val (outRaw, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
       (lv, _) =>
-        val relax = lv.as("l").join(ce.as("ee"), col("l.c") === col("ee.src"))
-          .groupBy(col("ee.dst").as("c")).agg((max(col("l.lvl")) + 1L).as("ind"))
-        val next = comps.join(relax, Seq("c"), "left")
-          .select(col("c"), coalesce(col("ind"), lit(0L)).as("lvl"))
+        val relax = lv.filter(col("chg")).as("l")
+          .join(ce.as("ee"), col("l.c") === col("ee.src"))
+          .groupBy(col("ee.dst").as("c")).agg((max(col("l.lvl")) + 1L).as("cand"))
+        val next = lv.as("o").join(relax.as("r"), Seq("c"), "left")
+          .select(col("c"),
+            greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"),
+            (coalesce(col("cand"), lit(Long.MinValue)) > col("lvl")).as("chg"))
           .localCheckpoint()
-        val changed = next.as("n").join(lv.as("o"), col("n.c") === col("o.c"))
-          .filter(col("n.lvl") =!= col("o.lvl")).count()
+        val changed = next.filter(col("chg")).count()
         Iterate.release(lv)
         (next, changed)
     }
+    val out = outRaw.select(col("c"), col("lvl"))
     val sizes = sccMap.groupBy(col("scc")).agg(count(lit(1)).as("n_vertices"))
     out.join(sizes, col("c") === col("scc"))
       .select(col("scc"), col("lvl"), col("n_vertices"))
@@ -1690,22 +1711,33 @@ object Graph extends QueryModule {
     * recursive hop-closure per source. closeness = (reached−1)/Σdist,
     * ecc = max dist — the standard sampled-landmark estimators. */
   private def closeness(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).select("src", "dst")
-    val ePlus = e.select(col("src"), col("dst"), lit(1L).as("w"))
-      .unionAll(nodes(e).select(col("v").as("src"), col("v").as("dst"),
-        lit(0L).as("w"))).cache()
+    val e = edges(s, d).select("src", "dst").cache()
+    // FRONTIER multi-source BFS, one materialization per round
+    // (optimization r14, guide §2.4): (q, v) distances are monotone
+    // non-increasing and new pairs only appear via a pair improved last
+    // round, so relaxing out of the changed set and min-merging (full
+    // outer — a previously unseen (q, v) enters with its candidate)
+    // reaches the same unique fixpoint as the previous full re-expansion
+    // over e ∪ 0-weight self-loops, with per-round work O(frontier
+    // out-degree) and the changed flag riding in the state row (the old
+    // next-vs-previous join becomes a narrow count over the checkpointed
+    // blocks).
     val init = nodes(e).filter(col("v") < 5)
-      .select(col("v").as("q"), col("v"), lit(0L).as("dist"))
+      .select(col("v").as("q"), col("v"), lit(0L).as("dist"), lit(true).as("chg"))
     val (dist, _) = Iterate.untilFixpoint(init, maxIter = N, checkpointEvery = 0) {
       (st, _) =>
-        val next = st.as("ss").join(ePlus.as("ee"), col("ss.v") === col("ee.src"))
+        val relax = st.filter(col("chg")).as("ss")
+          .join(e.as("ee"), col("ss.v") === col("ee.src"))
           .groupBy(col("ss.q"), col("ee.dst").as("v"))
-          .agg(min(col("ss.dist") + col("ee.w")).as("dist"))
+          .agg(min(col("ss.dist") + 1L).as("cand"))
+        val next = st.as("o").join(relax.as("r"), Seq("q", "v"), "full_outer")
+          .select(col("q"), col("v"),
+            least(coalesce(col("dist"), lit(Long.MaxValue)),
+              coalesce(col("cand"), lit(Long.MaxValue))).as("dist"),
+            (coalesce(col("cand"), lit(Long.MaxValue)) <
+              coalesce(col("dist"), lit(Long.MaxValue))).as("chg"))
           .localCheckpoint()
-        val changed = next.as("n")
-          .join(st.as("o"), col("n.q") === col("o.q") && col("n.v") === col("o.v"),
-            "left_outer")
-          .filter(col("o.v").isNull || col("n.dist") =!= col("o.dist")).count()
+        val changed = next.filter(col("chg")).count()
         Iterate.release(st)
         (next, changed)
     }

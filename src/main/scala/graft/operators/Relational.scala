@@ -2056,12 +2056,23 @@ object Relational extends QueryModule {
     Q("q_agg_assoc_rules",
       (s, d) => {
         val (items, fitems) = assocFitems(s, d)
-        val pairs = fitems.as("a").join(fitems.as("b"),
+        // shuffle (o, item) only through the basket self-join (guide
+        // §2.3 — project before the exchange): sup is FUNCTIONAL on
+        // item (one support per item), so min(a.sup) over a pair group
+        // equals the item's support — attach it AFTER the aggregate
+        // from the O(items) broadcast side instead of carrying 8 bytes
+        // per row through both shuffles of the widest join in the row.
+        val fi = fitems.select("o", "item")
+        val sups = fitems.select("item", "sup").distinct()
+        def supAs(key: String, as: String) = broadcast(
+          sups.withColumnRenamed("item", key).withColumnRenamed("sup", as))
+        val pairs = fi.as("a").join(fi.as("b"),
             col("a.o") === col("b.o") && col("a.item") < col("b.item"))
           .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
-          .agg(count(lit(1)).as("pair_sup"),
-            min(col("a.sup")).as("sup_a"), min(col("b.sup")).as("sup_b"))
+          .agg(count(lit(1)).as("pair_sup"))
           .filter(col("pair_sup") >= 40)
+          .join(supAs("ante", "sup_a"), "ante")
+          .join(supAs("cons", "sup_b"), "cons")
         val rules = pairs.select(col("ante"), col("cons"), col("pair_sup"),
             col("sup_a").as("sup_ante"), col("sup_b").as("sup_cons"))
           .unionByName(pairs.select(col("cons").as("ante"),
@@ -2107,7 +2118,15 @@ object Relational extends QueryModule {
     Q("q_agg_assoc_triples",
       (s, d) => {
         val (items, fitems) = assocFitems(s, d)
-        val fpairs = fitems.as("a").join(fitems.as("b"),
+        // same shuffle-byte trim as q_agg_assoc_rules: the 3-way basket
+        // self-join carries (o, item) only; supports are functional on
+        // item and re-attach post-aggregate from the O(items) broadcast
+        // side (guide §2.3).
+        val fi = fitems.select("o", "item")
+        val sups = fitems.select("item", "sup").distinct()
+        def supAs(key: String, as: String) = broadcast(
+          sups.withColumnRenamed("item", key).withColumnRenamed("sup", as))
+        val fpairs = fi.as("a").join(fi.as("b"),
             col("a.o") === col("b.o") && col("a.item") < col("b.item"))
           .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
           .agg(count(lit(1)).as("ps")).filter(col("ps") >= 40)
@@ -2115,9 +2134,9 @@ object Relational extends QueryModule {
         def pairOk(tag: String) =
           broadcast(fpairs.withColumnRenamed("i1", s"${tag}_1")
             .withColumnRenamed("i2", s"${tag}_2"))
-        val trip = fitems.as("a")
-          .join(fitems.as("b"), col("a.o") === col("b.o") && col("a.item") < col("b.item"))
-          .join(fitems.as("c"), col("b.o") === col("c.o") && col("b.item") < col("c.item"))
+        val trip = fi.as("a")
+          .join(fi.as("b"), col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+          .join(fi.as("c"), col("b.o") === col("c.o") && col("b.item") < col("c.item"))
           .join(pairOk("p12"),
             col("a.item") === col("p12_1") && col("b.item") === col("p12_2"))
           .join(pairOk("p13"),
@@ -2126,10 +2145,11 @@ object Relational extends QueryModule {
             col("b.item") === col("p23_1") && col("c.item") === col("p23_2"))
           .groupBy(col("a.item").as("i1"), col("b.item").as("i2"),
             col("c.item").as("i3"))
-          .agg(count(lit(1)).as("sup3"),
-            min(col("a.sup")).as("s1"), min(col("b.sup")).as("s2"),
-            min(col("c.sup")).as("s3"))
+          .agg(count(lit(1)).as("sup3"))
           .filter(col("sup3") >= 15)
+          .join(supAs("i1", "s1"), "i1")
+          .join(supAs("i2", "s2"), "i2")
+          .join(supAs("i3", "s3"), "i3")
         val out = trip
           .crossJoin(broadcast(items.agg(countDistinct("o").as("total"))))
           .select(col("i1"), col("i2"), col("i3"), col("sup3"),

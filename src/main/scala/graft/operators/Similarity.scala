@@ -2092,8 +2092,17 @@ object Similarity extends QueryModule {
           .join(core.withColumnRenamed("v", "cv"), col("v") === col("cv"))
           .join(core.withColumnRenamed("v", "cn"), col("n") === col("cn"))
           .select("v", "n").localCheckpoint()
-        // min-label fixpoint over the core-core graph (clusterLabels shape)
-        var lab = core.select(col("v"), col("v").as("lab")).localCheckpoint()
+        // min-label fixpoint over the core-core graph (clusterLabels
+        // shape). FRONTIER propagation with the changed flag IN the
+        // state row (optimization r14, guide §2.4): labels are monotone
+        // non-increasing, so only a vertex whose label dropped last
+        // round can drop a neighbour's — the per-round state sequence
+        // (hence the round count the oracle-unroll guard checks) is
+        // identical to the previous full re-propagation, while each
+        // round joins O(frontier degree) and the old next-vs-previous
+        // join collapses into a narrow count over checkpointed blocks.
+        var lab = core.select(col("v"), col("v").as("lab"), lit(true).as("chg"))
+          .localCheckpoint()
         var rounds = 0
         var changed = 1L
         while (changed > 0) {
@@ -2105,13 +2114,16 @@ object Similarity extends QueryModule {
           require(rounds <= dbscanCcRounds + 1,
             s"DBSCAN label propagation needs > $dbscanCcRounds rounds; " +
               "the oracle unrolls exactly that many — raise both together")
-          val next = lab.unionByName(
-              cedges.join(lab.withColumnRenamed("v", "nv"), col("n") === col("nv"))
-                .select(col("v"), col("lab")))
-            .groupBy("v").agg(min("lab").as("lab"))
+          val prop = cedges.join(
+              lab.filter(col("chg")).select(col("v").as("nv"), col("lab").as("nl")),
+              col("n") === col("nv"))
+            .groupBy("v").agg(min("nl").as("cand"))
+          val next = lab.select("v", "lab").join(prop, Seq("v"), "left")
+            .select(col("v"),
+              least(col("lab"), coalesce(col("cand"), lit(Long.MaxValue))).as("lab"),
+              (coalesce(col("cand"), lit(Long.MaxValue)) < col("lab")).as("chg"))
             .localCheckpoint()
-          changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
-            .filter(col("lab") =!= col("old")).count()
+          changed = next.filter(col("chg")).count()
           graft.plans.Iterate.release(lab)
           lab = next
         }
