@@ -62,9 +62,14 @@ object Bench {
       // the (large) final JSON line, every row is still recoverable from
       // these (VERDICT r4 item 8 — the r4 tail lost 33 rows)
       println(f"""{"bench_q":"$name","sec":$dt%.3f,"jobs":$jobs}""")
-      name -> dt
+      (name, dt, jobs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    // per-query Spark-job counts beside the seconds (VERDICT r14 #8):
+    // wall-clock on this host swings with stall windows, job counts are
+    // deterministic — the stall-immune round-over-round perf signal
+    val js = results.map { case (k, _, j) => "\"" + k + s"""":$j""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // queries map FIRST, scalars LAST: the driver captures a 2000-char
@@ -76,11 +81,17 @@ object Bench {
     // durable copy, immune to any stdout windowing — full runs only: a
     // focused SPARK_GRAFT_ONLY run must not clobber the last full
     // suite's per-query record (it is the only per-query survivor of
-    // the driver's 2000-char stdout tail)
+    // the driver's 2000-char stdout tail). Carries the jobs map too.
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-        (line + "\n").getBytes("UTF-8")): Unit
+        (f"""{"queries":$qs,"jobs":$js,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8")): Unit
     println(line)
+    // LAST line, compact (< 200 chars): the driver parses a 2000-char
+    // stdout TAIL, and at 410 queries the big line above (~10 KB) cannot
+    // survive it — two rounds of PERF came back empty (VERDICT r14 #2).
+    // Additions-only: the big line and the per-row bench_q lines stay.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n":${results.size},"per_query_file":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }

@@ -51,14 +51,19 @@ object StreamKnobProbe {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val basePart = spark.conf.get(pKey)
     // interleaved A/B: each round runs every configuration once, so a
-    // host window shift hits all sides equally
-    for (i <- 1 to runs) {
-      for (p <- Seq("32", "8", "4"); nd <- Seq("true", "false")) {
-        spark.conf.set(pKey, p)
-        spark.conf.set(ndKey, nd)
-        val s = onceStateful(s"p${p}nd$nd")
-        println(f"""{"metric":"stream_knob","run":$i,"partitions":$p,"noData":$nd,"secs":$s%.2f}""")
+    // host window shift hits all sides equally. try/finally (ADVICE r14):
+    // an exception mid-round must not leave the session at the probe's
+    // last configuration if this body is ever reused in-session.
+    try {
+      for (i <- 1 to runs) {
+        for (p <- Seq("32", "8", "4"); nd <- Seq("true", "false")) {
+          spark.conf.set(pKey, p)
+          spark.conf.set(ndKey, nd)
+          val s = onceStateful(s"p${p}nd$nd")
+          println(f"""{"metric":"stream_knob","run":$i,"partitions":$p,"noData":$nd,"secs":$s%.2f}""")
+        }
       }
+    } finally {
       spark.conf.set(pKey, basePart)
       spark.conf.unset(ndKey)
     }

@@ -171,6 +171,60 @@ object TextHashUtil {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Distinct 128-bit hashes of the document's space-joined w-grams in
+    * first-occurrence order, computed BYTE-LEVEL from the token bytes —
+    * no gram string (or UTF8String) is ever materialized (optimization
+    * r15, VERDICT r14 #3: the containment row's dominant stage was the
+    * gram build + every downstream exchange carrying ~20-40-byte gram
+    * strings; a 16-byte fixed-width key halves the shuffled bytes and
+    * turns every gram compare into two long compares). h1/h2 are
+    * xxhash64 of the gram's exact UTF-8 bytes (tokens joined by 0x20)
+    * at seeds 0 and 1 — bit-identical to Spark's XxHash64 expression on
+    * the materialized gram string at those seeds (NGramHashSpec pins
+    * it), so the pair is verifiable without this code. 128 bits keep
+    * hash-equality collisions below ~1e-14 even at 10^12 distinct grams
+    * (birthday bound), so gram-set intersections computed on hashes are
+    * exact at any realistic corpus scale. */
+  def distinctNGramHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val toks = compact(tokens)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[(Long, Long)]((n - w + 1) * 2)
+    var buf = new Array[Byte](64)
+    var p = 0
+    while (p <= n - w) {
+      var len = w - 1 // the joining spaces
+      var q = 0
+      while (q < w) { len += toks(p + q).numBytes(); q += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      q = 0
+      while (q < w) {
+        if (q > 0) { buf(off) = ' '.toByte; off += 1 }
+        val t = toks(p + q)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes()
+        q += 1
+      }
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 0L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 1L)
+      seen.add((h1, h2)): Unit
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (h1, h2) = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash bit string ('1'/'0' per majority vote) over the token
     * array; null when the document has no tokens. */
   def simhash(tokens: ArrayData): UTF8String = {
@@ -224,6 +278,38 @@ case class DistinctNGrams(child: Expression, nGramWidth: Int)
     copy(child = newChild)
 
   override def prettyName: String = "distinct_ngrams"
+}
+
+/** distinct word n-gram 128-bit hashes: array<string> tokens →
+  * array<struct<h1:bigint, h2:bigint>> of the doc's DISTINCT w-grams'
+  * (xxhash64 seed 0, seed 1) pairs in first-occurrence order, hashed
+  * byte-level with no gram string materialization
+  * ([[TextHashUtil.distinctNGramHashes]]). The fixed-width key replaces
+  * the gram string through the whole containment join pipeline. */
+case class NGramHashes(child: Expression, nGramWidth: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngram_hashes needs array<string>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.distinctNGramHashes(input.asInstanceOf[ArrayData], nGramWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.distinctNGramHashes($a, $nGramWidth)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_hashes"
 }
 
 /** min-hash signature: array<string> tokens → array<string> of `numHashes`
@@ -328,4 +414,7 @@ object TextHash {
 
   def distinctNGrams(tokens: Column, nGramWidth: Int): Column =
     bridge.column(DistinctNGrams(bridge.expression(tokens), nGramWidth))
+
+  def ngramHashes(tokens: Column, nGramWidth: Int): Column =
+    bridge.column(NGramHashes(bridge.expression(tokens), nGramWidth))
 }

@@ -590,8 +590,16 @@ object Dedup extends QueryModule {
     // hash re-proves completeness every round.
     Q("q_dedup_containment",
       (s, d) => {
+        // grams enter the pipeline as 128-bit byte-level hashes, never as
+        // strings (optimization r15, guide §2.3/§4 — shuffle fewer bytes,
+        // codegen-friendly fixed-width keys): every downstream stage
+        // (df counts, prefix sort, candidate join, verify intersection)
+        // only needs gram EQUALITY and one consistent global order, both
+        // preserved by the (h1, h2) pair; at 128 bits hash-equality is
+        // exact to < 1e-14 even at 10^12 distinct grams, and the oracle
+        // hash (string grams) re-proves equality at every gate SF.
         val g = docs(s, d).select(col("doc_id"),
-            explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+            explode(containmentGramCol(col("text"))).as("gram"))
           .localCheckpoint() // consumed by df counts, prefixes + both verify sides
         // materialize the O(dup pairs) result before releasing g — the
         // returned frame must not re-run over a dropped checkpoint
@@ -1404,32 +1412,68 @@ object Dedup extends QueryModule {
     * per gram is prefix-occurrences × df, not df²: hot grams sort LAST
     * in the global order and fall out of prefixes, which is the whole
     * df-bound. */
-  private[graft] def containmentCandidates(g: DataFrame, t: Double): DataFrame = {
-    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    // t as an exact rational num/den with num/den <= t + 1e-9: thresholds
-    // that are exact in 3 decimals round-trip; anything finer FLOORS so
-    // the rational can only be LOOSER than t — a looser prefix/positional
-    // filter admits extra candidates (cost) but can never lose a true
-    // pair (the superset guarantee the exact verify depends on).
+  /** The containment row's gram kernel — ONE definition shared by the
+    * declared query and the plan-dump/probe tools: distinct 3-gram
+    * 128-bit byte-level hashes ([[graft.functions.TextHashUtil
+    * .distinctNGramHashes]]), never gram strings. */
+  private[graft] def containmentGramCol(text: Column): Column =
+    TextHash.ngramHashes(TextExprs.toks(text), 3)
+
+  /** exact rational num/den with num/den <= t + 1e-9: thresholds that
+    * are exact in 3 decimals round-trip; anything finer FLOORS so the
+    * rational can only be LOOSER than t — a looser prefix/positional
+    * filter admits extra candidates (cost) but can never lose a true
+    * pair (the superset guarantee the exact verify depends on). */
+  private def contNumDen(t: Double): (Int, Int) = {
     val den = 1000
-    val num = {
-      val r = math.round(t * den).toInt
-      if (math.abs(r.toDouble / den - t) <= 1e-9) r
-      else math.floor(t * den).toInt
-    }
-    val sorted = g.join(dfreq, Seq("gram"))
+    val r = math.round(t * den).toInt
+    (if (math.abs(r.toDouble / den - t) <= 1e-9) r
+     else math.floor(t * den).toInt, den)
+  }
+
+  /** Per-doc gram-array relation (doc_id, gs, n, plen), PINNED — gs is
+    * the doc's grams in ONE global (df, gram) order (the prefix filter's
+    * order), n its distinct-gram count, plen the containment prefix
+    * length. Shared by candidate generation (positioned explode) AND the
+    * array-intersect verify (optimization r15: the verify previously
+    * exploded every candidate pair into (pair × doc_a grams) rows and
+    * re-aggregated; with 16-byte hashed grams a doc's whole array is
+    * smaller than three exploded rows were, so the pair join carries the
+    * arrays and the intersection is a per-row projection — same shuffled
+    * bytes, ~an-order-of-magnitude fewer join/agg rows, and the
+    * sizes-aggregate + two size joins disappear into the carried `n`). */
+  private[graft] def containmentDocGrams(g: DataFrame, t: Double): DataFrame = {
+    val (num, den) = contNumDen(t)
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gram"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))
       .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
       // ceil(t·n) in exact integer arithmetic: (num·n + den - 1) DIV den
       .withColumn("plen", expr(s"n - ($num*n + ${den - 1}) DIV $den + 2"))
+      .localCheckpoint()
+  }
+
+  private[graft] def containmentCandidates(g: DataFrame, t: Double): DataFrame = {
+    val docGrams = containmentDocGrams(g, t)
+    val out = containmentCandidatesFromDocs(docGrams, t)
+    graft.plans.Iterate.release(docGrams)
+    out
+  }
+
+  /** [[containmentCandidates]] over a prepared [[containmentDocGrams]]
+    * relation (so the pair pipeline builds the doc-gram arrays ONCE for
+    * candidates and verify). */
+  private[graft] def containmentCandidatesFromDocs(docGrams: DataFrame,
+      t: Double): DataFrame = {
+    val (num, den) = contNumDen(t)
     // one positioned explosion serves both join sides: positions in the
-    // SAME global (df, gram) order power the positional filter below
-    val pos = sorted
+    // SAME global (df, gram) order power the positional filter below —
+    // a narrow re-explode of the pinned arrays, not a recompute
+    val pos = docGrams
       .select(col("doc_id"), col("n"), col("plen"), posexplode(col("gs")))
       .select(col("doc_id"), col("n"), col("plen"),
         (col("pos") + 1).as("p"), col("col").as("gram"))
-      .localCheckpoint()
     val prefix = pos.filter(col("p") <= col("plen"))
     // positional filter, containment-adapted: for the FIRST shared gram
     // in the global order, every earlier gram of BOTH docs is non-shared
@@ -1437,9 +1481,11 @@ object Dedup extends QueryModule {
     // so overlap <= 1 + min(na - pa, nb - pb); the verify admits
     // i >= ceil(t·na) - 1 (the round(·,6) slack), so candidates where
     // the bound cannot reach that are safely pruned — the pair survives
-    // through its first shared gram if it survives at all. At sf0.1 this
-    // cuts 175k candidates to the low tens of thousands; hot grams sit
-    // at the END of every doc's order, so they fail the bound instantly.
+    // through its first shared gram if it survives at all (measured at
+    // sf0.1, r15: 180k gram-match pairs → 171k candidates — the corpus'
+    // dup structure leaves most pairs plausible, so the VERIFY stage is
+    // sized for candidate counts of this order); hot grams sit at the
+    // END of every doc's order, so they fail the bound instantly.
     val out = prefix.as("a").join(pos.as("b"),
         col("a.gram") === col("b.gram") &&
           (col("a.n") < col("b.n") ||
@@ -1450,35 +1496,35 @@ object Dedup extends QueryModule {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
       .localCheckpoint()
-    graft.plans.Iterate.release(pos)
     out
   }
 
   /** Full containment pipeline over a materialized (doc_id, gram)
     * relation: prefix-filtered candidates ([[containmentCandidates]]),
-    * thin-row intersection verify (the computePpjoin shape — pair ids ×
-    * side-a grams probing a (doc, gram)-keyed hash of side b; gram
-    * arrays never ride through the pair join), exact containment score,
-    * contained/container orientation by (size, id). */
+    * ARRAY-INTERSECT verify (optimization r15 — see
+    * [[containmentDocGrams]]: the candidate pair joins against the
+    * per-doc 16-byte-hash gram arrays and |A∩B| is a per-row
+    * `size(array_intersect)` projection; the old shape exploded every
+    * pair into (pair × doc_a grams) rows, hash-probed a (doc, gram)
+    * build side, re-aggregated per pair, and joined a separate sizes
+    * relation twice), exact containment score, contained/container
+    * orientation by (size, id). The build sides stay semi-restricted to
+    * candidate docs — O(dup volume), not corpus scale (the 1M-doc
+    * DedupScale discipline: hash-building a corpus-scale relation is an
+    * OOM, a candidate-bounded one shrinks with the dup volume). */
   private[graft] def containmentPairs(g: DataFrame, t: Double): DataFrame = {
-    val cand = containmentCandidates(g, t) // already materialized
-
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // the verify build side is g RESTRICTED to docs that appear in a
-    // candidate pair — O(dup volume), not corpus scale. Hash-building the
-    // full gram relation OOM'd the 1M-doc DedupScale probe; after the
-    // semi-join the build side shrinks with the candidate set and the
-    // shuffle_hash plan is safe at any corpus size.
-    val gb = g.join(
-      cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
-    val inter = cand
-      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(gb.as("gb").hint("shuffle_hash"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val docGrams = containmentDocGrams(g, t)
+    val cand = containmentCandidatesFromDocs(docGrams, t) // materialized
+    def side(idCol: String, pre: String) = docGrams
+      .join(cand.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as(idCol), col("gs").as(s"${pre}gs"),
+        col("n").as(s"${pre}n"))
+    val out = cand
+      .join(side("doc_a", "a").hint("shuffle_hash"), Seq("doc_a"))
+      .join(side("doc_b", "b").hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ags"), col("bgs"))).cast("long").as("i"),
+        col("an").as("na"), col("bn").as("nb"))
       .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
       .filter(col("cont") >= t)
       .select(
@@ -1490,6 +1536,11 @@ object Dedup extends QueryModule {
           .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container"),
         col("i"), col("cont"))
       .orderBy("contained", "container")
+    // docGrams stays pinned: `out` is LAZY (the caller checkpoints it) and
+    // its verify joins read the pinned arrays — releasing here would drop
+    // the blocks under an unmaterialized plan. Callers release `g`/the
+    // result; the pin follows the cand-checkpoint lifecycle as before.
+    out
   }
 
   /** Memoized PPJoin result per data dir (the thetaCache/pcaCache

@@ -1315,26 +1315,46 @@ object Graph extends QueryModule {
       .select("v").distinct()
     val fresh = pin(anfInit(dEv, k).join(known, Seq("v"), "left_anti"))
     val stats = scala.collection.mutable.ArrayBuffer.empty[AnfDeltaRound]
-    var delta: DataFrame = null // changed registers, Δ-overlay over base
-    // current registers of a (small) vertex set: base ∪ fresh overlaid
-    // by the delta rows — a changed row carries a superset of its base
-    // bits, so bit_or collapses the overlay exactly
-    def curFor(targets: DataFrame, tBks: Seq[Int]): DataFrame = {
+    // changed-register pins, one per converged round — the Δ-overlay is
+    // their LAZY union (optimization r15, VERDICT r14 #4): a round-r
+    // changed row's mask is a superset of every earlier round's row for
+    // the same (v, k) (monotone bit_or over a state that already
+    // includes the overlay), so any consumer that merges with bit_or
+    // collapses the un-deduplicated union exactly; the old shape paid
+    // one materialized groupBy job per round just to keep the overlay
+    // pre-merged. One merge job at the END builds the upsert rows.
+    val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def delta: DataFrame =
+      if (frontiers.isEmpty) null else frontiers.reduce(_ unionAll _)
+    // current register ROWS of a (small) vertex set, UNaggregated:
+    // base ∪ fresh ∪ overlay, each semi-joined to the targets — the
+    // caller's aggregate does the bit_or collapse
+    def curRowsFor(targets: DataFrame, tBks: Seq[Int]): DataFrame = {
       val b = baseFor(targets, tBks)
         .unionAll(fresh.join(targets, Seq("v"), "left_semi"))
-      val merged = if (delta == null) b
-        else b.unionAll(delta.join(targets, Seq("v"), "left_semi"))
-      merged.groupBy("v", "k").agg(expr("bit_or(mask)").as("mask"))
+      val d = delta
+      if (d == null) b else b.unionAll(d.join(targets, Seq("v"), "left_semi"))
     }
+    // aggregated form — the seed push needs one row per (v, k)
+    def curFor(targets: DataFrame, tBks: Seq[Int]): DataFrame =
+      curRowsFor(targets, tBks)
+        .groupBy("v", "k").agg(expr("bit_or(mask)").as("mask"))
     // one frontier round: push `pushed` register rows across `rel`
-    // (dst → src pull), return the strictly-grown registers. `pushed`
-    // is always a pin, so the gating count is cheap — and necessary: a
-    // single delta edge bridging two large components cascades the
-    // changed set toward V·K, and a FORCED broadcast of that is a
-    // driver collect (VERDICT r12 #1). Over the bound the join shuffles
-    // against the (db-pruned) edge relation instead.
-    def step(rel: DataFrame, pushed: DataFrame): DataFrame = {
-      val pushedRows = pushed.count()
+    // (dst → src pull), return the strictly-grown registers. The caller
+    // supplies `pushedRows` (its loop-gate count — one job serves both,
+    // where the old shape paid a head(1) gate plus a count): a single
+    // delta edge bridging two large components cascades the changed set
+    // toward V·K, and a FORCED broadcast of that is a driver collect
+    // (VERDICT r12 #1). Over the bound the join shuffles against the
+    // (db-pruned) edge relation instead.
+    //
+    // The round's state read, overlay merge and change diff all land in
+    // ONE materialized job (the anfSketch single-materialization shape):
+    // current rows tagged cur=true union the pulled rows, ONE aggregate
+    // computes the merged mask and the cur-only mask, and a row changed
+    // iff it HAD current bits (oldmask non-null — same exclusion as the
+    // old inner join against the aggregated state) and gained bits.
+    def step(rel: DataFrame, pushed: DataFrame, pushedRows: Long): DataFrame = {
       val fsel = pushed.select(col("v").as("fv"), col("k"), col("mask"))
       val nbr = pin(rel.join(
           if (pushedRows <= broadcastBound) broadcast(fsel) else fsel,
@@ -1342,35 +1362,32 @@ object Graph extends QueryModule {
         .select(rel("src").as("v"), col("k"), col("mask")))
       val targets = nbr.select("v").distinct()
       val tBks = if (rBuckets == 0) null else bksOf(targets)
-      // pinned: referenced twice below (merge + change diff) — one
-      // pruned store read per round, not two
-      val curT = pin(curFor(targets, tBks))
-      val changed = pin(curT.unionAll(nbr).groupBy("v", "k")
-        .agg(expr("bit_or(mask)").as("mask")).as("n")
-        .join(curT.as("o"), col("n.v") === col("o.v") && col("n.k") === col("o.k"))
-        .filter(col("n.mask") =!= col("o.mask"))
-        .select(col("n.v").as("v"), col("n.k").as("k"), col("n.mask").as("mask")))
+      val changed = pin(curRowsFor(targets, tBks)
+        .select(col("v"), col("k"), col("mask"), lit(true).as("cur"))
+        .unionAll(nbr.select(col("v"), col("k"), col("mask"),
+          lit(false).as("cur")))
+        .groupBy("v", "k")
+        .agg(expr("bit_or(mask)").as("mask"),
+          expr("bit_or(CASE WHEN cur THEN mask END)").as("oldmask"))
+        .filter(col("oldmask").isNotNull && col("mask") =!= col("oldmask"))
+        .select(col("v"), col("k"), col("mask")))
       stats += AnfDeltaRound(pushedRows, nbr.count(),
         if (tBks == null) -1L else tBks.size.toLong)
-      Seq(nbr, curT).foreach(Iterate.release)
+      Iterate.release(nbr)
       changed
     }
     // seed: round 0 pulls across the NEW edges only — the masks pushed
     // are the current registers of ΔE's destinations
     val dstT = dE.select(col("dst").as("v")).distinct()
     val seedPush = pin(curFor(dstT, if (rBuckets == 0) null else bksOf(dstT)))
-    var frontier = step(dE, seedPush)
+    var frontier = step(dE, seedPush, seedPush.count())
     Iterate.release(seedPush)
     var rounds = 1
-    while (frontier.head(1).nonEmpty) {
+    var fRows = frontier.count() // loop gate AND next round's pushed count
+    while (fRows > 0) {
       require(rounds < maxIter,
         s"anfDelta: guard exhausted after $rounds rounds without convergence")
-      val nextDelta = pin(
-        (if (delta == null) frontier
-         else delta.unionAll(frontier).groupBy("v", "k")
-           .agg(expr("bit_or(mask)").as("mask"))))
-      if (delta != null) Iterate.release(delta)
-      delta = nextDelta
+      frontiers += frontier // joins the lazy overlay; released at the end
       val fbks = // partition-pruned probe: only the frontier's buckets
         if (eBuckets == 0) accEdges
         else {
@@ -1379,19 +1396,23 @@ object Graph extends QueryModule {
             .collect().map(_.getInt(0)).toSeq
           accEdges.filter(col("db").isin(bs: _*))
         }
-      val nf = step(fbks, frontier)
-      Iterate.release(frontier)
+      val nf = step(fbks, frontier, fRows)
       frontier = nf
+      fRows = frontier.count()
       rounds += 1
     }
-    Iterate.release(frontier)
+    Iterate.release(frontier) // the final, empty one
     // upserts = fresh rows not superseded by a change, plus the changes
+    // (merged ONCE here — the per-round overlay stayed a lazy union)
     val upserts =
-      if (delta == null) fresh
+      if (frontiers.isEmpty) fresh
       else {
-        val u = pin(fresh.join(delta.select("v", "k"), Seq("v", "k"), "left_anti")
-          .unionAll(delta))
-        Seq(fresh, delta).foreach(Iterate.release)
+        val merged = pin(delta.groupBy("v", "k")
+          .agg(expr("bit_or(mask)").as("mask")))
+        frontiers.foreach(Iterate.release)
+        val u = pin(fresh.join(merged.select("v", "k"), Seq("v", "k"), "left_anti")
+          .unionAll(merged))
+        Seq(fresh, merged).foreach(Iterate.release)
         u
       }
     Seq(dE, dEv).foreach(Iterate.release)
@@ -2924,23 +2945,32 @@ object Graph extends QueryModule {
         var a = vs.select(col("v"), lit(1.0).as("auth"))
         var h: DataFrame = null
         val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        // each half-step checkpoints the RAW scores FIRST, then collects
+        // the max from the materialized blocks and normalizes as a lazy
+        // narrow projection over the pin (optimization r15, VERDICT r14
+        // #5): the old shape ran the join+aggregate TWICE per half-step —
+        // once under the max collect, once under the normalized
+        // checkpoint. Same value lattice: round(raw/max, 6) with the
+        // identical max either way.
         for (_ <- 1 to hitsIters) {
           val hr = e.join(a.withColumnRenamed("v", "dst"), Seq("dst"))
             .groupBy("src").agg(round(sum("auth"), 6).as("x"))
-          val hAll = vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
+          val hRaw = vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
             .select(col("v"), coalesce(col("x"), lit(0.0)).as("hraw"))
-          val hmax = hAll.agg(max("hraw")).head.getDouble(0)
-          if (h != null) spent += h
-          h = hAll.select(col("v"), round(col("hraw") / lit(hmax), 6).as("hub"))
             .localCheckpoint()
+          val hmax = hRaw.agg(max("hraw")).head.getDouble(0)
+          if (h != null) spent += h
+          h = hRaw.select(col("v"), round(col("hraw") / lit(hmax), 6).as("hub"))
+          spent += hRaw
           val ar = e.join(h.withColumnRenamed("v", "src"), Seq("src"))
             .groupBy("dst").agg(round(sum("hub"), 6).as("x"))
-          val aAll = vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          val aRaw = vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
             .select(col("v"), coalesce(col("x"), lit(0.0)).as("araw"))
-          val amax = aAll.agg(max("araw")).head.getDouble(0)
-          spent += a
-          a = aAll.select(col("v"), round(col("araw") / lit(amax), 6).as("auth"))
             .localCheckpoint()
+          val amax = aRaw.agg(max("araw")).head.getDouble(0)
+          spent += a
+          a = aRaw.select(col("v"), round(col("araw") / lit(amax), 6).as("auth"))
+          spent += aRaw
         }
         val out = h.join(a, Seq("v")).select(col("v"), col("hub"), col("auth"))
           .orderBy("v").localCheckpoint()

@@ -26,6 +26,13 @@ object StreamingOps extends QueryModule {
     * session the cast is wall-clock identity, matching the batch parquet
     * type for the driver's hash compare). The view is dropped in a
     * finally so a failed run cannot leak it.
+    *
+    * CONTRACT for new callers (ADVICE r14): withLiveTuning disables
+    * `noDataMicroBatches` for the whole run, so a row routed through here
+    * never gets the trailing empty batch that would flush final windows —
+    * every live row MUST advance/evict on DATA batches (staged sentinel
+    * replays, as all current rows do). A watermark/append row that relies
+    * on the trailing no-data batch would silently lose its last windows.
     */
   private def runLive(s: SparkSession, stream: => DataFrame, mode: String,
                       sortCols: Seq[String], ntzCols: Seq[String] = Nil,

@@ -113,17 +113,96 @@ object TextAnalysis extends QueryModule {
       * are IDENTICAL by construction (the argmax reads the same
       * relation either way; BpeSemanticsSpec pins it), and pin-release
       * stays safe because a superseded checkpoint is dropped only
-      * AFTER the next eager localCheckpoint materialized. */
+      * AFTER the next eager localCheckpoint materialized.
+      *
+      * LOOKAHEAD (optimization r15, VERDICT r14 #7): each pair-count
+      * job collects the top `lookK` rows instead of the top 1, and when
+      * those rows PROVE round i+1's argmax, that round's count job is
+      * skipped — two merge rounds per Spark job. The proof (each step
+      * follows from the two-pass-replace string algebra, not from
+      * greedy canonicality, so it holds for t1 = t2 rows too — though
+      * those never certify, see (c)):
+      *
+      *   - applying merge (a1, b1) cannot change the count of any pair
+      *     DISJOINT from {a1, b1}: the rewrite only touches characters
+      *     at merged occurrences, and every (x, y) adjacency with
+      *     x, y ∉ {a1, b1} survives verbatim;
+      *   - a pair TOUCHING a1/b1 can only lose occurrences, and every
+      *     NEW pair (one side the merged token a1⊕b1) inherits each of
+      *     its occurrences from a pre-merge adjacency involving a1 or
+      *     b1 — so its count is bounded by some pre-merge touching
+      *     pair's count: (x, m) ≤ old (x, a1); (m, y) ≤ old (b1, y);
+      *     (m, m) ≤ old (b1, a1);
+      *   - for a1 ≠ b1 the two-pass replace leaves ZERO residual
+      *     (a1, b1) adjacencies (the exact-greedy property
+      *     BpeSemanticsSpec pins); a SELF pair (a1 = b1) can seed new
+      *     pairs bounded only by its own count, so self argmaxes never
+      *     certify a lookahead.
+      *
+      * Therefore, if the best collected pair P* disjoint from
+      * {a1, b1} has count STRICTLY above (1) every collected pair
+      * touching a1/b1 and (2) the last collected row's count (an upper
+      * bound on everything outside the collection — including
+      * self-pairs the excludeSelf filter hides, which is why the
+      * lookahead collects UNfiltered counts), then P* is round i+1's
+      * argmax: unchanged eligible pairs keep their order (P* first
+      * among them), and every changed or new pair lands strictly below
+      * it. Ties never certify (strict >), so the full
+      * (cnt, t1, t2) tie-break order is preserved. `lookahead = false`
+      * forces the sequential one-argmax-per-job chain — the reference
+      * the BpeSemanticsSpec equality test compares against. */
     def trainLoop(base: DataFrame, rounds: Int, excludeSelf: Boolean,
-        checkpointEvery: Int = 2): (Seq[(String, String)], DataFrame) = {
+        checkpointEvery: Int = 2, lookahead: Boolean = true)
+        : (Seq[(String, String)], DataFrame) = {
       require(rounds >= 1, s"trainLoop needs >= 1 round, got $rounds")
       require(checkpointEvery >= 1,
         s"checkpointEvery must be >= 1, got $checkpointEvery")
+      val lookK = 16
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var enc = base
       var lastPin: DataFrame = null
+      var pending: Option[(String, String)] = None
       for (i <- 1 to rounds) {
-        val (a, b, _) = top1(pairCounts(enc, excludeSelf), i)
+        val (a, b) = pending match {
+          case Some(p) => pending = None; p
+          case None if !lookahead =>
+            val (a1, b1, _) = top1(pairCounts(enc, excludeSelf), i)
+            (a1, b1)
+          case None =>
+            // UNfiltered counts: self-pairs must be visible to the
+            // certification bound even when the argmax excludes them
+            val top = pairCounts(enc, excludeSelf = false)
+              .orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(lookK).collect()
+            val eligible =
+              if (excludeSelf) top.filter(r => r.getString(0) != r.getString(1))
+              else top
+            // all lookK collected rows ineligible ⇒ the true argmax (if
+            // any) sits below the collection: fall back to the exact
+            // filtered argmax (rare; costs what the old shape always paid)
+            val (a1, b1) =
+              if (eligible.isEmpty) {
+                val (x, y, _) = top1(pairCounts(enc, excludeSelf), i)
+                (x, y)
+              } else (eligible.head.getString(0), eligible.head.getString(1))
+            if (i < rounds && a1 != b1 && eligible.nonEmpty) {
+              def touches(r: org.apache.spark.sql.Row): Boolean =
+                r.getString(0) == a1 || r.getString(0) == b1 ||
+                  r.getString(1) == a1 || r.getString(1) == b1
+              val rest = top.filterNot(r =>
+                r.getString(0) == a1 && r.getString(1) == b1)
+              val pStar = rest.find(r => !touches(r) &&
+                (!excludeSelf || r.getString(0) != r.getString(1)))
+              pStar.foreach { p =>
+                val cStar = p.getLong(2)
+                val cTouch = rest.filter(touches).map(_.getLong(2))
+                  .foldLeft(0L)(math.max)
+                val cFloor = if (top.length == lookK) top.last.getLong(2) else 0L
+                if (cStar > math.max(cTouch, cFloor))
+                  pending = Some((p.getString(0), p.getString(1)))
+              }
+            }
+            (a1, b1)
+        }
         merges += ((a, b))
         val nxt = applyMerge(enc, a, b)
         enc =
@@ -185,9 +264,9 @@ object TextAnalysis extends QueryModule {
   // checkpoint-cadence invariance the production row relies on)
   private[graft] def bpeTs0ForSpec: org.apache.spark.sql.Column = BpeTrain.ts0
   private[graft] def bpeTrainLoopForSpec(base: DataFrame, rounds: Int,
-      excludeSelf: Boolean, checkpointEvery: Int)
+      excludeSelf: Boolean, checkpointEvery: Int, lookahead: Boolean = true)
       : (Seq[(String, String)], DataFrame) =
-    BpeTrain.trainLoop(base, rounds, excludeSelf, checkpointEvery)
+    BpeTrain.trainLoop(base, rounds, excludeSelf, checkpointEvery, lookahead)
   private[graft] def bpeCorpusToksForSpec(enc: DataFrame): Long =
     BpeTrain.corpusToks(enc)
 

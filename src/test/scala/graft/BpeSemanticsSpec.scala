@@ -172,4 +172,34 @@ class BpeSemanticsSpec extends AnyFunSuite {
       "the final corpus token count must agree at every cadence")
     plans.Iterate.release(base)
   }
+
+  test("trainLoop lookahead picks the identical merge chain as the sequential argmax") {
+    // optimization r15 (VERDICT r14 #7): the top-K lookahead may only
+    // skip a pair-count job when the collected counts PROVE the next
+    // argmax; the merge table and final encoding must therefore be
+    // bit-identical to the one-argmax-per-job chain, in both self-pair
+    // regimes, on real documents (where certifications actually fire).
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, TestSpark.sf0, "documents").limit(120)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bpeTs0ForSpec.as("ts"))
+      .localCheckpoint()
+    for (excludeSelf <- Seq(true, false)) {
+      val (mSeq, encSeq) = graft.operators.TextAnalysis
+        .bpeTrainLoopForSpec(base, rounds = 8, excludeSelf,
+          checkpointEvery = 2, lookahead = false)
+      val (mLook, encLook) = graft.operators.TextAnalysis
+        .bpeTrainLoopForSpec(base, rounds = 8, excludeSelf,
+          checkpointEvery = 2, lookahead = true)
+      assert(mLook === mSeq,
+        s"lookahead merge table diverged (excludeSelf=$excludeSelf)")
+      val tSeq = graft.operators.TextAnalysis.bpeCorpusToksForSpec(encSeq)
+      val tLook = graft.operators.TextAnalysis.bpeCorpusToksForSpec(encLook)
+      assert(tLook === tSeq,
+        s"lookahead final encoding diverged (excludeSelf=$excludeSelf)")
+      Seq(encSeq, encLook).foreach(plans.Iterate.release)
+    }
+    plans.Iterate.release(base)
+  }
 }
