@@ -1180,11 +1180,19 @@ object Dedup extends QueryModule {
         val init = vs.select(col("v"), col("v").as("lbl"))
         val (out, _) = graft.plans.Iterate.untilFixpoint(init,
             maxIter = 1000, checkpointEvery = 0) { (c, _) =>
-          val next = c.as("cc").join(ePlus.as("ee"), col("cc.v") === col("ee.src"))
-            .groupBy(col("ee.dst").as("v")).agg(min(col("cc.lbl")).as("lbl"))
-            .localCheckpoint()
-          val changed = next.as("n").join(c.as("o"), col("n.v") === col("o.v"))
-            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          // changed-count observed during the checkpoint job (r15):
+          // ePlus includes every vertex's self-loop, so next.lbl =
+          // min(old.lbl, best neighbour) ≤ old.lbl and "changed" ⟺
+          // next.lbl < old.lbl — the old next-vs-previous diff join
+          // folds INTO the round's plan (one join against the carried
+          // state) and the count rides the checkpoint: one job per
+          // round instead of two.
+          val (next, changed) = graft.plans.Iterate.pinCountTrue(
+            c.as("cc").join(ePlus.as("ee"), col("cc.v") === col("ee.src"))
+              .groupBy(col("ee.dst").as("v")).agg(min(col("cc.lbl")).as("nl"))
+              .join(c.select(col("v"), col("lbl").as("ol")), Seq("v"))
+              .select(col("v"), col("nl").as("lbl"), (col("nl") < col("ol")).as("chg")),
+            col("chg"))
           graft.plans.Iterate.release(c)
           (next, changed)
         }

@@ -205,16 +205,19 @@ object Graph extends QueryModule {
     var x = vs.select(col("v"), lit(1.0).as("x"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val y = vs.as("nn").join(
-          e.as("ee").join(x.as("xx"), col("ee.src") === col("xx.v"))
-            .groupBy(col("ee.dst").as("v")).agg(sum(col("xx.x")).as("m")),
-          Seq("v"), "left")
-        .select(col("v"), coalesce(col("m"), lit(0.0)).as("y"))
-        .localCheckpoint()
+      // the squared-norm sum is OBSERVED during the checkpoint job
+      // (r15): one job per round instead of checkpoint + a scalar agg —
+      // identical double (same sum), so the round-9 lattice holds
+      val (y, ssOpt) = Iterate.pinObserved(
+        vs.as("nn").join(
+            e.as("ee").join(x.as("xx"), col("ee.src") === col("xx.v"))
+              .groupBy(col("ee.dst").as("v")).agg(sum(col("xx.x")).as("m")),
+            Seq("v"), "left")
+          .select(col("v"), coalesce(col("m"), lit(0.0)).as("y")),
+        sum(col("y") * col("y")))
       if (prev != null) Iterate.release(prev)
       prev = y
-      val nrm = r9g(math.sqrt(
-        y.agg(sum(col("y") * col("y"))).head.getDouble(0)))
+      val nrm = r9g(math.sqrt(ssOpt.get.asInstanceOf[Double]))
       x = y.select(col("v"), (col("y") / nrm).as("x"))
     }
     x.select(col("v"), round(col("x"), 9).as("score")).orderBy("v")
@@ -686,14 +689,17 @@ object Graph extends QueryModule {
           .join(e.as("ee"), col("f.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v"))
           .agg(min(col("f.dist") + col("ee.w")).as("nd"))
-        val next = dist.as("o").join(cand.as("c"), Seq("v"), "full_outer")
-          .select(col("v"),
-            least(coalesce(col("dist"), lit(Long.MaxValue)),
-              coalesce(col("nd"), lit(Long.MaxValue))).as("dist"),
-            (coalesce(col("nd"), lit(Long.MaxValue)) <
-              coalesce(col("dist"), lit(Long.MaxValue))).as("chg"))
-          .localCheckpoint()
-        val changed = next.filter(col("chg")).count()
+        // changed-count observed during the checkpoint job itself —
+        // one Spark job per round, not two (optimization r15,
+        // Iterate.pinCountTrue)
+        val (next, changed) = Iterate.pinCountTrue(
+          dist.as("o").join(cand.as("c"), Seq("v"), "full_outer")
+            .select(col("v"),
+              least(coalesce(col("dist"), lit(Long.MaxValue)),
+                coalesce(col("nd"), lit(Long.MaxValue))).as("dist"),
+              (coalesce(col("nd"), lit(Long.MaxValue)) <
+                coalesce(col("dist"), lit(Long.MaxValue))).as("chg")),
+          col("chg"))
         Iterate.release(dist)
         (next, changed)
     }
@@ -742,12 +748,13 @@ object Graph extends QueryModule {
         val cand = c.filter(col("chg")).as("f")
           .join(eu.as("ee"), col("f.v") === col("ee.src"))
           .groupBy(col("ee.dst").as("v")).agg(min(col("f.lbl")).as("nl"))
-        val next = c.as("o").join(cand.as("n"), Seq("v"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nl"), lit(Long.MaxValue))).as("lbl"),
-            (coalesce(col("nl"), lit(Long.MaxValue)) < col("lbl")).as("chg"))
-          .localCheckpoint()
-        val changed = next.filter(col("chg")).count()
+        // changed-count observed during the checkpoint job (r15)
+        val (next, changed) = Iterate.pinCountTrue(
+          c.as("o").join(cand.as("n"), Seq("v"), "left")
+            .select(col("v"),
+              least(col("lbl"), coalesce(col("nl"), lit(Long.MaxValue))).as("lbl"),
+              (coalesce(col("nl"), lit(Long.MaxValue)) < col("lbl")).as("chg")),
+          col("chg"))
         Iterate.release(c)
         (next, changed)
     }
@@ -1155,12 +1162,15 @@ object Graph extends QueryModule {
         .select(e("src").as("v"), col("k"), col("mask"))
       val contrib = nbr.groupBy("v", "k")
         .agg(expr("bit_or(mask)").as("cand"))
-      val next = pin(m.as("o").join(contrib.as("n"), Seq("v", "k"), "left")
-        .select(col("v"), col("k"),
-          col("mask").bitwiseOR(coalesce(col("cand"), lit(0L))).as("mask"),
-          (coalesce(col("cand"), lit(0L))
-            .bitwiseAND(bitwise_not(col("mask"))) =!= lit(0L)).as("chg")))
-      val changed = next.filter(col("chg")).count()
+      // changed-count observed during the checkpoint job (r15); fresh
+      // attribute ids for the same reason as pin()
+      val (next, changed) = Iterate.pinCountTrue(
+        m.as("o").join(contrib.as("n"), Seq("v", "k"), "left")
+          .select(col("v"), col("k"),
+            col("mask").bitwiseOR(coalesce(col("cand"), lit(0L))).as("mask"),
+            (coalesce(col("cand"), lit(0L))
+              .bitwiseAND(bitwise_not(col("mask"))) =!= lit(0L)).as("chg")),
+        col("chg"), freshIds = true)
       record(next, i + 1)
       Iterate.release(m)
       lastChanged = changed
@@ -1354,36 +1364,42 @@ object Graph extends QueryModule {
     // computes the merged mask and the cur-only mask, and a row changed
     // iff it HAD current bits (oldmask non-null — same exclusion as the
     // old inner join against the aggregated state) and gained bits.
-    def step(rel: DataFrame, pushed: DataFrame, pushedRows: Long): DataFrame = {
+    // every count here is OBSERVED during the pin that produced the
+    // relation (Iterate.pinCountAll/pinObserved, r15): the nbr stats
+    // count, the changed-set gate count and the seed-push count each
+    // used to be their own narrow job per round
+    def step(rel: DataFrame, pushed: DataFrame, pushedRows: Long)
+        : (DataFrame, Long) = {
       val fsel = pushed.select(col("v").as("fv"), col("k"), col("mask"))
-      val nbr = pin(rel.join(
+      val (nbr, nbrRows) = Iterate.pinCountAll(rel.join(
           if (pushedRows <= broadcastBound) broadcast(fsel) else fsel,
           rel("dst") === col("fv"))
-        .select(rel("src").as("v"), col("k"), col("mask")))
+        .select(rel("src").as("v"), col("k"), col("mask")), freshIds = true)
       val targets = nbr.select("v").distinct()
       val tBks = if (rBuckets == 0) null else bksOf(targets)
-      val changed = pin(curRowsFor(targets, tBks)
-        .select(col("v"), col("k"), col("mask"), lit(true).as("cur"))
-        .unionAll(nbr.select(col("v"), col("k"), col("mask"),
-          lit(false).as("cur")))
-        .groupBy("v", "k")
-        .agg(expr("bit_or(mask)").as("mask"),
-          expr("bit_or(CASE WHEN cur THEN mask END)").as("oldmask"))
-        .filter(col("oldmask").isNotNull && col("mask") =!= col("oldmask"))
-        .select(col("v"), col("k"), col("mask")))
-      stats += AnfDeltaRound(pushedRows, nbr.count(),
+      val (changed, changedRows) = Iterate.pinCountAll(
+        curRowsFor(targets, tBks)
+          .select(col("v"), col("k"), col("mask"), lit(true).as("cur"))
+          .unionAll(nbr.select(col("v"), col("k"), col("mask"),
+            lit(false).as("cur")))
+          .groupBy("v", "k")
+          .agg(expr("bit_or(mask)").as("mask"),
+            expr("bit_or(CASE WHEN cur THEN mask END)").as("oldmask"))
+          .filter(col("oldmask").isNotNull && col("mask") =!= col("oldmask"))
+          .select(col("v"), col("k"), col("mask")), freshIds = true)
+      stats += AnfDeltaRound(pushedRows, nbrRows,
         if (tBks == null) -1L else tBks.size.toLong)
       Iterate.release(nbr)
-      changed
+      (changed, changedRows)
     }
     // seed: round 0 pulls across the NEW edges only — the masks pushed
     // are the current registers of ΔE's destinations
     val dstT = dE.select(col("dst").as("v")).distinct()
-    val seedPush = pin(curFor(dstT, if (rBuckets == 0) null else bksOf(dstT)))
-    var frontier = step(dE, seedPush, seedPush.count())
+    val (seedPush, seedRows) = Iterate.pinCountAll(
+      curFor(dstT, if (rBuckets == 0) null else bksOf(dstT)), freshIds = true)
+    var (frontier, fRows) = step(dE, seedPush, seedRows)
     Iterate.release(seedPush)
     var rounds = 1
-    var fRows = frontier.count() // loop gate AND next round's pushed count
     while (fRows > 0) {
       require(rounds < maxIter,
         s"anfDelta: guard exhausted after $rounds rounds without convergence")
@@ -1396,9 +1412,9 @@ object Graph extends QueryModule {
             .collect().map(_.getInt(0)).toSeq
           accEdges.filter(col("db").isin(bs: _*))
         }
-      val nf = step(fbks, frontier, fRows)
+      val (nf, nfRows) = step(fbks, frontier, fRows)
       frontier = nf
-      fRows = frontier.count()
+      fRows = nfRows
       rounds += 1
     }
     Iterate.release(frontier) // the final, empty one
@@ -1522,16 +1538,21 @@ object Graph extends QueryModule {
       s.createDataFrame(ck.rdd, ck.schema)
     }
     val eAll = pin(edgesDf)
-    val allNodes = pin(nodes(eAll))
+    // every gate count below is OBSERVED during the pin that produced
+    // the relation (Iterate.pinCountAll, r15) — the peel loop previously
+    // paid a limit(1).count job per gate per round on top of each pin
+    val (allNodes, nAll) =
+      Iterate.pinCountAll(nodes(eAll), freshIds = true)
     val e0 = pin(eAll.filter(col("src") =!= col("dst")))
     var residualNodes = allNodes
+    var residualCount = nAll
     var residualEdges = e0
     // start from an EMPTY (v, scc) frame, not null: an empty edge input
     // never enters the peel loop and must still return a valid relation
     var done: DataFrame = allNodes.filter(lit(false))
       .select(col("v"), col("v").as("scc"))
     var guard = 0
-    while (residualNodes.limit(1).count() > 0 && guard < N) {
+    while (residualCount > 0 && guard < N) {
       guard += 1
       // ONE TRIM pass: a vertex with no incoming (or no outgoing)
       // residual edge is a singleton SCC — settled here with two cheap
@@ -1539,24 +1560,27 @@ object Graph extends QueryModule {
       locally {
         val srcs = residualEdges.select(col("src").as("__k")).distinct()
         val dsts = residualEdges.select(col("dst").as("__k")).distinct()
-        val trimmed = pin(residualNodes
+        val (trimmed, nTrimmed) = Iterate.pinCountAll(residualNodes
           .join(srcs, col("v") === col("__k"), "left_anti")
           .unionAll(residualNodes
             .join(dsts, col("v") === col("__k"), "left_anti"))
-          .distinct())
-        if (trimmed.limit(1).count() > 0) {
+          .distinct(), freshIds = true)
+        if (nTrimmed > 0) {
           val settled = trimmed.select(col("v"), col("v").as("scc"))
           done = pin(done.unionAll(settled))
           val tv = trimmed.select(col("v").as("__settled_v"))
-          residualNodes = pin(residualNodes
-            .join(tv, col("v") === col("__settled_v"), "left_anti"))
+          val (rNodes, rCount) = Iterate.pinCountAll(residualNodes
+            .join(tv, col("v") === col("__settled_v"), "left_anti"),
+            freshIds = true)
+          residualNodes = rNodes
+          residualCount = rCount
           residualEdges = pin(residualEdges
             .join(tv, col("src") === col("__settled_v"), "left_anti")
             .join(tv, col("dst") === col("__settled_v"), "left_anti"))
         }
       }
       val rn = residualNodes
-      if (rn.limit(1).count() > 0) {
+      if (residualCount > 0) {
       // FRONTIER min-propagation, one materialization per round
       // (optimization r14, guide §2.4): labels are monotone
       // non-increasing, so only a vertex whose label dropped last round
@@ -1574,12 +1598,14 @@ object Graph extends QueryModule {
             val relax = c.filter(col("chg")).as("cc")
               .join(ed.as("ee"), col("cc.v") === col("ee.dst"))
               .groupBy(col("ee.src").as("v")).agg(min(col("cc.lbl")).as("cand"))
-            val next = c.as("o").join(relax.as("r"), Seq("v"), "left")
-              .select(col("v"),
-                least(col("lbl"), coalesce(col("cand"), lit(Long.MaxValue))).as("lbl"),
-                (coalesce(col("cand"), lit(Long.MaxValue)) < col("lbl")).as("chg"))
-              .localCheckpoint()
-            val changed = next.filter(col("chg")).count()
+            // changed-count observed during the checkpoint job (r15);
+            // fresh ids: the peel loop re-joins descendants of this state
+            val (next, changed) = Iterate.pinCountTrue(
+              c.as("o").join(relax.as("r"), Seq("v"), "left")
+                .select(col("v"),
+                  least(col("lbl"), coalesce(col("cand"), lit(Long.MaxValue))).as("lbl"),
+                  (coalesce(col("cand"), lit(Long.MaxValue)) < col("lbl")).as("chg")),
+              col("chg"), freshIds = true)
             Iterate.release(c)
             (next, changed)
         }
@@ -1612,8 +1638,11 @@ object Graph extends QueryModule {
       // against its own descendant would hit ambiguous-attribute
       // resolution on the second peel
       val settledV = settled.select(col("v").as("__settled_v"))
-      residualNodes = pin(residualNodes
-        .join(settledV, col("v") === col("__settled_v"), "left_anti"))
+      val (rNodes, rCount) = Iterate.pinCountAll(residualNodes
+        .join(settledV, col("v") === col("__settled_v"), "left_anti"),
+        freshIds = true)
+      residualNodes = rNodes
+      residualCount = rCount
       residualEdges = pin(residualEdges
         .join(settledV, col("src") === col("__settled_v"), "left_anti")
         .join(settledV, col("dst") === col("__settled_v"), "left_anti"))
@@ -1621,7 +1650,7 @@ object Graph extends QueryModule {
     }
     // fail LOUDLY if the peel guard exhausted with residual vertices
     // left — partial labels silently returned would be a wrong answer
-    require(residualNodes.limit(1).count() == 0,
+    require(residualCount == 0,
       s"sccTrimOn: peel guard exhausted after $guard rounds with residual vertices remaining")
     done.orderBy("v")
   }
@@ -1691,12 +1720,13 @@ object Graph extends QueryModule {
         val relax = lv.filter(col("chg")).as("l")
           .join(ce.as("ee"), col("l.c") === col("ee.src"))
           .groupBy(col("ee.dst").as("c")).agg((max(col("l.lvl")) + 1L).as("cand"))
-        val next = lv.as("o").join(relax.as("r"), Seq("c"), "left")
-          .select(col("c"),
-            greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"),
-            (coalesce(col("cand"), lit(Long.MinValue)) > col("lvl")).as("chg"))
-          .localCheckpoint()
-        val changed = next.filter(col("chg")).count()
+        // changed-count observed during the checkpoint job (r15)
+        val (next, changed) = Iterate.pinCountTrue(
+          lv.as("o").join(relax.as("r"), Seq("c"), "left")
+            .select(col("c"),
+              greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"),
+              (coalesce(col("cand"), lit(Long.MinValue)) > col("lvl")).as("chg")),
+          col("chg"))
         Iterate.release(lv)
         (next, changed)
     }
@@ -1751,14 +1781,15 @@ object Graph extends QueryModule {
           .join(e.as("ee"), col("ss.v") === col("ee.src"))
           .groupBy(col("ss.q"), col("ee.dst").as("v"))
           .agg(min(col("ss.dist") + 1L).as("cand"))
-        val next = st.as("o").join(relax.as("r"), Seq("q", "v"), "full_outer")
-          .select(col("q"), col("v"),
-            least(coalesce(col("dist"), lit(Long.MaxValue)),
-              coalesce(col("cand"), lit(Long.MaxValue))).as("dist"),
-            (coalesce(col("cand"), lit(Long.MaxValue)) <
-              coalesce(col("dist"), lit(Long.MaxValue))).as("chg"))
-          .localCheckpoint()
-        val changed = next.filter(col("chg")).count()
+        // changed-count observed during the checkpoint job (r15)
+        val (next, changed) = Iterate.pinCountTrue(
+          st.as("o").join(relax.as("r"), Seq("q", "v"), "full_outer")
+            .select(col("q"), col("v"),
+              least(coalesce(col("dist"), lit(Long.MaxValue)),
+                coalesce(col("cand"), lit(Long.MaxValue))).as("dist"),
+              (coalesce(col("cand"), lit(Long.MaxValue)) <
+                coalesce(col("dist"), lit(Long.MaxValue))).as("chg")),
+          col("chg"))
         Iterate.release(st)
         (next, changed)
     }
@@ -1855,7 +1886,7 @@ object Graph extends QueryModule {
     val eu = undirected(e).cache()
     val init = eu.groupBy(col("src").as("v")).agg(count(lit(1)).as("est"))
     val out = Iterate(init, iters, checkpointEvery = 2) { (k, _) =>
-      kcoreStep(eu, k, sharded = false)
+      kcoreStep(eu, k, sharded = false).select("v", "est")
     }
     out.orderBy("v")
   }
@@ -1880,8 +1911,12 @@ object Graph extends QueryModule {
     val nb = ranked
       .groupBy(col("vv"))
       .agg(max(least(col("nb_est"), col("rn"))).as("cand"))
+    // chg ⟺ the h-operator lowered this vertex (cand < old est): the
+    // old estimate is already in this plan, so the fixpoint's halt
+    // condition needs no next-vs-old diff join (r15)
     k.join(nb, k("v") === nb("vv"))
-      .select(k("v"), least(k("est"), col("cand")).as("est"))
+      .select(k("v"), least(k("est"), col("cand")).as("est"),
+        (col("cand") < k("est")).as("chg"))
   }
 
   /** k-core run to the DISCOVERED fixpoint — where the h-index
@@ -1904,13 +1939,17 @@ object Graph extends QueryModule {
     val sharded = init.agg(max("est")).head.getLong(0) > shardBound
     val fp = Iterate.untilFixpointChecked(init, maxIter = maxIter,
       checkpointEvery = 0) { (k, _) =>
-      val next = kcoreStep(eu, k, sharded).localCheckpoint()
-      val changed = next.as("n").join(k.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.est") =!= col("o.est")).count()
+      // kcoreStep carries the chg flag (cand < old est) in-row, and the
+      // changed-count is observed during the checkpoint job — one job
+      // per round instead of checkpoint + a next-vs-old diff join (r15);
+      // est is monotone non-increasing, so "any row lowered" is exactly
+      // the old row-diff count.
+      val (next, changed) =
+        Iterate.pinCountTrue(kcoreStep(eu, k, sharded), col("chg"))
       Iterate.release(k)
       (next, changed)
     }.requireConverged("kcoreFixpoint")
-    (fp.out, fp.iters)
+    (fp.out.select("v", "est"), fp.iters)
   }
 
   override val defs: Seq[Q] = Seq(
@@ -2955,19 +2994,24 @@ object Graph extends QueryModule {
         for (_ <- 1 to hitsIters) {
           val hr = e.join(a.withColumnRenamed("v", "dst"), Seq("dst"))
             .groupBy("src").agg(round(sum("auth"), 6).as("x"))
-          val hRaw = vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
-            .select(col("v"), coalesce(col("x"), lit(0.0)).as("hraw"))
-            .localCheckpoint()
-          val hmax = hRaw.agg(max("hraw")).head.getDouble(0)
+          // the max is OBSERVED during the checkpoint job itself
+          // (Iterate.pinObserved, r15): one Spark job per half-step —
+          // the identical max either way, so the value lattice holds
+          val (hRaw, hmaxOpt) = graft.plans.Iterate.pinObserved(
+            vs.join(hr.withColumnRenamed("src", "v"), Seq("v"), "left")
+              .select(col("v"), coalesce(col("x"), lit(0.0)).as("hraw")),
+            max(col("hraw")))
+          val hmax = hmaxOpt.get.asInstanceOf[Double]
           if (h != null) spent += h
           h = hRaw.select(col("v"), round(col("hraw") / lit(hmax), 6).as("hub"))
           spent += hRaw
           val ar = e.join(h.withColumnRenamed("v", "src"), Seq("src"))
             .groupBy("dst").agg(round(sum("hub"), 6).as("x"))
-          val aRaw = vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
-            .select(col("v"), coalesce(col("x"), lit(0.0)).as("araw"))
-            .localCheckpoint()
-          val amax = aRaw.agg(max("araw")).head.getDouble(0)
+          val (aRaw, amaxOpt) = graft.plans.Iterate.pinObserved(
+            vs.join(ar.withColumnRenamed("dst", "v"), Seq("v"), "left")
+              .select(col("v"), coalesce(col("x"), lit(0.0)).as("araw")),
+            max(col("araw")))
+          val amax = amaxOpt.get.asInstanceOf[Double]
           spent += a
           a = aRaw.select(col("v"), round(col("araw") / lit(amax), 6).as("auth"))
           spent += aRaw
@@ -3051,19 +3095,25 @@ object Graph extends QueryModule {
       val best = msg
         .groupBy("v")
         .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("newl"))
-      val next = vs.join(best, Seq("v"), "left").join(lbl, Seq("v"))
-        .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(lbl.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      // the old label is already IN the plan (the right join side), so
+      // the changed-set diff folds into the same projection and the
+      // count is observed during the checkpoint job — one job per round
+      // instead of checkpoint + a next-vs-old diff join (r15). The chg
+      // column rides in the carried state and is stripped at return;
+      // set (in)equality per vertex is exactly what the old diff join
+      // counted, label by label.
+      val (next, changed) = Iterate.pinCountTrue(
+        vs.join(best, Seq("v"), "left").join(lbl.select("v", "lbl"), Seq("v"))
+          .select(col("v"), coalesce(col("newl"), col("lbl")).as("lbl"),
+            (coalesce(col("newl"), col("lbl")) =!= col("lbl")).as("chg")),
+        col("chg"))
       Iterate.release(lbl)
       (next, changed)
     }
     require(fp.converged,
       s"lpaFixpoint: guard exhausted after ${fp.iters} rounds — oscillation or " +
         "slow convergence; raise maxIter or break the cycle asynchronously")
-    (fp.out, fp.iters)
+    (fp.out.select("v", "lbl"), fp.iters)
   }
 
   /** K-truss peel to the DISCOVERED fixpoint: delete edges with < 2
@@ -3077,11 +3127,18 @@ object Graph extends QueryModule {
     * state as if converged. */
   private[graft] def ktrussFixpoint(ori: DataFrame,
       maxIter: Int = 64): (DataFrame, Int) = {
+    // deletion is monotone, so changed = previous |E| − surviving |E|;
+    // the surviving count is observed during each round's checkpoint
+    // job and carried forward — one count job total (the seed) instead
+    // of two per round (r15)
+    var prevEdges = ori.count()
     val fp = Iterate.untilFixpointChecked(ori, maxIter = maxIter,
       checkpointEvery = 0) { (ed, _) =>
-      val next = ed.join(trussSupport(ed), Seq("a", "b"))
-        .filter(col("supp") >= 2).select("a", "b").localCheckpoint()
-      val changed = ed.count() - next.count()
+      val (next, n) = Iterate.pinCountAll(
+        ed.join(trussSupport(ed), Seq("a", "b"))
+          .filter(col("supp") >= 2).select("a", "b"))
+      val changed = prevEdges - n
+      prevEdges = n
       Iterate.release(ed)
       (next, changed)
     }.requireConverged("ktrussFixpoint")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Driver-side superstep loop: the Spark shape of Hama's BSP barrier
   * (`core/src/main/java/org/apache/hama/bsp/BSPPeerImpl.java:390-452` —
@@ -27,6 +27,47 @@ object Iterate {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** localCheckpoint with a scalar metric OBSERVED during the
+    * materializing job itself (optimization r15, guide §1/§5): every
+    * discovered-fixpoint loop here used to pay one checkpoint job plus
+    * one narrow count/max job per round for its halt condition; a
+    * `Dataset.observe` metric is collected by the checkpoint's own
+    * action, so the round costs ONE job. Returns (pinned frame, metric
+    * value — None for an all-null aggregate, e.g. sum over zero rows).
+    * The observed column never lands in the schema, so downstream plan
+    * shapes are untouched. */
+  def pinObserved(df: DataFrame, metric: Column,
+      freshIds: Boolean = false): (DataFrame, Option[Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, metric.as("m")).localCheckpoint()
+    // freshIds: re-root the checkpointed blocks under NEW attribute ids
+    // (zero recompute — same RDD): loops that repeatedly join/union
+    // descendants of their own state need this to dodge Catalyst's
+    // stale-id traps (see sccTrimOn/anfSketch pin()); release() still
+    // works because the plan root stays a LogicalRDD over the same rdd.
+    val pinned =
+      if (freshIds) df.sparkSession.createDataFrame(ck.rdd, ck.schema) else ck
+    (pinned, Option(obs.get.getOrElse("m", null)))
+  }
+
+  /** [[pinObserved]] counting rows that satisfy `flag` — the changed-row
+    * halt condition of the frontier loops. */
+  def pinCountTrue(df: DataFrame, flag: Column,
+      freshIds: Boolean = false): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{sum, when}
+    val (pinned, m) =
+      pinObserved(df, sum(when(flag, 1L).otherwise(0L)), freshIds)
+    (pinned, m.map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  /** [[pinObserved]] counting ALL rows — loop gates that only need "is
+    * the relation empty / how many rows landed" fold into the pin. */
+  def pinCountAll(df: DataFrame, freshIds: Boolean = false): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val (pinned, m) = pinObserved(df, count(lit(1)), freshIds)
+    (pinned, m.map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
 
   /** `reliable = true` swaps the executor-local checkpoint for Spark's
     * reliable `Dataset.checkpoint()` (files under `sc.setCheckpointDir` —
