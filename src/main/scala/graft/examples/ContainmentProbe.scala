@@ -21,8 +21,9 @@ object ContainmentProbe {
       r
     }
     val g = timed("grams") {
+      // the query's own gram kernel (hashed since r15) — one definition
       val g0 = Tables(spark, sfDir, "documents").select(col("doc_id"),
-          explode(TextHash.distinctNGrams(TextExprs.toks(col("text")), 3)).as("gram"))
+          explode(Dedup.containmentGramCol(col("text"))).as("gram"))
         .localCheckpoint()
       println(s"""{"probe":"containment_gram_rows","rows":${g0.count()}}""")
       g0

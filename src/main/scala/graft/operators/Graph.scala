@@ -887,10 +887,13 @@ object Graph extends QueryModule {
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](reached)
     var frontier = reached
     var lvl = 0
-    // ONE driver probe per level (head(1) on the just-pinned frontier —
-    // the blocks are already materialized by the checkpoint), not a
-    // limit(1).count() job on both the old frontier AND the new one
-    // (VERDICT r9 item 3: halves per-level job count on deep graphs)
+    // ONE job per level (optimization r15): the new frontier's emptiness
+    // check is OBSERVED during its own checkpoint (pinCountAll), and the
+    // growing `reached` relation is a LAZY union of the level pins — the
+    // old shape re-pinned the whole accumulated relation every level
+    // (O(levels × reached) block rewrites) plus a head(1) probe. The
+    // anti-join consumes the union of already-materialized level blocks
+    // either way; only the per-level rewrite and probe jobs disappear.
     var frontierEmpty = frontier.head(1).isEmpty
     while (!frontierEmpty && lvl < N) {
       lvl += 1
@@ -898,12 +901,13 @@ object Graph extends QueryModule {
         .join(e, col("u") === col("src"))
         .groupBy(col("s"), col("dst")).agg(sum("sigma").as("sigma"))
         .select(col("s"), col("dst").as("v"), lit(lvl).as("d"), col("sigma"))
-      val nf = pin(expand.join(
+      val (nf, nfRows) = Iterate.pinCountAll(expand.join(
         reached.select(col("s").as("rs"), col("v").as("rv")),
-        col("s") === col("rs") && col("v") === col("rv"), "left_anti"))
-      frontierEmpty = nf.head(1).isEmpty
+        col("s") === col("rs") && col("v") === col("rv"), "left_anti"),
+        freshIds = true)
+      frontierEmpty = nfRows == 0
       if (!frontierEmpty) {
-        reached = pin(reached.unionAll(nf))
+        reached = reached.unionAll(nf)
         levels += nf
       }
       frontier = nf
@@ -984,7 +988,10 @@ object Graph extends QueryModule {
     val maxLvl = levels.length - 1
     if (maxLvl == 0) return ns.select(col("v"), lit(0.0).as(outCol)).orderBy("v")
     var curDelta = pin(levels(maxLvl).select(col("s"), col("v"), lit(0.0).as("delta")))
-    var acc = curDelta
+    // the accumulated deltas are a LAZY union of the per-level pins
+    // (r15): only the final bc aggregate consumes them, so the old
+    // per-level re-pin of the whole accumulation bought nothing
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](curDelta)
     for (l <- maxLvl to 1 by -1) {
       val w = levels(l).select(col("s").as("ws"), col("v").as("w"), col("sigma").as("sw"))
         .join(curDelta.select(col("s").as("ds"), col("v").as("dv"), col("delta").as("dw0")),
@@ -997,8 +1004,9 @@ object Graph extends QueryModule {
         .join(w, col("vs") === col("ws") && col("dst") === col("w"))
         .groupBy(col("vs").as("s"), col("v"))
         .agg(sum(col("sv") * (lit(1.0) + col("dw")) / col("sw")).as("delta")))
-      acc = pin(acc.unionAll(curDelta))
+      deltas += curDelta
     }
+    val acc = deltas.reduce(_ unionAll _)
     // δ_s(s) (the level-0 rows) is a loop invariant of the recurrence,
     // NOT part of bc — Brandes sums δ_s(v) only over v ≠ s
     ns.join(acc.filter(col("s") =!= col("v"))
