@@ -1346,65 +1346,97 @@ object Dedup extends QueryModule {
     * consumers (q_dedup_lsh_recall, q_dedup_cross_source) share one
     * execution via [[ppjoinResult]]. */
   private def computePpjoin(s: SparkSession, d: String): DataFrame = {
-    // the (doc, gram) relation is materialized ONCE — it feeds the df
-    // counts, the per-doc prefix build, and both verify probes
+    // grams enter as 128-bit byte-level hashes (optimization r15 — the
+    // containment row's kernel extended to its Jaccard sibling): PPJoin
+    // needs only gram EQUALITY and ONE consistent total order, both
+    // preserved by the (h1, h2) pair (NGramHashSpec pins the kernel;
+    // collisions < 1e-14 at 10^12 distinct grams). The global order
+    // becomes (df, h1, h2) instead of (df, gram-lexicographic) — the
+    // prefix filter is complete under ANY total order (hot grams still
+    // sort last, which is the whole df-bound), so the candidate set
+    // stays a superset of every true pair and the exact verify makes
+    // the declared output identical (DedupBlockingSpec re-proves it
+    // against the brute-force join).
     val g = docs(s, d).select(col("doc_id"),
-        explode(TextHash.distinctNGrams(toks(col("text")), 3)).as("gram"))
+        explode(TextHash.ngramHashes(toks(col("text")), 3)).as("gram"))
       .localCheckpoint()
+    val docGrams = ppjoinDocGrams(g)
+    graft.plans.Iterate.release(g) // fully consumed by the docGrams pin
+    val cand = ppjoinCandidatesFromDocs(docGrams)
+      .localCheckpoint() // consumed by both verify sides
+    val out = ppjoinVerifyFromDocs(docGrams, cand)
+      .localCheckpoint()
+    graft.plans.Iterate.release(docGrams)
+    graft.plans.Iterate.release(cand)
+    out
+  }
+
+  /** Per-doc gram-array relation (doc_id, gs, n, plen), PINNED — gs is
+    * the doc's hashed grams in ONE global (df, h1, h2) order (the prefix
+    * filter's order), n its distinct-gram count, plen the Jaccard prefix
+    * length. Shared by candidate generation AND the array-intersect
+    * verify (the containmentDocGrams shape, optimization r15): with
+    * 16-byte hashed grams a doc's whole array costs what ~3 of the old
+    * exploded (pair, gram) verify rows did. */
+  private[graft] def ppjoinDocGrams(g: DataFrame): DataFrame = {
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    val sorted = g.join(dfreq, Seq("gram"))
+    g.join(dfreq, Seq("gram"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, gram))), x -> x.gram)").as("gs"))
       .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
       // prefix length |T| - ceil(0.6|T|) + 1; ceil(3n/5) = (3n+4) DIV 5
       // in exact integer arithmetic (FP ceil(0.6*5) would round to 4)
       .withColumn("plen", expr("n - (3*n + 4) DIV 5 + 1"))
-    val prefix = sorted.select(col("doc_id"), col("n"),
+      .localCheckpoint()
+  }
+
+  /** Prefix ⋈ prefix candidate pairs over a prepared [[ppjoinDocGrams]]
+    * relation — LAZY (the caller pins): a narrow re-explode of the
+    * pinned arrays serves both join sides, not a recompute. */
+  private[graft] def ppjoinCandidatesFromDocs(docGrams: DataFrame): DataFrame = {
+    val prefix = docGrams.select(col("doc_id"), col("n"),
         posexplode(expr("slice(gs, 1, plen)")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("pg"))
-      .localCheckpoint()
     // PPJoin's POSITIONAL filter on top of the size filter: a match at
     // 1-based prefix positions (pa, pb) bounds the overlap by
     // 1 + min(na-pa, nb-pb), which must reach ceil(t/(1+t)·(na+nb)) =
     // (3u+7) DIV 8 for t = 0.6 — prunes 193k → 69k candidates at
     // sf0.1 before the expensive verify, losing nothing (the brute
     // -force oracle re-proves completeness every round)
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 3 &&
           lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
             expr("(3 * (a.n + b.n) + 7) DIV 8")) // integer ceil(3u/8), not double /
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint() // consumed twice: the gb semi-join + the verify probe
-    // verify with THIN rows (pair ids + gram), never carrying the gram
-    // arrays through the pair join — the gramOverlap shape: pair ×
-    // side-a grams, then a (doc, gram)-keyed shuffle_hash probe of
-    // side b (r5: carrying the arrays instead measured 2x slower at
-    // sf0.1). The build side is g restricted to candidate doc_b's via a
-    // cheap semi-join — O(candidate docs), not corpus-scale, so the
-    // hash build cannot OOM on a large corpus with few dups (the 1M-doc
-    // DedupScale lesson from the containment twin of this pipeline).
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val gb = g.join(
-      cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
-    val inter = cand
-      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(gb.as("gb").hint("shuffle_hash"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val out = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+  }
+
+  /** ARRAY-INTERSECT verify (optimization r15 — the containmentPairs
+    * shape replacing the exploded (pair × gram) shuffle_hash probe +
+    * per-pair count aggregate + separate sizes aggregate and its two
+    * joins): candidate pairs join the pinned (doc_id, gs, n) relation on
+    * each side and |A∩B| is a per-row `size(array_intersect)` projection
+    * over the 16-byte-hash arrays; sizes ride the arrays as `n`. Both
+    * sides stay semi-restricted to candidate docs — O(dup volume), not
+    * corpus scale (the 1M-doc DedupScale discipline). LAZY — the caller
+    * pins. */
+  private[graft] def ppjoinVerifyFromDocs(docGrams: DataFrame,
+      cand: DataFrame): DataFrame = {
+    def side(idCol: String, pre: String) = docGrams
+      .join(cand.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as(idCol), col("gs").as(s"${pre}gs"),
+        col("n").as(s"${pre}n"))
+    cand
+      .join(side("doc_a", "a").hint("shuffle_hash"), Seq("doc_a"))
+      .join(side("doc_b", "b").hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextHash.hashPairIntersectSize(col("ags"), col("bgs")).as("i"),
+        col("an").as("na"), col("bn").as("nb"))
       .filter(col("i") * 5 >= (col("na") + col("nb") - col("i")) * 3)
       .select(col("doc_a"), col("doc_b"),
         round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
-      .localCheckpoint()
-    graft.plans.Iterate.release(prefix)
-    graft.plans.Iterate.release(cand)
-    graft.plans.Iterate.release(g)
-    out
   }
 
   /** Containment-join candidate pairs over a (doc_id, gram) relation via
@@ -1531,7 +1563,7 @@ object Dedup extends QueryModule {
       .join(side("doc_a", "a").hint("shuffle_hash"), Seq("doc_a"))
       .join(side("doc_b", "b").hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ags"), col("bgs"))).cast("long").as("i"),
+        TextHash.hashPairIntersectSize(col("ags"), col("bgs")).as("i"),
         col("an").as("na"), col("bn").as("nb"))
       .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
       .filter(col("cont") >= t)
@@ -1602,6 +1634,26 @@ object Dedup extends QueryModule {
       .localCheckpoint()
     graft.plans.Iterate.release(wins)
     out
+  }
+
+  /** Stage-by-stage `explain("formatted")` of the PPJoin pipeline for
+    * the plan-dump tool ([[graft.examples.PpjoinPlanDump]]): the row's
+    * own explain is a localCheckpoint root, so plan evidence lives here. */
+  private[graft] def ppjoinPlanStages(s: SparkSession, d: String): Unit = {
+    println("==== stage: gram kernel (documents -> (doc_id, gram)) ====")
+    val gLazy = docs(s, d).select(col("doc_id"),
+      explode(TextHash.ngramHashes(toks(col("text")), 3)).as("gram"))
+    gLazy.explain("formatted")
+    val g = gLazy.localCheckpoint()
+    val docGrams = ppjoinDocGrams(g)
+    println("==== stage: candidates (prefix + positional filter) ====")
+    val candLazy = ppjoinCandidatesFromDocs(docGrams)
+    candLazy.explain("formatted")
+    val cand = candLazy.localCheckpoint()
+    println(s"candidates rows: ${cand.count()}")
+    println("==== stage: verify pipeline ====")
+    ppjoinVerifyFromDocs(docGrams, cand).explain("formatted")
+    Seq(g, docGrams, cand).foreach(graft.plans.Iterate.release)
   }
 
   private def docsFingerprint(d: String): String =

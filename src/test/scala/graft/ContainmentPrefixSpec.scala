@@ -13,9 +13,13 @@ class ContainmentPrefixSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  // hashed grams — the production element type (the verify kernel
+  // requires the (h1, h2) pair arrays); brute() joins on the same
+  // hash-equality the pipeline uses, so truth and candidates share one
+  // gram representation
   private def grams(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
-      explode(functions.TextHash.distinctNGrams(
+      explode(functions.TextHash.ngramHashes(
         operators.TextExprs.toks(col("text")), 3)).as("gram"))
 
   /** brute-force containment pairs (the pre-r7 plan, kept as truth) */

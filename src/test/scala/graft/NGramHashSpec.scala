@@ -66,6 +66,45 @@ class NGramHashSpec extends AnyFunSuite {
     assert(got === Seq((xxh("a b", 0L)), xxh("b c", 0L)))
   }
 
+  test("hash_pair_intersect_size equals size(array_intersect) on real doc gram arrays") {
+    // the verify kernel (optimization r15: array_intersect has no fast
+    // path for struct elements — O(n·m) interpreted per pair): on
+    // duplicate-free inputs (which the gram kernel guarantees per doc)
+    // the primitive open-addressing count must equal array_intersect's
+    // distinct-common count, on every pairing, including disjoint docs,
+    // self-pairs, and the empty-array short-doc case
+    val docs = Tables(spark, TestSpark.sf0, "documents").limit(60)
+      .select(col("doc_id"), TextHash.ngramHashes(
+        operators.TextExprs.toks(col("text")), 3).as("gs"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select(
+        TextHash.hashPairIntersectSize(col("a.gs"), col("b.gs")).as("kernel"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("long").as("builtin"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("hash_pair_intersect_size handcrafted: empty, disjoint, identical, partial") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("c", "d", "e", "f")), // 3-grams: partial
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),           // identical
+      (Seq("a", "b", "c"), Seq("x", "y", "z")),           // disjoint
+      (Seq("a"), Seq("a", "b", "c")))                      // empty side (< w)
+      .toDF("ta", "tb")
+      .select(TextHash.ngramHashes(col("ta"), 3).as("ga"),
+        TextHash.ngramHashes(col("tb"), 3).as("gb"))
+    val got = df.select(
+        TextHash.hashPairIntersectSize(col("ga"), col("gb")).as("k"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("bi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (k, bi) => k == bi })
+    // {"a b c","b c d"} ∩ {"c d e","d e f"} = ∅; identical docs share
+    // their one gram; disjoint and sub-width docs share nothing
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 0L, 0L))
+  }
+
   test("util rejects nothing and allocates nothing visible: direct calls agree with codegen path") {
     // the codegen string calls the same static method; spot-check the
     // util directly so a future codegen change cannot silently diverge
