@@ -197,11 +197,15 @@ object Streams {
           graft.operators.Relational.reservoirHk.as("hk"))
         val merged = state.map(_.unionByName(cand)).getOrElse(cand)
         val w = Window.partitionBy("source").orderBy(asc("hk"), asc("doc_id"))
-        val next = merged.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k).drop("rn").localCheckpoint()
+        // state-size gate observed during the pin itself (optimization
+        // r15 §12 — the Iterate.pinCountAll shape): one job per batch
+        // instead of checkpoint + count
+        val (next, n) = graft.plans.Iterate.pinCountAll(
+          merged.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k).drop("rn"))
         state.foreach(graft.plans.Iterate.release)
         state = Some(next)
-        sizes += next.count(): Unit
+        sizes += n: Unit
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -286,12 +290,20 @@ object Streams {
             .select(lit(batchId).as("batch_id"), col("event_type"),
               col("n").as("n_batch"),
               lit(null).cast("double").as("psi"), lit(true).as("drifted"))
-          val scored = known.unionByName(novel).localCheckpoint()
-          scored.write.mode(SaveMode.Overwrite)
+          // accounting count observed during the WRITE itself
+          // (optimization r15 §12): the old shape paid a localCheckpoint
+          // + the write + a count — three jobs per batch where one
+          // materialization suffices (the write is the only consumer;
+          // `counts` stays pinned because tot and the band join both
+          // read it)
+          val obs = org.apache.spark.sql.Observation()
+          known.unionByName(novel).observe(obs, count(lit(1)).as("rows"))
+            .write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/ingest_batch=$batchId")
           CommitMarkers.commit(outDir, batchId, fp)
-          stats.put(batchId, scored.count()): Unit
-          Seq(counts, scored).foreach(graft.plans.Iterate.release)
+          stats.put(batchId,
+            obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)): Unit
+          graft.plans.Iterate.release(counts)
         }
       }
       .start()
@@ -326,7 +338,11 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val fp = CommitMarkers.fingerprint(batch)
         if (!CommitMarkers.isCommitted(outDir, batchId, fp)) {
-          val verdicts = batch.crossJoin(broadcast(ev))
+          // accounting count observed during the WRITE itself
+          // (optimization r15 §12: checkpoint + write + count -> one
+          // materialization; the write is the verdicts' only consumer)
+          val obs = org.apache.spark.sql.Observation()
+          batch.crossJoin(broadcast(ev))
             .select(col("vec_id"), col("eval_id"),
               round(graft.functions.VecOps.cosine(col("embedding"), col("eemb")), 6)
                 .as("sim"))
@@ -336,12 +352,12 @@ object Streams {
                 .as("nearest_eval"))
             .select(col("vec_id"), col("max_sim"), col("nearest_eval"),
               (col("max_sim") >= simThr).as("contaminated"))
-            .localCheckpoint()
-          verdicts.write.mode(SaveMode.Overwrite)
+            .observe(obs, count(lit(1)).as("rows"))
+            .write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/ingest_batch=$batchId")
           CommitMarkers.commit(outDir, batchId, fp)
-          stats.put(batchId, verdicts.count()): Unit
-          graft.plans.Iterate.release(verdicts)
+          stats.put(batchId,
+            obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)): Unit
         }
       }
       .start()
@@ -809,13 +825,18 @@ object Streams {
     * is countDistinct/min over corpus doc ids. Returns (matches,
     * probeFiles, storeFiles, distinct cells probed). */
   def probeNearDupStore(spark: SparkSession, storeDir: String,
-      sigs: DataFrame, excludeBatch: Long): (DataFrame, Long, Long, Long) = {
+      sigs: DataFrame, excludeBatch: Long,
+      knownCells: Option[Seq[(Long, Long)]] = None): (DataFrame, Long, Long, Long) = {
     val batchDirs = nearDupBatchDirs(storeDir)
       .filterNot(_.getName == s"ingest_batch=$excludeBatch")
     val storeFiles = batchDirs.map(parquetFilesUnder).sum
-    val cells = sigs.select(col("band"), col("sig_bucket"))
-      .distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // the ingest loop observes the cell set during the sigs pin
+    // (optimization r15 §12) and passes it in; ad-hoc probers pay the
+    // one distinct-collect job here
+    val cells = knownCells.getOrElse(
+      sigs.select(col("band"), col("sig_bucket"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
     val leafDirs = for {
       bd <- batchDirs
       (band, bucket) <- cells
@@ -881,10 +902,21 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val fp = CommitMarkers.fingerprint(batch)
         if (!CommitMarkers.isCommitted(storeDir, batchId, fp)) {
-          // retry of a fully-committed batch: skip
-          val sigs = nearDupSigs(batch, sigBuckets).localCheckpoint()
+          // retry of a fully-committed batch: skip.
+          // The probe's (band, sig_bucket) cell set is OBSERVED during
+          // the sigs pin itself (optimization r15 §12): the old shape
+          // paid a separate distinct+collect job per batch on top of
+          // the checkpoint
+          val (sigs, cellsM) = graft.plans.Iterate.pinObserved(
+            nearDupSigs(batch, sigBuckets),
+            collect_set(struct(col("band"), col("sig_bucket"))))
+          val batchCells = cellsM
+            .map(_.asInstanceOf[Seq[org.apache.spark.sql.Row]]
+              .map(r => (r.getLong(0), r.getLong(1))))
+            .getOrElse(Seq.empty)
           val (matches, probeFiles, storeFiles, cells) =
-            probeNearDupStore(spark, storeDir, sigs, batchId)
+            probeNearDupStore(spark, storeDir, sigs, batchId,
+              knownCells = Some(batchCells))
           batch.select(col("doc_id"))
             .join(matches, Seq("doc_id"), "left")
             .select(col("doc_id"),
@@ -1202,11 +1234,12 @@ object Streams {
         } else {
         // Δ-side hygiene only: dedup THIS batch's edges, drop self-loops
         // (bit_or makes cross-batch duplicates harmless, so the full
-        // relation is never re-distincted)
-        val dE = batch.select("src", "dst")
-          .filter(col("src") =!= col("dst")).distinct()
-          .localCheckpoint()
-        if (dE.head(1).isEmpty) {
+        // relation is never re-distincted). Emptiness gate observed
+        // during the pin (optimization r15 §12: pin + head(1) -> one job)
+        val (dE, nDE) = graft.plans.Iterate.pinCountAll(
+          batch.select("src", "dst")
+            .filter(col("src") =!= col("dst")).distinct())
+        if (nDE == 0) {
           graft.plans.Iterate.release(dE)
           rounds += 0
           roundStats += Seq.empty: Unit
@@ -1238,14 +1271,18 @@ object Streams {
               .select("src", "dst", "db")
             val (up, r, st) = graft.operators.Graph.anfDeltaRows(base, acc, dE,
               dstBuckets = nB, regBuckets = rB)
-            if (up.head(1).nonEmpty) {
+            // one narrow collect serves BOTH the emptiness gate and the
+            // touched-bucket set (optimization r15 §12: every upsert row
+            // has a bucket, so bks nonEmpty iff up nonEmpty — the old
+            // shape paid a head(1) job plus this collect)
+            val bks = up.select(pmod(hash(col("v")), lit(rB)).as("vb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            if (bks.nonEmpty) {
               // versioned bucket rewrite: merge the touched buckets'
               // survivors with the new rows into a FRESH commit subtree
               // — the write never replaces the files it reads, so no
               // defensive materialization and no crash window over the
               // committed view
-              val bks = up.select(pmod(hash(col("v")), lit(rB)).as("vb"))
-                .distinct().collect().map(_.getInt(0)).toSeq
               base.filter(col("vb").isin(bks: _*))
                 .select("v", "k", "mask")
                 .join(up.select("v", "k"), Seq("v", "k"), "left_anti")
