@@ -62,8 +62,10 @@ object DedupScale {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDocs = docs.count()
+    // hashed grams — the element type the containment pipeline (and its
+    // verify kernel) now requires
     val g = docs.select(col("doc_id"),
-        explode(TextHash.distinctNGrams(TextExprs.toks(col("text")), 3)).as("gram"))
+        explode(TextHash.ngramHashes(TextExprs.toks(col("text")), 3)).as("gram"))
       .localCheckpoint()
     val nGrams = g.count()
     val brutePairs = g.groupBy("gram").agg(count(lit(1)).as("df"))

@@ -241,6 +241,11 @@ object TextHashUtil {
     val (s, l) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = s.numElements()
     if (n == 0) return 0L
+    // table capacity: next power of two >= 2n. Guard the shift — past
+    // 2^30 elements n*2 overflows Int and the loop would exit with a
+    // full table, turning the insert probe into an infinite scan
+    require(n < (1 << 30),
+      s"hash_pair_intersect_size: array of $n elements exceeds the 2^30 bound")
     var cap = 4
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1
@@ -253,22 +258,29 @@ object TextHashUtil {
     }
     var i = 0
     while (i < n) {
-      val r = s.getStruct(i, 2)
-      val h1 = r.getLong(0); val h2 = r.getLong(1)
-      var p = slot(h1, h2)
-      while (used(p) && !(k1(p) == h1 && k2(p) == h2)) p = (p + 1) & mask
-      if (!used(p)) { used(p) = true; k1(p) = h1; k2(p) = h2 }
+      // null elements are skipped (can't be a hash pair): the type check
+      // admits containsNull=true arrays because Catalyst types derived
+      // columns conservatively, but the gram kernel never emits nulls
+      if (!s.isNullAt(i)) {
+        val r = s.getStruct(i, 2)
+        val h1 = r.getLong(0); val h2 = r.getLong(1)
+        var p = slot(h1, h2)
+        while (used(p) && !(k1(p) == h1 && k2(p) == h2)) p = (p + 1) & mask
+        if (!used(p)) { used(p) = true; k1(p) = h1; k2(p) = h2 }
+      }
       i += 1
     }
     var cnt = 0L
     val m = l.numElements()
     i = 0
     while (i < m) {
-      val r = l.getStruct(i, 2)
-      val h1 = r.getLong(0); val h2 = r.getLong(1)
-      var p = slot(h1, h2)
-      while (used(p) && !(k1(p) == h1 && k2(p) == h2)) p = (p + 1) & mask
-      if (used(p)) cnt += 1
+      if (!l.isNullAt(i)) {
+        val r = l.getStruct(i, 2)
+        val h1 = r.getLong(0); val h2 = r.getLong(1)
+        var p = slot(h1, h2)
+        while (used(p) && !(k1(p) == h1 && k2(p) == h2)) p = (p + 1) & mask
+        if (used(p)) cnt += 1
+      }
       i += 1
     }
     cnt

@@ -1421,8 +1421,14 @@ object Dedup extends QueryModule {
     * sides stay semi-restricted to candidate docs — O(dup volume), not
     * corpus scale (the 1M-doc DedupScale discipline). LAZY — the caller
     * pins. */
-  private[graft] def ppjoinVerifyFromDocs(docGrams: DataFrame,
-      cand: DataFrame): DataFrame = {
+  /** Candidate pairs joined with BOTH sides' pinned gram arrays plus the
+    * exact kernel overlap: (doc_a, doc_b, i, na, nb) — the one
+    * definition of the verify join shared by the Jaccard (PPJoin) and
+    * containment verifies. Both sides stay semi-restricted to candidate
+    * docs — O(dup volume), not corpus scale (the 1M-doc DedupScale
+    * discipline: hash-building a corpus-scale relation is an OOM, a
+    * candidate-bounded one shrinks with the dup volume). LAZY. */
+  private def candPairOverlap(docGrams: DataFrame, cand: DataFrame): DataFrame = {
     def side(idCol: String, pre: String) = docGrams
       .join(cand.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"))
       .select(col("doc_id").as(idCol), col("gs").as(s"${pre}gs"),
@@ -1433,6 +1439,11 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         TextHash.hashPairIntersectSize(col("ags"), col("bgs")).as("i"),
         col("an").as("na"), col("bn").as("nb"))
+  }
+
+  private[graft] def ppjoinVerifyFromDocs(docGrams: DataFrame,
+      cand: DataFrame): DataFrame = {
+    candPairOverlap(docGrams, cand)
       .filter(col("i") * 5 >= (col("na") + col("nb") - col("i")) * 3)
       .select(col("doc_a"), col("doc_b"),
         round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jac"))
@@ -1555,16 +1566,7 @@ object Dedup extends QueryModule {
   private[graft] def containmentPairs(g: DataFrame, t: Double): DataFrame = {
     val docGrams = containmentDocGrams(g, t)
     val cand = containmentCandidatesFromDocs(docGrams, t) // materialized
-    def side(idCol: String, pre: String) = docGrams
-      .join(cand.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"))
-      .select(col("doc_id").as(idCol), col("gs").as(s"${pre}gs"),
-        col("n").as(s"${pre}n"))
-    val out = cand
-      .join(side("doc_a", "a").hint("shuffle_hash"), Seq("doc_a"))
-      .join(side("doc_b", "b").hint("shuffle_hash"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        TextHash.hashPairIntersectSize(col("ags"), col("bgs")).as("i"),
-        col("an").as("na"), col("bn").as("nb"))
+    val out = candPairOverlap(docGrams, cand)
       .withColumn("cont", round(col("i") * 1.0 / least(col("na"), col("nb")), 6))
       .filter(col("cont") >= t)
       .select(

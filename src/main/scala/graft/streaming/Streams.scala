@@ -910,10 +910,16 @@ object Streams {
           val (sigs, cellsM) = graft.plans.Iterate.pinObserved(
             nearDupSigs(batch, sigBuckets),
             collect_set(struct(col("band"), col("sig_bucket"))))
-          val batchCells = cellsM
-            .map(_.asInstanceOf[Seq[org.apache.spark.sql.Row]]
-              .map(r => (r.getLong(0), r.getLong(1))))
-            .getOrElse(Seq.empty)
+          // a MISSING metric is a mechanism failure, not an empty batch
+          // (collect_set over zero rows yields an empty array, not null):
+          // silently probing zero cells would commit every doc as
+          // not-a-dup — fail loudly instead
+          val batchCells = cellsM match {
+            case Some(rows) => rows.asInstanceOf[Seq[org.apache.spark.sql.Row]]
+              .map(r => (r.getLong(0), r.getLong(1)))
+            case None => sys.error(
+              s"near-dup ingest batch $batchId: observed cell-set metric missing")
+          }
           val (matches, probeFiles, storeFiles, cells) =
             probeNearDupStore(spark, storeDir, sigs, batchId,
               knownCells = Some(batchCells))
